@@ -1,0 +1,60 @@
+"""dataframeintervals_jl_spark — a PySpark-native interval-analytics engine.
+
+A from-scratch re-expression of the query capabilities of
+beacon-biosignals/DataFrameIntervals.jl (reference, read-only at
+/root/reference/) on Apache Spark: interval overlap joins with
+inner/left/right/full semantics, interval intersection as a computed
+column, fused grouped interval-join aggregation, and equal-width window
+generation — plus large-scale training-data-pipeline extensions
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Everything on the hot path is pure Spark Column expressions: Catalyst
+optimizes (pushdown/pruning/codegen) and the one genuinely custom
+physical strategy — the binned range join — is a DataFrame-level
+rewrite that turns the theta-join into a shuffleable equi-join.
+"""
+
+from .functions.selectors import all_, between, cols, not_
+from .functions.spans import (
+    SPAN_DDL,
+    SPAN_TYPE,
+    make_span,
+    span_contains,
+    span_duration,
+    span_from_timestamps,
+    span_intersect,
+    span_start,
+    span_stop,
+    spans_overlap,
+)
+from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interval_join
+from .operators.interval_join import interval_join, setup_column_names
+from .operators.quantile_windows import dfspan, quantile_windows
+from .session import ensure_session_configs, get_spark
+
+__all__ = [
+    "SPAN_DDL",
+    "SPAN_TYPE",
+    "GroupedIntervalJoin",
+    "all_",
+    "between",
+    "cols",
+    "dfspan",
+    "ensure_session_configs",
+    "get_spark",
+    "groupby_interval_join",
+    "interval_join",
+    "make_span",
+    "not_",
+    "quantile_windows",
+    "setup_column_names",
+    "span_contains",
+    "span_duration",
+    "span_from_timestamps",
+    "span_intersect",
+    "span_start",
+    "span_stop",
+    "spans_overlap",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,399 @@
+"""Interval overlap join — the engine's flagship operator.
+
+Parity target: ``interval_join`` in the reference
+(/root/reference/src/DataFrameIntervals.jl:97-180 — docstring, rename
+protocol ``setup_column_names!`` at src:67-95, materialization
+``join_indices`` at src:157-180).  Semantics reproduced:
+
+- one output row per (left, right) pair whose ``on`` intervals overlap
+  (``!isdisjoint``; for closed-open spans: strict ``l.start < r.stop AND
+  r.start < l.stop`` — touching windows do NOT match);
+- both sides' ``on`` columns are renamed (default suffixes ``_left`` /
+  ``_right``); a NEW column named after the left input's ``on`` name
+  holds the pairwise intersection and is appended LAST;
+- ``keepleft`` / ``keepright`` map to left/right/full outer behavior
+  with null padding (reference src:163-179);
+- duplicate payload names error unless ``makeunique=True`` (then the
+  later occurrence gets ``_1``, ``_2``, …);
+- nulls in either ``on`` column raise (reference src:136-141) unless
+  ``validate='skip'``.
+
+Spark-first execution instead of the reference's sort/sweep kernel:
+
+- declarative theta-join: Catalyst plans a BroadcastNestedLoopJoin which
+  is optimal when one side is small (the quantile-windows case);
+- ``strategy='binned'`` rewrites large×large joins into an equi-join on
+  overlapping fixed-width bins + residual predicate + emit-once guard —
+  this shuffles on the bin key, so it scales horizontally on a cluster
+  where a nested-loop join cannot.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.spans import SPAN_TYPE, span_intersect, spans_overlap
+
+Renamer = Union[None, str, Callable[[str], str]]
+
+LEFT_IDX = "_left_idx"
+RIGHT_IDX = "_right_idx"
+_BIN = "__dfi_bin"
+
+
+def _apply_rename(name: str, how: Renamer) -> str:
+    if how is None:
+        return name
+    if callable(how):
+        return str(how(name))
+    return f"{name}{how}"
+
+
+def _as_pair(value, default=None):
+    """Unpack an argument that may be a single value or a (left, right) pair.
+
+    Mirrors ``forleft``/``forright`` Pair unpacking (reference src:62-65).
+    """
+    if value is None:
+        value = default
+    if isinstance(value, tuple) and len(value) == 2:
+        return value
+    return (value, value)
+
+
+def _resolve_on(on) -> Tuple[str, str]:
+    if isinstance(on, str):
+        return on, on
+    if isinstance(on, tuple) and len(on) == 2 and all(isinstance(x, str) for x in on):
+        return on
+    raise ValueError(
+        "Interval joins support only one `on` column (a name or a "
+        "(left_name, right_name) pair); iterables are not allowed."
+    )
+
+
+class _Sides:
+    """Result of the rename protocol: both inputs re-projected with final
+    column names, plus the bookkeeping names the join needs."""
+
+    __slots__ = (
+        "left",
+        "right",
+        "left_on",
+        "right_on",
+        "joined_on",
+        "left_cols",
+        "right_cols",
+        "rename_left",
+        "rename_right",
+    )
+
+
+def setup_column_names(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    renamecols=None,
+    renameon=("_left", "_right"),
+    makeunique: bool = False,
+    with_indices: bool = False,
+) -> _Sides:
+    """The rename protocol (parity: reference src:67-95, src:152-156).
+
+    Payload columns get ``renamecols`` (suffix str or callable per side),
+    ``on`` columns get ``renameon``; the final left/right on-names must
+    not equal the output (joined) on-name; duplicate final names across
+    sides error unless ``makeunique`` (→ ``_1`` suffixing, reference
+    src:113-115,177).
+    """
+    left_on_in, right_on_in = _resolve_on(on)
+    ren_l, ren_r = _as_pair(renamecols)
+    ron_l, ron_r = _as_pair(renameon, default=("_left", "_right"))
+
+    if left_on_in not in left.columns:
+        raise ValueError(f"`on` column {left_on_in!r} not found in left table")
+    if right_on_in not in right.columns:
+        raise ValueError(f"`on` column {right_on_in!r} not found in right table")
+
+    joined_on = left_on_in
+    left_on = _apply_rename(left_on_in, ron_l)
+    right_on = _apply_rename(right_on_in, ron_r)
+    if left_on == joined_on:
+        raise ValueError(
+            f"Interval join failed: left dataframe's `on` column has the final "
+            f"name `{left_on}` which clashes with joined dataframe's `on` column "
+            f"name `{joined_on}`. Make sure `renameon` is set properly."
+        )
+    if right_on == joined_on:
+        raise ValueError(
+            f"Interval join failed: right dataframe's `on` column has the final "
+            f"name `{right_on}` which clashes with joined dataframe's `on` column "
+            f"name `{joined_on}`. Make sure `renameon` is set properly."
+        )
+
+    rename_left = {
+        c: (left_on if c == left_on_in else _apply_rename(c, ren_l))
+        for c in left.columns
+    }
+    rename_right = {
+        c: (right_on if c == right_on_in else _apply_rename(c, ren_r))
+        for c in right.columns
+    }
+
+    # Clash resolution across the concatenated (left ++ right) name list,
+    # in output order — later duplicates get _1, _2, ... when makeunique.
+    final_left = [rename_left[c] for c in left.columns]
+    final_right = [rename_right[c] for c in right.columns]
+    seen: dict[str, int] = {}
+    out_left: list[str] = []
+    out_right: list[str] = []
+    for names_in, names_out in ((final_left, out_left), (final_right, out_right)):
+        for n in names_in:
+            if n in seen:
+                if not makeunique:
+                    raise ValueError(
+                        f"Duplicate column name {n!r} in interval join output; "
+                        f"pass makeunique=True to deduplicate (suffixes _1, _2, ...)"
+                    )
+                seen[n] += 1
+                unique = f"{n}_{seen[n]}"
+                while unique in seen:
+                    seen[n] += 1
+                    unique = f"{n}_{seen[n]}"
+                seen[unique] = 0
+                names_out.append(unique)
+            else:
+                seen[n] = 0
+                names_out.append(n)
+
+    sides = _Sides()
+    # re-alias on-column positions too (on stays at its original position)
+    lsel = [F.col(c).alias(a) for c, a in zip(left.columns, out_left)]
+    rsel = [F.col(c).alias(a) for c, a in zip(right.columns, out_right)]
+    if with_indices:
+        lsel.append(F.monotonically_increasing_id().alias(LEFT_IDX))
+        rsel.append(F.monotonically_increasing_id().alias(RIGHT_IDX))
+        out_left = out_left + [LEFT_IDX]
+        out_right = out_right + [RIGHT_IDX]
+    sides.left = left.select(*lsel)
+    sides.right = right.select(*rsel)
+    sides.left_on = out_left[left.columns.index(left_on_in)]
+    sides.right_on = out_right[right.columns.index(right_on_in)]
+    sides.joined_on = joined_on
+    sides.left_cols = out_left
+    sides.right_cols = out_right
+    sides.rename_left = rename_left
+    sides.rename_right = rename_right
+    return sides
+
+
+def _validate_no_nulls(sides: _Sides) -> None:
+    """Eager null check in the on-columns (parity: reference src:136-141;
+    exercised by test/runtests.jl:56-59). One tiny agg action per side."""
+    left_missing = (
+        sides.left.agg(
+            F.sum(F.col(sides.left_on).isNull().cast("int")).alias("n")
+        ).first()["n"]
+        or 0
+    ) > 0
+    right_missing = (
+        sides.right.agg(
+            F.sum(F.col(sides.right_on).isNull().cast("int")).alias("n")
+        ).first()["n"]
+        or 0
+    ) > 0
+    if left_missing or right_missing:
+        side = "left" if left_missing else "right"
+        raise ValueError(
+            f"There are missing values in the {side} table of `interval_join`."
+        )
+
+
+def _floor_div(a: Column, w: int) -> Column:
+    """Exact floor division of a bigint column by a positive int width.
+
+    No doubles anywhere: epoch-ns magnitudes (~1.7e18) exceed float64's
+    2^53 integer range, so ``floor(a / w)`` computed in doubles can
+    mis-bin near boundaries.  ``a - pmod(a, w)`` is ``floor(a/w)*w``
+    exactly in long arithmetic (pmod is nonnegative for positive w); the
+    decimal division of that exact multiple is exact."""
+    al = a.cast("long")
+    fd = al - F.pmod(al, F.lit(int(w)))
+    return (fd.cast("decimal(38,0)") / F.lit(int(w))).cast("long")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on="span",
+    renamecols=None,
+    renameon=("_left", "_right"),
+    makeunique: bool = False,
+    keepleft: bool = False,
+    keepright: bool = False,
+    bounds: str = "[)",
+    validate: str = "error",
+    strategy: str = "auto",
+    bin_width: Optional[int] = None,
+    with_indices: bool = False,
+) -> DataFrame:
+    """Overlap join of two interval tables.  See module docstring.
+
+    Parameters mirror the reference signature
+    (/root/reference/src/DataFrameIntervals.jl:98-100) plus engine
+    extensions: ``bounds`` ('[)' default, '[]' closed), ``validate``
+    ('error' = reference-faithful eager null check | 'skip'),
+    ``strategy`` ('auto' | 'broadcast_right' | 'broadcast_left' |
+    'binned'), ``bin_width`` (ns; estimated when omitted),
+    ``with_indices`` (adds ``_left_idx``/``_right_idx`` for
+    deterministic-order tests).
+    """
+    sides = setup_column_names(
+        left,
+        right,
+        on,
+        renamecols=renamecols,
+        renameon=renameon,
+        makeunique=makeunique,
+        with_indices=with_indices,
+    )
+    if validate == "error":
+        _validate_no_nulls(sides)
+
+    how = {
+        (False, False): "inner",
+        (True, False): "left_outer",
+        (False, True): "right_outer",
+        (True, True): "full_outer",
+    }[(bool(keepleft), bool(keepright))]
+
+    if strategy == "binned":
+        joined = _binned_join(sides, how, bounds, bin_width)
+    else:
+        l = sides.left.alias("__dfi_l")
+        r = sides.right.alias("__dfi_r")
+        if strategy == "broadcast_right":
+            r = F.broadcast(r)
+        elif strategy == "broadcast_left":
+            l = F.broadcast(l)
+        cond = spans_overlap(
+            F.col(f"__dfi_l.{sides.left_on}"),
+            F.col(f"__dfi_r.{sides.right_on}"),
+            bounds=bounds,
+        )
+        joined = l.join(r, cond, how)
+
+    out_cols = sides.left_cols + sides.right_cols
+    intersection = span_intersect(F.col(sides.left_on), F.col(sides.right_on)).alias(
+        sides.joined_on
+    )
+    return joined.select(*out_cols, intersection)
+
+
+# ---------------------------------------------------------------------------
+# Binned range-join strategy (SURVEY.md §4.3)
+# ---------------------------------------------------------------------------
+
+
+def _bin_ids(span_col: Column, w: int, bounds: str) -> Column:
+    """The sequence of fixed-width bin ids a span touches.
+
+    For half-open ``[start, stop)`` the last touched bin is
+    ``floor((stop-1)/W)``; closed bounds use ``floor(stop/W)``.  Epoch-ns
+    endpoints are nonneg in practice, but we still use true floor
+    division so negative endpoints stay correct.
+    """
+    start = span_col.getField("start")
+    stop = span_col.getField("stop")
+    last_point = stop - F.lit(1) if bounds == "[)" else stop
+    return F.sequence(_floor_div(start, w), _floor_div(last_point, w))
+
+
+def _estimate_bin_width(sides: _Sides) -> int:
+    """Pick a bin width ≈ p90 interval length across both sides (one
+    approxQuantile action per side). Too-small bins explode row counts;
+    too-large bins degrade to few huge partitions."""
+    widths = []
+    for df, on_name in ((sides.left, sides.left_on), (sides.right, sides.right_on)):
+        dur = df.select(
+            (F.col(on_name).getField("stop") - F.col(on_name).getField("start")).alias(
+                "d"
+            )
+        )
+        try:
+            q = dur.approxQuantile("d", [0.9], 0.05)
+            if q:
+                widths.append(q[0])
+        except Exception:
+            pass
+    w = int(max(widths)) if widths else 0
+    return max(w, 1)
+
+
+def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: Optional[int]) -> DataFrame:
+    """Equi-join on overlapping bins + residual predicate + emit-once guard.
+
+    A matched pair shares every bin its intersection touches; keeping
+    only ``bin == floor(greatest(l.start, r.start)/W)`` emits each pair
+    exactly once with NO distinct/dedup shuffle.  Outer variants recover
+    unmatched rows via anti-joins on persisted row ids and
+    ``unionByName(allowMissingColumns=True)`` — the same structure as the
+    reference's ``join_indices`` missing-padding (src:157-180).
+    """
+    w = bin_width if bin_width else _estimate_bin_width(sides)
+
+    need_left_ids = how in ("left_outer", "full_outer")
+    need_right_ids = how in ("right_outer", "full_outer")
+    lefts, rights = sides.left, sides.right
+    if need_left_ids and LEFT_IDX not in lefts.columns:
+        lefts = lefts.withColumn(LEFT_IDX, F.monotonically_increasing_id())
+    if need_right_ids and RIGHT_IDX not in rights.columns:
+        rights = rights.withColumn(RIGHT_IDX, F.monotonically_increasing_id())
+    if need_left_ids:
+        lefts = lefts.persist()
+    if need_right_ids:
+        rights = rights.persist()
+
+    lcol = F.col(sides.left_on)
+    rcol = F.col(sides.right_on)
+    # width <= 0 spans match nothing under '[)' — drop them before binning
+    lb = lefts
+    rb = rights
+    if bounds == "[)":
+        lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
+        rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
+    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds)))
+    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, bounds)))
+
+    l = lb.alias("__dfi_l")
+    r = rb.alias("__dfi_r")
+    lq = F.col(f"__dfi_l.{sides.left_on}")
+    rq = F.col(f"__dfi_r.{sides.right_on}")
+    inter_start = F.greatest(lq.getField("start"), rq.getField("start"))
+    guard = F.col(f"__dfi_l.{_BIN}") == _floor_div(inter_start, w)
+    cond = (
+        (F.col(f"__dfi_l.{_BIN}") == F.col(f"__dfi_r.{_BIN}"))
+        & spans_overlap(lq, rq, bounds=bounds)
+        & guard
+    )
+    matched = l.join(r, cond, "inner").drop(_BIN)
+
+    if how == "inner":
+        return matched
+
+    pieces = [matched]
+    if need_left_ids:
+        matched_l = matched.select(LEFT_IDX).distinct()
+        unmatched_l = lefts.join(matched_l, LEFT_IDX, "left_anti")
+        pieces.append(unmatched_l)
+    if need_right_ids:
+        matched_r = matched.select(RIGHT_IDX).distinct()
+        unmatched_r = rights.join(matched_r, RIGHT_IDX, "left_anti")
+        pieces.append(unmatched_r)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

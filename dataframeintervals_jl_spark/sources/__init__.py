@@ -1,0 +1,80 @@
+"""Parquet sources over the driver's testdata + span-view derivations.
+
+The reference ingests any in-memory Tables.jl table zero-copy
+(/root/reference/src/DataFrameIntervals.jl:133-134); our sources are
+parquet scans (columnar, predicate-pushdown-friendly) plus the standard
+derivations from FIXTURES.md §F5 that turn point-event tables into
+interval tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.spans import NS_PER_US, make_span
+from ..session import ensure_session_configs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_configs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user adjacent spans from the point-event stream.
+
+    ``span = [ts, next ts per user)`` via lead(); the last event of each
+    user has no successor and is dropped.  ``ts`` arrives as bigint
+    epoch-ns thanks to ``nanosAsLong`` (see session.py).  Mirrors the
+    reference test fixture's adjacent-TimeSpans construction
+    (/root/reference/test/runtests.jl:15-20) but derived from real data.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__next_ts", F.lead("ts").over(w))
+        .filter(F.col("__next_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            make_span(F.col("ts"), F.col("__next_ts")).alias("span"),
+        )
+    )
+
+
+def order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders as 30-day spans ``[o_orderdate, o_orderdate + 30d)``."""
+    od = read_table(spark, sf_dir, "orders")
+    start_ns = F.unix_micros(F.col("o_orderdate")) * NS_PER_US
+    day_ns = 86_400_000_000_000
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        make_span(start_ns, start_ns + F.lit(30) * day_ns).alias("span"),
+    )
