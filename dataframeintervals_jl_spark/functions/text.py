@@ -1,0 +1,124 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen'd) — these
+run over the ``documents`` table at 100 TB scale without Python on the
+hot path.  Beyond the reference's surface (it has no scalar functions,
+SURVEY.md §2.C); added per the engine's training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+#: crude whitespace+punct-aware "BPE-ish" word/number/punct splitter
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def tokens(text) -> Column:
+    """Whitespace tokens as an array column."""
+    return F.regexp_extract_all(_c(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text) -> Column:
+    """Sub-word-ish segmentation: letter runs, digit runs, single punct."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_ISH_RE), 0)
+
+
+def unique_token_count(text) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def char_count(text) -> Column:
+    return F.length(_c(text))
+
+
+# --- quality scoring -------------------------------------------------------
+
+_PUNCT_RE = r"[^\w\s]"
+_STOPWORDS = (
+    "the,a,an,and,or,of,to,in,is,are,was,for,on,with,as,at,by,it,this,that"
+).split(",")
+
+
+def punct_count(text) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(_PUNCT_RE), 0))
+
+
+def stopword_count(text) -> Column:
+    pat = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(_c(text)), F.lit(pat), 0))
+
+
+def quality_score(text) -> Column:
+    """Heuristic [0,1] quality score: length sweet-spot x repetition x
+    punctuation sanity.  Deterministic, expression-only."""
+    t = _c(text)
+    n_tok = token_count(t).cast("double")
+    uniq_ratio = unique_token_count(t).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ratio = punct_count(t).cast("double") / F.greatest(
+        char_count(t).cast("double"), F.lit(1.0)
+    )
+    punct_ok = F.when(punct_ratio < 0.2, F.lit(1.0)).otherwise(F.lit(0.6))
+    return len_ok * punct_ok * uniq_ratio
+
+
+# --- language id -----------------------------------------------------------
+
+#: tiny per-language stopword signals (n-gram heuristic; deterministic)
+LANG_SIGNALS = {
+    "en": r"\b(the|and|of|to|is|in|that|for|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|que|pour)\b",
+    "es": r"\b(el|los|las|es|una|por|para|con|del)\b",
+}
+
+
+def lang_scores(text) -> list[tuple[str, Column]]:
+    t = F.lower(_c(text))
+    return [
+        (lang, F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
+        for lang, pat in LANG_SIGNALS.items()
+    ]
+
+
+def lang_id(text) -> Column:
+    """Argmax language with deterministic tie-break (signal order above,
+    'und' when every score is zero)."""
+    scores = lang_scores(text)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# --- fingerprinting --------------------------------------------------------
+
+
+def content_hash(text) -> Column:
+    """Exact-dup fingerprint (md5 hex)."""
+    return F.md5(_c(text).cast("string"))
+
+
+def shingles(text, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — the unit for MinHash/Jaccard
+    near-dup detection."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each shuffle-conscious for the 100 TB case:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle on a short
+  key (never on the raw text);
+- MinHash + LSH: shingle → minhash signature → band → bucket equi-join —
+  near-dup candidate pairs WITHOUT the O(n²) cross join;
+- SimHash: 64-bit weighted fingerprint, hamming-bucketed;
+- n-gram Jaccard: exact verification on candidate pairs only.
+
+Everything is built from Spark built-ins (xxhash64, transform,
+aggregate, explode, groupBy) — no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_hash, shingles
+
+# deterministic hash family h_i(x) = (a_i*x + b_i) mod M.  The domain is
+# kept at 31 bits and a_i < 2^30 so a_i*x + b_i < 2^62 — Spark 4 runs in
+# ANSI mode, where a silent long overflow is an ARITHMETIC_OVERFLOW error.
+_MOD = (1 << 31) - 1
+_COEF = 1 << 30
+
+
+def _hash_family(num: int) -> list[tuple[int, int]]:
+    """Deterministic pseudo-random (a, b) pairs via splitmix64 steps."""
+    pairs = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(num):
+        out = []
+        for _ in range(2):
+            state = (state + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+            out.append((z ^ (z >> 31)) % _COEF)
+        pairs.append((out[0] or 1, out[1]))
+    return pairs
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of identical content: ``(content_hash, keep_id, n_dups)``.
+
+    ``keep_id`` = min id per group (deterministic survivor).  The
+    shuffle key is the 32-hex digest, not the document — at 100 TB the
+    map side projects (hash, id) only, so shuffle volume is tiny."""
+    return df.groupBy(content_hash(F.col(text_col)).alias("h")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def exact_dedup_keep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The surviving rows themselves (first id per identical content)."""
+    keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — minhash over word-shingle xxhash64s.
+
+    sig[i] = min over shingles of (a_i * h + b_i mod M); computed with
+    ``transform``+``aggregate`` array expressions, fully JVM-side."""
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MOD)
+    family = _hash_family(num_hashes)
+
+    def _affine(a: int, b: int):
+        # closure factory: F.transform inspects the lambda's arity, so
+        # the per-hash coefficients can't ride along as default args
+        return lambda h: (h * F.lit(a) + F.lit(b)) % _MOD
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__dfi_sh"), _affine(a, b)))
+            for a, b in family
+        ]
+    )
+    return df.select(F.col(id_col), hashed.alias("__dfi_sh")).select(
+        id_col, sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b, n_shared_bands).
+
+    Band the signature (rows = num_hashes/bands per band), bucket-join
+    on (band_idx, band_hash).  The equi-join shuffles on the band hash —
+    horizontally scalable, no cross join.  Downstream verification (true
+    Jaccard) runs only on candidates."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity on candidate (id_a, id_b) pairs.
+
+    Joins the shingle sets back onto the (small) candidate list —
+    verification cost is O(candidates), not O(n²)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprints: (id, simhash bigint).
+
+    Per token-hash, each bit votes +1/-1; the sign of each bit-sum forms
+    the fingerprint.  Implemented as array expressions over the token
+    list (aggregate over bit positions)."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    )
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = F.array(
+        *[
+            F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            for i in range(bits)
+        ]
+    )
+    # assemble the fingerprint bit-by-bit (shiftleft needs a literal
+    # shift amount, so this is a python loop over fixed bit positions;
+    # bit 63 is the long sign bit → its literal is -(2^63))
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(bit_sums[i] > 0, F.lit(bit_val)).otherwise(F.lit(0)).cast("long")
+        )
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``blocks``
+    chunks; any pair within distance ``max_hamming < blocks`` agrees on
+    ≥1 chunk, so an equi-join per chunk finds all candidates without a
+    cross join; exact popcount verifies."""
+    fps = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    chunked = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.blk", "c.key")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,380 @@
+"""Driver-facing query catalog: Spark implementations + DuckDB oracles.
+
+Each entry in :data:`QUERIES` is ``name -> (spark_fn, oracle_sql|None)``
+where ``spark_fn(spark, sf_dir) -> DataFrame`` runs the engine and the
+oracle is equivalent ANSI SQL DuckDB executes over the same parquet
+(driver compares row count + schema + order-insensitive value hash).
+
+Cross-engine determinism rules applied throughout:
+
+- events.ts: DuckDB reads parquet ``timestamp[ns]`` at µs precision, so
+  the Spark side truncates ns → µs*1000 (``event_spans(truncate_us=True)``)
+  and the oracle uses ``epoch_ns(ts)`` — identical bigints both sides.
+- no floating-point aggregation: sums are bigint (durations, cents);
+  doubles only pass through untouched or via min/max (exact).
+- window boundaries use the same exact integer floor formula both sides
+  (``lo + i*q + (i*r)//n``); all quantities nonnegative so DuckDB's
+  truncating ``//`` equals floor.
+- struct columns are flattened to scalar BIGINT columns at the query
+  boundary; every computed column is aliased identically both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import char_count, content_hash, token_count, unique_token_count
+from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
+from .operators.groupby_interval_join import groupby_interval_join
+from .operators.interval_join import interval_join
+from .operators.quantile_windows import dfspan, quantile_windows
+from .operators.similarity import cosine_topk, lsh_topk
+from .sources import event_spans, order_spans, read_table
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+# event spans at µs-precision ns (matches Spark truncate_us=True)
+_ES_CTE = """sp AS (
+  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS s,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS e
+  FROM events
+), es AS (SELECT * FROM sp WHERE e IS NOT NULL),
+b AS (SELECT min(s) AS lo, max(e) AS hi FROM es)"""
+
+
+def _w_cte(n: int, label: str, src: str = "b") -> str:
+    """n equal-width windows from a (lo, hi) single-row CTE — the exact
+    integer floor formula quantile_windows uses."""
+    return f"""w AS (
+  SELECT lo + i*((hi-lo)//{n}) + (i*((hi-lo)%{n}))//{n} AS w_start,
+         lo + (i+1)*((hi-lo)//{n}) + ((i+1)*((hi-lo)%{n}))//{n} AS w_stop,
+         CAST(i+1 AS BIGINT) AS {label}
+  FROM {src}, generate_series(0,{n - 1}) t(i))"""
+
+
+_JOIN_COLS_SQL = """es.event_id, es.user_id, es.event_type, es.value,
+       es.s AS l_start, es.e AS l_stop, w.w_start, w.w_stop, w.quarter,
+       CASE WHEN es.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE greatest(es.s, w.w_start) END AS i_start,
+       CASE WHEN es.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE least(es.e, w.w_stop) END AS i_stop"""
+
+_OVERLAP_SQL = "greatest(es.s, w.w_start) < least(es.e, w.w_stop)"
+
+
+def _flat_join(j: DataFrame, label: str = "quarter") -> DataFrame:
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("span_left.start").alias("l_start"),
+        F.col("span_left.stop").alias("l_stop"),
+        F.col("span_right.start").alias("w_start"),
+        F.col("span_right.stop").alias("w_stop"),
+        label,
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+def _es_windows(spark, sf_dir, n, label):
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    w = quantile_windows(spark, n, es, label=label)
+    return es, w
+
+
+# ---------------------------------------------------------------------------
+# core interval queries
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_windows(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    return w.select(
+        F.col("span.start").alias("w_start"), F.col("span.stop").alias("w_stop"), "idx"
+    )
+
+
+_SQL_QUANTILE_WINDOWS = f"WITH {_ES_CTE},\n{_w_cte(8, 'idx')}\nSELECT w_start, w_stop, idx FROM w"
+
+
+def q_dfspan(spark, sf_dir):
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    lo, hi = dfspan(es)
+    return spark.range(1).select(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+
+
+_SQL_DFSPAN = f"WITH {_ES_CTE}\nSELECT lo, hi FROM b"
+
+
+def q_interval_join_inner(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 4, "quarter")
+    j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+    return _flat_join(j)
+
+
+_SQL_JOIN_INNER = f"""WITH {_ES_CTE},
+{_w_cte(4, "quarter")}
+SELECT {_JOIN_COLS_SQL}
+FROM es JOIN w ON {_OVERLAP_SQL}"""
+
+
+def q_interval_join_binned(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 4, "quarter")
+    j = interval_join(es, w, validate="skip", strategy="binned")
+    return _flat_join(j)
+
+
+def q_interval_join_keepleft(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 4, "quarter")
+    j = interval_join(
+        es,
+        w.filter(F.col("quarter") <= 3),
+        keepleft=True,
+        validate="skip",
+        strategy="broadcast_right",
+    )
+    return _flat_join(j)
+
+
+_SQL_JOIN_KEEPLEFT = f"""WITH {_ES_CTE},
+{_w_cte(4, "quarter")}
+SELECT {_JOIN_COLS_SQL}
+FROM es LEFT JOIN (SELECT * FROM w WHERE quarter <= 3) w ON {_OVERLAP_SQL}"""
+
+
+def q_interval_join_keepright(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    lo, hi = dfspan(es)
+    mid = lo + (hi - lo) // 2
+    es_half = es.filter(F.col("span.stop") <= F.lit(mid))
+    j = interval_join(
+        es_half, w, keepright=True, validate="skip", strategy="broadcast_right"
+    )
+    return _flat_join(j, label="idx")
+
+
+_SQL_JOIN_KEEPRIGHT = f"""WITH {_ES_CTE},
+{_w_cte(8, "idx")},
+esh AS (SELECT es.* FROM es, b WHERE es.e <= b.lo + (b.hi - b.lo)//2)
+SELECT esh.event_id, esh.user_id, esh.event_type, esh.value,
+       esh.s AS l_start, esh.e AS l_stop, w.w_start, w.w_stop, w.idx,
+       CASE WHEN esh.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE greatest(esh.s, w.w_start) END AS i_start,
+       CASE WHEN esh.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE least(esh.e, w.w_stop) END AS i_stop
+FROM esh RIGHT JOIN w ON greatest(esh.s, w.w_start) < least(esh.e, w.w_stop)"""
+
+
+def q_interval_join_full(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    lo, hi = dfspan(es)
+    mid = lo + (hi - lo) // 2
+    es_half = es.filter(F.col("span.stop") <= F.lit(mid))
+    j = interval_join(
+        es_half,
+        w.filter(F.col("idx") >= 5),
+        keepleft=True,
+        keepright=True,
+        validate="skip",
+        strategy="broadcast_right",
+    )
+    return _flat_join(j, label="idx")
+
+
+_SQL_JOIN_FULL = f"""WITH {_ES_CTE},
+{_w_cte(8, "idx")},
+esh AS (SELECT es.* FROM es, b WHERE es.e <= b.lo + (b.hi - b.lo)//2),
+w58 AS (SELECT * FROM w WHERE idx >= 5)
+SELECT esh.event_id, esh.user_id, esh.event_type, esh.value,
+       esh.s AS l_start, esh.e AS l_stop, w.w_start, w.w_stop, w.idx,
+       CASE WHEN esh.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE greatest(esh.s, w.w_start) END AS i_start,
+       CASE WHEN esh.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE least(esh.e, w.w_stop) END AS i_stop
+FROM esh FULL OUTER JOIN w58 w ON greatest(esh.s, w.w_start) < least(esh.e, w.w_stop)"""
+
+
+def q_groupby_interval_join_agg(spark, sf_dir):
+    es, w = _es_windows(spark, sf_dir, 4, "quarter")
+    g = groupby_interval_join(
+        es, w, groups=["quarter", "event_type"], validate="skip",
+        strategy="broadcast_right",
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("span.stop") - F.col("span.start")).alias("sum_dur"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+_SQL_GROUPBY_AGG = f"""WITH {_ES_CTE},
+{_w_cte(4, "quarter")}
+SELECT w.quarter, es.event_type, CAST(count(*) AS BIGINT) AS n,
+       sum(least(es.e, w.w_stop) - greatest(es.s, w.w_start)) AS sum_dur,
+       min(es.value) AS min_v, max(es.value) AS max_v
+FROM es JOIN w ON {_OVERLAP_SQL}
+GROUP BY w.quarter, es.event_type"""
+
+
+def q_orders_interval_join(spark, sf_dir):
+    os_ = order_spans(spark, sf_dir)
+    w = quantile_windows(spark, 12, os_, label="idx")
+    j = interval_join(os_, w, validate="skip", strategy="broadcast_right")
+    return j.groupBy("idx").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+    )
+
+
+_SQL_ORDERS_JOIN = """WITH os AS (
+  SELECT o_orderkey, o_totalprice, epoch_ns(o_orderdate) AS s,
+         epoch_ns(o_orderdate) + 2592000000000000 AS e
+  FROM orders
+), ob AS (SELECT min(s) AS lo, max(e) AS hi FROM os),
+w AS (
+  SELECT lo + i*((hi-lo)//12) + (i*((hi-lo)%12))//12 AS w_start,
+         lo + (i+1)*((hi-lo)//12) + ((i+1)*((hi-lo)%12))//12 AS w_stop,
+         CAST(i+1 AS BIGINT) AS idx
+  FROM ob, generate_series(0,11) t(i))
+SELECT w.idx, CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(floor(os.o_totalprice*100 + 0.5) AS BIGINT)) AS sum_cents
+FROM os JOIN w ON greatest(os.s, w.w_start) < least(os.e, w.w_stop)
+GROUP BY w.idx"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy(content_hash(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_DEDUP_EXACT = """SELECT md5(text) AS h, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY md5(text)"""
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+        F.sum(char_count(F.col("text")).cast("long")).alias("sum_chars"),
+    )
+
+
+_SQL_TOKEN_STATS = r"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS sum_tokens,
+       sum(CAST(length(text) AS BIGINT)) AS sum_chars
+FROM documents GROUP BY lang"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        unique_token_count(F.col("text")).cast("long").alias("n_uniq"),
+        char_count(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
+_SQL_TEXT_QUALITY = r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_uniq,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
+_SQL_SIMILARITY_TOPK = """WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_dot_product(c.v, q.v) AS DOUBLE)
+           / sqrt(CAST(c.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
+  FROM n c, q WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+         n_id, round(score, 6) AS score
+  FROM pairs)
+SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= 5"""
+
+
+# weaker rows-only checks (no tractable single-statement SQL oracle):
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    return ngram_jaccard_pairs(docs, cand, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8, blocks=4)
+
+
+def q_similarity_lsh(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    "q_quantile_windows": (q_quantile_windows, _SQL_QUANTILE_WINDOWS),
+    "q_dfspan": (q_dfspan, _SQL_DFSPAN),
+    "q_interval_join_inner": (q_interval_join_inner, _SQL_JOIN_INNER),
+    "q_interval_join_binned": (q_interval_join_binned, _SQL_JOIN_INNER),
+    "q_interval_join_keepleft": (q_interval_join_keepleft, _SQL_JOIN_KEEPLEFT),
+    "q_interval_join_keepright": (q_interval_join_keepright, _SQL_JOIN_KEEPRIGHT),
+    "q_interval_join_full": (q_interval_join_full, _SQL_JOIN_FULL),
+    "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
+    "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
+    "q_dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),
+    "q_text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
+    "q_similarity_topk": (q_similarity_topk, _SQL_SIMILARITY_TOPK),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "q_simhash_pairs": (q_simhash_pairs, None),
+    "q_similarity_lsh": (q_similarity_lsh, None),
+}

@@ -41,7 +41,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TABLES}
 
 
-def event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_spans(
+    spark: SparkSession, sf_dir: str, truncate_us: bool = False
+) -> DataFrame:
     """Per-user adjacent spans from the point-event stream.
 
     ``span = [ts, next ts per user)`` via lead(); the last event of each
@@ -49,8 +51,15 @@ def event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-ns thanks to ``nanosAsLong`` (see session.py).  Mirrors the
     reference test fixture's adjacent-TimeSpans construction
     (/root/reference/test/runtests.jl:15-20) but derived from real data.
+
+    ``truncate_us=True`` truncates timestamps to whole microseconds
+    (still expressed in ns).  The engine is ns-native; this exists for
+    the driver's DuckDB oracle, which reads parquet ``timestamp[ns]`` at
+    microsecond precision — both systems must see identical bigints.
     """
     ev = read_table(spark, sf_dir, "events")
+    ts = F.col("ts") - F.pmod(F.col("ts"), F.lit(1000)) if truncate_us else F.col("ts")
+    ev = ev.select("event_id", "user_id", "event_type", "value", ts.alias("ts"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.withColumn("__next_ts", F.lead("ts").over(w))
@@ -68,7 +77,9 @@ def event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders as 30-day spans ``[o_orderdate, o_orderdate + 30d)``."""
     od = read_table(spark, sf_dir, "orders")
-    start_ns = F.unix_micros(F.col("o_orderdate")) * NS_PER_US
+    # o_orderdate arrives as TIMESTAMP_NTZ; with the session pinned to
+    # UTC the cast is a pure reinterpretation (matches DuckDB epoch_ns)
+    start_ns = F.unix_micros(F.col("o_orderdate").cast("timestamp")) * NS_PER_US
     day_ns = 86_400_000_000_000
     return od.select(
         "o_orderkey",
