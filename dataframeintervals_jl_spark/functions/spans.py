@@ -104,10 +104,14 @@ def spans_overlap(l, r, bounds: str = "[)") -> Column:
     # "intersection non-empty" rather than the 2-term strict comparison:
     # the latter wrongly matches zero-width [a,a) spans lying inside the
     # other interval (the empty set is disjoint from everything).
+    # greatest/least SKIP nulls, so a null span would otherwise match
+    # everything — guard so null spans match nothing (SQL semantics; the
+    # validate='error' path never reaches here with nulls anyway).
+    not_null = lc.isNotNull() & rc.isNotNull()
     if bounds == "[)":
-        return lo < hi
+        return not_null & (lo < hi)
     if bounds == "[]":
-        return lo <= hi
+        return not_null & (lo <= hi)
     raise ValueError(f"unsupported bounds {bounds!r}; use '[)' or '[]'")
 
 

@@ -1,0 +1,261 @@
+"""interval_join semantics vs a brute-force Python oracle, the column
+naming/ordering contract, outer-join behavior, error cases, and
+broadcast-vs-binned strategy parity (SURVEY.md §5 patterns 2-6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataframeintervals_jl_spark import (
+    dfspan,
+    interval_join,
+    quantile_windows,
+)
+
+from .conftest import collect_sorted, make_span_df, overlap
+
+
+def brute_force_pairs(left_rows, right_rows, bounds="[)"):
+    """All (l, r) index pairs whose spans overlap."""
+    return {
+        (i, j)
+        for i, l in enumerate(left_rows)
+        for j, r in enumerate(right_rows)
+        if overlap(l, r, bounds)
+    }
+
+
+@pytest.fixture(scope="module")
+def windows(spark, spans_df):
+    return quantile_windows(spark, 4, spans_df, label="quarter").cache()
+
+
+def _flat(j):
+    """Project to hashable scalars for set comparison."""
+    return j.select(
+        "x",
+        F.col("span_left.start").alias("ls"),
+        F.col("span_right.start").alias("rs"),
+        F.col("span.start").alias("is_"),
+        F.col("span.stop").alias("ie"),
+    )
+
+
+def test_inner_join_matches_brute_force(spark, spans_df, spans_pdf, windows):
+    j = interval_join(spans_df, windows)
+    got = {
+        (r["ls"], r["rs"]) for r in _flat(j).collect()
+    }
+    left_spans = [(s["start"], s["stop"]) for s in spans_pdf["span"]]
+    win_rows = [
+        (r["span"]["start"], r["span"]["stop"]) for r in windows.collect()
+    ]
+    expect = {
+        (left_spans[i][0], win_rows[j_][0])
+        for i, j_ in brute_force_pairs(left_spans, win_rows)
+    }
+    assert got == expect
+    # intersection really is the pairwise min/max
+    for r in _flat(j).collect():
+        assert r["is_"] == max(r["ls"], r["rs"])
+
+
+def test_intersection_column_is_clipped(spark, spans_df, windows):
+    j = interval_join(spans_df, windows)
+    bad = j.filter(
+        (F.col("span.start") < F.greatest("span_left.start", "span_right.start"))
+        | (F.col("span.stop") > F.least("span_left.stop", "span_right.stop"))
+        | (F.col("span.start") >= F.col("span.stop"))
+    )
+    assert bad.count() == 0
+
+
+def test_duration_invariant_per_window(spark, spans_df, windows):
+    """Reference test:36-38: the synthetic left spans are disjoint, so
+    per window the summed intersection duration <= window width."""
+    j = interval_join(spans_df, windows)
+    agg = (
+        j.groupBy("quarter")
+        .agg(
+            F.sum(F.col("span.stop") - F.col("span.start")).alias("tot"),
+            F.first(
+                F.col("span_right.stop") - F.col("span_right.start")
+            ).alias("width"),
+        )
+        .collect()
+    )
+    assert len(agg) == 4
+    for r in agg:
+        assert 0 < r["tot"] <= r["width"]
+
+
+def test_output_column_order_contract(spark, spans_df, windows):
+    """Left cols, right cols, joined-on LAST (reference test:42-43),
+    preserved exactly on empty inputs too."""
+    expect = ["label", "x", "span_left", "span_right", "quarter", "span"]
+    j = interval_join(spans_df, windows)
+    assert j.columns == expect
+    assert interval_join(spans_df.limit(0), windows).columns == expect
+    assert interval_join(spans_df, windows.limit(0), validate="skip").columns == expect
+    assert interval_join(spans_df.limit(0), windows.limit(0), validate="skip").count() == 0
+
+
+def test_keepleft_pads_unmatched(spark, spans_df, windows):
+    """Reference test:45-48: drop Q4, keepleft resurrects its rows with
+    null right/on columns."""
+    w3 = windows.filter(F.col("quarter") <= 3)
+    j = interval_join(spans_df, w3, keepleft=True)
+    inner = interval_join(spans_df, w3)
+    pad = j.filter(F.col("quarter").isNull())
+    assert j.count() == inner.count() + pad.count()
+    assert pad.count() > 0
+    r = pad.first()
+    assert r["span_right"] is None and r["span"] is None and r["span_left"] is not None
+    # every padded left row lies entirely inside Q4
+    lo, hi = dfspan(spans_df)
+    q4_start = lo + (3 * (hi - lo)) // 4
+    assert pad.filter(F.col("span_left.start") < q4_start).count() == 0
+
+
+def test_keepright_resurrects_empty_window(spark, spans_df, windows):
+    """Reference test:50-54: left rows only in the first half; windows
+    past the midpoint come back as padded rows."""
+    lo, hi = dfspan(spans_df)
+    mid = lo + (hi - lo) // 2
+    half = spans_df.filter(F.col("span.stop") <= mid)
+    j = interval_join(half, windows, keepright=True)
+    pad = j.filter(F.col("span_left").isNull())
+    assert {r["quarter"] for r in pad.collect()} == {3, 4}
+    assert pad.count() == 2
+
+
+def test_full_outer(spark, spans_df, windows):
+    lo, hi = dfspan(spans_df)
+    mid = lo + (hi - lo) // 2
+    half = spans_df.filter(F.col("span.stop") <= mid)
+    w34 = windows.filter(F.col("quarter") >= 3)
+    j = interval_join(half, w34, keepleft=True, keepright=True)
+    assert j.filter(F.col("span_right").isNull()).count() == half.count()
+    assert j.filter(F.col("span_left").isNull()).count() == 2
+    assert j.filter(F.col("span").isNotNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rename protocol
+# ---------------------------------------------------------------------------
+
+
+def test_renameon_suffixes_and_callable(spark, spans_df, windows):
+    j = interval_join(spans_df, windows, renameon=("_l", "_r"))
+    assert j.columns == ["label", "x", "span_l", "span_r", "quarter", "span"]
+    j2 = interval_join(
+        spans_df, windows, renameon=(lambda c: f"left_{c}", "_right")
+    )
+    assert "left_span" in j2.columns and "span_right" in j2.columns
+
+
+def test_renamecols(spark, spans_df, windows):
+    j = interval_join(spans_df, windows, renamecols=("_a", "_b"))
+    assert j.columns == ["label_a", "x_a", "span_left", "span_right", "quarter_b", "span"]
+
+
+def test_on_name_pair(spark, spans_df, windows):
+    w = windows.withColumnRenamed("span", "period")
+    j = interval_join(spans_df, w, on=("span", "period"))
+    assert j.columns == ["label", "x", "span_left", "period_right", "quarter", "span"]
+
+
+def test_on_clash_errors(spark, spans_df, windows):
+    with pytest.raises(ValueError, match="renameon"):
+        interval_join(spans_df, windows, renameon=("", "_right"))
+    with pytest.raises(ValueError, match="not found"):
+        interval_join(spans_df, windows, on="nope")
+    with pytest.raises(ValueError, match="one `on` column"):
+        interval_join(spans_df, windows, on=["a", "b"])
+
+
+def test_makeunique(spark, spans_df):
+    other = spans_df.select("label", "x", "span")
+    with pytest.raises(ValueError, match="makeunique"):
+        interval_join(spans_df, other)
+    j = interval_join(spans_df, other, makeunique=True)
+    assert j.columns == [
+        "label", "x", "span_left", "label_1", "x_1", "span_right", "span",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# null validation (reference src:136-141, test:56-59)
+# ---------------------------------------------------------------------------
+
+
+def test_null_on_column_raises(spark):
+    left = make_span_df(spark, [(0, 10), (None, None)])
+    right = make_span_df(spark, [(5, 15)])
+    with pytest.raises(ValueError, match="missing values in the left"):
+        interval_join(left, right)
+    with pytest.raises(ValueError, match="missing values in the right"):
+        interval_join(right, left)
+    # validate='skip' proceeds; null spans match nothing
+    assert interval_join(left, right, validate="skip").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# strategy parity: binned rewrite == broadcast nested loop
+# ---------------------------------------------------------------------------
+
+
+HOWS = [(False, False), (True, False), (False, True), (True, True)]
+
+
+@pytest.mark.parametrize("keepleft,keepright", HOWS)
+def test_binned_parity_all_hows(spark, spans_df, windows, keepleft, keepright):
+    lo, hi = dfspan(spans_df)
+    mid = lo + (hi - lo) // 2
+    half = spans_df.filter(F.col("span.stop") <= mid)
+    w34 = windows.filter(F.col("quarter") >= 2)
+    kw = dict(keepleft=keepleft, keepright=keepright, validate="skip")
+    a = interval_join(half, w34, strategy="broadcast_right", **kw)
+    b = interval_join(half, w34, strategy="binned", **kw)
+    assert collect_sorted(_flat(a)) == collect_sorted(_flat(b))
+
+
+# spans in the fixture are seconds-wide (ns units): widths from 1s to
+# far-beyond-the-covering-span; sub-ms widths would explode the per-row
+# bin arrays (that regime is covered on small coordinates in
+# test_binned_parity_degenerate_spans)
+@pytest.mark.parametrize("bin_width", [10**9, 60 * 10**9, 10**15, 10**18])
+def test_binned_parity_across_bin_widths(spark, spans_df, windows, bin_width):
+    a = interval_join(spans_df, windows, strategy="broadcast_right")
+    b = interval_join(spans_df, windows, strategy="binned", bin_width=bin_width)
+    assert collect_sorted(_flat(a)) == collect_sorted(_flat(b))
+
+
+@pytest.mark.parametrize("bounds", ["[)", "[]"])
+def test_binned_parity_degenerate_spans(spark, bounds):
+    """Zero-width and touching spans must behave identically on both
+    paths: [5,5) matches nothing half-open, matches closed; [0,10)+[10,20)
+    touch."""
+    left = make_span_df(spark, [(0, 10), (5, 5), (10, 20), (15, 40)])
+    right = make_span_df(spark, [(10, 20), (5, 5), (0, 5), (40, 50)])
+    kw = dict(validate="skip", bounds=bounds, makeunique=True)
+    a = interval_join(left, right, strategy="broadcast_right", **kw)
+    b = interval_join(left, right, strategy="binned", bin_width=4, **kw)
+    flat = lambda j: j.select(
+        F.col("span_left.start"), F.col("span_left.stop"),
+        F.col("span_right.start"), F.col("span_right.stop"),
+    )
+    assert collect_sorted(flat(a)) == collect_sorted(flat(b))
+    # brute-force count check
+    lrows = [(0, 10), (5, 5), (10, 20), (15, 40)]
+    rrows = [(10, 20), (5, 5), (0, 5), (40, 50)]
+    assert a.count() == len(brute_force_pairs(lrows, rrows, bounds))
+
+
+def test_with_indices(spark, spans_df, windows):
+    j = interval_join(spans_df, windows, with_indices=True)
+    assert "_left_idx" in j.columns and "_right_idx" in j.columns
+    n_left = spans_df.count()
+    assert j.select("_left_idx").distinct().count() <= n_left

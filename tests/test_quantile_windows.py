@@ -1,0 +1,90 @@
+"""quantile_windows / dfspan contract (reference src:348-387 and
+test/runtests.jl:21-29): n contiguous closed-open windows tiling the
+covering span, equal widths to within 1ns, integer-floor boundaries,
+label handling, min_duration ignored, None on empty input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark import dfspan, quantile_windows
+
+from .conftest import make_span_df
+
+
+def _windows(df):
+    return [
+        (r["span"]["start"], r["span"]["stop"], r[1])
+        for r in df.orderBy("index").collect()
+    ]
+
+
+def test_windows_tile_span_exactly(spark, spans_df):
+    lo, hi = dfspan(spans_df)
+    for n in (1, 3, 4, 7, 100):
+        w = quantile_windows(spark, n, spans_df)
+        rows = _windows(w)
+        assert len(rows) == n
+        assert rows[0][0] == lo and rows[-1][1] == hi
+        # contiguity: each window starts where the previous stopped
+        for (_, stop_prev, _), (start_next, _, _) in zip(rows, rows[1:]):
+            assert start_next == stop_prev
+        # equal width to within 1ns (reference test:23-29)
+        widths = {stop - start for start, stop, _ in rows}
+        assert max(widths) - min(widths) <= 1
+        # exact reference boundary formula: lo + (i*(hi-lo))//n
+        for i, (start, stop, idx) in enumerate(rows):
+            assert start == lo + (i * (hi - lo)) // n
+            assert idx == i + 1
+
+
+def test_window_boundaries_no_float_drift(spark):
+    # epoch-ns magnitudes are beyond float64's 2^53 integer range; the
+    # boundaries must still be exact integers from the floor formula.
+    lo = 1_700_000_000_000_000_001
+    hi = 1_700_000_000_000_000_001 + 7_777_777_777_777
+    n = 13
+    w = quantile_windows(spark, n, (lo, hi))
+    for i, (start, stop, _) in enumerate(_windows(w)):
+        assert start == lo + (i * (hi - lo)) // n
+        assert stop == lo + ((i + 1) * (hi - lo)) // n
+
+
+def test_label_name_and_values(spark):
+    w = quantile_windows(spark, 4, (0, 400), label="quarter")
+    assert w.columns == ["span", "quarter"]
+    assert [r["quarter"] for r in w.orderBy("quarter").collect()] == [1, 2, 3, 4]
+
+    w2 = quantile_windows(spark, 3, (0, 300), label=("name", ["a", "b", "c"]))
+    assert w2.columns == ["span", "name"]
+    assert sorted(r["name"] for r in w2.collect()) == ["a", "b", "c"]
+
+    with pytest.raises(ValueError, match="length 3"):
+        quantile_windows(spark, 3, (0, 300), label=("name", ["a"]))
+
+
+def test_min_duration_accepted_and_ignored(spark):
+    # dead parameter in the reference v0.2.0 (src:368-372): same output
+    a = quantile_windows(spark, 4, (0, 400)).collect()
+    b = quantile_windows(spark, 4, (0, 400), min_duration=10**18).collect()
+    assert a == b
+
+
+def test_empty_input_returns_none(spark):
+    empty = make_span_df(spark, []).limit(0)
+    assert quantile_windows(spark, 4, empty) is None
+    assert dfspan(empty) is None
+    assert quantile_windows(spark, 4, None) is None
+
+
+def test_dfspan_values(spark):
+    df = make_span_df(spark, [(5, 10), (0, 3), (7, 20)])
+    assert dfspan(df) == (0, 20)
+
+
+def test_custom_spancol(spark):
+    df = make_span_df(spark, [(0, 100)]).withColumnRenamed("span", "period")
+    assert dfspan(df, "period") == (0, 100)
+    w = quantile_windows(spark, 2, df, spancol="period")
+    assert w.columns == ["period", "index"]

@@ -1,0 +1,87 @@
+"""Expression-level semantics of the canonical span type.
+
+Covers the contract details from SURVEY.md §2.A: strict-overlap under
+closed-open bounds (touching windows / zero-width spans match nothing),
+closed-closed variant, null propagation of the intersection
+(reference intersect_, src:13-17), and duration arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.functions.spans import (
+    make_span,
+    span_contains,
+    span_duration,
+    span_intersect,
+    spans_overlap,
+)
+
+from .conftest import make_span_df
+
+
+def _eval_pair(spark, a, b, expr_fn):
+    """Evaluate expr_fn(span_a, span_b) over a single literal row."""
+    la = make_span(F.lit(a[0]), F.lit(a[1])) if a else F.lit(None).cast(
+        "struct<start: bigint, stop: bigint>"
+    )
+    lb = make_span(F.lit(b[0]), F.lit(b[1])) if b else F.lit(None).cast(
+        "struct<start: bigint, stop: bigint>"
+    )
+    return spark.range(1).select(expr_fn(la, lb).alias("v")).first()["v"]
+
+
+OVERLAP_CASES = [
+    # (left, right, expect_half_open, expect_closed)
+    ((0, 10), (5, 15), True, True),  # plain overlap
+    ((0, 10), (10, 20), False, True),  # touching: only closed matches
+    ((0, 10), (20, 30), False, False),  # disjoint
+    ((5, 5), (0, 10), False, True),  # zero-width inside: empty set vs point
+    ((5, 5), (5, 5), False, True),
+    ((0, 10), (0, 10), True, True),  # identical
+    ((2, 4), (0, 10), True, True),  # containment
+]
+
+
+@pytest.mark.parametrize("a,b,half_open,closed", OVERLAP_CASES)
+def test_overlap_predicate(spark, a, b, half_open, closed):
+    assert _eval_pair(spark, a, b, lambda x, y: spans_overlap(x, y)) is half_open
+    assert _eval_pair(spark, b, a, lambda x, y: spans_overlap(x, y)) is half_open
+    assert (
+        _eval_pair(spark, a, b, lambda x, y: spans_overlap(x, y, bounds="[]"))
+        is closed
+    )
+
+
+def test_overlap_rejects_unknown_bounds():
+    with pytest.raises(ValueError, match="bounds"):
+        spans_overlap(F.lit(1), F.lit(2), bounds="()")
+
+
+def test_intersection_values(spark):
+    v = _eval_pair(spark, (0, 10), (5, 15), span_intersect)
+    assert (v["start"], v["stop"]) == (5, 10)
+
+
+def test_intersection_null_propagates(spark):
+    assert _eval_pair(spark, None, (5, 15), span_intersect) is None
+    assert _eval_pair(spark, (0, 10), None, span_intersect) is None
+
+
+def test_duration_and_contains(spark):
+    df = make_span_df(spark, [(100, 250)])
+    row = df.select(
+        span_duration("span").alias("d"),
+        span_contains("span", F.lit(100)).alias("at_start"),
+        span_contains("span", F.lit(249)).alias("inside"),
+        span_contains("span", F.lit(250)).alias("at_stop"),
+    ).first()
+    assert row["d"] == 150
+    assert row["at_start"] is True and row["inside"] is True
+    assert row["at_stop"] is False  # half-open: stop excluded
+
+
+def test_make_span_casts_to_long(spark):
+    df = spark.range(1).select(make_span(F.lit(1.0), F.lit(2.0)).alias("s"))
+    assert df.schema["s"].dataType.simpleString() == "struct<start:bigint,stop:bigint>"
