@@ -27,9 +27,11 @@ from .functions.spans import (
     span_stop,
     spans_overlap,
 )
+from .operators.asof_join import asof_join
 from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interval_join
 from .operators.interval_join import interval_join, setup_column_names
 from .operators.quantile_windows import dfspan, quantile_windows
+from .operators.sessionize import sessionize
 from .session import ensure_session_configs, get_spark
 
 __all__ = [
@@ -37,6 +39,8 @@ __all__ = [
     "SPAN_TYPE",
     "GroupedIntervalJoin",
     "all_",
+    "asof_join",
+    "sessionize",
     "between",
     "cols",
     "dfspan",

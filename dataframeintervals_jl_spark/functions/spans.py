@@ -44,6 +44,21 @@ def _c(x) -> Column:
     return F.lit(x)
 
 
+def exact_floor_div(a, divisor: int) -> Column:
+    """Exact ``floor(a / divisor)`` on bigint columns.
+
+    Plain ``/`` is double division in Spark; epoch-ns magnitudes
+    (~1.7e18) exceed float64's 2^53 exact-integer range, so double math
+    mis-rounds near boundaries.  ``a - pmod(a, d)`` is ``floor(a/d)*d``
+    exactly in long arithmetic (pmod is nonnegative for positive d), and
+    dividing that exact multiple via decimal is exact."""
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
+    al = _c(a).cast("long")
+    fd = al - F.pmod(al, F.lit(int(divisor)))
+    return (fd.cast("decimal(38,0)") / F.lit(int(divisor))).cast("long")
+
+
 def make_span(start, stop) -> Column:
     """Build a canonical span struct from two bigint-ns endpoints.
 

@@ -113,6 +113,30 @@ def content_hash(text) -> Column:
     return F.md5(_c(text).cast("string"))
 
 
+#: rolling-hash parameters: base and modulus chosen so that with
+#: token hashes < M, every intermediate b*acc + h < 2^61 stays inside
+#: long range even under Spark 4's ANSI overflow checking.
+_ROLL_BASE = 1_000_003
+_ROLL_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(text) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over whitespace tokens, ``h = (h*B + xxhash64(tok)) mod M``.
+
+    Unlike :func:`content_hash` this survives whitespace normalization
+    (tokens, not raw bytes, are hashed) while still being sensitive to
+    token ORDER — shuffled documents get different fingerprints, which
+    set-based MinHash deliberately ignores.  Pure expression (one
+    ``aggregate`` pass)."""
+    th = F.transform(tokens(text), lambda t: F.abs(F.xxhash64(t)) % _ROLL_MOD)
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _ROLL_BASE + h) % _ROLL_MOD,
+    )
+
+
 def shingles(text, k: int = 3) -> Column:
     """Word k-shingles as an array<string> — the unit for MinHash/Jaccard
     near-dup detection."""

@@ -35,7 +35,12 @@ from typing import Callable, Optional, Tuple, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.spans import SPAN_TYPE, span_intersect, spans_overlap
+from ..functions.spans import (
+    SPAN_TYPE,
+    exact_floor_div as _floor_div,
+    span_intersect,
+    spans_overlap,
+)
 
 Renamer = Union[None, str, Callable[[str], str]]
 
@@ -212,17 +217,6 @@ def _validate_no_nulls(sides: _Sides) -> None:
         )
 
 
-def _floor_div(a: Column, w: int) -> Column:
-    """Exact floor division of a bigint column by a positive int width.
-
-    No doubles anywhere: epoch-ns magnitudes (~1.7e18) exceed float64's
-    2^53 integer range, so ``floor(a / w)`` computed in doubles can
-    mis-bin near boundaries.  ``a - pmod(a, w)`` is ``floor(a/w)*w``
-    exactly in long arithmetic (pmod is nonnegative for positive w); the
-    decimal division of that exact multiple is exact."""
-    al = a.cast("long")
-    fd = al - F.pmod(al, F.lit(int(w)))
-    return (fd.cast("decimal(38,0)") / F.lit(int(w))).cast("long")
 
 
 def interval_join(

@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Engine extension beyond the reference (SURVEY.md §2.C: the reference
+has no scalar functions, let alone media).  Design for 100 TB:
+
+- media rides in OPAQUE ``binary`` columns next to a typed metadata
+  struct (:data:`MEDIA_META_DDL`) — Spark shuffles/spills binary fine,
+  and column pruning means interval/metadata queries never deserialize
+  the payload;
+- decode / feature-extract run in ``mapInPandas`` (Arrow-batched, one
+  Python worker per partition, streaming iterator so a partition never
+  fully materializes) — the ONLY sanctioned Python hot path in the
+  engine;
+- partitioning guidance: media tables should be written with
+  ``maxRecordsPerFile`` tuned so file ≈ HDFS-block sized despite fat
+  rows; decode stages should ``repartition`` by a cheap key first when
+  upstream produced skewed partition byte-sizes.
+
+DECODE IS A DETERMINISTIC FAKE.  This container has no PIL/librosa/ffmpeg,
+so ``_fake_decode_*`` derive metadata and features from the bytes
+themselves (documented formulas, reproducible cross-engine).  A real
+deployment replaces ONLY the body of those two functions — schema,
+batching, partitioning and UDF signatures are the real, tested plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: metadata struct carried alongside every media binary column
+MEDIA_META_DDL = (
+    "struct<kind: string, width: int, height: int, "
+    "sample_rate: int, n_frames: int>"
+)
+
+FEATURE_DIM = 8
+
+DECODE_SCHEMA_DDL = (
+    "id bigint, kind string, n_bytes bigint, width int, height int, n_frames int"
+)
+FEATURE_SCHEMA_DDL = "id bigint, feature array<float>"
+
+
+def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Adapter: the driver's ``documents`` table as a media table
+    ``(id, media: binary, meta)`` — utf-8 bytes standing in for encoded
+    media so the plumbing runs against real testdata."""
+    media = F.encode(F.col("text"), "utf-8")
+    n = F.octet_length(media)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        media.alias("media"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            _fake_width(n).alias("width"),
+            _fake_height(n).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            _fake_n_frames(n).alias("n_frames"),
+        ).cast(MEDIA_META_DDL).alias("meta"),
+    )
+
+
+# --- deterministic fake decode formulas (SQL-expressible on purpose, so
+# --- the DuckDB oracle can check the metadata path end-to-end) -------------
+
+
+def _fake_width(n_bytes):
+    return (F.lit(64) + F.pmod(n_bytes.cast("long"), F.lit(193))).cast("int")
+
+
+def _fake_height(n_bytes):
+    # exact integer n//193 (byte counts are far below 2^53, but stay
+    # integral anyway): (n - n%193)/193
+    n = n_bytes.cast("long")
+    div = ((n - F.pmod(n, F.lit(193))) / F.lit(193)).cast("long")
+    return (F.lit(64) + F.pmod(div, F.lit(157))).cast("int")
+
+
+def _fake_n_frames(n_bytes):
+    return (F.lit(1) + F.pmod(n_bytes.cast("long"), F.lit(7))).cast("int")
+
+
+def _fake_decode_meta(buf: bytes, kind: str) -> tuple:
+    """Python twin of the formulas above (used inside mapInPandas)."""
+    n = len(buf)
+    return n, 64 + n % 193, 64 + (n // 193) % 157, 1 + n % 7
+
+
+def _fake_decode_feature(buf: bytes) -> np.ndarray:
+    """Deterministic FEATURE_DIM-float vector from the content digest.
+
+    Stand-in for a real encoder embedding; md5 → 8 uint16 → [0, 1)."""
+    d = hashlib.md5(buf).digest()
+    return (
+        np.frombuffer(d, dtype=np.uint16).astype(np.float32) / np.float32(65536.0)
+    )[:FEATURE_DIM]
+
+
+def decode_media_meta(media_df: DataFrame) -> DataFrame:
+    """Per-item decoded header info via Arrow-batched mapInPandas.
+
+    Input: ``(id, media binary, meta)``; output rows follow
+    :data:`DECODE_SCHEMA_DDL`.  The iterator-of-batches signature means
+    a 512 MB partition of fat rows streams through the Python worker in
+    Arrow-sized chunks instead of materializing."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _fake_decode_meta(buf, kind)
+                for buf, kind in zip(pdf["media"], pdf["kind"])
+            ]
+            out = pd.DataFrame(
+                decoded, columns=["n_bytes", "width", "height", "n_frames"]
+            )
+            out.insert(0, "id", pdf["id"].values)
+            out.insert(1, "kind", pdf["kind"].values)
+            yield out
+
+    slim = media_df.select("id", F.col("meta.kind").alias("kind"), "media")
+    return slim.mapInPandas(decode, DECODE_SCHEMA_DDL)
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Per-item feature vectors (``array<float>``, FEATURE_DIM) via
+    mapInPandas — the plumbing a real encoder model would use (swap
+    :func:`_fake_decode_feature` for the model call)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "feature": [
+                        _fake_decode_feature(buf).tolist() for buf in pdf["media"]
+                    ],
+                }
+            )
+
+    return media_df.select("id", "media").mapInPandas(featurize, FEATURE_SCHEMA_DDL)
+
+
+def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — NOT IMPLEMENTED in this container (no PIL).
+
+    Raises eagerly so callers fail fast; the real implementation is a
+    mapInPandas with the same ``(id, media)`` → ``(id, media)`` shape as
+    :func:`extract_features`."""
+    raise NotImplementedError(
+        "resize requires an image codec (PIL/opencv) not present in this "
+        "environment; the Arrow plumbing pattern is extract_features()"
+    )
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video-kind media: one row per sampled frame
+    index, ``(id, frame_idx)`` — the explode side of a video pipeline.
+    Frame COUNT comes from metadata, so this stays expression-only
+    (no decode); pair with a decode UDF to materialize pixels."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+    return media_df.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )

@@ -19,6 +19,8 @@ is also what the DuckDB oracle computes.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,6 +114,52 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 16):
             F.when(proj > 0, F.lit(bit)).otherwise(F.lit(0)).cast("long")
         )
     return bucket
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    n_planes: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, score)
+    with ``score >= threshold`` and ``id_a < id_b``.
+
+    Exact mode (``n_planes=None``): self-join with only the id-ordering
+    predicate — O(n²/2) pair evaluations, the correctness baseline.
+    LSH mode (``dim`` + ``n_planes`` set): candidates restricted to
+    equal signed-projection buckets first, an equi-join that shuffles on
+    the bucket key — the 100 TB path (near-identical vectors land in the
+    same bucket with probability ≈ (1 - θ/π)^planes, ≈ .97^planes at
+    cos ≥ .99).
+    """
+    proj = [F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("v")]
+    if n_planes is not None:
+        if dim is None:
+            raise ValueError("LSH mode needs `dim`")
+        proj.append(lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    base = corpus.select(*proj).withColumn("nrm", _dot(F.col("v"), F.col("v")))
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if n_planes is not None:
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & cond
+    dot = _dot(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                dot.cast("double")
+                / F.sqrt(F.col("a.nrm").cast("double") * F.col("b.nrm").cast("double"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
 
 
 def lsh_topk(

@@ -331,7 +331,241 @@ pairs AS (
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= 5"""
 
 
+def q_lang_id(spark, sf_dir):
+    from .functions.text import lang_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("pred"))
+
+
+def _lang_sql():
+    from .functions.text import LANG_SIGNALS
+
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+        for lang, pat in LANG_SIGNALS.items()
+    )
+    langs = list(LANG_SIGNALS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # tie-break = signal order (first language wins), 'und' on all-zero —
+    # the same chained-when order the Spark expression builds
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return (
+        f"WITH s AS (SELECT doc_id, lang, {scores} FROM documents)\n"
+        f"SELECT doc_id, lang, {case} AS pred FROM s"
+    )
+
+
+_SQL_LANG_ID = _lang_sql()
+
+
+def q_quality_score(spark, sf_dir):
+    from .functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+_SQL_QUALITY = r"""WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_uniq,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       round((CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN n_punct / greatest(n_chars, 1.0) < 0.2 THEN 1.0 ELSE 0.6 END)
+           * (n_uniq / greatest(n_tok, 1.0)), 6) AS quality
+FROM m"""
+
+
+def q_asof_join(spark, sf_dir):
+    from .operators.asof_join import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts"),
+    )
+    left = ev.select("event_id", "user_id", "event_type", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, purchases, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("purchase_value_right").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF = """WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS t, value FROM events
+), p AS (
+  SELECT user_id, t, max(value) AS pv FROM ev
+  WHERE event_type = 'purchase' GROUP BY user_id, t
+)
+SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
+       p.t AS purchase_ts, p.pv AS purchase_value
+FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t"""
+
+
+_GAP_NS = 6 * 3_600 * 1_000_000_000  # 6h session gap
+
+
+def q_sessionize(spark, sf_dir):
+    from .operators.sessionize import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts")
+    )
+    s = sessionize(ev, gap=_GAP_NS, ts_col="ts", by="user_id")
+    return s.select(
+        "user_id",
+        "session_id",
+        F.col("span.start").alias("s_start"),
+        F.col("span.stop").alias("s_stop"),
+        "n_events",
+    )
+
+
+_SQL_SESSIONIZE = f"""WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS t FROM events
+), m AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > {_GAP_NS} THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(t) AS s_start, max(t) AS s_stop,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """session_window running in batch mode — same plan as the stream."""
+    from .streaming import stream_sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = stream_sessionize(ev, gap_ns=_GAP_NS, ts_col="ts", by="user_id")
+    return s.select(
+        "user_id",
+        F.col("span.start").alias("s_start"),
+        F.col("span.stop").alias("s_stop"),
+        "n_events",
+    )
+
+
+# session_window breaks at gap >= (half-open window), batch sessionize at
+# gap > — hence >= here, and stop = last + gap
+_SQL_STREAM_SESSIONIZE = f"""WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS t FROM events
+), m AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w >= {_GAP_NS} THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(t) AS s_start, max(t) + {_GAP_NS} AS s_stop,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from .operators.similarity import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+_SQL_EMB_NEARDUP = """WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS score
+  FROM n a, n b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(score, 6) AS score FROM p WHERE score >= 0.4"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from .operators.multimodal import decode_media_meta, documents_as_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media_meta(documents_as_media(docs))
+
+
+_SQL_MM_META = """SELECT doc_id AS id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 193 AS INT) AS width,
+       CAST(64 + (octet_length(encode(text)) // 193) % 157 AS INT) AS height,
+       CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+FROM documents"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs), every_n=2).select(
+        "id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+_SQL_MM_FRAMES = """SELECT doc_id AS id,
+       CAST(unnest(generate_series(0,
+         greatest(1 + octet_length(encode(text)) % 7 - 1, 0), 2)) AS INT)
+         AS frame_idx
+FROM documents"""
+
+
 # weaker rows-only checks (no tractable single-statement SQL oracle):
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature extraction (content-digest fake encoder) — the md5-based
+    vector is not expressible in DuckDB SQL, so rows-only."""
+    from .operators.multimodal import documents_as_media, extract_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = extract_features(documents_as_media(docs))
+    return out.select(
+        "id", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum")
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (the 100 TB path) — approximate by design,
+    so rows-only."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4, dim=64, n_planes=6)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -374,7 +608,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),
     "q_text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "q_similarity_topk": (q_similarity_topk, _SQL_SIMILARITY_TOPK),
+    "q_lang_id": (q_lang_id, _SQL_LANG_ID),
+    "q_quality_score": (q_quality_score, _SQL_QUALITY),
+    "q_asof_join": (q_asof_join, _SQL_ASOF),
+    "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
+    "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
+    "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),
+    "q_multimodal_frames": (q_multimodal_frames, _SQL_MM_FRAMES),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
     "q_simhash_pairs": (q_simhash_pairs, None),
     "q_similarity_lsh": (q_similarity_lsh, None),
+    "q_multimodal_features": (q_multimodal_features, None),
+    "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
 }

@@ -1,0 +1,105 @@
+"""Structured Streaming counterparts of the batch interval operators.
+
+The reference is fully batch (SURVEY.md §2.C) — these are engine
+extensions so the same interval semantics run over unbounded event
+streams: a streaming sessionizer (``F.session_window``, matching batch
+:func:`~..operators.sessionize.sessionize` with ``extend_by_gap=True``)
+and tumbling-window aggregation (the streaming analogue of
+``quantile_windows`` + ``groupby_interval_join``).
+
+Timestamps: Structured Streaming watermarks need a TimestampType column,
+so these helpers take the µs-precision timestamp view of our ns-native
+world (`ts_ns / 1000` cast to timestamp); output spans are converted
+back to canonical bigint-ns structs, truncated to µs — document the 3
+dropped decimal digits when feeding results back into ns-exact joins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.spans import NS_PER_US, exact_floor_div, make_span
+
+
+def _ns_to_ts(col):
+    return F.timestamp_micros(exact_floor_div(col, NS_PER_US))
+
+
+def _window_span(window_col):
+    return make_span(
+        F.unix_micros(window_col.getField("start")) * NS_PER_US,
+        F.unix_micros(window_col.getField("end")) * NS_PER_US,
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_ns: int,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    watermark: str = "10 minutes",
+    spancol: str = "span",
+) -> DataFrame:
+    """Streaming gap-sessionization: one row per closed session with the
+    canonical span struct ``[first_event, last_event + gap)`` and event
+    count — semantics of batch ``sessionize(extend_by_gap=True)`` at µs
+    resolution.
+
+    Works on a streaming OR batch ``events`` (session_window is valid in
+    both); on a stream, rows emit once the watermark passes the session
+    end (append mode).  State is Spark-managed session-window state —
+    scales horizontally, keyed by ``by``.
+    """
+    if gap_ns < NS_PER_US:
+        raise ValueError("gap_ns must be at least one microsecond")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    gap_us = gap_ns // NS_PER_US
+    with_ts = events.withColumn("__ts", _ns_to_ts(F.col(ts_col)))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("__ts", watermark)
+    sw = F.session_window(F.col("__ts"), f"{gap_us} microseconds")
+    return (
+        with_ts.groupBy(sw.alias("__w"), *by_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *by_cols,
+            _window_span(F.col("__w")).alias(spancol),
+            "n_events",
+        )
+    )
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    width_ns: int,
+    aggs: Sequence,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    watermark: str = "10 minutes",
+    spancol: str = "span",
+) -> DataFrame:
+    """Tumbling fixed-width windows + aggregation over a (possibly
+    streaming) event table — the streaming analogue of joining against
+    ``quantile_windows`` output: every event lands in exactly one
+    ``[k·width, (k+1)·width)`` window.
+
+    ``aggs`` are ready-made aggregate Columns (e.g. ``F.avg('value')``).
+    """
+    if width_ns < NS_PER_US:
+        raise ValueError("width_ns must be at least one microsecond")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    width_us = width_ns // NS_PER_US
+    with_ts = events.withColumn("__ts", _ns_to_ts(F.col(ts_col)))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("__ts", watermark)
+    win = F.window(F.col("__ts"), f"{width_us} microseconds")
+    agged = with_ts.groupBy(win.alias("__w"), *by_cols).agg(*aggs)
+    agg_cols = [c for c in agged.columns if c != "__w" and c not in by_cols]
+    return agged.select(
+        *by_cols,
+        _window_span(F.col("__w")).alias(spancol),
+        *agg_cols,
+    )

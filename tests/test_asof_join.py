@@ -1,0 +1,105 @@
+"""asof_join semantics: backward/forward, inclusive ties, tolerance,
+per-key isolation, null-payload carrying, clash errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark import asof_join
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "u", 300), (4, "v", 150), (5, "v", 50)],
+        "id long, k string, ts long",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [("u", 90, 9.0), ("u", 200, 20.0), ("u", 250, 25.0), ("v", 60, 6.0)],
+        "k string, ts long, val double",
+    )
+
+
+def _rows(df):
+    return {r["id"]: (r["ts_right"], r["val_right"]) for r in df.collect()}
+
+
+def test_backward_inclusive(spark):
+    out = asof_join(_left(spark), _right(spark), on="ts", by="k")
+    assert out.count() == 5  # one row per left row
+    got = _rows(out)
+    assert got[1] == (90, 9.0)  # latest at-or-before 100
+    assert got[2] == (200, 20.0)  # exact tie matches (<=)
+    assert got[3] == (250, 25.0)
+    assert got[4] == (60, 6.0)  # per-key isolation
+    assert got[5] == (None, None)  # nothing before 50 for v
+
+
+def test_forward(spark):
+    out = asof_join(_left(spark), _right(spark), on="ts", by="k", direction="forward")
+    got = _rows(out)
+    assert got[1] == (200, 20.0)  # earliest at-or-after 100
+    assert got[2] == (200, 20.0)  # tie matches
+    assert got[3] == (None, None)  # nothing after 300
+    assert got[5] == (60, 6.0)
+
+
+def test_tolerance(spark):
+    out = asof_join(_left(spark), _right(spark), on="ts", by="k", tolerance=10)
+    got = _rows(out)
+    assert got[1] == (90, 9.0)  # gap 10 <= 10
+    assert got[2] == (200, 20.0)  # gap 0
+    assert got[3] == (None, None)  # gap 50 > 10
+    assert got[4] == (None, None)  # gap 90 > 10
+
+
+def test_no_by_keys(spark):
+    left = spark.createDataFrame([(1, 100), (2, 10)], "id long, ts long")
+    right = spark.createDataFrame([(50, 5.0)], "ts long, val double")
+    got = _rows(asof_join(left, right, on="ts"))
+    assert got == {1: (50, 5.0), 2: (None, None)}
+
+
+def test_null_payload_value_not_skipped(spark):
+    """A legitimately-null right value must NOT be replaced by an older
+    non-null one (struct-carry vs per-column ignorenulls)."""
+    left = spark.createDataFrame([(1, 100)], "id long, ts long")
+    right = spark.createDataFrame(
+        [(10, 1.0), (90, None)], "ts long, val double"
+    )
+    got = _rows(asof_join(left, right, on="ts"))
+    assert got == {1: (90, None)}
+
+
+def test_different_on_names_and_suffix(spark):
+    left = spark.createDataFrame([(1, 100)], "id long, t long")
+    right = spark.createDataFrame([(42, 7.0)], "rt long, val double")
+    out = asof_join(left, right, on=("t", "rt"), suffix="_matched")
+    assert out.columns == ["id", "t", "t_matched", "val_matched"]
+
+
+def test_errors(spark):
+    left = _left(spark)
+    right = _right(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", by="k", direction="nearest")
+    with pytest.raises(ValueError, match="not found in left"):
+        asof_join(left, right, on="nope", by="k")
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(
+            left.withColumn("val_right", F.lit(1)), right, on="ts", by="k"
+        )
+
+
+def test_one_row_per_left_even_with_right_dupes(spark):
+    """Duplicate right timestamps: still exactly one output row per left
+    row (the carry keeps the last-in-order one)."""
+    left = spark.createDataFrame([(1, 100)], "id long, ts long")
+    right = spark.createDataFrame(
+        [(90, 1.0), (90, 2.0)], "ts long, val double"
+    )
+    out = asof_join(left, right, on="ts")
+    assert out.count() == 1

@@ -1,0 +1,95 @@
+"""Multimodal plumbing: schema shapes, Arrow-batched decode, feature
+determinism, frame sampling, and the explicit not-implemented gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media_meta,
+    documents_as_media,
+    extract_features,
+    resize_stub,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "a" * 300), (3, "naïve café 你好")],
+        "doc_id long, text string",
+    )
+    return documents_as_media(docs).cache()
+
+
+def test_media_schema(media):
+    assert media.columns == ["id", "media", "meta"]
+    assert media.schema["media"].dataType.simpleString() == "binary"
+    meta = media.schema["meta"].dataType.simpleString()
+    assert "kind" in meta and "width" in meta and "n_frames" in meta
+
+
+def test_decode_meta_matches_formulas(media):
+    out = {r["id"]: r for r in decode_media_meta(media).collect()}
+    # utf-8 byte counts: multibyte chars count per byte
+    assert out[1]["n_bytes"] == 11
+    assert out[2]["n_bytes"] == 300
+    assert out[3]["n_bytes"] == len("naïve café 你好".encode("utf-8"))
+    for r in out.values():
+        assert r["width"] == 64 + r["n_bytes"] % 193
+        assert r["height"] == 64 + (r["n_bytes"] // 193) % 157
+        assert r["n_frames"] == 1 + r["n_bytes"] % 7
+        assert r["kind"] == "image"
+
+
+def test_meta_struct_matches_decode(media):
+    """The expression-side meta struct and the mapInPandas decode agree."""
+    joined = (
+        media.select("id", "meta.width", "meta.height", "meta.n_frames")
+        .join(
+            decode_media_meta(media).select(
+                "id",
+                F.col("width").alias("w2"),
+                F.col("height").alias("h2"),
+                F.col("n_frames").alias("f2"),
+            ),
+            "id",
+        )
+        .filter(
+            (F.col("width") != F.col("w2"))
+            | (F.col("height") != F.col("h2"))
+            | (F.col("n_frames") != F.col("f2"))
+        )
+    )
+    assert joined.count() == 0
+
+
+def test_features_deterministic_and_shaped(media):
+    a = {r["id"]: r["feature"] for r in extract_features(media).collect()}
+    b = {r["id"]: r["feature"] for r in extract_features(media).collect()}
+    assert a == b
+    for v in a.values():
+        assert len(v) == FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in v)
+    # distinct content -> distinct vectors
+    assert a[1] != a[2]
+
+
+def test_sample_frames(media):
+    out = sample_frames(media, every_n=2)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["id"], []).append(r["frame_idx"])
+    metas = {r["id"]: r["n_frames"] for r in decode_media_meta(media).collect()}
+    for i, frames in rows.items():
+        assert sorted(frames) == list(range(0, metas[i], 2))
+    with pytest.raises(ValueError, match="positive"):
+        sample_frames(media, every_n=0)
+
+
+def test_resize_is_explicitly_unimplemented(media):
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_stub(media, 224, 224)

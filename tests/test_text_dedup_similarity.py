@@ -1,0 +1,148 @@
+"""Text functions, dedup families, and similarity search semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.functions.text import (
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    shingles,
+    token_count,
+)
+from dataframeintervals_jl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from dataframeintervals_jl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _eval(spark, expr):
+    return spark.range(1).select(expr.alias("v")).first()["v"]
+
+
+def test_token_count_and_shingles(spark):
+    assert _eval(spark, token_count(F.lit("a b  c\nd"))) == 4
+    sh = _eval(spark, shingles(F.lit("a b c d"), 2))
+    assert sh == ["a b", "b c", "c d"]
+    # short doc: single whole-text shingle
+    assert _eval(spark, shingles(F.lit("a b"), 3)) == ["a b"]
+
+
+def test_rolling_fingerprint_order_sensitive_whitespace_invariant(spark):
+    fp = lambda s: _eval(spark, rolling_fingerprint(F.lit(s)))
+    assert fp("the quick fox") == fp("the   quick \n fox")  # ws-normalized
+    assert fp("the quick fox") != fp("fox quick the")  # order-sensitive
+    assert fp("") == 0
+
+
+def test_lang_id(spark):
+    cases = {
+        "the cat and the dog is in the house": "en",
+        "der Hund ist nicht mit der Katze": "de",
+        "le chat est une belle chose pour la vie": "fr",
+        "el perro es una cosa para los gatos": "es",
+        "xyzzy plugh 12345": "und",
+    }
+    for text, want in cases.items():
+        assert _eval(spark, lang_id(F.lit(text))) == want, text
+
+
+def test_quality_score_range_and_ordering(spark):
+    good = " ".join(f"word{i}" for i in range(50))
+    bad = "spam " * 50  # heavy repetition
+    qs = lambda s: _eval(spark, quality_score(F.lit(s)))
+    assert 0.0 <= qs(bad) < qs(good) <= 1.0
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark, ["aa", "bb", "aa", "aa", "cc"])
+    groups = {r["keep_id"]: r["n"] for r in exact_dedup(docs).collect()}
+    assert groups == {0: 3, 1: 1, 4: 1}
+    kept = exact_dedup_keep(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 4]
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " changed"
+    other = " ".join(f"zzz{i}" for i in range(100))
+    docs = _docs(spark, [base, near, other])
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    verified = ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert out[(0, 1)] > 0.9
+
+
+def test_jaccard_identical_is_one(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e"])
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    v = ngram_jaccard_pairs(docs, cand).collect()
+    assert len(v) == 1 and v[0]["jaccard"] == 1.0
+
+
+def test_simhash_near_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(64))
+    near = " ".join(f"tok{i}" for i in range(63)) + " changed"
+    far = " ".join(f"yyy{i}" for i in range(64))
+    docs = _docs(spark, [base, near, far])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=16, blocks=4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 16
+    assert (0, 2) not in pairs
+
+
+def _emb(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark):
+    emb = _emb(spark)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    rows = [(r["rank"], r["n_id"]) for r in out.orderBy("rank").collect()]
+    assert rows == [(1, 1), (2, 2)]
+    scores = {r["n_id"]: r["score"] for r in out.collect()}
+    assert scores[1] == pytest.approx(0.99 / math.sqrt(0.99**2 + 0.1**2), abs=1e-4)
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    emb = _emb(spark)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, 0.9).collect()
+    }
+    assert exact == {(0, 1)}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, 0.9, dim=3, n_planes=4
+        ).collect()
+    }
+    # LSH may only MISS pairs, never invent them
+    assert lsh <= exact
