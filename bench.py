@@ -52,22 +52,46 @@ def main() -> None:
     for name, (fn, _) in QUERIES.items():
         bench(name, lambda fn=fn: fn(spark, sf_dir))
 
-    # large x large SELECTIVE case: ~100k spans x 10k fine windows.
-    # BNLJ must evaluate all 1e9 pairs; the binned rewrite only meets
-    # pairs sharing a bin (tens of millions).  A self-overlap-join is
-    # NOT a good benchmark here: with ~1500 always-concurrent users the
-    # result itself is ~300M rows, so any strategy is output-bound.
-    from dataframeintervals_jl_spark import quantile_windows
+    # large x large SELECTIVE case: ~100k minute-capped spans x ~100k
+    # 1-second probes = 1e10 candidate pairs, ~330k matches.  BNLJ must
+    # evaluate every pair (did not finish in 400s at sf0.1); the binned
+    # rewrite meets only same-bin pairs (~1.3s).  BNLJ is therefore
+    # timed on a 2% left sample (2e8 pairs) — multiply by 50 for the
+    # full-size estimate.  NOTE: joining es x fine-tiling windows is NOT
+    # a good discriminator: event spans average ~11h, so 10k windows
+    # produce a 14.6M-row result and both strategies are output-bound.
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.sources import read_table
 
-    es = event_spans(spark, sf_dir).select("event_id", "user_id", "span")
-    w10k = quantile_windows(spark, 10_000, es, label="idx")
-    bench(
-        "windows10k_binned",
-        lambda: interval_join(es, w10k, validate="skip", strategy="binned"),
+    minute = 60_000_000_000
+    es = event_spans(spark, sf_dir).select(
+        "event_id",
+        make_span(
+            F.col("span.start"),
+            F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
+        ).alias("span"),
+    )
+    probes = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("probe_id"),
+        make_span(F.col("ts") - 500_000_000, F.col("ts") + 500_000_000).alias(
+            "span"
+        ),
     )
     bench(
-        "windows10k_bnl",
-        lambda: interval_join(es, w10k, validate="skip", strategy="broadcast_right"),
+        "selective_binned",
+        lambda: interval_join(
+            es, probes, validate="skip", strategy="binned", renamecols=("", "_p")
+        ),
+    )
+    bench(
+        "selective_bnl_2pct",
+        lambda: interval_join(
+            es.sample(0.02, seed=7),
+            probes,
+            validate="skip",
+            strategy="broadcast_right",
+            renamecols=("", "_p"),
+        ),
     )
 
     spark.stop()

@@ -191,17 +191,31 @@ def simhash(
         F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     )
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_sums = F.array(
-        *[
-            F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            for i in range(bits)
-        ]
+    # ONE aggregate pass with an array<int> accumulator (the naive
+    # per-bit formulation is `bits` separate aggregates, i.e. `bits`
+    # traversals of the token array — measured 64x the work)
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+    bit_sums = F.aggregate(
+        th,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
     )
+    # materialize the bit-sum array in its own projection: the fp
+    # assembly references it `bits` times, and CollapseProject keeps the
+    # boundary because the aggregate is non-cheap — without it the whole
+    # token traversal would be inlined once per bit.
+    sums = df.select(F.col(id_col), bit_sums.alias("__dfi_bs"))
     # assemble the fingerprint bit-by-bit (shiftleft needs a literal
     # shift amount, so this is a python loop over fixed bit positions;
     # bit 63 is the long sign bit → its literal is -(2^63))
@@ -209,9 +223,11 @@ def simhash(
     for i in range(bits):
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         fp = fp.bitwiseOR(
-            F.when(bit_sums[i] > 0, F.lit(bit_val)).otherwise(F.lit(0)).cast("long")
+            F.when(F.col("__dfi_bs")[i] > 0, F.lit(bit_val))
+            .otherwise(F.lit(0))
+            .cast("long")
         )
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -195,23 +195,41 @@ def setup_column_names(
     return sides
 
 
-def _validate_no_nulls(sides: _Sides) -> None:
+class _SideStats:
+    """Per-side statistics driving validation + strategy selection, all
+    from ONE tiny agg action per side (partial-aggregated map-side, so
+    the action is a scan + O(partitions) reduce at any scale)."""
+
+    __slots__ = ("n", "nulls", "dur", "lo", "hi")
+
+    def __init__(self, df: DataFrame, on_name: str):
+        c = F.col(on_name)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(c.isNull().cast("long")).alias("nulls"),
+            F.avg(c.getField("stop") - c.getField("start")).alias("d"),
+            F.min(c.getField("start")).alias("lo"),
+            F.max(c.getField("stop")).alias("hi"),
+        ).first()
+        self.n = row["n"] or 0
+        self.nulls = row["nulls"] or 0
+        self.dur = float(row["d"]) if row["d"] is not None else 1.0
+        self.lo = row["lo"]
+        self.hi = row["hi"]
+
+
+#: `strategy='auto'`: a side with at most this many rows is broadcast;
+#: two large sides go through the binned rewrite (a BroadcastNestedLoop
+#: over two large inputs is O(n·m) — the 100k x 100k case measured 300x
+#: slower than binned at sf0.1, and unboundedly worse beyond).
+AUTO_BROADCAST_ROWS = 100_000
+
+
+def _validate_no_nulls(stats_l: _SideStats, stats_r: _SideStats) -> None:
     """Eager null check in the on-columns (parity: reference src:136-141;
-    exercised by test/runtests.jl:56-59). One tiny agg action per side."""
-    left_missing = (
-        sides.left.agg(
-            F.sum(F.col(sides.left_on).isNull().cast("int")).alias("n")
-        ).first()["n"]
-        or 0
-    ) > 0
-    right_missing = (
-        sides.right.agg(
-            F.sum(F.col(sides.right_on).isNull().cast("int")).alias("n")
-        ).first()["n"]
-        or 0
-    ) > 0
-    if left_missing or right_missing:
-        side = "left" if left_missing else "right"
+    exercised by test/runtests.jl:56-59)."""
+    if stats_l.nulls or stats_r.nulls:
+        side = "left" if stats_l.nulls else "right"
         raise ValueError(
             f"There are missing values in the {side} table of `interval_join`."
         )
@@ -240,10 +258,17 @@ def interval_join(
     (/root/reference/src/DataFrameIntervals.jl:98-100) plus engine
     extensions: ``bounds`` ('[)' default, '[]' closed), ``validate``
     ('error' = reference-faithful eager null check | 'skip'),
-    ``strategy`` ('auto' | 'broadcast_right' | 'broadcast_left' |
-    'binned'), ``bin_width`` (ns; estimated when omitted),
+    ``strategy``, ``bin_width`` (ns; cost-model estimate when omitted),
     ``with_indices`` (adds ``_left_idx``/``_right_idx`` for
     deterministic-order tests).
+
+    ``strategy='auto'`` (default) is stats-driven: one tiny agg per side
+    (fused with the null validation), then broadcast the smaller side if
+    it is at most :data:`AUTO_BROADCAST_ROWS` rows, else the binned
+    rewrite — a nested-loop plan over two large sides is quadratic and
+    must never be picked implicitly.  Explicit 'broadcast_right' /
+    'broadcast_left' / 'binned' skip the stats actions (except binned's
+    width estimate when ``bin_width`` is omitted).
     """
     sides = setup_column_names(
         left,
@@ -254,8 +279,22 @@ def interval_join(
         makeunique=makeunique,
         with_indices=with_indices,
     )
+
+    # stats are needed by validation, auto strategy selection, and the
+    # binned width estimate — one fused agg action per side covers all
+    needs_stats = (
+        validate == "error"
+        or strategy == "auto"
+        or (strategy == "binned" and bin_width is None)
+    )
+    stats = None
+    if needs_stats:
+        stats = (
+            _SideStats(sides.left, sides.left_on),
+            _SideStats(sides.right, sides.right_on),
+        )
     if validate == "error":
-        _validate_no_nulls(sides)
+        _validate_no_nulls(*stats)
 
     how = {
         (False, False): "inner",
@@ -264,7 +303,18 @@ def interval_join(
         (True, True): "full_outer",
     }[(bool(keepleft), bool(keepright))]
 
+    if strategy == "auto":
+        small = min(stats, key=lambda s: s.n)
+        if small.n <= AUTO_BROADCAST_ROWS:
+            strategy = (
+                "broadcast_left" if small is stats[0] else "broadcast_right"
+            )
+        else:
+            strategy = "binned"
+
     if strategy == "binned":
+        if bin_width is None:
+            bin_width = _estimate_bin_width(stats)
         joined = _binned_join(sides, how, bounds, bin_width)
     else:
         l = sides.left.alias("__dfi_l")
@@ -306,9 +356,9 @@ def _bin_ids(span_col: Column, w: int, bounds: str) -> Column:
     return F.sequence(_floor_div(start, w), _floor_div(last_point, w))
 
 
-def _estimate_bin_width(sides: _Sides) -> int:
-    """Bin width from a cost model over per-side stats (one tiny agg
-    action per side: count, mean duration, covering span).
+def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats]) -> int:
+    """Bin width from a cost model over per-side stats (count, mean
+    duration, covering span — already collected for strategy selection).
 
     Model: explode/shuffle cost ~ n_l*d_l/W + n_r*d_r/W; same-bin pair
     evaluations ~ n_l*n_r*(d_l+W)*(d_r+W)/(T*W) for rows spread over
@@ -318,25 +368,15 @@ def _estimate_bin_width(sides: _Sides) -> int:
 
     (validated empirically: on 100k spans x 10k windows the sweep
     optimum 1-3h matches W* ~ 1.3h)."""
-    stats = []
-    for df, on_name in ((sides.left, sides.left_on), (sides.right, sides.right_on)):
-        c = F.col(on_name)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(c.getField("stop") - c.getField("start")).alias("d"),
-            F.min(c.getField("start")).alias("lo"),
-            F.max(c.getField("stop")).alias("hi"),
-        ).first()
-        if not row or not row["n"]:
-            return 1
-        stats.append((row["n"], float(row["d"] or 1.0), row["lo"], row["hi"]))
-    (n_l, d_l, lo_l, hi_l), (n_r, d_r, lo_r, hi_r) = stats
-    t = max(max(hi_l, hi_r) - min(lo_l, lo_r), 1)
-    w2 = t * (n_l * d_l + n_r * d_r) / (n_l * n_r) + d_l * d_r
+    sl, sr = stats
+    if not sl.n or not sr.n or sl.lo is None or sr.lo is None:
+        return 1
+    t = max(max(sl.hi, sr.hi) - min(sl.lo, sr.lo), 1)
+    w2 = t * (sl.n * sl.dur + sr.n * sr.dur) / (sl.n * sr.n) + sl.dur * sr.dur
     return max(int(w2**0.5), 1)
 
 
-def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: Optional[int]) -> DataFrame:
+def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: int) -> DataFrame:
     """Equi-join on overlapping bins + residual predicate + emit-once guard.
 
     A matched pair shares every bin its intersection touches; keeping
@@ -346,7 +386,7 @@ def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: Optional[int])
     ``unionByName(allowMissingColumns=True)`` — the same structure as the
     reference's ``join_indices`` missing-padding (src:157-180).
     """
-    w = bin_width if bin_width else _estimate_bin_width(sides)
+    w = max(int(bin_width), 1)
 
     need_left_ids = how in ("left_outer", "full_outer")
     need_right_ids = how in ("right_outer", "full_outer")
