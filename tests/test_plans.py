@@ -1,0 +1,157 @@
+"""Physical-plan regression tests — the scale contract.
+
+These lock in the plans the engine promises at cluster scale (SURVEY.md
+§4.2): pushdown reaching the parquet scan, the broadcast path for
+small-side interval joins, the binned rewrite shuffling on the bin key
+(never a nested loop over two large sides), and no row-at-a-time
+Python evaluation anywhere in the hot paths.  A change that silently
+de-optimizes any of these fails here instead of on a 1000-executor run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.groupby_interval_join import (
+    groupby_interval_join,
+)
+from dataframeintervals_jl_spark.operators.interval_join import interval_join
+from dataframeintervals_jl_spark.operators.quantile_windows import quantile_windows
+from dataframeintervals_jl_spark.plans import (
+    assert_join_strategy,
+    assert_max_exchanges,
+    assert_no_python_row_udf,
+    assert_pushed_filter,
+    assert_reads_only,
+    count_broadcast_exchanges,
+    count_exchanges,
+    join_strategies,
+    pushed_filters,
+    scan_read_schema,
+    whole_stage_codegen_ids,
+)
+from dataframeintervals_jl_spark.sources import event_spans, read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def es(spark):
+    return event_spans(spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = read_table(spark, SF_DIR, "events").filter(F.col("event_type") == "view")
+    assert any("event_type" in f for f in pushed_filters(ev))
+
+
+def test_column_pruning_projects_only_selected(spark):
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    assert set(scan_read_schema(ev)) == {"event_id", "user_id"}
+
+
+def test_pruning_through_interval_join(spark, es):
+    """Column pruning must survive the rename/join pipeline: projecting
+    two payload columns from the join output prunes the events scan down
+    to what the spans + those columns need."""
+    w = quantile_windows(spark, 4, es)
+    j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+    out = j.select("event_id", "index")
+    cols = set(scan_read_schema(out))
+    assert "value" not in cols and "event_type" not in cols
+
+
+def test_broadcast_path_is_broadcast_nested_loop(spark, es):
+    w = quantile_windows(spark, 4, es)
+    j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+    assert_join_strategy(j, "BroadcastNestedLoopJoin")
+    # the theta-join itself must not shuffle either side
+    assert_max_exchanges(j, 1)  # lead() over user windows needs one
+    assert_no_python_row_udf(j)
+
+
+def test_binned_path_shuffles_on_bin_never_nested_loop(spark, es):
+    w = quantile_windows(spark, 64, es)
+    j = interval_join(
+        es, w, validate="skip", strategy="binned", bin_width=3_600_000_000_000
+    )
+    strategies = join_strategies(j)
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert strategies and strategies[0] in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    assert_no_python_row_udf(j)
+
+
+def test_binned_outer_recovers_unmatched_without_nested_loop(spark, es):
+    w = quantile_windows(spark, 8, es)
+    j = interval_join(
+        es,
+        w,
+        keepleft=True,
+        keepright=True,
+        validate="skip",
+        strategy="binned",
+        bin_width=3_600_000_000_000,
+    )
+    assert "BroadcastNestedLoopJoin" not in join_strategies(j)
+
+
+def test_groupby_interval_join_pipelines_partial_agg(spark, es):
+    """Join → agg must keep map-side partial aggregation: two
+    HashAggregate levels around a single grouping shuffle, never a
+    shuffle of raw join output followed by one big agg."""
+    w = quantile_windows(spark, 4, es, label="quarter")
+    g = groupby_interval_join(
+        es, w, groups=["quarter", "event_type"], validate="skip",
+        strategy="broadcast_right",
+    )
+    out = g.agg(F.count(F.lit(1)).alias("n"))
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    plan = simple_plan(out)
+    assert plan.count("HashAggregate") >= 2
+    # lead() window + final grouping = 2 shuffles; the join adds none
+    assert_max_exchanges(out, 2)
+
+
+def test_windows_side_is_broadcast_exchange(spark, es):
+    w = quantile_windows(spark, 4, es)
+    j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+    assert count_broadcast_exchanges(j) == 1
+
+
+def test_hot_expressions_stay_in_codegen(spark, es):
+    """The intersection column + overlap predicate are pure expressions:
+    the plan must contain WholeStageCodegen spans and no Python eval."""
+    # AQE defers codegen annotation until runtime re-planning; turn it
+    # off so the static explain shows the *(n) codegen spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        w = quantile_windows(spark, 4, es)
+        j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+        assert whole_stage_codegen_ids(j)
+        assert_no_python_row_udf(j)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_scan_level_filter_composes_with_join(spark, es):
+    """A user filter on the left table must reach the parquet scan even
+    through span derivation + rename + join."""
+    from dataframeintervals_jl_spark.sources import event_spans as mk
+
+    ev = read_table(spark, SF_DIR, "events").filter(F.col("user_id") < 100)
+    assert_pushed_filter(ev, "user_id")
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    from dataframeintervals_jl_spark.functions.text import content_hash
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = docs.groupBy(content_hash(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert_max_exchanges(out, 1)
+    assert_no_python_row_udf(out)
