@@ -10,6 +10,12 @@ Two paths over an ``array<float>`` column:
 - ``lsh_topk``: random-hyperplane (signed projection) LSH buckets; the
   corpus is hashed once, queries probe only matching buckets — the
   scale path that avoids reading the whole corpus per query.
+- ``ivf_topk``: inverted-file index — deterministic k-means centroids
+  trained on a hash-sampled subset (driver-side, tiny), every corpus
+  vector assigned to its nearest cell in one Arrow-batched pass,
+  queries probe only their ``n_probe`` closest cells.  The candidate
+  join is a cell equi-join, so the corpus is read once and shuffled
+  only by cell — the standard billion-vector ANN layout.
 
 Determinism note: dot products are computed on fixed-point int64
 (``round(x * 10^6)``) so results are exactly reproducible across
@@ -21,6 +27,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,9 +183,6 @@ def embedding_neardup_pairs(
             .select("id_a", "id_b", F.round("score", 6).alias("score"))
         )
 
-    import numpy as np
-    import pandas as pd
-
     nb = max(int(n_blocks), 1)
     thr = float(threshold)
     base = corpus.select(
@@ -230,6 +235,112 @@ def embedding_neardup_pairs(
         block_pairs, "id_a long, id_b long, score double"
     )
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+def _train_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+):
+    """Deterministic spherical k-means on a hash-sampled subset.
+
+    Sampling is by ``xxhash64(id)`` order (stable across runs and
+    partitionings — no RNG, no ``limit`` nondeterminism); init is the
+    first ``n_centroids`` sample rows, then 10 Lloyd iterations with
+    cosine assignment.  The sample (≤ 256 rows/centroid) and the
+    training loop live on the driver: IVF training state is tiny and
+    serial; the *corpus* is never collected."""
+    sample_n = 256 * n_centroids
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.abs(F.xxhash64(F.col("id"))), F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("ivf_topk: corpus is empty — nothing to index")
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(x))
+    cent = x[:k].copy()
+    for _ in range(10):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index:
+    (q_id, rank, n_id, score).
+
+    The corpus is partitioned into ``n_centroids`` Voronoi cells (one
+    Arrow-batched assignment pass; the centroid matrix rides into the
+    UDF closure — a few KB, broadcast with the task). Each query scans
+    only its ``n_probe`` closest cells, so the exact-rerank join is an
+    equi-join on the cell id touching ``n_probe / n_centroids`` of the
+    corpus.  Recall rises with ``n_probe`` (= brute force at
+    ``n_probe == n_centroids``).  Fully deterministic: hash-ordered
+    training sample, fixed iteration count, int64 fixed-point scores.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
+    n_probe_eff = min(n_probe, len(cent))
+
+    @pandas_udf("int")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("n_id"), _quantized(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cell", nearest_cell(F.col("cv")))
+        .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+        .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    )
+
+    pairs = c.join(q, "cell").filter(F.col("n_id") != F.col("q_id"))
+    dot = _dot(F.col("cv"), F.col("qv"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        (
+            dot.cast("double")
+            / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
+    )
 
 
 def lsh_topk(

@@ -63,6 +63,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Directory-pruning predicates on hive-partitioned reads — these
+    eliminate whole partitions before any file is opened."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Top-level column names each parquet scan actually reads — the
     column-pruning check (a 2-column projection must not read 16)."""

@@ -581,6 +581,19 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(docs, max_hamming=8, blocks=4)
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-indexed ANN top-k (probe 4 of 16 cells) — approximate by
+    design, so rows-only."""
+    from .operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
 def q_similarity_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -619,6 +632,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
     "q_simhash_pairs": (q_simhash_pairs, None),
     "q_similarity_lsh": (q_similarity_lsh, None),
+    "q_similarity_ivf": (q_similarity_ivf, None),
     "q_multimodal_features": (q_multimodal_features, None),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
 }

@@ -1,0 +1,94 @@
+"""Parquet sinks tuned for cluster-scale re-reads.
+
+The reference has no storage layer at all (in-memory tables only,
+SURVEY.md §2.C); at 100 TB the layout you WRITE determines every
+downstream plan, so the engine owns three write shapes:
+
+- :func:`write_partitioned` — hive-style directory partitioning; reads
+  that filter on the partition column scan only matching directories
+  (partition pruning, visible as ``PartitionFilters`` in the plan).
+- :func:`write_bucketed` — hash-bucketed (optionally sorted) table;
+  equi-joins and aggregations on the bucket key need NO shuffle at
+  read time, turning the biggest per-query cost at scale into a
+  one-time write cost.  Both sides of a join bucketed with the same
+  key and count co-locate.
+- :func:`write_sorted_spans` — range-layout for interval tables:
+  repartitionByRange + per-file sort on ``span.start`` gives parquet
+  min/max row-group statistics that make time-slice reads skip
+  non-overlapping files entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet: one directory per distinct value tuple.
+
+    Partition columns should be low-cardinality (≤ ~10k distincts);
+    high-cardinality keys belong in buckets, not directories."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed parquet table (registered in the session catalog —
+    bucketing metadata lives in the table, not the files).
+
+    A join between two tables bucketed on the same key with the same
+    ``n_buckets`` is planned WITHOUT Exchange on either side; pick
+    ``n_buckets`` so one bucket of the larger table fits an executor
+    core's working set (at 100 TB and ~128 MB targets that is O(10^5)
+    buckets — bucket counts only need to match across tables, they do
+    not need to match cluster size)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (a plain
+    ``spark.read.parquet`` of the same files would lose it)."""
+    return spark.table(table)
+
+
+def write_sorted_spans(
+    df: DataFrame,
+    path: str,
+    spancol: str = "span",
+    n_files: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition by ``span.start`` and sort within each file.
+
+    Parquet keeps min/max statistics per row group; after this layout a
+    read filtered to a time slice ``[lo, hi)`` skips every file whose
+    span range cannot overlap — the storage-side analogue of the binned
+    join's pruning."""
+    start = f"{spancol}.start"
+    part = (
+        df.repartitionByRange(n_files, start)
+        if n_files is not None
+        else df.repartitionByRange(start)
+    )
+    part.sortWithinPartitions(start).write.mode(mode).parquet(path)

@@ -1,0 +1,90 @@
+"""Sink layouts and the plans they buy on re-read: partition pruning,
+shuffle-free bucketed joins, row-group skipping for span slices."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.plans import (
+    count_exchanges,
+    join_strategies,
+    partition_filters,
+    pushed_filters,
+)
+from dataframeintervals_jl_spark.sources.sinks import (
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+    write_sorted_spans,
+)
+from tests.conftest import make_span_df
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"lang{i % 3}", float(i)) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, score double")
+
+
+def test_partitioned_write_prunes_directories(spark, docs, tmp_path):
+    path = str(tmp_path / "docs_part")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "lang1")
+    assert partition_filters(back), "no PartitionFilters in plan"
+    assert back.count() == 100
+    # the partition predicate must NOT appear as a data filter
+    assert not any("lang" in f for f in pushed_filters(back))
+
+
+def test_bucketed_join_needs_no_shuffle(spark, docs, tmp_path):
+    other = docs.select("doc_id", (F.col("score") * 2).alias("boost"))
+    write_bucketed(
+        docs, "t_docs_b", ["doc_id"], 4, sort_cols=["doc_id"],
+        path=str(tmp_path / "b1"),
+    )
+    write_bucketed(
+        other, "t_boost_b", ["doc_id"], 4, sort_cols=["doc_id"],
+        path=str(tmp_path / "b2"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "t_docs_b").join(
+            read_bucketed(spark, "t_boost_b"), "doc_id"
+        )
+        assert join_strategies(j) == ["SortMergeJoin"]
+        assert count_exchanges(j) == 0, "bucketed join must not shuffle"
+        assert j.count() == 300
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_boost_b")
+
+
+def test_bucketed_groupby_needs_no_shuffle(spark, docs, tmp_path):
+    write_bucketed(docs, "t_docs_g", ["doc_id"], 4, path=str(tmp_path / "g1"))
+    try:
+        agg = (
+            read_bucketed(spark, "t_docs_g")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("s"))
+        )
+        assert count_exchanges(agg) == 0
+        assert agg.count() == 300
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_g")
+
+
+def test_sorted_span_layout_pushes_range_filter(spark, tmp_path):
+    df = make_span_df(
+        spark, [(i * 10, i * 10 + 5) for i in range(1000)]
+    ).withColumn("i", F.monotonically_increasing_id())
+    path = str(tmp_path / "spans_sorted")
+    write_sorted_spans(df, path, n_files=4)
+    back = spark.read.parquet(path).filter(
+        (F.col("span.start") >= 2000) & (F.col("span.start") < 3000)
+    )
+    assert back.count() == 100
+    assert any("span.start" in f for f in pushed_filters(back)), (
+        "nested span.start filter must reach the parquet reader"
+    )

@@ -146,3 +146,43 @@ def test_embedding_neardup_exact_vs_lsh(spark):
     }
     # LSH may only MISS pairs, never invent them
     assert lsh <= exact
+
+
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
+    """IVF with n_probe == n_centroids degenerates to brute force: the
+    result must equal cosine_topk exactly.  With partial probing it may
+    only MISS neighbors, never invent them or mis-score them."""
+    from dataframeintervals_jl_spark.operators.similarity import ivf_topk
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["score"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    full = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["score"])
+        for r in ivf_topk(emb, q, n_centroids=4, n_probe=4, k=3).collect()
+    }
+    assert full == exact
+
+    part = ivf_topk(emb, q, n_centroids=8, n_probe=2, k=3).collect()
+    assert len(part) <= 9
+    exact_scores = {
+        (r["q_id"], r["n_id"]): r["score"]
+        for r in cosine_topk(emb, q, k=500).collect()
+    }
+    for r in part:  # scores are exact even when the candidate set is not
+        assert exact_scores[(r["q_id"], r["n_id"])] == r["score"]
+
+
+def test_ivf_topk_deterministic(spark):
+    from dataframeintervals_jl_spark.operators.similarity import ivf_topk
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    a = sorted(map(tuple, ivf_topk(emb, q, 8, 3, k=4).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, 8, 3, k=4).collect()))
+    assert a == b
