@@ -72,6 +72,78 @@ def stream_sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "span",
+    bin_width_ns: int = 3_600_000_000_000,
+    watermark: str = "10 minutes",
+    renameon=("_left", "_right"),
+) -> DataFrame:
+    """Stream-stream (or mixed / batch-batch) interval overlap join —
+    unbounded counterpart of batch ``interval_join`` (inner, half-open).
+
+    Spark refuses stream-stream joins without an equality predicate, so
+    this is the streaming form of the engine's binned rewrite (batch
+    ``strategy='binned'``, SURVEY.md §4.3): each span explodes into the
+    fixed-width bins it touches, the join is an EQUI-join on the bin id
+    plus the residual overlap predicate and the emit-once guard (a pair
+    is produced only in the bin where its intersection starts, so no
+    deduplication state is needed).  Event-time watermarks on the span
+    starts bound the join state: a bin's rows expire once the watermark
+    passes them.  Late rows beyond ``watermark`` are dropped.
+
+    ``bin_width_ns`` trades bin fan-out (long spans touch
+    ``len/W`` bins) against per-bin pair volume — same cost model as the
+    batch path, but streaming favors wider bins since state, not
+    shuffle, dominates.  Output matches batch ``interval_join`` at µs
+    resolution: renamed span structs plus the intersection column
+    appended last.  The reference is fully batch (SURVEY.md §2.C) —
+    this is an engine extension, validated against the batch operator
+    on file streams in tests.
+    """
+    if bin_width_ns < NS_PER_US:
+        raise ValueError("bin_width_ns must be at least one microsecond")
+    w_us = bin_width_ns // NS_PER_US
+    ron_l, ron_r = renameon
+    lon, ron = f"{on}{ron_l}", f"{on}{ron_r}"
+
+    def prep(df: DataFrame, out_name: str, tag: str):
+        d = df.withColumnRenamed(on, out_name)
+        start_us = exact_floor_div(F.col(f"{out_name}.start"), NS_PER_US)
+        stop_us = exact_floor_div(F.col(f"{out_name}.stop"), NS_PER_US)
+        d = d.withColumn(f"__ts{tag}", F.timestamp_micros(start_us))
+        if df.isStreaming:
+            d = d.withWatermark(f"__ts{tag}", watermark)
+        # bins over µs endpoints; half-open → last touched bin holds stop-1
+        return d.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    exact_floor_div(start_us, w_us),
+                    exact_floor_div(stop_us - 1, w_us),
+                )
+            ),
+        )
+
+    l = prep(left, lon, "_l")
+    r = prep(right, ron, "_r")
+    ls, lstop = F.col(f"{lon}.start"), F.col(f"{lon}.stop")
+    rs, rstop = F.col(f"{ron}.start"), F.col(f"{ron}.stop")
+    inter_start_us = exact_floor_div(F.greatest(ls, rs), NS_PER_US)
+    cond = (
+        (l["__bin"] == r["__bin"])
+        & (ls < rstop)
+        & (rs < lstop)
+        & (l["__bin"] == exact_floor_div(inter_start_us, w_us))
+    )
+    out_cols = [c for c in l.columns if c not in ("__bin", "__ts_l")] + [
+        c for c in r.columns if c not in ("__bin", "__ts_r")
+    ]
+    inter = make_span(F.greatest(ls, rs), F.least(lstop, rstop)).alias(on)
+    return l.join(r, cond, "inner").select(*out_cols, inter)
+
+
 def stream_tumbling_agg(
     events: DataFrame,
     width_ns: int,

@@ -1,0 +1,100 @@
+"""Streaming operators validated end-to-end on file-source streams
+(``availableNow`` trigger drains the whole input, so the streaming
+result is comparable row-for-row against the batch operator)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.interval_join import interval_join
+from dataframeintervals_jl_spark.streaming import (
+    stream_interval_join,
+    stream_tumbling_agg,
+)
+from tests.conftest import EPOCH0, make_span_df
+
+US = 1_000  # ns per µs — all fixture endpoints µs-aligned so batch (ns)
+# and streaming (µs event time) see identical boundaries
+HOUR = 3_600_000_000_000
+
+
+def _spans(spark, n, width, step, name):
+    rows = [(EPOCH0 + i * step * US, EPOCH0 + (i * step + width) * US, i) for i in range(n)]
+    return make_span_df(spark, rows, extra=[("rid", __import__("pyspark.sql.types", fromlist=["LongType"]).LongType())]).toDF(
+        "span", name
+    )
+
+
+def _roundtrip_stream(spark, df, path):
+    df.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    left = _spans(spark, 40, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 25, width=50_000, step=100_000, name="rid")
+
+    batch = interval_join(left, right, validate="skip", strategy="broadcast_right")
+    expected = sorted(
+        (r["lid"], r["rid"]) for r in batch.select("lid", "rid").collect()
+    )
+    assert expected, "fixture must produce matches"
+
+    ls = _roundtrip_stream(spark, left, str(tmp_path / "l"))
+    rs = _roundtrip_stream(spark, right, str(tmp_path / "r"))
+    out = stream_interval_join(ls, rs, watermark="1 second")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql("SELECT * FROM sij").collect()
+    got = sorted((r["lid"], r["rid"]) for r in got_rows)
+    assert got == expected
+    # output schema contract: renamed spans + intersection appended last
+    cols = spark.sql("SELECT * FROM sij").columns
+    assert cols[-1] == "span" and "span_left" in cols and "span_right" in cols
+    for r in got_rows:
+        assert r["span"]["start"] == max(
+            r["span_left"]["start"], r["span_right"]["start"]
+        )
+        assert r["span"]["stop"] == min(
+            r["span_left"]["stop"], r["span_right"]["stop"]
+        )
+
+
+def test_stream_tumbling_agg_matches_manual_binning(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, EPOCH0 + i * 600_000_000_000) for i in range(50)],
+        "event_id long, ts long",
+    )
+    stream = _roundtrip_stream(spark, ev, str(tmp_path / "ev"))
+    out = stream_tumbling_agg(
+        stream, width_ns=HOUR, aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    # complete mode: append would hold back the newest window until a
+    # later event advances the watermark past it — on a drained file
+    # stream that event never comes
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumble")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["span"]["start"], r["span"]["stop"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumble").collect()
+    }
+    # 6 events/hour (every 10 min), windows tile the hour grid
+    expected = {}
+    for i in range(50):
+        t = EPOCH0 + i * 600_000_000_000
+        lo = t - t % HOUR
+        expected[(lo, lo + HOUR)] = expected.get((lo, lo + HOUR), 0) + 1
+    assert got == expected
