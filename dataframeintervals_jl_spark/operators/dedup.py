@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import content_hash, shingles
+from ..sources import ensure_parallelism
 
 # deterministic hash family h_i(x) = (a_i*x + b_i) mod M.  The domain is
 # kept at 31 bits and a_i < 2^30 so a_i*x + b_i < 2^62 — Spark 4 runs in
@@ -79,6 +80,13 @@ def minhash_signatures(
     hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MOD)
     family = _hash_family(num_hashes)
 
+    # `num_hashes` array_min(transform(...)) passes over the hashed
+    # shingle array.  NOTE: a "smarter" single-aggregate shape with an
+    # array<long> accumulator and zip_with against a struct-array of
+    # (a_i, b_i) coefficients measured ~35x MORE cpu — nested
+    # higher-order functions with struct field access fall out of
+    # codegen into interpreted evaluation, while these flat
+    # transform/array_min chains stay compiled.  Keep the flat shape.
     def _affine(a: int, b: int):
         # closure factory: F.transform inspects the lambda's arity, so
         # the per-hash coefficients can't ride along as default args
@@ -90,8 +98,10 @@ def minhash_signatures(
             for a, b in family
         ]
     )
-    return df.select(F.col(id_col), hashed.alias("__dfi_sh")).select(
-        id_col, sig.alias("sig")
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), hashed.alias("__dfi_sh"))
+        .select(id_col, sig.alias("sig"))
     )
 
 
@@ -112,7 +122,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded = sigs.select(
+    banded = sigs.select(  # persisted below — see note
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -127,6 +137,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
+    # persist is load-bearing, not a cache hint: without a materialization
+    # boundary CollapseProject inlines the whole signature aggregate into
+    # every band-hash expression (x bands) and the self-join doubles it
+    # again — measured 8-20x the work at sf0.1.  The persisted table is
+    # 3 longs x (docs x bands) rows, MEMORY_AND_DISK, negligible at any
+    # scale relative to the corpus itself.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -156,9 +173,15 @@ def ngram_jaccard_pairs(
 
     Joins the shingle sets back onto the (small) candidate list —
     verification cost is O(candidates), not O(n²)."""
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    # persisted: referenced twice (id_a and id_b sides) — without the
+    # boundary the shingle pass over the full corpus runs twice
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .persist()
     )
     out = (
         candidates.join(
@@ -215,7 +238,7 @@ def simhash(
     # assembly references it `bits` times, and CollapseProject keeps the
     # boundary because the aggregate is non-cheap — without it the whole
     # token traversal would be inlined once per bit.
-    sums = df.select(F.col(id_col), bit_sums.alias("__dfi_bs"))
+    sums = ensure_parallelism(df).select(F.col(id_col), bit_sums.alias("__dfi_bs"))
     # assemble the fingerprint bit-by-bit (shiftleft needs a literal
     # shift amount, so this is a python loop over fixed bit positions;
     # bit 63 is the long sign bit → its literal is -(2^63))
@@ -262,6 +285,9 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.blk", "c.key")
+    # materialization boundary: stops the fingerprint aggregate from
+    # being inlined per chunk and recomputed on both self-join sides
+    chunked = chunked.persist()
     a = chunked.alias("a")
     b = chunked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources import ensure_parallelism
+
 QUANT = 1_000_000
 
 
@@ -59,7 +61,7 @@ def cosine_topk(
 
     ``queries`` is broadcast (the typical many-corpus × few-queries
     shape); ties broken by neighbor id so ranking is total."""
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"), _quantized(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
     q = queries.select(
@@ -156,11 +158,13 @@ def embedding_neardup_pairs(
     if n_planes is not None:
         if dim is None:
             raise ValueError("LSH mode needs `dim`")
-        base = corpus.select(
+        base = ensure_parallelism(corpus).select(
             F.col(id_col).alias("id"),
             _quantized(F.col(vec_col)).alias("v"),
             lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
+        # boundary: bucket hash + norm computed once, not per join side
+        base = base.persist()
         a = base.alias("a")
         b = base.alias("b")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (
@@ -311,7 +315,7 @@ def ivf_topk(
         return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
 
     c = (
-        corpus.select(
+        ensure_parallelism(corpus).select(
             F.col(id_col).alias("n_id"), _quantized(F.col(vec_col)).alias("cv")
         )
         .withColumn("cell", nearest_cell(F.col("cv")))
@@ -356,7 +360,7 @@ def lsh_topk(
     then exact cosine within the bucket.  The corpus is hashed once and
     the join is a bucket equi-join (shuffle on the bucket key) — at
     scale, pair it with bucketed storage so it's shuffle-free."""
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"),
         _quantized(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),

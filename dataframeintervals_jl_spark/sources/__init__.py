@@ -37,6 +37,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
+    """Round-robin repartition IF the input has fewer partitions than the
+    cluster has cores (default target).
+
+    Spark sizes scan partitions by bytes (``maxPartitionBytes``), which
+    is the wrong granularity ahead of CPU-heavy per-row work: a 2 MB
+    parquet file is one task, so a 32-core machine runs a minhash or
+    simhash pass single-threaded.  CPU-bound operators call this before
+    their expensive projection.  At 100 TB the scan already has
+    thousands of partitions, so the condition is false and this is a
+    no-op — it only ever ADDS a (tiny) shuffle on inputs small enough
+    that the shuffle is free."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TABLES}
 
