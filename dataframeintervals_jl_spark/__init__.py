@@ -28,11 +28,33 @@ from .functions.spans import (
     spans_overlap,
 )
 from .operators.asof_join import asof_join
+from .operators.dedup import (
+    exact_dedup,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
 from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interval_join
 from .operators.interval_join import interval_join, setup_column_names
 from .operators.quantile_windows import dfspan, quantile_windows
 from .operators.sessionize import sessionize
+from .operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from .session import ensure_session_configs, get_spark
+from .sources.sinks import (
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+    write_sorted_spans,
+)
+from .streaming import stream_interval_join, stream_sessionize, stream_tumbling_agg
 
 __all__ = [
     "SPAN_DDL",
@@ -59,6 +81,27 @@ __all__ = [
     "span_start",
     "span_stop",
     "spans_overlap",
+    # training-data pipeline extensions
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "exact_dedup",
+    "exact_dedup_keep",
+    "ivf_topk",
+    "lsh_topk",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+    # storage layouts
+    "read_bucketed",
+    "write_bucketed",
+    "write_partitioned",
+    "write_sorted_spans",
+    # streaming
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_tumbling_agg",
 ]
 
 __version__ = "0.1.0"
