@@ -581,6 +581,15 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(docs, max_hamming=8, blocks=4)
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive token-level document fingerprint (polynomial
+    rolling hash).  xxhash64 has no DuckDB equivalent, so rows-only."""
+    from .functions.text import rolling_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-indexed ANN top-k (probe 4 of 16 cells) — approximate by
     design, so rows-only."""
@@ -633,6 +642,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_simhash_pairs": (q_simhash_pairs, None),
     "q_similarity_lsh": (q_similarity_lsh, None),
     "q_similarity_ivf": (q_similarity_ivf, None),
+    "q_rolling_fingerprint": (q_rolling_fingerprint, None),
     "q_multimodal_features": (q_multimodal_features, None),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
 }
