@@ -26,6 +26,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.spans import make_span
 from .functions.text import char_count, content_hash, token_count, unique_token_count
 from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
 from .operators.groupby_interval_join import groupby_interval_join
@@ -251,6 +252,53 @@ SELECT w.idx, CAST(count(*) AS BIGINT) AS n_orders,
        sum(CAST(floor(os.o_totalprice*100 + 0.5) AS BIGINT)) AS sum_cents
 FROM os JOIN w ON greatest(os.s, w.w_start) < least(os.e, w.w_stop)
 GROUP BY w.idx"""
+
+
+def q_lineitem_interval_agg(spark, sf_dir):
+    """Fused interval-join + group over the engine's largest input
+    (~600k rows at sf0.1): 7-day shipping spans x 8 equal windows,
+    grouped by (window, returnflag)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    start_ns = F.unix_micros(F.col("l_shipdate").cast("timestamp")) * 1000
+    day_ns = 86_400_000_000_000
+    spans = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        make_span(start_ns, start_ns + F.lit(7) * day_ns).alias("span"),
+    )
+    w = quantile_windows(spark, 8, spans, label="idx")
+    g = groupby_interval_join(
+        spans, w, groups=["idx", "l_returnflag"], validate="skip",
+        strategy="broadcast_right",
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_qty_c"
+        ),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_price_c"),
+    )
+
+
+_SQL_LINEITEM_AGG = """WITH sp AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice,
+         epoch_ns(l_shipdate) AS s,
+         epoch_ns(l_shipdate) + 604800000000000 AS e
+  FROM lineitem
+), b AS (SELECT min(s) AS lo, max(e) AS hi FROM sp),
+w AS (
+  SELECT lo + i*((hi-lo)//8) + (i*((hi-lo)%8))//8 AS w_start,
+         lo + (i+1)*((hi-lo)//8) + ((i+1)*((hi-lo)%8))//8 AS w_stop,
+         CAST(i+1 AS BIGINT) AS idx
+  FROM b, generate_series(0,7) t(i))
+SELECT w.idx, sp.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(floor(sp.l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(floor(sp.l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_price_c
+FROM sp JOIN w ON greatest(sp.s, w.w_start) < least(sp.e, w.w_stop)
+GROUP BY w.idx, sp.l_returnflag"""
 
 
 # ---------------------------------------------------------------------------
@@ -626,6 +674,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_full": (q_interval_join_full, _SQL_JOIN_FULL),
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
+    "q_lineitem_interval_agg": (q_lineitem_interval_agg, _SQL_LINEITEM_AGG),
     "q_dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),
     "q_text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
