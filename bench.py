@@ -54,9 +54,20 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name, build):
-        t0 = time.time()
-        _force(build())
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2: the host shows bursty CPU steal (identical queries
+        # measured 3.3s and 23.9s minutes apart); min-of-k is the robust
+        # estimator under strictly additive noise
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(build())
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # operators persist reused intermediates (minhash bands, LSH
+            # buckets, ...); drop them between runs so storage-memory
+            # pressure from query N doesn't tax query N+1's timing
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     for name, (fn, _) in QUERIES.items():
         bench(name, lambda fn=fn: fn(spark, sf_dir))

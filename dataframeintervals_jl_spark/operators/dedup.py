@@ -144,6 +144,9 @@ def minhash_lsh_pairs(
     # 3 longs x (docs x bands) rows, MEMORY_AND_DISK, negligible at any
     # scale relative to the corpus itself.
     banded = banded.persist()
+    # eager: both self-join sides otherwise race the cold cache and each
+    # computes the signatures (bimodal 4x timings observed at sf0.1)
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -183,6 +186,7 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
+    sh.count()  # eager — both candidate-join sides read it concurrently
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -288,6 +292,7 @@ def simhash_near_pairs(
     # materialization boundary: stops the fingerprint aggregate from
     # being inlined per chunk and recomputed on both self-join sides
     chunked = chunked.persist()
+    chunked.count()  # eager — see minhash_lsh_pairs
     a = chunked.alias("a")
     b = chunked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -165,6 +165,7 @@ def embedding_neardup_pairs(
         ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
         # boundary: bucket hash + norm computed once, not per join side
         base = base.persist()
+        base.count()  # eager — self-join sides race the cold cache
         a = base.alias("a")
         b = base.alias("b")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (
