@@ -63,6 +63,10 @@ class GroupedIntervalJoin:
         scale use :meth:`agg` / :meth:`apply_in_pandas`.
         """
         keys = self._joined.select(*self.group_cols).distinct().collect()
+        # deterministic stream order (the reference's iterate is
+        # right-group-major, src:293-310; Spark's distinct() order is
+        # arbitrary, so sort by the group key: right cols then left cols)
+        keys.sort(key=lambda k: tuple(repr(k[c]) for c in self.group_cols))
         for key in keys:
             cond = None
             for c in self.group_cols:

@@ -29,6 +29,12 @@ def get_spark(app_name: str = "dataframeintervals_spark", cpus: int | None = Non
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # explicit (it is the default) because the engine RELIES on it:
+        # the binned interval join and the LSH bucket joins produce
+        # skewed keys on real data; AQE splits oversized partitions at
+        # runtime, which is the engine's skew answer instead of manual
+        # salting (SURVEY.md §4.3)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
