@@ -54,7 +54,12 @@ from .sources.sinks import (
     write_partitioned,
     write_sorted_spans,
 )
-from .streaming import stream_interval_join, stream_sessionize, stream_tumbling_agg
+from .streaming import (
+    stream_exact_dedup,
+    stream_interval_join,
+    stream_sessionize,
+    stream_tumbling_agg,
+)
 
 __all__ = [
     "SPAN_DDL",
@@ -99,6 +104,7 @@ __all__ = [
     "write_partitioned",
     "write_sorted_spans",
     # streaming
+    "stream_exact_dedup",
     "stream_interval_join",
     "stream_sessionize",
     "stream_tumbling_agg",

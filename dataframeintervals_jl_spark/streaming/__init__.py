@@ -16,10 +16,12 @@ dropped decimal digits when feeding results back into ns-exact joins.
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Iterator, Sequence, Union
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.spans import NS_PER_US, exact_floor_div, make_span
 
@@ -142,6 +144,49 @@ def stream_interval_join(
     ]
     inter = make_span(F.greatest(ls, rs), F.least(lstop, rstop)).alias(on)
     return l.join(r, cond, "inner").select(*out_cols, inter)
+
+
+def stream_exact_dedup(
+    events: DataFrame,
+    key_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST row seen per
+    ``key_col`` value, across micro-batches, with Spark-managed state —
+    the custom-stateful-operator form (``applyInPandasWithState``) of
+    batch ``exact_dedup_keep``.
+
+    State is one boolean per distinct key, partitioned by the key — it
+    shuffles like a groupBy and scales horizontally; at 100 TB the state
+    store holds one entry per distinct document hash, not per row.
+    Rows within one micro-batch deduplicate against each other AND
+    against all previously seen keys.  Use a hash/fingerprint column as
+    ``key_col`` (e.g. ``content_hash(text)`` projected beforehand) so
+    the shuffle and the state key stay small.
+
+    Spark's built-in ``dropDuplicates`` on a stream has the same
+    semantics but unbounded state and no batch-side equivalence hook;
+    this operator exists as the template for richer per-key streaming
+    state (counters, seen-window sets, TTL via ``timeout``).
+    """
+    out_schema = events.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.iloc[[0]]
+                break
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", timeout
+    )
 
 
 def stream_tumbling_agg(

@@ -98,3 +98,38 @@ def test_stream_tumbling_agg_matches_manual_binning(spark, tmp_path):
         lo = t - t % HOUR
         expected[(lo, lo + HOUR)] = expected.get((lo, lo + HOUR), 0) + 1
     assert got == expected
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """First occurrence per key survives; duplicates are dropped both
+    within a micro-batch and against keys seen in earlier batches
+    (maxFilesPerTrigger=1 forces two batches)."""
+    from dataframeintervals_jl_spark.streaming import stream_exact_dedup
+
+    batch1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "row_id long, h string"
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "aa"), (5, "cc"), (6, "cc")], "row_id long, h string"
+    )
+    d = str(tmp_path / "dedup_in")
+    batch1.coalesce(1).write.parquet(d + "/f1")
+    batch2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_exact_dedup(stream, "h")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["h"] for r in spark.sql("SELECT * FROM sdedup").collect()}
+    assert got == {"aa", "bb", "cc"}
+    n = spark.sql("SELECT count(*) AS n FROM sdedup").first()["n"]
+    assert n == 3  # exactly one survivor per key
