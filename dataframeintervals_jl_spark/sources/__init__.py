@@ -37,6 +37,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV interchange reader.  ``schema`` is REQUIRED (DDL string or
+    StructType): ``inferSchema`` means a full extra pass over the data
+    and nondeterministic types — never acceptable at 100 TB.  Parquet
+    remains the engine's native format; CSV/JSON exist for ingest
+    boundaries."""
+    ensure_session_configs(spark)
+    return spark.read.options(header=str(header).lower(), **options).schema(
+        schema
+    ).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """JSON-lines interchange reader; explicit ``schema`` required (same
+    rationale as :func:`read_csv` — schema inference reads everything
+    twice and types drift between files)."""
+    ensure_session_configs(spark)
+    return spark.read.options(**options).schema(schema).json(path)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     """Round-robin repartition IF the input has fewer partitions than the
     cluster has cores (default target).

@@ -88,3 +88,18 @@ def test_sorted_span_layout_pushes_range_filter(spark, tmp_path):
     assert any("span.start" in f for f in pushed_filters(back)), (
         "nested span.start filter must reach the parquet reader"
     )
+
+
+def test_csv_json_roundtrip_with_explicit_schema(spark, docs, tmp_path):
+    from dataframeintervals_jl_spark.sources import read_csv, read_json
+
+    ddl = "doc_id bigint, lang string, score double"
+    cpath, jpath = str(tmp_path / "docs_csv"), str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").option("header", "true").csv(cpath)
+    docs.write.mode("overwrite").json(jpath)
+    for back in (read_csv(spark, cpath, ddl), read_json(spark, jpath, ddl)):
+        assert back.schema.simpleString() == docs.schema.simpleString()
+        assert back.count() == 300
+        got = {r["doc_id"]: (r["lang"], r["score"]) for r in back.collect()}
+        exp = {r["doc_id"]: (r["lang"], r["score"]) for r in docs.collect()}
+        assert got == exp
