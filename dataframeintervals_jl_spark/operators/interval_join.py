@@ -224,6 +224,33 @@ class _SideStats:
 #: slower than binned at sf0.1, and unboundedly worse beyond).
 AUTO_BROADCAST_ROWS = 100_000
 
+#: Zero-execution fast path for `auto`: if Catalyst's optimized-plan
+#: statistics (derived from parquet file sizes — no job runs) say a side
+#: is at most this many bytes, broadcast it without scanning anything.
+#: Kept deliberately small: BNLJ cost is O(rows_small) per probe row, so
+#: only sides that are certainly tiny (a windows table, a dimension) may
+#: skip the row-count check.  Larger-but-unknown sides fall back to the
+#: counted stats — at 100 TB that costs one extra scan, which is why the
+#: fast path exists for the overwhelmingly common small-side case.
+AUTO_BROADCAST_BYTES = 4 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's size estimate for a plan, without executing anything.
+
+    Returns None when the estimate is unavailable or degenerate
+    (Catalyst reports Long.MaxValue-ish sentinels for plans it cannot
+    size, e.g. after non-pushed joins)."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.math.BigInt to a Python int; JavaObject fallback
+        size = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
 
 def _validate_no_nulls(stats_l: _SideStats, stats_r: _SideStats) -> None:
     """Eager null check in the on-columns (parity: reference src:136-141;
@@ -279,6 +306,18 @@ def interval_join(
         makeunique=makeunique,
         with_indices=with_indices,
     )
+
+    # Strategy fast path FIRST (plan statistics, no execution): when the
+    # user opted out of null validation, a side Catalyst already knows
+    # to be tiny is broadcast without scanning either input — the extra
+    # stats pass below reads both sides in full, which is the right
+    # trade only when validation demands it or both sides are large.
+    if strategy == "auto" and validate != "error":
+        szl = _plan_size_bytes(sides.left)
+        szr = _plan_size_bytes(sides.right)
+        if szl is not None and szr is not None:
+            if min(szl, szr) <= AUTO_BROADCAST_BYTES:
+                strategy = "broadcast_left" if szl <= szr else "broadcast_right"
 
     # stats are needed by validation, auto strategy selection, and the
     # binned width estimate — one fused agg action per side covers all

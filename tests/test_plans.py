@@ -155,3 +155,21 @@ def test_exact_dedup_is_single_shuffle(spark):
     )
     assert_max_exchanges(out, 1)
     assert_no_python_row_udf(out)
+
+
+def test_auto_strategy_plan_stats_fast_path(spark, es):
+    """With validate='skip', a tiny side is broadcast from Catalyst's
+    plan-size estimate alone — strategy selection must not execute jobs
+    over the inputs."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        _plan_size_bytes,
+        interval_join,
+    )
+
+    w = quantile_windows(spark, 4, es)
+    assert _plan_size_bytes(w) is not None
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    j = interval_join(es, w, validate="skip", strategy="auto")
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert list(before) == list(after), "auto selection ran Spark jobs"
+    assert_join_strategy(j, "BroadcastNestedLoopJoin")
