@@ -203,6 +203,22 @@ SELECT esh.event_id, esh.user_id, esh.event_type, esh.value,
 FROM esh FULL OUTER JOIN w58 w ON greatest(esh.s, w.w_start) < least(esh.e, w.w_stop)"""
 
 
+def q_interval_join_closed(spark, sf_dir):
+    """bounds='[]' (closed-closed): touching spans DO match — the
+    reference's native Interval{T,Closed,Closed} semantics."""
+    es, w = _es_windows(spark, sf_dir, 4, "quarter")
+    j = interval_join(
+        es, w, bounds="[]", validate="skip", strategy="broadcast_right"
+    )
+    return _flat_join(j)
+
+
+_SQL_JOIN_CLOSED = f"""WITH {_ES_CTE},
+{_w_cte(4, "quarter")}
+SELECT {_JOIN_COLS_SQL}
+FROM es JOIN w ON greatest(es.s, w.w_start) <= least(es.e, w.w_stop)"""
+
+
 def q_groupby_interval_join_agg(spark, sf_dir):
     es, w = _es_windows(spark, sf_dir, 4, "quarter")
     g = groupby_interval_join(
@@ -672,6 +688,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_keepleft": (q_interval_join_keepleft, _SQL_JOIN_KEEPLEFT),
     "q_interval_join_keepright": (q_interval_join_keepright, _SQL_JOIN_KEEPRIGHT),
     "q_interval_join_full": (q_interval_join_full, _SQL_JOIN_FULL),
+    "q_interval_join_closed": (q_interval_join_closed, _SQL_JOIN_CLOSED),
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
     "q_lineitem_interval_agg": (q_lineitem_interval_agg, _SQL_LINEITEM_AGG),
