@@ -448,6 +448,44 @@ SELECT doc_id,
 FROM m"""
 
 
+def q_training_prep(spark, sf_dir):
+    """End-to-end training-data prep DAG: exact-dedup survivors →
+    quality gate → per-language corpus stats.  One shuffle for the
+    dedup group, one semi-join back, one final agg — the composed
+    shape a 100 TB preprocessing run uses."""
+    from .functions.text import quality_score
+    from .operators.dedup import exact_dedup_keep
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = exact_dedup_keep(docs)
+    good = kept.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
+    return good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+    )
+
+
+_SQL_TRAINING_PREP = r"""WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+), m AS (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_uniq,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM kept
+), scored AS (
+  SELECT *, round((CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.5 END)
+       * (CASE WHEN n_punct / greatest(n_chars, 1.0) < 0.2 THEN 1.0 ELSE 0.6 END)
+       * (n_uniq / greatest(n_tok, 1.0)), 6) AS q
+  FROM m)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS sum_tokens
+FROM scored WHERE q >= 0.5 GROUP BY lang"""
+
+
 def q_asof_join(spark, sf_dir):
     from .operators.asof_join import asof_join
 
@@ -698,6 +736,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_similarity_topk": (q_similarity_topk, _SQL_SIMILARITY_TOPK),
     "q_lang_id": (q_lang_id, _SQL_LANG_ID),
     "q_quality_score": (q_quality_score, _SQL_QUALITY),
+    "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
