@@ -236,7 +236,7 @@ def q_groupby_interval_join_agg(spark, sf_dir):
 _SQL_GROUPBY_AGG = f"""WITH {_ES_CTE},
 {_w_cte(4, "quarter")}
 SELECT w.quarter, es.event_type, CAST(count(*) AS BIGINT) AS n,
-       sum(least(es.e, w.w_stop) - greatest(es.s, w.w_start)) AS sum_dur,
+       CAST(sum(least(es.e, w.w_stop) - greatest(es.s, w.w_start)) AS BIGINT) AS sum_dur,
        min(es.value) AS min_v, max(es.value) AS max_v
 FROM es JOIN w ON {_OVERLAP_SQL}
 GROUP BY w.quarter, es.event_type"""
@@ -265,7 +265,7 @@ w AS (
          CAST(i+1 AS BIGINT) AS idx
   FROM ob, generate_series(0,11) t(i))
 SELECT w.idx, CAST(count(*) AS BIGINT) AS n_orders,
-       sum(CAST(floor(os.o_totalprice*100 + 0.5) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(os.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM os JOIN w ON greatest(os.s, w.w_start) < least(os.e, w.w_stop)
 GROUP BY w.idx"""
 
@@ -311,8 +311,8 @@ w AS (
          CAST(i+1 AS BIGINT) AS idx
   FROM b, generate_series(0,7) t(i))
 SELECT w.idx, sp.l_returnflag, CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(floor(sp.l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(floor(sp.l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_price_c
+       CAST(sum(CAST(floor(sp.l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(sp.l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
 FROM sp JOIN w ON greatest(sp.s, w.w_start) < least(sp.e, w.w_stop)
 GROUP BY w.idx, sp.l_returnflag"""
 
@@ -344,8 +344,8 @@ def q_text_token_stats(spark, sf_dir):
 
 
 _SQL_TOKEN_STATS = r"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS sum_tokens,
-       sum(CAST(length(text) AS BIGINT)) AS sum_chars
+       CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS sum_tokens,
+       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang"""
 
 
@@ -482,7 +482,7 @@ _SQL_TRAINING_PREP = r"""WITH keep AS (
        * (n_uniq / greatest(n_tok, 1.0)), 6) AS q
   FROM m)
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS sum_tokens
+       CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS sum_tokens
 FROM scored WHERE q >= 0.5 GROUP BY lang"""
 
 

@@ -69,12 +69,23 @@ def main():
         try:
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
+            d_types = [str(d[1]) for d in cur.description]
             d_rows = cur.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
+        # The driver hashes typed values: DuckDB HUGEINT (un-cast sum of
+        # BIGINT) or DECIMAL hash differently from Spark int64 even at
+        # equal values.  Flag those oracle columns as hash risks.
+        risky = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, d_types)
+            if any(k in t.upper() for k in ("HUGEINT", "INT128", "DECIMAL"))
+        ]
+        if risky:
+            problems.append(f"oracle type hash-risk (cast to BIGINT/DOUBLE): {risky}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
