@@ -297,12 +297,22 @@ def simhash_near_pairs(
     b = chunked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
+    # emit-once guard instead of a trailing .distinct() (one fewer
+    # shuffle): a pair agrees on block i iff the xor's block-i bits are
+    # all zero, so emit the pair only from its LOWEST agreeing block —
+    # computable from the xor alone, no extra state.
+    mask = (1 << width) - 1
+    lowest_agreeing = F.lit(blocks - 1)
+    for i in reversed(range(blocks - 1)):
+        blk_bits = F.shiftright(xor, i * width).bitwiseAND(F.lit(mask))
+        lowest_agreeing = F.when(blk_bits == 0, F.lit(i)).otherwise(lowest_agreeing)
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.blk") == lowest_agreeing),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -310,5 +320,4 @@ def simhash_near_pairs(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

@@ -173,3 +173,17 @@ def test_auto_strategy_plan_stats_fast_path(spark, es):
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     assert list(before) == list(after), "auto selection ran Spark jobs"
     assert_join_strategy(j, "BroadcastNestedLoopJoin")
+
+
+def test_simhash_pairs_no_dedup_shuffle(spark):
+    """The lowest-agreeing-block emit-once guard replaces the trailing
+    .distinct(): the pair plan must contain only the self-join's two
+    exchanges, never a third dedup shuffle."""
+    from dataframeintervals_jl_spark.operators.dedup import simhash_near_pairs
+
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    docs = read_table(spark, SF_DIR, "documents")
+    pairs = simhash_near_pairs(docs, max_hamming=8, blocks=4)
+    assert_max_exchanges(pairs, 2)
+    assert "HashAggregate" not in simple_plan(pairs)

@@ -186,3 +186,29 @@ def test_ivf_topk_deterministic(spark):
     a = sorted(map(tuple, ivf_topk(emb, q, 8, 3, k=4).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q, 8, 3, k=4).collect()))
     assert a == b
+
+def test_simhash_emit_once_no_duplicates(spark):
+    """The lowest-agreeing-block guard must emit each qualifying pair
+    exactly once (replacing the old .distinct()), and the pair set must
+    equal the brute-force definition: agrees on >=1 block AND
+    hamming <= max_hamming."""
+    from dataframeintervals_jl_spark.operators.dedup import simhash
+
+    texts = [" ".join(f"t{(i * 7 + j) % 23}" for j in range(30)) for i in range(40)]
+    docs = _docs(spark, texts)
+    rows = simhash_near_pairs(docs, max_hamming=24, blocks=4).collect()
+    got = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    width, mask = 16, (1 << 16) - 1
+    expect = set()
+    for a in fps:
+        for b in fps:
+            if a >= b:
+                continue
+            x = (fps[a] ^ fps[b]) & ((1 << 64) - 1)
+            agrees = any((x >> (i * width)) & mask == 0 for i in range(4))
+            if agrees and bin(x).count("1") <= 24:
+                expect.add((a, b))
+    assert set(got) == expect
