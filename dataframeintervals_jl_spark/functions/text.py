@@ -113,6 +113,25 @@ def content_hash(text) -> Column:
     return F.md5(_c(text).cast("string"))
 
 
+def portable_hash60(col) -> Column:
+    """60-bit string hash that DuckDB computes bit-identically:
+    the first 15 hex chars of md5, parsed as an integer.  SQL twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+
+    Used by the ``portable=True`` variants of minhash / simhash /
+    rolling fingerprints so the driver's DuckDB oracle can recompute
+    signatures exactly (xxhash64 has no SQL equivalent).  md5 is
+    JVM-side and fine for catalog-scale runs; the xxhash64 default
+    remains the high-throughput path."""
+    return F.conv(F.substring(F.md5(_c(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+#: DuckDB SQL fragment computing portable_hash60 of expression {x}
+PORTABLE_HASH60_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
 #: rolling-hash parameters: base and modulus chosen so that with
 #: token hashes < M, every intermediate b*acc + h < 2^61 stays inside
 #: long range even under Spark 4's ANSI overflow checking.
@@ -120,16 +139,25 @@ _ROLL_BASE = 1_000_003
 _ROLL_MOD = (1 << 31) - 1
 
 
-def rolling_fingerprint(text) -> Column:
+def rolling_fingerprint(text, portable: bool = False) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash
-    over whitespace tokens, ``h = (h*B + xxhash64(tok)) mod M``.
+    over whitespace tokens, ``h = (h*B + hash(tok)) mod M``.
 
     Unlike :func:`content_hash` this survives whitespace normalization
     (tokens, not raw bytes, are hashed) while still being sensitive to
     token ORDER — shuffled documents get different fingerprints, which
     set-based MinHash deliberately ignores.  Pure expression (one
-    ``aggregate`` pass)."""
-    th = F.transform(tokens(text), lambda t: F.abs(F.xxhash64(t)) % _ROLL_MOD)
+    ``aggregate`` pass).
+
+    ``portable=True`` swaps the xxhash64 token hash for
+    :func:`portable_hash60` so a DuckDB oracle can recompute the
+    fingerprint exactly (``list_reduce`` over the same token hashes)."""
+    base = (
+        (lambda t: portable_hash60(t) % _ROLL_MOD)
+        if portable
+        else (lambda t: F.abs(F.xxhash64(t)) % _ROLL_MOD)
+    )
+    th = F.transform(tokens(text), base)
     return F.aggregate(
         th,
         F.lit(0).cast("long"),

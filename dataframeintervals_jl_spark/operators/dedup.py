@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import content_hash, shingles
+from ..functions.text import content_hash, portable_hash60, shingles
 from ..sources import ensure_parallelism
 
 # deterministic hash family h_i(x) = (a_i*x + b_i) mod M.  The domain is
@@ -26,6 +26,12 @@ from ..sources import ensure_parallelism
 # ANSI mode, where a silent long overflow is an ARITHMETIC_OVERFLOW error.
 _MOD = (1 << 31) - 1
 _COEF = 1 << 30
+
+# polynomial band-fold constants for the portable path (two independent
+# 31-bit folds joined together ≈ 62-bit band key; pure arithmetic both
+# engines compute identically — acc < M < 2^31, B < 2^30 keeps every
+# intermediate acc*B + h under 2^61, inside ANSI long range)
+_FOLD_BASES = (1_000_003, 356_735_609)
 
 
 def _hash_family(num: int) -> list[tuple[int, int]]:
@@ -71,13 +77,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — minhash over word-shingle xxhash64s.
+    """(id, sig: array<bigint>) — minhash over word-shingle hashes.
 
     sig[i] = min over shingles of (a_i * h + b_i mod M); computed with
-    ``transform``+``aggregate`` array expressions, fully JVM-side."""
+    ``transform``+``aggregate`` array expressions, fully JVM-side.
+    ``portable=True`` uses the md5-based :func:`portable_hash60` base
+    hash (DuckDB-recomputable) instead of xxhash64."""
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
-    hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MOD)
+    if portable:
+        hashed = F.transform(sh, lambda s: portable_hash60(s) % _MOD)
+    else:
+        hashed = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MOD)
     family = _hash_family(num_hashes)
 
     # `num_hashes` array_min(transform(...)) passes over the hashed
@@ -105,6 +117,14 @@ def minhash_signatures(
     )
 
 
+def _band_fold(sig_col, b: int, rows: int, base: int):
+    """Polynomial fold of one band's signature values mod _MOD."""
+    acc = F.lit(0).cast("long")
+    for r in range(rows):
+        acc = (acc * base + sig_col[b * rows + r]) % _MOD
+    return acc
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -112,30 +132,44 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b, n_shared_bands).
 
     Band the signature (rows = num_hashes/bands per band), bucket-join
     on (band_idx, band_hash).  The equi-join shuffles on the band hash —
     horizontally scalable, no cross join.  Downstream verification (true
-    Jaccard) runs only on candidates."""
+    Jaccard) runs only on candidates.
+
+    ``portable=True`` makes the whole candidate generation
+    DuckDB-recomputable: md5-based base hash + two polynomial band
+    folds (≈62-bit combined key) instead of xxhash64."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, portable)
+    if portable:
+        band_key = F.array(
+            *[
+                _band_fold(F.col("sig"), b, rows, _FOLD_BASES[0])
+                * (_MOD + 1)  # pack the two 31-bit folds into one long
+                + _band_fold(F.col("sig"), b, rows, _FOLD_BASES[1])
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_key = F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
     banded = sigs.select(  # persisted below — see note
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(band_key).alias("band", "bh"),
     )
     # persist is load-bearing, not a cache hint: without a materialization
     # boundary CollapseProject inlines the whole signature aggregate into
@@ -207,17 +241,28 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash fingerprints: (id, simhash bigint).
+    """SimHash fingerprints: (id, simhash bigint).
 
     Per token-hash, each bit votes +1/-1; the sign of each bit-sum forms
     the fingerprint.  Implemented as array expressions over the token
-    list (aggregate over bit positions)."""
+    list (aggregate over bit positions).  ``portable=True`` uses the
+    md5-based 60-bit token hash (and caps ``bits`` at 60) so a DuckDB
+    oracle recomputes identical fingerprints."""
+    if portable:
+        bits = min(bits, 60)
     toks = F.array_distinct(
         F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     )
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        th = F.transform(toks, lambda t: portable_hash60(t))
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
     # ONE aggregate pass with an array<int> accumulator (the naive
     # per-bit formulation is `bits` separate aggregates, i.e. `bits`
     # traversals of the token array — measured 64x the work)
@@ -263,14 +308,17 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole blocking: split the 64-bit fingerprint into ``blocks``
     chunks; any pair within distance ``max_hamming < blocks`` agrees on
     ≥1 chunk, so an equi-join per chunk finds all candidates without a
-    cross join; exact popcount verifies."""
-    fps = simhash(df, text_col, id_col)
+    cross join; exact popcount verifies.  With ``portable=True`` the
+    fingerprint is the 60-bit md5-based variant (top 4 bits zero —
+    block layout over 64 bits is unchanged and still exhaustive)."""
+    fps = simhash(df, text_col, id_col, portable=portable)
     width = 64 // blocks
     chunked = fps.select(
         id_col,

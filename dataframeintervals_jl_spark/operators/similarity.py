@@ -25,6 +25,7 @@ is also what the DuckDB oracle computes.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -242,39 +243,72 @@ def embedding_neardup_pairs(
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
+# sample-order hash constants ((id*A + B) mod M — pure arithmetic so the
+# DuckDB oracle replays the exact same sample selection)
+SAMPLE_A = 1_103_515_245
+SAMPLE_B = 12_345
+SAMPLE_M = (1 << 31) - 1
+IVF_ITERS = 10
+
+
+def _centroid_norms(cent: np.ndarray) -> np.ndarray:
+    """||c|| per centroid as float64, with the sum of squares computed in
+    exact (arbitrary-precision) integer arithmetic first — both the
+    int→double conversion and sqrt are correctly rounded IEEE ops, so
+    DuckDB reproduces the identical double."""
+    return np.array(
+        [math.sqrt(sum(int(v) * int(v) for v in row)) for row in cent],
+        dtype=np.float64,
+    )
+
+
 def _train_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ):
-    """Deterministic spherical k-means on a hash-sampled subset.
+    """Deterministic spherical k-means on a hash-sampled subset —
+    bit-reproducible across engines.
 
-    Sampling is by ``xxhash64(id)`` order (stable across runs and
+    Sampling is by ``(id*A + B) mod M`` order (stable across runs and
     partitionings — no RNG, no ``limit`` nondeterminism); init is the
-    first ``n_centroids`` sample rows, then 10 Lloyd iterations with
-    cosine assignment.  The sample (≤ 256 rows/centroid) and the
-    training loop live on the driver: IVF training state is tiny and
-    serial; the *corpus* is never collected."""
+    first ``n_centroids`` sample rows, then ``IVF_ITERS`` Lloyd
+    iterations with cosine assignment.  The sample (≤ 256 rows/centroid)
+    and the training loop live on the driver: IVF training state is tiny
+    and serial; the *corpus* is never collected.
+
+    Every arithmetic step is either exact integer math or a correctly
+    rounded IEEE double op (convert / divide / sqrt / floor), so the
+    DuckDB correctness oracle replays training to the exact same
+    centroids: vectors stay fixed-point int64; assignment score is
+    ``dot_int / ||c||``; the centroid update re-quantizes the member
+    mean direction to ``floor(QUANT * m_i / ||m||)``."""
     sample_n = 256 * n_centroids
+    key = F.pmod(F.col("id") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(SAMPLE_M))
     sample = (
         corpus.select(
             F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("v")
         )
-        .orderBy(F.abs(F.xxhash64(F.col("id"))), F.col("id"))
+        .orderBy(key, F.col("id"))
         .limit(sample_n)
         .collect()
     )
     if not sample:
         raise ValueError("ivf_topk: corpus is empty — nothing to index")
-    x = np.array([r["v"] for r in sample], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = np.array([r["v"] for r in sample], dtype=np.int64)
     k = min(n_centroids, len(x))
     cent = x[:k].copy()
-    for _ in range(10):
-        assign = (x @ cent.T).argmax(axis=1)
+    for _ in range(IVF_ITERS):
+        # int64 dots are exact (|v| ≤ QUANT ⇒ dot ≤ dim·QUANT² < 2^53);
+        # division by the exact-rounded norm is the same IEEE op DuckDB runs
+        scores = (x @ cent.T).astype(np.float64) / _centroid_norms(cent)[None, :]
+        assign = scores.argmax(axis=1)  # first-max ties = (score desc, cell asc)
         for c in range(k):
             members = x[assign == c]
             if len(members):
-                m = members.sum(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+                m = members.sum(axis=0)  # int64, exact
+                nrm = math.sqrt(sum(int(v) * int(v) for v in m))
+                cent[c] = np.floor(
+                    (QUANT * m).astype(np.float64) / nrm
+                ).astype(np.int64)
     return cent
 
 
@@ -303,16 +337,19 @@ def ivf_topk(
 
     cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
     n_probe_eff = min(n_probe, len(cent))
+    cnorm = _centroid_norms(cent)
 
     @pandas_udf("int")
     def nearest_cell(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
-        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+        m = np.array(vs.tolist(), dtype=np.int64)
+        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
 
     @pandas_udf("array<int>")
     def probe_cells(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
-        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")
+        m = np.array(vs.tolist(), dtype=np.int64)
+        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
+        order = np.argsort(-scores, axis=1, kind="stable")
         return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
 
     c = (

@@ -646,55 +646,246 @@ _SQL_MM_FRAMES = """SELECT doc_id AS id,
 FROM documents"""
 
 
-# weaker rows-only checks (no tractable single-statement SQL oracle):
+# ---------------------------------------------------------------------------
+# portable-hash queries + generated oracles (deterministic DuckDB recompute)
+#
+# The signatures/buckets below are fully deterministic, so the oracle
+# REPLAYS candidate generation in SQL: the md5-based 60-bit base hash
+# (functions.text.portable_hash60) replaces xxhash64, and every derived
+# constant (minhash affine family, band-fold bases, LSH hyperplanes,
+# k-means sample order) is inlined into the generated SQL string.
+# ---------------------------------------------------------------------------
+
+from .functions.text import _ROLL_BASE, _ROLL_MOD  # noqa: E402
+from .operators.dedup import _FOLD_BASES, _MOD as _MH_MOD, _hash_family  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    IVF_ITERS,
+    QUANT,
+    SAMPLE_A,
+    SAMPLE_B,
+    SAMPLE_M,
+    _hyperplanes,
+)
+
+#: DuckDB twin of functions.text.portable_hash60 ({x} = string expr)
+_PH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Feature extraction (content-digest fake encoder) — the md5-based
-    vector is not expressible in DuckDB SQL, so rows-only."""
+    """Feature extraction (content-digest fake encoder).  The feature
+    floats are dyadic rationals (uint16/2^16), so their sum ×2^16 is an
+    exact integer both engines agree on bit-for-bit."""
     from .operators.multimodal import documents_as_media, extract_features
 
     docs = read_table(spark, sf_dir, "documents")
     out = extract_features(documents_as_media(docs))
     return out.select(
-        "id", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum")
+        "id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 65536)
+        .cast("long")
+        .alias("feat_sum_u16"),
     )
 
 
+_SQL_MM_FEATURES = """SELECT doc_id AS id,
+  CAST(list_sum(list_transform(range(0, 8), j ->
+     ('0x' || substr(md5(text), 4*j+1, 2))::BIGINT
+     + 256 * ('0x' || substr(md5(text), 4*j+3, 2))::BIGINT)) AS BIGINT)
+     AS feat_sum_u16
+FROM documents"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    return ngram_jaccard_pairs(docs, cand, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _sql_minhash_pairs(
+    num_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.3
+) -> str:
+    rows = num_hashes // bands
+    fam = _hash_family(num_hashes)
+    h = _PH60.format(x="s")
+    sig_items = ",\n    ".join(
+        f"list_min(list_transform(hl, h -> (h*{a} + {b}) % {_MH_MOD}))"
+        for a, b in fam
+    )
+
+    def fold(base: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"sig[band*{rows}+1 : band*{rows}+{rows}]), "
+            f"(a, h) -> (a*{base} + h) % {_MH_MOD})"
+        )
+
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < {k} THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - {k} + 2),
+                           i -> array_to_string(tl[i:i+{k - 1}], ' ')) END AS sl
+  FROM toks
+), hs AS MATERIALIZED (
+  SELECT doc_id, list_transform(list_distinct(sl), s -> {h} % {_MH_MOD}) AS hl
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, [{sig_items}] AS sig FROM hs
+), bnd AS MATERIALIZED (
+  SELECT doc_id, band, ({fold(_FOLD_BASES[0])}) * {_MH_MOD + 1}
+         + ({fold(_FOLD_BASES[1])}) AS bh
+  FROM sig, range(0, {bands}) t(band)
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), shd AS MATERIALIZED (
+  SELECT doc_id, list_distinct(sl) AS s FROM sh
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+  FROM cand c JOIN shd x ON x.doc_id = c.id_a
+              JOIN shd y ON y.doc_id = c.id_b)
+WHERE jaccard >= {threshold}"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8, blocks=4, portable=True)
+
+
+def _sql_simhash_pairs(
+    max_hamming: int = 8, blocks: int = 4, bits: int = 60
+) -> str:
+    h = _PH60.format(x="t")
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    agree = " OR ".join(f"((x >> {i * width}) & {mask}) = 0" for i in range(blocks))
+    return f"""WITH th AS (
+  SELECT doc_id,
+         list_transform(list_distinct(regexp_extract_all(text, '\\S+')),
+                        t -> {h}) AS hl
+  FROM documents
+), fp AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0, {bits}), i ->
+       CASE WHEN list_sum(list_transform(hl, h ->
+                 CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+            THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+  FROM th
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming, xor(a.sh, b.sh) AS x
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+WHERE ({agree}) AND hamming <= {max_hamming}"""
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive token-level document fingerprint (polynomial
+    rolling hash over portable 60-bit token hashes)."""
+    from .functions.text import rolling_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text"), portable=True).alias("fp")
+    )
+
+
+_SQL_ROLLING_FP = f"""WITH t AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'),
+         s -> {_PH60.format(x="s")} % {_ROLL_MOD}) AS hl
+  FROM documents)
+SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT, hl),
+       (a, h) -> (a * {_ROLL_BASE} + h) % {_ROLL_MOD}) AS BIGINT) AS fp
+FROM t"""
+
+
+def _sql_bucket_expr(dim: int, n_planes: int, vexpr: str = "v") -> str:
+    """Signed-projection LSH bucket with the hyperplane constants inlined."""
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        arr = "[" + ", ".join(str(c) for c in plane) + "]::BIGINT[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vexpr}, {arr}) > 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "(" + "\n   + ".join(terms) + ")"
+
+
+_QUANT_V = (
+    "list_transform(embedding, x -> "
+    f"CAST(round(CAST(x AS DOUBLE)*{QUANT}) AS BIGINT))"
+)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (the 100 TB path) — approximate by design,
-    so rows-only."""
+    """LSH-bucketed near-dup (the 100 TB path).  Deterministic given the
+    fixed hyperplanes, so the oracle replays the bucketing exactly."""
     from .operators.similarity import embedding_neardup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.4, dim=64, n_planes=6)
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8)
-    return ngram_jaccard_pairs(docs, cand, threshold=0.3).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+def _sql_emb_neardup_lsh(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 6
+) -> str:
+    return f"""WITH e AS (
+  SELECT vec_id, {_QUANT_V} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nrm,
+         {_sql_bucket_expr(dim, n_planes)} AS bucket
+  FROM e
+)
+SELECT id_a, id_b, round(score, 6) AS score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS score
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE score >= {threshold}"""
+
+
+def q_similarity_lsh(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
     )
 
 
-def q_simhash_pairs(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=8, blocks=4)
-
-
-def q_rolling_fingerprint(spark, sf_dir):
-    """Order-sensitive token-level document fingerprint (polynomial
-    rolling hash).  xxhash64 has no DuckDB equivalent, so rows-only."""
-    from .functions.text import rolling_fingerprint
-
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+def _sql_similarity_lsh(
+    k: int = 5, dim: int = 64, n_planes: int = 8, qmax: int = 5
+) -> str:
+    return f"""WITH e AS (
+  SELECT vec_id, {_QUANT_V} AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+         {_sql_bucket_expr(dim, n_planes)} AS bucket
+  FROM e
+), q AS (SELECT * FROM n WHERE vec_id < {qmax}),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_dot_product(c.v, q.v) AS DOUBLE)
+           / sqrt(CAST(c.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
+  FROM n c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+         n_id, round(score, 6) AS score
+  FROM pairs)
+SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF-indexed ANN top-k (probe 4 of 16 cells) — approximate by
-    design, so rows-only."""
+    """IVF-indexed ANN top-k (probe 4 of 16 cells).  Training is
+    bit-reproducible (exact ints + correctly rounded IEEE ops), so the
+    oracle replays all k-means iterations in unrolled SQL."""
     from .operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -705,13 +896,89 @@ def q_similarity_ivf(spark, sf_dir):
     )
 
 
-def q_similarity_lsh(spark, sf_dir):
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
-    return out.select(
-        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+def _sql_ivf(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    qmax: int = 5,
+) -> str:
+    """Unrolled replay of ivf_topk: sample → k-means iterations →
+    corpus/query cell assignment → probe equi-join → exact rerank."""
+    sample_n = 256 * n_centroids
+    key = f"(id * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_M}"
+
+    def nrm(c: str) -> str:
+        return (
+            f"sqrt(CAST(list_sum(list_transform({c}, z -> z::HUGEINT * z))"
+            " AS DOUBLE))"
+        )
+
+    # every iteration CTE is MATERIALIZED: DuckDB inlines CTEs by
+    # default, and c{n} references c{n-1} twice — inlining would expand
+    # the chain 2^ITERS times
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, {_QUANT_V} AS v FROM embeddings
+), samp AS MATERIALIZED (
+  SELECT id, v FROM e ORDER BY {key}, id LIMIT {sample_n}
+), c0 AS MATERIALIZED (
+  SELECT cell, cv FROM (
+    SELECT CAST(row_number() OVER (ORDER BY {key}, id) AS INTEGER) - 1 AS cell,
+           v AS cv
+    FROM samp) WHERE cell < {n_centroids}
+)"""
+    ]
+    for n in range(1, IVF_ITERS + 1):
+        parts.append(
+            f""", s{n} AS MATERIALIZED (
+  SELECT s.id, s.v, c.cell,
+         row_number() OVER (PARTITION BY s.id
+           ORDER BY list_dot_product(s.v, c.cv) / {nrm("c.cv")} DESC, c.cell)
+           AS rn
+  FROM samp s, c{n - 1} c
+), g{n} AS MATERIALIZED (
+  SELECT cell, list(mv ORDER BY i) AS m FROM (
+    SELECT cell, i, CAST(sum(v[i]) AS BIGINT) AS mv
+    FROM s{n}, range(1, {dim + 1}) t(i) WHERE rn = 1 GROUP BY cell, i)
+  GROUP BY cell
+), c{n} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN g.cell IS NULL THEN p.cv ELSE
+    list_transform(g.m, y -> CAST(floor(({QUANT}::BIGINT * y) / {nrm("g.m")})
+                                  AS BIGINT)) END AS cv
+  FROM c{n - 1} p LEFT JOIN g{n} g ON p.cell = g.cell
+)"""
+        )
+    cN = f"c{IVF_ITERS}"
+    parts.append(
+        f""", cor AS (
+  SELECT id AS n_id, v AS cv, CAST(list_dot_product(v, v) AS BIGINT) AS cn,
+         cell FROM (
+    SELECT e.id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY list_dot_product(e.v, c.cv) / {nrm("c.cv")} DESC, c.cell)
+             AS rn
+    FROM e, {cN} c) WHERE rn = 1
+), qp AS (
+  SELECT id AS q_id, v AS qv, CAST(list_dot_product(v, v) AS BIGINT) AS qn,
+         cell FROM (
+    SELECT e.id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY list_dot_product(e.v, c.cv) / {nrm("c.cv")} DESC, c.cell)
+             AS rn
+    FROM e, {cN} c WHERE e.id < {qmax}) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT qp.q_id, cor.n_id,
+         CAST(list_dot_product(cor.cv, qp.qv) AS DOUBLE)
+           / sqrt(CAST(cor.cn AS DOUBLE) * CAST(qp.qn AS DOUBLE)) AS score
+  FROM cor JOIN qp ON cor.cell = qp.cell WHERE cor.n_id <> qp.q_id
+), ranked AS (
+  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+         n_id, round(score, 6) AS score FROM scored)
+SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
     )
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -743,11 +1010,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),
     "q_multimodal_frames": (q_multimodal_frames, _SQL_MM_FRAMES),
-    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-    "q_simhash_pairs": (q_simhash_pairs, None),
-    "q_similarity_lsh": (q_similarity_lsh, None),
-    "q_similarity_ivf": (q_similarity_ivf, None),
-    "q_rolling_fingerprint": (q_rolling_fingerprint, None),
-    "q_multimodal_features": (q_multimodal_features, None),
-    "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_pairs()),
+    "q_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
+    "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "q_similarity_ivf": (q_similarity_ivf, _sql_ivf()),
+    "q_rolling_fingerprint": (q_rolling_fingerprint, _SQL_ROLLING_FP),
+    "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
+    "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),
 }
