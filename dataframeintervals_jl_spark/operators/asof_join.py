@@ -14,6 +14,11 @@ per-key skew beyond what the key distribution itself has.  A range-join
 formulation would be O(n·m) per key; this is O((n+m) log(n+m)) per
 partition (the window sort), and the sort is spillable.
 
+With NO ``by`` keys a keyless window would collapse to one task, so the
+global case range-buckets rows by time instead and carries across
+bucket boundaries with a tiny driver-collected per-bucket summary — see
+:func:`_bucketed_global_fill`.
+
 Right rows sort BEFORE left rows at equal timestamps, so an exact
 timestamp tie matches (``t_right <= t_left``), exactly like DuckDB's
 ``ASOF JOIN`` (the correctness oracle).
@@ -29,6 +34,96 @@ from pyspark.sql import functions as F
 _TAG = "__dfi_asof_tag"
 _CARRY = "__dfi_asof_carry"
 _RTIME = "__dfi_asof_rtime"
+_BUCKET = "__dfi_asof_bucket"
+_TSL = "__dfi_asof_tsl"
+
+
+def _bucketed_global_fill(unioned, left_cols, left_on, direction):
+    """Scalable carry-forward for the GLOBAL (no ``by`` keys) as-of case.
+
+    ``Window.partitionBy()`` with no keys funnels the whole dataset
+    through one task, so instead: range-bucket rows by time (integer
+    bucket ids from one cheap min/max agg), run the carry window inside
+    each bucket in parallel, and fix bucket boundaries by prefix-carrying
+    each bucket's last right row across buckets.  The per-bucket summary
+    is O(buckets) rows, computed with map-side partial aggregation and
+    collected to the driver, so the distributed plan contains no
+    single-partition exchange at all — two tiny eager jobs (min/max +
+    bucket summary) buy a fully parallel main pass."""
+    spark = unioned.sparkSession
+    asc = direction == "backward"
+    bounds = unioned.agg(
+        F.min(F.col(left_on).cast("long")).alias("lo"),
+        F.max(F.col(left_on).cast("long")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    order = [
+        F.col(left_on).asc() if asc else F.col(left_on).desc(),
+        F.col(_TAG).asc(),
+    ]
+    if lo is None:  # empty input: nothing to partition
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return unioned.select(
+            *[F.col(c) for c in left_cols],
+            F.col(_TAG),
+            F.last(_CARRY, ignorenulls=True).over(w).alias(_CARRY),
+            F.last(_RTIME, ignorenulls=True).over(w).alias(_RTIME),
+        ).filter(F.col(_TAG) == 1)
+
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(hi) - int(lo)) // nb + 1, 1)
+    # integer bucket id — ns magnitudes stay in long arithmetic (never
+    # route epoch-ns through doubles: 2^53 < 1.7e18)
+    u = unioned.withColumn(
+        _TSL, F.col(left_on).cast("long") - F.lit(int(lo))
+    ).withColumn(_BUCKET, F.expr(f"{_TSL} DIV {width}"))
+
+    # per-bucket boundary: the last right row of each bucket in scan
+    # order (max/min rtime; payload via max_by — ties at equal rtime are
+    # resolved arbitrarily, same contract as the window carry itself)
+    ordv = F.col(_RTIME) if asc else -F.col(_RTIME)
+    summ = (
+        u.groupBy(_BUCKET)
+        .agg(
+            F.max_by(F.col(_CARRY), ordv).alias("bc"),
+            (F.max(_RTIME) if asc else F.min(_RTIME)).alias("br"),
+        )
+        .collect()
+    )
+    inc_rows, last_c, last_r = [], None, None
+    for r in sorted(summ, key=lambda r: r[_BUCKET], reverse=not asc):
+        inc_rows.append((r[_BUCKET], last_c, last_r))
+        if r["br"] is not None:
+            last_c, last_r = r["bc"], r["br"]
+    carry_type = unioned.schema[_CARRY].dataType
+    incoming = spark.createDataFrame(
+        inc_rows,
+        schema=(
+            f"{_BUCKET} long, __inc_c {carry_type.simpleString()}, __inc_r long"
+        ),
+    )
+
+    w1 = Window.partitionBy(_BUCKET).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = u.select(
+        *[F.col(c) for c in left_cols],
+        F.col(_TAG),
+        F.col(_BUCKET),
+        F.last(_CARRY, ignorenulls=True).over(w1).alias(_CARRY),
+        F.last(_RTIME, ignorenulls=True).over(w1).alias(_RTIME),
+    ).filter(F.col(_TAG) == 1)
+    return (
+        within.join(F.broadcast(incoming), _BUCKET, "left")
+        .select(
+            *[F.col(c) for c in left_cols],
+            F.col(_TAG),
+            F.coalesce(F.col(_CARRY), F.col("__inc_c")).alias(_CARRY),
+            F.coalesce(F.col(_RTIME), F.col("__inc_r")).alias(_RTIME),
+        )
+    )
 
 
 def asof_join(
@@ -97,21 +192,26 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
 
-    if direction == "backward":
-        order = [F.col(left_on).asc(), F.col(_TAG).asc()]
+    if by_cols:
+        if direction == "backward":
+            order = [F.col(left_on).asc(), F.col(_TAG).asc()]
+        else:
+            order = [F.col(left_on).desc(), F.col(_TAG).asc()]
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            *[F.col(c) for c in left.columns],
+            F.col(_TAG),
+            F.last(_CARRY, ignorenulls=True).over(w).alias(_CARRY),
+            F.last(_RTIME, ignorenulls=True).over(w).alias(_RTIME),
+        ).filter(F.col(_TAG) == 1)
     else:
-        order = [F.col(left_on).desc(), F.col(_TAG).asc()]
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        *[F.col(c) for c in left.columns],
-        F.col(_TAG),
-        F.last(_CARRY, ignorenulls=True).over(w).alias(_CARRY),
-        F.last(_RTIME, ignorenulls=True).over(w).alias(_RTIME),
-    ).filter(F.col(_TAG) == 1)
+        # no keys: a keyless window would collapse to ONE task — use the
+        # range-bucketed two-pass carry instead (parallel at any scale)
+        filled = _bucketed_global_fill(unioned, left.columns, left_on, direction)
 
     matched = F.col(_RTIME).isNotNull()
     if tolerance is not None:

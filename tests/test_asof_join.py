@@ -103,3 +103,65 @@ def test_one_row_per_left_even_with_right_dupes(spark):
     )
     out = asof_join(left, right, on="ts")
     assert out.count() == 1
+
+
+def _brute_asof(lefts, rights, direction="backward", tolerance=None):
+    """Reference: for each left ts, nearest right (ts, val)."""
+    out = {}
+    for i, lt in lefts:
+        if direction == "backward":
+            cand = [r for r in rights if r[0] <= lt]
+            best = max(cand, key=lambda r: r[0]) if cand else None
+        else:
+            cand = [r for r in rights if r[0] >= lt]
+            best = min(cand, key=lambda r: r[0]) if cand else None
+        if best is not None and tolerance is not None:
+            gap = lt - best[0] if direction == "backward" else best[0] - lt
+            if gap > tolerance:
+                best = None
+        out[i] = best if best else (None, None)
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_global_asof_bucketed_matches_brute_force(spark, direction):
+    """The no-`by` path (range-bucketed two-pass carry) must agree with
+    brute force across many bucket boundaries, including buckets with no
+    right rows (carry must cross several empty buckets)."""
+    lefts = [(i, i * 97 % 5000) for i in range(400)]
+    rights = [(j * 61 % 5000, float(j)) for j in range(0, 120)]
+    rights = [r for r in rights if r[0] % 7 != 0]  # gaps
+    left = spark.createDataFrame(lefts, "id long, ts long").repartition(8)
+    right = spark.createDataFrame(rights, "ts long, val double").repartition(8)
+    got = _rows(asof_join(left, right, on="ts", direction=direction))
+    assert got == _brute_asof(lefts, rights, direction)
+
+
+def test_global_asof_tolerance(spark):
+    lefts = [(i, i * 13 % 997) for i in range(200)]
+    rights = [(j * 29 % 997, float(j)) for j in range(60)]
+    left = spark.createDataFrame(lefts, "id long, ts long")
+    right = spark.createDataFrame(rights, "ts long, val double")
+    got = _rows(asof_join(left, right, on="ts", tolerance=15))
+    assert got == _brute_asof(lefts, rights, tolerance=15)
+
+
+def test_global_asof_no_single_partition_exchange(spark):
+    """The no-`by` plan must not funnel the main data path through a
+    single-partition exchange (the old keyless-window collapse)."""
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    left = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 10000).alias("ts")
+    )
+    right = spark.range(100).select(
+        (F.col("id") * 101 % 10000).alias("ts"), F.col("id").alias("val")
+    )
+    out = asof_join(left, right, on="ts")
+    assert "Exchange SinglePartition" not in simple_plan(out)
+
+
+def test_global_asof_empty_inputs(spark):
+    left = spark.createDataFrame([], "id long, ts long")
+    right = spark.createDataFrame([], "ts long, val double")
+    assert asof_join(left, right, on="ts").count() == 0
