@@ -30,6 +30,62 @@ SPAN_TYPE = T.StructType(
 #: SQL DDL string of the canonical span type.
 SPAN_DDL = "struct<start: bigint, stop: bigint>"
 
+#: Double-endpoint span variant — the reference joins intervals over any
+#: ordered T (src/DataFrameIntervals.jl:31-46); this covers float
+#: domains (depth ranges, scores, unit-scaled time) without fake-scaling
+#: into int64.
+SPAN_TYPE_DOUBLE = T.StructType(
+    [
+        T.StructField("start", T.DoubleType(), True),
+        T.StructField("stop", T.DoubleType(), True),
+    ]
+)
+
+SPAN_DDL_DOUBLE = "struct<start: double, stop: double>"
+
+#: Endpoint types a span struct may carry (both fields must match).
+_ENDPOINT_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def validate_span_type(dtype: T.DataType, where: str = "span") -> T.DataType:
+    """Check that ``dtype`` is a well-formed span struct and return its
+    endpoint type.
+
+    Accepts ``struct<start: E, stop: E>`` for any numeric endpoint
+    ``E`` (the comparison/greatest/least expressions are type-generic);
+    anything else raises with a clear message instead of failing deep in
+    ANSI execution."""
+    ok = (
+        isinstance(dtype, T.StructType)
+        and [f.name for f in dtype.fields] == ["start", "stop"]
+        and isinstance(dtype.fields[0].dataType, _ENDPOINT_TYPES)
+        and type(dtype.fields[0].dataType) is type(dtype.fields[1].dataType)
+    )
+    if not ok:
+        raise ValueError(
+            f"`{where}` must be a span struct<start: E, stop: E> with both "
+            f"endpoints of one numeric type (e.g. {SPAN_DDL} or "
+            f"{SPAN_DDL_DOUBLE}); got {dtype.simpleString()}"
+        )
+    return dtype.fields[0].dataType
+
+
+def span_endpoints_integral(dtype: T.DataType) -> bool:
+    """True when the span's endpoints are an integral type (exact long
+    arithmetic applies; doubles use IEEE floor arithmetic instead)."""
+    ep = validate_span_type(dtype)
+    return isinstance(
+        ep, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(ep, T.DecimalType) and ep.scale == 0)
+
 NS_PER_US = 1_000
 NS_PER_MS = 1_000_000
 NS_PER_SECOND = 1_000_000_000
@@ -72,6 +128,15 @@ def make_span(start, stop) -> Column:
     )
 
 
+def make_span_double(start, stop) -> Column:
+    """Build a double-endpoint span struct (generic-``T`` parity with the
+    reference's arbitrary ordered interval types, src:31-46)."""
+    return F.struct(
+        _c(start).cast("double").alias("start"),
+        _c(stop).cast("double").alias("stop"),
+    )
+
+
 def span_from_timestamps(start_ts, stop_ts) -> Column:
     """Build a span from two (microsecond-precision) timestamp columns.
 
@@ -102,16 +167,25 @@ def span_duration(span) -> Column:
     return s.getField("stop") - s.getField("start")
 
 
+#: the four supported global bounds flavors (reference Interval{T,L,R},
+#: src:31-35, with L/R uniform across a column)
+BOUNDS = ("[)", "(]", "[]", "()")
+
+
 def spans_overlap(l, r, bounds: str = "[)") -> Column:
     """Overlap predicate: true iff the two spans are NOT disjoint.
 
     The reference joins on ``!isdisjoint(x, y)``
-    (/root/reference/src/DataFrameIntervals.jl:104-105).  For the
-    default closed-open bounds this is strict inequality both ways:
-    touching windows ``[a,b)`` / ``[b,c)`` do NOT match and zero-width
-    spans match nothing.  ``bounds='[]'`` gives closed-closed semantics
-    (touching endpoints DO match), covering the reference's native
-    ``Interval{T,Closed,Closed}`` inputs.
+    (/root/reference/src/DataFrameIntervals.jl:104-105).  Under interval
+    (continuous-domain) semantics the intersection of two same-bounds
+    intervals is an interval with the same bounds over
+    ``(max(starts), min(stops))`` — nonempty iff ``lo < hi`` for any
+    flavor with at least one open side ('[)', '(]', '()': touching
+    endpoints do NOT overlap and zero-width spans are empty), and
+    ``lo <= hi`` for closed-closed ('[]': touching endpoints DO match,
+    zero-width [a,a] is the point a).  This covers the reference's
+    native ``Interval{T,L,R}`` bound parameters applied uniformly
+    (src:31-35).
     """
     lc, rc = _c(l), _c(r)
     lo = F.greatest(lc.getField("start"), rc.getField("start"))
@@ -123,11 +197,11 @@ def spans_overlap(l, r, bounds: str = "[)") -> Column:
     # everything — guard so null spans match nothing (SQL semantics; the
     # validate='error' path never reaches here with nulls anyway).
     not_null = lc.isNotNull() & rc.isNotNull()
-    if bounds == "[)":
+    if bounds in ("[)", "(]", "()"):
         return not_null & (lo < hi)
     if bounds == "[]":
         return not_null & (lo <= hi)
-    raise ValueError(f"unsupported bounds {bounds!r}; use '[)' or '[]'")
+    raise ValueError(f"unsupported bounds {bounds!r}; use one of {BOUNDS}")
 
 
 def span_intersect(l, r) -> Column:
@@ -143,9 +217,10 @@ def span_intersect(l, r) -> Column:
         F.greatest(lc.getField("start"), rc.getField("start")).alias("start"),
         F.least(lc.getField("stop"), rc.getField("stop")).alias("stop"),
     )
-    return F.when(lc.isNull() | rc.isNull(), F.lit(None).cast(SPAN_TYPE)).otherwise(
-        inter
-    )
+    # when-without-otherwise yields NULL *of the intersection's own
+    # type*, so this stays correct for any endpoint type (long, double,
+    # ...) without hard-casting to the bigint span type
+    return F.when(~(lc.isNull() | rc.isNull()), inter)
 
 
 def span_contains(span, point) -> Column:

@@ -38,8 +38,10 @@ from pyspark.sql import functions as F
 from ..functions.spans import (
     SPAN_TYPE,
     exact_floor_div as _floor_div,
+    span_endpoints_integral,
     span_intersect,
     spans_overlap,
+    validate_span_type,
 )
 
 Renamer = Union[None, str, Callable[[str], str]]
@@ -218,6 +220,25 @@ class _SideStats:
         self.hi = row["hi"]
 
 
+_NULL_MSG = "There are missing values in the {side} table of `interval_join`."
+
+
+def _with_fused_null_check(df: DataFrame, on_name: str, side: str) -> DataFrame:
+    """Fold the null validation INTO the span column itself: any use of
+    the column (join predicate, binning, intersection) raises the
+    reference's error on the first null row encountered, with NO
+    separate validation scan.  ``assert_true`` returns null on success,
+    so the wrapper is semantically the identity for valid rows."""
+    c = F.col(on_name)
+    checked = F.when(
+        F.assert_true(c.isNotNull(), F.lit(_NULL_MSG.format(side=side))).isNull(),
+        c,
+    ).alias(on_name)
+    return df.select(
+        *[checked if name == on_name else F.col(name) for name in df.columns]
+    )
+
+
 #: `strategy='auto'`: a side with at most this many rows is broadcast;
 #: two large sides go through the binned rewrite (a BroadcastNestedLoop
 #: over two large inputs is O(n·m) — the 100k x 100k case measured 300x
@@ -283,11 +304,15 @@ def interval_join(
 
     Parameters mirror the reference signature
     (/root/reference/src/DataFrameIntervals.jl:98-100) plus engine
-    extensions: ``bounds`` ('[)' default, '[]' closed), ``validate``
-    ('error' = reference-faithful eager null check | 'skip'),
-    ``strategy``, ``bin_width`` (ns; cost-model estimate when omitted),
-    ``with_indices`` (adds ``_left_idx``/``_right_idx`` for
-    deterministic-order tests).
+    extensions: ``bounds`` ('[)' default; also '(]', '[]', '()' — the
+    reference's Interval{T,L,R} flavors applied uniformly), ``validate``
+    ('error' = reference-faithful null rejection, fused into the join
+    when no stats scan runs | 'skip'), ``strategy``, ``bin_width`` (ns,
+    or a float width for double-endpoint spans; cost-model estimate when
+    omitted), ``with_indices`` (adds ``_left_idx``/``_right_idx`` for
+    deterministic-order tests).  ``on`` columns may be any numeric span
+    struct — bigint-ns is canonical, ``struct<start: double, stop:
+    double>`` is supported for generic ordered domains.
 
     ``strategy='auto'`` (default) is stats-driven: one tiny agg per side
     (fused with the null validation), then broadcast the smaller side if
@@ -297,6 +322,10 @@ def interval_join(
     'broadcast_left' / 'binned' skip the stats actions (except binned's
     width estimate when ``bin_width`` is omitted).
     """
+    if bounds not in ("[)", "(]", "[]", "()"):
+        raise ValueError(
+            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
+        )
     sides = setup_column_names(
         left,
         right,
@@ -306,25 +335,34 @@ def interval_join(
         makeunique=makeunique,
         with_indices=with_indices,
     )
+    validate_span_type(
+        sides.left.schema[sides.left_on].dataType, f"left `on` ({sides.left_on})"
+    )
+    validate_span_type(
+        sides.right.schema[sides.right_on].dataType,
+        f"right `on` ({sides.right_on})",
+    )
+    integral = span_endpoints_integral(
+        sides.left.schema[sides.left_on].dataType
+    ) and span_endpoints_integral(sides.right.schema[sides.right_on].dataType)
 
-    # Strategy fast path FIRST (plan statistics, no execution): when the
-    # user opted out of null validation, a side Catalyst already knows
-    # to be tiny is broadcast without scanning either input — the extra
-    # stats pass below reads both sides in full, which is the right
-    # trade only when validation demands it or both sides are large.
-    if strategy == "auto" and validate != "error":
+    # Strategy fast path FIRST (plan statistics, no execution): a side
+    # Catalyst already knows to be tiny is broadcast without scanning
+    # either input.  Null validation no longer forces a pre-scan — it is
+    # fused into the span column below whenever the stats pass is
+    # skipped, so the fast path applies to every validate mode.
+    if strategy == "auto":
         szl = _plan_size_bytes(sides.left)
         szr = _plan_size_bytes(sides.right)
         if szl is not None and szr is not None:
             if min(szl, szr) <= AUTO_BROADCAST_BYTES:
                 strategy = "broadcast_left" if szl <= szr else "broadcast_right"
 
-    # stats are needed by validation, auto strategy selection, and the
-    # binned width estimate — one fused agg action per side covers all
-    needs_stats = (
-        validate == "error"
-        or strategy == "auto"
-        or (strategy == "binned" and bin_width is None)
+    # stats are needed by auto strategy selection and the binned width
+    # estimate — one fused agg action per side covers both, and when it
+    # runs anyway the null validation rides along eagerly for free
+    needs_stats = strategy == "auto" or (
+        strategy == "binned" and bin_width is None
     )
     stats = None
     if needs_stats:
@@ -333,7 +371,17 @@ def interval_join(
             _SideStats(sides.right, sides.right_on),
         )
     if validate == "error":
-        _validate_no_nulls(*stats)
+        if stats is not None:
+            _validate_no_nulls(*stats)
+        else:
+            # single-pass faithful rejection: the check evaluates inside
+            # the join itself (first action), no extra scan
+            sides.left = _with_fused_null_check(
+                sides.left, sides.left_on, "left"
+            )
+            sides.right = _with_fused_null_check(
+                sides.right, sides.right_on, "right"
+            )
 
     how = {
         (False, False): "inner",
@@ -353,8 +401,8 @@ def interval_join(
 
     if strategy == "binned":
         if bin_width is None:
-            bin_width = _estimate_bin_width(stats)
-        joined = _binned_join(sides, how, bounds, bin_width)
+            bin_width = _estimate_bin_width(stats, integral)
+        joined = _binned_join(sides, how, bounds, bin_width, integral)
     else:
         l = sides.left.alias("__dfi_l")
         r = sides.right.alias("__dfi_r")
@@ -381,21 +429,33 @@ def interval_join(
 # ---------------------------------------------------------------------------
 
 
-def _bin_ids(span_col: Column, w: int, bounds: str) -> Column:
+def _float_floor_div(col: Column, w: float) -> Column:
+    """Bin id for double endpoints: IEEE ``floor(x / W)``.  Deterministic
+    (same expression everywhere it is compared), and over-covering by at
+    most one bin at exact multiples — the residual overlap predicate
+    re-verifies every pair, so extra bins cost only a few probe rows."""
+    return F.floor(col.cast("double") / F.lit(float(w))).cast("long")
+
+
+def _bin_ids(span_col: Column, w, bounds: str, integral: bool) -> Column:
     """The sequence of fixed-width bin ids a span touches.
 
-    For half-open ``[start, stop)`` the last touched bin is
-    ``floor((stop-1)/W)``; closed bounds use ``floor(stop/W)``.  Epoch-ns
+    Integral endpoints, strict-overlap bounds ('[)', '()'): the last
+    touched point is ``stop - 1`` so the last bin is
+    ``floor((stop-1)/W)``; '(]'/'[]' include ``stop`` itself.  Epoch-ns
     endpoints are nonneg in practice, but we still use true floor
-    division so negative endpoints stay correct.
-    """
+    division so negative endpoints stay correct.  Double endpoints bin
+    with IEEE floor over ``[floor(start/W), floor(stop/W)]`` (a cover —
+    possibly one spare bin at exact multiples)."""
     start = span_col.getField("start")
     stop = span_col.getField("stop")
-    last_point = stop - F.lit(1) if bounds == "[)" else stop
+    if not integral:
+        return F.sequence(_float_floor_div(start, w), _float_floor_div(stop, w))
+    last_point = stop - F.lit(1) if bounds in ("[)", "()") else stop
     return F.sequence(_floor_div(start, w), _floor_div(last_point, w))
 
 
-def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats]) -> int:
+def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats], integral: bool = True):
     """Bin width from a cost model over per-side stats (count, mean
     duration, covering span — already collected for strategy selection).
 
@@ -406,16 +466,23 @@ def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats]) -> int:
         W* = sqrt( T*(n_l*d_l + n_r*d_r)/(n_l*n_r) + d_l*d_r )
 
     (validated empirically: on 100k spans x 10k windows the sweep
-    optimum 1-3h matches W* ~ 1.3h)."""
+    optimum 1-3h matches W* ~ 1.3h).  Integral spans floor the result to
+    a whole ≥1 width; double spans keep the float width."""
     sl, sr = stats
     if not sl.n or not sr.n or sl.lo is None or sr.lo is None:
-        return 1
-    t = max(max(sl.hi, sr.hi) - min(sl.lo, sr.lo), 1)
+        return 1 if integral else 1.0
+    t = max(
+        max(float(sl.hi), float(sr.hi)) - min(float(sl.lo), float(sr.lo)),
+        1.0 if integral else 1e-300,
+    )
     w2 = t * (sl.n * sl.dur + sr.n * sr.dur) / (sl.n * sr.n) + sl.dur * sr.dur
-    return max(int(w2**0.5), 1)
+    w = w2**0.5
+    return max(int(w), 1) if integral else w
 
 
-def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: int) -> DataFrame:
+def _binned_join(
+    sides: _Sides, how: str, bounds: str, bin_width, integral: bool = True
+) -> DataFrame:
     """Equi-join on overlapping bins + residual predicate + emit-once guard.
 
     A matched pair shares every bin its intersection touches; keeping
@@ -425,7 +492,7 @@ def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: int) -> DataFr
     ``unionByName(allowMissingColumns=True)`` — the same structure as the
     reference's ``join_indices`` missing-padding (src:157-180).
     """
-    w = max(int(bin_width), 1)
+    w = max(int(bin_width), 1) if integral else float(bin_width)
 
     need_left_ids = how in ("left_outer", "full_outer")
     need_right_ids = how in ("right_outer", "full_outer")
@@ -441,21 +508,25 @@ def _binned_join(sides: _Sides, how: str, bounds: str, bin_width: int) -> DataFr
 
     lcol = F.col(sides.left_on)
     rcol = F.col(sides.right_on)
-    # width <= 0 spans match nothing under '[)' — drop them before binning
+    # width <= 0 spans are empty under every bounds flavor with an open
+    # side ('[)', '(]', '()') — drop them before binning
     lb = lefts
     rb = rights
-    if bounds == "[)":
+    if bounds != "[]":
         lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
         rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
-    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds)))
-    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, bounds)))
+    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds, integral)))
+    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, bounds, integral)))
 
     l = lb.alias("__dfi_l")
     r = rb.alias("__dfi_r")
     lq = F.col(f"__dfi_l.{sides.left_on}")
     rq = F.col(f"__dfi_r.{sides.right_on}")
     inter_start = F.greatest(lq.getField("start"), rq.getField("start"))
-    guard = F.col(f"__dfi_l.{_BIN}") == _floor_div(inter_start, w)
+    guard_div = _floor_div(inter_start, w) if integral else _float_floor_div(
+        inter_start, w
+    )
+    guard = F.col(f"__dfi_l.{_BIN}") == guard_div
     cond = (
         (F.col(f"__dfi_l.{_BIN}") == F.col(f"__dfi_r.{_BIN}"))
         & spans_overlap(lq, rq, bounds=bounds)

@@ -219,6 +219,74 @@ SELECT {_JOIN_COLS_SQL}
 FROM es JOIN w ON greatest(es.s, w.w_start) <= least(es.e, w.w_stop)"""
 
 
+def q_interval_join_openclosed(spark, sf_dir):
+    """bounds='(]' (open-closed): strict nonempty-intersection semantics
+    like '[)' — touching endpoints never overlap, zero-width spans are
+    empty — but intervals are interpreted as (start, stop]."""
+    es, w = _es_windows(spark, sf_dir, 6, "idx")
+    j = interval_join(
+        es, w, bounds="(]", validate="skip", strategy="broadcast_right"
+    )
+    return _flat_join(j, label="idx")
+
+
+_SQL_JOIN_OPENCLOSED = f"""WITH {_ES_CTE},
+{_w_cte(6, "idx")}
+SELECT es.event_id, es.user_id, es.event_type, es.value,
+       es.s AS l_start, es.e AS l_stop, w.w_start, w.w_stop, w.idx,
+       CASE WHEN es.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE greatest(es.s, w.w_start) END AS i_start,
+       CASE WHEN es.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE least(es.e, w.w_stop) END AS i_stop
+FROM es JOIN w ON {_OVERLAP_SQL}"""
+
+
+def q_interval_join_float(spark, sf_dir):
+    """Double-endpoint (generic T) spans: event values as float
+    intervals [v, v + 1/32) joined against 8 fixed dyadic windows.
+    All window boundaries are dyadic rationals, so every comparison is
+    bit-exact across engines."""
+    from .functions.spans import make_span_double
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    left = ev.select(
+        "event_id",
+        make_span_double(F.col("value"), F.col("value") + F.lit(0.03125)).alias(
+            "span"
+        ),
+    )
+    w = spark.range(8).select(
+        (F.col("id") + 1).alias("idx"),
+        make_span_double(
+            F.col("id") / F.lit(8.0), (F.col("id") + 1) / F.lit(8.0)
+        ).alias("span"),
+    )
+    j = interval_join(left, w, validate="skip", strategy="broadcast_right")
+    return j.select(
+        "event_id",
+        F.col("span_left.start").alias("l_start"),
+        F.col("span_left.stop").alias("l_stop"),
+        F.col("span_right.start").alias("w_start"),
+        F.col("span_right.stop").alias("w_stop"),
+        "idx",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_JOIN_FLOAT = """WITH ev AS (
+  SELECT event_id, value AS s, value + 0.03125 AS e
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT CAST(i + 1 AS BIGINT) AS idx, i/8.0 AS ws, (i+1)/8.0 AS we
+  FROM generate_series(0, 7) t(i)
+)
+SELECT ev.event_id, ev.s AS l_start, ev.e AS l_stop,
+       w.ws AS w_start, w.we AS w_stop, w.idx,
+       greatest(ev.s, w.ws) AS i_start, least(ev.e, w.we) AS i_stop
+FROM ev JOIN w ON greatest(ev.s, w.ws) < least(ev.e, w.we)"""
+
+
 def q_groupby_interval_join_agg(spark, sf_dir):
     es, w = _es_windows(spark, sf_dir, 4, "quarter")
     g = groupby_interval_join(
@@ -994,6 +1062,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_keepright": (q_interval_join_keepright, _SQL_JOIN_KEEPRIGHT),
     "q_interval_join_full": (q_interval_join_full, _SQL_JOIN_FULL),
     "q_interval_join_closed": (q_interval_join_closed, _SQL_JOIN_CLOSED),
+    "q_interval_join_openclosed": (q_interval_join_openclosed, _SQL_JOIN_OPENCLOSED),
+    "q_interval_join_float": (q_interval_join_float, _SQL_JOIN_FLOAT),
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
     "q_lineitem_interval_agg": (q_lineitem_interval_agg, _SQL_LINEITEM_AGG),

@@ -192,14 +192,34 @@ def test_makeunique(spark, spans_df):
 
 
 def test_null_on_column_raises(spark):
+    """Reference-faithful rejection with the reference's message.  The
+    check is single-pass: fused into the join when the strategy needs no
+    stats scan (raises at first action), eager when a stats scan runs
+    anyway (raises at construction) — both carry the same message."""
     left = make_span_df(spark, [(0, 10), (None, None)])
     right = make_span_df(spark, [(5, 15)])
+    with pytest.raises(Exception, match="missing values in the left"):
+        interval_join(left, right).collect()
+    with pytest.raises(Exception, match="missing values in the right"):
+        interval_join(right, left).collect()
+    # eager variant: the binned width estimate scans stats, so the same
+    # rejection happens at construction time as a plain ValueError
     with pytest.raises(ValueError, match="missing values in the left"):
-        interval_join(left, right)
-    with pytest.raises(ValueError, match="missing values in the right"):
-        interval_join(right, left)
+        interval_join(left, right, strategy="binned")
     # validate='skip' proceeds; null spans match nothing
     assert interval_join(left, right, validate="skip").count() == 1
+
+
+def test_null_validation_runs_no_extra_jobs(spark):
+    """validate='error' (the default) must not scan the inputs before
+    the join action when the strategy is already known."""
+    left = make_span_df(spark, [(0, 10)])
+    right = make_span_df(spark, [(5, 15)])
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    j = interval_join(left, right, strategy="broadcast_right")
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert list(before) == list(after), "validation ran eager Spark jobs"
+    assert j.count() == 1
 
 
 # ---------------------------------------------------------------------------
@@ -259,3 +279,101 @@ def test_with_indices(spark, spans_df, windows):
     assert "_left_idx" in j.columns and "_right_idx" in j.columns
     n_left = spans_df.count()
     assert j.select("_left_idx").distinct().count() <= n_left
+
+
+# ---------------------------------------------------------------------------
+# bounds matrix + double-endpoint (generic T) spans
+# ---------------------------------------------------------------------------
+
+
+def _float_span_df(spark, rows, extra=()):
+    fields = "span struct<start: double, stop: double>" + "".join(
+        f", {n} {t}" for n, t in extra
+    )
+    data = [
+        ({"start": float(r[0]), "stop": float(r[1])},) + tuple(r[2:]) for r in rows
+    ]
+    return spark.createDataFrame(data, fields)
+
+
+@pytest.mark.parametrize("bounds", ["[)", "(]", "[]", "()"])
+def test_bounds_matrix_broadcast_binned_parity(spark, bounds):
+    """All four bounds flavors: join results must agree between the
+    broadcast and binned strategies, and match brute force."""
+    lefts = [(i * 7 % 50, i * 7 % 50 + (i % 4)) for i in range(40)]  # some 0-width
+    rights = [(j * 11 % 60, j * 11 % 60 + 5) for j in range(20)]
+    left = make_span_df(spark, lefts)
+    right = make_span_df(spark, rights)
+    kw = dict(validate="skip", bounds=bounds, renameon=("_l", "_r"))
+    got_b = collect_sorted(
+        interval_join(left, right, strategy="broadcast_right", **kw)
+    )
+    got_n = collect_sorted(
+        interval_join(left, right, strategy="binned", bin_width=7, **kw)
+    )
+    assert got_b == got_n
+    strict = bounds != "[]"
+    expect = sum(
+        1
+        for a in lefts
+        for b in rights
+        if (max(a[0], b[0]) < min(a[1], b[1]))
+        or (not strict and max(a[0], b[0]) == min(a[1], b[1]))
+    )
+    assert len(got_b) == expect
+
+
+@pytest.mark.parametrize("strategy", ["broadcast_right", "binned"])
+def test_double_endpoint_spans(spark, strategy):
+    """Generic-T parity: double-endpoint spans join with the same
+    semantics as bigint spans, under both strategies."""
+    lefts = [(i * 0.37 % 5.0, i * 0.37 % 5.0 + 0.21) for i in range(60)]
+    rights = [(j * 0.61 % 5.0, j * 0.61 % 5.0 + 0.15) for j in range(25)]
+    left = _float_span_df(spark, lefts)
+    right = _float_span_df(spark, rights)
+    j = interval_join(
+        left, right, validate="skip", strategy=strategy, renameon=("_l", "_r")
+    )
+    rows = j.collect()
+    expect = sum(
+        1
+        for a in lefts
+        for b in rights
+        if max(a[0], b[0]) < min(a[1], b[1])
+    )
+    assert len(rows) == expect
+    # intersection column keeps double endpoints and correct values
+    for r in rows:
+        i = r["span"]
+        assert isinstance(i["start"], float)
+        assert i["start"] == max(r["span_l"]["start"], r["span_r"]["start"])
+        assert i["stop"] == min(r["span_l"]["stop"], r["span_r"]["stop"])
+
+
+def test_double_span_outer_and_closed(spark):
+    left = _float_span_df(spark, [(0.0, 1.0), (2.0, 2.0), (5.0, 6.0)])
+    right = _float_span_df(spark, [(1.0, 2.0)])
+    # touching at 1.0: no match under '[)', match under '[]'
+    assert interval_join(left, right, validate="skip").count() == 0
+    assert (
+        interval_join(left, right, validate="skip", bounds="[]").count() == 2
+    )  # [0,1]&[1,2] plus zero-width [2,2]&[1,2]
+    out = interval_join(left, right, keepleft=True, validate="skip")
+    assert out.count() == 3  # all left rows survive with null matches
+
+
+def test_malformed_on_column_errors(spark):
+    flat = spark.createDataFrame([(1, 2)], "start long, stop long")
+    good = make_span_df(spark, [(0, 10)])
+    with pytest.raises(ValueError, match="span struct"):
+        interval_join(flat, good, on=("start", "span"))
+    mixed = spark.createDataFrame(
+        [({"start": 1, "stop": 2.0},)], "span struct<start: bigint, stop: double>"
+    )
+    with pytest.raises(ValueError, match="span struct"):
+        interval_join(mixed, good)
+    stringy = spark.createDataFrame(
+        [({"start": "a", "stop": "b"},)], "span struct<start: string, stop: string>"
+    )
+    with pytest.raises(ValueError, match="span struct"):
+        interval_join(stringy, good)

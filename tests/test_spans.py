@@ -52,11 +52,18 @@ def test_overlap_predicate(spark, a, b, half_open, closed):
         _eval_pair(spark, a, b, lambda x, y: spans_overlap(x, y, bounds="[]"))
         is closed
     )
+    # any flavor with an open side has identical nonempty-intersection
+    # semantics: touching endpoints never overlap, zero-width is empty
+    for b_open in ("(]", "()"):
+        assert (
+            _eval_pair(spark, a, b, lambda x, y: spans_overlap(x, y, bounds=b_open))
+            is half_open
+        ), (a, b, b_open)
 
 
 def test_overlap_rejects_unknown_bounds():
     with pytest.raises(ValueError, match="bounds"):
-        spans_overlap(F.lit(1), F.lit(2), bounds="()")
+        spans_overlap(F.lit(1), F.lit(2), bounds="])")
 
 
 def test_intersection_values(spark):
