@@ -56,27 +56,40 @@ class GroupedIntervalJoin:
         return self.grouped().applyInPandas(func, schema)
 
     def __iter__(self) -> Iterator[tuple]:
-        """Yield ``(group_key_row, pandas.DataFrame)`` per group.
+        """Yield ``(group_key_row, pandas.DataFrame)`` per group,
+        right-group-major like the reference's ``iterate``
+        (src:293-310): groups stream in natural value order of the
+        right group columns, then the left group columns, from ONE
+        sorted pass (``orderBy`` + ``toLocalIterator`` — a single
+        global-sort job streamed partition by partition, not one job
+        per group).
 
         Driver-side convenience for small results only (the reference's
-        ``iterate``, src:293-310, is likewise a client-side stream); at
-        scale use :meth:`agg` / :meth:`apply_in_pandas`.
+        ``iterate`` is likewise a client-side stream); at scale use
+        :meth:`agg` / :meth:`apply_in_pandas`.
         """
-        keys = self._joined.select(*self.group_cols).distinct().collect()
-        # deterministic stream order (the reference's iterate is
-        # right-group-major, src:293-310; Spark's distinct() order is
-        # arbitrary, so sort by the group key: right cols then left cols)
-        keys.sort(key=lambda k: tuple(repr(k[c]) for c in self.group_cols))
-        for key in keys:
-            cond = None
-            for c in self.group_cols:
-                piece = (
-                    F.col(c).isNull()
-                    if key[c] is None
-                    else (F.col(c) == F.lit(key[c]))
-                )
-                cond = piece if cond is None else (cond & piece)
-            yield key, self._joined.filter(cond).toPandas()
+        import pandas as pd
+        from pyspark.sql import Row
+
+        cols = self._joined.columns
+        ordered = self._joined.orderBy(
+            *[F.col(c).asc_nulls_last() for c in self.group_cols]
+        )
+
+        def _emit(key, rows):
+            key_row = Row(**dict(zip(self.group_cols, key)))
+            return key_row, pd.DataFrame(rows, columns=cols)
+
+        cur_key, buf = None, []
+        for row in ordered.toLocalIterator():
+            k = tuple(row[c] for c in self.group_cols)
+            if cur_key is not None and k != cur_key:
+                yield _emit(cur_key, buf)
+                buf = []
+            cur_key = k
+            buf.append(tuple(row))
+        if cur_key is not None:
+            yield _emit(cur_key, buf)
 
 
 def groupby_interval_join(

@@ -115,3 +115,19 @@ def test_iteration_yields_all_groups(spark, spans_df, windows):
         seen[key["quarter"]] = len(pdf)
     assert set(seen) == {1, 2, 3, 4}
     assert sum(seen.values()) == g.df.count()
+
+
+def test_iteration_right_group_major_natural_order(spark, spans_df, windows):
+    """Iteration order = natural value order of (right group cols, left
+    group cols) — right-group-major like the reference's iterate
+    (src:293-310), with NUMERIC ordering (a repr-based sort would put
+    quarter 10 before 2)."""
+    w16 = quantile_windows(spark, 16, spans_df, label="quarter").cache()
+    g = groupby_interval_join(spans_df, w16, groups=["label", "quarter"])
+    keys = [(k["quarter"], k["label"]) for k, _ in g]
+    assert keys == sorted(keys)
+    assert any(q >= 10 for q, _ in keys)  # exercises numeric vs repr order
+    # frames carry all joined columns and cover every row exactly once
+    g2 = groupby_interval_join(spans_df, w16, groups=["label", "quarter"])
+    total = sum(len(pdf) for _, pdf in g2)
+    assert total == g2.df.count()
