@@ -255,6 +255,14 @@ AUTO_BROADCAST_ROWS = 100_000
 #: fast path exists for the overwhelmingly common small-side case.
 AUTO_BROADCAST_BYTES = 4 << 20
 
+#: File-source size estimates are compressed on-disk bytes; a 4 MiB
+#: RLE/dictionary parquet side can decode to millions of rows.  The fast
+#: path therefore ALSO bounds estimated rows via a conservative minimum
+#: row width (a bare span struct is 16 bytes), so a side only skips the
+#: counted-stats check when even the most pessimistic decode stays under
+#: AUTO_BROADCAST_ROWS.
+MIN_ROW_BYTES = 16
+
 
 def _plan_size_bytes(df: DataFrame) -> Optional[int]:
     """Catalyst's size estimate for a plan, without executing anything.
@@ -355,7 +363,11 @@ def interval_join(
         szl = _plan_size_bytes(sides.left)
         szr = _plan_size_bytes(sides.right)
         if szl is not None and szr is not None:
-            if min(szl, szr) <= AUTO_BROADCAST_BYTES:
+            small = min(szl, szr)
+            if (
+                small <= AUTO_BROADCAST_BYTES
+                and small // MIN_ROW_BYTES <= AUTO_BROADCAST_ROWS
+            ):
                 strategy = "broadcast_left" if szl <= szr else "broadcast_right"
 
     # stats are needed by auto strategy selection and the binned width

@@ -63,6 +63,18 @@ def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when the analyzed plan is just scan + projections/filters
+    (no joins/aggregates/exchanges) — the only shape whose partition
+    count can be read without executing upstream stages."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    banned = ("Join", "Aggregate", "Sort", "Window", "Exchange", "Repartition")
+    return not any(b in plan for b in banned)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     """Round-robin repartition IF the input has fewer partitions than the
     cluster has cores (default target).
@@ -74,7 +86,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     their expensive projection.  At 100 TB the scan already has
     thousands of partitions, so the condition is false and this is a
     no-op — it only ever ADDS a (tiny) shuffle on inputs small enough
-    that the shuffle is free."""
+    that the shuffle is free.
+
+    Only BARE SCANS are inspected: with AQE enabled, touching ``.rdd``
+    on a derived DataFrame (join/agg output) materializes the physical
+    plan and EXECUTES its upstream shuffle stages as real jobs — the
+    partition-count peek would run the pipeline once for the count and
+    again for the query.  Derived plans pass through untouched (their
+    partitioning already comes from a shuffle sized by
+    ``spark.sql.shuffle.partitions``)."""
+    if not _is_bare_scan(df):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

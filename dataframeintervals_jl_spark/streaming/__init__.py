@@ -81,6 +81,7 @@ def stream_interval_join(
     bin_width_ns: int = 3_600_000_000_000,
     watermark: str = "10 minutes",
     renameon=("_left", "_right"),
+    max_span_ns: int | None = None,
 ) -> DataFrame:
     """Stream-stream (or mixed / batch-batch) interval overlap join —
     unbounded counterpart of batch ``interval_join`` (inner, half-open).
@@ -91,9 +92,19 @@ def stream_interval_join(
     fixed-width bins it touches, the join is an EQUI-join on the bin id
     plus the residual overlap predicate and the emit-once guard (a pair
     is produced only in the bin where its intersection starts, so no
-    deduplication state is needed).  Event-time watermarks on the span
-    starts bound the join state: a bin's rows expire once the watermark
-    passes them.  Late rows beyond ``watermark`` are dropped.
+    deduplication state is needed).
+
+    STATE BOUNDING: watermarks alone do not let Spark evict stream-
+    stream join state here — the equi-key is a bin id, not an event-time
+    column, and without a time-range constraint relating the two
+    watermarked timestamps the state grows without bound.  Pass
+    ``max_span_ns`` (an upper bound on span duration, enforced with a
+    fused runtime assertion) to add the derivable constraint
+    ``|__ts_l - __ts_r| <= max_span_ns`` — any overlapping pair's span
+    starts are provably within ``max_span_ns`` of each other, so Spark
+    can expire rows once the other side's watermark moves past them.
+    Without it the join is still correct, but on true stream-stream
+    inputs state is unbounded (fine for batch/availableNow runs).
 
     ``bin_width_ns`` trades bin fan-out (long spans touch
     ``len/W`` bins) against per-bin pair volume — same cost model as the
@@ -112,18 +123,35 @@ def stream_interval_join(
 
     def prep(df: DataFrame, out_name: str, tag: str):
         d = df.withColumnRenamed(on, out_name)
-        start_us = exact_floor_div(F.col(f"{out_name}.start"), NS_PER_US)
-        stop_us = exact_floor_div(F.col(f"{out_name}.stop"), NS_PER_US)
+        start_ns = F.col(f"{out_name}.start")
+        stop_ns = F.col(f"{out_name}.stop")
+        # empty spans match nothing under '[)'; dropping them also keeps
+        # the bin sequence ascending for sub-µs spans
+        d = d.filter(stop_ns > start_ns)
+        if max_span_ns is not None:
+            d = d.filter(
+                F.assert_true(
+                    stop_ns - start_ns <= F.lit(int(max_span_ns)),
+                    F.lit(
+                        f"stream_interval_join: span longer than "
+                        f"max_span_ns={int(max_span_ns)}"
+                    ),
+                ).isNull()
+            )
+        start_us = exact_floor_div(start_ns, NS_PER_US)
+        # last touched µs point is floor((stop_ns - 1)/1000) — truncating
+        # stop to µs FIRST would drop the final µs (and possibly its bin)
+        # for non-µs-aligned stops
+        last_us = exact_floor_div(stop_ns - 1, NS_PER_US)
         d = d.withColumn(f"__ts{tag}", F.timestamp_micros(start_us))
         if df.isStreaming:
             d = d.withWatermark(f"__ts{tag}", watermark)
-        # bins over µs endpoints; half-open → last touched bin holds stop-1
         return d.withColumn(
             "__bin",
             F.explode(
                 F.sequence(
                     exact_floor_div(start_us, w_us),
-                    exact_floor_div(stop_us - 1, w_us),
+                    exact_floor_div(last_us, w_us),
                 )
             ),
         )
@@ -139,6 +167,19 @@ def stream_interval_join(
         & (rs < lstop)
         & (l["__bin"] == exact_floor_div(inter_start_us, w_us))
     )
+    if max_span_ns is not None:
+        # overlapping spans' starts differ by < max_span (each start is
+        # within max_span of the intersection start); +1µs covers the
+        # floor-to-µs truncation of both timestamps.  This predicate is
+        # on the WATERMARKED columns, which is what lets Spark derive
+        # state eviction for the stream-stream case.
+        slack_us = int(max_span_ns) // NS_PER_US + 1
+        iv = F.expr(f"INTERVAL {slack_us} MICROSECONDS")
+        cond = (
+            cond
+            & (l["__ts_l"] >= r["__ts_r"] - iv)
+            & (l["__ts_l"] <= r["__ts_r"] + iv)
+        )
     out_cols = [c for c in l.columns if c not in ("__bin", "__ts_l")] + [
         c for c in r.columns if c not in ("__bin", "__ts_r")
     ]

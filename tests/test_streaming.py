@@ -133,3 +133,54 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     assert got == {"aa", "bb", "cc"}
     n = spark.sql("SELECT count(*) AS n FROM sdedup").first()["n"]
     assert n == 3  # exactly one survivor per key
+
+
+def test_stream_interval_join_sub_us_alignment(spark, tmp_path):
+    """ns-unaligned stops: the last touched bin must come from
+    floor((stop_ns-1)/1000), not from the µs-truncated stop — a pair
+    whose intersection starts in that final µs was silently dropped
+    before."""
+    rows_l = [(EPOCH0, EPOCH0 + 10_500, 0),  # stop mid-µs
+              (EPOCH0 + 30_000, EPOCH0 + 30_001, 1)]  # sub-µs span
+    rows_r = [(EPOCH0 + 10_000, EPOCH0 + 20_000, 0),
+              (EPOCH0 + 30_000, EPOCH0 + 31_000, 1)]
+    from pyspark.sql.types import LongType
+
+    left = make_span_df(spark, rows_l, extra=[("lid", LongType())])
+    right = make_span_df(spark, rows_r, extra=[("rid", LongType())])
+    batch = interval_join(left, right, validate="skip", strategy="broadcast_right")
+    expected = sorted((r["lid"], r["rid"]) for r in batch.select("lid", "rid").collect())
+    assert (0, 0) in expected and (1, 1) in expected
+
+    ls = _roundtrip_stream(spark, left, str(tmp_path / "l2"))
+    rs = _roundtrip_stream(spark, right, str(tmp_path / "r2"))
+    out = stream_interval_join(ls, rs, bin_width_ns=1_000, watermark="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_ns")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["lid"], r["rid"]) for r in spark.sql("SELECT * FROM sij_ns").collect()
+    )
+    assert got == expected
+
+
+def test_stream_interval_join_max_span_bound(spark, tmp_path):
+    """max_span_ns adds the watermark-relating range predicate without
+    changing results for compliant spans, and rejects violators."""
+    left = _spans(spark, 20, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 12, width=50_000, step=100_000, name="rid")
+    batch = interval_join(left, right, validate="skip", strategy="broadcast_right")
+    expected = sorted((r["lid"], r["rid"]) for r in batch.select("lid", "rid").collect())
+
+    # batch-mode run of the streaming operator (isStreaming=False path)
+    out = stream_interval_join(left, right, max_span_ns=90_000 * US)
+    got = sorted((r["lid"], r["rid"]) for r in out.select("lid", "rid").collect())
+    assert got == expected
+
+    too_small = stream_interval_join(left, right, max_span_ns=10_000 * US)
+    with pytest.raises(Exception, match="max_span_ns"):
+        too_small.collect()
