@@ -114,6 +114,23 @@ def main() -> None:
         ),
     )
 
+    # approximation-quality tracking: recall@k of the ANN paths vs the
+    # exact brute-force top-k, recorded per round so speedups that trade
+    # away recall are visible (floors asserted in pytest)
+    from dataframeintervals_jl_spark.queries import (
+        q_similarity_ivf,
+        q_similarity_lsh,
+        q_similarity_topk,
+    )
+
+    exact = {
+        (r["q_id"], r["n_id"]) for r in q_similarity_topk(spark, sf_dir).collect()
+    }
+    recall = {}
+    for nm, qf in (("lsh", q_similarity_lsh), ("ivf", q_similarity_ivf)):
+        approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
+        recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
+
     spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -123,6 +140,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -892,20 +892,29 @@ _QUANT_V = (
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (the 100 TB path).  Deterministic given the
-    fixed hyperplanes, so the oracle replays the bucketing exactly."""
+    """LSH-bucketed near-dup (the 100 TB path), multi-probe radius 1.
+    Deterministic given the fixed hyperplanes, so the oracle replays the
+    bucketing and probing exactly."""
     from .operators.similarity import embedding_neardup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.4, dim=64, n_planes=6)
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, dim=64, n_planes=6, probe_radius=1
+    )
 
 
 def _sql_emb_neardup_lsh(
-    threshold: float = 0.4, dim: int = 64, n_planes: int = 6
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    probe_radius: int = 1,
 ) -> str:
+    from .operators.similarity import probe_masks
+
+    masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_radius))
     return f"""WITH e AS (
   SELECT vec_id, {_QUANT_V} AS v FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nrm,
          {_sql_bucket_expr(dim, n_planes)} AS bucket
   FROM e
@@ -914,34 +923,49 @@ SELECT id_a, id_b, round(score, 6) AS score FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(a.v, b.v) AS DOUBLE)
            / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS score
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM n a, unnest([{masks}]::BIGINT[]) t(m), n b
+  WHERE xor(a.bucket, m) = b.bucket AND a.vec_id < b.vec_id)
 WHERE score >= {threshold}"""
 
 
 def q_similarity_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k, multi-probe radius 2 (the query side is
+    tiny, so the 37-probe fan-out is free and buys most of the exact
+    recall back)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_radius=2)
     return out.select(
         "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
     )
 
 
 def _sql_similarity_lsh(
-    k: int = 5, dim: int = 64, n_planes: int = 8, qmax: int = 5
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    qmax: int = 5,
+    probe_radius: int = 2,
 ) -> str:
+    from .operators.similarity import probe_masks
+
+    masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_radius))
     return f"""WITH e AS (
   SELECT vec_id, {_QUANT_V} AS v FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, v, list_dot_product(v, v) AS nrm,
          {_sql_bucket_expr(dim, n_planes)} AS bucket
   FROM e
 ), q AS (SELECT * FROM n WHERE vec_id < {qmax}),
+qp AS (
+  SELECT q.vec_id, q.v, q.nrm, xor(q.bucket, m) AS bucket
+  FROM q, unnest([{masks}]::BIGINT[]) t(m)
+),
 pairs AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         CAST(list_dot_product(c.v, q.v) AS DOUBLE)
-           / sqrt(CAST(c.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
-  FROM n c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  SELECT qp.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_dot_product(c.v, qp.v) AS DOUBLE)
+           / sqrt(CAST(c.nrm AS DOUBLE) * CAST(qp.nrm AS DOUBLE)) AS score
+  FROM n c JOIN qp ON c.bucket = qp.bucket AND c.vec_id <> qp.vec_id
 ), ranked AS (
   SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY score DESC, n_id) AS BIGINT) AS rank,

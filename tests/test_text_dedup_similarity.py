@@ -212,3 +212,38 @@ def test_simhash_emit_once_no_duplicates(spark):
             if agrees and bin(x).count("1") <= 24:
                 expect.add((a, b))
     assert set(got) == expect
+
+
+def test_ann_recall_floors(spark):
+    """Approximation-quality floors vs exact brute force on the sf0.001
+    testdata (deterministic: fixed hyperplanes/centroid seeds).  These
+    catch silent recall regressions when tuning the ANN paths; bench.py
+    records the same recall numbers per round."""
+    from dataframeintervals_jl_spark.queries import (
+        q_embedding_neardup,
+        q_embedding_neardup_lsh,
+        q_similarity_ivf,
+        q_similarity_lsh,
+        q_similarity_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["q_id"], r["n_id"]) for r in q_similarity_topk(spark, sf).collect()}
+
+    def recall(approx, ref):
+        return len(approx & ref) / max(len(ref), 1)
+
+    lsh = {(r["q_id"], r["n_id"]) for r in q_similarity_lsh(spark, sf).collect()}
+    ivf = {(r["q_id"], r["n_id"]) for r in q_similarity_ivf(spark, sf).collect()}
+    assert recall(lsh, exact) >= 0.3  # measured 0.36 (8 planes, radius 2)
+    assert recall(ivf, exact) >= 0.7  # measured 0.84 (probe 4/16 cells)
+
+    ex_nd = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup(spark, sf).collect()}
+    nd = {
+        (r["id_a"], r["id_b"])
+        for r in q_embedding_neardup_lsh(spark, sf).collect()
+    }
+    assert recall(nd, ex_nd) >= 0.2  # measured 0.29 (6 planes, radius 1)
+    # LSH results are a SUBSET of the exact pair set (same threshold,
+    # candidates only pruned, never invented)
+    assert nd <= ex_nd
