@@ -38,7 +38,11 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interval_join
-from .operators.interval_join import interval_join, setup_column_names
+from .operators.interval_join import (
+    interval_join,
+    interval_join_prebinned,
+    setup_column_names,
+)
 from .operators.quantile_windows import dfspan, quantile_windows
 from .operators.sessionize import sessionize
 from .operators.similarity import (
@@ -53,6 +57,7 @@ from .sources.sinks import (
     write_bucketed,
     write_partitioned,
     write_sorted_spans,
+    write_binned_spans,
 )
 from .streaming import (
     stream_exact_dedup,
@@ -75,6 +80,7 @@ __all__ = [
     "get_spark",
     "groupby_interval_join",
     "interval_join",
+    "interval_join_prebinned",
     "make_span",
     "not_",
     "quantile_windows",
@@ -100,6 +106,7 @@ __all__ = [
     "simhash_near_pairs",
     # storage layouts
     "read_bucketed",
+    "write_binned_spans",
     "write_bucketed",
     "write_partitioned",
     "write_sorted_spans",

@@ -436,6 +436,71 @@ def interval_join(
     return joined.select(*out_cols, intersection)
 
 
+def interval_join_prebinned(
+    left: DataFrame,
+    right: DataFrame,
+    bin_width: int,
+    on="span",
+    renamecols=None,
+    renameon=("_left", "_right"),
+    makeunique: bool = False,
+    bounds: str = "[)",
+    bin_col: str = None,
+) -> DataFrame:
+    """Inner interval join over PRE-BINNED span tables
+    (:func:`~..sources.sinks.write_binned_spans`) — the shuffle-free
+    path for repeated large×large joins.
+
+    Both inputs must already carry the exploded bin column and should be
+    stored bucketed on it with equal bucket counts; ``bin_width`` must
+    equal the width used at write time (the emit-once guard recomputes
+    ``floor(intersection_start / W)`` and drops every duplicate bin
+    pair, so a mismatched width silently loses or duplicates pairs —
+    hence the explicit parameter).  The join is then a bucket-co-located
+    equi-join: zero Exchange on either side, asserted in
+    ``tests/test_plans.py``.  Inner join only — outer recovery needs the
+    un-exploded base tables; use :func:`interval_join` for that."""
+    bc = bin_col or _BIN
+    for side, df in (("left", left), ("right", right)):
+        if bc not in df.columns:
+            raise ValueError(
+                f"{side} table has no bin column {bc!r}; write it with "
+                "write_binned_spans first"
+            )
+    w = max(int(bin_width), 1)
+    # give the two bin columns distinct names BEFORE the rename protocol
+    # so they neither clash nor get payload-renamed
+    lb = left.withColumnRenamed(bc, "__dfi_bin_l")
+    rb = right.withColumnRenamed(bc, "__dfi_bin_r")
+    sides = setup_column_names(
+        lb, rb, on, renamecols=renamecols, renameon=renameon, makeunique=makeunique
+    )
+    validate_span_type(sides.left.schema[sides.left_on].dataType, "left `on`")
+    validate_span_type(sides.right.schema[sides.right_on].dataType, "right `on`")
+
+    # renamecols also touches the bin columns — resolve their final names
+    bin_l = sides.rename_left["__dfi_bin_l"]
+    bin_r = sides.rename_right["__dfi_bin_r"]
+    l = sides.left.alias("__dfi_l")
+    r = sides.right.alias("__dfi_r")
+    lq = F.col(f"__dfi_l.{sides.left_on}")
+    rq = F.col(f"__dfi_r.{sides.right_on}")
+    inter_start = F.greatest(lq.getField("start"), rq.getField("start"))
+    cond = (
+        (F.col(f"__dfi_l.{bin_l}") == F.col(f"__dfi_r.{bin_r}"))
+        & spans_overlap(lq, rq, bounds=bounds)
+        & (F.col(f"__dfi_l.{bin_l}") == _floor_div(inter_start, w))
+    )
+    joined = l.join(r, cond, "inner")
+    out_cols = [c for c in sides.left_cols if c != bin_l] + [
+        c for c in sides.right_cols if c != bin_r
+    ]
+    intersection = span_intersect(
+        F.col(sides.left_on), F.col(sides.right_on)
+    ).alias(sides.joined_on)
+    return joined.select(*out_cols, intersection)
+
+
 # ---------------------------------------------------------------------------
 # Binned range-join strategy (SURVEY.md §4.3)
 # ---------------------------------------------------------------------------

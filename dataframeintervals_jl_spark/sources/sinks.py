@@ -72,6 +72,42 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_binned_spans(
+    df: DataFrame,
+    table: str,
+    bin_width: int,
+    n_buckets: int,
+    spancol: str = "span",
+    bounds: str = "[)",
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a span table PRE-EXPLODED into fixed-width bins and
+    hash-bucketed on the bin id — the storage layout that makes the
+    binned interval join SHUFFLE-FREE.
+
+    The binned join's dominant cost at scale is the exchange of both
+    exploded sides on the bin key, paid per query.  Writing each table
+    once with this layout moves that cost to write time: two tables
+    binned with the SAME ``bin_width`` and ``n_buckets`` co-locate, and
+    :func:`~..operators.interval_join.interval_join_prebinned` plans the
+    join with ZERO Exchange (asserted in ``tests/test_plans.py``).
+
+    ``bin_width`` must match exactly at join time — record it in the
+    table name or an external catalog."""
+    from pyspark.sql import functions as F
+
+    from ..operators.interval_join import _BIN, _bin_ids
+
+    binned = df.withColumn(
+        _BIN,
+        F.explode(_bin_ids(F.col(spancol), int(bin_width), bounds, integral=True)),
+    )
+    write_bucketed(
+        binned, table, [_BIN], n_buckets, sort_cols=[_BIN], path=path, mode=mode
+    )
+
+
 def write_sorted_spans(
     df: DataFrame,
     path: str,

@@ -103,3 +103,54 @@ def test_csv_json_roundtrip_with_explicit_schema(spark, docs, tmp_path):
         got = {r["doc_id"]: (r["lang"], r["score"]) for r in back.collect()}
         exp = {r["doc_id"]: (r["lang"], r["score"]) for r in docs.collect()}
         assert got == exp
+
+
+def test_prebinned_interval_join_no_shuffle(spark, tmp_path):
+    """write_binned_spans + interval_join_prebinned: the binned interval
+    join over co-bucketed pre-exploded tables plans with ZERO Exchange
+    and matches the on-the-fly binned strategy exactly."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join,
+        interval_join_prebinned,
+    )
+    from dataframeintervals_jl_spark.sources.sinks import write_binned_spans
+    from tests.conftest import collect_sorted
+
+    width = 64
+    lefts = make_span_df(
+        spark, [(i * 7 % 500, i * 7 % 500 + 1 + i % 40) for i in range(300)]
+    ).withColumn("lid", F.monotonically_increasing_id())
+    rights = make_span_df(
+        spark, [(j * 11 % 520, j * 11 % 520 + 1 + j % 25) for j in range(200)]
+    ).withColumn("rid", F.monotonically_increasing_id())
+    lefts, rights = lefts.cache(), rights.cache()
+    lefts.count(), rights.count()  # pin ids before the double use
+
+    write_binned_spans(lefts, "t_spans_l", width, 4, path=str(tmp_path / "pl"))
+    write_binned_spans(rights, "t_spans_r", width, 4, path=str(tmp_path / "pr"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = interval_join_prebinned(
+            read_bucketed(spark, "t_spans_l"),
+            read_bucketed(spark, "t_spans_r"),
+            bin_width=width,
+        )
+        assert count_exchanges(j) == 0, "prebinned join must not shuffle"
+        expect = interval_join(
+            lefts, rights, validate="skip", strategy="binned", bin_width=width
+        )
+        assert collect_sorted(j) == collect_sorted(expect)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_spans_l")
+        spark.sql("DROP TABLE IF EXISTS t_spans_r")
+
+
+def test_prebinned_join_requires_bin_column(spark):
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join_prebinned,
+    )
+
+    plain = make_span_df(spark, [(0, 10)])
+    with pytest.raises(ValueError, match="bin column"):
+        interval_join_prebinned(plain, plain, bin_width=10)
