@@ -28,6 +28,7 @@ from .functions.spans import (
     spans_overlap,
 )
 from .operators.asof_join import asof_join
+from .operators.coalesce import merge_spans, span_coverage, span_gaps
 from .operators.dedup import (
     exact_dedup,
     exact_dedup_keep,
@@ -73,6 +74,8 @@ __all__ = [
     "all_",
     "asof_join",
     "sessionize",
+    "span_coverage",
+    "span_gaps",
     "between",
     "cols",
     "dfspan",
@@ -80,6 +83,7 @@ __all__ = [
     "get_spark",
     "groupby_interval_join",
     "interval_join",
+    "merge_spans",
     "interval_join_prebinned",
     "make_span",
     "not_",

@@ -1,0 +1,238 @@
+"""Interval-set operators: coalesce (union), gaps, coverage.
+
+Engine extension beyond the reference (its only set-ish operation is
+the covering span, ``dfspan`` — src/DataFrameIntervals.jl:380-387):
+training-data pipelines constantly merge annotation/event spans into
+islands ("any coverage" regions), measure covered time, and find the
+uncovered gaps.
+
+Execution is the classic gaps-and-islands rewrite, Spark-first:
+
+- keyed (``by`` given): ONE shuffle on the keys; a running ``max(stop)``
+  window finds island breaks, a running sum numbers islands, and a
+  groupBy collapses them.  O((n log n)/partition), spillable, no UDFs.
+- global (``by=None``): a keyless window would collapse to one task, so
+  rows are range-bucketed by start time (same pattern as the keyless
+  as-of join) and island breaks/numbers are corrected across buckets
+  with two O(buckets) driver-collected summaries broadcast back — the
+  distributed plan contains no single-partition exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.spans import make_span
+
+_B = "__dfi_mrg_bucket"
+_PMAX = "__dfi_mrg_pmax"
+_BRK = "__dfi_mrg_brk"
+_ISL = "__dfi_mrg_isl"
+
+
+def _by_cols(by) -> list:
+    return [by] if isinstance(by, str) else list(by or [])
+
+
+def merge_spans(
+    df: DataFrame,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+    merge_touching: bool = True,
+) -> DataFrame:
+    """Coalesce overlapping spans into maximal islands.
+
+    Output: ``by`` columns + ``spancol`` (the island) + ``n_spans``
+    (inputs merged into it).  ``merge_touching=True`` (default) also
+    merges exactly-adjacent spans ``[a,b) + [b,c) -> [a,c)``;
+    ``False`` keeps them separate (strict-overlap islands).
+    """
+    by_cols = _by_cols(by)
+    start = F.col(spancol).getField("start")
+    stop = F.col(spancol).getField("stop")
+
+    if by_cols:
+        w = Window.partitionBy(*by_cols).orderBy(start, stop)
+        pmax = F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        brk = _break_expr(start, pmax, merge_touching)
+        isl = F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        flagged = df.select(*by_cols, F.col(spancol), isl.alias(_ISL))
+        return (
+            flagged.groupBy(*by_cols, _ISL)
+            .agg(
+                F.min(F.col(spancol).getField("start")).alias("__s"),
+                F.max(F.col(spancol).getField("stop")).alias("__e"),
+                F.count(F.lit(1)).alias("n_spans"),
+            )
+            .select(
+                *by_cols,
+                make_span(F.col("__s"), F.col("__e")).alias(spancol),
+                "n_spans",
+            )
+        )
+    return _merge_spans_global(df, spancol, merge_touching)
+
+
+def _break_expr(start, pmax, merge_touching: bool):
+    new = start > pmax if merge_touching else start >= pmax
+    return F.when(pmax.isNull() | new, F.lit(1)).otherwise(F.lit(0))
+
+
+def _merge_spans_global(
+    df: DataFrame, spancol: str, merge_touching: bool
+) -> DataFrame:
+    """Global (keyless) coalesce via range buckets + driver boundary fix.
+
+    Three tiny driver jobs (min/max, per-bucket max-stop, per-bucket
+    corrected break counts) buy a fully parallel main pass; every
+    summary is O(buckets)."""
+    spark = df.sparkSession
+    start = F.col(spancol).getField("start")
+    stop = F.col(spancol).getField("stop")
+    bounds = df.agg(
+        F.min(start.cast("long")).alias("lo"), F.max(start.cast("long")).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.select(
+            F.col(spancol), F.lit(0).cast("long").alias("n_spans")
+        ).limit(0)
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(hi) - int(lo)) // nb + 1, 1)
+    u = df.select(F.col(spancol)).withColumn(
+        _B, F.expr(f"CAST(({spancol}.start - {lo}) DIV {width} AS LONG)")
+    )
+
+    # pass 1: incoming running-max(stop) per bucket, from the driver
+    perb = (
+        u.groupBy(_B).agg(F.max(stop).alias("mx")).collect()
+    )
+    inc_rows, running = [], None
+    for r in sorted(perb, key=lambda r: r[_B]):
+        inc_rows.append((r[_B], running))
+        running = r["mx"] if running is None else max(running, r["mx"])
+    inc = spark.createDataFrame(inc_rows, f"{_B} long, __inc_max long")
+
+    w = Window.partitionBy(_B).orderBy(start, stop)
+    local_pmax = F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    u2 = u.join(F.broadcast(inc), _B, "left")
+    eff_pmax = F.greatest(  # greatest skips nulls; all-null stays null
+        local_pmax, F.col("__inc_max")
+    )
+    brk = _break_expr(start, eff_pmax, merge_touching)
+    flagged = u2.select(
+        F.col(spancol),
+        F.col(_B),
+        brk.alias(_BRK),
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias(_ISL),
+    )
+    flagged = flagged.persist()
+
+    # pass 2: island-number offsets = prefix sums of per-bucket breaks
+    cnts = {r[_B]: r["c"] for r in flagged.groupBy(_B).agg(F.sum(_BRK).alias("c")).collect()}
+    off_rows, acc = [], 0
+    for b in sorted(cnts):
+        off_rows.append((b, acc))
+        acc += int(cnts[b] or 0)
+    offs = spark.createDataFrame(off_rows, f"{_B} long, __off long")
+
+    merged = (
+        flagged.join(F.broadcast(offs), _B)
+        .withColumn(_ISL, F.col(_ISL) + F.col("__off"))
+        .groupBy(_ISL)
+        .agg(
+            F.min(start).alias("__s"),
+            F.max(stop).alias("__e"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .select(make_span(F.col("__s"), F.col("__e")).alias(spancol), "n_spans")
+    )
+    return merged
+
+
+def span_gaps(
+    df: DataFrame,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """The uncovered gaps between a table's coalesced islands, per key:
+    one row per gap ``[island_i.stop, island_{i+1}.start)``.  Touching
+    islands produce no gap (merged away by :func:`merge_spans`)."""
+    by_cols = _by_cols(by)
+    merged = merge_spans(df, spancol, by, merge_touching=True)
+    start = F.col(spancol).getField("start")
+    stop = F.col(spancol).getField("stop")
+    if by_cols:
+        w = Window.partitionBy(*by_cols).orderBy(start)
+        nxt = F.lead(start).over(w)
+        out = merged.select(*by_cols, F.col(spancol), nxt.alias("__next"))
+    else:
+        # keyless lead() would collapse to one task; islands are
+        # disjoint, so bucket them by start and fix each bucket's last
+        # island with the next bucket's first start (O(buckets) driver
+        # summary — worst case islands are O(input), so this must stay
+        # parallel just like the merge itself)
+        out = _global_next_start(merged, spancol)
+    return (
+        out.filter(F.col("__next").isNotNull() & (F.col("__next") > stop))
+        .select(*by_cols, make_span(stop, F.col("__next")).alias(spancol))
+    )
+
+
+def _global_next_start(merged: DataFrame, spancol: str) -> DataFrame:
+    spark = merged.sparkSession
+    start = F.col(spancol).getField("start")
+    bounds = merged.agg(
+        F.min(start.cast("long")).alias("lo"), F.max(start.cast("long")).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return merged.select(
+            F.col(spancol), F.lit(None).cast("long").alias("__next")
+        ).limit(0)
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(hi) - int(lo)) // nb + 1, 1)
+    u = merged.withColumn(
+        _B, F.expr(f"CAST(({spancol}.start - {lo}) DIV {width} AS LONG)")
+    )
+    firsts = u.groupBy(_B).agg(F.min(start).alias("mn")).collect()
+    nxt_rows, nxt = [], None
+    for r in sorted(firsts, key=lambda r: r[_B], reverse=True):
+        nxt_rows.append((r[_B], nxt))
+        nxt = r["mn"]
+    nb_df = spark.createDataFrame(nxt_rows, f"{_B} long, __bnext long")
+    w = Window.partitionBy(_B).orderBy(start)
+    return (
+        u.join(F.broadcast(nb_df), _B, "left")
+        .select(
+            F.col(spancol),
+            F.coalesce(F.lead(start).over(w), F.col("__bnext")).alias("__next"),
+        )
+    )
+
+
+def span_coverage(
+    df: DataFrame,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Total covered duration per key (overlaps counted ONCE — the
+    measure of the span-set union, not the sum of raw durations)."""
+    by_cols = _by_cols(by)
+    merged = merge_spans(df, spancol, by, merge_touching=True)
+    dur = F.col(spancol).getField("stop") - F.col(spancol).getField("start")
+    if by_cols:
+        return merged.groupBy(*by_cols).agg(
+            F.sum(dur).alias("covered"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+    return merged.agg(
+        F.sum(dur).alias("covered"), F.count(F.lit(1)).alias("n_islands")
+    )

@@ -662,6 +662,71 @@ SELECT user_id, min(t) AS s_start, max(t) + {_GAP_NS} AS s_stop,
 FROM s GROUP BY user_id, sid"""
 
 
+_HOUR_NS = 3_600_000_000_000
+
+
+def q_merge_spans(spark, sf_dir):
+    """Interval coalesce (span-set union): 1-hour event spans merged
+    into per-user coverage islands — gaps-and-islands, one shuffle."""
+    from .operators.coalesce import merge_spans
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts")
+    )
+    spans = ev.select(
+        "user_id", make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span")
+    )
+    m = merge_spans(spans, by="user_id")
+    return m.select(
+        "user_id",
+        F.col("span.start").alias("s_start"),
+        F.col("span.stop").alias("s_stop"),
+        "n_spans",
+    )
+
+
+_SQL_MERGE_CTE = f"""sp AS (
+  SELECT user_id, epoch_ns(ts) AS s, epoch_ns(ts) + {_HOUR_NS} AS e FROM events
+), m AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM sp WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), i AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+), isl AS (
+  SELECT user_id, min(s) AS s_start, max(e) AS s_stop,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM i GROUP BY user_id, isl
+)"""
+
+_SQL_MERGE_SPANS = f"""WITH {_SQL_MERGE_CTE}
+SELECT user_id, s_start, s_stop, n_spans FROM isl"""
+
+
+def q_span_coverage(spark, sf_dir):
+    """Covered duration per user (union measure — overlaps counted once)."""
+    from .operators.coalesce import span_coverage
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts")
+    )
+    spans = ev.select(
+        "user_id", make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span")
+    )
+    return span_coverage(spans, by="user_id")
+
+
+_SQL_SPAN_COVERAGE = f"""WITH {_SQL_MERGE_CTE}
+SELECT user_id, CAST(sum(s_stop - s_start) AS BIGINT) AS covered,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM isl GROUP BY user_id"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     from .operators.similarity import embedding_neardup_pairs
 
@@ -1100,6 +1165,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
+    "q_span_coverage": (q_span_coverage, _SQL_SPAN_COVERAGE),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),

@@ -1,0 +1,124 @@
+"""Interval-set operators (merge_spans / span_gaps / span_coverage) vs
+a brute-force Python oracle, keyed and global (bucketed) paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.coalesce import (
+    merge_spans,
+    span_coverage,
+    span_gaps,
+)
+
+from .conftest import make_span_df
+
+
+def brute_merge(rows, merge_touching=True):
+    """Coalesce (start, stop) pairs into islands; returns [(s, e, n)]."""
+    out = []
+    for s, e in sorted(rows):
+        joins = out and (s <= out[-1][1] if merge_touching else s < out[-1][1])
+        if joins:
+            ps, pe, n = out[-1]
+            out[-1] = (ps, max(pe, e), n + 1)
+        else:
+            out.append((s, e, 1))
+    return out
+
+
+def _spans(i):
+    base = (i * 37) % 900
+    return (base, base + 5 + (i * 13) % 60)
+
+
+ROWS = [_spans(i) for i in range(150)]
+
+
+@pytest.mark.parametrize("merge_touching", [True, False])
+def test_keyed_merge_matches_brute_force(spark, merge_touching):
+    rows = [(s, e, i % 3) for i, (s, e) in enumerate(ROWS)]
+    from pyspark.sql.types import LongType
+
+    df = make_span_df(spark, rows, extra=[("k", LongType())])
+    got = {
+        (r["k"], r["span"]["start"], r["span"]["stop"], r["n_spans"])
+        for r in merge_spans(df, by="k", merge_touching=merge_touching).collect()
+    }
+    expect = set()
+    for k in (0, 1, 2):
+        sub = [(s, e) for i, (s, e) in enumerate(ROWS) if i % 3 == k]
+        expect |= {(k, s, e, n) for s, e, n in brute_merge(sub, merge_touching)}
+    assert got == expect
+
+
+@pytest.mark.parametrize("merge_touching", [True, False])
+def test_global_merge_matches_brute_force(spark, merge_touching):
+    df = make_span_df(spark, ROWS).repartition(8)
+    got = {
+        (r["span"]["start"], r["span"]["stop"], r["n_spans"])
+        for r in merge_spans(df, merge_touching=merge_touching).collect()
+    }
+    assert got == set(brute_merge(ROWS, merge_touching))
+
+
+def test_global_merge_single_giant_island(spark):
+    """Cascading boundary merges: every bucket chains into one island."""
+    rows = [(i * 10, i * 10 + 15) for i in range(500)]  # each overlaps next
+    df = make_span_df(spark, rows).repartition(16)
+    out = merge_spans(df).collect()
+    assert len(out) == 1
+    assert (out[0]["span"]["start"], out[0]["span"]["stop"]) == (0, 5005)
+    assert out[0]["n_spans"] == 500
+
+
+def test_global_merge_no_single_partition_exchange(spark):
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    df = make_span_df(spark, ROWS)
+    assert "Exchange SinglePartition" not in simple_plan(merge_spans(df))
+
+
+def test_gaps_keyed_and_global(spark):
+    rows = [(0, 10), (5, 20), (30, 40), (40, 45), (60, 70)]
+    df = make_span_df(spark, rows)
+    gaps = sorted(
+        (r["span"]["start"], r["span"]["stop"]) for r in span_gaps(df).collect()
+    )
+    assert gaps == [(20, 30), (45, 60)]
+    from pyspark.sql.types import LongType
+
+    keyed = make_span_df(
+        spark, [(s, e, 7) for s, e in rows], extra=[("k", LongType())]
+    )
+    kg = sorted(
+        (r["k"], r["span"]["start"], r["span"]["stop"])
+        for r in span_gaps(keyed, by="k").collect()
+    )
+    assert kg == [(7, 20, 30), (7, 45, 60)]
+
+
+def test_coverage_counts_overlap_once(spark):
+    rows = [(0, 10), (5, 20), (30, 40)]
+    df = make_span_df(spark, rows)
+    r = span_coverage(df).first()
+    assert (r["covered"], r["n_islands"]) == (30, 2)  # not 10+15+10=35
+    from pyspark.sql.types import LongType
+
+    keyed = make_span_df(
+        spark,
+        [(0, 10, 1), (5, 20, 1), (0, 4, 2)],
+        extra=[("k", LongType())],
+    )
+    got = {
+        r["k"]: (r["covered"], r["n_islands"])
+        for r in span_coverage(keyed, by="k").collect()
+    }
+    assert got == {1: (20, 1), 2: (4, 1)}
+
+
+def test_merge_empty_input(spark):
+    df = make_span_df(spark, [])
+    assert merge_spans(df).count() == 0
+    assert merge_spans(df, by=None).columns == ["span", "n_spans"]
