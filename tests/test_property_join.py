@@ -76,3 +76,89 @@ def test_interval_join_matches_brute_force(spark, left, right, keep):
         )
         got = {(r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()}
         assert got == expected, f"strategy={strategy}"
+
+
+def brute_force_bounds(left, right, bounds):
+    strict = bounds != "[]"
+    pairs = set()
+    for i, (ls, le) in enumerate(left):
+        for j, (rs, re) in enumerate(right):
+            lo, hi = max(ls, rs), min(le, re)
+            if lo < hi or (not strict and lo == hi):
+                pairs.add((i, j))
+    return pairs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=span_lists,
+    right=span_lists,
+    bounds=st.sampled_from(["[)", "(]", "[]", "()"]),
+)
+def test_bounds_property_both_strategies(spark, left, right, bounds):
+    from pyspark.sql import types as T
+
+    ldf = make_span_df(
+        spark,
+        [(s, e, i) for i, (s, e) in enumerate(left)],
+        extra=[("lid", T.LongType())],
+    )
+    rdf = make_span_df(
+        spark,
+        [(s, e, j) for j, (s, e) in enumerate(right)],
+        extra=[("rid", T.LongType())],
+    )
+    expected = brute_force_bounds(left, right, bounds)
+    for strategy in ("broadcast_right", "binned"):
+        j = interval_join(
+            ldf, rdf, bounds=bounds, validate="skip",
+            strategy=strategy, bin_width=7_000,
+        )
+        got = {(r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()}
+        assert got == expected, f"strategy={strategy} bounds={bounds}"
+
+
+float_span_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=30),
+    ).map(lambda p: (p[0] * 0.125, (p[0] + p[1]) * 0.125)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=float_span_lists, right=float_span_lists)
+def test_double_span_property_both_strategies(spark, left, right):
+    """Double-endpoint spans: binned (IEEE float binning) must agree
+    with broadcast and brute force, incl. exact bin-multiple endpoints
+    (all endpoints are multiples of 0.125 = the dyadic worst case)."""
+    ldf = spark.createDataFrame(
+        [({"start": s, "stop": e}, i) for i, (s, e) in enumerate(left)],
+        "span struct<start: double, stop: double>, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [({"start": s, "stop": e}, j) for j, (s, e) in enumerate(right)],
+        "span struct<start: double, stop: double>, rid long",
+    )
+    expected = {
+        (i, j)
+        for i, (ls, le) in enumerate(left)
+        for j, (rs, re) in enumerate(right)
+        if max(ls, rs) < min(le, re)
+    }
+    for strategy, width in (("broadcast_right", None), ("binned", 0.5)):
+        j = interval_join(
+            ldf, rdf, validate="skip", strategy=strategy, bin_width=width
+        )
+        got = {(r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()}
+        assert got == expected, f"strategy={strategy}"
