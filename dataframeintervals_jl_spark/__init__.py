@@ -44,7 +44,12 @@ from .operators.interval_join import (
     interval_join_prebinned,
     setup_column_names,
 )
-from .operators.quantile_windows import dfspan, quantile_windows
+from .operators.quantile_windows import (
+    data_quantile_windows,
+    dfspan,
+    exact_quantile_longs,
+    quantile_windows,
+)
 from .operators.sessionize import sessionize
 from .operators.similarity import (
     cosine_topk,
@@ -88,6 +93,8 @@ __all__ = [
     "make_span",
     "not_",
     "quantile_windows",
+    "data_quantile_windows",
+    "exact_quantile_longs",
     "setup_column_names",
     "span_contains",
     "span_duration",

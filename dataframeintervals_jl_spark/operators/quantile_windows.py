@@ -102,3 +102,156 @@ def quantile_windows(
     else:
         win = win.select(spancol, F.col("__dfi_i").alias(label))
     return win
+
+
+# ---------------------------------------------------------------------------
+# data-quantile (equal-count) windows
+# ---------------------------------------------------------------------------
+
+
+def exact_quantile_longs(
+    df: DataFrame,
+    col: str,
+    ranks: "list[int]",
+    lo: int,
+    hi: int,
+    total: int,
+    buckets: int = 4096,
+    max_passes: int = 16,
+) -> "list[int]":
+    """Exact order statistics of a bigint column at the given 1-indexed
+    ``ranks``, by iterative histogram refinement.
+
+    Scale design (the reason this exists instead of a sort): a total
+    sort of the column is a full-data range-shuffle — at 100 TB that is
+    the bottleneck stage.  Here each pass is ONE column-pruned scan
+    whose aggregate output is at most ``len(ranks) * buckets`` rows
+    (collected to the driver), and the candidate range for every rank
+    shrinks by ~``buckets``x per pass, so epoch-ns domains resolve in
+    4-6 scans with zero large shuffles.  The classic distributed
+    selection recipe (Munro-Paterson lineage); deterministic, hence
+    oracle-able, unlike ``approxQuantile``.
+
+    Invariant per unresolved rank r: ``base < r <= base + |values in
+    [lo, hi]|`` and the r-th smallest value lies in ``[lo, hi]``.
+    """
+    out: dict[int, int] = {}
+    # state per distinct rank: (lo, hi, base = count of values < lo)
+    state: dict[int, tuple[int, int, int]] = {}
+    for r in ranks:
+        if not (1 <= r <= total):
+            raise ValueError(f"rank {r} out of range 1..{total}")
+        state[r] = (lo, hi, 0)
+
+    for _ in range(max_passes):
+        pending = {r: s for r, s in state.items() if r not in out}
+        for r, (rlo, rhi, _b) in list(pending.items()):
+            if rlo == rhi:
+                out[r] = rlo
+                del pending[r]
+        if not pending:
+            return [out[r] for r in ranks]
+
+        # distinct ranges → shared histograms (pass 1: all ranks share
+        # the full [lo, hi] range → exactly one histogram, one scan)
+        ranges: list[tuple[int, int]] = sorted({(s[0], s[1]) for s in pending.values()})
+        rid_of = {rg: i for i, rg in enumerate(ranges)}
+        widths = [rhi - rlo + 1 for rlo, rhi in ranges]
+        bws = [-(-w // buckets) for w in widths]  # ceil
+
+        # `div` (not `/`): pass-1 offsets reach ~1e16-1e18, beyond
+        # float64's exact-integer range — double division would
+        # misassign values near bucket edges.
+        entries = [
+            F.expr(
+                f"CASE WHEN __dfi_v BETWEEN {rlo} AND {rhi} THEN "
+                f"named_struct('rid', {i}, 'bkt', (__dfi_v - {rlo}) div {bws[i]}) END"
+            )
+            for i, (rlo, rhi) in enumerate(ranges)
+        ]
+        hist = (
+            df.select(F.col(col).cast("long").alias("__dfi_v"))
+            .select(
+                F.explode(
+                    F.filter(F.array(*entries), lambda x: x.isNotNull())
+                ).alias("e")
+            )
+            .groupBy(F.col("e.rid").alias("rid"), F.col("e.bkt").alias("bkt"))
+            .count()
+            .collect()
+        )
+        counts: dict[tuple[int, int], int] = {
+            (row["rid"], row["bkt"]): row["count"] for row in hist
+        }
+
+        for r, (rlo, rhi, base) in pending.items():
+            rid = rid_of[(rlo, rhi)]
+            bw = bws[rid]
+            cum = base
+            nb = -(-(rhi - rlo + 1) // bw)
+            for b in range(nb):
+                c = counts.get((rid, b), 0)
+                if cum + c >= r:
+                    nlo = rlo + b * bw
+                    nhi = min(rhi, nlo + bw - 1)
+                    if bw == 1 or nlo == nhi:
+                        out[r] = nlo
+                    else:
+                        state[r] = (nlo, nhi, cum)
+                    break
+                cum += c
+            else:  # pragma: no cover — violates the rank invariant
+                raise RuntimeError(f"rank {r} not found in [{rlo}, {rhi}]")
+
+    raise RuntimeError(f"quantile refinement did not converge in {max_passes} passes")
+
+
+def data_quantile_windows(
+    df: DataFrame,
+    n: int,
+    col: str,
+    spancol: str = "span",
+    label: str = "index",
+    buckets: int = 4096,
+) -> Optional[DataFrame]:
+    """n closed-open windows over the VALUES of a bigint column with
+    ~equal row counts (true data quantiles — the operator the name
+    ``quantile_windows`` suggests; the reference's version is
+    equal-time-width only, src/DataFrameIntervals.jl:348-387, so this
+    is an extension).
+
+    Boundary k (k = 0..n) is the exact order statistic at 1-indexed
+    rank ``1 + (k*(N-1))//n`` (k=0 → min, k=n → max).  Window k
+    (1..n) is ``[B_{k-1}, B_k)``; the last window is
+    ``[B_{n-1}, B_n + 1)`` so the maximum is covered.  Ties that
+    straddle a boundary make counts approximately (not exactly) equal —
+    assignment is by value, deterministic on both engines.
+
+    Cost: one min/max/count agg + :func:`exact_quantile_longs` (a few
+    pruned scans, no sort shuffle).  Returns ``None`` on empty input,
+    matching :func:`quantile_windows`.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    agg = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("cnt")
+    ).first()
+    if agg is None or agg["cnt"] == 0:
+        return None
+    lo, hi, total = int(agg["lo"]), int(agg["hi"]), int(agg["cnt"])
+
+    inner = sorted({1 + (k * (total - 1)) // n for k in range(1, n)} - {1, total})
+    resolved = dict(zip(inner, exact_quantile_longs(df, col, inner, lo, hi, total, buckets)))
+    resolved[1] = lo
+    resolved[total] = hi
+    bounds = [resolved[1 + (k * (total - 1)) // n] for k in range(n + 1)]
+
+    spark = df.sparkSession
+    rows = [
+        (k + 1, bounds[k], bounds[k + 1] + (1 if k == n - 1 else 0))
+        for k in range(n)
+    ]
+    win = spark.createDataFrame(rows, f"{label} long, __s long, __e long")
+    return win.select(
+        make_span(F.col("__s"), F.col("__e")).alias(spancol), F.col(label)
+    )

@@ -31,7 +31,7 @@ from .functions.text import char_count, content_hash, token_count, unique_token_
 from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
 from .operators.groupby_interval_join import groupby_interval_join
 from .operators.interval_join import interval_join
-from .operators.quantile_windows import dfspan, quantile_windows
+from .operators.quantile_windows import data_quantile_windows, dfspan, quantile_windows
 from .operators.similarity import cosine_topk, lsh_topk
 from .sources import event_spans, order_spans, read_table
 
@@ -1138,12 +1138,67 @@ SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def q_data_quantile_windows(spark, sf_dir):
+    """16 equal-count windows over event timestamps (exact data
+    quantiles via iterative histogram refinement — no sort shuffle),
+    then per-window row counts via a broadcast range join.
+
+    Scale shape: the windows table is 16 known rows → broadcast side of
+    an inner BNLJ streamed over events; empty windows recovered by a
+    tiny windows-side left join afterward.  No stage touches more than
+    one full scan of the single pruned column."""
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("v")
+    )
+    win = data_quantile_windows(ev, 16, "v", label="idx")
+    flat = win.select(
+        "idx",
+        F.col("span.start").alias("w_start"),
+        F.col("span.stop").alias("w_stop"),
+    )
+    counts = (
+        ev.join(
+            F.broadcast(flat),
+            (F.col("v") >= F.col("w_start")) & (F.col("v") < F.col("w_stop")),
+            "inner",
+        )
+        .groupBy("idx")
+        .agg(F.count("v").alias("n_rows"))
+    )
+    return flat.join(counts, "idx", "left").select(
+        "idx",
+        "w_start",
+        "w_stop",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+    )
+
+
+_SQL_DATA_QUANTILES = """WITH v AS (SELECT epoch_ns(ts) AS v FROM events),
+st AS (SELECT count(*) AS N FROM v),
+s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+bd AS (
+  SELECT k, (SELECT min(v) FROM s WHERE rn = 1 + (k*(N-1))//16) AS b
+  FROM generate_series(0,16) t(k), st
+),
+w AS (
+  SELECT k+1 AS idx, b AS w_start,
+         lead(b) OVER (ORDER BY k) + (CASE WHEN k = 15 THEN 1 ELSE 0 END)
+           AS w_stop
+  FROM bd
+)
+SELECT idx, w_start, w_stop, CAST(count(v.v) AS BIGINT) AS n_rows
+FROM w LEFT JOIN v ON v.v >= w.w_start AND v.v < w.w_stop
+WHERE w_stop IS NOT NULL
+GROUP BY idx, w_start, w_stop"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "q_quantile_windows": (q_quantile_windows, _SQL_QUANTILE_WINDOWS),
+    "q_data_quantile_windows": (q_data_quantile_windows, _SQL_DATA_QUANTILES),
     "q_dfspan": (q_dfspan, _SQL_DFSPAN),
     "q_interval_join_inner": (q_interval_join_inner, _SQL_JOIN_INNER),
     "q_interval_join_binned": (q_interval_join_binned, _SQL_JOIN_INNER),

@@ -88,3 +88,80 @@ def test_custom_spancol(spark):
     assert dfspan(df, "period") == (0, 100)
     w = quantile_windows(spark, 2, df, spancol="period")
     assert w.columns == ["period", "index"]
+
+
+# ---------------------------------------------------------------------------
+# data_quantile_windows (equal-count extension, not in the reference)
+# ---------------------------------------------------------------------------
+
+
+def _dq_bounds(win_rows):
+    rows = sorted(win_rows, key=lambda r: r["index"])
+    return [r["span"]["start"] for r in rows] + [rows[-1]["span"]["stop"] - 1]
+
+
+def test_data_quantiles_match_sorted_brute_force(spark):
+    import random
+
+    from dataframeintervals_jl_spark import data_quantile_windows
+
+    rng = random.Random(1234)
+    # heavy ties + extreme magnitudes + negatives in one column
+    vals = (
+        [rng.randrange(-(10**18), 10**18) for _ in range(3000)]
+        + [42] * 400
+        + [-(10**17)] * 250
+        + [0, 1, -1]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sv = sorted(vals)
+    big_n = len(sv)
+    for n in (1, 2, 5, 16, 33):
+        win = data_quantile_windows(df, n, "v").collect()
+        assert len(win) == n
+        expected = [sv[(k * (big_n - 1)) // n] for k in range(n + 1)]
+        assert _dq_bounds(win) == expected
+
+
+def test_data_quantiles_counts_cover_all_rows(spark):
+    from dataframeintervals_jl_spark import data_quantile_windows
+
+    vals = [(i * i * 7919) % 100003 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    win = data_quantile_windows(df, 8, "v")
+    flat = win.select(
+        "index",
+        F.col("span.start").alias("s"),
+        F.col("span.stop").alias("e"),
+    )
+    joined = df.join(
+        F.broadcast(flat), (F.col("v") >= F.col("s")) & (F.col("v") < F.col("e"))
+    )
+    # windows partition the data: every row lands in exactly one window
+    assert joined.count() == len(vals)
+    counts = {
+        r["index"]: r["cnt"]
+        for r in joined.groupBy("index").agg(F.count("*").alias("cnt")).collect()
+    }
+    # near-equal counts (ties can skew, this fixture has none)
+    assert max(counts.values()) - min(counts.values()) <= len(vals) // 8
+
+
+def test_data_quantiles_empty_and_errors(spark):
+    import pytest as _pytest
+
+    from dataframeintervals_jl_spark import data_quantile_windows
+
+    df = spark.createDataFrame([(1,)], "v long")
+    assert data_quantile_windows(df.filter("v > 5"), 4, "v") is None
+    with _pytest.raises(ValueError, match="n must be"):
+        data_quantile_windows(df, 0, "v")
+
+
+def test_exact_quantile_longs_small_ranges(spark):
+    from dataframeintervals_jl_spark import exact_quantile_longs
+
+    vals = [5, 5, 5, 7, 9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = exact_quantile_longs(df, "v", [1, 2, 3, 4, 5], 5, 9, 5, buckets=2)
+    assert got == [5, 5, 5, 7, 9]
