@@ -28,7 +28,13 @@ from .functions.spans import (
     spans_overlap,
 )
 from .operators.asof_join import asof_join
-from .operators.coalesce import merge_spans, span_coverage, span_gaps
+from .operators.coalesce import (
+    merge_spans,
+    span_complement,
+    span_coverage,
+    span_difference,
+    span_gaps,
+)
 from .operators.dedup import (
     exact_dedup,
     exact_dedup_keep,
@@ -40,8 +46,10 @@ from .operators.dedup import (
 )
 from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interval_join
 from .operators.interval_join import (
+    interval_anti_join,
     interval_join,
     interval_join_prebinned,
+    interval_semi_join,
     setup_column_names,
 )
 from .operators.quantile_windows import (
@@ -79,7 +87,9 @@ __all__ = [
     "all_",
     "asof_join",
     "sessionize",
+    "span_complement",
     "span_coverage",
+    "span_difference",
     "span_gaps",
     "between",
     "cols",
@@ -88,6 +98,8 @@ __all__ = [
     "get_spark",
     "groupby_interval_join",
     "interval_join",
+    "interval_semi_join",
+    "interval_anti_join",
     "merge_spans",
     "interval_join_prebinned",
     "make_span",

@@ -218,6 +218,135 @@ def _global_next_start(merged: DataFrame, spancol: str) -> DataFrame:
     )
 
 
+def span_complement(
+    right: DataFrame,
+    lo: int,
+    hi: int,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Complement of the span-set union within ``[lo, hi)``, per key:
+    the regions NOT covered by any right span.  Built from
+    :func:`merge_spans` islands — head ``[lo, first_start)``, the gaps,
+    tail ``[last_stop, hi)``; zero-width pieces dropped.  Keys absent
+    from ``right`` produce no rows (callers handle passthrough).
+    """
+    by_cols = _by_cols(by)
+    isl = merge_spans(right, spancol, by)
+    start = F.col(spancol).getField("start")
+    stop = F.col(spancol).getField("stop")
+    if by_cols:
+        w = Window.partitionBy(*by_cols).orderBy(start)
+        mid_tail = isl.select(
+            *by_cols,
+            stop.alias("__cs"),
+            F.coalesce(F.lead(start).over(w), F.lit(hi)).alias("__ce"),
+        )
+        head = isl.groupBy(*by_cols).agg(F.min(start).alias("__ce")).select(
+            *by_cols, F.lit(lo).cast("long").alias("__cs"), "__ce"
+        )
+    else:
+        with_next = _global_next_start(isl, spancol)
+        mid_tail = with_next.select(
+            F.col(spancol).getField("stop").alias("__cs"),
+            F.coalesce(F.col("__next"), F.lit(hi)).alias("__ce"),
+        )
+        # empty right → complement is the whole [lo, hi)
+        head = isl.agg(
+            F.coalesce(F.min(start), F.lit(hi)).alias("__ce")
+        ).select(F.lit(lo).cast("long").alias("__cs"), "__ce")
+    comp = head.unionByName(mid_tail).filter(F.col("__cs") < F.col("__ce"))
+    return comp.select(
+        *by_cols, make_span(F.col("__cs"), F.col("__ce")).alias(spancol)
+    )
+
+
+def span_difference(
+    left: DataFrame,
+    right: DataFrame,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+    right_spancol: Optional[str] = None,
+) -> DataFrame:
+    """Interval subtraction: each left row minus the union of right
+    spans (per key).  A left row yields 0+ fragment rows — its other
+    columns duplicated, ``spancol`` replaced by the uncovered fragment;
+    rows fully covered by right vanish.  Closed-open semantics.
+
+    Scale design: NO per-row state or collected ids — the subtraction
+    is rewritten as ``left ∩ complement(right)``.  The complement (one
+    row per island boundary, bounded to left's observed value range so
+    no sentinel span ever explodes a binned join) comes from
+    :func:`merge_spans` (one shuffle).  Keyed: complement join is a
+    plain key-equi hash join (one shuffle each side).  Global: the
+    overlap join goes through :func:`~..operators.interval_join
+    .interval_join`'s stats-driven auto strategy (broadcast when the
+    complement is small, binned otherwise).  Keys present only in
+    ``left`` pass through via a broadcast-friendly anti join on the
+    (tiny, distinct-key) island table.
+    """
+    from .interval_join import interval_join  # local: avoid import cycle
+
+    by_cols = _by_cols(by)
+    rcol = right_spancol or spancol
+    lstart = F.col(spancol).getField("start")
+    lstop = F.col(spancol).getField("stop")
+
+    bounds = left.agg(
+        F.min(lstart.cast("long")).alias("lo"),
+        F.max(lstop.cast("long")).alias("hi"),
+    ).first()
+    if bounds is None or bounds["lo"] is None:
+        return left.limit(0)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+
+    comp = span_complement(right, lo, hi, rcol, by)
+    left_cols = left.columns
+
+    if by_cols:
+        cs = F.col("__cs")
+        ce = F.col("__ce")
+        comp_flat = comp.select(
+            *[F.col(c).alias(f"__k_{c}") for c in by_cols],
+            F.col(rcol).getField("start").alias("__cs"),
+            F.col(rcol).getField("stop").alias("__ce"),
+        )
+        key_eq = [F.col(c) == F.col(f"__k_{c}") for c in by_cols]
+        overlap = (cs < lstop) & (lstart < ce)
+        frag = make_span(F.greatest(lstart, cs), F.least(lstop, ce))
+        joined = left.join(
+            comp_flat, reduce_and(key_eq + [overlap]), "inner"
+        ).select(
+            *[frag.alias(spancol) if c == spancol else F.col(c) for c in left_cols]
+        )
+        # keys with no right rows at all: left rows pass through whole
+        # (no broadcast hint — key cardinality is unbounded; Catalyst/
+        # AQE broadcasts the distinct-key table when it is small)
+        keys_in_right = comp.select(*by_cols).distinct()
+        passthrough = left.join(keys_in_right, by_cols, "left_anti")
+        return joined.unionByName(passthrough.select(*left_cols))
+
+    comp_only = comp.select(F.col(rcol).alias(spancol))
+    j = interval_join(
+        left,
+        comp_only,
+        on=spancol,
+        renameon=("_left", "_right"),
+        validate="skip",
+    )
+    # intersection column (named spancol) IS the fragment
+    return j.select(
+        *[F.col(c) if c != spancol else F.col(spancol) for c in left_cols]
+    )
+
+
+def reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def span_coverage(
     df: DataFrame,
     spancol: str = "span",

@@ -627,3 +627,117 @@ def _binned_join(
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# semi / anti interval joins (engine extension; the reference has only
+# the projecting join family, src/DataFrameIntervals.jl:98-130)
+# ---------------------------------------------------------------------------
+
+
+def _interval_semi_anti(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    bounds: str,
+    strategy: str,
+    bin_width,
+    how: str,
+) -> DataFrame:
+    if bounds not in ("[)", "(]", "[]", "()"):
+        raise ValueError(
+            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
+        )
+    lon, ron = _resolve_on(on)
+    validate_span_type(left.schema[lon].dataType, f"left `on` ({lon})")
+    validate_span_type(right.schema[ron].dataType, f"right `on` ({ron})")
+    integral = span_endpoints_integral(
+        left.schema[lon].dataType
+    ) and span_endpoints_integral(right.schema[ron].dataType)
+
+    rspans = right.select(F.col(ron).alias("__dfi_rspan"))
+    cond = spans_overlap(F.col(lon), F.col("__dfi_rspan"), bounds=bounds)
+
+    stats = None
+    if strategy == "auto":
+        sr = _SideStats(rspans, "__dfi_rspan")
+        if sr.n <= AUTO_BROADCAST_ROWS:
+            strategy = "broadcast_right"
+        else:
+            strategy = "binned"
+            stats = (_SideStats(left, lon), sr)
+
+    if strategy == "broadcast_right":
+        return left.join(F.broadcast(rspans), cond, how)
+    if strategy != "binned":
+        raise ValueError(
+            f"unsupported strategy {strategy!r}; use 'auto', "
+            "'broadcast_right' or 'binned'"
+        )
+
+    # Binned path: the existence test runs as a bin equi-join projecting
+    # ONLY matched left row ids (distinct — existence needs no
+    # emit-once bookkeeping), then one id-equi semi/anti join back onto
+    # the persisted id-stamped left.  monotonically_increasing_id is
+    # stable here because the stamped plan is persisted before reuse.
+    if bin_width is None:
+        if stats is None:
+            stats = (_SideStats(left, lon), _SideStats(rspans, "__dfi_rspan"))
+        bin_width = _estimate_bin_width(stats, integral)
+    w = max(int(bin_width), 1) if integral else float(bin_width)
+
+    lid = left.withColumn(LEFT_IDX, F.monotonically_increasing_id()).persist()
+    lcol = F.col(lon)
+    rcol = F.col("__dfi_rspan")
+    lb = lid.select(LEFT_IDX, lcol)
+    rb = rspans
+    if bounds != "[]":
+        lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
+        rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
+    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds, integral)))
+    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, bounds, integral)))
+    matched_ids = (
+        lb.join(rb, (lb[_BIN] == rb[_BIN]) & spans_overlap(lcol, rcol, bounds), "inner")
+        .select(LEFT_IDX)
+        .distinct()
+    )
+    return lid.join(matched_ids, LEFT_IDX, how).drop(LEFT_IDX)
+
+
+def interval_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on="span",
+    bounds: str = "[)",
+    strategy: str = "auto",
+    bin_width=None,
+) -> DataFrame:
+    """Left rows whose span overlaps AT LEAST ONE right span.  Output =
+    ``left`` unchanged (columns, multiset — a row never duplicates no
+    matter how many right spans it overlaps); right columns never
+    appear, so no rename protocol applies.
+
+    ``strategy='auto'``: broadcast the right span column when it is at
+    most :data:`AUTO_BROADCAST_ROWS` rows (a native BroadcastNestedLoop
+    LeftSemi — dedup-free); otherwise the binned existence test above.
+    Null left spans overlap nothing: dropped here, kept by
+    :func:`interval_anti_join` (SQL EXISTS semantics).
+    """
+    return _interval_semi_anti(
+        left, right, on, bounds, strategy, bin_width, "left_semi"
+    )
+
+
+def interval_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on="span",
+    bounds: str = "[)",
+    strategy: str = "auto",
+    bin_width=None,
+) -> DataFrame:
+    """Left rows whose span overlaps NO right span (complement of
+    :func:`interval_semi_join`; same output contract)."""
+    return _interval_semi_anti(
+        left, right, on, bounds, strategy, bin_width, "left_anti"
+    )

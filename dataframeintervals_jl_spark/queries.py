@@ -29,8 +29,13 @@ from pyspark.sql import functions as F
 from .functions.spans import make_span
 from .functions.text import char_count, content_hash, token_count, unique_token_count
 from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
+from .operators.coalesce import span_difference
 from .operators.groupby_interval_join import groupby_interval_join
-from .operators.interval_join import interval_join
+from .operators.interval_join import (
+    interval_anti_join,
+    interval_join,
+    interval_semi_join,
+)
 from .operators.quantile_windows import data_quantile_windows, dfspan, quantile_windows
 from .operators.similarity import cosine_topk, lsh_topk
 from .sources import event_spans, order_spans, read_table
@@ -1138,6 +1143,103 @@ SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def q_span_difference(spark, sf_dir):
+    """Per-user event spans minus the union of that user's 'click'
+    spans — interval subtraction via the complement rewrite (no per-row
+    state; merge + key-equi join)."""
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    right = es.filter(F.col("event_type") == "click").select("user_id", "span")
+    diff = span_difference(
+        es.select("event_id", "user_id", "span"), right, by="user_id"
+    )
+    return diff.select(
+        "event_id",
+        "user_id",
+        F.col("span.start").alias("f_start"),
+        F.col("span.stop").alias("f_stop"),
+    )
+
+
+_SQL_SPAN_DIFFERENCE = f"""WITH {_ES_CTE},
+r AS (SELECT user_id, s, e FROM es WHERE event_type = 'click'),
+m1 AS (SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       FROM r),
+m2 AS (SELECT user_id, s, e,
+        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM m1),
+m3 AS (SELECT user_id, s, e,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       FROM m2),
+islands AS (SELECT user_id, min(s) AS i_s, max(e) AS i_e
+            FROM m3 GROUP BY user_id, isl),
+comp AS (
+  SELECT user_id, i_e AS cs,
+         coalesce(lead(i_s) OVER (PARTITION BY user_id ORDER BY i_s),
+                  (SELECT hi FROM b)) AS ce
+  FROM islands
+  UNION ALL
+  SELECT user_id, (SELECT lo FROM b) AS cs, min(i_s) AS ce
+  FROM islands GROUP BY user_id
+),
+compn AS (SELECT * FROM comp WHERE cs < ce),
+frag AS (
+  SELECT es.event_id, es.user_id,
+         greatest(es.s, c.cs) AS f_start, least(es.e, c.ce) AS f_stop
+  FROM es JOIN compn c
+    ON es.user_id = c.user_id AND c.cs < es.e AND es.s < c.ce
+  UNION ALL
+  SELECT es.event_id, es.user_id, es.s AS f_start, es.e AS f_stop
+  FROM es ANTI JOIN (SELECT DISTINCT user_id FROM r) u USING (user_id)
+)
+SELECT event_id, user_id, f_start, f_stop FROM frag"""
+
+
+def q_interval_semijoin(spark, sf_dir):
+    """Event spans overlapping windows 3 or 6 of 8 — native
+    BroadcastNestedLoop LeftSemi, output multiset = filtered left."""
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    wsel = w.filter(F.col("idx").isin(3, 6)).select("span")
+    out = interval_semi_join(es, wsel, strategy="broadcast_right")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("span.start").alias("s"),
+        F.col("span.stop").alias("e"),
+    )
+
+
+def q_interval_antijoin(spark, sf_dir):
+    """Complement of q_interval_semijoin, forced down the BINNED
+    existence path so the id-stamped large-right strategy is under the
+    oracle gate too."""
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    wsel = w.filter(F.col("idx").isin(3, 6)).select("span")
+    out = interval_anti_join(es, wsel, strategy="binned")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("span.start").alias("s"),
+        F.col("span.stop").alias("e"),
+    )
+
+
+_SQL_SEMIJOIN = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')},
+ws AS (SELECT w_start, w_stop FROM w WHERE idx IN (3, 6))
+SELECT es.event_id, es.user_id, es.s, es.e
+FROM es WHERE EXISTS (SELECT 1 FROM ws
+                      WHERE ws.w_start < es.e AND es.s < ws.w_stop)"""
+
+_SQL_ANTIJOIN = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')},
+ws AS (SELECT w_start, w_stop FROM w WHERE idx IN (3, 6))
+SELECT es.event_id, es.user_id, es.s, es.e
+FROM es WHERE NOT EXISTS (SELECT 1 FROM ws
+                          WHERE ws.w_start < es.e AND es.s < ws.w_stop)"""
+
+
 def q_data_quantile_windows(spark, sf_dir):
     """16 equal-count windows over event timestamps (exact data
     quantiles via iterative histogram refinement — no sort shuffle),
@@ -1222,6 +1324,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
     "q_span_coverage": (q_span_coverage, _SQL_SPAN_COVERAGE),
+    "q_span_difference": (q_span_difference, _SQL_SPAN_DIFFERENCE),
+    "q_interval_semijoin": (q_interval_semijoin, _SQL_SEMIJOIN),
+    "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),

@@ -122,3 +122,101 @@ def test_merge_empty_input(spark):
     df = make_span_df(spark, [])
     assert merge_spans(df).count() == 0
     assert merge_spans(df, by=None).columns == ["span", "n_spans"]
+
+
+# ---------------------------------------------------------------------------
+# span_difference / span_complement
+# ---------------------------------------------------------------------------
+
+
+def brute_difference(left_rows, right_rows):
+    """left/right = [(start, stop, key)]; returns sorted fragments."""
+    out = []
+    for a, b, k in left_rows:
+        cur = a
+        frags = []
+        for s, e in sorted((s, e) for s, e, kk in right_rows if kk == k):
+            if e <= cur or s >= b:
+                continue
+            if s > cur:
+                frags.append((cur, min(s, b)))
+            cur = max(cur, e)
+            if cur >= b:
+                break
+        if cur < b:
+            frags.append((cur, b))
+        out.extend((k, f) for f in frags)
+    return sorted(out)
+
+
+def _collect_diff(df, key="k"):
+    return sorted(
+        (r[key], (r["span"]["start"], r["span"]["stop"])) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_span_difference_matches_brute_force(spark, seed):
+    import random
+
+    from dataframeintervals_jl_spark import span_difference
+    from pyspark.sql.types import LongType
+
+    rng = random.Random(seed)
+    left = [
+        (s, s + rng.randrange(1, 40), k)
+        for k in range(4)
+        for s in (rng.randrange(0, 300) for _ in range(50))
+    ]
+    # key 3 deliberately absent from right → full passthrough
+    right = [
+        (s, s + rng.randrange(1, 25), k)
+        for k in range(3)
+        for s in (rng.randrange(0, 300) for _ in range(20))
+    ]
+    ldf = make_span_df(spark, left, extra=[("k", LongType())])
+    rdf = make_span_df(spark, right, extra=[("k", LongType())])
+
+    got = _collect_diff(span_difference(ldf, rdf, by="k"))
+    assert got == brute_difference(left, right)
+
+    # global: treat every right span as covering regardless of key
+    got_g = _collect_diff(span_difference(ldf, rdf))
+    flat_right = [(s, e, kk) for s, e, _ in right for kk in range(4)]
+    assert got_g == brute_difference(left, flat_right)
+
+
+def test_span_difference_edges(spark):
+    from dataframeintervals_jl_spark import span_difference
+    from pyspark.sql.types import LongType
+
+    ldf = make_span_df(spark, [(0, 100, 1), (10, 20, 2)], extra=[("k", LongType())])
+    # empty right → identity (both keyed and global)
+    empty = make_span_df(spark, [], extra=[("k", LongType())])
+    assert _collect_diff(span_difference(ldf, empty, by="k")) == [
+        (1, (0, 100)),
+        (2, (10, 20)),
+    ]
+    assert _collect_diff(span_difference(ldf, empty)) == [(1, (0, 100)), (2, (10, 20))]
+    # right fully covers a row → it vanishes
+    rdf = make_span_df(spark, [(5, 25, 2)], extra=[("k", LongType())])
+    assert _collect_diff(span_difference(ldf, rdf, by="k")) == [(1, (0, 100))]
+    # empty left
+    assert span_difference(ldf.limit(0), rdf, by="k").count() == 0
+
+
+def test_span_complement_global(spark):
+    from dataframeintervals_jl_spark import span_complement
+
+    rdf = make_span_df(spark, [(10, 20), (15, 30), (50, 60)])
+    comp = sorted(
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_complement(rdf, 0, 100).collect()
+    )
+    assert comp == [(0, 10), (30, 50), (60, 100)]
+    # empty right → whole range
+    comp_e = [
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_complement(rdf.limit(0), 0, 100).collect()
+    ]
+    assert comp_e == [(0, 100)]

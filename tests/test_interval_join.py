@@ -377,3 +377,85 @@ def test_malformed_on_column_errors(spark):
     )
     with pytest.raises(ValueError, match="span struct"):
         interval_join(stringy, good)
+
+
+# ---------------------------------------------------------------------------
+# interval_semi_join / interval_anti_join
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(
+        (
+            (
+                (None if r["span"] is None else (r["span"]["start"], r["span"]["stop"])),
+                r["tag"],
+            )
+            for r in df.collect()
+        ),
+        key=repr,
+    )
+
+
+def test_semi_anti_partition_and_strategy_parity(spark):
+    import random
+
+    from dataframeintervals_jl_spark import interval_anti_join, interval_semi_join
+    from pyspark.sql.types import LongType
+
+    rng = random.Random(5)
+    left = [
+        (s, s + rng.randrange(1, 30), i)
+        for i, s in enumerate(rng.randrange(0, 400) for _ in range(120))
+    ]
+    right = [(s, s + rng.randrange(1, 15)) for s in (rng.randrange(0, 400) for _ in range(25))]
+    ldf = make_span_df(spark, left, extra=[("tag", LongType())])
+    rdf = make_span_df(spark, right).select("span")
+
+    def brute(anti):
+        out = []
+        for a, b, t in left:
+            hit = any(max(a, s) < min(b, e) for s, e in right)
+            if hit != anti:
+                out.append(((a, b), t))
+        return sorted(out)
+
+    for strat in ("broadcast_right", "binned", "auto"):
+        semi = _rows(interval_semi_join(ldf, rdf, strategy=strat))
+        anti = _rows(interval_anti_join(ldf, rdf, strategy=strat))
+        assert semi == sorted(brute(False), key=repr), strat
+        assert anti == sorted(brute(True), key=repr), strat
+        assert len(semi) + len(anti) == len(left), strat
+
+
+def test_semi_preserves_duplicates_and_never_duplicates(spark):
+    from dataframeintervals_jl_spark import interval_semi_join
+    from pyspark.sql.types import LongType
+
+    # one left row overlapping MANY right spans must appear exactly once;
+    # genuinely duplicate left rows must appear exactly twice
+    ldf = make_span_df(spark, [(0, 100, 7), (0, 100, 7)], extra=[("tag", LongType())])
+    rdf = make_span_df(spark, [(i * 10, i * 10 + 5) for i in range(10)]).select("span")
+    for strat in ("broadcast_right", "binned"):
+        got = _rows(interval_semi_join(ldf, rdf, strategy=strat))
+        assert got == [((0, 100), 7), ((0, 100), 7)], strat
+
+
+def test_semi_anti_null_and_bounds(spark):
+    from dataframeintervals_jl_spark import interval_anti_join, interval_semi_join
+    from pyspark.sql.types import LongType
+
+    ldf = make_span_df(
+        spark, [(0, 10, 1), (None, None, 2), (20, 30, 3)], extra=[("tag", LongType())]
+    )
+    rdf = make_span_df(spark, [(10, 20)]).select("span")
+    # '[)': touching [0,10) vs [10,20) is no overlap; null matches nothing
+    assert _rows(interval_semi_join(ldf, rdf)) == []
+    assert _rows(interval_anti_join(ldf, rdf)) == sorted(
+        [(None, 2), ((0, 10), 1), ((20, 30), 3)], key=repr
+    )
+    # '[]': touching endpoints DO overlap
+    assert _rows(interval_semi_join(ldf, rdf, bounds="[]")) == [
+        ((0, 10), 1),
+        ((20, 30), 3),
+    ]
