@@ -30,6 +30,7 @@ from .functions.spans import (
 from .operators.asof_join import asof_join
 from .operators.coalesce import (
     merge_spans,
+    overlap_profile,
     span_complement,
     span_coverage,
     span_difference,
@@ -87,6 +88,7 @@ __all__ = [
     "all_",
     "asof_join",
     "sessionize",
+    "overlap_profile",
     "span_complement",
     "span_coverage",
     "span_difference",

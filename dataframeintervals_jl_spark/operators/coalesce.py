@@ -218,6 +218,116 @@ def _global_next_start(merged: DataFrame, spancol: str) -> DataFrame:
     )
 
 
+def overlap_profile(
+    df: DataFrame,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Sweep-line concurrency profile: disjoint segments ``[seg_start,
+    seg_stop)`` with ``depth`` = number of input spans covering every
+    point of the segment (per key).  Only covered segments (depth >= 1)
+    are emitted — the depth-0 regions are :func:`span_gaps`.
+
+    Execution: each span contributes boundary events ``(start, +1)``
+    and ``(stop, -1)``; a groupBy collapses coincident boundaries
+    (partial-aggregated map-side, so heavy ties never skew a task), and
+    a per-key running sum turns deltas into depths, ``lead`` into
+    segments.  Keyed: one shuffle pattern on the keys.  Global: the
+    keyless running sum would collapse to one task, so positions are
+    range-bucketed and both the running depth and each bucket's last
+    ``lead`` are corrected from two O(buckets) driver summaries — the
+    same structure as the global :func:`merge_spans`.
+    """
+    by_cols = _by_cols(by)
+    start = F.col(spancol).getField("start")
+    stop = F.col(spancol).getField("stop")
+    pts = df.select(
+        *by_cols,
+        F.explode(
+            F.array(
+                F.struct(start.alias("pos"), F.lit(1).alias("d")),
+                F.struct(stop.alias("pos"), F.lit(-1).alias("d")),
+            )
+        ).alias("__pt"),
+    ).select(*by_cols, F.col("__pt.pos").alias("__pos"), F.col("__pt.d").alias("__d"))
+    agg = pts.groupBy(*by_cols, "__pos").agg(F.sum("__d").alias("__delta"))
+
+    if by_cols:
+        w = Window.partitionBy(*by_cols).orderBy("__pos")
+        prof = agg.select(
+            *by_cols,
+            F.col("__pos"),
+            F.sum("__delta")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("__depth"),
+            F.lead("__pos").over(w).alias("__nxt"),
+        )
+    else:
+        prof = _global_running_profile(agg)
+
+    return prof.filter(
+        F.col("__nxt").isNotNull() & (F.col("__depth") > 0)
+    ).select(
+        *by_cols,
+        make_span(F.col("__pos"), F.col("__nxt")).alias(spancol),
+        F.col("__depth").cast("long").alias("depth"),
+    )
+
+
+def _global_running_profile(agg: DataFrame) -> DataFrame:
+    """Keyless running sum + lead over (pos, delta) rows without a
+    single-partition exchange: range-bucket by pos, run the window per
+    bucket, then correct depths by the prefix sum of per-bucket delta
+    totals and each bucket's last ``lead`` by the next bucket's first
+    pos (two O(buckets) driver-collected summaries, broadcast back)."""
+    spark = agg.sparkSession
+    bounds = agg.agg(
+        F.min("__pos").alias("lo"), F.max("__pos").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return agg.select(
+            "__pos",
+            F.lit(None).cast("long").alias("__depth"),
+            F.lit(None).cast("long").alias("__nxt"),
+        ).limit(0)
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(hi) - int(lo)) // nb + 1, 1)
+    u = agg.withColumn(_B, F.expr(f"CAST((__pos - {lo}) DIV {width} AS LONG)"))
+
+    summ = (
+        u.groupBy(_B)
+        .agg(F.sum("__delta").alias("dsum"), F.min("__pos").alias("first_pos"))
+        .collect()
+    )
+    off_rows, nxt_rows, acc, nxt = [], [], 0, None
+    ordered = sorted(summ, key=lambda r: r[_B])
+    for r in ordered:
+        off_rows.append((r[_B], acc))
+        acc += int(r["dsum"] or 0)
+    for r in reversed(ordered):
+        nxt_rows.append((r[_B], nxt))
+        nxt = r["first_pos"]
+    offs = spark.createDataFrame(off_rows, f"{_B} long, __off long")
+    nxts = spark.createDataFrame(nxt_rows, f"{_B} long, __bnext long")
+
+    w = Window.partitionBy(_B).orderBy("__pos")
+    return (
+        u.join(F.broadcast(offs), _B)
+        .join(F.broadcast(nxts), _B, "left")
+        .select(
+            "__pos",
+            (
+                F.sum("__delta").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                + F.col("__off")
+            ).alias("__depth"),
+            F.coalesce(F.lead("__pos").over(w), F.col("__bnext")).alias("__nxt"),
+        )
+    )
+
+
 def span_complement(
     right: DataFrame,
     lo: int,

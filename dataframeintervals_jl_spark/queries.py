@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from .functions.spans import make_span
 from .functions.text import char_count, content_hash, token_count, unique_token_count
 from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
-from .operators.coalesce import span_difference
+from .operators.coalesce import overlap_profile, span_difference
 from .operators.groupby_interval_join import groupby_interval_join
 from .operators.interval_join import (
     interval_anti_join,
@@ -1143,6 +1143,37 @@ SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def q_overlap_profile(spark, sf_dir):
+    """Per-user concurrency depth profile of event spans (sweep-line):
+    disjoint segments + how many spans cover them."""
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    prof = overlap_profile(es.select("user_id", "span"), by="user_id")
+    return prof.select(
+        "user_id",
+        F.col("span.start").alias("seg_start"),
+        F.col("span.stop").alias("seg_stop"),
+        "depth",
+    )
+
+
+_SQL_OVERLAP_PROFILE = f"""WITH {_ES_CTE},
+pts AS (
+  SELECT user_id, s AS pos, 1 AS d FROM es
+  UNION ALL
+  SELECT user_id, e AS pos, -1 AS d FROM es
+),
+agg AS (SELECT user_id, pos, sum(d) AS delta FROM pts GROUP BY user_id, pos),
+prof AS (
+  SELECT user_id, pos,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY pos) AS depth,
+         lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS nxt
+  FROM agg
+)
+SELECT user_id, pos AS seg_start, nxt AS seg_stop,
+       CAST(depth AS BIGINT) AS depth
+FROM prof WHERE nxt IS NOT NULL AND depth > 0"""
+
+
 def q_span_difference(spark, sf_dir):
     """Per-user event spans minus the union of that user's 'click'
     spans — interval subtraction via the complement rewrite (no per-row
@@ -1325,6 +1356,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
     "q_span_coverage": (q_span_coverage, _SQL_SPAN_COVERAGE),
     "q_span_difference": (q_span_difference, _SQL_SPAN_DIFFERENCE),
+    "q_overlap_profile": (q_overlap_profile, _SQL_OVERLAP_PROFILE),
     "q_interval_semijoin": (q_interval_semijoin, _SQL_SEMIJOIN),
     "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),

@@ -220,3 +220,74 @@ def test_span_complement_global(spark):
         for r in span_complement(rdf.limit(0), 0, 100).collect()
     ]
     assert comp_e == [(0, 100)]
+
+
+# ---------------------------------------------------------------------------
+# overlap_profile
+# ---------------------------------------------------------------------------
+
+
+def brute_profile(rows):
+    """rows = [(start, stop)]; segments between consecutive distinct
+    boundary positions with depth > 0 (zero-width spans still cut)."""
+    pts = sorted({p for s, e in rows for p in (s, e)})
+    out = []
+    for a, b in zip(pts, pts[1:]):
+        depth = sum(1 for s, e in rows if s <= a and b <= e)
+        if depth > 0:
+            out.append((a, b, depth))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_overlap_profile_matches_brute_force(spark, seed):
+    import random
+
+    from dataframeintervals_jl_spark import overlap_profile
+    from pyspark.sql.types import LongType
+
+    rng = random.Random(seed)
+    rows = [
+        (s, s + rng.randrange(1, 60), k)
+        for k in range(3)
+        for s in (rng.randrange(0, 500) for _ in range(40))
+    ]
+    df = make_span_df(spark, rows, extra=[("k", LongType())])
+
+    got = sorted(
+        (r["k"], r["span"]["start"], r["span"]["stop"], r["depth"])
+        for r in overlap_profile(df, by="k").collect()
+    )
+    exp = sorted(
+        (k, a, b, d)
+        for k in range(3)
+        for a, b, d in brute_profile([(s, e) for s, e, kk in rows if kk == k])
+    )
+    assert got == exp
+
+    got_g = sorted(
+        (r["span"]["start"], r["span"]["stop"], r["depth"])
+        for r in overlap_profile(df).collect()
+    )
+    assert got_g == brute_profile([(s, e) for s, e, _ in rows])
+
+
+def test_overlap_profile_depth_conservation(spark):
+    """Integral of depth over segments == total span duration."""
+    from dataframeintervals_jl_spark import overlap_profile
+
+    rows = [(0, 100), (50, 150), (50, 150), (200, 300)]
+    df = make_span_df(spark, rows)
+    prof = overlap_profile(df).collect()
+    integral = sum((r["span"]["stop"] - r["span"]["start"]) * r["depth"] for r in prof)
+    assert integral == sum(e - s for s, e in rows)
+    # depth really reaches 3 where the three spans stack
+    assert max(r["depth"] for r in prof) == 3
+
+
+def test_overlap_profile_empty(spark):
+    from dataframeintervals_jl_spark import overlap_profile
+
+    df = make_span_df(spark, [])
+    assert overlap_profile(df).count() == 0
+    assert overlap_profile(df, by=None).columns == ["span", "depth"]
