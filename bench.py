@@ -133,6 +133,24 @@ def main() -> None:
 
     spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the catalog grows every round; r1_catalog_sec keeps an
+    # apples-to-apples subtotal over the round-1 query set so suite
+    # growth from NEW queries is not mistaken for a perf regression
+    # when compared against BASELINE.md / BENCH_r01
+    r1_set = {
+        "q_asof_join", "q_dedup_exact", "q_dfspan", "q_embedding_neardup",
+        "q_embedding_neardup_lsh", "q_groupby_interval_join_agg",
+        "q_interval_join_binned", "q_interval_join_closed",
+        "q_interval_join_full", "q_interval_join_inner",
+        "q_interval_join_keepleft", "q_interval_join_keepright", "q_lang_id",
+        "q_lineitem_interval_agg", "q_minhash_lsh_pairs",
+        "q_multimodal_features", "q_multimodal_frames", "q_multimodal_meta",
+        "q_orders_interval_join", "q_quality_score", "q_quantile_windows",
+        "q_rolling_fingerprint", "q_sessionize", "q_simhash_pairs",
+        "q_similarity_ivf", "q_similarity_lsh", "q_similarity_topk",
+        "q_stream_sessionize", "q_text_quality", "q_text_token_stats",
+        "q_training_prep", "selective_binned", "selective_bnl_2pct",
+    }
     print(
         json.dumps(
             {
@@ -140,6 +158,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "r1_catalog_sec": round(
+                    sum(v for k, v in timings.items() if k in r1_set), 3
+                ),
                 "recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -77,6 +77,7 @@ from .sources.sinks import (
 from .streaming import (
     stream_exact_dedup,
     stream_interval_join,
+    stream_merge_spans,
     stream_sessionize,
     stream_tumbling_agg,
 )
@@ -138,6 +139,7 @@ __all__ = [
     # streaming
     "stream_exact_dedup",
     "stream_interval_join",
+    "stream_merge_spans",
     "stream_sessionize",
     "stream_tumbling_agg",
 ]

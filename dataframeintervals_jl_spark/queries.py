@@ -315,6 +315,40 @@ FROM es JOIN w ON {_OVERLAP_SQL}
 GROUP BY w.quarter, es.event_type"""
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Duration-weighted value statistics per (window, event_type) —
+    THE canonical biosignal rollup (windows x grouped interval join x
+    intersection-weighted agg).  Fixed-point arithmetic end to end:
+    value floored to millis, durations to whole seconds, so both
+    engines sum identical bigints in any order (sums of doubles are
+    order-dependent and would not hash-match)."""
+    es, w = _es_windows(spark, sf_dir, 6, "win")
+    g = groupby_interval_join(
+        es, w, groups=["win", "event_type"], validate="skip",
+        strategy="broadcast_right",
+    )
+    v_milli = F.floor(F.col("value") * 1000).cast("long")
+    dur_s = F.expr("(span.stop - span.start) DIV 1000000000")
+    return g.agg(
+        F.sum(v_milli * dur_s).alias("sum_vdur"),
+        F.sum(dur_s).alias("sum_dur_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_TIME_WEIGHTED = f"""WITH {_ES_CTE},
+{_w_cte(6, "win")}
+SELECT w.win, es.event_type,
+       CAST(sum(CAST(floor(es.value * 1000) AS BIGINT)
+                * ((least(es.e, w.w_stop) - greatest(es.s, w.w_start))
+                   // 1000000000)) AS BIGINT) AS sum_vdur,
+       CAST(sum((least(es.e, w.w_stop) - greatest(es.s, w.w_start))
+                // 1000000000) AS BIGINT) AS sum_dur_s,
+       CAST(count(*) AS BIGINT) AS n
+FROM es JOIN w ON {_OVERLAP_SQL}
+GROUP BY w.win, es.event_type"""
+
+
 def q_orders_interval_join(spark, sf_dir):
     os_ = order_spans(spark, sf_dir)
     w = quantile_windows(spark, 12, os_, label="idx")
@@ -1342,6 +1376,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_openclosed": (q_interval_join_openclosed, _SQL_JOIN_OPENCLOSED),
     "q_interval_join_float": (q_interval_join_float, _SQL_JOIN_FLOAT),
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
+    "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
     "q_lineitem_interval_agg": (q_lineitem_interval_agg, _SQL_LINEITEM_AGG),
     "q_dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),

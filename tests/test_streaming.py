@@ -184,3 +184,80 @@ def test_stream_interval_join_max_span_bound(spark, tmp_path):
     too_small = stream_interval_join(left, right, max_span_ns=10_000 * US)
     with pytest.raises(Exception, match="max_span_ns"):
         too_small.collect()
+
+
+def test_stream_merge_spans_matches_batch(spark, tmp_path):
+    """Multi-batch file stream: emitted islands (watermark-closed) must
+    equal the batch merge_spans islands.  A far-future sentinel span per
+    key in the last file advances the watermark past every real island
+    so all of them flush; the sentinel's own island stays in state."""
+    import random
+
+    from dataframeintervals_jl_spark import merge_spans
+    from dataframeintervals_jl_spark.streaming import stream_merge_spans
+
+    rng = random.Random(42)
+    base = 1_700_000_000_000_000_000
+    hour = 3_600_000_000_000
+    rows = [
+        (k, base + s * hour, base + (s + rng.randrange(1, 8)) * hour)
+        for k in ("a", "b")
+        for s in (rng.randrange(0, 200) for _ in range(60))
+    ]
+    sentinel_start = base + 10_000 * hour
+    sentinels = [(k, sentinel_start, sentinel_start + hour) for k in ("a", "b")]
+
+    schema = "user_id string, span struct<start: long, stop: long>"
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(k, {"start": s, "stop": e}) for k, s, e in rs], schema
+        )
+
+    d = str(tmp_path / "smerge_in")
+    half = len(rows) // 2
+    to_df(rows[:half]).coalesce(1).write.parquet(d + "/f1")
+    to_df(rows[half:]).coalesce(1).write.parquet(d + "/f2")
+    to_df(sentinels).coalesce(1).write.parquet(d + "/f3")
+
+    stream = (
+        spark.readStream.schema(to_df(rows[:1]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_merge_spans(stream, by="user_id", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smerge")
+        .option("checkpointLocation", str(tmp_path / "smerge_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["span"]["start"], r["span"]["stop"], r["n_spans"])
+        for r in spark.sql("SELECT * FROM smerge").collect()
+        if r["span"]["start"] < sentinel_start
+    )
+    expected = sorted(
+        (r["user_id"], r["span"]["start"], r["span"]["stop"], r["n_spans"])
+        for r in merge_spans(to_df(rows), by="user_id").collect()
+    )
+    assert got == expected
+
+
+def test_stream_merge_spans_batch_delegation(spark):
+    """On a batch input the operator IS merge_spans (same rows/schema)."""
+    from dataframeintervals_jl_spark import merge_spans
+    from dataframeintervals_jl_spark.streaming import stream_merge_spans
+
+    df = spark.createDataFrame(
+        [("u", {"start": 0, "stop": 10}), ("u", {"start": 5, "stop": 20}),
+         ("v", {"start": 100, "stop": 110})],
+        "user_id string, span struct<start: long, stop: long>",
+    )
+    got = sorted(map(tuple, stream_merge_spans(df, by="user_id").collect()))
+    exp = sorted(map(tuple, merge_spans(df, by="user_id").collect()))
+    assert got == exp and stream_merge_spans(df, by="user_id").columns == [
+        "user_id", "span", "n_spans",
+    ]
