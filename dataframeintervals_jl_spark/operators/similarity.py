@@ -89,10 +89,23 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[int]]:
+#: Per-table seed stride for multi-table LSH (odd 64-bit constant, so
+#: table seeds never collide and table 0 equals the single-table case).
+_TABLE_SEED_STRIDE = 0xD1B54A32D192ED03
+
+LSH_BASE_SEED = 0x243F6A8885A308D3
+
+
+def lsh_table_seed(table: int) -> int:
+    return (LSH_BASE_SEED + table * _TABLE_SEED_STRIDE) & ((1 << 64) - 1)
+
+
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int = LSH_BASE_SEED
+) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes (splitmix64 → ±small ints)."""
     planes = []
-    state = 0x243F6A8885A308D3
+    state = seed
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
@@ -106,11 +119,11 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket(vec_col, dim: int, n_planes: int = 16):
+def lsh_bucket(vec_col, dim: int, n_planes: int = 16, seed: int = LSH_BASE_SEED):
     """Signed-projection LSH bucket id (bigint) for an embedding column."""
     qv = _quantized(vec_col)
     bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         proj = F.aggregate(
             F.zip_with(
                 qv,
@@ -136,6 +149,7 @@ def embedding_neardup_pairs(
     n_planes: Optional[int] = None,
     n_blocks: int = 16,
     probe_radius: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, score)
     with ``score >= threshold`` and ``id_a < id_b``.
@@ -163,28 +177,66 @@ def embedding_neardup_pairs(
     if n_planes is not None:
         if dim is None:
             raise ValueError("LSH mode needs `dim`")
+        seeds = [lsh_table_seed(t) for t in range(n_tables)]
         base = ensure_parallelism(corpus).select(
             F.col(id_col).alias("id"),
             _quantized(F.col(vec_col)).alias("v"),
-            lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+            F.array(
+                *[lsh_bucket(F.col(vec_col), dim, n_planes, s) for s in seeds]
+            ).alias("bs"),
         ).withColumn("nrm", _dot(F.col("v"), F.col("v")))
-        # boundary: bucket hash + norm computed once, not per join side
+        # boundary: bucket hashes + norm computed once, not per join side
         base = base.persist()
         base.count()  # eager — self-join sides race the cold cache
         masks = probe_masks(n_planes, probe_radius)
         a = base.withColumn(
-            "probe",
+            "tp",
             F.explode(
-                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.col("bs")[t].bitwiseXOR(F.lit(m)).alias("probe"),
+                        )
+                        for t in range(n_tables)
+                        for m in masks
+                    ]
+                )
             ),
         ).alias("a")
-        b = base.alias("b")
-        # each unordered pair matches exactly once: b's single bucket
-        # equals exactly one distinct probe of a, and id_a < id_b picks
-        # the probing side — no dedup shuffle
-        cond = (F.col("a.probe") == F.col("b.bucket")) & (
-            F.col("a.id") < F.col("b.id")
+        b = base.withColumn(
+            "tb",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"), F.col("bs")[t].alias("bucket")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ),
+        ).alias("b")
+        # each unordered pair matches exactly once: within a table, b's
+        # single bucket equals exactly one distinct probe of a and
+        # id_a < id_b picks the probing side; across tables, only the
+        # FIRST table whose buckets are within probe_radius hamming
+        # emits (bit_count guard) — no dedup shuffle either way
+        cond = (
+            (F.col("a.tp.tbl") == F.col("b.tb.tbl"))
+            & (F.col("a.tp.probe") == F.col("b.tb.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
         )
+        for t in range(1, n_tables):
+            hits = [
+                F.bit_count(F.col("a.bs")[tp].bitwiseXOR(F.col("b.bs")[tp]))
+                <= F.lit(probe_radius)
+                for tp in range(t)
+            ]
+            any_earlier = hits[0]
+            for h in hits[1:]:
+                any_earlier = any_earlier | h
+            cond = cond & ~((F.col("a.tp.tbl") == F.lit(t)) & any_earlier)
         dot = _dot(F.col("a.v"), F.col("b.v"))
         return (
             a.join(b, cond)
@@ -411,7 +463,16 @@ def probe_masks(n_planes: int, radius: int) -> list[int]:
             for j in range(i + 1, n_planes)
         ]
     if radius >= 3:
-        raise ValueError("probe_radius > 2 not supported (probe count explodes)")
+        masks += [
+            (1 << i) | (1 << j) | (1 << k)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+            for k in range(j + 1, n_planes)
+        ]
+    if radius >= 4:
+        # C(n,4)+ fan-out multiplies the probe-side explode; beyond r=3
+        # use fewer planes instead (coarser buckets, same coverage)
+        raise ValueError("probe_radius > 3 not supported (probe count explodes)")
     return masks
 
 
@@ -424,6 +485,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_radius: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket neighborhood, then exact cosine within it.  The corpus is
@@ -436,30 +498,99 @@ def lsh_topk(
     recall (measured 0.0 on weakly-similar data).  Each query probes
     every bucket within hamming distance ``probe_radius`` of its own
     (``1 + n + n(n-1)/2`` probes at radius 2) — the probe fan-out
-    multiplies only the tiny query side, never the corpus."""
+    multiplies only the tiny query side, never the corpus.
+
+    MULTI-TABLE (``n_tables > 1``): L independent hyperplane sets
+    (distinct splitmix seeds, table 0 = the single-table planes); a
+    candidate is found when ANY table's probe hits, so recall compounds
+    as ``1-(1-p)^L``.  The corpus side explodes xL — the standard LSH
+    storage trade.  A pair matching in several tables is emitted
+    exactly once WITHOUT a dedup shuffle: both sides carry their
+    per-table bucket arrays, and the join keeps only the first table
+    where the pair's buckets are within ``probe_radius`` hamming
+    distance (``bit_count`` guard — same emit-once philosophy as the
+    binned interval join)."""
+    seeds = [lsh_table_seed(t) for t in range(n_tables)]
+    masks = probe_masks(n_planes, probe_radius)
+
+    def buckets_arr(col):
+        return F.array(*[lsh_bucket(col, dim, n_planes, s) for s in seeds])
+
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"),
         _quantized(F.col(vec_col)).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        buckets_arr(F.col(vec_col)).alias("cbs"),
     ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
-    masks = probe_masks(n_planes, probe_radius)
-    q = (
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            _quantized(F.col(vec_col)).alias("qv"),
-            lsh_bucket(F.col(vec_col), dim, n_planes).alias("b0"),
-        )
-        .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.array(*[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])
-            ),
-        )
-        .drop("b0")
-    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _quantized(F.col(vec_col)).alias("qv"),
+        buckets_arr(F.col(vec_col)).alias("qbs"),
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
 
-    pairs = c.join(q, "bucket").filter(F.col("n_id") != F.col("q_id"))
+    if n_tables == 1:
+        c = c.select("n_id", "cv", "cn", F.col("cbs")[0].alias("bucket"))
+        q = q.select(
+            "q_id", "qv", "qn",
+            F.explode(
+                F.array(*[F.col("qbs")[0].bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+        pairs = c.join(q, "bucket").filter(F.col("n_id") != F.col("q_id"))
+    else:
+        c = c.select(
+            "n_id", "cv", "cn", "cbs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"), F.col("cbs")[t].alias("bucket")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(
+            "n_id", "cv", "cn", "cbs",
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        )
+        q = q.select(
+            "q_id", "qv", "qn", "qbs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.col("qbs")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                        for m in masks
+                    ]
+                )
+            ).alias("tb"),
+        ).select(
+            "q_id", "qv", "qn", "qbs",
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        )
+        # first-matching-table guard: drop a table-t match if any
+        # earlier table t' already pairs them (hamming <= radius)
+        no_earlier = F.lit(True)
+        for t in range(1, n_tables):
+            hits = [
+                F.bit_count(F.col("cbs")[tp].bitwiseXOR(F.col("qbs")[tp]))
+                <= F.lit(probe_radius)
+                for tp in range(t)
+            ]
+            any_earlier = hits[0]
+            for h in hits[1:]:
+                any_earlier = any_earlier | h
+            no_earlier = F.when(F.col("tbl") == t, ~any_earlier).otherwise(
+                no_earlier
+            )
+        pairs = (
+            c.join(q, ["tbl", "bucket"])
+            .filter(F.col("n_id") != F.col("q_id"))
+            .filter(no_earlier)
+        )
     dot = _dot(F.col("cv"), F.col("qv"))
     scored = pairs.select(
         "q_id",

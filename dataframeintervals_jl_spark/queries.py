@@ -977,10 +977,15 @@ SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT, hl),
 FROM t"""
 
 
-def _sql_bucket_expr(dim: int, n_planes: int, vexpr: str = "v") -> str:
+def _sql_bucket_expr(
+    dim: int, n_planes: int, vexpr: str = "v", seed: Optional[int] = None
+) -> str:
     """Signed-projection LSH bucket with the hyperplane constants inlined."""
+    from .operators.similarity import LSH_BASE_SEED
+
     terms = []
-    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+    planes = _hyperplanes(dim, n_planes, LSH_BASE_SEED if seed is None else seed)
+    for i, plane in enumerate(planes):
         arr = "[" + ", ".join(str(c) for c in plane) + "]::BIGINT[]"
         terms.append(
             f"CASE WHEN list_dot_product({vexpr}, {arr}) > 0 "
@@ -996,49 +1001,75 @@ _QUANT_V = (
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (the 100 TB path), multi-probe radius 1.
-    Deterministic given the fixed hyperplanes, so the oracle replays the
-    bucketing and probing exactly."""
+    """LSH-bucketed near-dup (the 100 TB path): 2 tables x 8 planes,
+    multi-probe radius 3.  Measured recall vs the exact blocked
+    all-pairs at sf0.1: 0.90, always a subset (was 0.30 single-table
+    radius 1).  Deterministic given the fixed hyperplane seeds, so the
+    oracle replays bucketing, probing and the first-table guard."""
     from .operators.similarity import embedding_neardup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        emb, threshold=0.4, dim=64, n_planes=6, probe_radius=1
+        emb, threshold=0.4, dim=64, n_planes=8, probe_radius=3, n_tables=2
     )
 
 
 def _sql_emb_neardup_lsh(
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 6,
-    probe_radius: int = 1,
+    n_planes: int = 8,
+    probe_radius: int = 3,
+    n_tables: int = 2,
 ) -> str:
-    from .operators.similarity import probe_masks
+    from .operators.similarity import lsh_table_seed, probe_masks
 
     masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_radius))
+    bucket_cols = ",\n         ".join(
+        f"{_sql_bucket_expr(dim, n_planes, seed=lsh_table_seed(t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    tbls = ", ".join(str(t) for t in range(n_tables))
+    pick = lambda side: (  # noqa: E731
+        "CASE tt.tbl "
+        + " ".join(f"WHEN {t} THEN {side}.b{t}" for t in range(n_tables))
+        + " END"
+    )
+    guards = []
+    for t in range(1, n_tables):
+        earlier = " OR ".join(
+            f"bit_count(xor(a.b{tp}, b.b{tp})) <= {probe_radius}"
+            for tp in range(t)
+        )
+        guards.append(f"(tt.tbl = {t} AND ({earlier}))")
+    guard_sql = f" AND NOT ({' OR '.join(guards)})" if guards else ""
     return f"""WITH e AS (
   SELECT vec_id, {_QUANT_V} AS v FROM embeddings
 ), n AS MATERIALIZED (
   SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS nrm,
-         {_sql_bucket_expr(dim, n_planes)} AS bucket
+         {bucket_cols}
   FROM e
 )
 SELECT id_a, id_b, round(score, 6) AS score FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(a.v, b.v) AS DOUBLE)
            / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS score
-  FROM n a, unnest([{masks}]::BIGINT[]) t(m), n b
-  WHERE xor(a.bucket, m) = b.bucket AND a.vec_id < b.vec_id)
+  FROM n a, unnest([{tbls}]::BIGINT[]) tt(tbl),
+       unnest([{masks}]::BIGINT[]) mm(m), n b
+  WHERE xor({pick('a')}, mm.m) = {pick('b')}
+    AND a.vec_id < b.vec_id{guard_sql})
 WHERE score >= {threshold}"""
 
 
 def q_similarity_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-k, multi-probe radius 2 (the query side is
-    tiny, so the 37-probe fan-out is free and buys most of the exact
-    recall back)."""
+    """LSH-bucketed ANN top-k: 2 hash tables x 8 planes, multi-probe
+    radius 3 (93 probes/table on the tiny query side).  Measured recall
+    vs exact top-5 at sf0.1: 0.80 (single table at radius 2 measured
+    0.20 — the L tables compound as 1-(1-p)^L)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_radius=2)
+    out = lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=8, probe_radius=3, n_tables=2
+    )
     return out.select(
         "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
     )
@@ -1049,27 +1080,54 @@ def _sql_similarity_lsh(
     dim: int = 64,
     n_planes: int = 8,
     qmax: int = 5,
-    probe_radius: int = 2,
+    probe_radius: int = 3,
+    n_tables: int = 2,
 ) -> str:
-    from .operators.similarity import probe_masks
+    from .operators.similarity import lsh_table_seed, probe_masks
 
     masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_radius))
+    bucket_cols = ",\n         ".join(
+        f"{_sql_bucket_expr(dim, n_planes, seed=lsh_table_seed(t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    tbls = ", ".join(str(t) for t in range(n_tables))
+    pick = (
+        "CASE tbl "
+        + " ".join(f"WHEN {t} THEN b{t}" for t in range(n_tables))
+        + " END"
+    )
+    # first-matching-table emit-once guard, mirroring lsh_topk
+    guards = []
+    for t in range(1, n_tables):
+        earlier = " OR ".join(
+            f"bit_count(xor(c.b{tp}, qp.b{tp})) <= {probe_radius}"
+            for tp in range(t)
+        )
+        guards.append(f"(c.tbl = {t} AND ({earlier}))")
+    guard_sql = f"AND NOT ({' OR '.join(guards)})" if guards else ""
+    bsel = ", ".join(f"b{t}" for t in range(n_tables))
     return f"""WITH e AS (
   SELECT vec_id, {_QUANT_V} AS v FROM embeddings
 ), n AS MATERIALIZED (
   SELECT vec_id, v, list_dot_product(v, v) AS nrm,
-         {_sql_bucket_expr(dim, n_planes)} AS bucket
+         {bucket_cols}
   FROM e
 ), q AS (SELECT * FROM n WHERE vec_id < {qmax}),
+cp AS (
+  SELECT vec_id, v, nrm, {bsel}, t.tbl, {pick} AS bucket
+  FROM n, unnest([{tbls}]::BIGINT[]) t(tbl)
+),
 qp AS (
-  SELECT q.vec_id, q.v, q.nrm, xor(q.bucket, m) AS bucket
-  FROM q, unnest([{masks}]::BIGINT[]) t(m)
+  SELECT vec_id, v, nrm, {bsel}, tbl, xor({pick}, m) AS bucket
+  FROM q, unnest([{tbls}]::BIGINT[]) t(tbl), unnest([{masks}]::BIGINT[]) mm(m)
 ),
 pairs AS (
   SELECT qp.vec_id AS q_id, c.vec_id AS n_id,
          CAST(list_dot_product(c.v, qp.v) AS DOUBLE)
            / sqrt(CAST(c.nrm AS DOUBLE) * CAST(qp.nrm AS DOUBLE)) AS score
-  FROM n c JOIN qp ON c.bucket = qp.bucket AND c.vec_id <> qp.vec_id
+  FROM cp c JOIN qp ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+                   AND c.vec_id <> qp.vec_id
+  {guard_sql}
 ), ranked AS (
   SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY score DESC, n_id) AS BIGINT) AS rank,
@@ -1079,14 +1137,16 @@ SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF-indexed ANN top-k (probe 4 of 16 cells).  Training is
+    """IVF-indexed ANN top-k (probe 8 of 32 cells — finer cells at the
+    same scanned fraction beat coarse cells: recall 0.80 vs 0.36 at
+    sf0.1).  Training is
     bit-reproducible (exact ints + correctly rounded IEEE ops), so the
     oracle replays all k-means iterations in unrolled SQL."""
     from .operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    out = ivf_topk(emb, queries, n_centroids=32, n_probe=8, k=5)
     return out.select(
         "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
     )
@@ -1401,7 +1461,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_pairs()),
     "q_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
-    "q_similarity_ivf": (q_similarity_ivf, _sql_ivf()),
+    "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
     "q_rolling_fingerprint": (q_rolling_fingerprint, _SQL_ROLLING_FP),
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),

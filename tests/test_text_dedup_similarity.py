@@ -235,15 +235,21 @@ def test_ann_recall_floors(spark):
 
     lsh = {(r["q_id"], r["n_id"]) for r in q_similarity_lsh(spark, sf).collect()}
     ivf = {(r["q_id"], r["n_id"]) for r in q_similarity_ivf(spark, sf).collect()}
-    assert recall(lsh, exact) >= 0.3  # measured 0.36 (8 planes, radius 2)
-    assert recall(ivf, exact) >= 0.7  # measured 0.84 (probe 4/16 cells)
+    # measured 0.84 at sf0.001 and 0.80 at sf0.1
+    # (2 tables x 8 planes, radius 3; was 0.36/0.20 single-table r2)
+    assert recall(lsh, exact) >= 0.7
+    # measured 0.92 at sf0.001 and 0.80 at sf0.1 (probe 8/32 cells;
+    # was 0.84/0.36 at probe 4/16 — finer cells, same scanned fraction)
+    assert recall(ivf, exact) >= 0.7
 
     ex_nd = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup(spark, sf).collect()}
     nd = {
         (r["id_a"], r["id_b"])
         for r in q_embedding_neardup_lsh(spark, sf).collect()
     }
-    assert recall(nd, ex_nd) >= 0.2  # measured 0.29 (6 planes, radius 1)
+    # measured 0.94 at sf0.001 and 0.90 at sf0.1
+    # (2 tables x 8 planes, radius 3; was 0.29/0.30 single-table r1)
+    assert recall(nd, ex_nd) >= 0.8
     # LSH results are a SUBSET of the exact pair set (same threshold,
     # candidates only pruned, never invented)
     assert nd <= ex_nd
