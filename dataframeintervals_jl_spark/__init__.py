@@ -49,6 +49,7 @@ from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interv
 from .operators.interval_join import (
     interval_anti_join,
     interval_join,
+    interval_join_by,
     interval_join_prebinned,
     interval_semi_join,
     setup_column_names,
@@ -101,6 +102,7 @@ __all__ = [
     "get_spark",
     "groupby_interval_join",
     "interval_join",
+    "interval_join_by",
     "interval_semi_join",
     "interval_anti_join",
     "merge_spans",

@@ -402,13 +402,22 @@ def span_difference(
     lstart = F.col(spancol).getField("start")
     lstop = F.col(spancol).getField("stop")
 
-    bounds = left.agg(
-        F.min(lstart.cast("long")).alias("lo"),
-        F.max(lstop.cast("long")).alias("hi"),
-    ).first()
-    if bounds is None or bounds["lo"] is None:
-        return left.limit(0)
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    if by_cols:
+        # keyed: the complement joins through a key-equi HASH join, so
+        # arbitrarily wide head/tail sentinels are harmless (no binning)
+        # — constant sentinels save a full left scan for the bounds agg
+        lo, hi = -(1 << 63), (1 << 63) - 1
+    else:
+        # global: the overlap join may take the binned path, where a
+        # sentinel span would explode into range/width bins — clip the
+        # complement to left's observed value range (one tiny agg)
+        bounds = left.agg(
+            F.min(lstart.cast("long")).alias("lo"),
+            F.max(lstop.cast("long")).alias("hi"),
+        ).first()
+        if bounds is None or bounds["lo"] is None:
+            return left.limit(0)
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
 
     comp = span_complement(right, lo, hi, rcol, by)
     left_cols = left.columns

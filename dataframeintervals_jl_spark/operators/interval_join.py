@@ -741,3 +741,178 @@ def interval_anti_join(
     return _interval_semi_anti(
         left, right, on, bounds, strategy, bin_width, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# keyed interval join (engine extension): only same-key pairs join
+# ---------------------------------------------------------------------------
+
+
+def interval_join_by(
+    left: DataFrame,
+    right: DataFrame,
+    by,
+    on="span",
+    renamecols=None,
+    renameon=("_left", "_right"),
+    makeunique: bool = False,
+    keepleft: bool = False,
+    keepright: bool = False,
+    bounds: str = "[)",
+    validate: str = "error",
+    strategy: str = "hash",
+    bin_width: Optional[int] = None,
+) -> DataFrame:
+    """Interval overlap join restricted to rows sharing ``by`` keys —
+    the per-entity (per-user, per-channel, per-session) overlap join.
+
+    The reference joins all pairs and groups afterwards
+    (``groupby_interval_join``, src:263); at scale that generates
+    cross-key candidates only to discard them.  Keying the join instead
+    co-partitions both sides on ``by`` (one shuffle each) and overlaps
+    only within a key — the shape that survives a 100 TB input with
+    high key cardinality.  AQE handles skewed keys.
+
+    Output: ``by`` columns once (coalesced across sides for outer
+    rows), then the renamed left and right columns (same rename
+    protocol and clash rules as :func:`interval_join`), then the
+    intersection span named after left's ``on`` (null on padded rows).
+    Null keys never match (SQL equality), like any Spark equi-join.
+
+    ``strategy``: 'hash' (default — equi shuffle join, Catalyst picks
+    sort-merge/shuffled-hash; the scale default), 'broadcast_right' /
+    'broadcast_left' (tiny side), or 'binned' (inner-only: composite
+    (keys, bin) equi-join with the emit-once guard — for LOW-cardinality
+    keys whose per-key row counts are too large for a per-key nested
+    loop).
+    """
+    if bounds not in ("[)", "(]", "[]", "()"):
+        raise ValueError(
+            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("interval_join_by requires at least one `by` column")
+    lon_in, ron_in = _resolve_on(on)
+    for c in by_cols:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"`by` column {c!r} must exist in both tables")
+        if c in (lon_in, ron_in):
+            raise ValueError(f"`by` column {c!r} clashes with the `on` column")
+
+    # hide keys behind reserved names so the rename protocol (including
+    # renamecols suffixing and clash detection) only governs payload
+    lk = {c: f"__dfi_lk_{i}" for i, c in enumerate(by_cols)}
+    rk = {c: f"__dfi_rk_{i}" for i, c in enumerate(by_cols)}
+    left2 = left.select(
+        *[F.col(c).alias(lk.get(c, c)) for c in left.columns]
+    )
+    right2 = right.select(
+        *[F.col(c).alias(rk.get(c, c)) for c in right.columns]
+    )
+    sides = setup_column_names(
+        left2,
+        right2,
+        on,
+        renamecols=renamecols,
+        renameon=renameon,
+        makeunique=makeunique,
+    )
+    validate_span_type(
+        sides.left.schema[sides.left_on].dataType, f"left `on` ({sides.left_on})"
+    )
+    validate_span_type(
+        sides.right.schema[sides.right_on].dataType,
+        f"right `on` ({sides.right_on})",
+    )
+    integral = span_endpoints_integral(
+        sides.left.schema[sides.left_on].dataType
+    ) and span_endpoints_integral(sides.right.schema[sides.right_on].dataType)
+
+    lefts, rights = sides.left, sides.right
+    if validate == "error":
+        lefts = _with_fused_null_check(lefts, sides.left_on, "left")
+        rights = _with_fused_null_check(rights, sides.right_on, "right")
+    elif validate != "skip":
+        raise ValueError(f"unsupported validate {validate!r}")
+
+    # final (possibly renamecols-suffixed) temp key names
+    lk_final = [sides.rename_left[lk[c]] for c in by_cols]
+    rk_final = [sides.rename_right[rk[c]] for c in by_cols]
+
+    key_eq = [
+        F.col(a) == F.col(b) for a, b in zip(lk_final, rk_final)
+    ]
+    overlap = spans_overlap(
+        F.col(sides.left_on), F.col(sides.right_on), bounds=bounds
+    )
+    inter = span_intersect(F.col(sides.left_on), F.col(sides.right_on)).alias(
+        sides.joined_on
+    )
+    how = {
+        (False, False): "inner",
+        (True, False): "left_outer",
+        (False, True): "right_outer",
+        (True, True): "full_outer",
+    }[(keepleft, keepright)]
+
+    if strategy in ("hash", "broadcast_right", "broadcast_left"):
+        l_in, r_in = lefts, rights
+        if strategy == "broadcast_right":
+            r_in = F.broadcast(r_in)
+        elif strategy == "broadcast_left":
+            l_in = F.broadcast(l_in)
+        cond = key_eq[0]
+        for e in key_eq[1:]:
+            cond = cond & e
+        joined = l_in.join(r_in, cond & overlap, how)
+    elif strategy == "binned":
+        if how != "inner":
+            raise ValueError(
+                "strategy='binned' supports inner keyed joins only; "
+                "use 'hash' for keepleft/keepright"
+            )
+        if bin_width is None:
+            stats = (
+                _SideStats(lefts, sides.left_on),
+                _SideStats(rights, sides.right_on),
+            )
+            bin_width = _estimate_bin_width(stats, integral)
+        w = max(int(bin_width), 1) if integral else float(bin_width)
+        lcol, rcol = F.col(sides.left_on), F.col(sides.right_on)
+        lb, rb = lefts, rights
+        if bounds != "[]":
+            lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
+            rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
+        lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds, integral)))
+        rb = rb.withColumn(
+            f"{_BIN}_r", F.explode(_bin_ids(rcol, w, bounds, integral))
+        )
+        inter_start = F.greatest(
+            lcol.getField("start"), rcol.getField("start")
+        )
+        guard_div = (
+            _floor_div(inter_start, w)
+            if integral
+            else _float_floor_div(inter_start, w)
+        )
+        cond = F.col(_BIN) == F.col(f"{_BIN}_r")
+        for e in key_eq:
+            cond = cond & e
+        joined = lb.join(
+            rb, cond & overlap & (F.col(_BIN) == guard_div), "inner"
+        ).drop(_BIN, f"{_BIN}_r")
+    else:
+        raise ValueError(
+            f"unsupported strategy {strategy!r}; use 'hash', "
+            "'broadcast_right', 'broadcast_left' or 'binned'"
+        )
+
+    key_out = [
+        F.coalesce(F.col(a), F.col(b)).alias(c)
+        for a, b, c in zip(lk_final, rk_final, by_cols)
+    ]
+    payload = [
+        c for c in sides.left_cols if c not in lk_final
+    ] + [c for c in sides.right_cols if c not in rk_final]
+    return joined.select(*key_out, *payload, inter)

@@ -34,6 +34,7 @@ from .operators.groupby_interval_join import groupby_interval_join
 from .operators.interval_join import (
     interval_anti_join,
     interval_join,
+    interval_join_by,
     interval_semi_join,
 )
 from .operators.quantile_windows import data_quantile_windows, dfspan, quantile_windows
@@ -1237,6 +1238,37 @@ SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def q_interval_join_by(spark, sf_dir):
+    """Keyed overlap join: each user's click spans x that user's
+    purchase spans only — co-partitioned equi+range join, the per-entity
+    shape that scales where the all-pairs join cannot."""
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    clicks = es.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "span"
+    )
+    purch = es.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event"), "span"
+    )
+    j = interval_join_by(clicks, purch, by="user_id", validate="skip")
+    return j.select(
+        "user_id",
+        "event_id",
+        "p_event",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_JOIN_BY = f"""WITH {_ES_CTE},
+c AS (SELECT user_id, event_id, s, e FROM es WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS p_event, s, e FROM es
+      WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, p.p_event,
+       greatest(c.s, p.s) AS i_start, least(c.e, p.e) AS i_stop
+FROM c JOIN p ON c.user_id = p.user_id
+             AND greatest(c.s, p.s) < least(c.e, p.e)"""
+
+
 def q_overlap_profile(spark, sf_dir):
     """Per-user concurrency depth profile of event spans (sweep-line):
     disjoint segments + how many spans cover them."""
@@ -1453,6 +1485,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_span_difference": (q_span_difference, _SQL_SPAN_DIFFERENCE),
     "q_overlap_profile": (q_overlap_profile, _SQL_OVERLAP_PROFILE),
     "q_interval_semijoin": (q_interval_semijoin, _SQL_SEMIJOIN),
+    "q_interval_join_by": (q_interval_join_by, _SQL_JOIN_BY),
     "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),

@@ -459,3 +459,105 @@ def test_semi_anti_null_and_bounds(spark):
         ((0, 10), 1),
         ((20, 30), 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# interval_join_by (keyed overlap join)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keyed_tables(spark):
+    import random
+
+    rng = random.Random(31)
+    L = [
+        (k, s, s + rng.randrange(1, 30))
+        for k in range(5)
+        for s in (rng.randrange(0, 300) for _ in range(40))
+    ]
+    R = [
+        (k, s, s + rng.randrange(1, 20))
+        for k in range(4)  # key 4 exists only on the left
+        for s in (rng.randrange(0, 300) for _ in range(30))
+    ]
+
+    def mk(rows, tag):
+        return spark.createDataFrame(
+            [
+                (k, {"start": s, "stop": e}, i)
+                for i, (k, s, e) in enumerate(rows)
+            ],
+            f"k long, span struct<start: long, stop: long>, {tag} long",
+        )
+
+    return L, R, mk(L, "li").cache(), mk(R, "ri").cache()
+
+
+def _brute_by(L, R, how):
+    pairs = [
+        (i, j)
+        for i, (k, a, b) in enumerate(L)
+        for j, (kk, s, e) in enumerate(R)
+        if k == kk and max(a, s) < min(b, e)
+    ]
+    res = list(pairs)
+    if how in ("left", "full"):
+        matched = {p[0] for p in pairs}
+        res += [(i, None) for i in range(len(L)) if i not in matched]
+    if how in ("right", "full"):
+        matched = {p[1] for p in pairs}
+        res += [(None, j) for j in range(len(R)) if j not in matched]
+    return sorted(res, key=repr)
+
+
+def test_interval_join_by_matches_brute_force(spark, keyed_tables):
+    from dataframeintervals_jl_spark import interval_join_by
+
+    L, R, ldf, rdf = keyed_tables
+
+    def run(**kw):
+        j = interval_join_by(ldf, rdf, by="k", **kw)
+        return sorted(((r["li"], r["ri"]) for r in j.collect()), key=repr)
+
+    assert run() == _brute_by(L, R, "inner")
+    assert run(strategy="broadcast_right") == _brute_by(L, R, "inner")
+    assert run(strategy="binned", validate="skip") == _brute_by(L, R, "inner")
+    assert run(keepleft=True) == _brute_by(L, R, "left")
+    assert run(keepright=True) == _brute_by(L, R, "right")
+    assert run(keepleft=True, keepright=True) == _brute_by(L, R, "full")
+
+
+def test_interval_join_by_contract(spark, keyed_tables):
+    from dataframeintervals_jl_spark import interval_join_by
+
+    _, _, ldf, rdf = keyed_tables
+    j = interval_join_by(ldf, rdf, by="k")
+    # key once and first, payload renamed per protocol, intersection last
+    assert j.columns == ["k", "span_left", "li", "span_right", "ri", "span"]
+    # intersection is clipped and nonempty on matched rows
+    bad = j.filter(
+        (F.col("span.start") < F.greatest("span_left.start", "span_right.start"))
+        | (F.col("span.stop") > F.least("span_left.stop", "span_right.stop"))
+        | (F.col("span.start") >= F.col("span.stop"))
+    )
+    assert bad.count() == 0
+    # padded outer rows carry the key from the surviving side
+    full = interval_join_by(ldf, rdf, by="k", keepleft=True, keepright=True)
+    assert full.filter(F.col("k").isNull()).count() == 0
+
+    with pytest.raises(ValueError, match="must exist in both"):
+        interval_join_by(ldf, rdf.withColumnRenamed("k", "kk"), by="k")
+    with pytest.raises(ValueError, match="clashes with the `on`"):
+        interval_join_by(ldf, rdf, by="span")
+    with pytest.raises(ValueError, match="inner keyed joins only"):
+        interval_join_by(ldf, rdf, by="k", keepleft=True, strategy="binned")
+
+
+def test_interval_join_by_null_keys_never_match(spark):
+    from dataframeintervals_jl_spark import interval_join_by
+
+    schema = "k long, span struct<start: long, stop: long>"
+    ldf = spark.createDataFrame([(None, {"start": 0, "stop": 10})], schema)
+    rdf = spark.createDataFrame([(None, {"start": 0, "stop": 10})], schema)
+    assert interval_join_by(ldf, rdf, by="k").count() == 0
