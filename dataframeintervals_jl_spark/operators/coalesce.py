@@ -1,4 +1,5 @@
-"""Interval-set operators: coalesce (union), gaps, coverage.
+"""Interval-set operators: coalesce (union), gaps, coverage,
+complement, difference, and the sweep-line overlap profile.
 
 Engine extension beyond the reference (its only set-ish operation is
 the covering span, ``dfspan`` — src/DataFrameIntervals.jl:380-387):

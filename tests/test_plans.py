@@ -187,3 +187,88 @@ def test_simhash_pairs_no_dedup_shuffle(spark):
     pairs = simhash_near_pairs(docs, max_hamming=8, blocks=4)
     assert_max_exchanges(pairs, 2)
     assert "HashAggregate" not in simple_plan(pairs)
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators: plan shapes that must survive a 100x scale-up
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_by_hash_plan(spark, es):
+    """Keyed join: equi join on the key (sort-merge or shuffled-hash,
+    never a nested loop), overlap as residual, no Python eval."""
+    from dataframeintervals_jl_spark import interval_join_by
+
+    clicks = es.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "span"
+    )
+    views = es.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event"), "span"
+    )
+    j = interval_join_by(clicks, views, by="user_id", validate="skip")
+    strategies = join_strategies(j)
+    assert strategies, "expected a join in the plan"
+    assert not any("NestedLoop" in s for s in strategies), strategies
+    assert_no_python_row_udf(j)
+
+
+def test_semi_anti_broadcast_plan(spark, es):
+    """Broadcast semi/anti: ONE BroadcastExchange, BNLJ LeftSemi/Anti,
+    zero shuffles of the big side."""
+    from dataframeintervals_jl_spark import interval_anti_join, interval_semi_join
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        quantile_windows as qw,
+    )
+
+    w = qw(spark, 8, es).filter(F.col("index").isin(3, 6)).select("span")
+    from dataframeintervals_jl_spark.plans import physical_plan
+
+    semi = interval_semi_join(es, w, strategy="broadcast_right")
+    anti = interval_anti_join(es, w, strategy="broadcast_right")
+    for df, frag in ((semi, "LeftSemi"), (anti, "LeftAnti")):
+        assert count_broadcast_exchanges(df) == 1
+        assert count_exchanges(df) == 1  # only the broadcast itself
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan and frag in plan, plan
+        assert_no_python_row_udf(df)
+
+
+def test_overlap_profile_global_no_single_partition(spark, es):
+    """The keyless profile must not collapse to one task."""
+    from dataframeintervals_jl_spark import overlap_profile
+    from dataframeintervals_jl_spark.plans import physical_plan
+
+    prof = overlap_profile(es.select("span"))
+    assert "SinglePartition" not in physical_plan(prof)
+    assert_no_python_row_udf(prof)
+
+
+def test_span_difference_keyed_plan(spark, es):
+    """Keyed subtraction: key-equi joins only (hash side), no nested
+    loop, no Python eval, no single-partition exchange."""
+    from dataframeintervals_jl_spark import span_difference
+    from dataframeintervals_jl_spark.plans import physical_plan
+
+    clicks = es.filter(F.col("event_type") == "click").select("user_id", "span")
+    diff = span_difference(
+        es.select("event_id", "user_id", "span"), clicks, by="user_id"
+    )
+    plan = physical_plan(diff)
+    assert "SinglePartition" not in plan
+    assert not any(
+        "NestedLoop" in s for s in join_strategies(diff)
+    ), join_strategies(diff)
+    assert_no_python_row_udf(diff)
+
+
+def test_data_quantile_windows_pass_plan(spark):
+    """Each refinement pass is a column-pruned scan + tiny aggregate:
+    the histogram job must read only the value column."""
+    from dataframeintervals_jl_spark import data_quantile_windows
+
+    ev = read_table(spark, SF_DIR, "events").select(F.col("ts").alias("v"))
+    win = data_quantile_windows(ev, 4, "v")
+    # the returned windows table is literal rows — no scan at all
+    assert win.count() == 4
+    # pass-shape proxy: the pruned source projects only v
+    assert_reads_only(ev, {"ts"})
