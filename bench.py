@@ -114,6 +114,32 @@ def main() -> None:
         ),
     )
 
+    # keyed self-overlap: per-user es x es.  interval_join_by
+    # co-partitions on the key (equi join, overlap residual) vs the
+    # global binned join followed by a key-equality filter, which
+    # generates cross-user candidates only to discard them — the gap
+    # grows with key cardinality, so the keyed operator is the shape
+    # that survives 100 TB.
+    from dataframeintervals_jl_spark import interval_join_by
+
+    esk = event_spans(spark, sf_dir).select("user_id", "event_id", "span")
+    esk2 = esk.select("user_id", F.col("event_id").alias("event_id_r"), "span")
+    bench(
+        "keyed_selfjoin_by",
+        lambda: interval_join_by(
+            esk, esk2, by="user_id", validate="skip", strategy="hash"
+        ),
+    )
+    bench(
+        "keyed_selfjoin_via_binned",
+        lambda: interval_join(
+            esk,
+            esk2.withColumnRenamed("user_id", "user_id_r"),
+            validate="skip",
+            strategy="binned",
+        ).filter(F.col("user_id") == F.col("user_id_r")),
+    )
+
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade
     # away recall are visible (floors asserted in pytest)

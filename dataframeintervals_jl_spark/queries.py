@@ -1246,8 +1246,15 @@ def q_interval_join_by(spark, sf_dir):
     clicks = es.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "span"
     )
+    # a user's event spans are adjacent (lead-derived), so widen the
+    # purchase side ±12h to create genuine same-user overlaps
+    pad = 43_200_000_000_000
     purch = es.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("p_event"), "span"
+        "user_id",
+        F.col("event_id").alias("p_event"),
+        make_span(
+            F.col("span.start") - F.lit(pad), F.col("span.stop") + F.lit(pad)
+        ).alias("span"),
     )
     j = interval_join_by(clicks, purch, by="user_id", validate="skip")
     return j.select(
@@ -1261,7 +1268,8 @@ def q_interval_join_by(spark, sf_dir):
 
 _SQL_JOIN_BY = f"""WITH {_ES_CTE},
 c AS (SELECT user_id, event_id, s, e FROM es WHERE event_type = 'click'),
-p AS (SELECT user_id, event_id AS p_event, s, e FROM es
+p AS (SELECT user_id, event_id AS p_event,
+             s - 43200000000000 AS s, e + 43200000000000 AS e FROM es
       WHERE event_type = 'purchase')
 SELECT c.user_id, c.event_id, p.p_event,
        greatest(c.s, p.s) AS i_start, least(c.e, p.e) AS i_stop
