@@ -37,6 +37,8 @@ from .operators.coalesce import (
     span_gaps,
 )
 from .operators.dedup import (
+    connected_components,
+    dedup_cluster_keep,
     exact_dedup,
     exact_dedup_keep,
     minhash_lsh_pairs,
@@ -123,6 +125,8 @@ __all__ = [
     # training-data pipeline extensions
     "cosine_topk",
     "embedding_neardup_pairs",
+    "connected_components",
+    "dedup_cluster_keep",
     "exact_dedup",
     "exact_dedup_keep",
     "ivf_topk",

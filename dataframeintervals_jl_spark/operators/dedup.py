@@ -369,3 +369,91 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: one row per
+    vertex appearing in ``pairs``, labeled ``cluster_id`` = the minimum
+    vertex id reachable from it.  This is the step that turns near-dup
+    PAIRS (minhash/simhash/embedding) into duplicate CLUSTERS a pipeline
+    can act on (keep one representative per cluster).
+
+    Execution: iterative min-label propagation —
+    ``label(v) <- min(label(v), min label of neighbors)`` — as a
+    join + groupBy per round, converging in O(component diameter)
+    rounds (near-dup clusters are near-cliques: 2-3 rounds in
+    practice).  Each round shuffles only (vertex, label) pairs, never
+    vectors or documents; the driver loop checks a single summed-change
+    counter per round (tiny agg action) and stops at fixpoint — the
+    same driver-coordinated-iteration shape as the IVF k-means trainer.
+    Deterministic (min is order-insensitive), hence oracle-checkable
+    against a recursive-CTE reachability query.
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (eager), NOT persist: round n's plan references
+    # round n-1's labels twice (neighbor-min + outer join), so without
+    # lineage truncation the logical plan doubles every round and
+    # Catalyst analysis goes exponential around round ~10 (a 12-hop
+    # chain hung; with checkpointing it is linear).
+    labels = (
+        e.select(F.col("a").alias("v"), F.col("a").alias("lbl"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # neighbor minimum, then keep the smaller of (own, neighbors)
+        nbr = (
+            e.join(labels, e["b"] == labels["v"])
+            .select(e["a"].alias("v"), F.col("lbl"))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.col("nmin")).alias("lbl"),
+                (F.col("nmin") < F.col("lbl")).cast("long").alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    e.unpersist()
+    return labels.select(F.col("v"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one representative per duplicate CLUSTER (transitive
+    closure of the pair relation), not merely per pair: rows never
+    mentioned in ``pairs`` survive untouched; within each component the
+    row with the minimum id survives.  One broadcast-friendly join of
+    the (tiny) non-representative id set against the corpus."""
+    comp = connected_components(pairs, src, dst)
+    drop = comp.filter(F.col("v") != F.col("cluster_id")).select(
+        F.col("v").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

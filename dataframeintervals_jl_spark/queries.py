@@ -1061,6 +1061,40 @@ SELECT id_a, id_b, round(score, 6) AS score FROM (
 WHERE score >= {threshold}"""
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS: connected components by
+    iterative min-label propagation (the step that turns pair lists
+    into keep/drop decisions).  Deterministic, so the oracle recomputes
+    reachability with a recursive CTE and labels each vertex with the
+    minimum reachable id."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("v").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE pr AS MATERIALIZED (
+  FROM ({_SQL_EMB_NEARDUP}) SELECT id_a, id_b
+), ed AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pr
+), reach(v, r) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a
+)
+SELECT CAST(v AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v"""
+
+
 def q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-k: 2 hash tables x 8 planes, multi-probe
     radius 3 (93 probes/table on the tiny query side).  Measured recall
@@ -1506,4 +1540,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_rolling_fingerprint": (q_rolling_fingerprint, _SQL_ROLLING_FP),
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),
+    "q_dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
 }

@@ -253,3 +253,69 @@ def test_ann_recall_floors(spark):
     # LSH results are a SUBSET of the exact pair set (same threshold,
     # candidates only pruned, never invented)
     assert nd <= ex_nd
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random edge lists vs a driver union-find; includes a long chain
+    (propagation takes diameter rounds) and an isolated pair."""
+    import random
+
+    from dataframeintervals_jl_spark import connected_components
+
+    rng = random.Random(77)
+    edges = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(50)]
+    edges += [(100 + i, 101 + i) for i in range(12)]  # chain 100..112
+    edges += [(500, 501)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = sorted((v, find(v)) for v in parent)
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(
+        (r["v"], r["cluster_id"]) for r in connected_components(df).collect()
+    )
+    assert got == expected
+
+
+def test_dedup_cluster_keep_transitive(spark):
+    """a~b and b~c but NOT a~c: pairwise dedup would keep {a, c}; the
+    cluster form keeps only the component minimum a."""
+    from dataframeintervals_jl_spark import dedup_cluster_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_cluster_keep(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 3, 4]
+
+
+def test_connected_components_empty_and_convergence_guard(spark):
+    import pytest as _pytest
+
+    from dataframeintervals_jl_spark import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
