@@ -77,6 +77,44 @@ def main() -> None:
         docs,
     )
 
+    from dataframeintervals_jl_spark import (
+        interval_join_by,
+        interval_semi_join,
+        overlap_profile,
+    )
+
+    clicks = es.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "span"
+    )
+    views = es.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event"), "span"
+    )
+    add(
+        "interval_join_by — keyed overlap join (hash path)",
+        "Both sides shuffle ONCE on the key; the join is an equi join "
+        "(sort-merge / shuffled-hash, AQE's choice) with the overlap "
+        "predicate as residual. No cross-key candidate is ever generated — "
+        "the shape that survives high key cardinality.",
+        interval_join_by(clicks, views, by="user_id", validate="skip"),
+    )
+    add(
+        "interval_semi_join — broadcast existence probe",
+        "One BroadcastExchange of the span column, BroadcastNestedLoopJoin "
+        "LeftSemi streamed over the big side: multiset-preserving EXISTS "
+        "with zero shuffles of the probe side and no dedup.",
+        interval_semi_join(
+            es, w.filter(F.col("quarter").isin(2, 3)).select("span"),
+            strategy="broadcast_right",
+        ),
+    )
+    add(
+        "overlap_profile — keyless sweep line without SinglePartition",
+        "Boundary deltas collapse in a map-side-partial groupBy; the running "
+        "depth runs per range-bucket with driver-broadcast prefix "
+        "corrections — no single-partition Exchange anywhere.",
+        overlap_profile(es.select("span")),
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical plans of the headline operators\n\n")
