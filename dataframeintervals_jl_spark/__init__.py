@@ -62,6 +62,7 @@ from .operators.quantile_windows import (
     exact_quantile_longs,
     quantile_windows,
 )
+from .operators.tfidf import tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
     cosine_topk,
@@ -92,6 +93,7 @@ __all__ = [
     "all_",
     "asof_join",
     "sessionize",
+    "tf_idf_top_terms",
     "overlap_profile",
     "span_complement",
     "span_coverage",

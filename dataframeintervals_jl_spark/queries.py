@@ -474,6 +474,34 @@ _SQL_TEXT_QUALITY = r"""SELECT doc_id,
 FROM documents"""
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document, TF x integer-scaled IDF
+    (exact bigint arithmetic both engines — see operators/tfidf.py)."""
+    from .operators.tfidf import tf_idf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, k=3)
+
+
+_SQL_TFIDF = r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS N FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * ((n.N * 1000000) // dfq.df) AS BIGINT) AS score
+  FROM tf JOIN dfq USING (term), n
+), ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS BIGINT) AS rank,
+         term, score
+  FROM scored)
+SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3"""
+
+
 def q_similarity_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1516,6 +1544,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),
     "q_text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
+    "q_tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
     "q_similarity_topk": (q_similarity_topk, _SQL_SIMILARITY_TOPK),
     "q_lang_id": (q_lang_id, _SQL_LANG_ID),
     "q_quality_score": (q_quality_score, _SQL_QUALITY),

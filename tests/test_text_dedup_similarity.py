@@ -319,3 +319,30 @@ def test_connected_components_empty_and_convergence_guard(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_tfidf_top_terms(spark):
+    """Distinctive terms outrank ubiquitous ones; ranks are 1..k with
+    deterministic term tie-breaks; scores follow the integer formula."""
+    from dataframeintervals_jl_spark import tf_idf_top_terms
+
+    docs = _docs(
+        spark,
+        [
+            "common rare1 rare1 rare1",
+            "common rare2 rare2 common",
+            "common xyz xyz xyz",
+        ],
+    )
+    out = tf_idf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # top term of each doc is its distinctive one, never 'common'
+    tops = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    assert tops == {0: "rare1", 1: "rare2", 2: "xyz"}
+    # integer formula: df(common)=3, N=3 → idf=1_000_000; rare: df=1 → 3_000_000
+    scores = {(r["doc_id"], r["term"]): r["score"] for r in out}
+    assert scores[(0, "rare1")] == 3 * 3_000_000
+    assert scores[(1, "rare2")] == 2 * 3_000_000
+    assert scores[(2, "xyz")] == 3 * 3_000_000
