@@ -62,6 +62,7 @@ from .operators.quantile_windows import (
     exact_quantile_longs,
     quantile_windows,
 )
+from .operators.sampling import deterministic_sample, hash_split
 from .operators.tfidf import tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
@@ -94,6 +95,8 @@ __all__ = [
     "asof_join",
     "sessionize",
     "tf_idf_top_terms",
+    "deterministic_sample",
+    "hash_split",
     "overlap_profile",
     "span_complement",
     "span_coverage",

@@ -474,6 +474,37 @@ _SQL_TEXT_QUALITY = r"""SELECT doc_id,
 FROM documents"""
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split of documents by key
+    hash (partition-layout-independent, engine-reproducible), verified
+    via per-(split, lang) counts."""
+    from .operators.sampling import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", (0.8, 0.1, 0.1))
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(char_count(F.col("text"))).cast("long").alias("sum_chars"),
+    )
+
+
+_SQL_HASH_SPLIT = """WITH b AS (
+  SELECT lang, length(text) AS chars,
+         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1000000 AS bkt
+  FROM documents
+), lab AS (
+  SELECT lang, chars,
+         CASE WHEN bkt < 800000 THEN 'train'
+              WHEN bkt < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS sum_chars
+FROM lab GROUP BY split, lang"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 characteristic terms per document, TF x integer-scaled IDF
     (exact bigint arithmetic both engines — see operators/tfidf.py)."""
@@ -1545,6 +1576,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),
     "q_text_quality": (q_text_quality, _SQL_TEXT_QUALITY),
     "q_tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
+    "q_hash_split": (q_hash_split, _SQL_HASH_SPLIT),
     "q_similarity_topk": (q_similarity_topk, _SQL_SIMILARITY_TOPK),
     "q_lang_id": (q_lang_id, _SQL_LANG_ID),
     "q_quality_score": (q_quality_score, _SQL_QUALITY),

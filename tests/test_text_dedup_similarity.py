@@ -346,3 +346,39 @@ def test_tfidf_top_terms(spark):
     assert scores[(0, "rare1")] == 3 * 3_000_000
     assert scores[(1, "rare2")] == 2 * 3_000_000
     assert scores[(2, "xyz")] == 3 * 3_000_000
+
+
+def test_hash_split_partition_and_determinism(spark):
+    from dataframeintervals_jl_spark import hash_split
+
+    docs = _docs(spark, [f"doc number {i}" for i in range(500)])
+    out = hash_split(docs, "doc_id", (0.8, 0.1, 0.1))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500  # every row in exactly one split
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # partition-layout independence: same assignment after repartition
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(13), "doc_id", (0.8, 0.1, 0.1)).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="weights"):
+        hash_split(docs, "doc_id", (1.0, -0.1, 0.1))
+
+
+def test_deterministic_sample_alignment(spark):
+    """Two tables sampled with the same salt+key keep the SAME keys —
+    the property that lets sampled fact/detail tables still join."""
+    from dataframeintervals_jl_spark import deterministic_sample
+
+    docs = _docs(spark, [f"text {i}" for i in range(400)])
+    other = docs.select("doc_id", F.length("text").alias("n"))
+    k1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.25).collect()}
+    k2 = {r["doc_id"] for r in deterministic_sample(other, "doc_id", 0.25).collect()}
+    assert k1 == k2 and 0 < len(k1) < 400
+    # different salt → different (deterministic) subset
+    k3 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.25, salt="other").collect()}
+    assert k3 != k1
+    assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == 400
