@@ -764,6 +764,39 @@ FROM s GROUP BY user_id, sid"""
 _HOUR_NS = 3_600_000_000_000
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """The STREAMING binned interval join run in its batch-batch mode —
+    same operator, same bin/emit-once logic Structured Streaming uses —
+    checked against the plain inner-join oracle: the stream path must
+    compute exactly the batch join at µs resolution."""
+    from .streaming import stream_interval_join
+
+    es = event_spans(spark, sf_dir, truncate_us=True).select(
+        "event_id", "user_id", "span"
+    )
+    es_w, w = _es_windows(spark, sf_dir, 8, "idx")
+    j = stream_interval_join(es, w, bin_width_ns=21_600_000_000_000)
+    return j.select(
+        "event_id",
+        "user_id",
+        "idx",
+        F.col("span_left.start").alias("l_start"),
+        F.col("span_left.stop").alias("l_stop"),
+        F.col("span_right.start").alias("w_start"),
+        F.col("span_right.stop").alias("w_stop"),
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_STREAM_JOIN = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')}
+SELECT es.event_id, es.user_id, w.idx,
+       es.s AS l_start, es.e AS l_stop, w.w_start, w.w_stop,
+       greatest(es.s, w.w_start) AS i_start, least(es.e, w.w_stop) AS i_stop
+FROM es JOIN w ON {_OVERLAP_SQL}"""
+
+
 def q_merge_spans(spark, sf_dir):
     """Interval coalesce (span-set union): 1-hour event spans merged
     into per-user coverage islands — gaps-and-islands, one shuffle."""
@@ -1591,6 +1624,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_by": (q_interval_join_by, _SQL_JOIN_BY),
     "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
+    "q_stream_interval_join": (q_stream_interval_join, _SQL_STREAM_JOIN),
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),
     "q_multimodal_frames": (q_multimodal_frames, _SQL_MM_FRAMES),
