@@ -162,3 +162,108 @@ def test_double_span_property_both_strategies(spark, left, right):
         )
         got = {(r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()}
         assert got == expected, f"strategy={strategy}"
+
+
+# ---------------------------------------------------------------------------
+# interval-algebra laws: difference / complement / profile
+# ---------------------------------------------------------------------------
+
+
+def _measure(iv_list):
+    """Total measure of a list of [s, e) intervals (may overlap)."""
+    total, cur_s, cur_e = 0, None, None
+    for s, e in sorted(iv_list):
+        if e <= s:
+            continue
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif s > cur_e:
+            total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_s is not None:
+        total += cur_e - cur_s
+    return total
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=span_lists, right=span_lists)
+def test_difference_partitions_left(spark, left, right):
+    """Law: for every left row, measure(fragments) + measure(left ∩
+    union(right)) == duration(left).  Checked in aggregate over the
+    whole table (fragments carry their source row's duration)."""
+    from dataframeintervals_jl_spark import span_difference
+
+    left = [(s, e) for s, e in left if e > s]
+    right = [(s, e) for s, e in right if e > s]
+    ldf = make_span_df(spark, left)
+    rdf = make_span_df(spark, right)
+    frags = [
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_difference(ldf, rdf).collect()
+    ]
+    # fragments are disjoint from the right union and lie inside left
+    frag_total = sum(e - s for s, e in frags)
+    expect = sum(
+        (e - s) - _measure([(max(s, rs), min(e, re)) for rs, re in right])
+        for s, e in left
+    )
+    assert frag_total == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(right=span_lists)
+def test_complement_tiles_range(spark, right):
+    """Law: islands(right) ∪ complement(right) tile [lo, hi) exactly:
+    measures add up and nothing overlaps."""
+    from dataframeintervals_jl_spark import merge_spans, span_complement
+
+    right = [(s, e) for s, e in right if e > s]
+    rdf = make_span_df(spark, right)
+    lo, hi = EPOCH - 5_000, EPOCH + 100_000
+    comp = [
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_complement(rdf, lo, hi).collect()
+    ]
+    islands = [
+        (r["span"]["start"], r["span"]["stop"])
+        for r in merge_spans(rdf).collect()
+    ]
+    assert _measure(comp) + _measure(islands) == hi - lo
+    # pairwise disjoint across the union of both sets
+    all_iv = sorted(comp + islands)
+    for (s1, e1), (s2, e2) in zip(all_iv, all_iv[1:]):
+        assert e1 <= s2
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spans=span_lists)
+def test_profile_integral_equals_total_duration(spark, spans):
+    """Law: sum(depth x segment width) == sum of span durations, and
+    the depth-1+ segments' union == the merged islands."""
+    from dataframeintervals_jl_spark import merge_spans, overlap_profile
+
+    spans = [(s, e) for s, e in spans if e > s]
+    df = make_span_df(spark, spans)
+    prof = [
+        (r["span"]["start"], r["span"]["stop"], r["depth"])
+        for r in overlap_profile(df).collect()
+    ]
+    assert sum((e - s) * d for s, e, d in prof) == sum(e - s for s, e in spans)
+    islands = [
+        (r["span"]["start"], r["span"]["stop"]) for r in merge_spans(df).collect()
+    ]
+    assert _measure([(s, e) for s, e, _ in prof]) == _measure(islands)
