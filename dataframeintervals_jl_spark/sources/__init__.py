@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from ..functions.spans import NS_PER_US, make_span
 from ..session import ensure_session_configs
@@ -32,9 +33,36 @@ TABLES = (
 )
 
 
+def ts_to_ns(col: F.Column) -> F.Column:
+    """Epoch-ns bigint from a timestamp column.
+
+    The session timezone is pinned to UTC (session.py), so casting
+    TIMESTAMP_NTZ -> TIMESTAMP is a pure reinterpretation and the result
+    matches DuckDB's ``epoch_ns(ts)`` bit-for-bit — the invariant every
+    oracle depends on.
+    """
+    return (F.unix_micros(col.cast("timestamp")) * F.lit(1000)).cast(LongType())
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with the engine's canonical-unit normalization.
+
+    The engine is epoch-ns-bigint native for ``events.ts``.  Driver
+    testdata has shipped that column both as parquet ``timestamp[ns]``
+    (read as bigint via ``nanosAsLong``) and as ``timestamp[us]`` (read
+    as TIMESTAMP_NTZ); normalizing here restores one contract for every
+    downstream operator regardless of the physical type.  The conversion
+    is a codegen'd projection — no shuffle, column pruning still reaches
+    the scan; only pushdown of filters *on ts itself* is lost, and no
+    catalog query filters raw ts at the scan.
+    """
     ensure_session_configs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, (TimestampType, TimestampNTZType)
+    ):
+        df = df.withColumn("ts", ts_to_ns(F.col("ts")))
+    return df
 
 
 def read_csv(
