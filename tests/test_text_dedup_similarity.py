@@ -317,8 +317,22 @@ def test_connected_components_empty_and_convergence_guard(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
+    # the convergence guard lives on the distributed path; force it by
+    # disabling the small-graph driver fallback
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, driver_threshold=0)
+    # driver union-find fallback and iterative label propagation must
+    # produce identical labels (min reachable id)
+    two = chain.union(
+        spark.createDataFrame([(100, 101), (101, 102)], "id_a long, id_b long")
+    )
+    fast = {(r["v"], r["cluster_id"]) for r in connected_components(two).collect()}
+    slow = {
+        (r["v"], r["cluster_id"])
+        for r in connected_components(two, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert {c for _, c in fast} == {0, 100}
 
 
 def test_tfidf_top_terms(spark):
