@@ -167,12 +167,47 @@ def span_duration(span) -> Column:
     return s.getField("stop") - s.getField("start")
 
 
-#: the four supported global bounds flavors (reference Interval{T,L,R},
-#: src:31-35, with L/R uniform across a column)
+#: the four supported bounds flavors (reference Interval{T,L,R},
+#: src:31-35); a join may apply one uniformly or a (left, right) pair
 BOUNDS = ("[)", "(]", "[]", "()")
 
 
-def spans_overlap(l, r, bounds: str = "[)") -> Column:
+def normalize_bounds(bounds) -> tuple:
+    """Canonicalize a ``bounds`` argument into a ``(left, right)`` pair.
+
+    Accepts a single flavor string (applied to both sides — the common
+    case) or a 2-sequence assigning each side its own flavor, mirroring
+    the reference's per-interval-type bound parameters
+    (/root/reference/src/DataFrameIntervals.jl:31-46): a join there may
+    mix e.g. a closed-closed left column with a closed-open right one.
+    """
+    if isinstance(bounds, str):
+        if bounds not in BOUNDS:
+            raise ValueError(
+                f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
+            )
+        return bounds, bounds
+    try:
+        lb, rb = bounds
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()' "
+            "or a (left, right) pair of them"
+        ) from None
+    if lb not in BOUNDS or rb not in BOUNDS:
+        raise ValueError(
+            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()' "
+            "or a (left, right) pair of them"
+        )
+    return lb, rb
+
+
+def _bound_flags(flavor: str) -> tuple:
+    """(lower_closed, upper_closed) for one flavor string."""
+    return flavor[0] == "[", flavor[1] == "]"
+
+
+def spans_overlap(l, r, bounds="[)") -> Column:
     """Overlap predicate: true iff the two spans are NOT disjoint.
 
     The reference joins on ``!isdisjoint(x, y)``
@@ -183,10 +218,18 @@ def spans_overlap(l, r, bounds: str = "[)") -> Column:
     flavor with at least one open side ('[)', '(]', '()': touching
     endpoints do NOT overlap and zero-width spans are empty), and
     ``lo <= hi`` for closed-closed ('[]': touching endpoints DO match,
-    zero-width [a,a] is the point a).  This covers the reference's
-    native ``Interval{T,L,R}`` bound parameters applied uniformly
-    (src:31-35).
+    zero-width [a,a] is the point a).
+
+    ``bounds`` may also be a ``(left, right)`` pair of flavors — the
+    reference's ``Interval{T,L,R}`` types mixed across the two sides
+    (src:31-46).  The mixed predicate tracks which side supplies the
+    intersection's lower/upper endpoint and whether that endpoint is
+    closed: nonempty iff ``lo < hi``, or ``lo == hi`` with both the
+    binding lower and upper bounds closed (which also rules out empty
+    zero-width inputs of any open flavor, with no separate emptiness
+    term).
     """
+    lb, rb = normalize_bounds(bounds)
     lc, rc = _c(l), _c(r)
     lo = F.greatest(lc.getField("start"), rc.getField("start"))
     hi = F.least(lc.getField("stop"), rc.getField("stop"))
@@ -197,11 +240,25 @@ def spans_overlap(l, r, bounds: str = "[)") -> Column:
     # everything — guard so null spans match nothing (SQL semantics; the
     # validate='error' path never reaches here with nulls anyway).
     not_null = lc.isNotNull() & rc.isNotNull()
-    if bounds in ("[)", "(]", "()"):
-        return not_null & (lo < hi)
-    if bounds == "[]":
+    if lb == rb:
+        if lb in ("[)", "(]", "()"):
+            return not_null & (lo < hi)
         return not_null & (lo <= hi)
-    raise ValueError(f"unsupported bounds {bounds!r}; use one of {BOUNDS}")
+    l_lc, l_uc = _bound_flags(lb)
+    r_lc, r_uc = _bound_flags(rb)
+    ls, rs = lc.getField("start"), rc.getField("start")
+    le, re_ = lc.getField("stop"), rc.getField("stop")
+    lo_closed = (
+        F.when(ls > rs, F.lit(l_lc))
+        .when(ls < rs, F.lit(r_lc))
+        .otherwise(F.lit(l_lc and r_lc))
+    )
+    hi_closed = (
+        F.when(le < re_, F.lit(l_uc))
+        .when(le > re_, F.lit(r_uc))
+        .otherwise(F.lit(l_uc and r_uc))
+    )
+    return not_null & ((lo < hi) | ((lo == hi) & lo_closed & hi_closed))
 
 
 def span_intersect(l, r) -> Column:

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.spans import (
     SPAN_TYPE,
     exact_floor_div as _floor_div,
+    normalize_bounds,
     span_endpoints_integral,
     span_intersect,
     spans_overlap,
@@ -313,7 +314,10 @@ def interval_join(
     Parameters mirror the reference signature
     (/root/reference/src/DataFrameIntervals.jl:98-100) plus engine
     extensions: ``bounds`` ('[)' default; also '(]', '[]', '()' — the
-    reference's Interval{T,L,R} flavors applied uniformly), ``validate``
+    reference's Interval{T,L,R} flavors applied uniformly — or a
+    ``(left, right)`` pair of flavors for joins mixing interval types
+    per side, e.g. ``bounds=('[]', '[)')``, matching the reference's
+    per-type bound parameters src:31-46), ``validate``
     ('error' = reference-faithful null rejection, fused into the join
     when no stats scan runs | 'skip'), ``strategy``, ``bin_width`` (ns,
     or a float width for double-endpoint spans; cost-model estimate when
@@ -330,10 +334,7 @@ def interval_join(
     'broadcast_left' / 'binned' skip the stats actions (except binned's
     width estimate when ``bin_width`` is omitted).
     """
-    if bounds not in ("[)", "(]", "[]", "()"):
-        raise ValueError(
-            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
-        )
+    normalize_bounds(bounds)
     sides = setup_column_names(
         left,
         right,
@@ -514,22 +515,34 @@ def _float_floor_div(col: Column, w: float) -> Column:
     return F.floor(col.cast("double") / F.lit(float(w))).cast("long")
 
 
-def _bin_ids(span_col: Column, w, bounds: str, integral: bool) -> Column:
+def _bin_ids(span_col: Column, w, flavor: str, integral: bool) -> Column:
     """The sequence of fixed-width bin ids a span touches.
 
-    Integral endpoints, strict-overlap bounds ('[)', '()'): the last
-    touched point is ``stop - 1`` so the last bin is
-    ``floor((stop-1)/W)``; '(]'/'[]' include ``stop`` itself.  Epoch-ns
-    endpoints are nonneg in practice, but we still use true floor
-    division so negative endpoints stay correct.  Double endpoints bin
-    with IEEE floor over ``[floor(start/W), floor(stop/W)]`` (a cover —
-    possibly one spare bin at exact multiples)."""
+    ``flavor`` is THIS side's bounds flavor (per-side under mixed
+    bounds).  Integral endpoints, open-upper flavors ('[)', '()'): the
+    last touched point is ``stop - 1`` so the last bin is
+    ``floor((stop-1)/W)``; closed-upper '(]'/'[]' include ``stop``
+    itself (a match can bind exactly at ``stop`` when the other side's
+    binding bound is closed too).  Epoch-ns endpoints are nonneg in
+    practice, but we still use true floor division so negative endpoints
+    stay correct.  Double endpoints bin with IEEE floor over
+    ``[floor(start/W), floor(stop/W)]`` (a cover — possibly one spare
+    bin at exact multiples)."""
     start = span_col.getField("start")
     stop = span_col.getField("stop")
     if not integral:
         return F.sequence(_float_floor_div(start, w), _float_floor_div(stop, w))
-    last_point = stop - F.lit(1) if bounds in ("[)", "()") else stop
+    last_point = stop - F.lit(1) if flavor in ("[)", "()") else stop
     return F.sequence(_floor_div(start, w), _floor_div(last_point, w))
+
+
+def _drop_empty_spans(df: DataFrame, col: Column, flavor: str) -> DataFrame:
+    """Drop spans empty under THIS side's flavor before binning: every
+    flavor with an open side makes width-0 spans empty; closed-closed
+    '[]' keeps them (``[a, a]`` is the point ``a``)."""
+    if flavor == "[]":
+        return df
+    return df.filter(col.getField("stop") > col.getField("start"))
 
 
 def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats], integral: bool = True):
@@ -569,6 +582,7 @@ def _binned_join(
     ``unionByName(allowMissingColumns=True)`` — the same structure as the
     reference's ``join_indices`` missing-padding (src:157-180).
     """
+    lb_flavor, rb_flavor = normalize_bounds(bounds)
     w = max(int(bin_width), 1) if integral else float(bin_width)
 
     need_left_ids = how in ("left_outer", "full_outer")
@@ -585,15 +599,10 @@ def _binned_join(
 
     lcol = F.col(sides.left_on)
     rcol = F.col(sides.right_on)
-    # width <= 0 spans are empty under every bounds flavor with an open
-    # side ('[)', '(]', '()') — drop them before binning
-    lb = lefts
-    rb = rights
-    if bounds != "[]":
-        lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
-        rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
-    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds, integral)))
-    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, bounds, integral)))
+    lb = _drop_empty_spans(lefts, lcol, lb_flavor)
+    rb = _drop_empty_spans(rights, rcol, rb_flavor)
+    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, lb_flavor, integral)))
+    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, rb_flavor, integral)))
 
     l = lb.alias("__dfi_l")
     r = rb.alias("__dfi_r")
@@ -644,10 +653,7 @@ def _interval_semi_anti(
     bin_width,
     how: str,
 ) -> DataFrame:
-    if bounds not in ("[)", "(]", "[]", "()"):
-        raise ValueError(
-            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
-        )
+    lb_flavor, rb_flavor = normalize_bounds(bounds)
     lon, ron = _resolve_on(on)
     validate_span_type(left.schema[lon].dataType, f"left `on` ({lon})")
     validate_span_type(right.schema[ron].dataType, f"right `on` ({ron})")
@@ -689,13 +695,10 @@ def _interval_semi_anti(
     lid = left.withColumn(LEFT_IDX, F.monotonically_increasing_id()).persist()
     lcol = F.col(lon)
     rcol = F.col("__dfi_rspan")
-    lb = lid.select(LEFT_IDX, lcol)
-    rb = rspans
-    if bounds != "[]":
-        lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
-        rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
-    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds, integral)))
-    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, bounds, integral)))
+    lb = _drop_empty_spans(lid.select(LEFT_IDX, lcol), lcol, lb_flavor)
+    rb = _drop_empty_spans(rspans, rcol, rb_flavor)
+    lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, lb_flavor, integral)))
+    rb = rb.withColumn(_BIN, F.explode(_bin_ids(rcol, w, rb_flavor, integral)))
     matched_ids = (
         lb.join(rb, (lb[_BIN] == rb[_BIN]) & spans_overlap(lcol, rcol, bounds), "inner")
         .select(LEFT_IDX)
@@ -786,10 +789,7 @@ def interval_join_by(
     keys whose per-key row counts are too large for a per-key nested
     loop).
     """
-    if bounds not in ("[)", "(]", "[]", "()"):
-        raise ValueError(
-            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()'"
-        )
+    lb_flavor, rb_flavor = normalize_bounds(bounds)
     by_cols = [by] if isinstance(by, str) else list(by)
     if not by_cols:
         raise ValueError("interval_join_by requires at least one `by` column")
@@ -880,13 +880,11 @@ def interval_join_by(
             bin_width = _estimate_bin_width(stats, integral)
         w = max(int(bin_width), 1) if integral else float(bin_width)
         lcol, rcol = F.col(sides.left_on), F.col(sides.right_on)
-        lb, rb = lefts, rights
-        if bounds != "[]":
-            lb = lb.filter(lcol.getField("stop") > lcol.getField("start"))
-            rb = rb.filter(rcol.getField("stop") > rcol.getField("start"))
-        lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, bounds, integral)))
+        lb = _drop_empty_spans(lefts, lcol, lb_flavor)
+        rb = _drop_empty_spans(rights, rcol, rb_flavor)
+        lb = lb.withColumn(_BIN, F.explode(_bin_ids(lcol, w, lb_flavor, integral)))
         rb = rb.withColumn(
-            f"{_BIN}_r", F.explode(_bin_ids(rcol, w, bounds, integral))
+            f"{_BIN}_r", F.explode(_bin_ids(rcol, w, rb_flavor, integral))
         )
         inter_start = F.greatest(
             lcol.getField("start"), rcol.getField("start")

@@ -293,6 +293,72 @@ SELECT ev.event_id, ev.s AS l_start, ev.e AS l_stop,
 FROM ev JOIN w ON greatest(ev.s, w.ws) < least(ev.e, w.we)"""
 
 
+def q_interval_join_mixed_bounds(spark, sf_dir):
+    """Per-side bounds pair: closed-closed event spans joined against
+    closed-open windows — the reference's joins across DIFFERENT
+    Interval{T,L,R} types (src:31-46).  A span whose stop lands exactly
+    on a window start matches here (its closed stop binds against the
+    window's closed start) but not under uniform '[)'.  Runs the binned
+    strategy so the per-side bin/empty-filter logic is oracle-gated at
+    scale, not just property-tested."""
+    es, w = _es_windows(spark, sf_dir, 6, "idx")
+    j = interval_join(
+        es, w, bounds=("[]", "[)"), validate="skip", strategy="binned"
+    )
+    return _flat_join(j, label="idx")
+
+
+# mixed ('[]', '[)') predicate: lower bound of the intersection is always
+# closed (both lower bounds are '['), the upper is closed only when the
+# LEFT supplies it (l.e < w_stop) -> overlap iff lo < hi, or lo == hi
+# binding with the left's closed stop
+_SQL_JOIN_MIXED_BOUNDS = f"""WITH {_ES_CTE},
+{_w_cte(6, "idx")}
+SELECT es.event_id, es.user_id, es.event_type, es.value,
+       es.s AS l_start, es.e AS l_stop, w.w_start, w.w_stop, w.idx,
+       CASE WHEN es.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE greatest(es.s, w.w_start) END AS i_start,
+       CASE WHEN es.s IS NULL OR w.w_start IS NULL THEN NULL
+            ELSE least(es.e, w.w_stop) END AS i_stop
+FROM es JOIN w
+  ON greatest(es.s, w.w_start) < least(es.e, w.w_stop)
+  OR (greatest(es.s, w.w_start) = least(es.e, w.w_stop) AND es.e < w.w_stop)"""
+
+
+def q_interval_join_float_binned(spark, sf_dir):
+    """The binned strategy over double-endpoint spans (IEEE float
+    binning, `_float_floor_div`): same query as q_interval_join_float,
+    same oracle — the two physical plans must hash-match."""
+    from .functions.spans import make_span_double
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    left = ev.select(
+        "event_id",
+        make_span_double(F.col("value"), F.col("value") + F.lit(0.03125)).alias(
+            "span"
+        ),
+    )
+    w = spark.range(8).select(
+        (F.col("id") + 1).alias("idx"),
+        make_span_double(
+            F.col("id") / F.lit(8.0), (F.col("id") + 1) / F.lit(8.0)
+        ).alias("span"),
+    )
+    j = interval_join(
+        left, w, validate="skip", strategy="binned", bin_width=0.125
+    )
+    return j.select(
+        "event_id",
+        F.col("span_left.start").alias("l_start"),
+        F.col("span_left.stop").alias("l_stop"),
+        F.col("span_right.start").alias("w_start"),
+        F.col("span_right.stop").alias("w_stop"),
+        "idx",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
 def q_groupby_interval_join_agg(spark, sf_dir):
     es, w = _es_windows(spark, sf_dir, 4, "quarter")
     g = groupby_interval_join(
@@ -1606,6 +1672,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_closed": (q_interval_join_closed, _SQL_JOIN_CLOSED),
     "q_interval_join_openclosed": (q_interval_join_openclosed, _SQL_JOIN_OPENCLOSED),
     "q_interval_join_float": (q_interval_join_float, _SQL_JOIN_FLOAT),
+    "q_interval_join_float_binned": (q_interval_join_float_binned, _SQL_JOIN_FLOAT),
+    "q_interval_join_mixed_bounds": (
+        q_interval_join_mixed_bounds,
+        _SQL_JOIN_MIXED_BOUNDS,
+    ),
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
     "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),

@@ -122,6 +122,68 @@ def test_bounds_property_both_strategies(spark, left, right, bounds):
         assert got == expected, f"strategy={strategy} bounds={bounds}"
 
 
+def brute_force_mixed(left, right, lb, rb):
+    """Independent oracle for per-side bounds: double the integer grid so
+    every open/closed endpoint becomes an inclusive integer bound
+    (closed lower a -> 2a, open lower -> 2a+1, closed upper b -> 2b,
+    open upper -> 2b-1); intersection is then plain max<=min.  Exact for
+    integer endpoints: any nonempty open intersection of integer-endpoint
+    intervals contains a half-integer."""
+
+    def lo_i(a, f):
+        return 2 * a if f[0] == "[" else 2 * a + 1
+
+    def hi_i(b, f):
+        return 2 * b if f[1] == "]" else 2 * b - 1
+
+    return {
+        (i, j)
+        for i, (ls, le) in enumerate(left)
+        for j, (rs, re) in enumerate(right)
+        if max(lo_i(ls, lb), lo_i(rs, rb)) <= min(hi_i(le, lb), hi_i(re, rb))
+    }
+
+
+ALL_BOUNDS = ["[)", "(]", "[]", "()"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=span_lists,
+    right=span_lists,
+    lb=st.sampled_from(ALL_BOUNDS),
+    rb=st.sampled_from(ALL_BOUNDS),
+)
+def test_mixed_bounds_property_both_strategies(spark, left, right, lb, rb):
+    """Per-side bounds pairs (all 16 flavor combinations, incl. the 4
+    uniform diagonals) against the doubling oracle, on both physical
+    strategies."""
+    from pyspark.sql import types as T
+
+    ldf = make_span_df(
+        spark,
+        [(s, e, i) for i, (s, e) in enumerate(left)],
+        extra=[("lid", T.LongType())],
+    )
+    rdf = make_span_df(
+        spark,
+        [(s, e, j) for j, (s, e) in enumerate(right)],
+        extra=[("rid", T.LongType())],
+    )
+    expected = brute_force_mixed(left, right, lb, rb)
+    for strategy in ("broadcast_right", "binned"):
+        j = interval_join(
+            ldf, rdf, bounds=(lb, rb), validate="skip",
+            strategy=strategy, bin_width=7_000,
+        )
+        got = {(r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()}
+        assert got == expected, f"strategy={strategy} bounds=({lb!r},{rb!r})"
+
+
 float_span_lists = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=60),
