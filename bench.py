@@ -151,6 +151,65 @@ def main() -> None:
         ).filter(F.col("user_id") == F.col("user_id_r")),
     )
 
+    # AQE skew-join stress: zipf-ish keyed join — HALF of all spans land
+    # on key 0, the rest spread over ~750 keys, so one shuffle partition
+    # carries ~33x the median.  Joined (key-equi + overlap residual)
+    # against 256 windows per key through the sort-merge path (broadcast
+    # disabled), the hot partition is a single straggler task unless AQE
+    # splits it.  Thresholds are scaled to sf0.1 partition sizes (the
+    # 256MB default never fires on test-scale data); at 100 TB the
+    # defaults fire on their own.  Recorded off-then-on so the split's
+    # effect is a measured number, not a doc claim.
+    skew_left = event_spans(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "event_id",
+        make_span(
+            F.col("span.start"),
+            F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
+        ).alias("span"),
+    )
+    rng = skew_left.agg(
+        F.min(F.col("span.start")).alias("lo"), F.max(F.col("span.stop")).alias("hi")
+    ).first()
+    width = (rng["hi"] - rng["lo"]) // 256 + 1
+    windows = (
+        skew_left.select("k")
+        .distinct()
+        .crossJoin(spark.range(256).select(F.col("id").alias("w")))
+        .select(
+            "k",
+            F.col("w").alias("window_id"),
+            make_span(
+                F.lit(rng["lo"]) + F.col("w") * F.lit(width),
+                F.lit(rng["lo"]) + (F.col("w") + 1) * F.lit(width),
+            ).alias("span"),
+        )
+    )
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled"
+    )
+    for k, v in skew_confs.items():
+        spark.conf.set(k, v)
+    for mode in ("off", "on"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(mode == "on").lower())
+        bench(
+            f"skew_join_aqe_{mode}",
+            lambda: interval_join_by(
+                skew_left, windows, by="k", validate="skip", strategy="hash"
+            ),
+        )
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade
     # away recall are visible (floors asserted in pytest)

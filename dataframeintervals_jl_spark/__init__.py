@@ -41,6 +41,7 @@ from .operators.dedup import (
     dedup_cluster_keep,
     exact_dedup,
     exact_dedup_keep,
+    jaccard_similarity_join,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -136,6 +137,7 @@ __all__ = [
     "exact_dedup_keep",
     "ivf_topk",
     "lsh_topk",
+    "jaccard_similarity_join",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

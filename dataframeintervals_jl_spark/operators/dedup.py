@@ -240,6 +240,93 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard set-similarity self-join: every (id_a <
+    id_b) pair with ``J >= threshold``, with NO approximation — the
+    deterministic counterpart of :func:`minhash_lsh_pairs` (which can
+    miss pairs).
+
+    Scale path is PREFIX FILTERING (Chaudhuri et al., SSJoin; Xiao et
+    al., PPJoin): order each document's shingle set by ascending global
+    frequency (rarest first, ties on the shingle itself — a total
+    order), keep only the first ``|S| - ceil(t*|S|) + 1`` shingles, and
+    equi-join on those prefix shingles.  Two sets with ``J >= t`` MUST
+    share a prefix shingle, so the block generation is lossless; the
+    frequency ordering keeps ubiquitous shingles out of prefixes, so
+    unrelated documents rarely collide.  A symmetric length filter
+    (``t*|A| <= |B| <= |A|/t``) prunes candidates before verification;
+    exact Jaccard then runs on candidates only
+    (:func:`ngram_jaccard_pairs`).
+
+    Shuffle profile: one shuffle on the shingle for the frequency
+    aggregate, one on the id for the per-document ordering, one on the
+    prefix shingle for the candidate join, then the verification's
+    candidate-sized joins — all equi-joins, no cross join anywhere.
+    Float guards: prefix length and length filter are biased by 1e-9
+    toward KEEPING candidates, so IEEE rounding can only add a
+    candidate (harmless — verification is exact), never drop a true
+    pair."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("jaccard_similarity_join: threshold must be in (0, 1]")
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_k))
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    sh.count()  # eager: read by the frequency agg AND the ordering join
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__dfi_f"))
+    ordered = (
+        sh.join(freq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__dfi_f", "sh"))).alias("__dfi_o"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(float(threshold)) - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        F.col(id_col),
+        "sz",
+        F.explode(F.slice("__dfi_o", F.lit(1), prefix_len)).alias("__dfi_p"),
+    ).select(id_col, "sz", F.col("__dfi_p.sh").alias("sh"))
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("__sz_a"), "sh"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("__sz_b"), "sh"
+    )
+    eps = F.lit(1e-9)
+    cand = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sz_a") >= F.col("__sz_b") * F.lit(float(threshold)) - eps)
+            & (F.col("__sz_b") >= F.col("__sz_a") * F.lit(float(threshold)) - eps)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df, cand, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

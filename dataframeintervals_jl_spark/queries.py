@@ -1085,6 +1085,37 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
 WHERE jaccard >= {threshold}"""
 
 
+def q_ngram_jaccard_join(spark, sf_dir):
+    """Exact set-similarity self-join (prefix filtering) — the oracle is
+    the NAIVE all-pairs Jaccard: prefix filtering is lossless, so the
+    outputs must be identical, no candidate-generation replay needed."""
+    from .operators.dedup import jaccard_similarity_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_similarity_join(docs, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _sql_ngram_jaccard(k: int = 3, threshold: float = 0.3) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < {k} THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - {k} + 2),
+                           i -> array_to_string(tl[i:i+{k - 1}], ' ')) END AS sl
+  FROM toks
+), shd AS MATERIALIZED (
+  SELECT doc_id, list_distinct(sl) AS s FROM sh
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+  FROM shd x JOIN shd y ON x.doc_id < y.doc_id)
+WHERE jaccard >= {threshold}"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_hamming=8, blocks=4, portable=True)
@@ -1705,6 +1736,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),
     "q_multimodal_frames": (q_multimodal_frames, _SQL_MM_FRAMES),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_pairs()),
+    "q_ngram_jaccard_join": (q_ngram_jaccard_join, _sql_ngram_jaccard()),
     "q_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),

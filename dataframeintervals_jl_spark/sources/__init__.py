@@ -10,6 +10,7 @@ interval tables.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +104,9 @@ def _is_bare_scan(df: DataFrame) -> bool:
     return not any(b in plan for b in banned)
 
 
+_warned_derived_passthrough = False
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     """Round-robin repartition IF the input has fewer partitions than the
     cluster has cores (default target).
@@ -122,8 +126,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     partition-count peek would run the pipeline once for the count and
     again for the query.  Derived plans pass through untouched (their
     partitioning already comes from a shuffle sized by
-    ``spark.sql.shuffle.partitions``)."""
+    ``spark.sql.shuffle.partitions``) — with a once-per-process warning,
+    since a CPU-heavy caller handing in a narrow derived input silently
+    loses the parallelism floor it asked for."""
     if not _is_bare_scan(df):
+        global _warned_derived_passthrough
+        if not _warned_derived_passthrough:
+            _warned_derived_passthrough = True
+            warnings.warn(
+                "ensure_parallelism: input is a derived plan "
+                "(join/agg/shuffle upstream), so its partition count "
+                "cannot be inspected without executing it; passing "
+                "through unchanged. If the downstream operator is "
+                "CPU-bound and the input is narrow, repartition() it "
+                "explicitly before calling.",
+                stacklevel=2,
+            )
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -103,8 +103,11 @@ def stream_interval_join(
     ``|__ts_l - __ts_r| <= max_span_ns`` — any overlapping pair's span
     starts are provably within ``max_span_ns`` of each other, so Spark
     can expire rows once the other side's watermark moves past them.
-    Without it the join is still correct, but on true stream-stream
-    inputs state is unbounded (fine for batch/availableNow runs).
+    When BOTH inputs are streaming, ``max_span_ns`` is therefore
+    REQUIRED (a ``ValueError`` otherwise): an unbounded-state production
+    join is a deferred OOM, not a working operator.  Batch/availableNow
+    and mixed stream-batch inputs may omit it — their state is bounded
+    by the batch side.
 
     ``bin_width_ns`` trades bin fan-out (long spans touch
     ``len/W`` bins) against per-bin pair volume — same cost model as the
@@ -117,6 +120,13 @@ def stream_interval_join(
     """
     if bin_width_ns < NS_PER_US:
         raise ValueError("bin_width_ns must be at least one microsecond")
+    if left.isStreaming and right.isStreaming and max_span_ns is None:
+        raise ValueError(
+            "stream_interval_join: both inputs are streaming; pass "
+            "max_span_ns (an upper bound on span duration) so the join "
+            "state is evictable — without the derived time-range "
+            "constraint Spark keeps every row ever seen"
+        )
     w_us = bin_width_ns // NS_PER_US
     ron_l, ron_r = renameon
     lon, ron = f"{on}{ron_l}", f"{on}{ron_r}"

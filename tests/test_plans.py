@@ -272,3 +272,27 @@ def test_data_quantile_windows_pass_plan(spark):
     assert win.count() == 4
     # pass-shape proxy: the pruned source projects only v
     assert_reads_only(ev, {"ts"})
+
+
+def test_ensure_parallelism_derived_input_warns_no_jobs(spark):
+    """A derived (non-bare-scan) input cannot have its partition count
+    inspected without executing upstream stages: the call must pass the
+    plan through IDENTICALLY (same JVM DataFrame — zero jobs run) and
+    warn once per process so the caller knows the floor is unenforced."""
+    import warnings
+
+    import dataframeintervals_jl_spark.sources as src
+
+    ev = read_table(spark, SF_DIR, "events")
+    derived = ev.groupBy("user_id").count()
+    src._warned_derived_passthrough = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = src.ensure_parallelism(derived)
+    assert out is derived  # untouched object => no extra jobs ran
+    assert any("derived plan" in str(w.message) for w in rec)
+    # second call: silent (once-per-process)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        src.ensure_parallelism(derived)
+    assert not any("derived plan" in str(w.message) for w in rec2)

@@ -43,7 +43,9 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
 
     ls = _roundtrip_stream(spark, left, str(tmp_path / "l"))
     rs = _roundtrip_stream(spark, right, str(tmp_path / "r"))
-    out = stream_interval_join(ls, rs, watermark="1 second")
+    out = stream_interval_join(
+        ls, rs, watermark="1 second", max_span_ns=90_000 * US
+    )
     assert out.isStreaming
     q = (
         out.writeStream.format("memory")
@@ -154,7 +156,9 @@ def test_stream_interval_join_sub_us_alignment(spark, tmp_path):
 
     ls = _roundtrip_stream(spark, left, str(tmp_path / "l2"))
     rs = _roundtrip_stream(spark, right, str(tmp_path / "r2"))
-    out = stream_interval_join(ls, rs, bin_width_ns=1_000, watermark="1 second")
+    out = stream_interval_join(
+        ls, rs, bin_width_ns=1_000, watermark="1 second", max_span_ns=1_000_000
+    )
     q = (
         out.writeStream.format("memory")
         .queryName("sij_ns")
@@ -184,6 +188,25 @@ def test_stream_interval_join_max_span_bound(spark, tmp_path):
     too_small = stream_interval_join(left, right, max_span_ns=10_000 * US)
     with pytest.raises(Exception, match="max_span_ns"):
         too_small.collect()
+
+
+def test_stream_stream_requires_max_span(spark, tmp_path):
+    """Both inputs streaming + no max_span_ns = unbounded join state —
+    construction must fail fast, not defer the OOM to production."""
+    left = _spans(spark, 5, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 5, width=50_000, step=100_000, name="rid")
+    ls = _roundtrip_stream(spark, left, str(tmp_path / "gl"))
+    rs = _roundtrip_stream(spark, right, str(tmp_path / "gr"))
+    with pytest.raises(ValueError, match="max_span_ns"):
+        stream_interval_join(ls, rs)
+    # mixed stream-batch stays allowed (state bounded by the batch side)
+    assert stream_interval_join(ls, right).isStreaming
+    # with the bound, the analyzed stream-stream plan carries the derived
+    # time-range constraint between the two watermarked event-time
+    # columns — the condition Spark's state eviction needs
+    out = stream_interval_join(ls, rs, max_span_ns=90_000 * US)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__ts_l" in plan and "__ts_r" in plan
 
 
 def test_stream_merge_spans_matches_batch(spark, tmp_path):

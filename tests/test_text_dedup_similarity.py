@@ -396,3 +396,69 @@ def test_deterministic_sample_alignment(spark):
     assert k3 != k1
     assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
     assert deterministic_sample(docs, "doc_id", 1.0).count() == 400
+
+
+def test_jaccard_similarity_join_matches_bruteforce(spark):
+    """Prefix filtering is lossless: the exact similarity join must
+    equal brute-force all-pairs Jaccard at every threshold, including
+    pairs sitting exactly ON the threshold."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",  # near-dup of 0
+        "a completely different document about spark and parquet files",
+        "a completely different document about spark and parquet tables",  # near-dup of 2
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 0
+        "short one",
+        "x",  # sub-shingle-length doc
+        "spark files parquet about document different completely a",  # same words as 2, other order
+    ]
+    docs = _docs(spark, texts)
+
+    def shingle_set(t, k=3):
+        toks = t.split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    for t in (0.3, 0.5, 1.0):
+        expected = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                a, b = shingle_set(texts[i]), shingle_set(texts[j])
+                jac = len(a & b) / len(a | b)
+                if jac >= t:
+                    expected.add((i, j, round(jac, 9)))
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_similarity_join(docs, threshold=t).collect()
+        }
+        assert got == expected, f"threshold {t}"
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(docs, threshold=0.0)
+
+
+def test_jaccard_similarity_join_superset_of_lsh(spark):
+    """On the documents table, the exact join at the LSH pipeline's
+    threshold must contain every LSH-found pair (LSH can only miss)."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similarity_join(docs, threshold=0.3).collect()
+    }
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, cand, threshold=0.3).collect()
+    }
+    assert lsh <= exact
