@@ -49,10 +49,14 @@ def main() -> None:
     from dataframeintervals_jl_spark.sources import TABLES, read_table as _rt
 
     for t in TABLES:
-        _rt(spark, sf_dir, t).limit(1).count()
+        try:
+            _rt(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass  # missing/drifted table surfaces per-query below
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
 
     def bench(name, build):
         # best of 2 (3 when the two samples disagree >2x): the host
@@ -62,6 +66,12 @@ def main() -> None:
         # noise, and the extra sample keeps one stolen run from
         # polluting even the min.  Per-query [min, max] spread is
         # recorded so noise is distinguishable from regression.
+        #
+        # FAULT-ISOLATED: one query raising must not lose the other 48
+        # timings — round 3's record was wiped (rc 1, no JSON) because
+        # the first query hit a testdata schema drift and the exception
+        # escaped the whole harness.  Failures land in "errors" and the
+        # run continues.
         samples = []
 
         def one():
@@ -73,10 +83,18 @@ def main() -> None:
             # pressure from query N doesn't tax query N+1's timing
             spark.catalog.clearCache()
 
-        one()
-        one()
-        if max(samples) > 2 * min(samples):
+        try:
             one()
+            one()
+            if max(samples) > 2 * min(samples):
+                one()
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            return
         timings[name] = round(min(samples), 3)
         spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
 
@@ -95,30 +113,39 @@ def main() -> None:
     from dataframeintervals_jl_spark.sources import read_table
 
     minute = 60_000_000_000
-    es = event_spans(spark, sf_dir).select(
-        "event_id",
-        make_span(
-            F.col("span.start"),
-            F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
-        ).alias("span"),
-    )
-    probes = read_table(spark, sf_dir, "events").select(
-        F.col("event_id").alias("probe_id"),
-        make_span(F.col("ts") - 500_000_000, F.col("ts") + 500_000_000).alias(
-            "span"
-        ),
-    )
+
+    def _selective_es():
+        return event_spans(spark, sf_dir).select(
+            "event_id",
+            make_span(
+                F.col("span.start"),
+                F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
+            ).alias("span"),
+        )
+
+    def _selective_probes():
+        return read_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("probe_id"),
+            make_span(
+                F.col("ts") - 500_000_000, F.col("ts") + 500_000_000
+            ).alias("span"),
+        )
+
     bench(
         "selective_binned",
         lambda: interval_join(
-            es, probes, validate="skip", strategy="binned", renamecols=("", "_p")
+            _selective_es(),
+            _selective_probes(),
+            validate="skip",
+            strategy="binned",
+            renamecols=("", "_p"),
         ),
     )
     bench(
         "selective_bnl_2pct",
         lambda: interval_join(
-            es.sample(0.02, seed=7),
-            probes,
+            _selective_es().sample(0.02, seed=7),
+            _selective_probes(),
             validate="skip",
             strategy="broadcast_right",
             renamecols=("", "_p"),
@@ -133,19 +160,25 @@ def main() -> None:
     # that survives 100 TB.
     from dataframeintervals_jl_spark import interval_join_by
 
-    esk = event_spans(spark, sf_dir).select("user_id", "event_id", "span")
-    esk2 = esk.select("user_id", F.col("event_id").alias("event_id_r"), "span")
+    def _esk():
+        return event_spans(spark, sf_dir).select("user_id", "event_id", "span")
+
+    def _esk2():
+        return _esk().select(
+            "user_id", F.col("event_id").alias("event_id_r"), "span"
+        )
+
     bench(
         "keyed_selfjoin_by",
         lambda: interval_join_by(
-            esk, esk2, by="user_id", validate="skip", strategy="hash"
+            _esk(), _esk2(), by="user_id", validate="skip", strategy="hash"
         ),
     )
     bench(
         "keyed_selfjoin_via_binned",
         lambda: interval_join(
-            esk,
-            esk2.withColumnRenamed("user_id", "user_id_r"),
+            _esk(),
+            _esk2().withColumnRenamed("user_id", "user_id_r"),
             validate="skip",
             strategy="binned",
         ).filter(F.col("user_id") == F.col("user_id_r")),
@@ -160,55 +193,61 @@ def main() -> None:
     # 256MB default never fires on test-scale data); at 100 TB the
     # defaults fire on their own.  Recorded off-then-on so the split's
     # effect is a measured number, not a doc claim.
-    skew_left = event_spans(spark, sf_dir).select(
-        F.when(F.col("user_id") % 2 == 0, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .cast("long")
-        .alias("k"),
-        "event_id",
-        make_span(
-            F.col("span.start"),
-            F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
-        ).alias("span"),
-    )
-    rng = skew_left.agg(
-        F.min(F.col("span.start")).alias("lo"), F.max(F.col("span.stop")).alias("hi")
-    ).first()
-    width = (rng["hi"] - rng["lo"]) // 256 + 1
-    windows = (
-        skew_left.select("k")
-        .distinct()
-        .crossJoin(spark.range(256).select(F.col("id").alias("w")))
-        .select(
-            "k",
-            F.col("w").alias("window_id"),
+    try:
+        skew_left = event_spans(spark, sf_dir).select(
+            F.when(F.col("user_id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("k"),
+            "event_id",
             make_span(
-                F.lit(rng["lo"]) + F.col("w") * F.lit(width),
-                F.lit(rng["lo"]) + (F.col("w") + 1) * F.lit(width),
+                F.col("span.start"),
+                F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
             ).alias("span"),
         )
-    )
-    skew_confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
-    }
-    saved = {k: spark.conf.get(k) for k in skew_confs}
-    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
-        "spark.sql.adaptive.skewJoin.enabled"
-    )
-    for k, v in skew_confs.items():
-        spark.conf.set(k, v)
-    for mode in ("off", "on"):
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(mode == "on").lower())
-        bench(
-            f"skew_join_aqe_{mode}",
-            lambda: interval_join_by(
-                skew_left, windows, by="k", validate="skip", strategy="hash"
-            ),
+        rng = skew_left.agg(
+            F.min(F.col("span.start")).alias("lo"),
+            F.max(F.col("span.stop")).alias("hi"),
+        ).first()
+        width = (rng["hi"] - rng["lo"]) // 256 + 1
+        windows = (
+            skew_left.select("k")
+            .distinct()
+            .crossJoin(spark.range(256).select(F.col("id").alias("w")))
+            .select(
+                "k",
+                F.col("w").alias("window_id"),
+                make_span(
+                    F.lit(rng["lo"]) + F.col("w") * F.lit(width),
+                    F.lit(rng["lo"]) + (F.col("w") + 1) * F.lit(width),
+                ).alias("span"),
+            )
         )
-    for k, v in saved.items():
-        spark.conf.set(k, v)
+        skew_confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        }
+        saved = {k: spark.conf.get(k) for k in skew_confs}
+        saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        )
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        for mode in ("off", "on"):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", str(mode == "on").lower()
+            )
+            bench(
+                f"skew_join_aqe_{mode}",
+                lambda: interval_join_by(
+                    skew_left, windows, by="k", validate="skip", strategy="hash"
+                ),
+            )
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    except Exception as exc:  # noqa: BLE001
+        errors["skew_join_setup"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade
@@ -219,13 +258,17 @@ def main() -> None:
         q_similarity_topk,
     )
 
-    exact = {
-        (r["q_id"], r["n_id"]) for r in q_similarity_topk(spark, sf_dir).collect()
-    }
     recall = {}
-    for nm, qf in (("lsh", q_similarity_lsh), ("ivf", q_similarity_ivf)):
-        approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
-        recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
+    try:
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in q_similarity_topk(spark, sf_dir).collect()
+        }
+        for nm, qf in (("lsh", q_similarity_lsh), ("ivf", q_similarity_ivf)):
+            approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
+            recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
     spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -259,6 +302,7 @@ def main() -> None:
                 ),
                 "spread": spreads,
                 "recall": recall,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -63,7 +63,13 @@ from .operators.quantile_windows import (
     exact_quantile_longs,
     quantile_windows,
 )
-from .operators.sampling import deterministic_sample, hash_split
+from .operators.packing import pack_sequences, pack_stats
+from .operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+    topk_per_group,
+)
 from .operators.tfidf import tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
@@ -98,6 +104,10 @@ __all__ = [
     "tf_idf_top_terms",
     "deterministic_sample",
     "hash_split",
+    "stratified_sample",
+    "topk_per_group",
+    "pack_sequences",
+    "pack_stats",
     "overlap_profile",
     "span_complement",
     "span_coverage",

@@ -1,0 +1,143 @@
+"""Sequence packing: assign documents to fixed-token-budget chunks.
+
+The standard LLM training-prep step after filtering/dedup: documents
+are concatenated in a deterministic order and the token stream is cut
+into fixed-size context windows ("concat-and-chunk").  Each document
+is assigned to the chunk where its FIRST token lands — the contract is
+a pure function of (order, token counts, budget), so any engine
+replays it exactly (the DuckDB oracle is a window cumsum).
+
+Scale design: the global exclusive running sum is the whole problem —
+``Window.orderBy`` without a partition key collapses to ONE task.  We
+never do that: the keyed form windows per key (one shuffle on the
+keys), and the global form range-buckets the order column, windows per
+bucket, and corrects each bucket by the prefix sum of per-bucket token
+totals — an O(buckets) driver summary broadcast back, the same
+structure as the global operators in ``operators/coalesce.py``.  At
+100 TB the bucket summary stays tiny (4×parallelism rows) while every
+heavy stage remains fully parallel.
+
+This extends the engine beyond the reference surface (the reference,
+/root/reference/src/DataFrameIntervals.jl, is interval-join only);
+packing is part of the large-scale training-pipeline layer
+(SURVEY.md §7.1 item 8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_B = "__pack_bucket"
+
+
+def _by_cols(by) -> list:
+    if by is None:
+        return []
+    return [by] if isinstance(by, str) else list(by)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    by: Union[str, Sequence[str], None] = None,
+    chunk_col: str = "chunk_id",
+    offset_col: str = "chunk_offset",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents ordered by ``order_col``
+    (per ``by`` key when given) are laid out on one token stream; a row
+    whose exclusive running token sum is ``s`` gets
+    ``chunk_id = s DIV budget`` and ``chunk_offset = s MOD budget``.
+
+    Documents longer than ``budget`` are allowed (they span chunks —
+    chunk assignment is by first token, faithful to how GPT-style
+    pipelines cut the concatenated stream).  ``order_col`` must be
+    unique per key or the layout is nondeterministic.
+
+    Returns ``df`` + ``chunk_col`` + ``offset_col``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    by_cols = _by_cols(by)
+    tok = F.col(tokens_col).cast("long")
+
+    if by_cols:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # inclusive cumsum minus own tokens = exclusive running sum
+        start = (F.sum(tok).over(w) - tok).alias("__tok_start")
+        out = df.select("*", start)
+    else:
+        out = _global_exclusive_cumsum(df, tok, order_col)
+
+    return (
+        out.withColumn(chunk_col, F.expr(f"__tok_start DIV {int(budget)}"))
+        .withColumn(offset_col, F.pmod(F.col("__tok_start"), F.lit(int(budget))))
+        .drop("__tok_start")
+    )
+
+
+def _global_exclusive_cumsum(
+    df: DataFrame, tok, order_col: str
+) -> DataFrame:
+    """Keyless exclusive running sum of ``tok`` in ``order_col`` order
+    without a single-partition exchange: range-bucket the order column,
+    cumsum per bucket, add the prefix sum of per-bucket totals
+    (O(buckets) driver-collected, broadcast back)."""
+    spark = df.sparkSession
+    oc = F.col(order_col).cast("long")
+    bounds = df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.select("*", F.lit(0).cast("long").alias("__tok_start")).limit(0)
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(hi) - int(lo)) // nb + 1, 1)
+    u = df.withColumn(_B, F.expr(f"CAST(({order_col} - {lo}) DIV {width} AS LONG)"))
+
+    summ = u.groupBy(_B).agg(F.sum(tok).alias("tsum")).collect()
+    off_rows, acc = [], 0
+    for r in sorted(summ, key=lambda r: r[_B]):
+        off_rows.append((r[_B], acc))
+        acc += int(r["tsum"] or 0)
+    offs = spark.createDataFrame(off_rows, f"{_B} long, __off long")
+
+    w = (
+        Window.partitionBy(_B)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.join(F.broadcast(offs), _B)
+        .select(
+            *[c for c in df.columns],
+            (F.sum(tok).over(w) - tok + F.col("__off")).alias("__tok_start"),
+        )
+    )
+
+
+def pack_stats(
+    packed: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    by: Union[str, Sequence[str], None] = None,
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Per-chunk fill statistics for a :func:`pack_sequences` output:
+    documents per chunk, tokens STARTING in the chunk, and the fill
+    ratio against ``budget`` (>1 when a long document spills into the
+    next chunk).  One partial-aggregated shuffle on (keys, chunk)."""
+    by_cols = _by_cols(by)
+    return packed.groupBy(*by_cols, chunk_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+        (F.sum(F.col(tokens_col).cast("long")) / F.lit(float(budget))).alias(
+            "fill_ratio"
+        ),
+    )

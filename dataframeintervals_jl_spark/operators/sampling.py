@@ -11,9 +11,9 @@ filter: no shuffle, fully pushdown-friendly, trivially resumable.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60
@@ -75,3 +75,61 @@ def hash_split(
     for bound, label in zip(reversed(bounds), reversed(labels[:-1])):
         expr = F.when(b < F.lit(bound), F.lit(label)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff
+    ``hash(salt|key) mod 1e6 < rates[stratum] * 1e6``.  The standard
+    data-mixture rebalancing step (e.g. downsample the dominant
+    language, keep 100% of the rare ones); strata absent from ``rates``
+    use ``default_rate``.
+
+    Like every operator here the decision is a pure row-local
+    expression keyed on content — no shuffle, pushdown-friendly, and
+    the same row survives on any cluster or engine.  The per-stratum
+    threshold is a CASE expression (strata counts are small); at 100 TB
+    nothing is collected or broadcast.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh = F.lit(int(round(default_rate * BUCKETS)))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(round(r * BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(_bucket(F.col(key_col), salt) < thresh)
+
+
+def topk_per_group(
+    df: DataFrame,
+    by: Union[str, Sequence[str]],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows per group under a deterministic ordering
+    (``order_by`` must be a total order — include a unique tiebreaker).
+
+    Plans as one shuffle on the group keys + a per-partition rank with
+    the ``rank <= k`` filter evaluated inside the window stage (Spark's
+    ``WindowGroupLimit`` pushes the limit below the sort at scale), so
+    no group ever materializes more than its top slice downstream.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -1687,6 +1687,215 @@ WHERE w_stop IS NOT NULL
 GROUP BY idx, w_start, w_stop"""
 
 
+def q_span_gaps(spark, sf_dir):
+    """Uncovered gaps between a user's coalesced coverage islands —
+    the dual of q_merge_spans (same single shuffle; islands then a
+    per-key lead)."""
+    from .operators.coalesce import span_gaps
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts")
+    )
+    spans = ev.select(
+        "user_id", make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span")
+    )
+    g = span_gaps(spans, by="user_id")
+    return g.select(
+        "user_id",
+        F.col("span.start").alias("g_start"),
+        F.col("span.stop").alias("g_stop"),
+    )
+
+
+_SQL_SPAN_GAPS = f"""WITH {_SQL_MERGE_CTE},
+nx AS (
+  SELECT user_id, s_start, s_stop,
+         lead(s_start) OVER (PARTITION BY user_id ORDER BY s_start) AS nxt
+  FROM isl)
+SELECT user_id, s_stop AS g_start, nxt AS g_stop
+FROM nx WHERE nxt IS NOT NULL AND nxt > s_stop"""
+
+
+def q_span_complement(spark, sf_dir):
+    """Per-user complement of coverage within the global observed range
+    [min start, max stop) — head + gaps + tail pieces.  The bounds agg
+    is one tiny partial-aggregated action; the complement itself is the
+    merge_spans shuffle + a per-key lead."""
+    from .operators.coalesce import span_complement
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts")
+    )
+    spans = ev.select(
+        "user_id", make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span")
+    )
+    b = spans.agg(
+        F.min(F.col("span.start")).alias("lo"), F.max(F.col("span.stop")).alias("hi")
+    ).first()
+    comp = span_complement(spans, int(b["lo"]), int(b["hi"]), by="user_id")
+    return comp.select(
+        "user_id",
+        F.col("span.start").alias("c_start"),
+        F.col("span.stop").alias("c_stop"),
+    )
+
+
+_SQL_SPAN_COMPLEMENT = f"""WITH {_SQL_MERGE_CTE},
+b AS (SELECT min(s_start) AS lo, max(s_stop) AS hi FROM isl),
+nx AS (
+  SELECT user_id, s_start, s_stop,
+         lead(s_start) OVER (PARTITION BY user_id ORDER BY s_start) AS nxt
+  FROM isl),
+head AS (
+  SELECT user_id, (SELECT lo FROM b) AS cs, min(s_start) AS ce
+  FROM isl GROUP BY user_id),
+mt AS (
+  SELECT user_id, s_stop AS cs, coalesce(nxt, (SELECT hi FROM b)) AS ce
+  FROM nx),
+allc AS (SELECT * FROM head UNION ALL SELECT * FROM mt)
+SELECT user_id, cs AS c_start, ce AS c_stop FROM allc WHERE cs < ce"""
+
+
+def q_stream_tumbling_agg(spark, sf_dir):
+    """Tumbling 1-hour windows + per-event-type aggregation through the
+    STREAMING operator in batch mode — F.window() epoch-aligned windows
+    must reproduce the arithmetic floor-to-hour bucketing exactly.
+    Value sums are fixed-point bigints (round(value*1e6)) so the result
+    is invariant to partial-aggregation order on both engines."""
+    from .streaming import stream_tumbling_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    out = stream_tumbling_agg(
+        ev,
+        _HOUR_NS,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_fx").alias("sum_value_fx"),
+        ],
+        ts_col="ts",
+        by="event_type",
+    )
+    return out.select(
+        "event_type",
+        F.col("span.start").alias("w_start"),
+        F.col("span.stop").alias("w_stop"),
+        "n_events",
+        "sum_value_fx",
+    )
+
+
+_SQL_STREAM_TUMBLING = f"""WITH ev AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events)
+SELECT event_type,
+       t - t % {_HOUR_NS} AS w_start,
+       t - t % {_HOUR_NS} + {_HOUR_NS} AS w_stop,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_fx) AS BIGINT) AS sum_value_fx
+FROM ev GROUP BY event_type, w_start, w_stop"""
+
+
+_PACK_BUDGET = 1024
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing of the whole corpus (GLOBAL
+    order by doc_id, 1024-token budget): each document is assigned to
+    the context-window chunk where its first token lands.  Exercises
+    the keyless exclusive running sum — range-bucketed two-pass, no
+    single-partition window (see operators/packing.py)."""
+    from .operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, budget=_PACK_BUDGET, tokens_col="n_tokens", order_col="doc_id"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+    )
+
+
+_SQL_PACK_SEQUENCES = rf"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(s // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+       CAST(s % {_PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM c"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (data-mixture
+    rebalancing): en kept at 30%, fr at 70%, everything else at 100% —
+    membership is a pure hash filter, reproducible on any engine or
+    partitioning."""
+    from .operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        strata_col="lang",
+        rates={"en": 0.3, "fr": 0.7},
+        key_col="doc_id",
+        default_rate=1.0,
+    )
+    return out.select("doc_id", "lang")
+
+
+_SQL_STRATIFIED = """WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('stratified|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1000000 AS bkt
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bkt < CASE lang WHEN 'en' THEN 300000
+                      WHEN 'fr' THEN 700000
+                      ELSE 1000000 END"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 longest documents per language — the per-group limit
+    staple (one shuffle on the group key; Spark's WindowGroupLimit
+    keeps only each partition's top slice ahead of the final rank)."""
+    from .operators.sampling import topk_per_group
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", char_count(F.col("text")).cast("long").alias("n_chars")
+    )
+    out = topk_per_group(
+        docs, "lang", [F.col("n_chars").desc(), F.col("doc_id")], k=3
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_SQL_TOPK_PER_GROUP = """WITH t AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+  FROM t)
+SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 3"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1744,4 +1953,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),
     "q_dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "q_span_gaps": (q_span_gaps, _SQL_SPAN_GAPS),
+    "q_span_complement": (q_span_complement, _SQL_SPAN_COMPLEMENT),
+    "q_stream_tumbling_agg": (q_stream_tumbling_agg, _SQL_STREAM_TUMBLING),
+    "q_pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "q_stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
+    "q_topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
 }

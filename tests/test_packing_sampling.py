@@ -1,0 +1,142 @@
+"""pack_sequences / stratified_sample / topk_per_group — semantics,
+determinism, and the no-single-partition scale contract for the global
+packing path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.packing import pack_sequences, pack_stats
+from dataframeintervals_jl_spark.operators.sampling import (
+    stratified_sample,
+    topk_per_group,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, ["en", "fr", "de"][i % 3], 10 + (i * 7) % 50) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def _expected_layout(rows, budget):
+    """Reference packing: exclusive cumsum over doc_id order."""
+    out, s = {}, 0
+    for doc_id, _, n in sorted(rows, key=lambda r: r[0]):
+        out[doc_id] = (s // budget, s % budget)
+        s += n
+    return out
+
+
+def test_pack_sequences_global_matches_reference(spark, docs):
+    rows = [(r.doc_id, r.lang, r.n_tokens) for r in docs.collect()]
+    exp = _expected_layout(rows, 100)
+    got = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_sequences(docs, budget=100).collect()
+    }
+    assert got == exp
+
+
+def test_pack_sequences_keyed_matches_per_key_reference(spark, docs):
+    rows = [(r.doc_id, r.lang, r.n_tokens) for r in docs.collect()]
+    exp = {}
+    for lang in ("en", "fr", "de"):
+        exp.update(
+            _expected_layout([r for r in rows if r[1] == lang], 100)
+        )
+    got = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_sequences(docs, budget=100, by="lang").collect()
+    }
+    assert got == exp
+
+
+def test_pack_sequences_oversized_doc_spans_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 300), (3, 10)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_sequences(df, budget=100).collect()
+    }
+    # doc 2 starts in chunk 0 at offset 50 and spills; doc 3 starts at
+    # token 350 -> chunk 3
+    assert got == {1: (0, 0), 2: (0, 50), 3: (3, 50)}
+
+
+def test_pack_sequences_global_no_single_partition(spark, docs):
+    from dataframeintervals_jl_spark.plans import physical_plan
+
+    plan = physical_plan(pack_sequences(docs, budget=100))
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_rejects_bad_budget(spark, docs):
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
+
+
+def test_pack_stats_fill(spark):
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 30)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, budget=100)
+    stats = {
+        r["chunk_id"]: (r["n_docs"], r["n_tokens"])
+        for r in pack_stats(packed, budget=100).collect()
+    }
+    # doc1 at 0, doc2 at 60 (chunk 0), doc3 at 120 (chunk 1)
+    assert stats == {0: (2, 120), 1: (1, 30)}
+
+
+def test_stratified_sample_deterministic_and_subset(spark, docs):
+    kept1 = stratified_sample(
+        docs, "lang", {"en": 0.4}, "doc_id", default_rate=1.0
+    )
+    kept2 = stratified_sample(
+        docs, "lang", {"en": 0.4}, "doc_id", default_rate=1.0
+    )
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    assert ids1 == ids2  # content-hash membership, not partition-seeded
+    # non-en strata pass through whole
+    non_en = {r["doc_id"] for r in docs.filter("lang != 'en'").collect()}
+    assert non_en <= ids1
+    # a lower rate keeps a subset of a higher rate (same salt+key)
+    fewer = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", {"en": 0.1}, "doc_id", default_rate=1.0
+        ).collect()
+    }
+    assert fewer <= ids1
+
+
+def test_stratified_sample_rejects_bad_rate(spark, docs):
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_topk_per_group(spark, docs):
+    out = topk_per_group(
+        docs, "lang", [F.col("n_tokens").desc(), F.col("doc_id")], k=2
+    ).collect()
+    assert len(out) == 6  # 3 langs x 2
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    all_rows = docs.collect()
+    for lang, rows in by_lang.items():
+        ranked = sorted(rows, key=lambda r: r["rank"])
+        expect = sorted(
+            [r for r in all_rows if r["lang"] == lang],
+            key=lambda r: (-r["n_tokens"], r["doc_id"]),
+        )[:2]
+        assert [r["doc_id"] for r in ranked] == [r["doc_id"] for r in expect]
+
+
+def test_topk_per_group_rejects_bad_k(spark, docs):
+    with pytest.raises(ValueError, match="k must be"):
+        topk_per_group(docs, "lang", [F.col("n_tokens")], k=0)
