@@ -302,21 +302,53 @@ def jaccard_similarity_join(
     prefix = ordered.select(
         F.col(id_col),
         "sz",
-        F.explode(F.slice("__dfi_o", F.lit(1), prefix_len)).alias("__dfi_p"),
-    ).select(id_col, "sz", F.col("__dfi_p.sh").alias("sh"))
+        F.posexplode(F.slice("__dfi_o", F.lit(1), prefix_len)).alias(
+            "__dfi_pos", "__dfi_p"
+        ),
+    ).select(
+        id_col,
+        "sz",
+        # 1-based position of the shingle in the doc's global order —
+        # feeds the PPJoin positional filter below
+        (F.col("__dfi_pos") + 1).alias("__dfi_pos"),
+        F.col("__dfi_p.sh").alias("sh"),
+    )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("sz").alias("__sz_a"), "sh"
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("__sz_a"),
+        F.col("__dfi_pos").alias("__pos_a"),
+        "sh",
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("sz").alias("__sz_b"), "sh"
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("__sz_b"),
+        F.col("__dfi_pos").alias("__pos_b"),
+        "sh",
     )
     eps = F.lit(1e-9)
+    # PPJoin positional filter (Xiao et al., WWW'08): J >= t  <=>
+    # overlap >= t/(1+t) * (|A|+|B|).  A prefix match at positions
+    # (pa, pb) bounds the achievable overlap by
+    # 1 + min(|A|-pa, |B|-pb) (everything after the matched element,
+    # plus the match itself); pairs whose bound cannot reach the
+    # overlap threshold are pruned before the distinct/verify stages.
+    # The bound is biased by eps toward KEEPING candidates, so IEEE
+    # rounding can only add a candidate, never drop a true pair.
+    o_req = (
+        (F.col("__sz_a") + F.col("__sz_b")).cast("double")
+        * F.lit(float(threshold) / (1.0 + float(threshold)))
+        - eps
+    )
+    o_bound = 1 + F.least(
+        F.col("__sz_a") - F.col("__pos_a"), F.col("__sz_b") - F.col("__pos_b")
+    )
     cand = (
         a.join(b, "sh")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("__sz_a") >= F.col("__sz_b") * F.lit(float(threshold)) - eps)
             & (F.col("__sz_b") >= F.col("__sz_a") * F.lit(float(threshold)) - eps)
+            & (o_bound.cast("double") >= o_req)
         )
         .select("id_a", "id_b")
         .distinct()
