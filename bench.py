@@ -194,16 +194,28 @@ def main() -> None:
     # defaults fire on their own.  Recorded off-then-on so the split's
     # effect is a measured number, not a doc claim.
     try:
-        skew_left = event_spans(spark, sf_dir).select(
-            F.when(F.col("user_id") % 2 == 0, F.lit(0))
-            .otherwise(F.col("user_id"))
-            .cast("long")
-            .alias("k"),
-            "event_id",
-            make_span(
-                F.col("span.start"),
-                F.least(F.col("span.stop"), F.col("span.start") + F.lit(minute)),
-            ).alias("span"),
+        # x8 replication (jittered starts so replicas aren't identical):
+        # at sf0.1 the raw hot partition is <1s of work and task overhead
+        # dominates, which INVERTS the off/on comparison; the replicated
+        # hot key carries ~400k spans (~20MB shuffled), making the
+        # straggler real while the median partition stays small.
+        skew_left = (
+            event_spans(spark, sf_dir)
+            .crossJoin(spark.range(8).select(F.col("id").alias("__rep")))
+            .select(
+                F.when(F.col("user_id") % 2 == 0, F.lit(0))
+                .otherwise(F.col("user_id"))
+                .cast("long")
+                .alias("k"),
+                (F.col("event_id") * 8 + F.col("__rep")).alias("event_id"),
+                make_span(
+                    F.col("span.start") + F.col("__rep") * F.lit(minute),
+                    F.least(
+                        F.col("span.stop") + F.col("__rep") * F.lit(minute),
+                        F.col("span.start") + (F.col("__rep") + 1) * F.lit(minute),
+                    ),
+                ).alias("span"),
+            )
         )
         rng = skew_left.agg(
             F.min(F.col("span.start")).alias("lo"),
