@@ -5,6 +5,8 @@ packing path."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from dataframeintervals_jl_spark.operators.packing import pack_sequences, pack_stats
@@ -140,3 +142,36 @@ def test_topk_per_group(spark, docs):
 def test_topk_per_group_rejects_bad_k(spark, docs):
     with pytest.raises(ValueError, match="k must be"):
         topk_per_group(docs, "lang", [F.col("n_tokens")], k=0)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=40
+    ),
+    budget=st.integers(min_value=1, max_value=300),
+)
+def test_pack_sequences_properties(spark, toks, budget):
+    """Invariants for random corpora: offsets in [0, budget); chunk ids
+    match the reference exclusive cumsum; global == keyed-with-one-key;
+    every input row survives exactly once."""
+    rows = [(i, "k", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    exp = _expected_layout(rows, budget)
+
+    got_global = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    got_keyed = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_sequences(df, budget=budget, by="lang").collect()
+    }
+    assert got_global == exp
+    assert got_keyed == exp
+    assert len(got_global) == len(rows)
+    assert all(0 <= off < budget for _, off in got_global.values())
