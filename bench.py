@@ -57,6 +57,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    probes: dict[str, float] = {}
+
+    def _cpu_probe() -> float:
+        # fixed single-thread workload (~0.1s on a quiet core): a
+        # contemporaneous host-steal indicator recorded per query slot,
+        # so a slow query with a slow probe reads as environment noise
+        # and a slow query with a normal probe reads as regression
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        assert x >= 0
+        return round(time.perf_counter() - t0, 4)
 
     def bench(name, build):
         # best of 2 (3 when the two samples disagree >2x): the host
@@ -72,6 +85,7 @@ def main() -> None:
         # the first query hit a testdata schema drift and the exception
         # escaped the whole harness.  Failures land in "errors" and the
         # run continues.
+        probes[name] = _cpu_probe()
         samples = []
 
         def one():
@@ -87,6 +101,13 @@ def main() -> None:
             one()
             one()
             if max(samples) > 2 * min(samples):
+                one()
+            # a sustained host-steal window slows BOTH samples equally,
+            # so the disagreement rule never fires; no catalog query
+            # costs >12s on a quiet host (heaviest recorded: ~11.4s), so
+            # a min above that earns up to two more chances to land
+            # outside the steal window (bounded at 5 samples)
+            while min(samples) > 12 and len(samples) < 5:
                 one()
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -315,6 +336,7 @@ def main() -> None:
                 "spread": spreads,
                 "recall": recall,
                 "errors": errors,
+                "cpu_probe": probes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
