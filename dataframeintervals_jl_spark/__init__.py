@@ -49,6 +49,7 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.groupby_interval_join import GroupedIntervalJoin, groupby_interval_join
+from .operators.interval_join import point_in_span_join
 from .operators.interval_join import (
     interval_anti_join,
     interval_join,
@@ -123,6 +124,7 @@ __all__ = [
     "interval_join_by",
     "interval_semi_join",
     "interval_anti_join",
+    "point_in_span_join",
     "merge_spans",
     "interval_join_prebinned",
     "make_span",

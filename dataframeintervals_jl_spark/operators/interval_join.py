@@ -914,3 +914,65 @@ def interval_join_by(
         c for c in sides.left_cols if c not in lk_final
     ] + [c for c in sides.right_cols if c not in rk_final]
     return joined.select(*key_out, *payload, inter)
+
+
+def point_in_span_join(
+    points: DataFrame,
+    spans: DataFrame,
+    ts_col: str = "ts",
+    on: str = "span",
+    renamecols=None,
+    makeunique: bool = False,
+    keep_unmatched: bool = False,
+    validate: str = "error",
+    strategy: str = "auto",
+    bin_width: Optional[int] = None,
+) -> DataFrame:
+    """Stabbing join: each point row paired with every span row whose
+    interval CONTAINS it (``span.start <= ts < span.stop``).
+
+    The common attribution shape — assign raw events to the session /
+    window / experiment interval covering them.  Users reaching for
+    ``interval_join`` with zero-width spans hit a trap: ``[t, t)`` is
+    empty and matches NOTHING under the ``'[)'`` overlap predicate.
+    This operator encodes the point as the canonical one-nanosecond
+    span ``[t, t+1)`` (exact for the engine's integral-ns domain:
+    ``[t, t+1)`` overlaps ``[s, e)`` iff ``s <= t < e``) and delegates
+    to :func:`interval_join`, inheriting the full strategy machinery —
+    broadcast for small span tables, the binned equi-join rewrite for
+    large-large, stats-driven ``'auto'``.
+
+    Output: point columns (renamed per ``renamecols``), span-side
+    columns, and the containing span under ``<on>_right``; the
+    synthetic point span and intersection columns are dropped.
+    ``keep_unmatched=True`` keeps points no span covers
+    (span-side columns null), mirroring ``keepleft``.
+
+    No reference counterpart (the reference joins intervals only);
+    engine extension for point-event attribution at scale.
+    """
+    if ts_col not in points.columns:
+        raise ValueError(f"point_in_span_join: no column {ts_col!r} in points")
+    dt = points.schema[ts_col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            "point_in_span_join: ts_col must be an integral epoch-ns "
+            f"column (the [t, t+1) encoding is exact only there), got {dt}"
+        )
+    ts = F.col(ts_col).cast("long")
+    pts = points.withColumn(on, F.struct(ts.alias("start"), (ts + 1).alias("stop")))
+    joined = interval_join(
+        pts,
+        spans,
+        on=on,
+        renamecols=renamecols,
+        renameon=("_left", "_right"),
+        makeunique=makeunique,
+        keepleft=keep_unmatched,
+        validate=validate,
+        strategy=strategy,
+        bin_width=bin_width,
+    )
+    # drop the synthetic point span and the (equally synthetic)
+    # intersection; the containing interval stays as `<on>_right`
+    return joined.drop(f"{on}_left", on)

@@ -1902,6 +1902,42 @@ _SQL_TOPK_PER_GROUP = """WITH t AS (
 SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 3"""
 
 
+def q_point_in_span(spark, sf_dir):
+    """Stabbing join: each raw event attributed to the one 8-window
+    slot CONTAINING its timestamp (span.start <= ts < span.stop) —
+    the point-event attribution shape, via the [t, t+1) encoding over
+    the broadcast interval-join machinery."""
+    from .operators.interval_join import point_in_span_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts"),
+    )
+    _, w = _es_windows(spark, sf_dir, 8, "idx")
+    j = point_in_span_join(
+        ev, w, ts_col="ts", strategy="broadcast_right", validate="skip"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "idx",
+        F.col("span_right.start").alias("w_start"),
+        F.col("span_right.stop").alias("w_stop"),
+    )
+
+
+_SQL_POINT_IN_SPAN = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')},
+ev AS (
+  SELECT event_id, user_id,
+         epoch_ns(ts) - epoch_ns(ts) % 1000 AS t
+  FROM events)
+SELECT ev.event_id, ev.user_id, ev.t AS ts, w.idx, w.w_start, w.w_stop
+FROM ev JOIN w ON ev.t >= w.w_start AND ev.t < w.w_stop"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1965,4 +2001,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "q_stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "q_topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
+    "q_point_in_span": (q_point_in_span, _SQL_POINT_IN_SPAN),
 }
