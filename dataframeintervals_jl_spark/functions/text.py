@@ -174,3 +174,18 @@ def shingles(text, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     )
+
+
+def repetition_score(text, k: int = 3) -> Column:
+    """Fraction of word-k-gram occurrences that repeat an earlier
+    occurrence in the same document: ``1 - distinct/total`` shingles.
+
+    The standard repetition quality signal for training-corpus
+    filtering (boilerplate, keyword stuffing, and generated loops score
+    high; natural prose scores near 0).  Pure array expressions over
+    :func:`shingles` — codegen'd, no shuffle, pushdown-friendly."""
+    sh = shingles(text, k)
+    n = F.size(sh)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(sh))).cast("double") / n.cast("double")
+    )

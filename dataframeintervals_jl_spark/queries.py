@@ -39,7 +39,7 @@ from .operators.interval_join import (
 )
 from .operators.quantile_windows import data_quantile_windows, dfspan, quantile_windows
 from .operators.similarity import cosine_topk, lsh_topk
-from .sources import event_spans, order_spans, read_table
+from .sources import col_to_ns, event_spans, order_spans, read_table
 
 # ---------------------------------------------------------------------------
 # shared oracle SQL fragments
@@ -449,7 +449,7 @@ def q_lineitem_interval_agg(spark, sf_dir):
     (~600k rows at sf0.1): 7-day shipping spans x 8 equal windows,
     grouped by (window, returnflag)."""
     li = read_table(spark, sf_dir, "lineitem")
-    start_ns = F.unix_micros(F.col("l_shipdate").cast("timestamp")) * 1000
+    start_ns = col_to_ns(F.col("l_shipdate"), li.schema["l_shipdate"].dataType)
     day_ns = 86_400_000_000_000
     spans = li.select(
         "l_returnflag",
@@ -1938,6 +1938,37 @@ SELECT ev.event_id, ev.user_id, ev.t AS ts, w.idx, w.w_start, w.w_stop
 FROM ev JOIN w ON ev.t >= w.w_start AND ev.t < w.w_stop"""
 
 
+def q_repetition_score(spark, sf_dir):
+    """Per-document repetition signal (fraction of word-3-gram
+    occurrences repeating an earlier one) — the boilerplate/stuffing
+    filter; plus the filter decision at the conventional 0.2 cutoff."""
+    from .functions.text import repetition_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = repetition_score(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.round(rep, 6).alias("rep_frac"),
+        (rep <= 0.2).alias("keep"),
+    )
+
+
+_SQL_REPETITION = r"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - 1),
+                           i -> array_to_string(tl[i:i+2], ' ')) END AS sl
+  FROM toks
+), r AS (
+  SELECT doc_id,
+         CASE WHEN len(sl) <= 0 THEN 0.0
+              ELSE CAST(len(sl) - len(list_distinct(sl)) AS DOUBLE)
+                   / CAST(len(sl) AS DOUBLE) END AS rep
+  FROM sh)
+SELECT doc_id, round(rep, 6) AS rep_frac, rep <= 0.2 AS keep FROM r"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2002,4 +2033,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
     "q_topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "q_point_in_span": (q_point_in_span, _SQL_POINT_IN_SPAN),
+    "q_repetition_score": (q_repetition_score, _SQL_REPETITION),
 }

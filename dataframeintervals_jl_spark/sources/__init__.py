@@ -45,6 +45,23 @@ def ts_to_ns(col: F.Column) -> F.Column:
     return (F.unix_micros(col.cast("timestamp")) * F.lit(1000)).cast(LongType())
 
 
+def col_to_ns(col: F.Column, dtype) -> F.Column:
+    """Epoch-ns bigint from whatever physical type the driver shipped a
+    time column as — the testdata has ALREADY flipped ``events.ts``
+    between parquet ``timestamp[ns]`` (bigint under ``nanosAsLong``)
+    and ``timestamp[us]`` (TIMESTAMP_NTZ) across rounds, which broke a
+    recorded round.  Dispatching on the observed dtype makes every
+    date/timestamp-derived span robust to the same drift: bigint passes
+    through (already ns); timestamp / timestamp_ntz / date go through
+    the UTC-pinned µs→ns conversion.  A bigint must NEVER reach
+    ``cast('timestamp')`` — Spark reads it as epoch SECONDS, silently
+    producing wrong values rather than an error.
+    """
+    if isinstance(dtype, LongType):
+        return col.cast(LongType())
+    return ts_to_ns(col)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with the engine's canonical-unit normalization.
 
@@ -189,9 +206,9 @@ def event_spans(
 def order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders as 30-day spans ``[o_orderdate, o_orderdate + 30d)``."""
     od = read_table(spark, sf_dir, "orders")
-    # o_orderdate arrives as TIMESTAMP_NTZ; with the session pinned to
-    # UTC the cast is a pure reinterpretation (matches DuckDB epoch_ns)
-    start_ns = F.unix_micros(F.col("o_orderdate").cast("timestamp")) * NS_PER_US
+    start_ns = col_to_ns(
+        F.col("o_orderdate"), od.schema["o_orderdate"].dataType
+    )
     day_ns = 86_400_000_000_000
     return od.select(
         "o_orderkey",

@@ -462,3 +462,27 @@ def test_jaccard_similarity_join_superset_of_lsh(spark):
         for r in ngram_jaccard_pairs(docs, cand, threshold=0.3).collect()
     }
     assert lsh <= exact
+
+
+def test_repetition_score(spark):
+    from dataframeintervals_jl_spark.functions.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # all shingles unique -> 0
+            (2, "x y z x y z x y z x y z"),  # heavy repetition
+            (3, ""),                          # empty -> 0 (no div-by-zero)
+            (4, "one two"),                   # shorter than k -> single shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", repetition_score(F.col("text"), 3).alias("rep")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] > 0.5
+    assert got[3] == 0.0
+    assert got[4] == 0.0
