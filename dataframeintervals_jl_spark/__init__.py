@@ -64,7 +64,7 @@ from .operators.quantile_windows import (
     exact_quantile_longs,
     quantile_windows,
 )
-from .operators.packing import pack_sequences, pack_stats
+from .operators.packing import pack_sequences, pack_sequences_greedy, pack_stats
 from .operators.sampling import (
     deterministic_sample,
     hash_split,
@@ -108,6 +108,7 @@ __all__ = [
     "stratified_sample",
     "topk_per_group",
     "pack_sequences",
+    "pack_sequences_greedy",
     "pack_stats",
     "overlap_profile",
     "span_complement",

@@ -122,6 +122,62 @@ def _global_exclusive_cumsum(
     )
 
 
+def pack_sequences_greedy(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    by: Union[str, Sequence[str], None] = None,
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """No-split greedy packing: walk documents in ``order_col`` order
+    (per key) and close the current chunk when the next document would
+    overflow ``budget`` — documents never straddle chunks (sample-level
+    packing, vs :func:`pack_sequences`'s concat-and-chunk token
+    streams).  A document longer than ``budget`` gets a chunk of its
+    own.  Deterministic, so an engine-independent oracle can replay it
+    (sequential recursion — a recursive CTE in SQL).
+
+    The running (chunk, fill) state is inherently sequential per key,
+    so this is a keyed operator (``by`` required): one shuffle on the
+    keys, then an Arrow-batched per-key pass.  At 100 TB parallelism
+    comes from key cardinality — for a keyless corpus, pack within
+    deterministic hash-partitions (add a bucket key) or use
+    :func:`pack_sequences`, whose token-offset contract parallelizes
+    without per-row state.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    by_cols = _by_cols(by)
+    if not by_cols:
+        raise ValueError(
+            "pack_sequences_greedy requires `by` keys — the greedy fill "
+            "state is sequential per key (see docstring for keyless options)"
+        )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    budget_i = int(budget)
+    order_c, tokens_c = order_col, tokens_col
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(chunk_col, LongType())]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_c, kind="mergesort").reset_index(drop=True)
+        chunks = []
+        chunk, fill = 0, 0
+        for t in pdf[tokens_c].astype("int64"):
+            t = int(t)
+            if fill > 0 and fill + t > budget_i:
+                chunk, fill = chunk + 1, 0
+            chunks.append(chunk)
+            fill += t
+        pdf[chunk_col] = chunks
+        return pdf
+
+    return df.groupBy(*by_cols).applyInPandas(pack, out_schema)
+
+
 def pack_stats(
     packed: DataFrame,
     budget: int,

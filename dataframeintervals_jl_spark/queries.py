@@ -1969,6 +1969,46 @@ _SQL_REPETITION = r"""WITH toks AS (
 SELECT doc_id, round(rep, 6) AS rep_frac, rep <= 0.2 AS keep FROM r"""
 
 
+def q_pack_greedy(spark, sf_dir):
+    """No-split greedy packing per language: chunks close when the next
+    document would overflow the 1024-token budget (documents never
+    straddle chunks — sample-level packing).  Sequential per key, so
+    the oracle replays it with a recursive CTE."""
+    from .operators.packing import pack_sequences_greedy
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences_greedy(
+        docs, budget=_PACK_BUDGET, tokens_col="n_tokens", order_col="doc_id",
+        by="lang",
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "chunk_id")
+
+
+_SQL_PACK_GREEDY = rf"""WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM t
+), s AS (
+  SELECT doc_id, lang, n_tokens, rn,
+         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.lang, o.n_tokens, o.rn,
+         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > {_PACK_BUDGET}
+              THEN s.chunk_id + 1 ELSE s.chunk_id END,
+         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > {_PACK_BUDGET}
+              THEN o.n_tokens ELSE s.fill + o.n_tokens END
+  FROM s JOIN o ON o.lang = s.lang AND o.rn = s.rn + 1
+)
+SELECT doc_id, lang, n_tokens, chunk_id FROM s"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2034,4 +2074,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "q_point_in_span": (q_point_in_span, _SQL_POINT_IN_SPAN),
     "q_repetition_score": (q_repetition_score, _SQL_REPETITION),
+    "q_pack_greedy": (q_pack_greedy, _SQL_PACK_GREEDY),
 }

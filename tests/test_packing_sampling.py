@@ -9,7 +9,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from dataframeintervals_jl_spark.operators.packing import pack_sequences, pack_stats
+from dataframeintervals_jl_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_greedy,
+    pack_stats,
+)
 from dataframeintervals_jl_spark.operators.sampling import (
     stratified_sample,
     topk_per_group,
@@ -142,6 +146,29 @@ def test_topk_per_group(spark, docs):
 def test_topk_per_group_rejects_bad_k(spark, docs):
     with pytest.raises(ValueError, match="k must be"):
         topk_per_group(docs, "lang", [F.col("n_tokens")], k=0)
+
+
+def test_pack_greedy_no_split_invariant(spark):
+    rows = [(i, "k", [60, 50, 30, 200, 90, 10][i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {
+        r["doc_id"]: r["chunk_id"]
+        for r in pack_sequences_greedy(df, budget=100, by="lang").collect()
+    }
+    # 60 | 50+30 | 200 (oversized, alone) | 90+10
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 3}
+    # invariant: chunk token sums within budget unless a single oversized doc
+    sums: dict[int, list[int]] = {}
+    for i, (_, _, t) in enumerate(rows):
+        sums.setdefault(got[i], []).append(t)
+    for members in sums.values():
+        assert sum(members) <= 100 or len(members) == 1
+
+
+def test_pack_greedy_requires_by(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="requires `by`"):
+        pack_sequences_greedy(df, budget=100)
 
 
 @settings(
