@@ -2009,6 +2009,92 @@ _SQL_PACK_GREEDY = rf"""WITH RECURSIVE t AS (
 SELECT doc_id, lang, n_tokens, chunk_id FROM s"""
 
 
+def q_training_prep_v2(spark, sf_dir):
+    """End-to-end corpus preparation composing the round-4 operators:
+    exact dedup -> quality floor -> repetition filter -> per-language
+    stratified downsampling (en 50%) -> greedy no-split packing into
+    1024-token chunks -> per-(lang, chunk) manifest.  Every stage is
+    deterministic, so ONE oracle replays the whole pipeline."""
+    from .functions.text import quality_score, repetition_score
+    from .operators.dedup import exact_dedup_keep
+    from .operators.packing import pack_sequences_greedy
+    from .operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = exact_dedup_keep(docs)
+    good = kept.filter(
+        (F.round(quality_score(F.col("text")), 6) >= 0.5)
+        & (F.round(repetition_score(F.col("text"), 3), 6) <= 0.2)
+    )
+    sampled = stratified_sample(
+        good, strata_col="lang", rates={"en": 0.5}, key_col="doc_id",
+        default_rate=1.0,
+    ).select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences_greedy(
+        sampled, budget=_PACK_BUDGET, tokens_col="n_tokens",
+        order_col="doc_id", by="lang",
+    )
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+_SQL_TRAINING_PREP_V2 = rf"""WITH RECURSIVE keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+), m AS (
+  SELECT doc_id, lang, text,
+         regexp_extract_all(text, '\S+') AS tl,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_uniq,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM kept
+), scored AS (
+  SELECT *, round((CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.5 END)
+       * (CASE WHEN n_punct / greatest(n_chars, 1.0) < 0.2 THEN 1.0 ELSE 0.6 END)
+       * (n_uniq / greatest(n_tok, 1.0)), 6) AS q
+  FROM m
+), shingled AS (
+  SELECT doc_id, lang, tl, q,
+         CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+              ELSE list_transform(range(1, len(tl) - 1),
+                                  i -> array_to_string(tl[i:i+2], ' ')) END AS sl
+  FROM scored
+), filt AS (
+  SELECT doc_id, lang, CAST(len(tl) AS BIGINT) AS n_tokens
+  FROM shingled
+  WHERE q >= 0.5
+    AND round(CASE WHEN len(sl) <= 0 THEN 0.0
+              ELSE CAST(len(sl) - len(list_distinct(sl)) AS DOUBLE)
+                   / CAST(len(sl) AS DOUBLE) END, 6) <= 0.2
+    AND (('0x' || substr(md5('stratified|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         % 1000000) < CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
+), o AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM filt
+), s AS (
+  SELECT doc_id, lang, n_tokens, rn,
+         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.lang, o.n_tokens, o.rn,
+         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > {_PACK_BUDGET}
+              THEN s.chunk_id + 1 ELSE s.chunk_id END,
+         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > {_PACK_BUDGET}
+              THEN o.n_tokens ELSE s.fill + o.n_tokens END
+  FROM s JOIN o ON o.lang = s.lang AND o.rn = s.rn + 1
+)
+SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY lang, chunk_id"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2075,4 +2161,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_point_in_span": (q_point_in_span, _SQL_POINT_IN_SPAN),
     "q_repetition_score": (q_repetition_score, _SQL_REPETITION),
     "q_pack_greedy": (q_pack_greedy, _SQL_PACK_GREEDY),
+    "q_training_prep_v2": (q_training_prep_v2, _SQL_TRAINING_PREP_V2),
 }
