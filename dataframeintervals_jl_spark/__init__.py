@@ -91,6 +91,7 @@ from .streaming import (
     stream_exact_dedup,
     stream_interval_join,
     stream_merge_spans,
+    stream_minhash_candidates,
     stream_sessionize,
     stream_tumbling_agg,
 )
@@ -164,6 +165,7 @@ __all__ = [
     "write_sorted_spans",
     # streaming
     "stream_exact_dedup",
+    "stream_minhash_candidates",
     "stream_interval_join",
     "stream_merge_spans",
     "stream_sessionize",

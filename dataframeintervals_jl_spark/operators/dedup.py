@@ -125,7 +125,7 @@ def _band_fold(sig_col, b: int, rows: int, base: int):
     return acc
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -134,16 +134,12 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """Near-dup candidate pairs (id_a < id_b, n_shared_bands).
-
-    Band the signature (rows = num_hashes/bands per band), bucket-join
-    on (band_idx, band_hash).  The equi-join shuffles on the band hash —
-    horizontally scalable, no cross join.  Downstream verification (true
-    Jaccard) runs only on candidates.
-
-    ``portable=True`` makes the whole candidate generation
-    DuckDB-recomputable: md5-based base hash + two polynomial band
-    folds (≈62-bit combined key) instead of xxhash64."""
+    """(id, band, bh) band-bucket rows — the LSH banding projection
+    shared by the batch pair join (:func:`minhash_lsh_pairs`) and the
+    streaming candidate operator
+    (:func:`~..streaming.stream_minhash_candidates`).  Pure projection
+    (signatures + band folds are row-local expressions), so it works
+    unchanged on a streaming input."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, portable)
@@ -167,9 +163,34 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ]
         )
-    banded = sigs.select(  # persisted below — see note
+    return sigs.select(
         F.col(id_col),
         F.posexplode(band_key).alias("band", "bh"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b, n_shared_bands).
+
+    Band the signature (rows = num_hashes/bands per band), bucket-join
+    on (band_idx, band_hash).  The equi-join shuffles on the band hash —
+    horizontally scalable, no cross join.  Downstream verification (true
+    Jaccard) runs only on candidates.
+
+    ``portable=True`` makes the whole candidate generation
+    DuckDB-recomputable: md5-based base hash + two polynomial band
+    folds (≈62-bit combined key) instead of xxhash64."""
+    assert num_hashes % bands == 0
+    banded = minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_k, portable
     )
     # persist is load-bearing, not a cache hint: without a materialization
     # boundary CollapseProject inlines the whole signature aggregate into

@@ -414,3 +414,82 @@ def stream_merge_spans(
         make_span(F.col("__s"), F.col("__e")).alias(spancol),
         "n_spans",
     )
+
+
+def stream_minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming MinHash near-duplicate CANDIDATES: for every incoming
+    document that lands in an LSH band bucket some earlier document
+    already occupies, emit ``(id_dup, id_first, band)`` — the streaming
+    counterpart of batch :func:`~..operators.dedup.minhash_lsh_pairs`'s
+    candidate generation.
+
+    The banding projection is row-local (shared with the batch
+    operator, :func:`~..operators.dedup.minhash_banded`), so the only
+    stateful piece is one long per occupied (band, bucket): the FIRST
+    document id seen there.  State shuffles like a groupBy on the
+    bucket key and scales horizontally; at 100 TB it holds one entry
+    per occupied bucket, not per document.
+
+    Semantics note: the batch operator emits the full per-bucket
+    clique with band counts; the stream emits the STAR (each later doc
+    against the bucket's first doc, once per shared band).  Both edge
+    sets induce the same connected components, i.e. the same duplicate
+    clusters — the invariant the parity test asserts.  Exact
+    first-doc identity depends on arrival order (within one micro-batch
+    ties break by ascending id).
+
+    Batch inputs are rejected — ``applyInPandasWithState`` is
+    streaming-only; use :func:`~..operators.dedup.minhash_lsh_pairs`.
+    """
+    if not docs.isStreaming:
+        raise ValueError(
+            "stream_minhash_candidates needs a streaming input; use "
+            "operators.dedup.minhash_lsh_pairs for batch tables"
+        )
+    from ..operators.dedup import minhash_banded
+
+    banded = minhash_banded(
+        docs, text_col, id_col, num_hashes, bands, shingle_k, portable
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_dup", T.LongType()),
+            T.StructField("id_first", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first_id", T.LongType())])
+    docs_id_name = id_col
+
+    def emit(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        band = int(key[0])
+        first = state.get[0] if state.exists else None
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf[docs_id_name].tolist())
+        ids.sort()
+        dups = []
+        for i in ids:
+            if first is None:
+                first = i
+            elif i != first:
+                dups.append((i, first, band))
+        state.update((first,))
+        if dups:
+            yield pd.DataFrame(dups, columns=["id_dup", "id_first", "band"])
+
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        emit, out_schema, state_schema, "append", timeout
+    )

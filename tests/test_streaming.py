@@ -284,3 +284,77 @@ def test_stream_merge_spans_batch_delegation(spark):
     assert got == exp and stream_merge_spans(df, by="user_id").columns == [
         "user_id", "span", "n_spans",
     ]
+
+
+def test_stream_minhash_candidates_matches_batch_components(spark, tmp_path):
+    """Streaming LSH candidates (star edges vs each bucket's first doc)
+    must induce the SAME duplicate clusters as the batch clique pairs —
+    the invariant that matters for dedup.  Two micro-batches force the
+    cross-batch state path."""
+    from dataframeintervals_jl_spark.operators.dedup import minhash_lsh_pairs
+    from dataframeintervals_jl_spark.streaming import stream_minhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(12):
+        # 4 clusters of 3 near-identical docs (one word tweaked), ids interleaved
+        cluster = i % 4
+        text = base.replace("river", f"stream{cluster}") + f" tail{cluster} " + (
+            "x" * (i // 4)  # small unique suffix per member
+        )
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = str(tmp_path / "smh_in")
+    df.filter("doc_id % 2 = 0").coalesce(1).write.parquet(d + "/f1")
+    df.filter("doc_id % 2 = 1").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_minhash_candidates(stream, num_hashes=32, bands=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smh")
+        .option("checkpointLocation", str(tmp_path / "smh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_edges = {
+        tuple(sorted((r["id_dup"], r["id_first"])))
+        for r in spark.sql("SELECT * FROM smh").collect()
+    }
+    batch_edges = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(df, num_hashes=32, bands=8).collect()
+    }
+    assert stream_edges  # the near-dup clusters produce collisions
+
+    def components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
+    nodes = set(range(12))
+    assert components(stream_edges, nodes) == components(batch_edges, nodes)
+
+
+def test_stream_minhash_rejects_batch_input(spark):
+    from dataframeintervals_jl_spark.streaming import stream_minhash_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="streaming input"):
+        stream_minhash_candidates(df)
