@@ -1962,9 +1962,8 @@ _SQL_REPETITION = r"""WITH toks AS (
   FROM toks
 ), r AS (
   SELECT doc_id,
-         CASE WHEN len(sl) <= 0 THEN 0.0
-              ELSE CAST(len(sl) - len(list_distinct(sl)) AS DOUBLE)
-                   / CAST(len(sl) AS DOUBLE) END AS rep
+         1.0 - CAST(len(list_distinct(sl)) AS DOUBLE)
+               / CAST(len(sl) AS DOUBLE) AS rep
   FROM sh)
 SELECT doc_id, round(rep, 6) AS rep_frac, rep <= 0.2 AS keep FROM r"""
 
@@ -2069,9 +2068,8 @@ _SQL_TRAINING_PREP_V2 = rf"""WITH RECURSIVE keep AS (
   SELECT doc_id, lang, CAST(len(tl) AS BIGINT) AS n_tokens
   FROM shingled
   WHERE q >= 0.5
-    AND round(CASE WHEN len(sl) <= 0 THEN 0.0
-              ELSE CAST(len(sl) - len(list_distinct(sl)) AS DOUBLE)
-                   / CAST(len(sl) AS DOUBLE) END, 6) <= 0.2
+    AND round(1.0 - CAST(len(list_distinct(sl)) AS DOUBLE)
+              / CAST(len(sl) AS DOUBLE), 6) <= 0.2
     AND (('0x' || substr(md5('stratified|' || doc_id::VARCHAR), 1, 15))::BIGINT
          % 1000000) < CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
 ), o AS (
