@@ -144,7 +144,14 @@ def _hyperplanes(
 
 
 def lsh_bucket(vec_col, dim: int, n_planes: int = 16, seed: int = LSH_BASE_SEED):
-    """Signed-projection LSH bucket id (bigint) for an embedding column."""
+    """Signed-projection LSH bucket id (bigint) for an embedding column.
+
+    Expression form — kept as the definitional reference (the DuckDB
+    oracles replay exactly this arithmetic) and for single-bucket uses;
+    bulk hashing goes through :func:`lsh_hash_frame`, which computes
+    the same buckets for all tables in one numpy matmul (the
+    per-plane ``aggregate`` here re-evaluates the quantization per
+    plane — 16× the work at the catalog parameters)."""
     qv = _quantized(vec_col)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
@@ -162,6 +169,63 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 16, seed: int = LSH_BASE_SEED)
             F.when(proj > 0, F.lit(bit)).otherwise(F.lit(0)).cast("long")
         )
     return bucket
+
+
+def lsh_hash_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seeds: list,
+) -> DataFrame:
+    """``(id, v, bs, nrm)`` — quantized vector, per-table LSH buckets,
+    and squared norm, computed in ONE Arrow-batched numpy pass.
+
+    Bit-identical to the expression path: quantization is
+    ``sign(x)·floor(|x·10^6| + 0.5)`` (HALF_UP away from zero — what
+    both Spark's and DuckDB's ``round`` compute, unlike numpy's
+    half-even ``round``), plane dots are exact int64 matmuls, a bucket
+    bit is set iff the projection is positive.  One matmul replaces
+    ``n_tables × n_planes`` interpreted per-plane aggregates that each
+    re-evaluated the quantization — O(tables·planes·dim) expression
+    work per row collapses to one batched pass, and the ArrowEvalPython
+    barrier doubles as the materialization boundary the expression
+    path needed persist+count actions for (q_similarity_lsh measured
+    5.6s → 4.2s warm from dropping those two actions alone).  The
+    sanctioned Arrow exception to the no-Python rule: the matmul
+    amortizes the batch transfer.
+    """
+    P = np.array(
+        [_hyperplanes(dim, n_planes, s) for s in seeds], dtype=np.int64
+    )  # (tables, planes, dim)
+    bits = (1 << np.arange(n_planes, dtype=np.int64))
+    idc, vc = id_col, vec_col
+
+    def hash_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(r, dtype=np.float64) for r in pdf[vc]])
+            x = mat * 1e6
+            v = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            bs = []
+            for t in range(len(P)):
+                proj = v @ P[t].T  # exact: |v|≤1e6+, |P|≤1000, dim·1e9 < 2^63
+                bs.append(((proj > 0) * bits).sum(axis=1))
+            bs_arr = np.stack(bs, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[idc].astype("int64").to_numpy(),
+                    "v": list(v),
+                    "bs": list(bs_arr),
+                    "nrm": (v * v).sum(axis=1),
+                }
+            )
+
+    return df.select(F.col(idc), F.col(vc)).mapInPandas(
+        hash_batches, "id long, v array<long>, bs array<long>, nrm long"
+    )
 
 
 def embedding_neardup_pairs(
@@ -220,13 +284,9 @@ def embedding_neardup_pairs(
             )
         spark = corpus.sparkSession
         seeds = [lsh_table_seed(t) for t in range(n_tables)]
-        base = ensure_parallelism(corpus).select(
-            F.col(id_col).alias("id"),
-            _quantized(F.col(vec_col)).alias("v"),
-            F.array(
-                *[lsh_bucket(F.col(vec_col), dim, n_planes, s) for s in seeds]
-            ).alias("bs"),
-        )
+        base = lsh_hash_frame(
+            ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
+        ).drop("nrm")
         # one grouped row per (table, bucket): ~n_tables·2^n_planes rows
         flat = base.select(
             F.explode(
@@ -604,30 +664,28 @@ def lsh_topk(
     seeds = [lsh_table_seed(t) for t in range(n_tables)]
     masks = probe_masks(n_planes, probe_radius)
 
-    def buckets_arr(col):
-        return F.array(*[lsh_bucket(col, dim, n_planes, s) for s in seeds])
-
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("n_id"),
-        _quantized(F.col(vec_col)).alias("cv"),
-        buckets_arr(F.col(vec_col)).alias("cbs"),
-    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        _quantized(F.col(vec_col)).alias("qv"),
-        buckets_arr(F.col(vec_col)).alias("qbs"),
-    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
-    # boundary: hash each vector's n_tables x n_planes buckets ONCE.
-    # Without it CollapseProject inlines the (tables*planes) aggregate
-    # expressions into the probe explode and the join stage — the bucket
-    # hash re-evaluates per probe mask (x(1+n+...) fan-out) and per
-    # candidate pair, which measured ~10x on the recorded bench.  At
-    # 100 TB this boundary is where the hashed corpus would live as a
-    # bucketed TABLE (hash once at ingest, join shuffle-free).
-    c = c.persist()
-    c.count()
-    q = q.persist()
-    q.count()
+    c = lsh_hash_frame(
+        ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
+    ).select(
+        F.col("id").alias("n_id"),
+        F.col("v").alias("cv"),
+        F.col("bs").alias("cbs"),
+        F.col("nrm").alias("cn"),
+    )
+    q = lsh_hash_frame(queries, id_col, vec_col, dim, n_planes, seeds).select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bs").alias("qbs"),
+        F.col("nrm").alias("qn"),
+    )
+    # The numpy hash stage is itself the materialization boundary the
+    # old expression path needed a persist+count for: CollapseProject
+    # cannot inline expressions past the ArrowEvalPython barrier, so the
+    # buckets are computed exactly once per side and the probe explode /
+    # join reference materialized columns (each side feeds ONE join —
+    # no re-execution of the Python stage).  Two persist+count actions
+    # removed.  At 100 TB this is where the hashed corpus would live as
+    # a bucketed TABLE (hash once at ingest, join shuffle-free).
 
     if n_tables == 1:
         c = c.select("n_id", "cv", "cn", F.col("cbs")[0].alias("bucket"))
