@@ -664,3 +664,60 @@ def dedup_cluster_keep(
         F.col("v").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_overlap: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, count the
+    distinct word ``shingle_k``-grams it shares with an evaluation
+    corpus, and flag documents at or above ``min_overlap`` shared
+    n-grams as contaminated (the standard train/test-leak filter for
+    training corpora; the reference has no text layer — SURVEY.md §2.C).
+
+    Output: one row per corpus document — ``id_col``, ``n_overlap``
+    (bigint, 0 when clean), ``contaminated`` (boolean).
+
+    Scale design (100 TB corpus, MB-scale eval set): the eval side's
+    distinct shingle-hash table is tiny and is BROADCAST, so the
+    corpus-side pass is map-only (shingle → hash → broadcast semi-join
+    → partial count); the only shuffles are the per-doc count over the
+    *hit* rows (usually a vanishing fraction of the corpus) and the
+    final id left-join, whose small side AQE broadcasts.  Shingles are
+    joined as 64-bit hashes, never as strings — ``portable=True`` swaps
+    xxhash64 for the md5-prefix hash a SQL oracle can recompute
+    (:func:`..functions.text.portable_hash60`).
+    """
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    sh_of = lambda d: F.explode(  # noqa: E731
+        F.array_distinct(shingles(F.col(text_col), shingle_k))
+    )
+    ev_sh = (
+        eval_df.select(sh_of(eval_df).alias("__s"))
+        .select(hash_fn(F.col("__s")).alias("__sh"))
+        .distinct()
+    )
+    corp_sh = ensure_parallelism(corpus).select(
+        F.col(id_col), sh_of(corpus).alias("__s")
+    ).select(id_col, hash_fn(F.col("__s")).alias("__sh"))
+    hits = (
+        corp_sh.join(F.broadcast(ev_sh), "__sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n.alias("n_overlap"),
+            (n >= F.lit(min_overlap)).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Regular-grid time-series operators — engine extensions beyond the
+reference (SURVEY.md §2.C: the reference joins *irregular* intervals;
+pipelines also need the regular-grid shapes below).
+
+- :func:`time_grid`: per-key regular timestamp grid spanning each key's
+  observed range (the skeleton for resampling);
+- :func:`resample_locf`: downsample/regularize a point-event table onto
+  that grid with last-observation-carried-forward semantics (the as-of
+  join against the grid);
+- :func:`sliding_window_agg`: hopping-window aggregation (window length
+  L, hop S, L % S == 0) as a batch operator.
+
+Scale design (100 TB): everything here is built-in expressions plus at
+most one shuffle per operator on the natural grouping key.  The grid is
+*generated*, never materialized wider than (key, lo, hi) before the
+explode; the sliding window amplifies rows by L/S map-side but partial
+aggregation collapses them to one row per (window, key) per partition
+before the exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .asof_join import asof_join
+
+Key = Union[str, Sequence[str], None]
+
+
+def _by_cols(by: Key) -> list[str]:
+    return [by] if isinstance(by, str) else list(by or [])
+
+
+def time_grid(
+    df: DataFrame,
+    on: str = "ts",
+    step: int = 3_600_000_000_000,
+    by: Key = None,
+) -> DataFrame:
+    """Per-key regular grid: timestamps ``lo_k, lo_k+step, ..., <= hi_k``
+    where ``lo_k``/``hi_k`` are each key's min/max of ``on`` floored to
+    the step.  Keyless: one global grid row set.
+
+    One partial-aggregated shuffle computes (key, lo, hi); the grid
+    itself is ``sequence()`` + ``explode`` — generated at the consumer,
+    never shuffled at full width.  Grid density is bounded by
+    ``span/step`` per key, independent of the event count, so the output
+    is usually far SMALLER than the input (that is the point of
+    resampling at 100 TB)."""
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    keys = _by_cols(by)
+    bounds = df.groupBy(*keys).agg(
+        F.min(on).alias("__lo"), F.max(on).alias("__hi")
+    )
+    floor = lambda c: F.col(c) - F.pmod(F.col(c), F.lit(step))  # noqa: E731
+    return bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(floor("__lo"), floor("__hi"), F.lit(step))
+        ).alias(on),
+    )
+
+
+def resample_locf(
+    df: DataFrame,
+    on: str = "ts",
+    step: int = 3_600_000_000_000,
+    by: Key = None,
+    tolerance: Optional[int] = None,
+) -> DataFrame:
+    """Regularize a point-event table onto a ``step``-spaced grid,
+    carrying the last observation at-or-before each grid point forward
+    (LOCF).  Grid points before a key's first observation keep nulls.
+
+    Output: grid keys + ``on`` (the grid timestamp), then every payload
+    column of ``df`` suffixed ``_right`` exactly as :func:`asof_join`
+    emits them (``on + '_right'`` is the matched observation time).
+    ``tolerance`` (same unit as ``on``) nulls matches older than the
+    gap — the standard guard against carrying a stale reading across a
+    long outage.
+
+    Composition: :func:`time_grid` (one partial-agg shuffle) +
+    :func:`asof_join` (one union+window shuffle on the key) — both
+    per-key parallel; the keyless case inherits the as-of join's
+    range-bucketed global path (no single-partition exchange)."""
+    grid = time_grid(df, on=on, step=step, by=by)
+    return asof_join(
+        grid, df, on=on, by=by, direction="backward", tolerance=tolerance
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    aggs: Sequence,
+    on: str = "ts",
+    length: int = 86_400_000_000_000,
+    slide: int = 21_600_000_000_000,
+    by: Key = None,
+) -> DataFrame:
+    """Hopping-window aggregation: every row lands in the
+    ``length/slide`` windows ``[w_start, w_start+length)`` whose starts
+    are slide-aligned and satisfy ``w_start <= ts < w_start + length``.
+    ``length % slide == 0`` required; ``length == slide`` degenerates to
+    a tumbling window.
+
+    Output: ``w_start``, ``w_end``, the ``by`` keys, then ``aggs``.
+    Windows are epoch-aligned (start ≡ 0 mod slide) — the same alignment
+    Structured Streaming's ``F.window(length, slide)`` uses, kept in the
+    ``on`` column's integer unit (ns) instead of SQL timestamps so span
+    arithmetic stays in long math end-to-end.
+
+    Scale: the explode amplifies rows ×(length/slide) map-side, but
+    partial aggregation collapses to one row per (window, key) per
+    partition before the single shuffle, so exchanged bytes scale with
+    the number of *windows*, not events.  No Python, no window function,
+    no sort — plain hash aggregation."""
+    if length <= 0 or slide <= 0 or length % slide != 0:
+        raise ValueError(
+            f"need length % slide == 0 with both positive, got {length=} {slide=}"
+        )
+    k = length // slide
+    keys = _by_cols(by)
+    ws = (
+        F.col(on)
+        - F.pmod(F.col(on), F.lit(slide))
+        - F.col("__dfi_k") * F.lit(slide)
+    )
+    exploded = df.withColumn(
+        "__dfi_k", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn("w_start", ws)
+    agged = exploded.groupBy("w_start", *keys).agg(*aggs)
+    val_cols = [c for c in agged.columns if c not in {"w_start", *keys}]
+    return agged.select(
+        "w_start",
+        (F.col("w_start") + F.lit(length)).alias("w_end"),
+        *keys,
+        *val_cols,
+    )

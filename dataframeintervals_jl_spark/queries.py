@@ -2093,6 +2093,184 @@ SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY lang, chunk_id"""
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination over the documents corpus: the eval set
+    is the deterministic ``doc_id % 23 == 0`` slice; a corpus doc is
+    contaminated when it shares >= 2 distinct word 4-grams with any
+    eval doc.  Eval shingle hashes broadcast; corpus pass is map-only."""
+    from .operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    return decontaminate(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        shingle_k=4,
+        min_overlap=2,
+        portable=True,
+    )
+
+
+_SQL_DECONTAMINATE = rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < 4 THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - 2),
+                           i -> array_to_string(tl[i:i+3], ' ')) END AS sl
+  FROM toks
+), ex AS (
+  SELECT doc_id, {_PH60.format(x="s")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM sh)
+), evs AS (
+  SELECT DISTINCT h FROM ex WHERE doc_id % 23 = 0
+), hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM ex c JOIN evs USING (h) WHERE c.doc_id % 23 <> 0 GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_overlap,
+       COALESCE(h.n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 23 <> 0"""
+
+
+_LOCF_STEP_NS = 12 * 3_600 * 1_000_000_000  # 12h grid
+
+
+def q_resample_locf(spark, sf_dir):
+    """Regularize the per-user event stream onto a 12h grid with
+    last-observation-carried-forward; grid points before a user's first
+    event stay null.  Oracle: DuckDB generate-grid + ``ASOF LEFT JOIN``."""
+    from .operators.timeseries import resample_locf
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    out = resample_locf(obs, on="ts", step=_LOCF_STEP_NS, by="user_id")
+    return out.select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.col("ts_right").alias("obs_ts"),
+        F.col("value_right").alias("value"),
+    )
+
+
+_SQL_RESAMPLE_LOCF = f"""WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS t, value FROM events
+), o AS (
+  SELECT user_id, t, max(value) AS value FROM ev GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(t) AS lo, max(t) AS hi FROM o GROUP BY 1
+), g AS (
+  SELECT user_id,
+         unnest(range(lo - lo % {_LOCF_STEP_NS},
+                      hi - hi % {_LOCF_STEP_NS} + 1,
+                      {_LOCF_STEP_NS})) AS gt
+  FROM b
+)
+SELECT g.user_id, g.gt AS grid_ts, o.t AS obs_ts, o.value AS value
+FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.gt >= o.t"""
+
+
+_HOP_LEN_NS = 24 * 3_600 * 1_000_000_000  # 24h windows ...
+_HOP_SLIDE_NS = 6 * 3_600 * 1_000_000_000  # ... hopping every 6h
+
+
+def q_sliding_window_agg(spark, sf_dir):
+    """Hopping-window rollup (24h windows, 6h hop — every event lands in
+    4 windows) of the event stream per event_type."""
+    from .operators.timeseries import sliding_window_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+        on="ts",
+        length=_HOP_LEN_NS,
+        slide=_HOP_SLIDE_NS,
+        by="event_type",
+    )
+
+
+_SQL_SLIDING_WINDOW = f"""WITH ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, value FROM events
+), x AS (
+  SELECT event_type, t, value,
+         t - t % {_HOP_SLIDE_NS} - k * {_HOP_SLIDE_NS} AS w_start
+  FROM ev, range(0, {_HOP_LEN_NS // _HOP_SLIDE_NS}) r(k)
+)
+SELECT w_start, w_start + {_HOP_LEN_NS} AS w_end, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM x GROUP BY 1, 2, 3"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style composite quality gate: per-document rule booleans
+    (token-count window, mean-word-length window, stopword floor,
+    unique-token floor) and the conjunctive keep flag — the standard
+    rule-based corpus filter, all codegen'd expressions."""
+    from .functions.text import (
+        stopword_count,
+        token_count,
+        unique_token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t)
+    mean_len = F.length(
+        F.regexp_replace(t, r"\s+", "")
+    ).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    uniq_frac = unique_token_count(t).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    r_len = (n_tok >= 30) & (n_tok <= 50_000)
+    r_wordlen = (F.round(mean_len, 6) >= 2.0) & (F.round(mean_len, 6) <= 12.0)
+    r_stop = stopword_count(t) >= 2
+    r_uniq = F.round(uniq_frac, 6) > 0.2
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_uniq.alias("r_uniq"),
+        (r_len & r_wordlen & r_stop & r_uniq).alias("keep"),
+    )
+
+
+_STOPWORD_SQL_RE = (
+    r"\b(the|a|an|and|or|of|to|in|is|are|was|for|on|with|as|at|by|it|this|that)\b"
+)
+
+_SQL_GOPHER = rf"""WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+           AS n_uniq,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_ns,
+         CAST(len(regexp_extract_all(lower(text), '{_STOPWORD_SQL_RE}'))
+              AS BIGINT) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         round(n_ns / greatest(CAST(n_tok AS DOUBLE), 1.0), 6) AS mean_word_len,
+         (n_tok >= 30 AND n_tok <= 50000) AS r_len,
+         n_stop >= 2 AS r_stop,
+         round(n_uniq / greatest(CAST(n_tok AS DOUBLE), 1.0), 6) > 0.2 AS r_uniq
+  FROM m
+)
+SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
+       (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS r_wordlen,
+       r_stop, r_uniq,
+       (r_len AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND r_stop AND r_uniq) AS keep
+FROM r"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2160,4 +2338,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_repetition_score": (q_repetition_score, _SQL_REPETITION),
     "q_pack_greedy": (q_pack_greedy, _SQL_PACK_GREEDY),
     "q_training_prep_v2": (q_training_prep_v2, _SQL_TRAINING_PREP_V2),
+    "q_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
+    "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),
+    "q_gopher_rules": (q_gopher_rules, _SQL_GOPHER),
 }
