@@ -296,3 +296,49 @@ def test_ensure_parallelism_derived_input_warns_no_jobs(spark):
         warnings.simplefilter("always")
         src.ensure_parallelism(derived)
     assert not any("derived plan" in str(w.message) for w in rec2)
+
+
+def test_decontaminate_eval_side_broadcast(spark):
+    """The eval shingle table must reach the hit join as a broadcast —
+    the corpus-side pass stays map-only (SURVEY.md §4.2: never shuffle
+    the 100 TB side against a KB-scale dimension)."""
+    from dataframeintervals_jl_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, SF_DIR, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    out = decontaminate(docs.filter(~is_eval), docs.filter(is_eval), shingle_k=4)
+    assert count_broadcast_exchanges(out) >= 1
+    assert_no_python_row_udf(out)
+
+
+def test_sliding_window_partial_agg_single_shuffle(spark):
+    """The explode amplifies rows map-side, but the aggregation must
+    stay partial/final around ONE exchange — shuffled bytes scale with
+    distinct (window, key) pairs, not events."""
+    from dataframeintervals_jl_spark.operators.timeseries import sliding_window_agg
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = sliding_window_agg(
+        ev,
+        aggs=[F.count(F.lit(1)).alias("n")],
+        on="ts",
+        length=24 * 3_600 * 10**9,
+        slide=6 * 3_600 * 10**9,
+        by="event_type",
+    )
+    assert_max_exchanges(out, 1)
+    assert_no_python_row_udf(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+
+
+def test_resample_locf_keyed_no_single_partition(spark):
+    """Keyed resampling must shuffle only on the key — a keyless window
+    (Exchange SinglePartition) anywhere would serialize the pipeline."""
+    from dataframeintervals_jl_spark.operators.timeseries import resample_locf
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    out = resample_locf(ev, on="ts", step=12 * 3_600 * 10**9, by="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert_no_python_row_udf(out)
