@@ -57,3 +57,102 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "score")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (k1=1.2, b=0.75), the
+    standard lexical-retrieval ranking function.
+
+    Output: ``(query_id, rank, id_col, score)`` — rank 1..k per query,
+    score a bigint, ties broken by document id.
+
+    Determinism contract: the whole score is EXACT bigint arithmetic.
+    With k1=1.2, b=0.75 fixed, scale the term score by 10·total:
+
+        idf   = (N * 1000) // df                      (integer IDF)
+        num   = idf * tf * 22                         (10 · tf·(k1+1) · idf)
+        den   = (10·tf + 3) · total + 9 · dl · N      (10 · BM25 denom · total)
+        score = Σ_terms (num * total) // den
+
+    Every value is a long; the per-term floor division and the sum are
+    order-independent, so Spark and a SQL oracle agree bit-for-bit —
+    no libm ``ln`` and no float summation order anywhere.  Overflow
+    envelope (Spark 4 ANSI longs): ``num * total < 2^63`` holds while
+    ``N·total·tf ≲ 4e14`` — beyond that drop the IDF scale from 1000.
+
+    Scale shape: the query term list is tiny and BROADCAST; the corpus
+    side computes (doc, term, tf) and per-doc lengths with partial
+    aggregation, keeps only rows matching query terms (broadcast
+    semi-join — the 100 TB side is filtered before any shuffle), and
+    the final per-query top-k is a window over ≤ |queries|·|matched
+    docs| rows."""
+    text = F.col(text_col)
+    qtext = F.col(query_text_col)
+    if lowercase:
+        text, qtext = F.lower(text), F.lower(qtext)
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col), F.explode(tokens(qtext)).alias("term")
+        )
+        .distinct()
+    )
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # only query terms survive past this broadcast join — the corpus
+    # never shuffles at full width
+    tfq = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(text)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.sum("dl").alias("total"), F.count(F.lit(1)).alias("n")
+    ).first()
+    total, n = int(stats["total"]), int(stats["n"])
+
+    scored = (
+        tfq.join(dfq, "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                F.expr(f"({n} * 1000L) DIV df")
+                * F.col("tf")
+                * F.lit(22)
+                * F.lit(total)
+            ).alias("__num"),
+            (
+                (F.col("tf") * F.lit(10) + F.lit(3)) * F.lit(total)
+                + F.lit(9) * F.col("dl") * F.lit(n)
+            ).alias("__den"),
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.expr("__num DIV __den").alias("__s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

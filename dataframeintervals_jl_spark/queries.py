@@ -2271,6 +2271,67 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
 FROM r"""
 
 
+_BM25_QUERIES = (
+    ("q1", "spark hash join"),
+    ("q2", "window agg stream"),
+    ("q3", "dup filter"),
+)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval: top-5 documents per fixed query under the
+    exact-bigint BM25 scoring (k1=1.2, b=0.75 — see operators/tfidf.py:
+    no libm log, no float summation, so ranking and ties are
+    oracle-identical)."""
+    from .operators.tfidf import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(docs, qdf, k=5)
+
+
+def _sql_bm25(k: int = 5) -> str:
+    values = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    return rf"""WITH q(query_id, query_text) AS (VALUES {values}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(query_text), '\S+')) AS term
+  FROM q
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), tfq AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1
+), dl AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl
+  FROM documents
+), st AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n FROM dl
+), scored AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(sum(((st.n * 1000 // dfq.df) * tfq.tf * 22 * st.total)
+              // ((tfq.tf * 10 + 3) * st.total + 9 * dl.dl * st.n))
+              AS BIGINT) AS score
+  FROM tfq JOIN dfq USING (term) JOIN qt USING (term)
+           JOIN dl USING (doc_id), st
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}"""
+
+
+_SQL_BM25 = _sql_bm25(5)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2342,4 +2403,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),
     "q_gopher_rules": (q_gopher_rules, _SQL_GOPHER),
+    "q_bm25_topk": (q_bm25_topk, _SQL_BM25),
 }

@@ -143,3 +143,39 @@ def test_decontaminate_short_doc_whole_text_shingle(spark):
     out = decontaminate(corpus, eval_df, shingle_k=5, min_overlap=1)
     got = {r["doc_id"]: r["contaminated"] for r in out.collect()}
     assert got == {1: True, 2: False}
+
+
+def test_bm25_topk_hand_example(spark):
+    from dataframeintervals_jl_spark.operators.tfidf import bm25_topk
+
+    docs = _docs(
+        spark, [(1, "cat dog"), (2, "cat cat fish"), (3, "bird")]
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "cat")], "query_id string, query_text string"
+    )
+    out = bm25_topk(docs, qdf, k=5)
+    rows = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in out.collect()
+    )
+    # N=3, total=6, df(cat)=2 -> idf=(3*1000)//2=1500
+    # d1: tf=1, dl=2 -> (1500*1*22*6)//((13)*6+9*2*3)=198000//132=1500
+    # d2: tf=2, dl=3 -> (1500*2*22*6)//((23)*6+9*3*3)=396000//219=1808
+    assert rows == [("q1", 1, 2, 1808), ("q1", 2, 1, 1500)]
+
+
+def test_bm25_multi_term_sums_and_ignores_oov(spark):
+    from dataframeintervals_jl_spark.operators.tfidf import bm25_topk
+
+    docs = _docs(spark, [(1, "cat dog"), (2, "dog dog")])
+    qdf = spark.createDataFrame(
+        [("q1", "cat dog unicorn")], "query_id string, query_text string"
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, qdf, k=5).collect()}
+    # OOV 'unicorn' contributes nothing; doc 1 scores cat+dog terms
+    # N=2, total=4; idf(cat)=(2000)//1=2000, idf(dog)=2000//2=1000
+    # d1 cat: (2000*22*4)//(13*4+9*2*2)=176000//88=2000
+    # d1 dog: (1000*22*4)//88=1000 ; total 3000
+    # d2 dog: tf=2 -> (1000*2*22*4)//(23*4+9*2*2)=176000//128=1375
+    assert out == {1: 3000, 2: 1375}
