@@ -2271,6 +2271,34 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
 FROM r"""
 
 
+def q_stream_sliding_agg(spark, sf_dir):
+    """The hopping-window rollup through the STREAMING operator in batch
+    mode — Spark's native ``F.window(ts, length, slide)`` must reproduce
+    the batch arithmetic windowing exactly (shared oracle with
+    q_sliding_window_agg)."""
+    from .streaming import stream_sliding_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    out = stream_sliding_agg(
+        ev,
+        width_ns=_HOP_LEN_NS,
+        slide_ns=_HOP_SLIDE_NS,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+        ts_col="ts",
+        by="event_type",
+    )
+    return out.select(
+        F.col("span.start").alias("w_start"),
+        F.col("span.stop").alias("w_end"),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+
+
 _BM25_QUERIES = (
     ("q1", "spark hash join"),
     ("q2", "window agg stream"),
@@ -2404,4 +2432,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),
     "q_gopher_rules": (q_gopher_rules, _SQL_GOPHER),
     "q_bm25_topk": (q_bm25_topk, _SQL_BM25),
+    "q_stream_sliding_agg": (q_stream_sliding_agg, _SQL_SLIDING_WINDOW),
 }

@@ -273,6 +273,52 @@ def stream_tumbling_agg(
     )
 
 
+def stream_sliding_agg(
+    events: DataFrame,
+    width_ns: int,
+    slide_ns: int,
+    aggs: Sequence,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    watermark: str = "10 minutes",
+    spancol: str = "span",
+) -> DataFrame:
+    """Hopping (sliding) windows + aggregation over a (possibly
+    streaming) event table: every event lands in the ``width/slide``
+    slide-aligned windows containing it.  ``width_ns % slide_ns == 0``
+    required; ``width == slide`` degenerates to
+    :func:`stream_tumbling_agg`.
+
+    Runs through Spark's native ``F.window(ts, width, slide)`` —
+    watermark-evictable state in streaming mode, plain expand+hash-agg
+    in batch mode.  Window alignment (starts ≡ 0 mod slide from the
+    epoch) is identical to the batch arithmetic operator
+    (:func:`~..operators.timeseries.sliding_window_agg`), so the two
+    share one oracle; parity is test-asserted."""
+    if width_ns < NS_PER_US or slide_ns < NS_PER_US:
+        raise ValueError("width_ns and slide_ns must be at least one microsecond")
+    if width_ns % slide_ns != 0:
+        raise ValueError(
+            f"width must be a multiple of slide, got {width_ns=} {slide_ns=}"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    with_ts = events.withColumn("__ts", _ns_to_ts(F.col(ts_col)))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("__ts", watermark)
+    win = F.window(
+        F.col("__ts"),
+        f"{width_ns // NS_PER_US} microseconds",
+        f"{slide_ns // NS_PER_US} microseconds",
+    )
+    agged = with_ts.groupBy(win.alias("__w"), *by_cols).agg(*aggs)
+    agg_cols = [c for c in agged.columns if c != "__w" and c not in by_cols]
+    return agged.select(
+        *by_cols,
+        _window_span(F.col("__w")).alias(spancol),
+        *agg_cols,
+    )
+
+
 def stream_merge_spans(
     spans: DataFrame,
     spancol: str = "span",

@@ -358,3 +358,54 @@ def test_stream_minhash_rejects_batch_input(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="streaming input"):
         stream_minhash_candidates(df)
+
+
+def test_stream_sliding_agg_matches_batch_operator(spark, tmp_path):
+    from dataframeintervals_jl_spark.operators.timeseries import sliding_window_agg
+    from dataframeintervals_jl_spark.streaming import stream_sliding_agg
+
+    ev = spark.createDataFrame(
+        [(i, EPOCH0 + i * 600_000_000_000) for i in range(50)],
+        "event_id long, ts long",
+    )
+    batch = sliding_window_agg(
+        ev,
+        aggs=[F.count(F.lit(1)).alias("n")],
+        on="ts",
+        length=2 * HOUR,
+        slide=HOUR,
+    )
+    expected = {
+        (r["w_start"], r["w_end"]): r["n"] for r in batch.collect()
+    }
+    assert expected and max(expected.values()) > 6, "windows must overlap"
+
+    stream = _roundtrip_stream(spark, ev, str(tmp_path / "sl"))
+    out = stream_sliding_agg(
+        stream, width_ns=2 * HOUR, slide_ns=HOUR,
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["span"]["start"], r["span"]["stop"]): r["n"]
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    assert got == expected
+
+
+def test_stream_sliding_agg_validation(spark):
+    from dataframeintervals_jl_spark.streaming import stream_sliding_agg
+
+    ev = spark.createDataFrame([(1, EPOCH0)], "event_id long, ts long")
+    with pytest.raises(ValueError, match="multiple of slide"):
+        stream_sliding_agg(ev, width_ns=HOUR * 3, slide_ns=HOUR * 2, aggs=[])
+    with pytest.raises(ValueError, match="microsecond"):
+        stream_sliding_agg(ev, width_ns=10, slide_ns=10, aggs=[])
