@@ -721,3 +721,65 @@ def decontaminate(
             (n >= F.lit(min_overlap)).alias("contaminated"),
         )
     )
+
+
+def shared_shingle_pairs(
+    df: DataFrame,
+    shingle_k: int = 16,
+    min_shared: int = 1,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication candidates: document pairs sharing at
+    least ``min_shared`` distinct word ``shingle_k``-grams — the
+    equi-join formulation of substring-level dedup (a shared long
+    n-gram IS a shared substring; near-dup MinHash deliberately ignores
+    where the overlap sits, this catches verbatim block reuse).
+
+    Output: ``(id_a, id_b, n_shared)``, ``id_a < id_b``.
+
+    Scale design: the pair generator is a self EQUI-join on shingle
+    hashes — never a cross join.  Its blow-up risk is boilerplate
+    shingles shared by thousands of documents (a df-F shingle emits
+    O(df²) pairs), so shingles with document frequency > ``max_df``
+    are dropped first (one partial-agg count over hashes) — the
+    standard stop-shingle guard: a 16-gram in >``max_df`` documents is
+    boilerplate, not duplication signal, and dropping it bounds
+    per-shingle fan-out at ``max_df²`` independent of corpus size.
+    Joins carry 64-bit hashes, never shingle strings."""
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_k))
+            ).alias("__s"),
+        )
+        .select("__id", hash_fn(F.col("__s")).alias("__sh"))
+    )
+    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    kept = sh.join(freq.filter(F.col("__df") <= max_df), "__sh").select(
+        "__id", "__sh"
+    )
+    # persisted: both sides of the self-join read it — without the
+    # boundary the shingle+freq pipeline runs twice
+    kept = kept.persist()
+    kept.count()
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.select(
+                F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh")
+            ).alias("b"),
+            "__sh",
+        )
+        .filter(F.col("a.__id") < F.col("__id_b"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("__id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if min_shared > 1:
+        pairs = pairs.filter(F.col("n_shared") >= min_shared)
+    return pairs

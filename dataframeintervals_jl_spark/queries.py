@@ -2271,6 +2271,41 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
 FROM r"""
 
 
+def q_shingle_dup_pairs(spark, sf_dir):
+    """Exact-substring duplication candidates: pairs sharing >= 3
+    distinct word 16-grams (stop-shingle guard df <= 50) — the
+    substring-level complement of MinHash near-dup."""
+    from .operators.dedup import shared_shingle_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shared_shingle_pairs(
+        docs, shingle_k=16, min_shared=3, max_df=50, portable=True
+    )
+
+
+_SQL_SHINGLE_DUP = rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < 16 THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - 14),
+                           i -> array_to_string(tl[i:i+15], ' ')) END AS sl
+  FROM toks
+), ex AS (
+  SELECT doc_id, {_PH60.format(x="s")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM sh)
+), freq AS (
+  SELECT h, count(*) AS df FROM ex GROUP BY 1
+), keep AS (
+  SELECT doc_id, h FROM ex JOIN freq USING (h) WHERE df <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3"""
+
+
 def q_stream_sliding_agg(spark, sf_dir):
     """The hopping-window rollup through the STREAMING operator in batch
     mode — Spark's native ``F.window(ts, length, slide)`` must reproduce
@@ -2433,4 +2468,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_gopher_rules": (q_gopher_rules, _SQL_GOPHER),
     "q_bm25_topk": (q_bm25_topk, _SQL_BM25),
     "q_stream_sliding_agg": (q_stream_sliding_agg, _SQL_SLIDING_WINDOW),
+    "q_shingle_dup_pairs": (q_shingle_dup_pairs, _SQL_SHINGLE_DUP),
 }

@@ -179,3 +179,35 @@ def test_bm25_multi_term_sums_and_ignores_oov(spark):
     # d1 dog: (1000*22*4)//88=1000 ; total 3000
     # d2 dog: tf=2 -> (1000*2*22*4)//(23*4+9*2*2)=176000//128=1375
     assert out == {1: 3000, 2: 1375}
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_shared_shingle_pairs(spark, portable):
+    from dataframeintervals_jl_spark.operators.dedup import shared_shingle_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),  # shares 3-grams "a b c","b c d","c d e" with 1
+            (3, "x y z w v u"),
+        ],
+    )
+    out = shared_shingle_pairs(
+        docs, shingle_k=3, min_shared=2, portable=portable
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out.collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_shared_shingle_pairs_stop_shingle_guard(spark):
+    from dataframeintervals_jl_spark.operators.dedup import shared_shingle_pairs
+
+    # a boilerplate shingle in every doc is dropped by max_df, so no
+    # pair survives on its account
+    docs = _docs(
+        spark,
+        [(i, f"common prefix here tail{i}") for i in range(5)],
+    )
+    out = shared_shingle_pairs(docs, shingle_k=3, min_shared=1, max_df=3)
+    assert out.count() == 0
