@@ -2271,6 +2271,40 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
 FROM r"""
 
 
+_DAY_NS = 86_400 * 1_000_000_000
+
+
+def q_rollup_daily(spark, sf_dir):
+    """Multi-granularity rollup of the event stream: (event_type, day)
+    -> (event_type) -> grand total in ONE pass via grouping sets —
+    Spark's ``rollup`` and ANSI ``GROUP BY ROLLUP`` must agree on
+    subtotal rows, null markers, and grouping ids.  Value sums are
+    fixed-point bigints so partial-agg order cannot perturb them."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(_DAY_NS))).alias("day"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_fx").alias("sum_value_fx"),
+    )
+
+
+_SQL_ROLLUP_DAILY = f"""WITH ev AS (
+  SELECT event_type,
+         epoch_ns(ts) - epoch_ns(ts) % {_DAY_NS} AS day,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+)
+SELECT event_type, day,
+       CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_fx) AS BIGINT) AS sum_value_fx
+FROM ev GROUP BY ROLLUP (event_type, day)"""
+
+
 def q_shingle_dup_pairs(spark, sf_dir):
     """Exact-substring duplication candidates: pairs sharing >= 3
     distinct word 16-grams (stop-shingle guard df <= 50) — the
@@ -2469,4 +2503,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_bm25_topk": (q_bm25_topk, _SQL_BM25),
     "q_stream_sliding_agg": (q_stream_sliding_agg, _SQL_SLIDING_WINDOW),
     "q_shingle_dup_pairs": (q_shingle_dup_pairs, _SQL_SHINGLE_DUP),
+    "q_rollup_daily": (q_rollup_daily, _SQL_ROLLUP_DAILY),
 }
