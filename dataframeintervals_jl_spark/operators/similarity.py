@@ -766,3 +766,78 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
     )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Cosine top-k over SCALAR-QUANTIZED (int8-range) vectors — the
+    4×-compression ANN path: each dimension is affinely mapped to
+    [-127, 127] by its corpus-wide max magnitude, dots run on small
+    integers.  Output: ``(q_id, rank, n_id, score)`` like
+    :func:`cosine_topk`; scores are the quantized-space cosine, so
+    ranking is approximate vs the exact baseline (recall floor
+    pytest-asserted).
+
+    Determinism contract: the per-dimension scale is a float MAX
+    (order-independent), the quantized value is one mul + one div +
+    round in IEEE doubles in a fixed order (``round((x·127)/m)``), and
+    the dot/norms are exact bigint sums — a SQL oracle recomputing the
+    same three steps matches bit-for-bit.
+
+    Scale design: the per-dimension max is one partial-aggregated pass
+    collapsing to ``dim`` rows collected driver-side (the codebook —
+    KBs); quantization is a codegen'd projection; the search itself is
+    the broadcast-queries pass of :func:`cosine_topk` but moving 1/4
+    of the bytes.  At 100 TB the codebook would be computed once and
+    persisted with the table, not per query."""
+    mx_rows = (
+        corpus.select(F.posexplode(F.col(vec_col)))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("col").cast("double"))).alias("m"))
+        .collect()
+    )
+    mx = {r["pos"]: (r["m"] if r["m"] else 0.0) for r in mx_rows}
+    scale_arr = F.array(
+        *[F.lit(mx[i] if mx[i] > 0 else 1.0) for i in range(len(mx))]
+    )
+
+    def qz(col):
+        return F.zip_with(
+            col,
+            scale_arr,
+            lambda x, m: F.round(x.cast("double") * F.lit(127.0) / m).cast(
+                "long"
+            ),
+        )
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("n_id"), qz(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), qz(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        pairs = pairs.filter(F.col("n_id") != F.col("q_id"))
+    dot = _dot(F.col("cv"), F.col("qv"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        (
+            dot.cast("double")
+            / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
+    )

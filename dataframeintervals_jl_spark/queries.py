@@ -2271,6 +2271,47 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
 FROM r"""
 
 
+def q_similarity_sq8(spark, sf_dir):
+    """Cosine top-5 over int8 scalar-quantized vectors (4x compression;
+    per-dimension max-magnitude codebook derived from the data in both
+    engines — see operators/similarity.py sq8_topk)."""
+    from .operators.similarity import sq8_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sq8_topk(emb, queries, k=5)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
+_SQL_SIMILARITY_SQ8 = """WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), mx AS (
+  SELECT pos, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) ELSE 1.0 END AS m
+  FROM ex GROUP BY pos
+), qv AS (
+  SELECT vec_id, pos, CAST(round((x * 127.0) / m) AS BIGINT) AS qx
+  FROM ex JOIN mx USING (pos)
+), vl AS (
+  SELECT vec_id, list(qx ORDER BY pos) AS v FROM qv GROUP BY vec_id
+), n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM vl),
+q AS (SELECT * FROM n WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_dot_product(c.v, q.v) AS DOUBLE)
+           / sqrt(CAST(c.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
+  FROM n c, q WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+         n_id, round(score, 6) AS score
+  FROM pairs)
+SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= 5"""
+
+
 _DAY_NS = 86_400 * 1_000_000_000
 
 
@@ -2504,4 +2545,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_sliding_agg": (q_stream_sliding_agg, _SQL_SLIDING_WINDOW),
     "q_shingle_dup_pairs": (q_shingle_dup_pairs, _SQL_SHINGLE_DUP),
     "q_rollup_daily": (q_rollup_daily, _SQL_ROLLUP_DAILY),
+    "q_similarity_sq8": (q_similarity_sq8, _SQL_SIMILARITY_SQ8),
 }

