@@ -2271,6 +2271,47 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, r_len,
 FROM r"""
 
 
+def q_trailing_sum(spark, sf_dir):
+    """Per-user trailing-1h running aggregate via an ANSI RANGE frame
+    (``[ts - 1h, ts]`` inclusive, peers included) — the time-windowed
+    running feature every event pipeline computes.  One shuffle on the
+    user key, per-partition sort, no explode; fixed-point value sums so
+    frame-internal order cannot perturb the result."""
+    from pyspark.sql import Window as W
+
+    hour = 3_600 * 1_000_000_000
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-hour, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("v_fx").over(w).alias("sum_v_fx"),
+    )
+
+
+_SQL_TRAILING_SUM = """WITH ev AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+)
+SELECT event_id, user_id, t AS ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(sum(v_fx) OVER w AS BIGINT) AS sum_v_fx
+FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
+        RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
+
+
 def q_similarity_sq8(spark, sf_dir):
     """Cosine top-5 over int8 scalar-quantized vectors (4x compression;
     per-dimension max-magnitude codebook derived from the data in both
@@ -2546,4 +2587,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_shingle_dup_pairs": (q_shingle_dup_pairs, _SQL_SHINGLE_DUP),
     "q_rollup_daily": (q_rollup_daily, _SQL_ROLLUP_DAILY),
     "q_similarity_sq8": (q_similarity_sq8, _SQL_SIMILARITY_SQ8),
+    "q_trailing_sum": (q_trailing_sum, _SQL_TRAILING_SUM),
 }
