@@ -126,6 +126,99 @@ def _bucketed_global_fill(unioned, left_cols, left_on, direction):
     )
 
 
+def _bucketed_global_fill_nearest(unioned, left_cols, left_on):
+    """Keyless NEAREST: the same range-bucket structure as
+    :func:`_bucketed_global_fill`, but carrying BOTH directions in one
+    ascending pass — backward via last-over-preceding, forward via
+    first-over-following — with two O(buckets) boundary maps (prefix of
+    each bucket's last right row, suffix of each bucket's first right
+    row) built from ONE collected per-bucket summary."""
+    spark = unioned.sparkSession
+    bounds = unioned.agg(
+        F.min(F.col(left_on).cast("long")).alias("lo"),
+        F.max(F.col(left_on).cast("long")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    order = [F.col(left_on).asc(), F.col(_TAG).asc()]
+    sel_b = lambda w: [  # noqa: E731
+        F.last(_CARRY, ignorenulls=True).over(w).alias("__bc"),
+        F.last(_RTIME, ignorenulls=True).over(w).alias("__br"),
+    ]
+    sel_f = lambda w: [  # noqa: E731
+        F.first(_CARRY, ignorenulls=True).over(w).alias("__fc"),
+        F.first(_RTIME, ignorenulls=True).over(w).alias("__fr"),
+    ]
+    if lo is None:  # empty input — single window is fine
+        wb = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wf = Window.orderBy(*order).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        return unioned.select(
+            *[F.col(c) for c in left_cols], F.col(_TAG),
+            *sel_b(wb), *sel_f(wf),
+        ).filter(F.col(_TAG) == 1)
+
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(hi) - int(lo)) // nb + 1, 1)
+    u = unioned.withColumn(
+        _TSL, F.col(left_on).cast("long") - F.lit(int(lo))
+    ).withColumn(_BUCKET, F.expr(f"{_TSL} DIV {width}"))
+
+    summ = (
+        u.groupBy(_BUCKET)
+        .agg(
+            F.max_by(F.col(_CARRY), F.col(_RTIME)).alias("lc"),
+            F.max(_RTIME).alias("lr"),
+            F.min_by(F.col(_CARRY), F.col(_RTIME)).alias("fc"),
+            F.min(_RTIME).alias("fr"),
+        )
+        .collect()
+    )
+    carry_type = unioned.schema[_CARRY].dataType
+    rows_sorted = sorted(summ, key=lambda r: r[_BUCKET])
+    inc_rows, last_c, last_r = {}, None, None
+    for r in rows_sorted:  # prefix: last right row BEFORE this bucket
+        inc_rows[r[_BUCKET]] = (last_c, last_r)
+        if r["lr"] is not None:
+            last_c, last_r = r["lc"], r["lr"]
+    nxt_rows, next_c, next_r = {}, None, None
+    for r in reversed(rows_sorted):  # suffix: first right row AFTER
+        nxt_rows[r[_BUCKET]] = (next_c, next_r)
+        if r["fr"] is not None:
+            next_c, next_r = r["fc"], r["fr"]
+    boundary = spark.createDataFrame(
+        [
+            (b, *inc_rows[b], *nxt_rows[b])
+            for b in inc_rows
+        ],
+        schema=(
+            f"{_BUCKET} long, __inc_c {carry_type.simpleString()}, __inc_r long,"
+            f" __nxt_c {carry_type.simpleString()}, __nxt_r long"
+        ),
+    )
+
+    wb = Window.partitionBy(_BUCKET).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy(_BUCKET).orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    within = u.select(
+        *[F.col(c) for c in left_cols], F.col(_TAG), F.col(_BUCKET),
+        *sel_b(wb), *sel_f(wf),
+    ).filter(F.col(_TAG) == 1)
+    return within.join(F.broadcast(boundary), _BUCKET, "left").select(
+        *[F.col(c) for c in left_cols],
+        F.col(_TAG),
+        F.coalesce(F.col("__bc"), F.col("__inc_c")).alias("__bc"),
+        F.coalesce(F.col("__br"), F.col("__inc_r")).alias("__br"),
+        F.coalesce(F.col("__fc"), F.col("__nxt_c")).alias("__fc"),
+        F.coalesce(F.col("__fr"), F.col("__nxt_r")).alias("__fr"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -139,9 +232,12 @@ def asof_join(
 
     ``direction='backward'`` (default): latest right row with
     ``r.on <= l.on``; ``'forward'``: earliest right row with
-    ``r.on >= l.on``.  ``by`` equi-keys restrict matches (e.g. per
-    user).  ``tolerance`` (same unit as ``on``, typically ns) nulls the
-    match when the time gap exceeds it.
+    ``r.on >= l.on``; ``'nearest'``: whichever of those two is closer
+    in time (exact distance ties go to the backward row — pandas
+    ``merge_asof``'s direction set, same semantics).  ``by`` equi-keys
+    restrict matches (e.g. per user).  ``tolerance`` (same unit as
+    ``on``, typically ns) nulls the match when the time gap (absolute,
+    for nearest) exceeds it.
 
     Output: all left columns, then each right payload column renamed
     with ``suffix`` (the right ``on`` column becomes ``on + suffix``
@@ -150,8 +246,11 @@ def asof_join(
     the right side resolved by the later row in input order being
     carried; pre-aggregate the right side if you need a different rule).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
     left_on, right_on = (on, on) if isinstance(on, str) else on
     by_cols = [by] if isinstance(by, str) else list(by or [])
     for c in [left_on] + by_cols:
@@ -192,7 +291,47 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
 
-    if by_cols:
+    if direction == "nearest":
+        # both carries in ONE ascending sort: backward = last right row
+        # at-or-before (equal timestamps land here — right sorts before
+        # left at ties), forward = first right row strictly after; the
+        # closer one wins, exact ties go backward (the earlier row).
+        if by_cols:
+            order = [F.col(left_on).asc(), F.col(_TAG).asc()]
+            wb = (
+                Window.partitionBy(*by_cols)
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            wf = (
+                Window.partitionBy(*by_cols)
+                .orderBy(*order)
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            filled = unioned.select(
+                *[F.col(c) for c in left.columns],
+                F.col(_TAG),
+                F.last(_CARRY, ignorenulls=True).over(wb).alias("__bc"),
+                F.last(_RTIME, ignorenulls=True).over(wb).alias("__br"),
+                F.first(_CARRY, ignorenulls=True).over(wf).alias("__fc"),
+                F.first(_RTIME, ignorenulls=True).over(wf).alias("__fr"),
+            ).filter(F.col(_TAG) == 1)
+        else:
+            filled = _bucketed_global_fill_nearest(
+                unioned, left.columns, left_on
+            )
+        lts = F.col(left_on).cast("long")
+        bgap, fgap = lts - F.col("__br"), F.col("__fr") - lts
+        use_f = F.col("__fr").isNotNull() & (
+            F.col("__br").isNull() | (fgap < bgap)
+        )
+        filled = filled.select(
+            *[F.col(c) for c in left.columns],
+            F.col(_TAG),
+            F.when(use_f, F.col("__fc")).otherwise(F.col("__bc")).alias(_CARRY),
+            F.when(use_f, F.col("__fr")).otherwise(F.col("__br")).alias(_RTIME),
+        )
+    elif by_cols:
         if direction == "backward":
             order = [F.col(left_on).asc(), F.col(_TAG).asc()]
         else:
@@ -215,11 +354,12 @@ def asof_join(
 
     matched = F.col(_RTIME).isNotNull()
     if tolerance is not None:
-        gap = (
-            F.col(left_on).cast("long") - F.col(_RTIME)
-            if direction == "backward"
-            else F.col(_RTIME) - F.col(left_on).cast("long")
-        )
+        if direction == "backward":
+            gap = F.col(left_on).cast("long") - F.col(_RTIME)
+        elif direction == "forward":
+            gap = F.col(_RTIME) - F.col(left_on).cast("long")
+        else:
+            gap = F.abs(F.col(_RTIME) - F.col(left_on).cast("long"))
         matched = matched & (gap <= F.lit(int(tolerance)))
 
     out = [F.col(c) for c in left.columns]

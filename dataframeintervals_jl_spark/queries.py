@@ -757,6 +757,56 @@ SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
 FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t"""
 
 
+def q_asof_nearest(spark, sf_dir):
+    """direction='nearest' as-of: attach whichever purchase (before or
+    after) is closest in time, absolute-gap tolerance of 12h; exact
+    distance ties go to the earlier row.  Oracle: DuckDB lateral
+    min-|gap| lookup with the same tie order."""
+    from .operators.asof_join import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    left = ev.select("event_id", "user_id", "event_type", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left,
+        purchases,
+        on="ts",
+        by="user_id",
+        direction="nearest",
+        tolerance=12 * 3_600 * 1_000_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("purchase_value_right").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_NEAREST = """WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS t, value FROM events
+), p AS (
+  SELECT user_id, t, max(value) AS pv FROM ev
+  WHERE event_type = 'purchase' GROUP BY user_id, t
+)
+SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
+       b.t AS purchase_ts, b.pv AS purchase_value
+FROM ev e LEFT JOIN LATERAL (
+  SELECT p.t, p.pv FROM p
+  WHERE p.user_id = e.user_id
+    AND abs(e.t - p.t) <= 43200000000000
+  ORDER BY abs(e.t - p.t), p.t LIMIT 1
+) b ON TRUE"""
+
+
 _GAP_NS = 6 * 3_600 * 1_000_000_000  # 6h session gap
 
 
@@ -2546,6 +2596,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_quality_score": (q_quality_score, _SQL_QUALITY),
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
+    "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
     "q_span_coverage": (q_span_coverage, _SQL_SPAN_COVERAGE),

@@ -85,7 +85,7 @@ def test_errors(spark):
     left = _left(spark)
     right = _right(spark)
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, on="ts", by="k", direction="nearest")
+        asof_join(left, right, on="ts", by="k", direction="sideways")
     with pytest.raises(ValueError, match="not found in left"):
         asof_join(left, right, on="nope", by="k")
     with pytest.raises(ValueError, match="clash"):
@@ -112,18 +112,30 @@ def _brute_asof(lefts, rights, direction="backward", tolerance=None):
         if direction == "backward":
             cand = [r for r in rights if r[0] <= lt]
             best = max(cand, key=lambda r: r[0]) if cand else None
-        else:
+        elif direction == "forward":
             cand = [r for r in rights if r[0] >= lt]
             best = min(cand, key=lambda r: r[0]) if cand else None
+        else:  # nearest: min |gap|, exact ties -> the backward row
+            best = (
+                min(rights, key=lambda r: (abs(r[0] - lt), r[0] > lt))
+                if rights
+                else None
+            )
         if best is not None and tolerance is not None:
-            gap = lt - best[0] if direction == "backward" else best[0] - lt
+            gap = (
+                lt - best[0]
+                if direction == "backward"
+                else best[0] - lt
+                if direction == "forward"
+                else abs(best[0] - lt)
+            )
             if gap > tolerance:
                 best = None
         out[i] = best if best else (None, None)
     return out
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_global_asof_bucketed_matches_brute_force(spark, direction):
     """The no-`by` path (range-bucketed two-pass carry) must agree with
     brute force across many bucket boundaries, including buckets with no
@@ -165,3 +177,43 @@ def test_global_asof_empty_inputs(spark):
     left = spark.createDataFrame([], "id long, ts long")
     right = spark.createDataFrame([], "ts long, val double")
     assert asof_join(left, right, on="ts").count() == 0
+
+
+def test_nearest_keyed(spark):
+    out = asof_join(
+        _left(spark), _right(spark), on="ts", by="k", direction="nearest"
+    )
+    got = _rows(out)
+    assert got[1] == (90, 9.0)  # gap 10 back vs 100 forward
+    assert got[2] == (200, 20.0)  # exact match
+    assert got[3] == (250, 25.0)  # only backward exists
+    assert got[4] == (60, 6.0)  # only backward exists
+    assert got[5] == (60, 6.0)  # only forward exists
+
+
+def test_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, "u", 100)], "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 90, 1.0), ("u", 110, 2.0)], "k string, ts long, val double"
+    )
+    got = _rows(asof_join(left, right, on="ts", by="k", direction="nearest"))
+    assert got[1] == (90, 1.0)
+
+
+def test_nearest_tolerance_absolute(spark):
+    left = spark.createDataFrame([(1, "u", 150)], "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 90, 1.0), ("u", 200, 2.0)], "k string, ts long, val double"
+    )
+    got = _rows(
+        asof_join(
+            left, right, on="ts", by="k", direction="nearest", tolerance=40
+        )
+    )
+    assert got[1] == (None, None)  # nearest gap 50 > 40
+    got = _rows(
+        asof_join(
+            left, right, on="ts", by="k", direction="nearest", tolerance=50
+        )
+    )
+    assert got[1] == (200, 2.0)
