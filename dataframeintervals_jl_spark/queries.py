@@ -2362,6 +2362,132 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_group_percentiles(spark, sf_dir):
+    """Exact nearest-rank percentiles (p50/p90/p99) of the fixed-point
+    value per event_type: rank ``ceil(p·n/100)`` over the per-group sort
+    — integer ranks over an integer multiset, so the selected values are
+    deterministic regardless of tie order.  One shuffle on the group
+    key."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    w = W.partitionBy("event_type").orderBy("v_fx")
+    wn = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v_fx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    rank_of = lambda p: F.expr(f"(n * {p} + 99) DIV 100")  # noqa: E731
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == rank_of(50), F.col("v_fx"))).alias("p50_fx"),
+        F.max(F.when(F.col("rn") == rank_of(90), F.col("v_fx"))).alias("p90_fx"),
+        F.max(F.when(F.col("rn") == rank_of(99), F.col("v_fx"))).alias("p99_fx"),
+        F.max("n").alias("n"),
+    )
+
+
+_SQL_GROUP_PERCENTILES = """WITH ev AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v_fx FROM events
+), ranked AS (
+  SELECT event_type, v_fx,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_fx) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type,
+       CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v_fx END) AS BIGINT) AS p50_fx,
+       CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v_fx END) AS BIGINT) AS p90_fx,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v_fx END) AS BIGINT) AS p99_fx,
+       CAST(max(n) AS BIGINT) AS n
+FROM ranked GROUP BY event_type"""
+
+
+def q_value_correlation(spark, sf_dir):
+    """Pearson correlation of value vs hour-of-day per event_type from
+    EXACT bigint moment sums (n, Σx, Σy, Σxy, Σx², Σy² — fixed-point x,
+    integer y), combined into the correlation in one fixed-order double
+    formula — partial-aggregation order cannot perturb the result, and
+    the oracle recomputes the identical expression."""
+    hour_ns = 3_600 * 1_000_000_000
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000).cast("long").alias("x"),
+        F.pmod(F.expr(f"ts DIV {hour_ns}"), F.lit(24)).cast("long").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sx2") - d("sx") * d("sx"))
+        * (d("n") * d("sy2") - d("sy") * d("sy"))
+    )
+    return s.select(
+        "event_type", "n", F.round(corr, 6).alias("corr_value_hour")
+    )
+
+
+_SQL_VALUE_CORR = """WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 1000) AS BIGINT) AS x,
+         (epoch_ns(ts) // 3600000000000) % 24 AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_value_hour
+FROM s"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_user_activity(spark, sf_dir):
+    """Wide per-user activity matrix via ``pivot`` with an explicit
+    value list (single-pass, no distinct-values pre-scan): one count
+    column per event type.  Missing combinations surface as 0."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_SQL_PIVOT_USER = f"""SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id"""
+
+
 def q_similarity_sq8(spark, sf_dir):
     """Cosine top-5 over int8 scalar-quantized vectors (4x compression;
     per-dimension max-magnitude codebook derived from the data in both
@@ -2639,4 +2765,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_rollup_daily": (q_rollup_daily, _SQL_ROLLUP_DAILY),
     "q_similarity_sq8": (q_similarity_sq8, _SQL_SIMILARITY_SQ8),
     "q_trailing_sum": (q_trailing_sum, _SQL_TRAILING_SUM),
+    "q_group_percentiles": (q_group_percentiles, _SQL_GROUP_PERCENTILES),
+    "q_value_correlation": (q_value_correlation, _SQL_VALUE_CORR),
+    "q_pivot_user_activity": (q_pivot_user_activity, _SQL_PIVOT_USER),
 }
