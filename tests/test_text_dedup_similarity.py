@@ -507,3 +507,26 @@ def test_sq8_topk_recall_floor(spark):
     # determinism
     again = {(r["q_id"], r["rank"], r["n_id"]) for r in sq8_topk(emb, q, k=5).collect()}
     assert again == {(r["q_id"], r["rank"], r["n_id"]) for r in sq}
+
+
+def test_ivf_index_persisted_parity_and_pruning(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed must reproduce ivf_topk's
+    results exactly at the same (n_centroids, n_probe), and the index
+    scan must carry a cell partition filter (pruned probe)."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=8)
+    idx = ivf_topk_indexed(spark, path, q, n_probe=3, k=4)
+    live = ivf_topk(emb, q, n_centroids=8, n_probe=3, k=4)
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, live.collect()))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
