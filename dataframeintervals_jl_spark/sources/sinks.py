@@ -128,3 +128,38 @@ def write_sorted_spans(
         else df.repartitionByRange(start)
     )
     part.sortWithinPartitions(start).write.mode(mode).parquet(path)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    mode: str = "overwrite",
+    max_files: int = 100_000,
+) -> int:
+    """Compaction-aware write: size the output to ``target_file_mb``
+    parquet files instead of one-file-per-input-partition — the
+    small-files problem is the dominant metadata tax of long-lived
+    lakes (a 100 TB table written from 50k tasks at 2 MB each is 50M
+    files; NameNode/listing/open costs swamp the scan itself).
+
+    File count comes from Catalyst's plan-size estimate (free — no extra
+    job); the write round-robin repartitions to exactly that many
+    tasks.  Plan-size over-estimates in-memory width vs parquet's
+    encoded size, so files land at-or-under target — the safe side of
+    the trade (2× too many 128 MB files is noise; 2× too few 512 MB
+    files hurts task granularity).  Returns the file count used."""
+    est = None
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        pass
+    if est is None or est <= 0 or est >= (1 << 62):  # unknown/huge sentinel
+        n = df.rdd.getNumPartitions()
+    else:
+        n = est // (target_file_mb * (1 << 20)) + 1
+    n = max(1, min(int(n), max_files))
+    df.repartition(n).write.mode(mode).parquet(path)
+    return n

@@ -154,3 +154,17 @@ def test_prebinned_join_requires_bin_column(spark):
     plain = make_span_df(spark, [(0, 10)])
     with pytest.raises(ValueError, match="bin column"):
         interval_join_prebinned(plain, plain, bin_width=10)
+
+
+def test_write_sized_compacts_small_partitions(spark, tmp_path):
+    import os
+
+    from dataframeintervals_jl_spark.sources.sinks import write_sized
+
+    df = spark.range(10_000).repartition(64)  # 64 tiny partitions
+    path = str(tmp_path / "sized")
+    n = write_sized(df, path, target_file_mb=256)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n < 64 and len(files) == n
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
