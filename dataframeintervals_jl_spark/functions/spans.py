@@ -285,3 +285,70 @@ def span_contains(span, point) -> Column:
     s = _c(span)
     p = _c(point)
     return (s.getField("start") <= p) & (p < s.getField("stop"))
+
+
+#: the 13 Allen interval-algebra relations, classified by endpoint
+#: comparisons alone.  Classification treats spans as closed intervals
+#: of their endpoint pair (the relation between [s, o) half-open spans
+#: with o > s is identical) — two spans with as==bs and ao==bo are
+#: 'equals', a.stop == b.start is 'meets', etc.
+ALLEN_RELATIONS = (
+    "precedes", "meets", "overlaps", "finished_by", "contains", "starts",
+    "equals", "started_by", "during", "finishes", "overlapped_by",
+    "met_by", "preceded_by",
+)
+
+
+def allen_relation(l, r) -> Column:
+    """Allen's interval-algebra relation of span ``l`` w.r.t. ``r`` as a
+    string column (one of :data:`ALLEN_RELATIONS`) — the exhaustive,
+    mutually-exclusive classification of how two intervals relate
+    (Allen 1983).  Null if either span is null.  Pure endpoint
+    comparisons — codegen'd, no shuffle."""
+    lc, rc = _c(l), _c(r)
+    ls, lo = lc.getField("start"), lc.getField("stop")
+    rs, ro = rc.getField("start"), rc.getField("stop")
+    rel = (
+        F.when(lo < rs, F.lit("precedes"))
+        .when(lo == rs, F.lit("meets"))
+        .when(ro < ls, F.lit("preceded_by"))
+        .when(ro == ls, F.lit("met_by"))
+        .when((ls == rs) & (lo == ro), F.lit("equals"))
+        .when((ls == rs) & (lo < ro), F.lit("starts"))
+        .when((ls == rs) & (lo > ro), F.lit("started_by"))
+        .when((lo == ro) & (ls > rs), F.lit("finishes"))
+        .when((lo == ro) & (ls < rs), F.lit("finished_by"))
+        .when((ls > rs) & (lo < ro), F.lit("during"))
+        .when((ls < rs) & (lo > ro), F.lit("contains"))
+        .when((ls < rs) & (lo < ro), F.lit("overlaps"))
+        .otherwise(F.lit("overlapped_by"))
+    )
+    return F.when(~(lc.isNull() | rc.isNull()), rel)
+
+
+def span_iou(l, r) -> Column:
+    """Intersection-over-union of two spans (double in [0, 1], rounded
+    to 6 places): ``|l ∩ r| / (|l| + |r| - |l ∩ r|)``, null when either
+    span is null or the union measure is zero.
+
+    The intersection/union measures are exact bigint arithmetic; the
+    single double division is one correctly-rounded IEEE op, so any SQL
+    engine computing the same expression matches bit-for-bit.  Never
+    scale ns durations into fixed point here — ``duration · 10⁶``
+    overflows long for multi-day spans; aggregate IoUs with
+    order-independent min/max/count, not float sums."""
+    lc, rc = _c(l), _c(r)
+    inter = F.greatest(
+        F.least(lc.getField("stop"), rc.getField("stop"))
+        - F.greatest(lc.getField("start"), rc.getField("start")),
+        F.lit(0),
+    )
+    union = (
+        (lc.getField("stop") - lc.getField("start"))
+        + (rc.getField("stop") - rc.getField("start"))
+        - inter
+    )
+    return F.when(
+        ~(lc.isNull() | rc.isNull()) & (union > 0),
+        F.round(inter.cast("double") / union.cast("double"), 6),
+    )

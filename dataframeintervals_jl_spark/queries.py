@@ -2362,6 +2362,68 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+_ALLEN_CASE_SQL = """CASE
+    WHEN alo < brs THEN 'precedes'
+    WHEN alo = brs THEN 'meets'
+    WHEN bro < als THEN 'preceded_by'
+    WHEN bro = als THEN 'met_by'
+    WHEN als = brs AND alo = bro THEN 'equals'
+    WHEN als = brs AND alo < bro THEN 'starts'
+    WHEN als = brs AND alo > bro THEN 'started_by'
+    WHEN alo = bro AND als > brs THEN 'finishes'
+    WHEN alo = bro AND als < brs THEN 'finished_by'
+    WHEN als > brs AND alo < bro THEN 'during'
+    WHEN als < brs AND alo > bro THEN 'contains'
+    WHEN als < brs AND alo < bro THEN 'overlaps'
+    ELSE 'overlapped_by' END"""
+
+
+def q_allen_relations(spark, sf_dir):
+    """Allen interval-algebra census: classify every (event span, 8-ile
+    window) pair into its Allen relation and report per-relation counts
+    + IoU extrema (min/max are order-independent, so double IoUs stay
+    oracle-safe).  The windows side is 8 rows — broadcast cross join,
+    codegen'd classification, one tiny final aggregation."""
+    from .functions.spans import allen_relation, span_iou
+
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    pairs = es.select(F.col("span").alias("a")).crossJoin(
+        F.broadcast(w.select(F.col("span").alias("b")))
+    )
+    return (
+        pairs.select(
+            allen_relation("a", "b").alias("relation"),
+            span_iou("a", "b").alias("iou"),
+        )
+        .groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("iou").alias("min_iou"),
+            F.max("iou").alias("max_iou"),
+        )
+    )
+
+
+_SQL_ALLEN = f"""WITH {_ES_CTE}, {_w_cte(8, "idx")},
+p AS (
+  SELECT es.s AS als, es.e AS alo, w.w_start AS brs, w.w_stop AS bro
+  FROM es, w
+), c AS (
+  SELECT {_ALLEN_CASE_SQL} AS relation,
+         greatest(least(alo, bro) - greatest(als, brs), 0) AS inter,
+         (alo - als) + (bro - brs) AS lens
+  FROM p
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+       min(CASE WHEN lens - inter > 0 THEN
+           round(CAST(inter AS DOUBLE) / CAST(lens - inter AS DOUBLE), 6)
+           END) AS min_iou,
+       max(CASE WHEN lens - inter > 0 THEN
+           round(CAST(inter AS DOUBLE) / CAST(lens - inter AS DOUBLE), 6)
+           END) AS max_iou
+FROM c GROUP BY relation"""
+
+
 def q_group_percentiles(spark, sf_dir):
     """Exact nearest-rank percentiles (p50/p90/p99) of the fixed-point
     value per event_type: rank ``ceil(p·n/100)`` over the per-group sort
@@ -2768,4 +2830,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_group_percentiles": (q_group_percentiles, _SQL_GROUP_PERCENTILES),
     "q_value_correlation": (q_value_correlation, _SQL_VALUE_CORR),
     "q_pivot_user_activity": (q_pivot_user_activity, _SQL_PIVOT_USER),
+    "q_allen_relations": (q_allen_relations, _SQL_ALLEN),
 }

@@ -92,3 +92,65 @@ def test_duration_and_contains(spark):
 def test_make_span_casts_to_long(spark):
     df = spark.range(1).select(make_span(F.lit(1.0), F.lit(2.0)).alias("s"))
     assert df.schema["s"].dataType.simpleString() == "struct<start:bigint,stop:bigint>"
+
+
+ALLEN_CASES = [
+    # exhaustive 13-relation matrix (Allen 1983), left vs right
+    ((0, 5), (10, 20), "precedes"),
+    ((0, 10), (10, 20), "meets"),
+    ((0, 12), (10, 20), "overlaps"),
+    ((0, 20), (10, 20), "finished_by"),
+    ((0, 25), (10, 20), "contains"),
+    ((10, 15), (10, 20), "starts"),
+    ((10, 20), (10, 20), "equals"),
+    ((10, 25), (10, 20), "started_by"),
+    ((12, 18), (10, 20), "during"),
+    ((15, 20), (10, 20), "finishes"),
+    ((15, 25), (10, 20), "overlapped_by"),
+    ((20, 30), (10, 20), "met_by"),
+    ((25, 30), (10, 20), "preceded_by"),
+]
+
+
+@pytest.mark.parametrize("a,b,expect", ALLEN_CASES)
+def test_allen_relation_matrix(spark, a, b, expect):
+    from dataframeintervals_jl_spark.functions.spans import allen_relation
+
+    assert _eval_pair(spark, a, b, allen_relation) == expect
+
+
+def test_allen_relation_null_propagates(spark):
+    from dataframeintervals_jl_spark.functions.spans import allen_relation
+
+    assert _eval_pair(spark, None, (0, 10), allen_relation) is None
+
+
+def test_allen_relations_exhaustive_and_symmetric(spark):
+    """Every case maps to a distinct relation; swapping sides maps each
+    relation to its converse."""
+    from dataframeintervals_jl_spark.functions.spans import (
+        ALLEN_RELATIONS,
+        allen_relation,
+    )
+
+    got = [_eval_pair(spark, a, b, allen_relation) for a, b, _ in ALLEN_CASES]
+    assert sorted(got) == sorted(ALLEN_RELATIONS)
+    conv = {
+        "precedes": "preceded_by", "meets": "met_by",
+        "overlaps": "overlapped_by", "finished_by": "finishes",
+        "contains": "during", "starts": "started_by", "equals": "equals",
+    }
+    conv.update({v: k for k, v in conv.items()})
+    for a, b, expect in ALLEN_CASES:
+        assert _eval_pair(spark, b, a, allen_relation) == conv[expect]
+
+
+def test_span_iou(spark):
+    from dataframeintervals_jl_spark.functions.spans import span_iou
+
+    assert _eval_pair(spark, (0, 10), (5, 15), span_iou) == 0.333333
+    assert _eval_pair(spark, (0, 10), (0, 10), span_iou) == 1.0
+    assert _eval_pair(spark, (0, 10), (20, 30), span_iou) == 0.0
+    assert _eval_pair(spark, None, (0, 10), span_iou) is None
+    # zero-measure union -> null, not division error
+    assert _eval_pair(spark, (5, 5), (5, 5), span_iou) is None
