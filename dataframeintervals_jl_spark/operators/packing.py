@@ -197,3 +197,49 @@ def pack_stats(
             "fill_ratio"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the RAG/context-prep counterpart
+    of :func:`pack_sequences`: each document expands into (possibly
+    overlapping) windows of ``chunk_tokens`` whitespace tokens taken
+    every ``stride`` tokens (``stride == chunk_tokens``, the default,
+    is non-overlapping; smaller strides overlap for retrieval recall).
+
+    Output: ``(id_col, chunk_id, chunk_start, n_tokens, chunk_text)``
+    with ``chunk_id = chunk_start / stride``; the final window may be
+    shorter; empty documents produce no rows.
+
+    Scale shape: pure narrow expressions (tokenize → generated start
+    sequence → explode → slice) — NO shuffle, no Python, pushdown and
+    pruning flow through untouched."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride=} {chunk_tokens=}"
+        )
+    from ..functions.text import tokens
+
+    n = F.size(F.col("__tl"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ex = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__tl"))
+        .filter(F.size(F.col("__tl")) > 0)
+        .select(F.col(id_col), "__tl", F.explode(starts).alias("__s"))
+    )
+    chunk = F.slice(F.col("__tl"), F.col("__s") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        (F.col("__s") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.col("__s").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

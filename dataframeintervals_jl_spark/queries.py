@@ -2362,6 +2362,29 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG chunking: overlapping 32-token windows every 16 tokens over
+    the documents corpus — narrow expressions only, no shuffle."""
+    from .operators.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=16)
+
+
+_SQL_CHUNK_DOCS = r"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), st AS (
+  SELECT doc_id, tl,
+         unnest(range(0, greatest(len(tl), 1), 16)) AS s
+  FROM toks WHERE len(tl) > 0
+)
+SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(tl[s + 1 : s + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(tl[s + 1 : s + 32], ' ') AS chunk_text
+FROM st"""
+
+
 _ALLEN_CASE_SQL = """CASE
     WHEN alo < brs THEN 'precedes'
     WHEN alo = brs THEN 'meets'
@@ -2831,4 +2854,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_value_correlation": (q_value_correlation, _SQL_VALUE_CORR),
     "q_pivot_user_activity": (q_pivot_user_activity, _SQL_PIVOT_USER),
     "q_allen_relations": (q_allen_relations, _SQL_ALLEN),
+    "q_chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCS),
 }

@@ -202,3 +202,41 @@ def test_pack_sequences_properties(spark, toks, budget):
     assert got_keyed == exp
     assert len(got_global) == len(rows)
     assert all(0 <= off < budget for _, off in got_global.values())
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from dataframeintervals_jl_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=3, stride=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["chunk_start"], r["n_tokens"], r["chunk_text"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 3, "a b c"),
+        (1, 1): (2, 3, "c d e"),
+        (1, 2): (4, 1, "e"),  # short tail kept
+        (2, 0): (0, 1, "x"),
+    }  # empty doc 3 emits nothing
+
+
+def test_chunk_documents_nonoverlapping_default_and_errors(spark):
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=2)
+    assert [
+        (r["chunk_start"], r["chunk_text"])
+        for r in out.orderBy("chunk_id").collect()
+    ] == [(0, "a b"), (2, "c d")]
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=2, stride=3)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
