@@ -2362,6 +2362,48 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_levenshtein_pairs(spark, sf_dir):
+    """Character-level verification of MinHash near-dup candidates:
+    exact Levenshtein distance and its length-normalized similarity on
+    candidate pairs only — edit distance is O(len²) per pair, so it
+    NEVER runs all-pairs; the LSH candidate generator bounds the work.
+    Both engines ship the same built-in."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    out = cand.join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("ta", "tb")
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    return out.select(
+        "id_a",
+        "id_b",
+        dist.cast("long").alias("edit_dist"),
+        F.round(
+            F.lit(1.0) - dist.cast("double") / maxlen.cast("double"), 6
+        ).alias("edit_sim"),
+    )
+
+
+def _sql_levenshtein() -> str:
+    # reuse the minhash candidate replay, then score with the built-in
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    # the replay's final SELECT keeps pairs at any jaccard; wrap it
+    return f"""WITH mh AS ({base})
+SELECT mh.id_a, mh.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6)
+         AS edit_sim
+FROM mh JOIN documents a ON a.doc_id = mh.id_a
+        JOIN documents b ON b.doc_id = mh.id_b"""
+
+
+_SQL_LEVENSHTEIN = _sql_levenshtein()
+
+
 def q_chunk_documents(spark, sf_dir):
     """RAG chunking: overlapping 32-token windows every 16 tokens over
     the documents corpus — narrow expressions only, no shuffle."""
@@ -2855,4 +2897,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pivot_user_activity": (q_pivot_user_activity, _SQL_PIVOT_USER),
     "q_allen_relations": (q_allen_relations, _SQL_ALLEN),
     "q_chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCS),
+    "q_levenshtein_pairs": (q_levenshtein_pairs, _SQL_LEVENSHTEIN),
 }
