@@ -104,10 +104,12 @@ def main() -> None:
                 one()
             # a sustained host-steal window slows BOTH samples equally,
             # so the disagreement rule never fires; no catalog query
-            # costs >12s on a quiet host (heaviest recorded: ~11.4s), so
-            # a min above that earns up to two more chances to land
-            # outside the steal window (bounded at 5 samples)
-            while min(samples) > 12 and len(samples) < 5:
+            # costs >8s on a quiet host (heaviest quiet reading: ~5.7s;
+            # a steal window was observed slowing BOTH samples of a
+            # 1.8s query to 10.6s), so a min above 8s earns up to three
+            # more chances to land outside the window (bounded at 5
+            # samples)
+            while min(samples) > 8 and len(samples) < 5:
                 one()
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
