@@ -45,6 +45,8 @@ from .sources import col_to_ns, event_spans, order_spans, read_table
 # shared oracle SQL fragments
 # ---------------------------------------------------------------------------
 
+_DAY_NS = 86_400 * 1_000_000_000
+
 # event spans at µs-precision ns (matches Spark truncate_us=True)
 _ES_CTE = """sp AS (
   SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS s,
@@ -2362,6 +2364,178 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel: per user, the first view, the first click AFTER
+    that view, the first purchase AFTER that click; report how many
+    users reach each stage.  Three partial-aggregated groupBys + two
+    broadcast-sized joins on the user key — no window sort over the
+    event stream."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("2_click").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("3_purchase").alias("stage"), "n"
+            )
+        )
+    )
+
+
+_SQL_FUNNEL = """WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+), v AS (
+  SELECT user_id, min(t) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT ev.user_id, min(t) AS t_click FROM ev JOIN v USING (user_id)
+  WHERE event_type = 'click' AND t > t_view GROUP BY ev.user_id
+), p AS (
+  SELECT ev.user_id, min(t) AS t_purchase FROM ev JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND t > t_click GROUP BY ev.user_id
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n FROM v
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted by
+    distinct active day offset — the standard retention triangle.  Two
+    partial-aggregated passes + one join on the user key."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts DIV {_DAY_NS}").alias("day")
+    )
+    ud = ev.distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_SQL_RETENTION = f"""WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN first USING (user_id)
+GROUP BY 1, 2"""
+
+
+def q_anomaly_flags(spark, sf_dir):
+    """Per-user z-score anomaly flags from EXACT bigint moment sums:
+    mean/variance per user via (n, Σx, Σx²) fixed-point sums, then one
+    fixed-order double formula flags events with |x - μ| > 2σ.  One agg
+    + one broadcast-sized join back on the key."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1_000).cast("long").alias("x"),
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    joined = ev.join(s, "user_id")
+    mu = d("sx") / d("n")
+    var = d("sx2") / d("n") - mu * mu
+    z_num = F.abs(d("x") - mu)
+    flag = (var > 0) & (z_num * z_num > F.lit(4.0) * var)
+    return joined.select(
+        "event_id", "user_id", "x", flag.alias("is_anomaly")
+    )
+
+
+_SQL_ANOMALY = """WITH ev AS (
+  SELECT event_id, user_id, CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM ev GROUP BY user_id
+)
+SELECT event_id, user_id, x,
+       ((CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+        AND abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            > 4.0 * (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+         AS is_anomaly
+FROM ev JOIN s USING (user_id)"""
+
+
+def q_build_vocab(spark, sf_dir):
+    """Frequency-ranked vocabulary over the corpus: (term, token_id,
+    count) with ids assigned by (count desc, term) — the deterministic
+    tokenizer-vocab construction step.  One partial-aggregated term
+    count; the ranking window runs over the (small) distinct-term
+    table, not the corpus."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = W.orderBy(F.col("count").desc(), F.col("term"))
+    return tf.select(
+        "term",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "count",
+    )
+
+
+_SQL_VOCAB = r"""WITH tf AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), c AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM tf GROUP BY term)
+SELECT term,
+       CAST(row_number() OVER (ORDER BY count DESC, term) - 1 AS BIGINT)
+         AS token_id,
+       count
+FROM c"""
+
+
 def q_levenshtein_pairs(spark, sf_dir):
     """Character-level verification of MinHash near-dup candidates:
     exact Levenshtein distance and its length-normalized similarity on
@@ -2656,9 +2830,6 @@ pairs AS (
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= 5"""
 
 
-_DAY_NS = 86_400 * 1_000_000_000
-
-
 def q_rollup_daily(spark, sf_dir):
     """Multi-granularity rollup of the event stream: (event_type, day)
     -> (event_type) -> grand total in ONE pass via grouping sets —
@@ -2898,4 +3069,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_allen_relations": (q_allen_relations, _SQL_ALLEN),
     "q_chunk_documents": (q_chunk_documents, _SQL_CHUNK_DOCS),
     "q_levenshtein_pairs": (q_levenshtein_pairs, _SQL_LEVENSHTEIN),
+    "q_funnel": (q_funnel, _SQL_FUNNEL),
+    "q_retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
+    "q_anomaly_flags": (q_anomaly_flags, _SQL_ANOMALY),
+    "q_build_vocab": (q_build_vocab, _SQL_VOCAB),
 }
