@@ -1,0 +1,79 @@
+"""Iterative graph computation over pair lists — engine extension
+(SURVEY.md §2.C: the reference has no graph surface; duplicate-pair
+graphs from MinHash/SimHash need clustering and ranking at corpus
+scale).
+
+:func:`~.dedup.connected_components` (min-label propagation) lives with
+the dedup operators; this module holds :func:`pagerank`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for rank mass — ranks are bigints summing to ~SCALE
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair list in exact fixed-point
+    integer arithmetic: ``(v, rank_fx)`` with ranks scaled to
+    :data:`PR_SCALE`, damping ``damping_num/damping_den`` (default
+    17/20 = 0.85), a fixed iteration count — every operation is bigint
+    add/mul/floor-div, so a SQL oracle unrolling the same iterations
+    matches bit-for-bit (the same replay strategy as the IVF k-means
+    oracle).
+
+    Scale design: each iteration is one equi-join of the edge list
+    against the (vertex, rank) table plus one partial-aggregated
+    groupBy on the destination — the textbook distributed PageRank
+    shape, shuffling only (vertex, long) pairs.  ``localCheckpoint``
+    every ``checkpoint_every`` rounds bounds lineage depth exactly like
+    connected_components.  Vertices are the edge endpoints (isolated
+    documents are rank-irrelevant here); in an undirected graph every
+    vertex has degree >= 1, so there are no dangling-mass corrections.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    und = und.persist()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # also materializes `und` for the loop
+    if n == 0:
+        und.unpersist()
+        return edges.sparkSession.createDataFrame([], "v long, rank_fx long")
+
+    teleport = (PR_SCALE - (PR_SCALE * damping_num) // damping_den) // n
+    ranks = deg.select(
+        F.col("u").alias("v"), F.lit(PR_SCALE // n).cast("long").alias("r")
+    )
+    for i in range(iterations):
+        contrib = (
+            und.join(ranks.withColumnRenamed("v", "u"), "u")
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("r DIV deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = contrib.select(
+            "v",
+            (
+                F.lit(teleport)
+                + F.expr(f"(in_sum * {damping_num}) DIV {damping_den}")
+            ).cast("long").alias("r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select(F.col("v"), F.col("r").alias("rank_fx"))
+    return out

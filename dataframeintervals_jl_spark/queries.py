@@ -2364,6 +2364,51 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank (5 iterations, damping 17/20, fixed-point bigint) over
+    the MinHash duplicate-pair graph — iterative distributed
+    computation with a fully unrolled SQL oracle (the IVF-k-means
+    replay strategy applied to a graph loop)."""
+    from .operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    return pagerank(pairs, iterations=5)
+
+
+def _sql_pagerank(iters: int = 5) -> str:
+    from .operators.graph import PR_SCALE
+
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    tele = f"({PR_SCALE} - ({PR_SCALE} * 17) // 20)"
+    parts = [
+        f"""mh AS MATERIALIZED ({base}),
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM mh
+  UNION SELECT id_b, id_a FROM mh
+), deg AS MATERIALIZED (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+it0 AS (SELECT u AS v, CAST({PR_SCALE} // nn.n AS BIGINT) AS r FROM deg, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""it{i} AS (
+  SELECT e.v AS v,
+         CAST({tele} // nn.n + (sum(p.r // d.deg) * 17) // 20 AS BIGINT) AS r
+  FROM e JOIN it{i - 1} p ON e.u = p.v JOIN deg d ON d.u = e.u, nn
+  GROUP BY e.v, nn.n)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT v, r AS rank_fx FROM it{iters}"
+    )
+
+
+_SQL_PAGERANK = _sql_pagerank(5)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel: per user, the first view, the first click AFTER
     that view, the first purchase AFTER that click; report how many
@@ -3073,4 +3118,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
     "q_anomaly_flags": (q_anomaly_flags, _SQL_ANOMALY),
     "q_build_vocab": (q_build_vocab, _SQL_VOCAB),
+    "q_pagerank": (q_pagerank, _SQL_PAGERANK),
 }

@@ -211,3 +211,45 @@ def test_shared_shingle_pairs_stop_shingle_guard(spark):
     )
     out = shared_shingle_pairs(docs, shingle_k=3, min_shared=1, max_df=3)
     assert out.count() == 0
+
+
+def _brute_pagerank(edges, iters, scale=1_000_000_000_000):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({u for u, _ in und})
+    deg = {u: sum(1 for x, _ in und if x == u) for u in nodes}
+    n = len(nodes)
+    tele = (scale - (scale * 17) // 20) // n
+    r = {u: scale // n for u in nodes}
+    for _ in range(iters):
+        incoming = {u: 0 for u in nodes}
+        for u, v in und:
+            incoming[v] += r[u] // deg[u]
+        r = {v: tele + (incoming[v] * 17) // 20 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from dataframeintervals_jl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]  # triangle + pendant
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["v"]: r["rank_fx"] for r in pagerank(df, iterations=5).collect()}
+    assert got == _brute_pagerank(edges, 5)
+    # hub (3) outranks the pendant (4)
+    assert got[3] > got[4]
+    # determinism across runs
+    again = {r["v"]: r["rank_fx"] for r in pagerank(df, iterations=5).collect()}
+    assert again == got
+
+
+def test_pagerank_empty_and_zero_iters(spark):
+    from dataframeintervals_jl_spark.operators.graph import PR_SCALE, pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(empty, iterations=3).count() == 0
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["v"]: r["rank_fx"] for r in pagerank(df, iterations=0).collect()}
+    assert got == {1: PR_SCALE // 2, 2: PR_SCALE // 2}
