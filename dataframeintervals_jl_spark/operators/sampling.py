@@ -133,3 +133,21 @@ def topk_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_col,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row-rate deterministic Bernoulli sample: keep a row iff
+    ``hash(salt|key) mod 1e6 < round(rate · 1e6)``, with ``rate_col`` a
+    per-row column in [0, 1] — importance sampling by quality, size, or
+    domain weight, with the same content-keyed determinism contract as
+    :func:`deterministic_sample` (same key + salt → same decision on
+    any cluster, partitioning, or engine).  Pure narrow filter: no
+    shuffle, pushdown-friendly."""
+    rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    thresh = F.round(rate * F.lit(float(BUCKETS))).cast("long")
+    return df.filter(_bucket(F.col(key_col), salt) < thresh)

@@ -2364,6 +2364,80 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Importance sampling: keep each document with probability
+    proportional to its size (n_chars·2000 ppm, capped at 1) — the
+    deterministic per-row-rate Bernoulli filter (same content-keyed
+    contract as hash_split)."""
+    from .operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.least(
+        F.col("n_chars").cast("double") * 2000 / 1_000_000.0, F.lit(1.0)
+    )
+    return weighted_sample(docs, "doc_id", rate).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (('0x' || substr(md5('wsample|' || doc_id::VARCHAR), 1, 15))::BIGINT
+       % 1000000)
+      < CAST(round(least(CAST(n_chars AS DOUBLE) * 2000 / 1000000.0, 1.0)
+                   * 1000000.0) AS BIGINT)"""
+
+
+def q_rag_prep(spark, sf_dir):
+    """End-to-end RAG corpus preparation composing this round's
+    operators: rule quality gate -> overlapping 32/16 token chunking ->
+    exact chunk-level dedup (first (doc, chunk) per chunk text wins) ->
+    chunk manifest.  Every stage deterministic; ONE oracle replays the
+    pipeline."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import stopword_count, token_count
+    from .operators.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    good = docs.filter(
+        (token_count(F.col("text")) >= 30)
+        & (stopword_count(F.col("text")) >= 2)
+    )
+    chunks = chunk_documents(good, chunk_tokens=32, stride=16)
+    w = W.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        "doc_id", "chunk_id"
+    )
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_id", "chunk_start", "n_tokens")
+    )
+
+
+_SQL_RAG_PREP = rf"""WITH good AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) >= 30
+    AND len(regexp_extract_all(lower(text), '{_STOPWORD_SQL_RE}')) >= 2
+), toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM good
+), st AS (
+  SELECT doc_id, tl, unnest(range(0, greatest(len(tl), 1), 16)) AS s
+  FROM toks WHERE len(tl) > 0
+), ch AS (
+  SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+         CAST(s AS BIGINT) AS chunk_start,
+         CAST(len(tl[s + 1 : s + 32]) AS BIGINT) AS n_tokens,
+         array_to_string(tl[s + 1 : s + 32], ' ') AS chunk_text
+  FROM st
+), d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+            ORDER BY doc_id, chunk_id) AS rn
+  FROM ch
+)
+SELECT doc_id, chunk_id, chunk_start, n_tokens FROM d WHERE rn = 1"""
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank (5 iterations, damping 17/20, fixed-point bigint) over
     the MinHash duplicate-pair graph — iterative distributed
@@ -3119,4 +3193,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_anomaly_flags": (q_anomaly_flags, _SQL_ANOMALY),
     "q_build_vocab": (q_build_vocab, _SQL_VOCAB),
     "q_pagerank": (q_pagerank, _SQL_PAGERANK),
+    "q_weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+    "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
 }
