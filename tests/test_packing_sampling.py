@@ -240,3 +240,23 @@ def test_chunk_documents_nonoverlapping_default_and_errors(spark):
         chunk_documents(docs, chunk_tokens=2, stride=3)
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(docs, chunk_tokens=0)
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from dataframeintervals_jl_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("even")
+    )
+    # rate 1.0 for even ids, 0.1 for odd
+    rate = F.when(F.col("even"), F.lit(1.0)).otherwise(F.lit(0.1))
+    out = weighted_sample(df, "id", rate)
+    rows = out.collect()
+    evens = sum(1 for r in rows if r["even"])
+    odds = len(rows) - evens
+    assert evens == 10_000  # rate 1.0 keeps everything
+    assert 700 <= odds <= 1300  # ~10% of 10k
+    # determinism: identical keep-set on re-evaluation
+    again = {r["id"] for r in weighted_sample(df, "id", rate).collect()}
+    assert again == {r["id"] for r in rows}
