@@ -2226,35 +2226,61 @@ _HOP_LEN_NS = 24 * 3_600 * 1_000_000_000  # 24h windows ...
 _HOP_SLIDE_NS = 6 * 3_600 * 1_000_000_000  # ... hopping every 6h
 
 
+#: shared hopping-window aggs: the mean comes from an EXACT fixed-point
+#: bigint sum + one fixed-order double division — ``round(avg(value))``
+#: would hinge on float partial-sum order, which diverges from a
+#: single-pass oracle in the 6th decimal once groups are large enough.
+def _hop_aggs():
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "__sum_fx"
+        ),
+    ]
+
+
+def _hop_finish(df):
+    return df.withColumn(
+        "avg_value",
+        F.round(
+            F.col("__sum_fx").cast("double")
+            / F.lit(1_000_000.0)
+            / F.col("n_events").cast("double"),
+            6,
+        ),
+    ).drop("__sum_fx")
+
+
 def q_sliding_window_agg(spark, sf_dir):
     """Hopping-window rollup (24h windows, 6h hop — every event lands in
     4 windows) of the event stream per event_type."""
     from .operators.timeseries import sliding_window_agg
 
     ev = read_table(spark, sf_dir, "events")
-    return sliding_window_agg(
+    out = sliding_window_agg(
         ev,
-        aggs=[
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        ],
+        aggs=_hop_aggs(),
         on="ts",
         length=_HOP_LEN_NS,
         slide=_HOP_SLIDE_NS,
         by="event_type",
     )
+    return _hop_finish(out)
 
 
 _SQL_SLIDING_WINDOW = f"""WITH ev AS (
-  SELECT event_type, epoch_ns(ts) AS t, value FROM events
+  SELECT event_type, epoch_ns(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
 ), x AS (
-  SELECT event_type, t, value,
+  SELECT event_type, t, v_fx,
          t - t % {_HOP_SLIDE_NS} - k * {_HOP_SLIDE_NS} AS w_start
   FROM ev, range(0, {_HOP_LEN_NS // _HOP_SLIDE_NS}) r(k)
 )
 SELECT w_start, w_start + {_HOP_LEN_NS} AS w_end, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value
+       round(CAST(CAST(sum(v_fx) AS BIGINT) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE), 6) AS avg_value
 FROM x GROUP BY 1, 2, 3"""
 
 
@@ -3027,14 +3053,11 @@ def q_stream_sliding_agg(spark, sf_dir):
         ev,
         width_ns=_HOP_LEN_NS,
         slide_ns=_HOP_SLIDE_NS,
-        aggs=[
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        ],
+        aggs=_hop_aggs(),
         ts_col="ts",
         by="event_type",
     )
-    return out.select(
+    return _hop_finish(out).select(
         F.col("span.start").alias("w_start"),
         F.col("span.stop").alias("w_end"),
         "event_type",
