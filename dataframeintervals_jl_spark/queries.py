@@ -2390,6 +2390,154 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_mean_token_rank(spark, sf_dir):
+    """Commonness score: per document, the mean frequency rank of its
+    tokens against the corpus vocabulary (rank 0 = most frequent) — an
+    integer-exact proxy for unigram perplexity (rare-word-heavy docs
+    score high).  Sum of bigint ranks per doc, one fixed-order double
+    division at the end."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
+    vocab = tf.select(
+        "term", (F.row_number().over(w) - 1).cast("long").alias("rank")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rank").alias("rank_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("rank_sum").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mean_rank"),
+        )
+    )
+
+
+_SQL_MEAN_TOKEN_RANK = r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+vocab AS (
+  SELECT term,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT)
+           AS rank
+  FROM tf
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(sum(rank) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_rank
+FROM toks JOIN vocab USING (term)
+GROUP BY doc_id"""
+
+
+def q_label_centroids(spark, sf_dir):
+    """Embedding-space label classification: per-label mean centroid
+    from EXACT fixed-point per-dimension sums, every vector assigned to
+    its nearest centroid by cosine (deterministic tie-break on label),
+    reported as the (true label, predicted label) confusion counts.
+    The centroid table is tiny — broadcast; the corpus-side pass is one
+    narrow projection + partial-agg count."""
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # per-(label, dim) exact sums + counts -> integer centroid
+    # (floor of the scaled mean: sum_fx DIV n)
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding"))
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("col").cast("double") * 1_000_000).cast("long").alias("x"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select("label", "pos", F.expr("sx DIV n").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pc"), lambda s: s["c"]).alias("cv"),
+        )
+    )
+    from .operators.similarity import _dot, _quantized
+
+    cent = cent.withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    v = emb.select(
+        "vec_id", "label", _quantized(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (
+            _dot(F.col("qv"), F.col("cv")).cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))
+        ).alias("score"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("c_label")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("c_label").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_LABEL_CENTROIDS = """WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS x
+  FROM embeddings
+), cd AS (
+  SELECT label, pos,
+         CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+  FROM ex GROUP BY label, pos
+), cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cd GROUP BY label
+), cn AS (
+  SELECT c_label, cv, list_dot_product(cv, cv) AS cnorm FROM cent
+), vl AS (
+  SELECT vec_id, label, list(x ORDER BY pos) AS qv FROM ex
+  GROUP BY vec_id, label
+), vn AS (
+  SELECT vec_id, label, qv, list_dot_product(qv, qv) AS qnorm FROM vl
+), scored AS (
+  SELECT vn.vec_id, vn.label, cn.c_label,
+         CAST(list_dot_product(vn.qv, cn.cv) AS DOUBLE)
+           / sqrt(CAST(vn.qnorm AS DOUBLE) * CAST(cn.cnorm AS DOUBLE))
+           AS score
+  FROM vn, cn
+), best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c_label) AS rn
+  FROM scored
+)
+SELECT label AS true_label, c_label AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Importance sampling: keep each document with probability
     proportional to its size (n_chars·2000 ppm, capped at 1) — the
@@ -3218,4 +3366,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pagerank": (q_pagerank, _SQL_PAGERANK),
     "q_weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
+    "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
+    "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
 }
