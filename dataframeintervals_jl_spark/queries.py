@@ -2390,6 +2390,39 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_interval_join_iou(spark, sf_dir):
+    """Overlap join filtered by overlap QUALITY: keep only (span,
+    window) pairs whose IoU >= 0.2 — the composable
+    join-then-similarity-threshold shape (event mostly inside the
+    window, not merely touching it)."""
+    from .functions.spans import span_iou
+
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+    return (
+        j.select(
+            "event_id",
+            "idx",
+            span_iou(F.col("span_left"), F.col("span_right")).alias("iou"),
+        )
+        .filter(F.col("iou") >= 0.2)
+    )
+
+
+_SQL_JOIN_IOU = f"""WITH {_ES_CTE}, {_w_cte(8, "idx")},
+p AS (
+  SELECT es.event_id, w.idx,
+         greatest(least(es.e, w.w_stop) - greatest(es.s, w.w_start), 0)
+           AS inter,
+         (es.e - es.s) + (w.w_stop - w.w_start) AS lens
+  FROM es JOIN w ON {_OVERLAP_SQL.replace("w.quarter", "w.idx")}
+)
+SELECT event_id, idx,
+       round(CAST(inter AS DOUBLE) / CAST(lens - inter AS DOUBLE), 6) AS iou
+FROM p
+WHERE round(CAST(inter AS DOUBLE) / CAST(lens - inter AS DOUBLE), 6) >= 0.2"""
+
+
 def q_mean_token_rank(spark, sf_dir):
     """Commonness score: per document, the mean frequency rank of its
     tokens against the corpus vocabulary (rank 0 = most frequent) — an
@@ -3366,6 +3399,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pagerank": (q_pagerank, _SQL_PAGERANK),
     "q_weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
+    "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
 }

@@ -409,3 +409,32 @@ def test_stream_sliding_agg_validation(spark):
         stream_sliding_agg(ev, width_ns=HOUR * 3, slide_ns=HOUR * 2, aggs=[])
     with pytest.raises(ValueError, match="microsecond"):
         stream_sliding_agg(ev, width_ns=10, slide_ns=10, aggs=[])
+
+
+def test_chunk_documents_streaming_passthrough(spark, tmp_path):
+    """chunk_documents is pure narrow expressions, so it must work
+    unchanged on a streaming input (stateless transform)."""
+    from dataframeintervals_jl_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z")], "doc_id long, text string"
+    )
+    batch = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=3, stride=2).collect()
+    }
+    stream = _roundtrip_stream(spark, docs, str(tmp_path / "docs"))
+    out = chunk_documents(stream, chunk_tokens=3, stride=2)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunks")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM chunks").collect()
+    }
+    assert got == batch
