@@ -75,5 +75,8 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select(F.col("v"), F.col("r").alias("rank_fx"))
-    return out
+    # final checkpoint cuts the plan's dependence on the persisted edge
+    # table so it can be released here instead of leaking per call
+    ranks = ranks.localCheckpoint(eager=True)
+    und.unpersist()
+    return ranks.select(F.col("v"), F.col("r").alias("rank_fx"))
