@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .asof_join import asof_join
@@ -139,4 +139,45 @@ def sliding_window_agg(
         (F.col("w_start") + F.lit(length)).alias("w_end"),
         *keys,
         *val_cols,
+    )
+
+
+def validity_intervals(
+    df: DataFrame,
+    attrs: Sequence[str],
+    on: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) construction: collapse a
+    per-key change-event stream into validity intervals — one row per
+    RUN of unchanged ``attrs``, valid ``[valid_from, valid_to)`` with
+    the current run left open (``valid_to`` null).
+
+    ``order`` supplies deterministic tie-break columns after ``on``
+    (e.g. an event id) so equal-timestamp rows have a total order.
+    Null-safe attribute comparison: a null attribute value is a value,
+    not a wildcard.
+
+    Scale shape: one shuffle on the key, two window passes over the
+    same per-key sort (Spark reuses the sort), no joins — the standard
+    temporal-table build at any key cardinality."""
+    keys = _by_cols(by)
+    w = Window.partitionBy(*keys).orderBy(on, *order) if keys else (
+        Window.orderBy(on, *order)
+    )
+    cur = F.struct(*[F.col(a) for a in attrs])
+    prev = F.lag(cur).over(w)
+    changed = prev.isNull() | ~prev.eqNullSafe(cur)
+    runs = df.withColumn("__dfi_chg", changed).filter(
+        F.col("__dfi_chg")
+    ).drop("__dfi_chg")
+    w2 = Window.partitionBy(*keys).orderBy(on, *order) if keys else (
+        Window.orderBy(on, *order)
+    )
+    return runs.select(
+        *keys,
+        *attrs,
+        F.col(on).alias("valid_from"),
+        F.lead(F.col(on)).over(w2).alias("valid_to"),
     )

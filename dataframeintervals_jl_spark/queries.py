@@ -2390,6 +2390,118 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 temporal-table build: collapse each user's event_type
+    change stream into validity intervals [valid_from, valid_to) with
+    the current run open (null valid_to) — one shuffle, two window
+    passes over one per-key sort."""
+    from .operators.timeseries import validity_intervals
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return validity_intervals(
+        ev, attrs=["event_type"], on="ts", by="user_id", order=["event_id"]
+    )
+
+
+_SQL_SCD2 = """WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+), m AS (
+  SELECT *, lag(event_type) OVER w AS prev
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), runs AS (
+  SELECT user_id, event_type, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, t AS valid_from,
+       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+FROM runs"""
+
+
+_SNAPSHOT_T_NS = 1_705_276_800_000_000_000  # 2024-01-15T00:00Z
+
+
+def q_snapshot_at(spark, sf_dir):
+    """Temporal snapshot: each user's state (current event_type run) AS
+    OF a fixed instant — the SCD2 table filtered to the validity
+    interval containing T (open current rows match any later T)."""
+    from .operators.timeseries import validity_intervals
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    scd = validity_intervals(
+        ev, attrs=["event_type"], on="ts", by="user_id", order=["event_id"]
+    )
+    t = F.lit(_SNAPSHOT_T_NS)
+    return scd.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+    ).select("user_id", "event_type", "valid_from")
+
+
+_SQL_SNAPSHOT = f"""WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+), m AS (
+  SELECT *, lag(event_type) OVER w AS prev
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), runs AS (
+  SELECT user_id, event_type, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+), scd AS (
+  SELECT user_id, event_type, t AS valid_from,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+  FROM runs
+)
+SELECT user_id, event_type, valid_from FROM scd
+WHERE valid_from <= {_SNAPSHOT_T_NS}
+  AND (valid_to IS NULL OR {_SNAPSHOT_T_NS} < valid_to)"""
+
+
+def q_dominant_label(spark, sf_dir):
+    """Overlap-weighted label transfer: each 8-ile window takes the
+    event_type with the largest total overlap duration (exact bigint
+    ns sums; ties to the lexicographically first type) — the standard
+    annotate-windows-from-events shape."""
+    from pyspark.sql import Window as W
+
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    j = interval_join(es, w, validate="skip", strategy="broadcast_right")
+    dur = (
+        j.select(
+            "idx",
+            "event_type",
+            (F.col("span.stop") - F.col("span.start")).alias("d"),
+        )
+        .groupBy("idx", "event_type")
+        .agg(F.sum("d").alias("overlap_ns"))
+    )
+    ww = W.partitionBy("idx").orderBy(
+        F.col("overlap_ns").desc(), F.col("event_type")
+    )
+    return (
+        dur.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select("idx", "event_type", "overlap_ns")
+    )
+
+
+_SQL_DOMINANT = f"""WITH {_ES_CTE}, {_w_cte(8, "idx")},
+d AS (
+  SELECT w.idx, es.event_type,
+         CAST(sum(least(es.e, w.w_stop) - greatest(es.s, w.w_start))
+              AS BIGINT) AS overlap_ns
+  FROM es JOIN w ON {_OVERLAP_SQL}
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY idx
+            ORDER BY overlap_ns DESC, event_type) AS rn
+  FROM d
+)
+SELECT idx, event_type, overlap_ns FROM r WHERE rn = 1"""
+
+
 def q_interval_join_iou(spark, sf_dir):
     """Overlap join filtered by overlap QUALITY: keep only (span,
     window) pairs whose IoU >= 0.2 — the composable
@@ -3400,6 +3512,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
+    "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
+    "q_snapshot_at": (q_snapshot_at, _SQL_SNAPSHOT),
+    "q_dominant_label": (q_dominant_label, _SQL_DOMINANT),
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
 }

@@ -253,3 +253,48 @@ def test_pagerank_empty_and_zero_iters(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     got = {r["v"]: r["rank_fx"] for r in pagerank(df, iterations=0).collect()}
     assert got == {1: PR_SCALE // 2, 2: PR_SCALE // 2}
+
+
+def test_validity_intervals_scd2(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        validity_intervals,
+    )
+
+    rows = [
+        # user 1: a a b a  -> runs a@[1,3), b@[3,4), a@[4,None)
+        (1, 1, "a", 10),
+        (1, 2, "a", 11),
+        (1, 3, "b", 12),
+        (1, 4, "a", 13),
+        # user 2: single row -> open run
+        (2, 5, "x", 14),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string, eid long")
+    out = validity_intervals(
+        df, attrs=["attr"], on="ts", by="k", order=["eid"]
+    )
+    got = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("a", 3),
+        (1, 3): ("b", 4),
+        (1, 4): ("a", None),
+        (2, 5): ("x", None),
+    }
+
+
+def test_validity_intervals_null_attr_is_a_value(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        validity_intervals,
+    )
+
+    rows = [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, 4, "a")]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string")
+    out = validity_intervals(df, attrs=["attr"], on="ts", by="k")
+    vals = sorted(
+        (r["valid_from"], r["attr"]) for r in out.collect()
+    )
+    # null run collapses to ONE interval [2,4), not two
+    assert vals == [(1, "a"), (2, None), (4, "a")]
