@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the time-series / windowing /
+decontamination operators against brute-force Python references."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.timeseries import (
+    sliding_window_agg,
+    validity_intervals,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+events = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, 3)),  # (ts, key)
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(ev=events, slide=st.integers(1, 25), k=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_sliding_window_counts_match_brute_force(spark, ev, slide, k):
+    length = slide * k
+    df = spark.createDataFrame(
+        [(t, f"g{g}") for t, g in ev], "ts long, g string"
+    )
+    out = sliding_window_agg(
+        df,
+        aggs=[F.count(F.lit(1)).alias("n")],
+        on="ts",
+        length=length,
+        slide=slide,
+        by="g",
+    )
+    got = {(r["g"], r["w_start"]): r["n"] for r in out.collect()}
+    expect: dict = {}
+    for t, g in ev:
+        base = t - t % slide
+        for i in range(k):
+            ws = base - i * slide
+            key = (f"g{g}", ws)
+            expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+
+
+changes = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.integers(0, 100),  # ts
+        st.sampled_from(["a", "b", None]),  # attr
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=changes)
+@settings(**_SETTINGS)
+def test_validity_intervals_match_brute_force(spark, rows):
+    # unique (key, ts) pairs; tie-break not needed
+    seen = {}
+    for k, t, a in rows:
+        seen[(k, t)] = a
+    data = [(k, t, a) for (k, t), a in seen.items()]
+    df = spark.createDataFrame(data, "k long, ts long, attr string")
+    out = validity_intervals(df, attrs=["attr"], on="ts", by="k")
+    got = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"])
+        for r in out.collect()
+    }
+    expect = {}
+    by_key: dict = {}
+    for k, t, a in data:
+        by_key.setdefault(k, []).append((t, a))
+    for k, seq in by_key.items():
+        seq.sort()
+        runs = []
+        for t, a in seq:
+            if not runs or runs[-1][1] != a:
+                runs.append((t, a))
+        for i, (t, a) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            expect[(k, t)] = (a, nxt)
+    assert got == expect
+
+
+docs_pair = st.tuples(
+    st.lists(  # corpus: (id, token list)
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(  # eval set
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=3,
+    ),
+)
+
+
+@given(dp=docs_pair, k=st.integers(1, 3), mo=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_decontaminate_matches_brute_force(spark, dp, k, mo):
+    from dataframeintervals_jl_spark.operators.dedup import decontaminate
+
+    corpus_toks, eval_toks = dp
+
+    def shingles_of(toks):
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus_toks)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(eval_toks)],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, eval_df, shingle_k=k, min_overlap=mo)
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
+    ev_sh = set().union(*[shingles_of(t) for t in eval_toks])
+    # empty-token docs produce the "" whole-text shingle, same as Spark
+    for i, t in enumerate(corpus_toks):
+        n = len(shingles_of(t) & ev_sh)
+        assert got[i] == (n, n >= mo), (i, t)
