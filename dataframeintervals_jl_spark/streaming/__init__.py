@@ -462,6 +462,162 @@ def stream_merge_spans(
     )
 
 
+def stream_resample_locf(
+    obs: DataFrame,
+    step_ns: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming last-observation-carried-forward resampling — the
+    unbounded counterpart of batch
+    :func:`~..operators.timeseries.resample_locf` (keyed form, same
+    output columns: keys, ``ts`` = grid timestamp, ``ts_right`` /
+    ``value_right`` = the carried observation, nulls before a key's
+    first observation).
+
+    A grid point ``gt`` is emitted exactly once, when the event-time
+    watermark passes it: at that instant no observation with
+    ``obs_ts <= gt`` can still arrive, so the carried value is final.
+    Custom stateful operator (``applyInPandasWithState``,
+    EventTimeTimeout): per-key state is the next unemitted grid point,
+    the latest finalized observation, the max observed timestamp (the
+    grid ceiling, matching the batch operator's per-key ``[floor(min),
+    floor(max)]`` range), and a buffer of not-yet-final observations —
+    bounded by the watermark delay, NOT stream length.  Idle keys drain
+    via the timeout path.
+
+    Batch inputs delegate to the batch operator."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_resample_locf requires at least one key")
+    if step_ns < NS_PER_US:
+        raise ValueError("step_ns must be at least one microsecond")
+
+    if not obs.isStreaming:
+        from ..operators.timeseries import resample_locf
+
+        return resample_locf(
+            obs.select(*by_cols, ts_col, value_col),
+            on=ts_col,
+            step=step_ns,
+            by=by_cols,
+        )
+
+    src = obs.select(
+        *by_cols,
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn("__ts", _ns_to_ts(F.col("__t")))
+    src = src.withWatermark("__ts", watermark)
+
+    key_fields = [obs.schema[c] for c in by_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField(ts_col, T.LongType()),
+            T.StructField(f"{ts_col}_right", T.LongType()),
+            T.StructField(f"{value_col}_right", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("next_gt", T.LongType()),
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("last_val", T.DoubleType()),
+            T.StructField("max_ts", T.LongType()),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    step = int(step_ns)
+
+    def flush(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        next_gt = last_ts = max_ts = None
+        last_val = None
+        buf: list = []
+        if state.exists:
+            next_gt, last_ts, last_val, max_ts, bts, bvs = state.get
+            buf = list(zip(bts, bvs))
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(zip(pdf["__t"].tolist(), pdf["__v"].tolist()))
+
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        final = sorted(t_v for t_v in buf if t_v[0] < wm_ns)
+        buf = [t_v for t_v in buf if t_v[0] >= wm_ns]
+        if final or buf:
+            hi = max(t for t, _ in final + buf)
+            max_ts = hi if max_ts is None else max(max_ts, hi)
+
+        emitted = []
+        if final and next_gt is None:
+            next_gt = final[0][0] - final[0][0] % step
+        grid_hi = None if max_ts is None else max_ts - max_ts % step
+
+        def drain(limit_ns):
+            nonlocal next_gt
+            while (
+                next_gt is not None
+                and grid_hi is not None
+                and next_gt <= grid_hi
+                and next_gt < limit_ns
+                and next_gt < wm_ns
+            ):
+                emitted.append((next_gt, last_ts, last_val))
+                next_gt += step
+
+        for t, v in final:
+            drain(t)  # grid points strictly before this obs
+            last_ts, last_val = t, v
+        drain(wm_ns)  # remainder final under the watermark
+
+        done = (
+            not buf
+            and grid_hi is not None
+            and next_gt is not None
+            and next_gt > grid_hi
+        )
+        if done:
+            state.remove()
+        else:
+            state.update(
+                (
+                    next_gt,
+                    last_ts,
+                    last_val,
+                    max_ts,
+                    [t for t, _ in buf],
+                    [v for _, v in buf],
+                )
+            )
+            # wake when the watermark passes the next grid point (or
+            # the earliest buffered obs, whichever can finalize first)
+            pend = [next_gt] if next_gt is not None else []
+            pend += [t for t, _ in buf]
+            wm_ms = state.getCurrentWatermarkMs()
+            if pend:
+                state.setTimeoutTimestamp(
+                    max(min(pend) // 1_000_000 + 1, wm_ms + 1)
+                )
+            else:
+                state.setTimeoutTimestamp(wm_ms + 60_000)
+
+        if emitted:
+            kvals = list(key) if isinstance(key, tuple) else [key]
+            yield pd.DataFrame(
+                [kvals + list(row) for row in emitted],
+                columns=by_cols
+                + [ts_col, f"{ts_col}_right", f"{value_col}_right"],
+            )
+
+    return src.groupBy(*by_cols).applyInPandasWithState(
+        flush, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+
+
 def stream_minhash_candidates(
     docs: DataFrame,
     text_col: str = "text",

@@ -438,3 +438,90 @@ def test_chunk_documents_streaming_passthrough(spark, tmp_path):
         for r in spark.sql("SELECT * FROM chunks").collect()
     }
     assert got == batch
+
+
+def test_stream_resample_locf_matches_batch(spark, tmp_path):
+    """Multi-batch file stream: watermark-finalized grid points must
+    equal the batch resample_locf rows.  A far-future sentinel obs per
+    key advances the watermark past every real grid point; comparison
+    is restricted to the batch operator's grid range."""
+    import random
+
+    from dataframeintervals_jl_spark.operators.timeseries import resample_locf
+    from dataframeintervals_jl_spark.streaming import stream_resample_locf
+
+    rng = random.Random(7)
+    base = 1_700_000_000_000_000_000
+    hour = 3_600_000_000_000
+    step = 12 * hour
+    rows = [
+        (k, base + rng.randrange(0, 400) * hour, float(i))
+        for i, k in enumerate(k for k in (1, 2) for _ in range(40))
+    ]
+    # unique (key, ts): keep the last value per slot like a real stream
+    dedup = {}
+    for k, t, v in rows:
+        dedup[(k, t)] = v
+    rows = [(k, t, v) for (k, t), v in dedup.items()]
+    sentinel_ts = base + 1000 * hour
+    sentinels = [(k, sentinel_ts, -1.0) for k in (1, 2)]
+
+    schema = "user_id long, ts long, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = sorted(
+        (r["user_id"], r["ts"], r["ts_right"], r["value_right"])
+        for r in resample_locf(
+            batch_df, on="ts", step=step, by="user_id"
+        ).collect()
+    )
+    max_gt_by_key: dict = {}
+    for k, t, _, _ in expected:
+        max_gt_by_key[k] = max(max_gt_by_key.get(k, t), t)
+
+    d = str(tmp_path / "locf_in")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(d + "/f2")
+    spark.createDataFrame(sentinels, schema).coalesce(1).write.parquet(d + "/f3")
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_resample_locf(
+        stream, step_ns=step, by="user_id", watermark="0 seconds"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slocf")
+        .option("checkpointLocation", str(tmp_path / "locf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["ts"], r["ts_right"], r["value_right"])
+        for r in spark.sql("SELECT * FROM slocf").collect()
+        if r["ts"] <= max_gt_by_key[r["user_id"]]
+    )
+    assert got == expected
+
+
+def test_stream_resample_locf_batch_delegation(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import resample_locf
+    from dataframeintervals_jl_spark.streaming import stream_resample_locf
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 250, 2.0)], "user_id long, ts long, value double"
+    )
+    a = sorted(map(tuple, stream_resample_locf(df, step_ns=100_000).collect()))
+    # NS_PER_US floor means step must be >= 1us; use the batch op directly
+    b = sorted(
+        map(
+            tuple,
+            resample_locf(df, on="ts", step=100_000, by="user_id").collect(),
+        )
+    )
+    assert a == b
