@@ -151,3 +151,61 @@ def weighted_sample(
     rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
     thresh = F.round(rate * F.lit(float(BUCKETS))).cast("long")
     return df.filter(_bucket(F.col(key_col), salt) < thresh)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch: per group, the estimate
+    ``(k-1) · H / h_k`` where ``h_k`` is the k-th smallest 60-bit hash
+    of the values and ``H`` the hash range — the classic mergeable
+    cardinality sketch (Bar-Yossef et al.), here in a DETERMINISTIC
+    form: the hash is the portable md5-based 60-bit hash, minima are
+    order-independent, and the estimate is one bigint floor division —
+    so unlike HLL the result is bit-identical on any engine, any
+    partitioning, any merge order.
+
+    Output: group keys + ``n_distinct_est`` (bigint) + ``n_hashes``
+    (min(k, true distinct), bigint; groups with fewer than ``k``
+    distinct values report the EXACT count in ``n_distinct_est``).
+
+    Scale shape: one shuffle of (group, hash) pairs for the distinct,
+    then a per-group window keeping rank <= k — WindowGroupLimit prunes
+    to each partition's k smallest before the final rank, so no group's
+    full hash set is ever held."""
+    if k < 2 or k > 100_000:
+        raise ValueError(f"k must be in [2, 100000], got {k}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    # 53-bit hash domain keeps (k-1)·H inside ANSI long range for any
+    # allowed k ((10^5)·2^53 < 2^63); the 60→53-bit fold loses nothing
+    # a sketch cares about and the SQL oracle applies the same fold
+    H = 1 << 53
+    # shiftright, NOT `/128`: double division would round the >2^53
+    # hash before the floor
+    h = df.select(
+        *keys,
+        F.shiftright(portable_hash60(F.col(col)), 7).alias("__h"),
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    ranked = h.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.max("__h").alias("__hk"),
+        F.count(F.lit(1)).alias("n_hashes"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("long")
+    ).otherwise(
+        # greatest(.., 1): hash value 0 is possible; ANSI DIV by zero
+        # would error the whole job for one pathological group
+        F.expr(f"({k - 1} * {H}L) DIV greatest(__hk, 1L)")
+    )
+    return g.select(
+        *keys,
+        est.alias("n_distinct_est"),
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+    )

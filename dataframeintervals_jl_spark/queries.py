@@ -2390,6 +2390,46 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV cardinality sketch vs exact truth: per event_type, the
+    k=64 minimum-values estimate of distinct users alongside the exact
+    distinct count — the deterministic (portable-hash, bigint-only)
+    mergeable sketch, bit-identical on any engine or partitioning."""
+    from .operators.sampling import kmv_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "user_id", k=64, by="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_distinct_est", "n_hashes", "n_exact"
+    )
+
+
+_SQL_KMV = f"""WITH h AS (
+  SELECT DISTINCT event_type,
+         {_PH60.format(x="user_id::VARCHAR")} // 128 AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), g AS (
+  SELECT event_type, max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_hashes
+  FROM r WHERE rn <= 64 GROUP BY event_type
+), x AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT g.event_type,
+       CAST(CASE WHEN g.n_hashes < 64 THEN g.n_hashes
+            ELSE (63 * {1 << 53}) // greatest(g.hk, 1) END AS BIGINT)
+         AS n_distinct_est,
+       g.n_hashes, x.n_exact
+FROM g JOIN x USING (event_type)"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -3512,6 +3552,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
     "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
+    "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_snapshot_at": (q_snapshot_at, _SQL_SNAPSHOT),
     "q_dominant_label": (q_dominant_label, _SQL_DOMINANT),

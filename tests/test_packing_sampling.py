@@ -260,3 +260,30 @@ def test_weighted_sample_rates_and_determinism(spark):
     # determinism: identical keep-set on re-evaluation
     again = {r["id"] for r in weighted_sample(df, "id", rate).collect()}
     assert again == {r["id"] for r in rows}
+
+
+def test_kmv_distinct_accuracy_and_exact_smallgroups(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import kmv_distinct
+
+    # one group with 5000 distinct values, one with 10 (< k -> exact)
+    df = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(10).select(F.lit("small").alias("g"), F.col("id").alias("v"))
+    )
+    out = {r["g"]: (r["n_distinct_est"], r["n_hashes"]) for r in
+           kmv_distinct(df, "v", k=64, by="g").collect()}
+    est, nh = out["big"]
+    assert nh == 64
+    assert abs(est - 5000) / 5000 < 0.35  # k=64 -> ~12.5% std error
+    assert out["small"] == (10, 10)
+    # duplicates do not inflate the estimate
+    dup = df.unionByName(df)
+    out2 = {r["g"]: r["n_distinct_est"] for r in
+            kmv_distinct(dup, "v", k=64, by="g").collect()}
+    assert out2["big"] == est and out2["small"] == 10
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "v", k=1)
