@@ -2390,6 +2390,42 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_source_mix(spark, sf_dir):
+    """Data-mixture rebalancing toward a uniform source distribution:
+    each source's keep-threshold is the pure-integer
+    ``min(1e6, total·1e6 / (n_sources · count_s))`` ppm rate applied
+    through the content-keyed hash filter — over-represented sources
+    downsample toward the uniform share, rare sources keep everything.
+    One tiny collected count table; the filter itself is narrow."""
+    from .operators.sampling import BUCKETS, _bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in counts)
+    n_src = len(counts)
+    thr = F.lit(0)
+    for r in sorted(counts, key=lambda r: r["source"]):
+        t = min(BUCKETS, (total * BUCKETS) // (n_src * r["n"]))
+        thr = F.when(F.col("source") == r["source"], F.lit(t)).otherwise(thr)
+    kept = docs.filter(_bucket(F.col("doc_id"), "mix") < thr)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SQL_SOURCE_MIX = f"""WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+), t AS (
+  SELECT source, n,
+         least(1000000,
+               ((SELECT sum(n) FROM c) * 1000000)
+               // ((SELECT count(*) FROM c) * n)) AS thr
+  FROM c
+), kept AS (
+  SELECT d.source FROM documents d JOIN t USING (source)
+  WHERE ({_PH60.format(x="'mix|' || doc_id::VARCHAR")} % 1000000) < t.thr
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV cardinality sketch vs exact truth: per event_type, the
     k=64 minimum-values estimate of distinct users alongside the exact
@@ -3553,6 +3589,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
+    "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_snapshot_at": (q_snapshot_at, _SQL_SNAPSHOT),
     "q_dominant_label": (q_dominant_label, _SQL_DOMINANT),
