@@ -16,18 +16,22 @@ rewrite that turns the theta-join into a shuffleable equi-join.
 
 from .functions.selectors import all_, between, cols, not_
 from .functions.spans import (
+    ALLEN_RELATIONS,
     SPAN_DDL,
     SPAN_TYPE,
+    allen_relation,
     make_span,
     span_contains,
     span_duration,
     span_from_timestamps,
     span_intersect,
+    span_iou,
     span_start,
     span_stop,
     spans_overlap,
 )
 from .operators.asof_join import asof_join
+from .operators.graph import pagerank
 from .operators.coalesce import (
     merge_spans,
     overlap_profile,
@@ -38,6 +42,7 @@ from .operators.coalesce import (
 )
 from .operators.dedup import (
     connected_components,
+    decontaminate,
     dedup_cluster_keep,
     exact_dedup,
     exact_dedup_keep,
@@ -45,6 +50,7 @@ from .operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shared_shingle_pairs,
     simhash,
     simhash_near_pairs,
 )
@@ -64,20 +70,36 @@ from .operators.quantile_windows import (
     exact_quantile_longs,
     quantile_windows,
 )
-from .operators.packing import pack_sequences, pack_sequences_greedy, pack_stats
+from .operators.packing import (
+    chunk_documents,
+    pack_sequences,
+    pack_sequences_greedy,
+    pack_stats,
+)
 from .operators.sampling import (
     deterministic_sample,
+    kmv_distinct,
     hash_split,
     stratified_sample,
     topk_per_group,
+    weighted_sample,
 )
-from .operators.tfidf import tf_idf_top_terms
+from .operators.tfidf import bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
+    ivf_topk_indexed,
     lsh_topk,
+    sq8_topk,
+    write_ivf_index,
+)
+from .operators.timeseries import (
+    resample_locf,
+    sliding_window_agg,
+    time_grid,
+    validity_intervals,
 )
 from .session import ensure_session_configs, get_spark
 from .sources.sinks import (
@@ -86,13 +108,16 @@ from .sources.sinks import (
     write_partitioned,
     write_sorted_spans,
     write_binned_spans,
+    write_sized,
 )
 from .streaming import (
     stream_exact_dedup,
     stream_interval_join,
     stream_merge_spans,
     stream_minhash_candidates,
+    stream_resample_locf,
     stream_sessionize,
+    stream_sliding_agg,
     stream_tumbling_agg,
 )
 
@@ -142,6 +167,9 @@ __all__ = [
     "span_start",
     "span_stop",
     "spans_overlap",
+    "allen_relation",
+    "ALLEN_RELATIONS",
+    "span_iou",
     # training-data pipeline extensions
     "cosine_topk",
     "embedding_neardup_pairs",
@@ -157,12 +185,27 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "decontaminate",
+    "shared_shingle_pairs",
+    "bm25_topk",
+    "sq8_topk",
+    "ivf_topk_indexed",
+    "write_ivf_index",
+    "pagerank",
+    "kmv_distinct",
+    "weighted_sample",
+    "chunk_documents",
+    "time_grid",
+    "resample_locf",
+    "sliding_window_agg",
+    "validity_intervals",
     # storage layouts
     "read_bucketed",
     "write_binned_spans",
     "write_bucketed",
     "write_partitioned",
     "write_sorted_spans",
+    "write_sized",
     # streaming
     "stream_exact_dedup",
     "stream_minhash_candidates",
@@ -170,6 +213,8 @@ __all__ = [
     "stream_merge_spans",
     "stream_sessionize",
     "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_resample_locf",
 ]
 
 __version__ = "0.1.0"
