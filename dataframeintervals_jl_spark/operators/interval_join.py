@@ -976,3 +976,76 @@ def point_in_span_join(
     # drop the synthetic point span and the (equally synthetic)
     # intersection; the containing interval stays as `<on>_right`
     return joined.drop(f"{on}_left", on)
+
+
+def proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: int,
+    on: str = "span",
+    renameon=("_left", "_right"),
+    renamecols=None,
+    makeunique: bool = False,
+    validate: str = "error",
+    strategy: str = "auto",
+    bin_width: Optional[int] = None,
+    gap_col: str = "gap",
+) -> DataFrame:
+    """Near-miss interval join: one row per (left, right) pair whose
+    spans overlap OR lie within ``max_gap`` (ns) of each other — the
+    attribute-events-to-NEARBY-windows shape overlap joins can't
+    express.  ``max_gap=0`` admits exactly touching spans.
+
+    Output: the overlap join's columns with the intersection column
+    replaced by ``gap_col`` — the separation between the spans (0 when
+    they overlap or touch).
+
+    Execution: REWRITE onto the overlap join — the left side is padded
+    by ``max_gap`` on each end (half-open bounds make touching-at-
+    padded-edges equal a gap of exactly ``max_gap``... admitted via a
+    +1 pad with closed arithmetic below), joined with the existing
+    broadcast/binned strategy selection, then the true gap is computed
+    from the ORIGINAL endpoints.  Every scale property of
+    :func:`interval_join` (bin equi-join, no cross join) carries over;
+    the pad only widens bins by ``max_gap``."""
+    if max_gap < 0:
+        raise ValueError(f"max_gap must be >= 0, got {max_gap}")
+    pad = int(max_gap) + 1  # half-open: stop+gap+1 admits gap == max_gap
+    padded = left.withColumn(
+        on,
+        F.struct(
+            (F.col(on).getField("start") - F.lit(pad)).alias("start"),
+            (F.col(on).getField("stop") + F.lit(pad)).alias("stop"),
+        ),
+    )
+    j = interval_join(
+        padded,
+        right,
+        on=on,
+        renameon=renameon,
+        renamecols=renamecols,
+        makeunique=makeunique,
+        validate=validate,
+        strategy=strategy,
+        bin_width=bin_width,
+    )
+    lname, rname = f"{on}{renameon[0]}", f"{on}{renameon[1]}"
+    # restore the unpadded left span, then the true separation
+    ls = F.struct(
+        (F.col(lname).getField("start") + F.lit(pad)).alias("start"),
+        (F.col(lname).getField("stop") - F.lit(pad)).alias("stop"),
+    )
+    gap = F.greatest(
+        F.greatest(
+            ls.getField("start") - F.col(rname).getField("stop"),
+            F.col(rname).getField("start") - ls.getField("stop"),
+        ),
+        F.lit(0),
+    )
+    out_cols = [c for c in j.columns if c not in (lname, rname, on)]
+    return j.select(
+        *out_cols,
+        ls.alias(lname),
+        F.col(rname),
+        gap.alias(gap_col),
+    ).filter(F.col(gap_col) <= max_gap)

@@ -2390,6 +2390,44 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t
         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"""
 
 
+_PROX_GAP_NS = 3_600 * 1_000_000_000  # 1h
+
+
+def q_proximity_join(spark, sf_dir):
+    """Near-miss join: every (purchase, error) event pair within 1h of
+    each other — overlap joins can't express "nearby"; the proximity
+    rewrite pads one side and reuses the binned equi-join strategy, so
+    no cross join at any scale."""
+    from .operators.interval_join import proximity_join
+
+    ev = read_table(spark, sf_dir, "events")
+    point = lambda f: make_span(F.col("ts"), F.col("ts") + F.lit(1))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), point("ts").alias("span")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), point("ts").alias("span")
+    )
+    out = proximity_join(
+        p, e, max_gap=_PROX_GAP_NS, validate="skip", strategy="binned"
+    )
+    return out.select("p_id", "e_id", "gap")
+
+
+_SQL_PROXIMITY = f"""WITH p AS (
+  SELECT event_id AS p_id, epoch_ns(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), e AS (
+  SELECT event_id AS e_id, epoch_ns(ts) AS t2 FROM events
+  WHERE event_type = 'error'
+)
+SELECT p_id, e_id,
+       CAST(greatest(greatest(t - (t2 + 1), t2 - (t + 1)), 0) AS BIGINT)
+         AS gap
+FROM p JOIN e
+  ON greatest(greatest(t - (t2 + 1), t2 - (t + 1)), 0) <= {_PROX_GAP_NS}"""
+
+
 def q_source_mix(spark, sf_dir):
     """Data-mixture rebalancing toward a uniform source distribution:
     each source's keep-threshold is the pure-integer
@@ -3590,6 +3628,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
+    "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_snapshot_at": (q_snapshot_at, _SQL_SNAPSHOT),
     "q_dominant_label": (q_dominant_label, _SQL_DOMINANT),

@@ -561,3 +561,65 @@ def test_interval_join_by_null_keys_never_match(spark):
     ldf = spark.createDataFrame([(None, {"start": 0, "stop": 10})], schema)
     rdf = spark.createDataFrame([(None, {"start": 0, "stop": 10})], schema)
     assert interval_join_by(ldf, rdf, by="k").count() == 0
+
+
+def test_proximity_join_gap_semantics(spark):
+    """Pairs within max_gap emit with the true separation; overlap and
+    touch give gap 0; gap == max_gap is admitted, max_gap+1 is not."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        proximity_join,
+    )
+
+    from pyspark.sql import types as T
+
+    left = make_span_df(spark, [(100, 200, 1)], extra=[("lid", T.LongType())])
+    rows = [
+        (150, 250, 10),  # overlaps -> gap 0
+        (200, 300, 11),  # touches  -> gap 0
+        (230, 240, 12),  # gap 30
+        (251, 260, 13),  # gap 51 > 50 -> excluded
+        (40, 50, 14),  # gap 50 on the left side -> admitted
+    ]
+    right = make_span_df(spark, rows, extra=[("rid", T.LongType())])
+    out = proximity_join(left, right, max_gap=50, validate="skip")
+    got = {r["rid"]: r["gap"] for r in out.collect()}
+    assert got == {10: 0, 11: 0, 12: 30, 14: 50}
+    # restored left span is the ORIGINAL, not the padded one
+    spans = {
+        (r["span_left"]["start"], r["span_left"]["stop"]) for r in out.collect()
+    }
+    assert spans == {(100, 200)}
+    import pytest
+
+    with pytest.raises(ValueError, match="max_gap"):
+        proximity_join(left, right, max_gap=-1)
+
+
+def test_proximity_join_strategy_parity(spark):
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        proximity_join,
+    )
+
+    from pyspark.sql import types as T
+
+    left = make_span_df(
+        spark, [(i * 100, i * 100 + 10, i) for i in range(50)],
+        extra=[("lid", T.LongType())],
+    )
+    right = make_span_df(
+        spark, [(i * 73, i * 73 + 5, i) for i in range(70)],
+        extra=[("rid", T.LongType())],
+    )
+    a = sorted(
+        (r["lid"], r["rid"], r["gap"])
+        for r in proximity_join(
+            left, right, max_gap=40, validate="skip", strategy="broadcast_right"
+        ).collect()
+    )
+    b = sorted(
+        (r["lid"], r["rid"], r["gap"])
+        for r in proximity_join(
+            left, right, max_gap=40, validate="skip", strategy="binned"
+        ).collect()
+    )
+    assert a == b and a
