@@ -84,7 +84,7 @@ from .operators.sampling import (
     topk_per_group,
     weighted_sample,
 )
-from .operators.tfidf import bm25_topk, tf_idf_top_terms
+from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
     cosine_topk,
@@ -188,6 +188,7 @@ __all__ = [
     "decontaminate",
     "shared_shingle_pairs",
     "bm25_topk",
+    "bigram_lm_score",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

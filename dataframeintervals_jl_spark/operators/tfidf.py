@@ -156,3 +156,81 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    alpha: int = 4,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-trained bigram language-model likelihood score per
+    document — the n-gram generalization of unigram commonness
+    (``q_mean_token_rank``): a document full of bigrams the corpus has
+    never seen in that left-context scores low, boilerplate scores
+    high.  This is the classic KenLM-style perplexity quality filter
+    with the log-space float replaced by an exact integer contract.
+
+    Per bigram ``(w1, w2)``: ``p_scaled = (scale * c(w1,w2)) DIV
+    (c(w1,·) + alpha)`` where ``c(w1,·)`` counts bigrams starting with
+    ``w1`` — a floor-scaled smoothed conditional probability.  The
+    additive ``alpha`` is load-bearing, not a nicety: unsmoothed, a
+    hapax prefix makes its unique continuation a perfect ``p = 1``, so
+    one-off word salad outscores genuine boilerplate; with ``alpha``,
+    a continuation only approaches 1 when its prefix is FREQUENT and
+    the continuation dominates it.  Per
+    document: ``lm_score = sum(p_scaled) DIV n_bigrams``.  Every step
+    is bigint floor arithmetic (no libm ``log``, no float summation
+    order), so the DuckDB oracle matches bit-for-bit — monotone in the
+    geometric-mean sense a ranking filter needs.
+
+    Output: ``(id_col, n_bigrams, lm_score)``; documents with fewer
+    than two tokens have no bigrams and are absent.
+
+    Scale shape (100 TB): the corpus shuffles only ``(doc_id, w1,
+    w2)`` triples — never text.  Both count tables are
+    partial-aggregated (popular bigrams combine map-side, so token
+    skew does not concentrate a reducer); the prefix-count join keys
+    on ``w1`` against an already-aggregated table, and the final
+    per-document agg is the only pass touching doc ids.
+    """
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = docs.select(F.col(id_col), tokens(text).alias("__t"))
+    nb = F.greatest(F.size("__t") - F.lit(1), F.lit(0))
+    bigrams = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice("__t", F.lit(1), nb),
+                    F.slice("__t", F.lit(2), nb),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    scored = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"({scale}L * __c2) DIV (__c1 + {int(alpha)}L)").alias("__p"),
+    )
+    return (
+        bigrams.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__p").alias("__ps"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("__ps DIV n_bigrams").alias("lm_score"),
+        )
+    )

@@ -3534,6 +3534,38 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}"""
 _SQL_BM25 = _sql_bm25(5)
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM likelihood quality score per document: corpus-trained
+    conditional probabilities, exact bigint floor arithmetic end-to-end
+    (the perplexity filter without libm log) — see
+    :func:`~dataframeintervals_jl_spark.operators.tfidf.bigram_lm_score`."""
+    from .operators.tfidf import bigram_lm_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
+_SQL_LM_SCORE = r"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+), bg AS (
+  -- parallel unnests zip in DuckDB: adjacent-pair stream without a
+  -- lateral index join
+  SELECT doc_id, unnest(t[:len(t) - 1]) AS w1, unnest(t[2:]) AS w2
+  FROM toks
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+), p AS (
+  SELECT w1, w2, (1000000::BIGINT * c2) // (c1 + 4) AS p
+  FROM c2 JOIN c1 USING (w1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_score
+FROM bg JOIN p USING (w1, w2)
+GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3634,4 +3666,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_dominant_label": (q_dominant_label, _SQL_DOMINANT),
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
+    "q_lm_score": (q_lm_score, _SQL_LM_SCORE),
 }

@@ -530,3 +530,41 @@ def test_ivf_index_persisted_parity_and_pruning(spark, tmp_path):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_bigram_lm_score_matches_bruteforce(spark):
+    """Exact bigint bigram-LM score vs a pure-Python reference; docs
+    with <2 tokens are absent; boilerplate outranks novel text."""
+    from collections import Counter
+
+    from dataframeintervals_jl_spark import bigram_lm_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "zeta qux flurb wibble",
+        "single",
+        "",
+        "the cat sat on the mat",
+    ]
+    docs = _docs(spark, texts)
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(docs).collect()
+    }
+
+    bigrams = {
+        i: list(zip(t.lower().split(), t.lower().split()[1:]))
+        for i, t in enumerate(texts)
+    }
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    expect = {}
+    for i, bs in bigrams.items():
+        if not bs:
+            continue
+        ps = [(1_000_000 * c2[b]) // (c1[b[0]] + 4) for b in bs]
+        expect[i] = (len(bs), sum(ps) // len(bs))
+    assert out == expect
+    # repeated boilerplate scores higher than the one-off word salad
+    assert out[0][1] > out[2][1]
