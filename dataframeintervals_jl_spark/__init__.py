@@ -84,6 +84,7 @@ from .operators.sampling import (
     topk_per_group,
     weighted_sample,
 )
+from .operators.cdc import apply_cdc, snapshot_diff
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
@@ -189,6 +190,8 @@ __all__ = [
     "shared_shingle_pairs",
     "bm25_topk",
     "bigram_lm_score",
+    "snapshot_diff",
+    "apply_cdc",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -1,0 +1,135 @@
+"""Change-data-capture operators: snapshot diffing and change-log
+application.
+
+Training-data pipelines are incremental in production: a corpus is
+re-crawled, re-filtered, re-scored, and the downstream consumer needs
+*what changed* (to re-embed only changed documents) and *the merged
+current state* (to train on).  Engine extension — the reference
+(/root/reference/src/DataFrameIntervals.jl) has no table-maintenance
+surface; these compose Spark built-ins the way `validity_intervals`
+(SCD2) does for the history-keeping variant.
+
+Scale notes (100 TB): both operators shuffle on the key columns only.
+`snapshot_diff` is one full-outer equi-join with null-safe column
+comparison — AQE handles key skew; unchanged rows (the overwhelming
+majority of a production diff) are dropped before any downstream
+stage.  `apply_cdc` reduces the change log with a partial-aggregated
+per-key window, and the typically-small reduced log joins the large
+base via a plain equi-join that AQE will broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Key = Union[str, Sequence[str]]
+
+
+def _keys(keys: Key) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Key,
+    compare_cols: Sequence[str] | None = None,
+    change_col: str = "change",
+) -> DataFrame:
+    """Row-level delta between two snapshots of the same table:
+    one output row per key that was ``added`` (in ``new`` only),
+    ``removed`` (in ``old`` only), or ``changed`` (in both, any
+    compared column differs under null-safe equality).  Unchanged keys
+    produce no output.
+
+    Output: key columns, then ``old_<c>`` / ``new_<c>`` for each
+    compared column, then ``change_col`` — the re-embed / re-index
+    worklist for an incremental pipeline.
+
+    ``compare_cols`` defaults to every shared non-key column.  Rows
+    within a snapshot must be unique per key (a snapshot, not a log);
+    duplicate keys would fan out the join.
+    """
+    ks = _keys(keys)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in ks]
+    cmp_cols = list(compare_cols)
+
+    o = old.select(
+        *[F.col(k).alias(k) for k in ks],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in ks],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, ks, "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn(change_col, change)
+        .filter(F.col(change_col).isNotNull())
+        .select(
+            *ks,
+            *[f"old_{c}" for c in cmp_cols],
+            *[f"new_{c}" for c in cmp_cols],
+            change_col,
+        )
+    )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Key,
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge a change log into a snapshot: per key, the latest change
+    (by ``ts_col``) wins — an upsert replaces or inserts the row, a
+    ``delete_op`` removes it; untouched base rows pass through.  This
+    is the MERGE/upsert compaction step of any incremental table
+    (the stateless counterpart of `validity_intervals`, which keeps
+    the history instead of the latest state).
+
+    ``changes`` must carry the base's payload columns plus ``ts_col``
+    and ``op_col``.  Ties on ``ts_col`` within a key break toward the
+    delete (an explicit boolean sort key, not op-string order), so the
+    merge is deterministic under equal timestamps.
+
+    Output: the base schema (key + payload columns), post-merge.
+    """
+    ks = _keys(keys)
+    payload = [c for c in base.columns if c not in ks]
+
+    w = Window.partitionBy(*ks).orderBy(
+        F.col(ts_col).desc(),
+        # equal-ts tie: the delete wins, deterministically
+        (F.col(op_col) == F.lit(delete_op)).desc(),
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # the reduced log is usually tiny next to a 100 TB base — let AQE
+    # broadcast it; the anti-join and the union read it twice, so
+    # persist would pay off on a big log (caller's call at real scale)
+    survivors = base.join(latest.select(*ks), ks, "left_anti")
+    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
+        *ks, *payload
+    )
+    return survivors.select(*ks, *payload).unionByName(upserts)

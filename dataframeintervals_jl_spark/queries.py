@@ -3566,6 +3566,122 @@ FROM bg JOIN p USING (w1, w2)
 GROUP BY doc_id"""
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-pipeline delta: diff the documents table against a
+    deterministically perturbed re-crawl of itself (drops, edits, and
+    new ids), emitting the added/removed/changed worklist a downstream
+    re-embed/re-index stage would consume.  One full-outer equi-join
+    on the key; unchanged keys (the vast majority) are filtered before
+    any downstream stage."""
+    from .operators.cdc import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edited = d % 7 == F.lit(2)
+    new = (
+        docs.filter(d % 11 != F.lit(3))
+        .select(
+            "doc_id",
+            F.when(edited, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (
+                F.col("n_chars") + F.when(edited, F.lit(7)).otherwise(F.lit(0))
+            ).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter(d % 13 == F.lit(5)).select(
+                (d + F.lit(100000)).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                F.col("n_chars"),
+            )
+        )
+    )
+    return snapshot_diff(
+        docs, new, "doc_id", compare_cols=("text", "n_chars")
+    )
+
+
+_SQL_SNAPSHOT_DIFF = r"""WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END AS text,
+         n_chars + CASE WHEN doc_id % 7 = 2 THEN 7 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 100000, 'new ' || text, n_chars
+  FROM documents WHERE doc_id % 13 = 5
+), o AS (SELECT doc_id, text, n_chars FROM documents)
+SELECT * FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.text AS old_text, o.n_chars AS old_n_chars,
+         n.text AS new_text, n.n_chars AS new_n_chars,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS NOT DISTINCT FROM n.text
+                   AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN NULL
+              ELSE 'changed' END AS change
+  FROM o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id)
+WHERE change IS NOT NULL"""
+
+
+def q_apply_cdc(spark, sf_dir):
+    """CDC merge: apply a derived change log (two upsert generations,
+    deletes, and brand-new keys — with overlapping keys exercising
+    latest-wins and the delete tie-break) onto the documents snapshot
+    and return the merged current state."""
+    from .operators.cdc import apply_cdc
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def ch(pred, key, text, nchars, ts, op):
+        return docs.filter(pred).select(
+            key.alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            nchars.alias("n_chars"),
+            F.lit(ts).alias("ts"),
+            F.lit(op).alias("op"),
+        )
+
+    t, n = F.col("text"), F.col("n_chars")
+    changes = (
+        ch(d % 5 == 0, d, F.concat(t, F.lit(" v2")), n + 3, 100, "U")
+        .unionByName(ch(d % 10 == 0, d, F.concat(t, F.lit(" v3")), n + 3, 200, "U"))
+        .unionByName(ch(d % 9 == 4, d, t, n, 150, "D"))
+        .unionByName(
+            ch(d % 17 == 6, d + 100000, F.concat(F.lit("ins "), t), n, 100, "U")
+        )
+    )
+    return apply_cdc(docs, changes, "doc_id", ts_col="ts")
+
+
+_SQL_APPLY_CDC = r"""WITH ch AS (
+  SELECT doc_id, text || ' v2' AS text, lang, source,
+         n_chars + 3 AS n_chars, 100 AS ts, 'U' AS op
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text || ' v3', lang, source, n_chars + 3, 200, 'U'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 150, 'D'
+  FROM documents WHERE doc_id % 9 = 4
+  UNION ALL
+  SELECT doc_id + 100000, 'ins ' || text, lang, source, n_chars, 100, 'U'
+  FROM documents WHERE doc_id % 17 = 6
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY ts DESC, (op = 'D') DESC) AS rn
+    FROM ch) WHERE rn = 1
+)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op <> 'D'"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3667,4 +3783,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "q_lm_score": (q_lm_score, _SQL_LM_SCORE),
+    "q_snapshot_diff": (q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    "q_apply_cdc": (q_apply_cdc, _SQL_APPLY_CDC),
 }

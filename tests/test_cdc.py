@@ -1,0 +1,84 @@
+"""CDC operators: snapshot diff + change-log application."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark import apply_cdc, snapshot_diff
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = _df(
+        spark,
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, n long",
+    )
+    new = _df(
+        spark,
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k long, v string, n long",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged (absent), 4 unchanged with nulls (null-safe equality)
+    assert set(out) == {2, 3, 5}
+    assert out[2]["change"] == "changed"
+    assert (out[2]["old_v"], out[2]["new_v"]) == ("b", "B")
+    assert out[3]["change"] == "removed" and out[3]["new_v"] is None
+    assert out[5]["change"] == "added" and out[5]["old_v"] is None
+
+
+def test_snapshot_diff_null_to_value_is_changed(spark):
+    old = _df(spark, [(1, None)], "k long, v string")
+    new = _df(spark, [(1, "x")], "k long, v string")
+    (row,) = snapshot_diff(old, new, "k").collect()
+    assert row["change"] == "changed"
+
+
+def test_apply_cdc_latest_wins_and_delete_tiebreak(spark):
+    base = _df(
+        spark,
+        [(1, "one"), (2, "two"), (3, "three")],
+        "k long, v string",
+    )
+    changes = _df(
+        spark,
+        [
+            (1, "one-v2", 100, "U"),
+            (1, "one-v3", 200, "U"),  # latest upsert wins
+            (2, "ignored", 150, "U"),
+            (2, "x", 150, "D"),  # equal ts: delete wins
+            (9, "nine", 100, "U"),  # brand-new key
+        ],
+        "k long, v string, ts long, op string",
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(base, changes, "k", "ts").collect()}
+    assert out == {1: "one-v3", 3: "three", 9: "nine"}
+
+
+def test_apply_cdc_composite_key(spark):
+    base = _df(spark, [(1, "a", "x"), (1, "b", "y")], "k long, s string, v string")
+    changes = _df(
+        spark,
+        [(1, "a", "x2", 1, "U"), (1, "b", None, 2, "D")],
+        "k long, s string, v string, ts long, op string",
+    )
+    out = apply_cdc(base, changes, ["k", "s"], "ts").collect()
+    assert [(r["k"], r["s"], r["v"]) for r in out] == [(1, "a", "x2")]
+
+
+def test_snapshot_diff_plan_is_single_join(spark):
+    """One full-outer equi-join, no nested loop, no Python."""
+    old = _df(spark, [(1, "a")], "k long, v string")
+    new = _df(spark, [(1, "a")], "k long, v string")
+    plan = (
+        snapshot_diff(old, new, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "NestedLoop" not in plan
