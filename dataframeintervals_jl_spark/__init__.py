@@ -77,6 +77,8 @@ from .operators.packing import (
     pack_stats,
 )
 from .operators.sampling import (
+    heavy_hitters,
+    sample_per_group,
     deterministic_sample,
     kmv_distinct,
     hash_split,
@@ -192,6 +194,8 @@ __all__ = [
     "bigram_lm_score",
     "snapshot_diff",
     "apply_cdc",
+    "sample_per_group",
+    "heavy_hitters",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -209,3 +209,81 @@ def kmv_distinct(
         est.alias("n_distinct_est"),
         F.col("n_hashes").cast("long").alias("n_hashes"),
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    by: Union[str, Sequence[str]],
+    key_col: str,
+    k: int,
+    salt: str = "gsample",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic fixed-size sample of ``k`` rows per group — the
+    bounded-reservoir companion to :func:`stratified_sample` (which is
+    per-group *rate*, so group sizes still vary).  Ordering is by the
+    portable content hash of ``(salt, key)`` with the key as
+    tiebreaker: uniform-ish, engine/partitioning-independent, and
+    stable under resalting only when intended.  Inspect-a-stratum,
+    eval-subset, and per-source cap use cases.
+
+    Plans exactly like :func:`topk_per_group`: one shuffle on the group
+    keys, WindowGroupLimit keeps only each partition's k smallest
+    hashes ahead of the final rank — no group's full row set survives
+    the window stage."""
+    key = F.col(key_col)
+    return topk_per_group(
+        df,
+        by,
+        order_by=[
+            _bucket(key, salt).asc(),
+            # full-width hash tiebreak, then the key itself: total order
+            portable_hash60(F.concat_ws("|", F.lit(salt), key)).asc(),
+            key.asc(),
+        ],
+        k=k,
+        rank_col=rank_col,
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col,
+    min_share_ppm: int,
+    out_col: str = "value",
+) -> DataFrame:
+    """EXACT frequency heavy hitters: every distinct value whose count
+    is at least ``min_share_ppm`` parts-per-million of the total row
+    count, with its exact count and integer ppm share — the
+    over-represented-value detector (domain spam, boilerplate tokens,
+    stuck sensors).  Threshold arithmetic is pure bigint
+    (``1e6·cnt >= ppm·total``), so no float boundary row flips between
+    engines.
+
+    Output: ``(out_col, count, share_ppm)``.
+
+    Scale shape (100 TB): the groupBy partial-aggregates map-side, so
+    a value holding 10% of all rows contributes ONE partial row per
+    task — skew concentrates no reducer (this is the same reason a
+    sketch is unnecessary here: the reduced table is |distinct| rows,
+    and the φ-threshold filter prunes it before any further stage).
+    The total-count scalar is one extra partial-agg action; the
+    sketch-free exactness is the point — Misra-Gries/CMS trade exact
+    counts away to bound memory that Spark's partial aggregation
+    already bounds."""
+    if not (0 < min_share_ppm <= BUCKETS):
+        raise ValueError(
+            f"min_share_ppm must be in (0, 1e6], got {min_share_ppm}"
+        )
+    c = F.col(col) if isinstance(col, str) else col
+    counts = df.select(c.alias(out_col)).groupBy(out_col).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    total = df.count()
+    return counts.filter(
+        F.col("count") * F.lit(BUCKETS) >= F.lit(int(min_share_ppm) * total)
+    ).select(
+        out_col,
+        "count",
+        F.expr(f"(count * {BUCKETS}L) DIV {total}L").alias("share_ppm"),
+    )

@@ -3682,6 +3682,60 @@ UNION ALL
 SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op <> 'D'"""
 
 
+def q_sample_per_group(spark, sf_dir):
+    """Fixed-size deterministic per-source document sample (k=20 per
+    source by portable content hash) — bounded eval subsets per
+    stratum, engine- and partitioning-independent."""
+    from .operators.sampling import sample_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_per_group(docs, by="source", key_col="doc_id", k=20).select(
+        "source", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_SQL_SAMPLE_PER_GROUP = r"""WITH h AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('gsample|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           AS h60
+  FROM documents
+)
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY h60 % 1000000, h60, doc_id)
+           AS BIGINT) AS rank
+  FROM h)
+WHERE rank <= 20"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact token heavy hitters: every token holding >= 0.2% of all
+    token occurrences, with exact count and integer ppm share —
+    map-side partial aggregation is the whole skew story, no sketch
+    needed."""
+    from .functions.text import tokens
+    from .operators.sampling import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", min_share_ppm=2000)
+
+
+_SQL_HEAVY_HITTERS = r"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS value
+  FROM documents
+), c AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS count FROM toks GROUP BY value
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+SELECT value, count,
+       CAST((count * 1000000) // total AS BIGINT) AS share_ppm
+FROM c, t
+WHERE count * 1000000 >= 2000 * total"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3785,4 +3839,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_lm_score": (q_lm_score, _SQL_LM_SCORE),
     "q_snapshot_diff": (q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "q_apply_cdc": (q_apply_cdc, _SQL_APPLY_CDC),
+    "q_sample_per_group": (q_sample_per_group, _SQL_SAMPLE_PER_GROUP),
+    "q_heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
 }

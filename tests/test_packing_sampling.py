@@ -287,3 +287,40 @@ def test_kmv_distinct_accuracy_and_exact_smallgroups(spark):
     assert out2["big"] == est and out2["small"] == 10
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, "v", k=1)
+
+
+def test_sample_per_group_bounded_and_deterministic(spark):
+    from dataframeintervals_jl_spark import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], "k long, g string"
+    )
+    a = sample_per_group(df, "g", "k", k=7)
+    sizes = {
+        r["g"]: r["n"]
+        for r in a.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"g0": 7, "g1": 7, "g2": 7}
+    # deterministic: identical selection on a different partitioning
+    b = sample_per_group(df.repartition(13), "g", "k", k=7)
+    assert sorted(r["k"] for r in a.collect()) == sorted(
+        r["k"] for r in b.collect()
+    )
+    # a group smaller than k returns whole group
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "k long, g string")
+    assert sample_per_group(tiny, "g", "k", k=7).count() == 2
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    from dataframeintervals_jl_spark import heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 19 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    out = {
+        r["value"]: (r["count"], r["share_ppm"])
+        for r in heavy_hitters(df, "v", min_share_ppm=200_000).collect()
+    }
+    # threshold 20%: a (50%) and b (30%) qualify; c (19%) and d don't
+    assert out == {"a": (50, 500_000), "b": (30, 300_000)}
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", min_share_ppm=0)
