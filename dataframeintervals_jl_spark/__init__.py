@@ -91,6 +91,7 @@ from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.similarity import (
     cosine_topk,
+    semantic_dedup,
     embedding_neardup_pairs,
     ivf_topk,
     ivf_topk_indexed,
@@ -196,6 +197,7 @@ __all__ = [
     "apply_cdc",
     "sample_per_group",
     "heavy_hitters",
+    "semantic_dedup",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

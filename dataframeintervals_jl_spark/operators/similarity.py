@@ -950,3 +950,91 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style, Abbas et al. 2023):
+    cluster the embedding space with the engine's deterministic
+    spherical k-means, then drop every document that has a
+    SAME-CLUSTER neighbor with cosine >= ``threshold`` and a lower id
+    — near-duplicate *meaning*, not near-duplicate *text* (MinHash
+    misses paraphrases; this catches them).
+
+    Output: ``(id_col, cell, kept)`` — one row per corpus document;
+    filter ``kept`` to materialize the deduplicated set, or join the
+    dropped ids back for an audit trail.
+
+    Scale design: clustering IS the blocking structure — the pair
+    search is a self-equi-join on the cell id (bucketed, skew handled
+    by AQE), never an all-pairs scan; cross-cluster near-dups are
+    deliberately out of scope (the SemDeDup trade).  Cell population
+    ~ |corpus| / n_centroids bounds the per-cell fan-out: at real
+    scale raise ``n_centroids`` so cells stay executor-sized (the
+    k-means cost is one tiny driver loop over a hash-ordered sample
+    regardless).  The only Python is the Arrow-batched cell
+    assignment; the pairwise score is a codegen'd expression.
+
+    Determinism contract (oracle-replayable): bit-reproducible k-means
+    (:func:`_train_centroids`), exact int64 fixed-point dots, and the
+    same IEEE convert/multiply/sqrt/divide order as :func:`ivf_topk` —
+    a DuckDB replay produces the identical keep set.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
+    cnorm = _centroid_norms(cent)
+
+    @pandas_udf("int")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.int64)
+        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    c = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("__id"), _quantized(F.col(vec_col)).alias("__v"))
+        .withColumn("cell", nearest_cell(F.col("__v")))
+        .withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    )
+    # materialize the assignment once: both self-join sides read it, and
+    # the Arrow UDF pass must not re-run inside the join stage
+    c = c.persist()
+    c.count()
+
+    a = c.select(
+        F.col("__id").alias("__id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cell",
+    )
+    b = c.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cell",
+    )
+    score = _dot(F.col("__va"), F.col("__vb")).cast("double") / F.sqrt(
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(score >= F.lit(float(threshold)))
+        .select(F.col("__id_a"))
+        .distinct()
+    )
+    return c.join(
+        dropped, c["__id"] == dropped["__id_a"], "left"
+    ).select(
+        F.col("__id").alias(id_col),
+        "cell",
+        F.col("__id_a").isNull().alias("kept"),
+    )

@@ -1439,15 +1439,12 @@ def q_similarity_ivf(spark, sf_dir):
     )
 
 
-def _sql_ivf(
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    k: int = 5,
-    dim: int = 64,
-    qmax: int = 5,
-) -> str:
-    """Unrolled replay of ivf_topk: sample → k-means iterations →
-    corpus/query cell assignment → probe equi-join → exact rerank."""
+def _sql_kmeans_cor(n_centroids: int = 16, dim: int = 64) -> tuple:
+    """Shared unrolled k-means replay: the CTE chain through ``cor``
+    (every corpus vector with its quantized form, self-dot, and
+    assigned cell) — the common prefix of the IVF and semantic-dedup
+    oracles.  Returns ``(prefix_sql, nrm)`` where ``nrm`` renders the
+    exact-int-then-IEEE norm expression."""
     sample_n = 256 * n_centroids
     key = f"(id * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_M}"
 
@@ -1494,7 +1491,7 @@ def _sql_ivf(
         )
     cN = f"c{IVF_ITERS}"
     parts.append(
-        f""", cor AS (
+        f""", cor AS MATERIALIZED (
   SELECT id AS n_id, v AS cv, CAST(list_dot_product(v, v) AS BIGINT) AS cn,
          cell FROM (
     SELECT e.id, e.v, c.cell,
@@ -1502,7 +1499,23 @@ def _sql_ivf(
              ORDER BY list_dot_product(e.v, c.cv) / {nrm("c.cv")} DESC, c.cell)
              AS rn
     FROM e, {cN} c) WHERE rn = 1
-), qp AS (
+)"""
+    )
+    return "".join(parts), nrm
+
+
+def _sql_ivf(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    qmax: int = 5,
+) -> str:
+    """Unrolled replay of ivf_topk: shared k-means/cor prefix → query
+    probe assignment → probe equi-join → exact rerank."""
+    prefix, nrm = _sql_kmeans_cor(n_centroids, dim)
+    cN = f"c{IVF_ITERS}"
+    return prefix + f""", qp AS (
   SELECT id AS q_id, v AS qv, CAST(list_dot_product(v, v) AS BIGINT) AS qn,
          cell FROM (
     SELECT e.id, e.v, c.cell,
@@ -1520,8 +1533,20 @@ def _sql_ivf(
                     ORDER BY score DESC, n_id) AS BIGINT) AS rank,
          n_id, round(score, 6) AS score FROM scored)
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
-    )
-    return "".join(parts)
+
+
+def _sql_semantic_dedup(n_centroids: int = 16, threshold: float = 0.85) -> str:
+    """Replay of semantic_dedup: shared k-means/cor prefix, then the
+    within-cell lower-id neighbor test at the exact same IEEE score."""
+    prefix, _ = _sql_kmeans_cor(n_centroids)
+    return prefix + f""", dup AS (
+  SELECT DISTINCT a.n_id FROM cor a JOIN cor b
+    ON a.cell = b.cell AND b.n_id < a.n_id
+  WHERE CAST(list_dot_product(a.cv, b.cv) AS DOUBLE)
+        / sqrt(CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE)) >= {threshold!r}
+)
+SELECT c.n_id AS vec_id, c.cell, (d.n_id IS NULL) AS kept
+FROM cor c LEFT JOIN dup d ON c.n_id = d.n_id"""
 
 
 def q_interval_join_by(spark, sf_dir):
@@ -3736,6 +3761,17 @@ FROM c, t
 WHERE count * 1000000 >= 2000 * total"""
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: deterministic k-means cells over the embedding space,
+    then drop docs with a same-cell lower-id neighbor at cosine >= 0.4
+    — paraphrase-level dedup that MinHash cannot see.  Clustering is
+    the blocking structure: the pair search is a cell equi-join."""
+    from .operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_centroids=16, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3841,4 +3877,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_apply_cdc": (q_apply_cdc, _SQL_APPLY_CDC),
     "q_sample_per_group": (q_sample_per_group, _SQL_SAMPLE_PER_GROUP),
     "q_heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "q_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup(16, 0.4)),
 }

@@ -568,3 +568,46 @@ def test_bigram_lm_score_matches_bruteforce(spark):
     assert out == expect
     # repeated boilerplate scores higher than the one-off word salad
     assert out[0][1] > out[2][1]
+
+
+def test_semantic_dedup_keep_rule_bruteforce(spark):
+    """Every dropped vector has a lower-id same-cell neighbor at
+    cosine >= tau; every kept vector has none — verified per cell by
+    brute force on real embeddings."""
+    import numpy as np
+
+    from dataframeintervals_jl_spark.operators.similarity import (
+        _quantized,
+        semantic_dedup,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    tau = 0.4
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup(emb, n_centroids=8, threshold=tau)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert any(not r["kept"] for r in rows)
+
+    vecs = {
+        r["vec_id"]: np.array(r["v"], dtype=np.int64)
+        for r in emb.select(
+            "vec_id", _quantized(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell_rows in by_cell.values():
+        for r in cell_rows:
+            v, n = vecs[r["vec_id"]], None
+            has_dup = False
+            for o in cell_rows:
+                if o["vec_id"] >= r["vec_id"]:
+                    continue
+                w = vecs[o["vec_id"]]
+                sc = float(v @ w) / np.sqrt(float(v @ v) * float(w @ w))
+                if sc >= tau:
+                    has_dup = True
+                    break
+            assert r["kept"] == (not has_dup), r
