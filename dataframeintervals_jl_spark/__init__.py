@@ -107,6 +107,8 @@ from .operators.timeseries import (
 )
 from .session import ensure_session_configs, get_spark
 from .sources.sinks import (
+    write_zordered,
+    zorder_value,
     read_bucketed,
     write_bucketed,
     write_partitioned,
@@ -198,6 +200,8 @@ __all__ = [
     "sample_per_group",
     "heavy_hitters",
     "semantic_dedup",
+    "write_zordered",
+    "zorder_value",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

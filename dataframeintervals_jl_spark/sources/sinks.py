@@ -163,3 +163,96 @@ def write_sized(
     n = max(1, min(int(n), max_files))
     df.repartition(n).write.mode(mode).parquet(path)
     return n
+
+
+def zorder_value(x, y, bits: int = 21):
+    """Morton (Z-order) interleave of two non-negative bigint columns:
+    bit ``b`` of ``x`` lands at position ``2b``, of ``y`` at ``2b+1``.
+    Pure codegen'd expression (a balanced OR-tree of shift/mask terms,
+    no UDF).  ``bits`` caps each input at ``2^bits``; callers rank
+    their raw values first (see :func:`write_zordered`), so 21 bits
+    per dimension — 2M distinct ranks — is far beyond file-skipping
+    resolution."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        terms.append(xb.bitwiseOR(yb))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order layout over TWO columns: co-clusters both dimensions so
+    a read filtered on EITHER (or both) skips most files via parquet
+    min/max row-group statistics — the multi-dimensional generalization
+    of :func:`write_sorted_spans` (which optimizes one sort key and
+    leaves the second dimension scattered everywhere).
+
+    Each column is first bucketized against its [min, max] range (one
+    tiny fused partial-agg action; the per-row mapping is then a pure
+    narrow projection — deliberately NOT a global ``dense_rank``
+    window, which would plan the single-partition exchange this engine
+    bans), then rows are range-partitioned and sorted by the Morton
+    code of the two bucket ids.  This is the standard lake-layout
+    trick (Delta/Iceberg ``OPTIMIZE ZORDER BY``) expressed as plain
+    DataFrame ops.  Heavily skewed domains bucketize unevenly —
+    acceptable for skipping (files stay sorted), and an
+    ``approxQuantile`` bucket map drops in where equal-width hurts.
+
+    Cost shape: one scalar agg + one range repartition on the z-value
+    + per-file sort.  Write-once, skip-forever.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError(f"write_zordered takes exactly 2 cols, got {cols!r}")
+    a, b = cols
+    bits = 21
+    st = df.agg(
+        F.min(a).alias("la"), F.max(a).alias("ha"),
+        F.min(b).alias("lb"), F.max(b).alias("hb"),
+    ).first()
+
+    def bucket(col, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        m = (1 << bits) - 1
+        # the bucket map must STRETCH the domain across the full bit
+        # range, not merely bound it: a narrow domain (say user ids
+        # 0..99) compressed into the low 7 bits leaves its HIGH bits
+        # constant, and the z-value's top bits — the ones the range
+        # partitioner splits files on — then carry only the other
+        # dimension, destroying the two-sided skipping this layout
+        # exists for.  Multiply-first when it cannot overflow a long
+        # (span < 2^41); ns-scale domains fall back to divide-first,
+        # which already fills the bit range.
+        if span <= (1 << 41):
+            e = f"((CAST({col} AS BIGINT) - {int(lo)}L) * {m}L) DIV {span}L"
+        else:
+            w = -(-span // (1 << bits))
+            e = f"(CAST({col} AS BIGINT) - {int(lo)}L) DIV {w}L"
+        return F.least(F.expr(e), F.lit(m))
+
+    z = df.withColumn(
+        "__z",
+        zorder_value(
+            bucket(a, st["la"], st["ha"]), bucket(b, st["lb"], st["hb"])
+        ),
+    )
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -168,3 +168,61 @@ def test_write_sized_compacts_small_partitions(spark, tmp_path):
     assert n < 64 and len(files) == n
     back = spark.read.parquet(path)
     assert back.count() == 10_000
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    from dataframeintervals_jl_spark.sources.sinks import zorder_value
+
+    def morton(x, y):
+        out = 0
+        for b in range(21):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = [(x, y) for x in (0, 1, 5, 1023, 2**21 - 1) for y in (0, 2, 77, 2**20)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+    plan = df.select(zorder_value(F.col("x"), F.col("y")))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_zordered_layout_clusters_both_dimensions(spark, tmp_path):
+    """A filter on EITHER dimension touches few files under z-order;
+    under a single-key sort the second dimension is scattered across
+    every file."""
+    from dataframeintervals_jl_spark.sources.sinks import write_zordered
+
+    n, files = 256, 16
+    rows = [(x, y, x * n + y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, cols=("x", "y"), n_files=files)
+    xpath = str(tmp_path / "xsorted")
+    (
+        df.repartitionByRange(files, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def files_touched(path, cond):
+        back = spark.read.parquet(path).filter(cond)
+        return (
+            back.select(F.input_file_name().alias("f")).distinct().count()
+        )
+
+    y_band = (F.col("y") >= 16) & (F.col("y") < 32)
+    assert files_touched(xpath, y_band) == files  # scattered everywhere
+    assert files_touched(zpath, y_band) <= files // 2
+
+    box = (F.col("x") < 64) & (F.col("y") < 64)  # 1/16 of the grid
+    assert files_touched(zpath, box) <= 4
+    # correctness: layout changes nothing about the rows
+    assert (
+        spark.read.parquet(zpath).filter(box).count()
+        == spark.read.parquet(xpath).filter(box).count()
+        == 64 * 64
+    )
