@@ -89,6 +89,7 @@ from .operators.sampling import (
 from .operators.cdc import apply_cdc, snapshot_diff
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
+from .operators.skew import salted_join
 from .operators.similarity import (
     cosine_topk,
     semantic_dedup,
@@ -202,6 +203,7 @@ __all__ = [
     "semantic_dedup",
     "write_zordered",
     "zorder_value",
+    "salted_join",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -3772,6 +3772,40 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, n_centroids=16, threshold=0.4)
 
 
+def q_salted_join(spark, sf_dir):
+    """Salted equi-join under synthetic key skew (half of all events
+    collapse onto key 0): the hot key spreads across 8 shuffle
+    sub-partitions by construction, planner-independent — the explicit
+    fallback for when AQE's skew split cannot fire.  The oracle is the
+    PLAIN join: salting must not change the result multiset."""
+    from .operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 25)
+        .alias("k"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_fx"),
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    j = salted_join(ev, nat, "k", n_salt=8)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v_fx").alias("sum_v")
+    )
+
+
+_SQL_SALTED_JOIN = r"""WITH ev AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id % 25 END AS k,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v_fx) AS BIGINT) AS sum_v
+FROM ev JOIN nation ON ev.k = n_nationkey
+GROUP BY n_name"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3878,4 +3912,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_sample_per_group": (q_sample_per_group, _SQL_SAMPLE_PER_GROUP),
     "q_heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "q_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup(16, 0.4)),
+    "q_salted_join": (q_salted_join, _SQL_SALTED_JOIN),
 }
