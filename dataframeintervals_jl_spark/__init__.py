@@ -118,6 +118,7 @@ from .sources.sinks import (
     write_sized,
 )
 from .streaming import (
+    stream_latest_by_key,
     stream_exact_dedup,
     stream_interval_join,
     stream_merge_spans,
@@ -204,6 +205,7 @@ __all__ = [
     "write_zordered",
     "zorder_value",
     "salted_join",
+    "stream_latest_by_key",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -3806,6 +3806,59 @@ FROM ev JOIN nation ON ev.k = n_nationkey
 GROUP BY n_name"""
 
 
+def q_stream_latest_by_key(spark, sf_dir):
+    """Streaming CDC latest-state view (batch-batch mode, like the
+    other q_stream_* entries): the same derived change log as
+    q_apply_cdc reduced to one winning row per key — max_by over a
+    (ts, is_delete) ordering, state bounded by key cardinality."""
+    from .streaming import stream_latest_by_key
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def ch(pred, key, text, nchars, ts, op):
+        return docs.filter(pred).select(
+            key.alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            nchars.alias("n_chars"),
+            F.lit(ts).alias("ts"),
+            F.lit(op).alias("op"),
+        )
+
+    t, n = F.col("text"), F.col("n_chars")
+    changes = (
+        ch(d % 5 == 0, d, F.concat(t, F.lit(" v2")), n + 3, 100, "U")
+        .unionByName(ch(d % 10 == 0, d, F.concat(t, F.lit(" v3")), n + 3, 200, "U"))
+        .unionByName(ch(d % 9 == 4, d, t, n, 150, "D"))
+        .unionByName(
+            ch(d % 17 == 6, d + 100000, F.concat(F.lit("ins "), t), n, 100, "U")
+        )
+    )
+    return stream_latest_by_key(changes, "doc_id", ts_col="ts", op_col="op")
+
+
+_SQL_STREAM_LATEST = r"""WITH ch AS (
+  SELECT doc_id, text || ' v2' AS text, lang, source,
+         n_chars + 3 AS n_chars, 100 AS ts, 'U' AS op
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text || ' v3', lang, source, n_chars + 3, 200, 'U'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 150, 'D'
+  FROM documents WHERE doc_id % 9 = 4
+  UNION ALL
+  SELECT doc_id + 100000, 'ins ' || text, lang, source, n_chars, 100, 'U'
+  FROM documents WHERE doc_id % 17 = 6
+)
+SELECT doc_id, text, lang, source, n_chars, ts, op FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY ts DESC, (op = 'D') DESC) AS rn
+  FROM ch) WHERE rn = 1"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3913,4 +3966,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_heavy_hitters": (q_heavy_hitters, _SQL_HEAVY_HITTERS),
     "q_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup(16, 0.4)),
     "q_salted_join": (q_salted_join, _SQL_SALTED_JOIN),
+    "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
 }

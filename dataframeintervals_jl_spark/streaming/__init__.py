@@ -695,3 +695,44 @@ def stream_minhash_candidates(
     return banded.groupBy("band", "bh").applyInPandasWithState(
         emit, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_latest_by_key(
+    changes: DataFrame,
+    keys: Union[str, Sequence[str]],
+    ts_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Streaming latest-state (CDC upsert) view: one row per key
+    holding the most recent change by ``ts_col`` — the streaming form
+    of :func:`~..operators.cdc.apply_cdc`'s per-key reduction, as a
+    plain stateful aggregation (``max_by`` over a ``(ts, is_delete)``
+    struct ordering, so equal-timestamp ties break toward the delete
+    exactly like the batch operator).
+
+    Run with ``outputMode('update')`` (each trigger emits only keys
+    whose latest row changed) or ``'complete'``.  Deletes surface as
+    TOMBSTONE rows with ``op_col`` retained — an append-only sink
+    cannot retract, so downstream consumers filter
+    ``op != delete_op``; keep ``op_col=None`` for insert/update-only
+    streams.  The same expression runs unchanged on a batch DataFrame,
+    which is how the DuckDB oracle checks it.
+
+    State: ONE struct per distinct key (the winning row), partitioned
+    by key — bounded by key cardinality, not stream length; no
+    watermark needed because late data is handled by the ordering
+    itself (an older change simply loses ``max_by``).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in changes.columns if c not in ks]
+    is_del = (
+        (F.col(op_col) == F.lit(delete_op)) if op_col else F.lit(False)
+    )
+    order = F.struct(F.col(ts_col).alias("t"), is_del.alias("d"))
+    agg = changes.groupBy(*ks).agg(
+        F.max_by(F.struct(*payload), order).alias("__latest")
+    )
+    return agg.select(
+        *ks, *[F.col(f"__latest.{c}").alias(c) for c in payload]
+    )

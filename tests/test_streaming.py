@@ -525,3 +525,52 @@ def test_stream_resample_locf_batch_delegation(spark):
         )
     )
     assert a == b
+
+
+def test_stream_latest_by_key_across_microbatches(spark, tmp_path):
+    """Latest change per key wins across micro-batches; equal-ts ties
+    break toward the delete; final complete-mode table matches the
+    batch reduction of the same change log."""
+    from dataframeintervals_jl_spark.streaming import stream_latest_by_key
+
+    schema = "k long, v string, ts long, op string"
+    batch1 = spark.createDataFrame(
+        [(1, "one-v1", 100, "U"), (2, "two-v1", 100, "U")], schema
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (1, "one-v2", 200, "U"),
+            (2, None, 100, "D"),  # equal ts as two-v1: delete wins
+            (3, "three", 50, "U"),
+        ],
+        schema,
+    )
+    d = str(tmp_path / "cdc_in")
+    batch1.coalesce(1).write.parquet(d + "/f1")
+    batch2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_latest_by_key(stream, "k", ts_col="ts", op_col="op")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slatest")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_latest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: (r["v"], r["op"])
+        for r in spark.sql("SELECT * FROM slatest").collect()
+    }
+    assert got == {1: ("one-v2", "U"), 2: (None, "D"), 3: ("three", "U")}
+
+    # batch parity: same expression over the unioned log
+    batch = stream_latest_by_key(
+        batch1.unionByName(batch2), "k", ts_col="ts", op_col="op"
+    )
+    assert {r["k"]: (r["v"], r["op"]) for r in batch.collect()} == got
