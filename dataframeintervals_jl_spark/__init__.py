@@ -15,6 +15,7 @@ rewrite that turns the theta-join into a shuffleable equi-join.
 """
 
 from .functions.selectors import all_, between, cols, not_
+from .functions.text import pii_counts, redact_pii
 from .functions.spans import (
     ALLEN_RELATIONS,
     SPAN_DDL,
@@ -206,6 +207,8 @@ __all__ = [
     "zorder_value",
     "salted_join",
     "stream_latest_by_key",
+    "redact_pii",
+    "pii_counts",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

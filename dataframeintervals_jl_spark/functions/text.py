@@ -201,3 +201,48 @@ def repetition_score(text, k: int = 3) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(
         sh
     ).cast("double")
+
+
+#: PII scrub patterns, applied in order.  Deliberately simple,
+#: anchor-free regexes that mean the same thing in Java's engine
+#: (Spark) and RE2 (DuckDB): no backreferences, no lookaround, no
+#: possessive quantifiers — the cross-engine-replayable subset.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # ssn MUST precede phone: an SSN-shaped id also matches the
+    # looser phone digit-run and would be eaten as <PHONE>
+    ("ssn_like", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\+?\d[\d\- ]{7,14}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text) -> Column:
+    """Scrub personally-identifiable substrings: emails, IPv4s,
+    phone-ish digit runs, SSN-shaped ids — replaced with typed
+    placeholder tags, applied in :data:`PII_PATTERNS` order (earlier
+    patterns eat their text before later ones see it, so an email's
+    host never half-matches as a phone).  Pure chained
+    ``regexp_replace`` — codegen'd, no Python, and the pattern subset
+    is chosen to behave identically under RE2 so a SQL oracle replays
+    the exact output string.
+
+    This is the REVERSIBILITY-FREE form (tags carry no index): the
+    standard pre-training scrub.  For pseudonymization keyed to the
+    original value, hash the match instead — a different operator.
+    """
+    out = _c(text)
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text) -> list[tuple[str, Column]]:
+    """(name, count) expression per PII pattern — the audit side of
+    :func:`redact_pii` (how much did the scrub touch?).  Counted on
+    the PRE-redaction text, each pattern independently."""
+    t = _c(text)
+    return [
+        (name, F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
+        for name, pat, _ in PII_PATTERNS
+    ]

@@ -3859,6 +3859,66 @@ SELECT doc_id, text, lang, source, n_chars, ts, op FROM (
   FROM ch) WHERE rn = 1"""
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub audit: deterministic synthetic PII (emails, IPs,
+    phone runs, SSN-shaped ids keyed off doc_id) is injected, counted
+    per pattern, and redacted — output carries the md5 of the redacted
+    text so the oracle checks the exact scrub, byte for byte.  Pure
+    chained regexp_replace: codegen'd, RE2-compatible subset."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" u"), ds, F.lit("@ex.org"))).otherwise(""),
+        F.when(d % 4 == 0, F.concat(F.lit(" ip 10.1.2."), (d % 250).cast("string"))).otherwise(""),
+        F.when(d % 5 == 0, F.lit(" call 555-123-4567 now")).otherwise(""),
+        F.when(d % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(""),
+    )
+    base = docs.select("doc_id", aug.alias("__aug"))
+    sel = [F.col("doc_id")]
+    for name, cnt in pii_counts(F.col("__aug")):
+        sel.append(cnt.cast("long").alias(f"n_{name}"))
+    sel.append(F.md5(redact_pii(F.col("__aug"))).alias("red_md5"))
+    return base.select(*sel)
+
+
+_SQL_PII_REDACT = r"""WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' u' || doc_id::VARCHAR || '@ex.org' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' ip 10.1.2.' || (doc_id % 250)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-123-4567 now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ssn 123-45-6789' ELSE '' END AS a
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(a,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(a,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(a,
+    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn_like,
+  CAST(len(regexp_extract_all(a,
+    '\+?\d[\d\- ]{7,14}\d')) AS BIGINT) AS n_phone,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(a,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+      '\+?\d[\d\- ]{7,14}\d', '<PHONE>', 'g')) AS red_md5
+FROM aug"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -3967,4 +4027,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup(16, 0.4)),
     "q_salted_join": (q_salted_join, _SQL_SALTED_JOIN),
     "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
+    "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
 }

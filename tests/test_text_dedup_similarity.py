@@ -611,3 +611,32 @@ def test_semantic_dedup_keep_rule_bruteforce(spark):
                     has_dup = True
                     break
             assert r["kept"] == (not has_dup), r
+
+
+def test_redact_pii_order_and_counts(spark):
+    from dataframeintervals_jl_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    txt = (
+        "mail bob.smith+x@corp.example.com from 192.168.1.77, "
+        "ssn 123-45-6789, call +1 555-867-5309 ok"
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    (red,) = df.select(redact_pii("text").alias("r")).collect()
+    assert "<EMAIL>" in red["r"] and "<IP>" in red["r"]
+    # ssn-shaped id is <ID>, not eaten by the looser phone pattern
+    assert "<ID>" in red["r"] and "<PHONE>" in red["r"]
+    assert "123-45-6789" not in red["r"] and "@" not in red["r"]
+
+    counts = dict(
+        (name, df.select(c.alias("n")).first()["n"])
+        for name, c in pii_counts(F.col("text"))
+    )
+    # counts are independent per pattern on the PRE-redaction text:
+    # the ssn-shaped id also matches the looser phone digit-run
+    assert counts == {"email": 1, "ipv4": 1, "ssn_like": 1, "phone": 2}
+    # clean text touches nothing
+    clean = spark.createDataFrame([("just words here",)], "text string")
+    assert clean.select(redact_pii("text").alias("r")).first()["r"] == "just words here"
