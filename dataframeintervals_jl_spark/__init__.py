@@ -87,6 +87,7 @@ from .operators.sampling import (
     topk_per_group,
     weighted_sample,
 )
+from .operators.bpe import apply_bpe_merges, bpe_merges_frame, learn_bpe_merges
 from .operators.cdc import apply_cdc, snapshot_diff
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
@@ -209,6 +210,9 @@ __all__ = [
     "stream_latest_by_key",
     "redact_pii",
     "pii_counts",
+    "learn_bpe_merges",
+    "bpe_merges_frame",
+    "apply_bpe_merges",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -1,0 +1,147 @@
+"""Byte-pair-encoding merge learning — tokenizer training on-cluster.
+
+The missing piece between :func:`~.tfidf.tf_idf_top_terms`-style corpus
+statistics and an actual trainable tokenizer: learn the first
+``n_merges`` BPE merge rules from the corpus, exactly the algorithm of
+Sennrich et al. 2016 — repeatedly merge the globally most frequent
+adjacent symbol pair.
+
+Scale design (100 TB): BPE never needs the corpus after one pass — it
+runs on the WORD-FREQUENCY table (distinct word → count), which is
+vocabulary-sized, not corpus-sized.  That table is built with one
+partial-aggregated groupBy and persisted; each merge round is then a
+tiny pair-count aggregation over it plus a narrow per-row ``replace``.
+The driver holds only the k winning pairs (like the IVF centroids),
+never any table.
+
+Determinism contract (DuckDB-replayable): counts are exact bigints;
+the winning pair breaks ties by ``(count DESC, left, right)`` over
+ASCII symbols — total order.  Merge application is literal string
+``replace`` on a unit-separator-joined symbol string: both engines
+scan left-to-right replacing non-overlapping occurrences, which is
+precisely BPE's greedy merge semantics (``aaa`` under merge ``(a,a)``
+→ ``(aa)(a)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: symbol separator inside the packed word representation — a control
+#: char that never appears in the [a-z]+ word charset
+US = "\x1f"
+
+
+def _adjacent_pairs(df: DataFrame, s_col: str, cnt_col: str) -> DataFrame:
+    syms = F.split(F.col(s_col), US)
+    nb = F.greatest(F.size(syms) - F.lit(1), F.lit(0))
+    return df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(syms, F.lit(1), nb),
+                F.slice(syms, F.lit(2), nb),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+        ).alias("p"),
+        F.col(cnt_col),
+    ).select(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"), cnt_col)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+
+    Returns ``[(merge_rank, lhs, rhs, pair_count), ...]`` — rank 1 is
+    the first (most frequent) merge; ``pair_count`` is the weighted
+    occurrence count at the time the pair won.  Words are lowercase
+    ``[a-z]+`` runs; symbols start as single characters.
+
+    One corpus pass builds the word-frequency table; each round is a
+    pair-count aggregation over that (persisted, vocabulary-sized)
+    table, one 1-row ``orderBy().limit(1)`` collect, and a narrow
+    ``replace`` projection.  A ``localCheckpoint`` every few rounds
+    would bound lineage for large ``n_merges``; at tens of merges the
+    projection chain is shallow enough to skip.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    w = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.array_join(
+                F.regexp_extract_all(F.col("w"), F.lit("."), 0), US
+            ).alias("s"),
+            "cnt",
+        )
+    )
+    w = w.persist()
+    w.count()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            _adjacent_pairs(w, "s", "cnt")
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word is a single symbol — nothing to merge
+        lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
+        merges.append((r, lhs, rhs, c))
+        w2 = w.select(
+            F.replace(
+                F.col("s"), F.lit(lhs + US + rhs), F.lit(lhs + rhs)
+            ).alias("s"),
+            "cnt",
+        ).persist()
+        w2.count()
+        w.unpersist()
+        w = w2
+    w.unpersist()
+    return merges
+
+
+def bpe_merges_frame(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """:func:`learn_bpe_merges` as a (tiny) DataFrame:
+    ``(merge_rank, lhs, rhs, pair_count)`` — the shape the catalog
+    query and a downstream tokenizer loader consume."""
+    merges = learn_bpe_merges(docs, n_merges=n_merges, text_col=text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def apply_bpe_merges(text, merges, max_tokens: int = 0):
+    """Segment ``text`` with learned merges: array-of-symbols column —
+    lowercase ``[a-z]+`` words exploded to characters, then each merge
+    applied in rank order (k literal ``replace`` ops, codegen'd; no
+    Python).  The inference half of :func:`learn_bpe_merges`."""
+    col = text if not isinstance(text, str) else F.col(text)
+    words = F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), 0)
+    packed = F.transform(
+        words,
+        lambda x: F.array_join(F.regexp_extract_all(x, F.lit("."), 0), US),
+    )
+    def _merge_fn(lhs: str, rhs: str):
+        # single-arg closure: PySpark counts a lambda's parameters
+        # (defaults included) as higher-order-function arguments
+        return lambda x: F.replace(x, F.lit(lhs + US + rhs), F.lit(lhs + rhs))
+
+    for _, lhs, rhs, _ in merges:
+        packed = F.transform(packed, _merge_fn(lhs, rhs))
+    return F.flatten(F.transform(packed, lambda x: F.split(x, US)))

@@ -3919,6 +3919,62 @@ SELECT doc_id,
 FROM aug"""
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training on-cluster: the first 10 BPE merge rules
+    learned from the corpus word-frequency table (Sennrich et al.
+    2016) — each round a vocabulary-sized pair-count aggregation, the
+    corpus touched exactly once.  The oracle replays every round
+    unrolled, including the greedy left-to-right merge application."""
+    from .operators.bpe import bpe_merges_frame
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_merges_frame(docs, n_merges=10)
+
+
+def _sql_bpe(n_merges: int = 10) -> str:
+    """Unrolled replay of learn_bpe_merges: per round, pair counts from
+    the packed symbol strings, the (count DESC, lhs, rhs) winner, and
+    the literal-replace merge — `replace` scans left-to-right over
+    non-overlapping occurrences in both engines, which IS BPE's greedy
+    merge order."""
+    parts = [
+        r"""WITH wt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT array_to_string(regexp_extract_all(w, '.'), chr(31)) AS s, cnt
+  FROM wt
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(sy[:len(sy) - 1]) AS lhs, unnest(sy[2:]) AS rhs, cnt
+    FROM (SELECT string_split(s, chr(31)) AS sy, cnt FROM w{r - 1}))
+  GROUP BY lhs, rhs
+), m{r} AS MATERIALIZED (
+  SELECT {r} AS merge_rank, lhs, rhs, c
+  FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT replace(w.s, m.lhs || chr(31) || m.rhs, m.lhs || m.rhs) AS s,
+         w.cnt
+  FROM w{r - 1} w, m{r} m
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs,
+       c AS pair_count
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4028,4 +4084,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_salted_join": (q_salted_join, _SQL_SALTED_JOIN),
     "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
     "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
+    "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
 }

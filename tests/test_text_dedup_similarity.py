@@ -640,3 +640,30 @@ def test_redact_pii_order_and_counts(spark):
     # clean text touches nothing
     clean = spark.createDataFrame([("just words here",)], "text string")
     assert clean.select(redact_pii("text").alias("r")).first()["r"] == "just words here"
+
+
+def test_bpe_merges_hand_computed(spark):
+    """3 merge rounds on a corpus small enough to verify by hand,
+    including the greedy left-to-right semantics (aaa + (a,a) ->
+    (aa)(a)) and tokenization with the learned merges."""
+    from dataframeintervals_jl_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, ["aaab aaab", "ab"])
+    merges = learn_bpe_merges(docs, n_merges=3)
+    # r1: (a,a) appears 2x in each 'aaab' -> 4; (a,b) -> 3
+    # r2: after merge, (a,b) -> 3 beats (aa,a) -> 2
+    # r3: (aa, ab) -> 2
+    assert merges == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+    toks = (
+        _docs(spark, ["aaab ab"])
+        .select(apply_bpe_merges("text", merges).alias("t"))
+        .first()["t"]
+    )
+    assert toks == ["aaab", "ab"]
+
+    # 0 pairs corpus: single-char words produce no merges
+    assert learn_bpe_merges(_docs(spark, ["a b c"]), n_merges=2) == []
