@@ -88,7 +88,7 @@ from .operators.sampling import (
     weighted_sample,
 )
 from .operators.bpe import apply_bpe_merges, bpe_merges_frame, learn_bpe_merges
-from .operators.cdc import apply_cdc, snapshot_diff
+from .operators.cdc import apply_cdc, incremental_agg_update, snapshot_diff
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.skew import salted_join
@@ -213,6 +213,7 @@ __all__ = [
     "learn_bpe_merges",
     "bpe_merges_frame",
     "apply_bpe_merges",
+    "incremental_agg_update",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -133,3 +133,61 @@ def apply_cdc(
         *ks, *payload
     )
     return survivors.select(*ks, *payload).unionByName(upserts)
+
+
+def incremental_agg_update(
+    state: DataFrame,
+    diff: DataFrame,
+    group_col: str,
+    val_col: str,
+    n_col: str = "n",
+    sum_col: str = "sum_val",
+) -> DataFrame:
+    """Materialized-view maintenance: update a per-group (count, sum)
+    aggregate from a :func:`snapshot_diff` worklist WITHOUT rescanning
+    the base table — the 100 TB reason this operator family exists (a
+    nightly 0.1% delta should cost 0.1%, not a full re-aggregation).
+
+    ``state`` is the current aggregate ``(group_col, n_col, sum_col)``;
+    ``diff`` carries ``old_<group>/new_<group>/old_<val>/new_<val>/
+    change`` (so a row whose GROUP changed moves between groups: its
+    old value is retracted from the old group and its new value added
+    to the new one).  Count and sum must be bigint — retraction needs
+    exact invertibility, which floats don't grant (min/max aren't
+    incrementally maintainable at all: a retraction below the max
+    forces a rescan — keep those in a periodic full refresh).
+
+    Output: the updated state; groups whose count reaches zero are
+    dropped.  Shuffles only the (tiny) delta aggregation and one
+    equi-join against the state — the base table is never read.
+    """
+    og, ng = f"old_{group_col}", f"new_{group_col}"
+    ov, nv = f"old_{val_col}", f"new_{val_col}"
+    ch = F.col("change")
+    retract = diff.filter(ch.isin("removed", "changed")).select(
+        F.col(og).alias(group_col),
+        F.lit(-1).cast("long").alias("__dn"),
+        (-F.col(ov).cast("long")).alias("__ds"),
+    )
+    apply_ = diff.filter(ch.isin("added", "changed")).select(
+        F.col(ng).alias(group_col),
+        F.lit(1).cast("long").alias("__dn"),
+        F.col(nv).cast("long").alias("__ds"),
+    )
+    deltas = (
+        retract.unionByName(apply_)
+        .groupBy(group_col)
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__ds").alias("__ds"))
+    )
+    merged = state.join(deltas, group_col, "full_outer").select(
+        group_col,
+        (
+            F.coalesce(F.col(n_col), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).alias(n_col),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("__ds"), F.lit(0))
+        ).alias(sum_col),
+    )
+    return merged.filter(F.col(n_col) > 0)

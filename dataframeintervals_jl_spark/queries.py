@@ -3975,6 +3975,52 @@ FROM ({union})"""
     return "".join(parts)
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance: a per-lang (count, sum n_chars)
+    aggregate updated from a snapshot diff — drops, edits, group moves
+    (lang reassignments) and inserts — WITHOUT rescanning the base.
+    The oracle recomputes the aggregate from the perturbed snapshot
+    directly: incremental must equal full recompute."""
+    from .operators.cdc import incremental_agg_update, snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edited, relabeled = d % 7 == F.lit(2), d % 13 == F.lit(1)
+    new = (
+        docs.filter(d % 11 != F.lit(3))
+        .select(
+            "doc_id",
+            F.when(relabeled, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+            (
+                F.col("n_chars") + F.when(edited, F.lit(7)).otherwise(F.lit(0))
+            ).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter(d % 13 == F.lit(5)).select(
+                (d + F.lit(100000)).alias("doc_id"), "lang", "n_chars"
+            )
+        )
+    )
+    state = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_val")
+    )
+    diff = snapshot_diff(docs, new, "doc_id", compare_cols=("lang", "n_chars"))
+    return incremental_agg_update(state, diff, "lang", "n_chars")
+
+
+_SQL_INCREMENTAL_AGG = r"""WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 1 THEN 'xx' ELSE lang END AS lang,
+         n_chars + CASE WHEN doc_id % 7 = 2 THEN 7 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 100000, lang, n_chars FROM documents WHERE doc_id % 13 = 5
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_val
+FROM newt GROUP BY lang"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4085,4 +4131,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
     "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
+    "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
 }

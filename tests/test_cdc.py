@@ -82,3 +82,44 @@ def test_snapshot_diff_plan_is_single_join(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_incremental_agg_matches_full_recompute(spark):
+    """Incremental update under drops, value edits, group moves, and
+    inserts equals the from-scratch aggregation; emptied groups drop."""
+    from dataframeintervals_jl_spark import (
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    old = _df(
+        spark,
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 5)],
+        "k long, g string, v long",
+    )
+    new = _df(
+        spark,
+        [
+            (1, "a", 11),   # value edit
+            (2, "b", 20),   # group move a -> b
+            (3, "b", 30),   # unchanged
+            (5, "d", 7),    # insert into new group
+        ],                   # 4/"c" removed -> group c empties out
+        "k long, g string, v long",
+    )
+    state = old.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_val")
+    )
+    diff = snapshot_diff(old, new, "k", compare_cols=("g", "v"))
+    got = {
+        r["g"]: (r["n"], r["sum_val"])
+        for r in incremental_agg_update(state, diff, "g", "v").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["sum_val"])
+        for r in new.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_val"))
+        .collect()
+    }
+    assert got == want
+    assert "c" not in got  # emptied group dropped, not left at zero
