@@ -32,7 +32,7 @@ from .functions.spans import (
     spans_overlap,
 )
 from .operators.asof_join import asof_join
-from .operators.graph import pagerank
+from .operators.graph import pagerank, triangle_counts
 from .operators.coalesce import (
     merge_spans,
     overlap_profile,
@@ -214,6 +214,7 @@ __all__ = [
     "bpe_merges_frame",
     "apply_bpe_merges",
     "incremental_agg_update",
+    "triangle_counts",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -80,3 +80,76 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     und.unpersist()
     return ranks.select(F.col("v"), F.col("r").alias("rank_fx"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle participation over an undirected pair list:
+    ``(v, n_triangles)`` for every vertex in at least one triangle —
+    the local clustering signal (a near-dup pair inside a dense
+    triangle cluster is structural; an isolated pair is noise).
+
+    Algorithm: DEGREE-ORDERED node-iterator (Suri & Vassilvitskii's
+    MR-friendly variant).  Every edge is oriented from its
+    (degree, id)-smaller endpoint to the larger; each triangle
+    ``x<y<z`` in that total order then materializes exactly once as
+    wedge ``(x→y, x→z)`` closed by ``y→z`` — no post-dedup.  The
+    orientation is the scale guard: a hub of degree d contributes
+    wedges only through neighbors ORDERED ABOVE it, bounding wedge
+    fan-out by O(m^1.5) total instead of Σ d(v)² (the difference
+    between a celebrity node exploding and not).
+
+    Shuffle shape: one degree aggregation, two equi-joins on vertex
+    keys (wedge build + closing-edge semi-join), one final explode +
+    groupBy over triangle rows.  All bigint/id arithmetic —
+    SQL-replayable."""
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e.persist()
+    e.count()  # read by the degree agg and both orientation sides
+
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total-order key: degree-major, id tiebreak (ids and degrees are
+    # comfortably below 2^30 in pair graphs; the packed bigint keeps
+    # the oracle to plain integer arithmetic)
+    ok = deg.select(
+        "x", (F.col("d") * F.lit(1_000_000_000) + F.col("x")).alias("ok")
+    )
+    o = (
+        e.join(ok.select(F.col("x").alias("u"), F.col("ok").alias("ku")), "u")
+        .join(ok.select(F.col("x").alias("v"), F.col("ok").alias("kv")), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.greatest("ku", "kv").alias("kt"),
+        )
+    )
+    e1 = o.select(F.col("s"), F.col("t").alias("t1"), F.col("kt").alias("k1"))
+    e2 = o.select(F.col("s"), F.col("t").alias("t2"), F.col("kt").alias("k2"))
+    wedges = e1.join(e2, "s").filter(F.col("k1") < F.col("k2"))
+    tri = wedges.join(
+        o.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+    ).select(F.col("s").alias("x"), F.col("t1").alias("y"), F.col("t2").alias("z"))
+    verts = (
+        tri.select(F.col("x").alias("v"))
+        .unionByName(tri.select(F.col("y").alias("v")))
+        .unionByName(tri.select(F.col("z").alias("v")))
+    )
+    out = verts.groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    e.unpersist()
+    return out

@@ -4021,6 +4021,44 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n,
 FROM newt GROUP BY lang"""
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-vertex triangle participation over the MinHash duplicate-
+    pair graph (degree-ordered node-iterator — each triangle
+    materializes once, hub fan-out bounded by the orientation).  The
+    structural-vs-noise signal on near-dup clusters."""
+    from .operators.graph import triangle_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    return triangle_counts(pairs)
+
+
+def _sql_triangles() -> str:
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    return f"""WITH mh AS MATERIALIZED ({base}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM mh WHERE id_a <> id_b
+), deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x
+), ok AS (SELECT x, d * 1000000000 + x AS ok FROM deg),
+o AS MATERIALIZED (
+  SELECT CASE WHEN ka.ok < kb.ok THEN e.u ELSE e.v END AS s,
+         CASE WHEN ka.ok < kb.ok THEN e.v ELSE e.u END AS t,
+         greatest(ka.ok, kb.ok) AS kt
+  FROM e JOIN ok ka ON e.u = ka.x JOIN ok kb ON e.v = kb.x
+), tri AS (
+  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.kt < e2.kt
+  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
+)
+SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri) GROUP BY v"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4132,4 +4170,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
+    "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
 }

@@ -123,3 +123,16 @@ def test_incremental_agg_matches_full_recompute(spark):
     }
     assert got == want
     assert "c" not in got  # emptied group dropped, not left at zero
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant: K4 has 4 triangles, each vertex in 3; the
+    pendant is in none and absent from output.  Input direction and
+    duplicate edges must not matter."""
+    from dataframeintervals_jl_spark.operators.graph import triangle_counts
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    noisy = edges + [(b, a) for a, b in edges] + edges[:2]
+    df = spark.createDataFrame(noisy, "id_a long, id_b long")
+    got = {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
