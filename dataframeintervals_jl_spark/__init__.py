@@ -88,7 +88,12 @@ from .operators.sampling import (
     weighted_sample,
 )
 from .operators.bpe import apply_bpe_merges, bpe_merges_frame, learn_bpe_merges
-from .operators.cdc import apply_cdc, incremental_agg_update, snapshot_diff
+from .operators.cdc import (
+    apply_cdc,
+    diff_to_changes,
+    incremental_agg_update,
+    snapshot_diff,
+)
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
 from .operators.sessionize import sessionize
 from .operators.skew import salted_join
@@ -215,6 +220,7 @@ __all__ = [
     "apply_bpe_merges",
     "incremental_agg_update",
     "triangle_counts",
+    "diff_to_changes",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -191,3 +191,40 @@ def incremental_agg_update(
         ).alias(sum_col),
     )
     return merged.filter(F.col(n_col) > 0)
+
+
+def diff_to_changes(
+    diff: DataFrame,
+    keys: Key,
+    compare_cols: Sequence[str],
+    ts: int = 1,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Convert a :func:`snapshot_diff` worklist into an
+    :func:`apply_cdc` change log: added/changed rows become upserts
+    carrying their ``new_*`` values, removed rows become deletes.
+    Closes the family's algebra — for any two snapshots,
+
+        ``apply_cdc(old, diff_to_changes(snapshot_diff(old, new)))``
+
+    reconstructs ``new`` exactly (property-tested), which is also the
+    cheapest way to SHIP a snapshot update: transfer the delta-sized
+    change log, not the table."""
+    ks = _keys(keys)
+    cols = list(compare_cols)
+    ch = F.col("change")
+    upserts = diff.filter(ch.isin("added", "changed")).select(
+        *ks,
+        *[F.col(f"new_{c}").alias(c) for c in cols],
+        F.lit(ts).alias(ts_col),
+        F.lit("U").alias(op_col),
+    )
+    deletes = diff.filter(ch == "removed").select(
+        *ks,
+        *[F.col(f"old_{c}").alias(c) for c in cols],
+        F.lit(ts).alias(ts_col),
+        F.lit(delete_op).alias(op_col),
+    )
+    return upserts.unionByName(deletes)

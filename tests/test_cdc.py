@@ -136,3 +136,35 @@ def test_triangle_counts_hand_graph(spark):
     df = spark.createDataFrame(noisy, "id_a long, id_b long")
     got = {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_cdc_roundtrip_reconstructs_new_snapshot(spark):
+    """apply_cdc(old, diff_to_changes(snapshot_diff(old, new))) == new
+    for a randomized pair of snapshots (seeded)."""
+    import random
+
+    from dataframeintervals_jl_spark import apply_cdc, snapshot_diff
+    from dataframeintervals_jl_spark.operators.cdc import diff_to_changes
+
+    rng = random.Random(7)
+    old_rows = [(k, rng.choice("abc"), rng.randint(0, 99)) for k in range(200)]
+    new_rows = []
+    for k, g, v in old_rows:
+        r = rng.random()
+        if r < 0.15:
+            continue  # removed
+        if r < 0.45:
+            new_rows.append((k, rng.choice("abcd"), rng.randint(0, 99)))
+        else:
+            new_rows.append((k, g, v))  # unchanged
+    new_rows += [(1000 + i, "e", i) for i in range(17)]  # added
+    schema = "k long, g string, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    diff = snapshot_diff(old, new, "k")
+    changes = diff_to_changes(diff, "k", ("g", "v"))
+    rebuilt = apply_cdc(old, changes, "k", ts_col="ts")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
