@@ -79,6 +79,7 @@ from .operators.packing import (
 )
 from .operators.sampling import (
     heavy_hitters,
+    kmv_overlap_estimate,
     sample_per_group,
     deterministic_sample,
     kmv_distinct,
@@ -221,6 +222,7 @@ __all__ = [
     "incremental_agg_update",
     "triangle_counts",
     "diff_to_changes",
+    "kmv_overlap_estimate",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

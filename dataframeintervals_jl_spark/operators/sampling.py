@@ -287,3 +287,82 @@ def heavy_hitters(
         "count",
         F.expr(f"(count * {BUCKETS}L) DIV {total}L").alias("share_ppm"),
     )
+
+
+def kmv_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Key-overlap / join-cardinality estimation between two tables
+    from bottom-k (KMV) sketches — answer "how big would this join
+    be?" with one cheap distinct-and-take-k pass per side instead of
+    running the join.  Same determinism contract as
+    :func:`kmv_distinct`: portable hash, integer arithmetic, identical
+    on any engine or partitioning.
+
+    Estimators (Beyer et al., SIGMOD'07): the union's KMV gives
+    ``union_est``; the fraction of the union's bottom-k present in
+    BOTH sides estimates Jaccard; ``intersect_est = union_est ·
+    jaccard``.  Below-k cardinalities are exact by construction.
+
+    Output: one row ``(n_bottom, union_est, jaccard_ppm,
+    intersect_est)`` — ppm/floored bigints throughout.
+
+    Scale shape: each side is one partial-aggregated distinct on the
+    53-bit hash followed by TakeOrdered(k) — no full-width shuffle of
+    either table, no join of the tables themselves; everything after
+    the two sketches is k-row arithmetic.
+    """
+    if k < 2 or k > 100_000:
+        raise ValueError(f"k must be in [2, 100000], got {k}")
+    H = 1 << 53
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.shiftright(portable_hash60(F.col(col)), 7).alias("__h")
+            )
+            .distinct()
+            .orderBy("__h")
+            .limit(k)
+        )
+
+    ha = sketch(a).withColumn("__ina", F.lit(1))
+    hb = sketch(b).withColumn("__inb", F.lit(1))
+    u = (
+        ha.select("__h")
+        .unionByName(hb.select("__h"))
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+    )
+    j = (
+        u.join(ha, "__h", "left")
+        .join(hb, "__h", "left")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_bottom"),
+        F.max("__h").alias("__hk"),
+        F.sum(
+            (F.col("__ina").isNotNull() & F.col("__inb").isNotNull()).cast(
+                "long"
+            )
+        ).alias("__both"),
+    )
+    union_est = F.when(
+        F.col("n_bottom") < F.lit(k), F.col("n_bottom")
+    ).otherwise(F.expr(f"({k} - 1) * {H}L DIV __hk"))
+    pre = agg.select(
+        F.col("n_bottom").cast("long").alias("n_bottom"),
+        union_est.cast("long").alias("union_est"),
+        F.expr("__both * 1000000 DIV n_bottom").alias("jaccard_ppm"),
+    )
+    return pre.select(
+        "n_bottom",
+        "union_est",
+        "jaccard_ppm",
+        # bigint floor throughout — no float division anywhere
+        F.expr("(union_est * jaccard_ppm) DIV 1000000").alias("intersect_est"),
+    )

@@ -4059,6 +4059,50 @@ SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT z FROM tri) GROUP BY v"""
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Join-cardinality estimation without running the join: KMV
+    bottom-256 sketches of orders.o_custkey vs customer.c_custkey —
+    union / Jaccard / intersection estimates in pure bigint, one
+    distinct+take-k pass per side."""
+    from .operators.sampling import kmv_overlap_estimate
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return kmv_overlap_estimate(
+        orders.select(F.col("o_custkey").alias("k")),
+        cust.select(F.col("c_custkey").alias("k")),
+        "k",
+        k=256,
+    )
+
+
+_SQL_KMV_OVERLAP = r"""WITH ha AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT // 128) AS h
+  FROM orders ORDER BY h LIMIT 256
+), hb AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT // 128) AS h
+  FROM customer ORDER BY h LIMIT 256
+), u AS (
+  SELECT DISTINCT h FROM (
+    SELECT h FROM ha UNION ALL SELECT h FROM hb) ORDER BY h LIMIT 256
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bottom, max(u.h) AS hk,
+         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+  FROM u LEFT JOIN ha a ON u.h = a.h LEFT JOIN hb b ON u.h = b.h
+), pre AS (
+  SELECT n_bottom,
+         CAST(CASE WHEN n_bottom < 256 THEN n_bottom
+              ELSE (255 * 9007199254740992) // hk END AS BIGINT) AS union_est,
+         CAST((nboth * 1000000) // n_bottom AS BIGINT) AS jaccard_ppm
+  FROM agg)
+SELECT n_bottom, union_est, jaccard_ppm,
+       CAST((union_est * jaccard_ppm) // 1000000 AS BIGINT) AS intersect_est
+FROM pre"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4171,4 +4215,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
+    "q_kmv_overlap": (q_kmv_overlap, _SQL_KMV_OVERLAP),
 }

@@ -324,3 +324,28 @@ def test_heavy_hitters_exact_threshold(spark):
     assert out == {"a": (50, 500_000), "b": (30, 300_000)}
     with pytest.raises(ValueError):
         heavy_hitters(df, "v", min_share_ppm=0)
+
+
+def test_kmv_overlap_estimate_accuracy(spark):
+    """Known overlap: |A|=4000, |B|=3000, |A∩B|=2000, |A∪B|=5000,
+    J=0.4 — estimates land within ~15% with k=256; disjoint sets give
+    zero intersection; small sets are exact."""
+    from dataframeintervals_jl_spark import kmv_overlap_estimate
+
+    a = spark.range(0, 4000).selectExpr("id AS k")
+    b = spark.range(2000, 5000).selectExpr("id AS k")
+    (r,) = kmv_overlap_estimate(a, b, "k", k=256).collect()
+    assert abs(r["union_est"] - 5000) / 5000 < 0.15
+    assert abs(r["jaccard_ppm"] - 400_000) / 400_000 < 0.2
+    assert abs(r["intersect_est"] - 2000) / 2000 < 0.25
+
+    dj = spark.range(90000, 93000).selectExpr("id AS k")
+    (r2,) = kmv_overlap_estimate(a, dj, "k", k=256).collect()
+    assert r2["jaccard_ppm"] == 0 and r2["intersect_est"] == 0
+
+    sa = spark.range(0, 50).selectExpr("id AS k")
+    sb = spark.range(25, 75).selectExpr("id AS k")
+    (r3,) = kmv_overlap_estimate(sa, sb, "k", k=256).collect()
+    # below k: everything exact
+    assert r3["n_bottom"] == 75 and r3["union_est"] == 75
+    assert r3["jaccard_ppm"] == (25 * 1_000_000) // 75
