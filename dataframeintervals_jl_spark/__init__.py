@@ -109,6 +109,8 @@ from .operators.similarity import (
     write_ivf_index,
 )
 from .operators.timeseries import (
+    ewma,
+    hampel_despike,
     resample_locf,
     sliding_window_agg,
     time_grid,
@@ -223,6 +225,8 @@ __all__ = [
     "triangle_counts",
     "diff_to_changes",
     "kmv_overlap_estimate",
+    "hampel_despike",
+    "ewma",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

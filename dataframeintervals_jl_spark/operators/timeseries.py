@@ -181,3 +181,142 @@ def validity_intervals(
         F.col(on).alias("valid_from"),
         F.lead(F.col(on)).over(w2).alias("valid_to"),
     )
+
+
+def hampel_despike(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    half_window: int = 3,
+    k_num: int = 44478,
+    k_den: int = 10000,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Hampel spike filter over a fixed-point signal: flag (and repair)
+    samples further than ``k·MAD`` from their rolling median — the
+    standard biosignal despiking step (the reference's home domain),
+    robust where a mean±σ z-score is dragged by the spike itself.
+
+    ``value_col`` must be a BIGINT fixed-point signal (scale floats
+    first: ``round(value·1e6)``).  Rolling frame is ``2·half_window+1``
+    rows per key ordered by ``ts_col``; median and MAD are the LOWER
+    order statistics (index ``(n-1)//2``, exact, no midpoint
+    averaging), and the spike test ``|x−med|·k_den > k_num·mad`` is
+    pure bigint — the default ``k_num/k_den = 4.4478`` is the classic
+    3·1.4826 Gaussian-consistency threshold.  A flat frame (MAD = 0)
+    flags any deviation, Hampel's documented behavior.
+
+    Output: key cols, ``ts_col``, ``value_col``, ``med``, ``mad``,
+    ``is_spike``, ``cleaned`` (spikes replaced by the rolling median).
+
+    Scale shape: ONE shuffle on the key, one per-key sort, and two
+    codegen'd array expressions over the 2w+1-row frame — no Python,
+    no second Exchange, no self-join.  Frame sizes shrink at series
+    edges (true windowed statistics, not null-padded).  Pass
+    ``order_tiebreak`` (a unique column) when ``ts_col`` can repeat
+    within a key — a ROWS frame needs a total order to be
+    deterministic."""
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    keys = _by_cols(by)
+    order_cols = [ts_col] + (
+        [] if not order_tiebreak else [order_tiebreak]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-half_window, half_window)
+    )
+    x = F.col(value_col)
+
+    def lower_median(arr):
+        # 1-based element (n+1) DIV 2; n ≤ 2w+1 so the double
+        # intermediate of the division is exact
+        return F.element_at(
+            arr, F.floor((F.size(arr) + F.lit(1)) / 2).cast("int")
+        )
+
+    # the frame is collected ONCE; median and MAD are pure array
+    # expressions over it — one Window operator, one per-key sort
+    out = df.withColumn(
+        "__vals", F.sort_array(F.collect_list(x).over(w))
+    ).withColumn("med", lower_median(F.col("__vals")))
+    devs = F.sort_array(
+        F.transform(F.col("__vals"), lambda v: F.abs(v - F.col("med")))
+    )
+    out = out.withColumn("mad", lower_median(devs))
+    is_spike = (
+        F.abs(x - F.col("med")) * F.lit(int(k_den))
+        > F.lit(int(k_num)) * F.col("mad")
+    )
+    return out.select(
+        *keys,
+        ts_col,
+        value_col,
+        "med",
+        "mad",
+        is_spike.alias("is_spike"),
+        F.when(is_spike, F.col("med")).otherwise(x).alias("cleaned"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    order_tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average over a fixed-point bigint
+    signal, per key in time order — the streaming-friendly smoother
+    (Hampel repairs spikes; EWMA tracks the baseline).
+
+    Exact integer recursion: ``e_0 = x_0``, ``e_i = e_{i-1} +
+    floor((x_i − e_{i-1}) · alpha_num / alpha_den)`` with FLOOR (not
+    truncating) division so negative deltas round identically in every
+    engine — the DuckDB oracle replays the recursion with a recursive
+    CTE bit-for-bit.
+
+    A scan with a per-step floor cannot be expressed as a window
+    aggregate (the rounding makes it non-linear), so this is one of
+    the engine's few sanctioned Arrow-batched operators: one shuffle
+    on the key, each key's series scanned once inside its worker — the
+    natural layout for time series, where a key's history must be
+    ordered anyway.  Output: key cols, ``ts_col``, ``value_col``,
+    ``out_col``."""
+    import pandas as pd
+
+    if alpha_den <= 0 or not (0 < alpha_num <= alpha_den):
+        raise ValueError(
+            f"need 0 < alpha_num <= alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    keys = _by_cols(by)
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    fields = keys + [ts_col, value_col]
+    schema = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            fields + [out_col],
+            [dict(df.dtypes)[c] for c in fields] + ["bigint"],
+        )
+    )
+    num, den = int(alpha_num), int(alpha_den)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        xs = pdf[value_col].tolist()
+        es: list[int] = []
+        cur = 0
+        for i, x in enumerate(xs):
+            x = int(x)
+            cur = x if i == 0 else cur + ((x - cur) * num) // den
+            es.append(cur)
+        out = pdf[fields].copy()
+        out[out_col] = es
+        return out
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema)

@@ -4103,6 +4103,82 @@ SELECT n_bottom, union_est, jaccard_ppm,
 FROM pre"""
 
 
+def q_hampel_despike(spark, sf_dir):
+    """Biosignal despiking: Hampel filter (rolling lower-median ±
+    4.4478·MAD, exact bigint fixed-point) per user over the event
+    value stream — robust outlier repair where mean±σ is dragged by
+    the spike itself."""
+    from .operators.timeseries import hampel_despike
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    return hampel_despike(
+        ev, "x", ts_col="ts", by="user_id", order_tiebreak="event_id"
+    )
+
+
+_SQL_HAMPEL = r"""WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS x
+  FROM events
+), f AS (
+  SELECT user_id, ts, x, list_sort(list(x) OVER w) AS vals
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), m AS (
+  SELECT user_id, ts, x, vals, vals[(len(vals) + 1) // 2] AS med FROM f
+), d AS (
+  SELECT user_id, ts, x, med,
+         list_sort(list_transform(vals, v -> abs(v - med)))
+           [(len(vals) + 1) // 2] AS mad
+  FROM m
+)
+SELECT user_id, ts, x, med, mad,
+       (abs(x - med) * 10000 > 44478 * mad) AS is_spike,
+       CASE WHEN abs(x - med) * 10000 > 44478 * mad THEN med ELSE x END
+         AS cleaned
+FROM d"""
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA baseline (alpha=1/8) over the event value stream
+    in exact integer recursion with true FLOOR rounding — the scan's
+    per-step floor is non-linear, so this is a sanctioned Arrow
+    operator with a recursive-CTE replay oracle."""
+    from .operators.timeseries import ewma
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    return ewma(ev, "x", ts_col="ts", by="user_id", order_tiebreak="event_id")
+
+
+_SQL_EWMA = r"""WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ns(ts) AS ts,
+         CAST(round(value * 1000000) AS BIGINT) AS x,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           AS BIGINT) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, ts, x, x AS ew FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts, e.x,
+         -- floor division via nonneg pmod: ((d % 8 + 8) % 8) makes the
+         -- numerator divisible, so integer division is exact floor
+         r.ew + ((e.x - r.ew) - (((e.x - r.ew) % 8 + 8) % 8)) // 8
+  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, ts, x, CAST(ew AS BIGINT) AS ewma FROM r"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4216,4 +4292,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
     "q_kmv_overlap": (q_kmv_overlap, _SQL_KMV_OVERLAP),
+    "q_hampel_despike": (q_hampel_despike, _SQL_HAMPEL),
+    "q_ewma": (q_ewma, _SQL_EWMA),
 }

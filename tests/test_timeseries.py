@@ -298,3 +298,66 @@ def test_validity_intervals_null_attr_is_a_value(spark):
     )
     # null run collapses to ONE interval [2,4), not two
     assert vals == [(1, "a"), (2, None), (4, "a")]
+
+
+def test_hampel_despike_flags_and_repairs_spike(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        hampel_despike,
+    )
+
+    # flat signal at 100 with one spike at t=5
+    rows = [(1, t, 100 if t != 5 else 9000) for t in range(11)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long")
+    out = {r["ts"]: r for r in hampel_despike(df, "x", "ts", by="k").collect()}
+    assert out[5]["is_spike"] and out[5]["cleaned"] == 100
+    assert not out[0]["is_spike"] and out[0]["cleaned"] == 100
+    # neighbors of the spike are NOT flagged (median robustness)
+    assert not out[4]["is_spike"] and not out[6]["is_spike"]
+
+    # plan: one exchange, no python
+    plan = (
+        hampel_despike(df, "x", "ts", by="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_hampel_lower_median_even_frames_at_edges(spark):
+    """At series edges the frame is smaller and even-sized: lower
+    median semantics, exact."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        hampel_despike,
+    )
+
+    rows = [(1, t, v) for t, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "k long, ts long, x long")
+    out = {r["ts"]: r["med"] for r in hampel_despike(df, "x", "ts", by="k", half_window=2).collect()}
+    # t=0 frame [10,20,30] -> 20 ; t=1 frame [10,20,30,40] -> lower med 20
+    assert out[0] == 20 and out[1] == 20
+
+
+def test_ewma_integer_floor_recursion(spark):
+    """Hand recursion with negative deltas: floor (not truncation)
+    rounding, per key, order by ts."""
+    from dataframeintervals_jl_spark.operators.timeseries import ewma
+
+    xs = [100, 0, 50, -100, 7]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long")
+    got = {
+        r["ts"]: r["ewma"]
+        for r in ewma(df, "x", "ts", by="k", alpha_num=1, alpha_den=8).collect()
+    }
+    cur, want = None, {}
+    for t, x in enumerate(xs):
+        cur = x if t == 0 else cur + ((x - cur) * 1) // 8  # python // floors
+        want[t] = cur
+    assert got == want
+    # floor vs truncate actually differs here (negative delta)
+    assert want[1] == 100 + (-100 // 8) == 100 - 13
+
+    with pytest.raises(ValueError):
+        ewma(df, "x", "ts", by="k", alpha_num=9, alpha_den=8)
