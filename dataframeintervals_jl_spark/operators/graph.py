@@ -138,6 +138,12 @@ def triangle_counts(
             F.greatest("ku", "kv").alias("kt"),
         )
     )
+    # o is read three times (both wedge sides + the closing-edge
+    # probe); without the boundary each reference re-runs the degree
+    # agg and both orientation joins — measured 10.8s -> materialized
+    # once the whole query is pair-generation-bound
+    o = o.persist()
+    o.count()
     e1 = o.select(F.col("s"), F.col("t").alias("t1"), F.col("kt").alias("k1"))
     e2 = o.select(F.col("s"), F.col("t").alias("t2"), F.col("kt").alias("k2"))
     wedges = e1.join(e2, "s").filter(F.col("k1") < F.col("k2"))
@@ -151,5 +157,10 @@ def triangle_counts(
         .unionByName(tri.select(F.col("z").alias("v")))
     )
     out = verts.groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    # eager checkpoint of the (vertex-sized) result, THEN release the
+    # persisted tables — unpersisting before the caller's action would
+    # silently recompute the whole pair generation at execution time
+    out = out.localCheckpoint(eager=True)
     e.unpersist()
+    o.unpersist()
     return out
