@@ -111,6 +111,7 @@ from .operators.similarity import (
 from .operators.timeseries import (
     ewma,
     hampel_despike,
+    resample_interp,
     resample_locf,
     sliding_window_agg,
     time_grid,
@@ -227,6 +228,7 @@ __all__ = [
     "kmv_overlap_estimate",
     "hampel_despike",
     "ewma",
+    "resample_interp",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -4179,6 +4179,60 @@ _SQL_EWMA = r"""WITH RECURSIVE e AS (
 SELECT user_id, ts, x, CAST(ew AS BIGINT) AS ewma FROM r"""
 
 
+def q_resample_interp(spark, sf_dir):
+    """Linear-interpolation resampling of the per-user value stream
+    onto the 12h grid (exact integer blend, floor rounding for
+    negative slopes, nulls outside support) — the between-samples
+    counterpart of q_resample_locf, oracle via DuckDB ASOF joins in
+    both directions."""
+    from .operators.timeseries import resample_interp
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    return resample_interp(
+        ev, "x", on="ts", step=_LOCF_STEP_NS, by="user_id"
+    )
+
+
+_SQL_RESAMPLE_INTERP = f"""WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS x
+  FROM events
+), o AS (
+  SELECT user_id, t, max(x) AS x FROM ev GROUP BY 1, 2
+), bnd AS (
+  SELECT user_id, min(t) AS lo, max(t) AS hi FROM o GROUP BY 1
+), g AS (
+  SELECT user_id,
+         unnest(range(lo - lo % {_LOCF_STEP_NS},
+                      hi - hi % {_LOCF_STEP_NS} + 1,
+                      {_LOCF_STEP_NS})) AS gt
+  FROM bnd
+), bk AS (
+  SELECT g.user_id, g.gt, o.t AS tp, o.x AS xp
+  FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.gt >= o.t
+), fw AS (
+  SELECT g.user_id, g.gt, o.t AS tn, o.x AS xn
+  FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.gt <= o.t
+), j AS (
+  SELECT bk.user_id, bk.gt, tp, xp, tn, xn,
+         CASE WHEN tp IS NULL OR tn IS NULL OR tn = tp THEN 0
+              ELSE ((bk.gt - tp) * 1000) // (tn - tp) END AS r
+  FROM bk JOIN fw ON bk.user_id = fw.user_id AND bk.gt = fw.gt
+), p AS (
+  SELECT user_id, gt, tp, tn, xp, xn, (xn - xp) * r AS prod FROM j
+)
+SELECT user_id, gt AS ts, tp AS t_prev, tn AS t_next,
+       CAST(CASE WHEN tp IS NULL OR tn IS NULL THEN NULL
+            WHEN tn = tp THEN xp
+            ELSE xp + (prod - ((prod % 1000 + 1000) % 1000)) // 1000
+       END AS BIGINT) AS interp
+FROM p"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4294,4 +4348,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_kmv_overlap": (q_kmv_overlap, _SQL_KMV_OVERLAP),
     "q_hampel_despike": (q_hampel_despike, _SQL_HAMPEL),
     "q_ewma": (q_ewma, _SQL_EWMA),
+    "q_resample_interp": (q_resample_interp, _SQL_RESAMPLE_INTERP),
 }

@@ -361,3 +361,32 @@ def test_ewma_integer_floor_recursion(spark):
 
     with pytest.raises(ValueError):
         ewma(df, "x", "ts", by="k", alpha_num=9, alpha_den=8)
+
+
+def test_resample_interp_hand_values(spark):
+    """Grid at step 10 over observations (0,100), (25,300), (30,0):
+    exact hits reproduce observations; between-points blends with
+    floor; outside-support grid points are null."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        resample_interp,
+    )
+
+    rows = [(1, 0, 100), (1, 25, 300), (1, 30, 0)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long")
+    out = {
+        r["ts"]: r["interp"]
+        for r in resample_interp(df, "x", "ts", step=10, by="k").collect()
+    }
+    # t=0 exact hit; t=10: r=(10*1000)//25=400 -> 100+floor(200*400/1000)=180
+    # t=20: r=800 -> 100+160=260; t=30 exact hit (t_prev==t_next==30)
+    assert out == {0: 100, 10: 180, 20: 260, 30: 0}
+
+    # negative slope floors toward -inf, not toward zero
+    rows2 = [(2, 0, 0), (2, 3, -100)]
+    df2 = spark.createDataFrame(rows2, "k long, ts long, x long")
+    out2 = {
+        r["ts"]: r["interp"]
+        for r in resample_interp(df2, "x", "ts", step=1, by="k").collect()
+    }
+    # t=1: r=333 -> 0 + floor(-100*333/1000) = floor(-33.3) = -34
+    assert out2[1] == -34 and out2[2] == -67 and out2[0] == 0 and out2[3] == -100
