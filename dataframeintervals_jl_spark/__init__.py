@@ -109,6 +109,7 @@ from .operators.similarity import (
     write_ivf_index,
 )
 from .operators.timeseries import (
+    cusum_changepoints,
     ewma,
     hampel_despike,
     resample_interp,
@@ -229,6 +230,7 @@ __all__ = [
     "hampel_despike",
     "ewma",
     "resample_interp",
+    "cusum_changepoints",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

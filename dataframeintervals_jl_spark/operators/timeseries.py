@@ -396,3 +396,71 @@ def resample_interp(
         .otherwise(xp + fld)
     )
     return j.select(*keys, on, "t_prev", "t_next", interp.alias("interp"))
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+    ts_col: str = "ts",
+    by: Key = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection over a fixed-point bigint
+    signal (Page 1954): per key in time order,
+
+        ``s_hi = max(0, s_hi + (x − target − slack))``
+        ``s_lo = max(0, s_lo + (target − x − slack))``
+
+    with an ``alarm`` when either statistic crosses ``threshold``
+    (both reset to 0 after an alarm — restart detection).  The
+    standard drift/level-shift detector for sensor streams: EWMA
+    tracks the baseline, Hampel repairs spikes, CUSUM finds sustained
+    shifts.  ``target``/``slack``/``threshold`` share ``value_col``'s
+    fixed-point scale.
+
+    Pure integer recursion with resets — not a window aggregate — so
+    like :func:`ewma` it is a sanctioned Arrow-batched per-key scan
+    (one shuffle on the key), replayed exactly by a recursive-CTE
+    oracle.  Output: key cols, ``ts_col``, ``value_col``, ``s_hi``,
+    ``s_lo``, ``alarm``."""
+    import pandas as pd
+
+    if threshold <= 0 or slack < 0:
+        raise ValueError(
+            f"need threshold > 0 and slack >= 0, got {threshold=} {slack=}"
+        )
+    keys = _by_cols(by)
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    fields = keys + [ts_col, value_col]
+    schema = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            fields + ["s_hi", "s_lo", "alarm"],
+            [dict(df.dtypes)[c] for c in fields]
+            + ["bigint", "bigint", "boolean"],
+        )
+    )
+    tgt, k, h = int(target), int(slack), int(threshold)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        hi = lo = 0
+        his, los, alarms = [], [], []
+        for x in pdf[value_col].tolist():
+            x = int(x)
+            hi = max(0, hi + (x - tgt - k))
+            lo = max(0, lo + (tgt - x - k))
+            alarm = hi > h or lo > h
+            his.append(hi)
+            los.append(lo)
+            alarms.append(alarm)
+            if alarm:
+                hi = lo = 0
+        out = pdf[fields].copy()
+        out["s_hi"], out["s_lo"], out["alarm"] = his, los, alarms
+        return out
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

@@ -4233,6 +4233,67 @@ SELECT user_id, gt AS ts, tp AS t_prev, tn AS t_next,
 FROM p"""
 
 
+_CUSUM_T = 35_000_000  # target 35.0 (~the value median), 1e6 fixed point
+_CUSUM_K = 10_000_000  # slack 10.0
+_CUSUM_H = 200_000_000  # alarm threshold: 200.0 cumulative excess
+
+
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection per user over the value
+    stream (Page's test, exact integer recursion with post-alarm
+    resets) — recursive-CTE replay oracle like q_ewma."""
+    from .operators.timeseries import cusum_changepoints
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    return cusum_changepoints(
+        ev,
+        "x",
+        target=_CUSUM_T,
+        slack=_CUSUM_K,
+        threshold=_CUSUM_H,
+        ts_col="ts",
+        by="user_id",
+        order_tiebreak="event_id",
+    )
+
+
+def _sql_cusum(t: int, k: int, h: int) -> str:
+    up = f"greatest(0, r.c_hi + e.x - {t} - {k})"
+    dn = f"greatest(0, r.c_lo + {t} - e.x - {k})"
+    up0 = f"greatest(0, x - {t} - {k})"
+    dn0 = f"greatest(0, {t} - x - {k})"
+    return f"""WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ns(ts) AS ts,
+         CAST(round(value * 1000000) AS BIGINT) AS x,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           AS BIGINT) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, ts, x,
+         {up0} AS s_hi, {dn0} AS s_lo,
+         ({up0} > {h} OR {dn0} > {h}) AS alarm,
+         CASE WHEN {up0} > {h} OR {dn0} > {h} THEN 0 ELSE {up0} END AS c_hi,
+         CASE WHEN {up0} > {h} OR {dn0} > {h} THEN 0 ELSE {dn0} END AS c_lo
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts, e.x,
+         {up}, {dn},
+         ({up} > {h} OR {dn} > {h}),
+         CASE WHEN {up} > {h} OR {dn} > {h} THEN 0 ELSE {up} END,
+         CASE WHEN {up} > {h} OR {dn} > {h} THEN 0 ELSE {dn} END
+  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, ts, x, CAST(s_hi AS BIGINT) AS s_hi,
+       CAST(s_lo AS BIGINT) AS s_lo, alarm
+FROM r"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4349,4 +4410,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_hampel_despike": (q_hampel_despike, _SQL_HAMPEL),
     "q_ewma": (q_ewma, _SQL_EWMA),
     "q_resample_interp": (q_resample_interp, _SQL_RESAMPLE_INTERP),
+    "q_cusum": (q_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
 }

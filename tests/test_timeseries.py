@@ -390,3 +390,29 @@ def test_resample_interp_hand_values(spark):
     }
     # t=1: r=333 -> 0 + floor(-100*333/1000) = floor(-33.3) = -34
     assert out2[1] == -34 and out2[2] == -67 and out2[0] == 0 and out2[3] == -100
+
+
+def test_cusum_detects_shift_and_resets(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    # baseline 100 then a sustained shift to 160 (target 100, slack 20,
+    # threshold 100): s_hi accumulates 40/step, alarms at step 3 of the
+    # shift, then resets and alarms again
+    xs = [100, 100, 100, 160, 160, 160, 160, 160, 160, 100]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long")
+    out = {
+        r["ts"]: (r["s_hi"], r["alarm"])
+        for r in cusum_changepoints(
+            df, "x", target=100, slack=20, threshold=100, ts_col="ts", by="k"
+        ).collect()
+    }
+    assert out[0] == (0, False) and out[2] == (0, False)
+    assert out[3] == (40, False) and out[4] == (80, False)
+    assert out[5] == (120, True)  # crossed
+    assert out[6] == (40, False)  # reset restarted accumulation
+    assert out[8] == (120, True)  # second alarm after re-accumulating
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, "x", target=0, slack=-1, threshold=10, by="k")
