@@ -17,10 +17,16 @@ never any table.
 Determinism contract (DuckDB-replayable): counts are exact bigints;
 the winning pair breaks ties by ``(count DESC, left, right)`` over
 ASCII symbols — total order.  Merge application is literal string
-``replace`` on a unit-separator-joined symbol string: both engines
-scan left-to-right replacing non-overlapping occurrences, which is
-precisely BPE's greedy merge semantics (``aaa`` under merge ``(a,a)``
-→ ``(aa)(a)``).
+``replace`` over a packed representation in which EVERY symbol is
+wrapped in two distinct sentinels, ``\\x1e sym \\x1f``: the pattern
+``\\x1e lhs \\x1f \\x1e rhs \\x1f`` can therefore only ever match two
+COMPLETE adjacent symbols (a symbol merely ending in ``lhs`` or
+starting with ``rhs`` lacks the enclosing sentinels), while the
+self-contained replacement ``\\x1e lhsrhs \\x1f`` lets run merges
+chain exactly like BPE's greedy left-to-right scan: ``aaaa`` under
+``(a,a)`` → ``(aa)(aa)``, ``aaa`` → ``(aa)(a)``.  A single-sentinel
+separator encoding is NOT sound here — the pattern can glue a suffix
+of one symbol to a prefix of the next.
 """
 
 from __future__ import annotations
@@ -28,13 +34,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: symbol separator inside the packed word representation — a control
-#: char that never appears in the [a-z]+ word charset
-US = "\x1f"
+#: per-symbol sentinels in the packed word representation — control
+#: chars that never appear in the [a-z]+ word charset.  Every symbol
+#: is stored as ``L + sym + R``.
+L = "\x1e"
+R = "\x1f"
+
+#: regex extracting the symbol contents back out of the packed form
+_SYM_RE = f"{L}([^{L}{R}]+){R}"
+
+
+def _pack_chars(word_col) -> F.Column:
+    """Word string → packed symbol string of wrapped single chars."""
+    return F.array_join(
+        F.transform(
+            F.regexp_extract_all(word_col, F.lit("."), 0),
+            lambda c: F.concat(F.lit(L), c, F.lit(R)),
+        ),
+        "",
+    )
 
 
 def _adjacent_pairs(df: DataFrame, s_col: str, cnt_col: str) -> DataFrame:
-    syms = F.split(F.col(s_col), US)
+    syms = F.regexp_extract_all(F.col(s_col), F.lit(_SYM_RE), 1)
     nb = F.greatest(F.size(syms) - F.lit(1), F.lit(0))
     return df.select(
         F.explode(
@@ -46,6 +68,10 @@ def _adjacent_pairs(df: DataFrame, s_col: str, cnt_col: str) -> DataFrame:
         ).alias("p"),
         F.col(cnt_col),
     ).select(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"), cnt_col)
+
+
+def _merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
+    return L + lhs + R + L + rhs + R, L + lhs + rhs + R
 
 
 def learn_bpe_merges(
@@ -77,12 +103,7 @@ def learn_bpe_merges(
     w = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.array_join(
-                F.regexp_extract_all(F.col("w"), F.lit("."), 0), US
-            ).alias("s"),
-            "cnt",
-        )
+        .select(_pack_chars(F.col("w")).alias("s"), "cnt")
     )
     w = w.persist()
     w.count()
@@ -101,10 +122,11 @@ def learn_bpe_merges(
             break  # every word is a single symbol — nothing to merge
         lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
         merges.append((r, lhs, rhs, c))
+        if r == n_merges:
+            break  # the merged table would never be read — skip the pass
+        pat, rep = _merge_pattern(lhs, rhs)
         w2 = w.select(
-            F.replace(
-                F.col("s"), F.lit(lhs + US + rhs), F.lit(lhs + rhs)
-            ).alias("s"),
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
             "cnt",
         ).persist()
         w2.count()
@@ -130,18 +152,25 @@ def apply_bpe_merges(text, merges, max_tokens: int = 0):
     """Segment ``text`` with learned merges: array-of-symbols column —
     lowercase ``[a-z]+`` words exploded to characters, then each merge
     applied in rank order (k literal ``replace`` ops, codegen'd; no
-    Python).  The inference half of :func:`learn_bpe_merges`."""
+    Python).  ``max_tokens > 0`` truncates the output array.  The
+    inference half of :func:`learn_bpe_merges`."""
     col = text if not isinstance(text, str) else F.col(text)
     words = F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), 0)
-    packed = F.transform(
-        words,
-        lambda x: F.array_join(F.regexp_extract_all(x, F.lit("."), 0), US),
-    )
+    packed = F.transform(words, _pack_chars)
+
     def _merge_fn(lhs: str, rhs: str):
         # single-arg closure: PySpark counts a lambda's parameters
         # (defaults included) as higher-order-function arguments
-        return lambda x: F.replace(x, F.lit(lhs + US + rhs), F.lit(lhs + rhs))
+        pat, rep = _merge_pattern(lhs, rhs)
+        return lambda x: F.replace(x, F.lit(pat), F.lit(rep))
 
     for _, lhs, rhs, _ in merges:
         packed = F.transform(packed, _merge_fn(lhs, rhs))
-    return F.flatten(F.transform(packed, lambda x: F.split(x, US)))
+    out = F.flatten(
+        F.transform(
+            packed, lambda x: F.regexp_extract_all(x, F.lit(_SYM_RE), 1)
+        )
+    )
+    if max_tokens > 0:
+        out = F.slice(out, 1, int(max_tokens))
+    return out

@@ -129,9 +129,11 @@ def apply_cdc(
     # broadcast it; the anti-join and the union read it twice, so
     # persist would pay off on a big log (caller's call at real scale)
     survivors = base.join(latest.select(*ks), ks, "left_anti")
-    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
-        *ks, *payload
-    )
+    # null-safe: a malformed NULL op must act as an upsert (the row is
+    # preserved), not silently satisfy neither branch and vanish
+    upserts = latest.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).select(*ks, *payload)
     return survivors.select(*ks, *payload).unionByName(upserts)
 
 
@@ -179,14 +181,27 @@ def incremental_agg_update(
         .groupBy(group_col)
         .agg(F.sum("__dn").alias("__dn"), F.sum("__ds").alias("__ds"))
     )
-    merged = state.join(deltas, group_col, "full_outer").select(
-        group_col,
+    # NULL is a legitimate group value: a name-list equi-join would
+    # leave the state's NULL group and the delta's NULL group forever
+    # unmatched (two output rows instead of one merged aggregate), so
+    # the join condition is null-safe and the key re-coalesced
+    st = state.select(
+        F.col(group_col).alias("__gs"),
+        F.col(n_col).alias("__n0"),
+        F.col(sum_col).alias("__s0"),
+    )
+    merged = st.join(
+        deltas.withColumnRenamed(group_col, "__gd"),
+        F.col("__gs").eqNullSafe(F.col("__gd")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("__gs"), F.col("__gd")).alias(group_col),
         (
-            F.coalesce(F.col(n_col), F.lit(0))
+            F.coalesce(F.col("__n0"), F.lit(0))
             + F.coalesce(F.col("__dn"), F.lit(0))
         ).alias(n_col),
         (
-            F.coalesce(F.col(sum_col), F.lit(0))
+            F.coalesce(F.col("__s0"), F.lit(0))
             + F.coalesce(F.col("__ds"), F.lit(0))
         ).alias(sum_col),
     )

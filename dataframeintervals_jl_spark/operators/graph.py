@@ -123,11 +123,11 @@ def triangle_counts(
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # total-order key: degree-major, id tiebreak (ids and degrees are
-    # comfortably below 2^30 in pair graphs; the packed bigint keeps
-    # the oracle to plain integer arithmetic)
+    # total-order key: degree-major, id tiebreak — a STRUCT, compared
+    # lexicographically (a packed `d*1e9 + x` bigint silently corrupts
+    # the order for ids >= 1e9, e.g. 64-bit content-hash vertex ids)
     ok = deg.select(
-        "x", (F.col("d") * F.lit(1_000_000_000) + F.col("x")).alias("ok")
+        "x", F.struct(F.col("d").alias("d"), F.col("x").alias("i")).alias("ok")
     )
     o = (
         e.join(ok.select(F.col("x").alias("u"), F.col("ok").alias("ku")), "u")
@@ -135,7 +135,9 @@ def triangle_counts(
         .select(
             F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.greatest("ku", "kv").alias("kt"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv"))
+            .otherwise(F.col("ku"))
+            .alias("kt"),
         )
     )
     # o is read three times (both wedge sides + the closing-edge

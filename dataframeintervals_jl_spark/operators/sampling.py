@@ -329,8 +329,12 @@ def kmv_overlap_estimate(
             .limit(k)
         )
 
-    ha = sketch(a).withColumn("__ina", F.lit(1))
-    hb = sketch(b).withColumn("__inb", F.lit(1))
+    # the k-row sketches are read twice each (union + membership join);
+    # an eager checkpoint stops the full-table distinct from running
+    # twice per side — this IS the "one pass per side" the docstring
+    # promises
+    ha = sketch(a).withColumn("__ina", F.lit(1)).localCheckpoint(eager=True)
+    hb = sketch(b).withColumn("__inb", F.lit(1)).localCheckpoint(eager=True)
     u = (
         ha.select("__h")
         .unionByName(hb.select("__h"))

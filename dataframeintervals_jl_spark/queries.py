@@ -3934,16 +3934,23 @@ def q_bpe_merges(spark, sf_dir):
 def _sql_bpe(n_merges: int = 10) -> str:
     """Unrolled replay of learn_bpe_merges: per round, pair counts from
     the packed symbol strings, the (count DESC, lhs, rhs) winner, and
-    the literal-replace merge — `replace` scans left-to-right over
+    the literal-replace merge — every symbol is wrapped in the two
+    sentinels chr(30)/chr(31), so the replace pattern only matches two
+    COMPLETE adjacent symbols, and `replace` scans left-to-right over
     non-overlapping occurrences in both engines, which IS BPE's greedy
-    merge order."""
+    merge order (run merges chain: aaaa -> (aa)(aa))."""
+    from .operators.bpe import L as _L, R as _R, _SYM_RE
+
+    sym_re = _SYM_RE.replace("'", "''")
     parts = [
-        r"""WITH wt AS MATERIALIZED (
+        f"""WITH wt AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
     FROM documents) GROUP BY w
 ), w0 AS MATERIALIZED (
-  SELECT array_to_string(regexp_extract_all(w, '.'), chr(31)) AS s, cnt
+  SELECT array_to_string(
+    list_transform(regexp_extract_all(w, '.'),
+                   c -> chr(30) || c || chr(31)), '') AS s, cnt
   FROM wt
 )"""
     ]
@@ -3952,13 +3959,16 @@ def _sql_bpe(n_merges: int = 10) -> str:
             f""", p{r} AS MATERIALIZED (
   SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
     SELECT unnest(sy[:len(sy) - 1]) AS lhs, unnest(sy[2:]) AS rhs, cnt
-    FROM (SELECT string_split(s, chr(31)) AS sy, cnt FROM w{r - 1}))
+    FROM (SELECT regexp_extract_all(s, '{sym_re}', 1) AS sy, cnt
+          FROM w{r - 1}))
   GROUP BY lhs, rhs
 ), m{r} AS MATERIALIZED (
   SELECT {r} AS merge_rank, lhs, rhs, c
   FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1
 ), w{r} AS MATERIALIZED (
-  SELECT replace(w.s, m.lhs || chr(31) || m.rhs, m.lhs || m.rhs) AS s,
+  SELECT replace(w.s,
+                 chr(30) || m.lhs || chr(31) || chr(30) || m.rhs || chr(31),
+                 chr(30) || m.lhs || m.rhs || chr(31)) AS s,
          w.cnt
   FROM w{r - 1} w, m{r} m
 )"""
@@ -4042,12 +4052,14 @@ e AS MATERIALIZED (
 ), deg AS (
   SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
     SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x
-), ok AS (SELECT x, d * 1000000000 + x AS ok FROM deg),
+),
 o AS MATERIALIZED (
-  SELECT CASE WHEN ka.ok < kb.ok THEN e.u ELSE e.v END AS s,
-         CASE WHEN ka.ok < kb.ok THEN e.v ELSE e.u END AS t,
-         greatest(ka.ok, kb.ok) AS kt
-  FROM e JOIN ok ka ON e.u = ka.x JOIN ok kb ON e.v = kb.x
+  SELECT CASE WHEN (ka.d, ka.x) < (kb.d, kb.x) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (ka.d, ka.x) < (kb.d, kb.x) THEN e.v ELSE e.u END AS t,
+         CASE WHEN (ka.d, ka.x) < (kb.d, kb.x)
+              THEN struct_pack(d := kb.d, i := kb.x)
+              ELSE struct_pack(d := ka.d, i := ka.x) END AS kt
+  FROM e JOIN deg ka ON e.u = ka.x JOIN deg kb ON e.v = kb.x
 ), tri AS (
   SELECT e1.s AS x, e1.t AS y, e2.t AS z
   FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.kt < e2.kt

@@ -217,12 +217,19 @@ def write_zordered(
 
     if len(cols) != 2:
         raise ValueError(f"write_zordered takes exactly 2 cols, got {cols!r}")
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
     a, b = cols
     bits = 21
     st = df.agg(
         F.min(a).alias("la"), F.max(a).alias("ha"),
         F.min(b).alias("lb"), F.max(b).alias("hb"),
     ).first()
+    if st["la"] is None or st["lb"] is None:
+        # empty input (or an all-null z column): no bucket map exists —
+        # write the empty table rather than crashing in int(None)
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return
 
     def bucket(col, lo, hi):
         span = max(int(hi) - int(lo), 1)

@@ -168,3 +168,46 @@ def test_cdc_roundtrip_reconstructs_new_snapshot(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_incremental_agg_null_group_merges(spark):
+    """NULL is a legitimate group value: state and delta NULL groups
+    must merge into ONE row, not two."""
+    from dataframeintervals_jl_spark import (
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    old = _df(spark, [(1, None, 10), (2, None, 20)], "k long, g string, v long")
+    new = _df(
+        spark,
+        [(1, None, 10), (2, None, 20), (3, None, 7)],
+        "k long, g string, v long",
+    )
+    state = old.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_val")
+    )
+    diff = snapshot_diff(old, new, "k", compare_cols=("g", "v"))
+    rows = incremental_agg_update(state, diff, "g", "v").collect()
+    assert len(rows) == 1
+    assert (rows[0]["g"], rows[0]["n"], rows[0]["sum_val"]) == (None, 3, 37)
+
+
+def test_apply_cdc_null_op_is_upsert_not_silent_delete(spark):
+    from dataframeintervals_jl_spark import apply_cdc
+
+    base = _df(spark, [(1, "one")], "k long, v string")
+    changes = _df(spark, [(1, "one-v2", 100, None)], "k long, v string, ts long, op string")
+    out = {r["k"]: r["v"] for r in apply_cdc(base, changes, "k", "ts").collect()}
+    assert out == {1: "one-v2"}  # preserved as an upsert, not vanished
+
+
+def test_triangle_counts_large_vertex_ids(spark):
+    """Degree ordering must hold for ids >= 1e9 (content-hash ids)."""
+    from dataframeintervals_jl_spark.operators.graph import triangle_counts
+
+    big = 7_000_000_000
+    edges = [(big, big + 1), (big, big + 2), (big + 1, big + 2), (5, big)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {big: 1, big + 1: 1, big + 2: 1}

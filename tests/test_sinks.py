@@ -226,3 +226,16 @@ def test_zordered_layout_clusters_both_dimensions(spark, tmp_path):
         == spark.read.parquet(xpath).filter(box).count()
         == 64 * 64
     )
+
+
+def test_zordered_empty_input_and_bad_args(spark, tmp_path):
+    from dataframeintervals_jl_spark.sources.sinks import write_zordered
+
+    empty = spark.createDataFrame([], "x long, y long")
+    p = str(tmp_path / "zempty")
+    write_zordered(empty, p, cols=("x", "y"), n_files=4)
+    assert spark.read.parquet(p).count() == 0
+    with pytest.raises(ValueError):
+        write_zordered(empty, p, cols=("x", "y"), n_files=0)
+    with pytest.raises(ValueError):
+        write_zordered(empty, p, cols=("x",), n_files=4)

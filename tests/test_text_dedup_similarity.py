@@ -667,3 +667,28 @@ def test_bpe_merges_hand_computed(spark):
 
     # 0 pairs corpus: single-char words produce no merges
     assert learn_bpe_merges(_docs(spark, ["a b c"]), n_merges=2) == []
+
+
+def test_bpe_merge_never_crosses_symbol_boundaries(spark):
+    """Regression: a merge pattern must match two COMPLETE adjacent
+    symbols only.  After (e,l) merges, the word 'hel' is [h, el]; a
+    later (h,e) merge must NOT glue h with el's 'e' prefix — true BPE
+    leaves [h, el] untouched and round 3 finds (h, el)."""
+    from dataframeintervals_jl_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, ["el el el el el he he he he hel hel hel"])
+    merges = learn_bpe_merges(docs, n_merges=3)
+    # (e,l): 5 + 3 = 8; then (h,e): only the 'he' words (4) — 'hel' is
+    # [h, el] and contributes (h, el), not (h, e); then (h, el): 3
+    assert merges == [(1, "e", "l", 8), (2, "h", "e", 4), (3, "h", "el", 3)]
+
+    toks = (
+        _docs(spark, ["hel he el"])
+        .select(apply_bpe_merges("text", merges, max_tokens=2).alias("t"))
+        .first()["t"]
+    )
+    # 'hel' -> (h)(el) -> (hel) via merge 3; truncated to 2 tokens
+    assert toks == ["hel", "he"]
