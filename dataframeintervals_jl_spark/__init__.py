@@ -130,6 +130,7 @@ from .sources.sinks import (
     write_sized,
 )
 from .streaming import (
+    stream_cusum,
     stream_latest_by_key,
     stream_exact_dedup,
     stream_interval_join,
@@ -231,6 +232,7 @@ __all__ = [
     "ewma",
     "resample_interp",
     "cusum_changepoints",
+    "stream_cusum",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

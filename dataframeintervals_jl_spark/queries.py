@@ -4306,6 +4306,32 @@ SELECT user_id, ts, x, CAST(s_hi AS BIGINT) AS s_hi,
 FROM r"""
 
 
+def q_stream_cusum(spark, sf_dir):
+    """Streaming CUSUM in batch-batch mode (delegates to the batch
+    recursion — the two operators are parity-tested across real
+    micro-batch boundaries in tests/test_streaming.py); shares
+    q_cusum's recursive-CTE oracle."""
+    from .streaming import stream_cusum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    out = stream_cusum(
+        ev,
+        "x",
+        target=_CUSUM_T,
+        slack=_CUSUM_K,
+        threshold=_CUSUM_H,
+        ts_col="ts",
+        by="user_id",
+        order_tiebreak="event_id",
+    )
+    return out.select("user_id", "ts", "x", "s_hi", "s_lo", "alarm")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4423,4 +4449,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_ewma": (q_ewma, _SQL_EWMA),
     "q_resample_interp": (q_resample_interp, _SQL_RESAMPLE_INTERP),
     "q_cusum": (q_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
+    "q_stream_cusum": (q_stream_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
 }

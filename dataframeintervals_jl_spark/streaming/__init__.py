@@ -736,3 +736,104 @@ def stream_latest_by_key(
     return agg.select(
         *ks, *[F.col(f"__latest.{c}").alias(c) for c in payload]
     )
+
+
+def stream_cusum(
+    events: DataFrame,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming two-sided CUSUM change detection — the unbounded
+    counterpart of batch
+    :func:`~..operators.timeseries.cusum_changepoints` (same output
+    columns: keys, ``ts_col``, ``value_col``, ``s_hi``, ``s_lo``,
+    ``alarm``; same integer recursion with post-alarm resets).
+
+    Custom stateful operator (``applyInPandasWithState``): per-key
+    state is exactly TWO bigints (the post-reset accumulators) — the
+    smallest possible streaming state, independent of stream length.
+    Rows within a micro-batch are processed in ``ts_col`` order;
+    CROSS-batch ordering is the source's responsibility (CUSUM is a
+    sequential statistic — out-of-order arrival changes any online
+    implementation; feed it per-key-ordered streams, e.g. a
+    partitioned log).  Batch inputs delegate to the batch operator,
+    which is also the parity oracle.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_cusum requires at least one key")
+    if threshold <= 0 or slack < 0:
+        raise ValueError(
+            f"need threshold > 0 and slack >= 0, got {threshold=} {slack=}"
+        )
+
+    if not events.isStreaming:
+        from ..operators.timeseries import cusum_changepoints
+
+        return cusum_changepoints(
+            events,
+            value_col,
+            target=target,
+            slack=slack,
+            threshold=threshold,
+            ts_col=ts_col,
+            by=by_cols,
+            order_tiebreak=order_tiebreak,
+        )
+
+    tgt, k, h = int(target), int(slack), int(threshold)
+    key_fields = [events.schema[c] for c in by_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField(ts_col, events.schema[ts_col].dataType),
+            T.StructField(value_col, events.schema[value_col].dataType),
+            T.StructField("s_hi", T.LongType()),
+            T.StructField("s_lo", T.LongType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("c_hi", T.LongType()),
+            T.StructField("c_lo", T.LongType()),
+        ]
+    )
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    src = events.select(
+        *by_cols, *([order_tiebreak] if order_tiebreak else []), ts_col,
+        value_col,
+    )
+
+    def scan(key, pdfs, state):
+        hi, lo = state.get if state.exists else (0, 0)
+        hi, lo = int(hi), int(lo)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((hi, lo))
+            return
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
+        his, los, alarms = [], [], []
+        for x in batch[value_col].tolist():
+            x = int(x)
+            hi = max(0, hi + (x - tgt - k))
+            lo = max(0, lo + (tgt - x - k))
+            alarm = hi > h or lo > h
+            his.append(hi)
+            los.append(lo)
+            alarms.append(alarm)
+            if alarm:
+                hi = lo = 0
+        state.update((hi, lo))
+        out = batch[[*by_cols, ts_col, value_col]].copy()
+        out["s_hi"], out["s_lo"], out["alarm"] = his, los, alarms
+        yield out
+
+    return src.groupBy(*by_cols).applyInPandasWithState(
+        scan, out_schema, state_schema, "append", "NoTimeout"
+    )

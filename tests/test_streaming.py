@@ -574,3 +574,52 @@ def test_stream_latest_by_key_across_microbatches(spark, tmp_path):
         batch1.unionByName(batch2), "k", ts_col="ts", op_col="op"
     )
     assert {r["k"]: (r["v"], r["op"]) for r in batch.collect()} == got
+
+
+def test_stream_cusum_parity_across_microbatches(spark, tmp_path):
+    """Streaming CUSUM over two in-order micro-batches equals the
+    batch operator over the union — including an accumulator carried
+    across the batch boundary and post-alarm resets."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_cusum
+
+    schema = "k long, ts long, x long"
+    # baseline then a sustained shift straddling the batch boundary
+    b1 = spark.createDataFrame(
+        [(1, t, 100) for t in range(3)] + [(1, 3, 160), (1, 4, 160)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 5, 160), (1, 6, 160), (2, 0, 100), (2, 1, 400)], schema
+    )
+    d = str(tmp_path / "cusum_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    args = dict(target=100, slack=20, threshold=100, ts_col="ts", by="k")
+    out = stream_cusum(stream, "x", **args)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scusum")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM scusum").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cusum_changepoints(b1.unionByName(b2), "x", **args).collect(),
+        )
+    )
+    assert got == want
+    # the boundary-straddling shift did alarm
+    assert any(r[-1] for r in got)
