@@ -4332,6 +4332,86 @@ def q_stream_cusum(spark, sf_dir):
     return out.select("user_id", "ts", "x", "s_hi", "s_lo", "alarm")
 
 
+def q_curation_report(spark, sf_dir):
+    """Per-source curation dashboard: how many documents each quality
+    gate would drop (unknown language, low quality score, repetition,
+    too short) and how many pass all gates — ONE codegen'd pass over
+    the corpus, conditional aggregation only, the triage view a data
+    team reads before committing a 100 TB filtering run."""
+    from .functions.text import (
+        lang_id,
+        quality_score,
+        repetition_score,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    rep = F.round(repetition_score(F.col("text"), 3), 6)
+    und = lang_id(F.col("text")) == F.lit("und")
+    tc = token_count(F.col("text")).cast("long")
+
+    def n(c):
+        return F.sum(c.cast("long"))
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n(und).alias("n_lang_unknown"),
+        n(q < 0.5).alias("n_low_quality"),
+        n(rep > 0.2).alias("n_repetitive"),
+        n(tc < 10).alias("n_short"),
+        n(~und & (q >= 0.5) & (rep <= 0.2) & (tc >= 10)).alias("n_pass"),
+    )
+
+
+def _sql_curation() -> str:
+    from .functions.text import LANG_SIGNALS
+
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+        for lang, pat in LANG_SIGNALS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in LANG_SIGNALS) + ")"
+    return rf"""WITH m AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+')))
+              AS DOUBLE) AS n_uniq,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         regexp_extract_all(text, '\S+') AS tl,
+         {scores}
+  FROM documents
+), sh AS (
+  SELECT *, CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - 1),
+                           i -> array_to_string(tl[i:i+2], ' ')) END AS sl
+  FROM m
+), d AS (
+  SELECT source,
+         round((CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN n_punct / greatest(n_chars, 1.0) < 0.2
+                     THEN 1.0 ELSE 0.6 END)
+             * (n_uniq / greatest(n_tok, 1.0)), 6) AS quality,
+         round(1.0 - CAST(len(list_distinct(sl)) AS DOUBLE)
+                     / CAST(len(sl) AS DOUBLE), 6) AS rep,
+         ({best} = 0) AS und,
+         CAST(n_tok AS BIGINT) AS tc
+  FROM sh
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN und THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_unknown,
+       CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_quality,
+       CAST(sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(sum(CASE WHEN tc < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(sum(CASE WHEN NOT und AND quality >= 0.5 AND rep <= 0.2
+                     AND tc >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM d GROUP BY source"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4450,4 +4530,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_resample_interp": (q_resample_interp, _SQL_RESAMPLE_INTERP),
     "q_cusum": (q_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
     "q_stream_cusum": (q_stream_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
+    "q_curation_report": (q_curation_report, _sql_curation()),
 }
