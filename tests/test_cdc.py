@@ -211,3 +211,59 @@ def test_triangle_counts_large_vertex_ids(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {big: 1, big + 1: 1, big + 2: 1}
+
+
+def test_cdc_roundtrip_property_hypothesis(spark):
+    """Hypothesis: for ANY pair of snapshots (keys 0..n, arbitrary
+    string/int payloads incl. nulls), diff -> changes -> apply
+    reconstructs the new snapshot exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark import apply_cdc, snapshot_diff
+    from dataframeintervals_jl_spark.operators.cdc import diff_to_changes
+
+    payload = st.tuples(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.one_of(st.none(), st.integers(-5, 5)),
+    )
+    snapshot = st.dictionaries(st.integers(0, 12), payload, max_size=10)
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(old=snapshot, new=snapshot)
+    def check(old, new):
+        schema = "k long, g string, v long"
+        o = spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in old.items()], schema
+        )
+        n = spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in new.items()], schema
+        )
+        diff = snapshot_diff(o, n, "k")
+        changes = diff_to_changes(diff, "k", ("g", "v"))
+        rebuilt = apply_cdc(o, changes, "k", ts_col="ts")
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            (k, g, v) for k, (g, v) in new.items()
+        )
+
+    check()
+
+
+def test_semantic_dedup_plan_contract(spark):
+    """PLANS.md: one Arrow pass for cell assignment, the pair search a
+    cell EQUI-join — never a cartesian/BNL join."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup(emb, n_centroids=4, threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow only, and only pre-persist
