@@ -165,21 +165,28 @@ def write_sized(
     return n
 
 
-def zorder_value(x, y, bits: int = 21):
-    """Morton (Z-order) interleave of two non-negative bigint columns:
-    bit ``b`` of ``x`` lands at position ``2b``, of ``y`` at ``2b+1``.
-    Pure codegen'd expression (a balanced OR-tree of shift/mask terms,
-    no UDF).  ``bits`` caps each input at ``2^bits``; callers rank
-    their raw values first (see :func:`write_zordered`), so 21 bits
-    per dimension — 2M distinct ranks — is far beyond file-skipping
-    resolution."""
+def zorder_value(*cols, bits: int = 21):
+    """Morton (Z-order) interleave of 2-4 non-negative bigint columns:
+    bit ``b`` of column ``i`` lands at position ``len(cols)*b + i``.
+    Pure codegen'd expression (an OR-tree of shift/mask terms, no
+    UDF).  ``bits`` caps each input at ``2^bits``; callers bucketize
+    their raw values first (see :func:`write_zordered`), and
+    ``bits * len(cols)`` must stay under 63."""
     from pyspark.sql import functions as F
 
+    n = len(cols)
+    if not (2 <= n <= 4):
+        raise ValueError(f"zorder_value takes 2-4 columns, got {n}")
+    if bits * n > 62:
+        raise ValueError(f"bits * n_cols must be <= 62, got {bits}*{n}")
     terms = []
     for b in range(bits):
-        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
-        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        terms.append(xb.bitwiseOR(yb))
+        for i, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, b).bitwiseAND(F.lit(1)), n * b + i
+                )
+            )
     out = terms[0]
     for t in terms[1:]:
         out = out.bitwiseOR(t)
@@ -193,8 +200,8 @@ def write_zordered(
     n_files: int,
     mode: str = "overwrite",
 ) -> None:
-    """Z-order layout over TWO columns: co-clusters both dimensions so
-    a read filtered on EITHER (or both) skips most files via parquet
+    """Z-order layout over 2-4 columns: co-clusters every dimension so
+    a read filtered on ANY of them skips most files via parquet
     min/max row-group statistics — the multi-dimensional generalization
     of :func:`write_sorted_spans` (which optimizes one sort key and
     leaves the second dimension scattered everywhere).
@@ -204,7 +211,7 @@ def write_zordered(
     narrow projection — deliberately NOT a global ``dense_rank``
     window, which would plan the single-partition exchange this engine
     bans), then rows are range-partitioned and sorted by the Morton
-    code of the two bucket ids.  This is the standard lake-layout
+    code of the bucket ids (62 bits split evenly across dimensions).  This is the standard lake-layout
     trick (Delta/Iceberg ``OPTIMIZE ZORDER BY``) expressed as plain
     DataFrame ops.  Heavily skewed domains bucketize unevenly —
     acceptable for skipping (files stay sorted), and an
@@ -215,17 +222,19 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
-    if len(cols) != 2:
-        raise ValueError(f"write_zordered takes exactly 2 cols, got {cols!r}")
+    if not (2 <= len(cols) <= 4):
+        raise ValueError(f"write_zordered takes 2-4 cols, got {cols!r}")
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
-    a, b = cols
-    bits = 21
+    bits = 62 // len(cols)  # 31/20/15 bits per dim for 2/3/4 columns
     st = df.agg(
-        F.min(a).alias("la"), F.max(a).alias("ha"),
-        F.min(b).alias("lb"), F.max(b).alias("hb"),
+        *[
+            a
+            for i, c in enumerate(cols)
+            for a in (F.min(c).alias(f"l{i}"), F.max(c).alias(f"h{i}"))
+        ]
     ).first()
-    if st["la"] is None or st["lb"] is None:
+    if any(st[f"l{i}"] is None for i in range(len(cols))):
         # empty input (or an all-null z column): no bucket map exists —
         # write the empty table rather than crashing in int(None)
         df.coalesce(1).write.mode(mode).parquet(path)
@@ -243,7 +252,7 @@ def write_zordered(
         # exists for.  Multiply-first when it cannot overflow a long
         # (span < 2^41); ns-scale domains fall back to divide-first,
         # which already fills the bit range.
-        if span <= (1 << 41):
+        if span * (m + 1) < (1 << 62):
             e = f"((CAST({col} AS BIGINT) - {int(lo)}L) * {m}L) DIV {span}L"
         else:
             w = -(-span // (1 << bits))
@@ -253,7 +262,11 @@ def write_zordered(
     z = df.withColumn(
         "__z",
         zorder_value(
-            bucket(a, st["la"], st["ha"]), bucket(b, st["lb"], st["hb"])
+            *[
+                bucket(c, st[f"l{i}"], st[f"h{i}"])
+                for i, c in enumerate(cols)
+            ],
+            bits=bits,
         ),
     )
     (

@@ -239,3 +239,23 @@ def test_zordered_empty_input_and_bad_args(spark, tmp_path):
         write_zordered(empty, p, cols=("x", "y"), n_files=0)
     with pytest.raises(ValueError):
         write_zordered(empty, p, cols=("x",), n_files=4)
+
+
+def test_zordered_three_columns(spark, tmp_path):
+    from dataframeintervals_jl_spark.sources.sinks import write_zordered
+
+    n, files = 32, 8
+    rows = [(x, y, z, 0) for x in range(n) for y in range(n) for z in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, z long, p long")
+    path = str(tmp_path / "z3")
+    write_zordered(df, path, cols=("x", "y", "z"), n_files=files)
+    back = spark.read.parquet(path)
+    assert back.count() == n**3
+    for c in ("x", "y", "z"):
+        touched = (
+            back.filter(F.col(c) < 4)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        assert touched <= files // 2, (c, touched)
