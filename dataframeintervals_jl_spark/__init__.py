@@ -78,6 +78,7 @@ from .operators.packing import (
     pack_stats,
 )
 from .operators.sampling import (
+    greedy_coverage_select,
     heavy_hitters,
     kmv_overlap_estimate,
     sample_per_group,
@@ -233,6 +234,7 @@ __all__ = [
     "resample_interp",
     "cusum_changepoints",
     "stream_cusum",
+    "greedy_coverage_select",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -370,3 +370,83 @@ def kmv_overlap_estimate(
         # bigint floor throughout — no float division anywhere
         F.expr("(union_est * jaccard_ppm) DIV 1000000").alias("intersect_est"),
     )
+
+
+def greedy_coverage_select(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick ``k`` documents,
+    each round choosing the document covering the most DISTINCT tokens
+    not yet covered by earlier picks — the classic (1-1/e)-approximate
+    submodular selection used to build small, diverse eval/seed sets
+    from a large corpus.
+
+    Output: ``(sel_rank, id_col, gain)`` — rank 1..k in selection
+    order, ``gain`` = newly covered distinct tokens at pick time.
+    Ties break by (gain DESC, id ASC): fully deterministic, so an
+    unrolled SQL oracle replays every round.
+
+    Scale shape: the (doc, token) incidence table is built once
+    (distinct, persisted); each round is one anti-join against the
+    covered-token set + a partial-aggregated count + a 1-row
+    TakeOrdered — the driver holds only the k winners.  The covered
+    set grows by one document's vocabulary per round and is persisted
+    per round with bounded lineage (same discipline as
+    :func:`~.bpe.learn_bpe_merges`).  Raises if every document is
+    fully covered before ``k`` picks (ambiguous remainder)."""
+    from ..functions.text import shingles as _shingles
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # coverage units are word 3-gram SHINGLES, not tokens: a synthetic
+    # or templated corpus can have a tiny token vocabulary (this
+    # testdata: 31), which one document saturates — phrase-level units
+    # keep the marginal-gain landscape meaningful
+    t = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_shingles(F.lower(F.col(text_col)), 3)).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+    t.count()
+
+    spark = docs.sparkSession
+    covered = spark.createDataFrame([], "term string")
+    picks: list[tuple[int, int, int]] = []
+    for r in range(1, k + 1):
+        gains = (
+            t.join(covered, "term", "left_anti")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not gains:
+            raise RuntimeError(
+                f"greedy_coverage_select: all documents fully covered "
+                f"after {r - 1} picks — k={k} is larger than the "
+                "productive selection"
+            )
+        doc, gain = gains[0][id_col], int(gains[0]["gain"])
+        picks.append((r, int(doc), gain))
+        nxt = (
+            covered.unionByName(
+                t.filter(F.col(id_col) == doc).select("term")
+            )
+            .distinct()
+            .persist()
+        )
+        nxt.count()
+        covered.unpersist()
+        covered = nxt
+    t.unpersist()
+    covered.unpersist()
+    return spark.createDataFrame(
+        picks, f"sel_rank long, {id_col} long, gain long"
+    )

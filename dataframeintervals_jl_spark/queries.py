@@ -4412,6 +4412,110 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM d GROUP BY source"""
 
 
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-eval staple: per-document out-of-vocabulary fraction
+    against the frequency-ranked top-1000 vocabulary (integer ppm) —
+    the vocabulary table is tiny and BROADCAST; the corpus-side pass
+    is one explode + one broadcast join + one per-doc agg."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
+    vocab = (
+        tf.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 1000)
+        .select("term", F.lit(True).alias("__in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__in_v").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) DIV n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+_SQL_OOV = r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS r FROM tf)
+  WHERE r <= 1000
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS oov_ppm
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY doc_id"""
+
+
+def q_coverage_select(spark, sf_dir):
+    """Greedy maximum-coverage selection of 5 documents (submodular
+    (1-1/e) greedy — the diverse seed/eval-set builder): each round an
+    anti-join against the covered-token set + one TakeOrdered; the
+    oracle replays all rounds unrolled."""
+    from .operators.sampling import greedy_coverage_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    return greedy_coverage_select(docs, k=5)
+
+
+def _sql_coverage(k: int = 5) -> str:
+    parts = [
+        r"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tl
+  FROM documents
+), t AS MATERIALIZED (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+                ELSE list_transform(range(1, len(tl) - 1),
+                                    i -> array_to_string(tl[i:i+2], ' '))
+                END) AS term
+    FROM tl)
+), c0 AS (SELECT term FROM t WHERE 1 = 0)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM t ANTI JOIN c{r - 1} USING (term)
+  GROUP BY doc_id
+), w{r} AS MATERIALIZED (
+  SELECT {r} AS sel_rank, doc_id, gain
+  FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1
+), c{r} AS MATERIALIZED (
+  SELECT term FROM c{r - 1}
+  UNION SELECT t.term FROM t JOIN w{r} USING (doc_id)
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id, gain FROM ({union})"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4531,4 +4635,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_cusum": (q_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
     "q_stream_cusum": (q_stream_cusum, _sql_cusum(_CUSUM_T, _CUSUM_K, _CUSUM_H)),
     "q_curation_report": (q_curation_report, _sql_curation()),
+    "q_oov_rate": (q_oov_rate, _SQL_OOV),
+    "q_coverage_select": (q_coverage_select, _sql_coverage(5)),
 }

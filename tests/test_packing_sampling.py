@@ -349,3 +349,49 @@ def test_kmv_overlap_estimate_accuracy(spark):
     # below k: everything exact
     assert r3["n_bottom"] == 75 and r3["union_est"] == 75
     assert r3["jaccard_ppm"] == (25 * 1_000_000) // 75
+
+
+def test_greedy_coverage_select_bruteforce(spark):
+    """Greedy selection matches a pure-Python greedy over the same
+    shingle sets; gains are non-increasing; k too large raises."""
+    from dataframeintervals_jl_spark.operators.sampling import (
+        greedy_coverage_select,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # mostly redundant with 0
+        "one two three four five six seven",     # disjoint
+        "one two three eight nine ten",          # partly redundant with 2
+        "alpha beta",                             # tiny
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["sel_rank"], r["doc_id"], r["gain"])
+        for r in greedy_coverage_select(docs, k=4)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+
+    def sh(t):
+        w = t.split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    covered, want = set(), []
+    for r in range(1, 5):
+        gains = {i: len(s - covered) for i, s in sets.items()}
+        doc = min(gains, key=lambda i: (-gains[i], i))
+        want.append((r, doc, gains[doc]))
+        covered |= sets[doc]
+    assert got == want
+    assert all(a[2] >= b[2] for a, b in zip(want, want[1:]))
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        greedy_coverage_select(docs, k=6)  # only 5 docs of coverage
