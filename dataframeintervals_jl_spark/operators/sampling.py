@@ -404,23 +404,30 @@ def greedy_coverage_select(
     # coverage units are word 3-gram SHINGLES, not tokens: a synthetic
     # or templated corpus can have a tiny token vocabulary (this
     # testdata: 31), which one document saturates — phrase-level units
-    # keep the marginal-gain landscape meaningful
+    # keep the marginal-gain landscape meaningful.  Units are carried
+    # as portable 60-bit HASHES: every round re-aggregates this table,
+    # and 8-byte keys shuffle/compare far cheaper than 40-byte phrases
+    # (collisions only merge units — harmless at 2^60)
     t = (
         docs.select(
             F.col(id_col),
-            F.explode(_shingles(F.lower(F.col(text_col)), 3)).alias("term"),
+            F.explode(_shingles(F.lower(F.col(text_col)), 3)).alias("__sh"),
         )
+        .select(id_col, portable_hash60(F.col("__sh")).alias("term"))
         .distinct()
         .persist()
     )
     t.count()
 
     spark = docs.sparkSession
-    covered = spark.createDataFrame([], "term string")
+    covered = spark.createDataFrame([], "term long")
     picks: list[tuple[int, int, int]] = []
     for r in range(1, k + 1):
         gains = (
-            t.join(covered, "term", "left_anti")
+            # the covered set is at most r documents' shingles —
+            # always broadcast-able, keeping the per-round anti-join
+            # shuffle-free on the incidence side
+            t.join(F.broadcast(covered), "term", "left_anti")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("gain"))
             .orderBy(F.col("gain").desc(), F.col(id_col))

@@ -4485,10 +4485,11 @@ def _sql_coverage(k: int = 5) -> str:
 ), t AS MATERIALIZED (
   SELECT DISTINCT doc_id, term FROM (
     SELECT doc_id,
-           unnest(CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
-                ELSE list_transform(range(1, len(tl) - 1),
-                                    i -> array_to_string(tl[i:i+2], ' '))
-                END) AS term
+           ('0x' || substr(md5(
+             unnest(CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+                  ELSE list_transform(range(1, len(tl) - 1),
+                                      i -> array_to_string(tl[i:i+2], ' '))
+                  END)), 1, 15))::BIGINT AS term
     FROM tl)
 ), c0 AS (SELECT term FROM t WHERE 1 = 0)"""
     ]
