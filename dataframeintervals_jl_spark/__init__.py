@@ -102,6 +102,7 @@ from .operators.skew import salted_join
 from .operators.similarity import (
     cosine_topk,
     semantic_dedup,
+    semantic_dup_pairs,
     embedding_neardup_pairs,
     ivf_topk,
     ivf_topk_indexed,
@@ -235,6 +236,7 @@ __all__ = [
     "cusum_changepoints",
     "stream_cusum",
     "greedy_coverage_select",
+    "semantic_dup_pairs",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

@@ -952,6 +952,76 @@ def ivf_topk_indexed(
     )
 
 
+def _cell_assignments(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic k-means cell assignment, materialized once:
+    ``(__id, __v quantized, cell, __n self-dot)`` — the shared blocking
+    structure of :func:`semantic_dedup` and :func:`semantic_dup_pairs`.
+    Persisted eagerly: every caller reads it from multiple join sides,
+    and the Arrow UDF pass must not re-run inside a join stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
+    cnorm = _centroid_norms(cent)
+
+    @pandas_udf("int")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.int64)
+        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    c = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("__id"), _quantized(F.col(vec_col)).alias("__v"))
+        .withColumn("cell", nearest_cell(F.col("__v")))
+        .withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    )
+    c = c.persist()
+    c.count()
+    return c
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate PAIRS: ``(id_a, id_b)`` with
+    ``id_a < id_b``, same k-means cell, cosine >= ``threshold`` — the
+    edge list :func:`semantic_dedup` reduces to a keep flag, exposed so
+    duplicate CLUSTERS can be built over it (feed
+    :func:`~.dedup.connected_components`).  Same blocking structure and
+    determinism contract as :func:`semantic_dedup`."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    c = _cell_assignments(corpus, n_centroids, id_col, vec_col)
+    a = c.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cell",
+    )
+    b = c.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cell",
+    )
+    score = _dot(F.col("__va"), F.col("__vb")).cast("double") / F.sqrt(
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(score >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -985,29 +1055,9 @@ def semantic_dedup(
     same IEEE convert/multiply/sqrt/divide order as :func:`ivf_topk` —
     a DuckDB replay produces the identical keep set.
     """
-    from pyspark.sql.functions import pandas_udf
-
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
-    cnorm = _centroid_norms(cent)
-
-    @pandas_udf("int")
-    def nearest_cell(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.int64)
-        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
-        return pd.Series(scores.argmax(axis=1).astype(np.int32))
-
-    c = (
-        ensure_parallelism(corpus)
-        .select(F.col(id_col).alias("__id"), _quantized(F.col(vec_col)).alias("__v"))
-        .withColumn("cell", nearest_cell(F.col("__v")))
-        .withColumn("__n", _dot(F.col("__v"), F.col("__v")))
-    )
-    # materialize the assignment once: both self-join sides read it, and
-    # the Arrow UDF pass must not re-run inside the join stage
-    c = c.persist()
-    c.count()
+    c = _cell_assignments(corpus, n_centroids, id_col, vec_col)
 
     a = c.select(
         F.col("__id").alias("__id_a"),

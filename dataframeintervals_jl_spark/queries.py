@@ -4517,6 +4517,44 @@ SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id, gain FROM ({union})"""
     return "".join(parts)
 
 
+def q_semantic_clusters(spark, sf_dir):
+    """Semantic duplicate CLUSTERS: within-cell cosine pairs from the
+    k-means blocking (semantic_dup_pairs) fed into connected
+    components — paraphrase-level cluster discovery; the oracle
+    replays k-means bit-for-bit and recomputes reachability with a
+    recursive CTE."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import semantic_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dup_pairs(emb, n_centroids=16, threshold=0.4)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("v").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _sql_semantic_clusters(n_centroids: int = 16, threshold: float = 0.4) -> str:
+    prefix, _ = _sql_kmeans_cor(n_centroids)
+    return prefix.replace("WITH ", "WITH RECURSIVE ", 1) + f""", pr AS MATERIALIZED (
+  SELECT b.n_id AS id_a, a.n_id AS id_b
+  FROM cor a JOIN cor b ON a.cell = b.cell AND b.n_id < a.n_id
+  WHERE CAST(list_dot_product(a.cv, b.cv) AS DOUBLE)
+        / sqrt(CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE)) >= {threshold!r}
+), ed AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pr
+), reach(v, r) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a
+)
+SELECT CAST(v AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4638,4 +4676,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_curation_report": (q_curation_report, _sql_curation()),
     "q_oov_rate": (q_oov_rate, _SQL_OOV),
     "q_coverage_select": (q_coverage_select, _sql_coverage(5)),
+    "q_semantic_clusters": (q_semantic_clusters, _sql_semantic_clusters(16, 0.4)),
 }

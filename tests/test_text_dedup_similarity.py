@@ -692,3 +692,22 @@ def test_bpe_merge_never_crosses_symbol_boundaries(spark):
     )
     # 'hel' -> (h)(el) -> (hel) via merge 3; truncated to 2 tokens
     assert toks == ["hel", "he"]
+
+
+def test_semantic_dup_pairs_consistent_with_dedup(spark):
+    """Pairs and keep flags agree: a vector is dropped by
+    semantic_dedup iff it is the HIGHER id of at least one pair."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = semantic_dup_pairs(emb, n_centroids=8, threshold=0.4)
+    dropped_from_pairs = {r["id_b"] for r in pairs.collect()}
+    dedup = semantic_dedup(emb, n_centroids=8, threshold=0.4)
+    dropped = {r["vec_id"] for r in dedup.collect() if not r["kept"]}
+    assert dropped == dropped_from_pairs
+    for r in pairs.collect():
+        assert r["id_a"] < r["id_b"]
