@@ -4535,14 +4535,18 @@ def q_semantic_clusters(spark, sf_dir):
     )
 
 
-def _sql_semantic_clusters(n_centroids: int = 16, threshold: float = 0.4) -> str:
+def _sql_semantic_pairs(n_centroids: int = 16, threshold: float = 0.4) -> str:
+    """Full query: semantic near-dup pairs (id_a < id_b) — the SQL twin
+    of semantic_dup_pairs, embeddable as a subquery."""
     prefix, _ = _sql_kmeans_cor(n_centroids)
-    return prefix.replace("WITH ", "WITH RECURSIVE ", 1) + f""", pr AS MATERIALIZED (
-  SELECT b.n_id AS id_a, a.n_id AS id_b
-  FROM cor a JOIN cor b ON a.cell = b.cell AND b.n_id < a.n_id
-  WHERE CAST(list_dot_product(a.cv, b.cv) AS DOUBLE)
-        / sqrt(CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE)) >= {threshold!r}
-), ed AS MATERIALIZED (
+    return prefix + f"""
+SELECT b.n_id AS id_a, a.n_id AS id_b
+FROM cor a JOIN cor b ON a.cell = b.cell AND b.n_id < a.n_id
+WHERE CAST(list_dot_product(a.cv, b.cv) AS DOUBLE)
+      / sqrt(CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE)) >= {threshold!r}"""
+
+
+_SQL_REACH_TAIL = """, ed AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pr
   UNION
   SELECT id_b AS a, id_a AS b FROM pr
@@ -4553,6 +4557,54 @@ def _sql_semantic_clusters(n_centroids: int = 16, threshold: float = 0.4) -> str
 )
 SELECT CAST(v AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY v"""
+
+
+def _sql_semantic_clusters(n_centroids: int = 16, threshold: float = 0.4) -> str:
+    return (
+        f"""WITH RECURSIVE pr AS MATERIALIZED (
+{_sql_semantic_pairs(n_centroids, threshold)})"""
+        + _SQL_REACH_TAIL
+    )
+
+
+def _sql_hybrid_clusters(n_centroids: int = 16, threshold: float = 0.4) -> str:
+    """Lexical (MinHash) and semantic (k-means cell) pair generators
+    unioned into one reachability computation."""
+    lex = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    sem = _sql_semantic_pairs(n_centroids, threshold)
+    return (
+        f"""WITH RECURSIVE lex AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({lex})
+), sem AS MATERIALIZED (
+{sem}), pr AS MATERIALIZED (
+  SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem
+)"""
+        + _SQL_REACH_TAIL
+    )
+
+
+def q_hybrid_dedup_clusters(spark, sf_dir):
+    """Hybrid duplicate clustering: verbatim near-dups (MinHash over
+    text) and paraphrase near-dups (k-means-blocked cosine over
+    embeddings) unioned into ONE edge list before connected components
+    — the production dedup shape where neither signal alone suffices.
+    Both generators and the reachability are deterministic, so one
+    oracle replays the whole composition."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import semantic_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True).select(
+        "id_a", "id_b"
+    )
+    sem = semantic_dup_pairs(emb, n_centroids=16, threshold=0.4)
+    pairs = lex.unionByName(sem).distinct()
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("v").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4677,4 +4729,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_oov_rate": (q_oov_rate, _SQL_OOV),
     "q_coverage_select": (q_coverage_select, _sql_coverage(5)),
     "q_semantic_clusters": (q_semantic_clusters, _sql_semantic_clusters(16, 0.4)),
+    "q_hybrid_dedup_clusters": (q_hybrid_dedup_clusters, _sql_hybrid_clusters(16, 0.4)),
 }
