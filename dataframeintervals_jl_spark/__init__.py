@@ -115,6 +115,7 @@ from .operators.timeseries import (
     ewma,
     hampel_despike,
     resample_interp,
+    rolling_median,
     resample_locf,
     sliding_window_agg,
     time_grid,
@@ -237,6 +238,7 @@ __all__ = [
     "stream_cusum",
     "greedy_coverage_select",
     "semantic_dup_pairs",
+    "rolling_median",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

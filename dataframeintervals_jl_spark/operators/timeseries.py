@@ -464,3 +464,35 @@ def cusum_changepoints(
         return out
 
     return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
+def rolling_median(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    half_window: int = 3,
+    out_col: str = "med",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Rolling LOWER median over a ``2·half_window+1``-row frame per
+    key — the robust baseline tracker on its own (the statistic
+    :func:`hampel_despike` builds its spike test on; exposed because
+    "smooth this signal robustly" is its own ask).  Exact order
+    statistic, bigint in/bigint out, one shuffle on the key, one
+    codegen'd array expression — no Python.  Output: ``df`` plus
+    ``out_col``."""
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    keys = _by_cols(by)
+    order_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-half_window, half_window)
+    )
+    vals = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    med = F.element_at(
+        vals, F.floor((F.size(vals) + F.lit(1)) / 2).cast("int")
+    )
+    return df.withColumn(out_col, med)

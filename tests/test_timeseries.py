@@ -416,3 +416,12 @@ def test_cusum_detects_shift_and_resets(spark):
     assert out[8] == (120, True)  # second alarm after re-accumulating
     with pytest.raises(ValueError):
         cusum_changepoints(df, "x", target=0, slack=-1, threshold=10, by="k")
+
+
+def test_rolling_median_tracks_baseline(spark):
+    from dataframeintervals_jl_spark import rolling_median
+
+    rows = [(1, t, 100 if t != 4 else 5000) for t in range(9)]
+    df = spark.createDataFrame(rows, "k long, ts long, x long")
+    out = {r["ts"]: r["med"] for r in rolling_median(df, "x", "ts", by="k").collect()}
+    assert all(v == 100 for v in out.values())  # spike never moves the median
