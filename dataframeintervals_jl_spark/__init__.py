@@ -134,6 +134,7 @@ from .sources.sinks import (
 )
 from .streaming import (
     stream_cusum,
+    stream_hampel,
     stream_latest_by_key,
     stream_exact_dedup,
     stream_interval_join,
@@ -239,6 +240,7 @@ __all__ = [
     "greedy_coverage_select",
     "semantic_dup_pairs",
     "rolling_median",
+    "stream_hampel",
     "sq8_topk",
     "ivf_topk_indexed",
     "write_ivf_index",

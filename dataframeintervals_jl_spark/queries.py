@@ -4607,6 +4607,24 @@ def q_hybrid_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_stream_hampel(spark, sf_dir):
+    """Streaming Hampel in batch-batch mode (delegates to the batch
+    operator; the streaming path is parity-tested across real
+    micro-batch boundaries in tests/test_streaming.py); shares
+    q_hampel_despike's oracle."""
+    from .streaming import stream_hampel
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    return stream_hampel(
+        ev, "x", ts_col="ts", by="user_id", order_tiebreak="event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4730,4 +4748,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_coverage_select": (q_coverage_select, _sql_coverage(5)),
     "q_semantic_clusters": (q_semantic_clusters, _sql_semantic_clusters(16, 0.4)),
     "q_hybrid_dedup_clusters": (q_hybrid_dedup_clusters, _sql_hybrid_clusters(16, 0.4)),
+    "q_stream_hampel": (q_stream_hampel, _SQL_HAMPEL),
 }

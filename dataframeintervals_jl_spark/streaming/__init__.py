@@ -837,3 +837,117 @@ def stream_cusum(
     return src.groupBy(*by_cols).applyInPandasWithState(
         scan, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_hampel(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    half_window: int = 3,
+    k_num: int = 44478,
+    k_den: int = 10000,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming Hampel despiking — the unbounded counterpart of batch
+    :func:`~..operators.timeseries.hampel_despike` (same columns, same
+    exact lower-median/MAD bigint test).
+
+    A sample emits once ``half_window`` LATER samples of its key have
+    arrived: its rolling frame is then complete, so every emitted row
+    is bit-identical to the batch operator's (including each key's
+    FIRST samples, whose leading edge shrinks the same way).  The
+    trailing edge — the newest ``half_window`` samples — stays pending
+    in state (an unbounded stream has no end to clip against); state
+    per key is one ``2·half_window+1``-sample ring plus a counter,
+    independent of stream length.  In-order per-key arrival assumed
+    (see :func:`stream_cusum`).  Batch inputs delegate to the batch
+    operator, which is also the parity oracle."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_hampel requires at least one key")
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+
+    if not events.isStreaming:
+        from ..operators.timeseries import hampel_despike
+
+        return hampel_despike(
+            events,
+            value_col,
+            ts_col=ts_col,
+            by=by_cols,
+            half_window=half_window,
+            k_num=k_num,
+            k_den=k_den,
+            order_tiebreak=order_tiebreak,
+        )
+
+    w, kn, kd = int(half_window), int(k_num), int(k_den)
+    key_fields = [events.schema[c] for c in by_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField(ts_col, events.schema[ts_col].dataType),
+            T.StructField(value_col, events.schema[value_col].dataType),
+            T.StructField("med", T.LongType()),
+            T.StructField("mad", T.LongType()),
+            T.StructField("is_spike", T.BooleanType()),
+            T.StructField("cleaned", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_x", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    src = events.select(*by_cols, ts_col, value_col)
+
+    def scan(key, pdfs, state):
+        buf: list = []
+        n_seen = 0
+        if state.exists:
+            bts, bxs, n_seen = state.get
+            buf = list(zip(bts, bxs))
+            n_seen = int(n_seen)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update(
+                ([t for t, _ in buf], [x for _, x in buf], n_seen)
+            )
+            return
+        batch = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
+        out = []
+        for t, x in zip(batch[ts_col].tolist(), batch[value_col].tolist()):
+            buf.append((int(t), int(x)))
+            if len(buf) > 2 * w + 1:
+                buf.pop(0)
+            n_seen += 1
+            if n_seen > w:
+                # center = the sample w positions back; its frame is the
+                # whole ring (leading edges shrink exactly like batch)
+                ci = len(buf) - 1 - w
+                vals = sorted(v for _, v in buf)
+                med = vals[(len(vals) + 1) // 2 - 1]
+                devs = sorted(abs(v - med) for v in vals)
+                mad = devs[(len(devs) + 1) // 2 - 1]
+                tc, xc = buf[ci]
+                spike = abs(xc - med) * kd > kn * mad
+                out.append(
+                    (tc, xc, med, mad, spike, med if spike else xc)
+                )
+        state.update(([t for t, _ in buf], [x for _, x in buf], n_seen))
+        if out:
+            res = pd.DataFrame(
+                out,
+                columns=[ts_col, value_col, "med", "mad", "is_spike", "cleaned"],
+            )
+            for c in by_cols:
+                res[c] = key[by_cols.index(c)] if len(by_cols) > 1 else key[0]
+            yield res[[*by_cols, ts_col, value_col, "med", "mad", "is_spike", "cleaned"]]
+
+    return src.groupBy(*by_cols).applyInPandasWithState(
+        scan, out_schema, state_schema, "append", "NoTimeout"
+    )

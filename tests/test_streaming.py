@@ -623,3 +623,54 @@ def test_stream_cusum_parity_across_microbatches(spark, tmp_path):
     assert got == want
     # the boundary-straddling shift did alarm
     assert any(r[-1] for r in got)
+
+
+def test_stream_hampel_parity_with_batch_prefix(spark, tmp_path):
+    """Every streamed row is bit-identical to the batch operator; the
+    stream emits exactly all but the trailing half_window samples per
+    key, including across a micro-batch boundary."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        hampel_despike,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_hampel
+
+    schema = "k long, ts long, x long"
+    vals1 = [(1, t, 100) for t in range(5)] + [(1, 5, 9000)]
+    vals2 = [(1, t, 100) for t in range(6, 12)] + [(2, t, 7 * t) for t in range(5)]
+    b1 = spark.createDataFrame(vals1, schema)
+    b2 = spark.createDataFrame(vals2, schema)
+    d = str(tmp_path / "hampel_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_hampel(stream, "x", ts_col="ts", by="k", half_window=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("shampel")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hampel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["ts"]): tuple(r)
+        for r in spark.sql("SELECT * FROM shampel").collect()
+    }
+    batch = {
+        (r["k"], r["ts"]): tuple(r)
+        for r in hampel_despike(
+            b1.unionByName(b2), "x", "ts", by="k", half_window=2
+        ).collect()
+    }
+    # emitted = all but the trailing half_window samples per key
+    want_keys = {(1, t) for t in range(10)} | {(2, t) for t in range(3)}
+    assert set(got) == want_keys
+    for kk in got:
+        assert got[kk] == batch[kk], kk
+    # row tuple = (k, ts, x, med, mad, is_spike, cleaned): the spike
+    # was flagged and repaired in-stream
+    assert got[(1, 5)][5] is True and got[(1, 5)][6] == 100
