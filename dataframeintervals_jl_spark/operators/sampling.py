@@ -420,40 +420,45 @@ def greedy_coverage_select(
     t.count()
 
     spark = docs.sparkSession
+    id_type = dict(docs.dtypes)[id_col]
     covered = spark.createDataFrame([], "term long")
-    picks: list[tuple[int, int, int]] = []
-    for r in range(1, k + 1):
-        gains = (
+    picks: list[tuple] = []
+    try:
+        for r in range(1, k + 1):
+            gains = (
             # the covered set is at most r documents' shingles —
             # always broadcast-able, keeping the per-round anti-join
             # shuffle-free on the incidence side
-            t.join(F.broadcast(covered), "term", "left_anti")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("gain"))
-            .orderBy(F.col("gain").desc(), F.col(id_col))
-            .limit(1)
-            .collect()
-        )
-        if not gains:
-            raise RuntimeError(
-                f"greedy_coverage_select: all documents fully covered "
-                f"after {r - 1} picks — k={k} is larger than the "
-                "productive selection"
+                t.join(F.broadcast(covered), "term", "left_anti")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col(id_col))
+                .limit(1)
+                .collect()
             )
-        doc, gain = gains[0][id_col], int(gains[0]["gain"])
-        picks.append((r, int(doc), gain))
-        nxt = (
-            covered.unionByName(
-                t.filter(F.col(id_col) == doc).select("term")
+            if not gains:
+                raise RuntimeError(
+                    f"greedy_coverage_select: all documents fully "
+                    f"covered after {r - 1} picks — k={k} is larger "
+                    "than the productive selection"
+                )
+            doc, gain = gains[0][id_col], int(gains[0]["gain"])
+            picks.append((r, doc, gain))
+            nxt = (
+                covered.unionByName(
+                    t.filter(F.col(id_col) == doc).select("term")
+                )
+                .distinct()
+                .persist()
             )
-            .distinct()
-            .persist()
-        )
-        nxt.count()
+            nxt.count()
+            covered.unpersist()
+            covered = nxt
+    finally:
+        # also reached on the all-covered error path — never leak the
+        # incidence table or the covered set into session storage
+        t.unpersist()
         covered.unpersist()
-        covered = nxt
-    t.unpersist()
-    covered.unpersist()
     return spark.createDataFrame(
-        picks, f"sel_rank long, {id_col} long, gain long"
+        picks, f"sel_rank long, {id_col} {id_type}, gain long"
     )

@@ -999,13 +999,13 @@ def semantic_dup_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     c = _cell_assignments(corpus, n_centroids, id_col, vec_col)
     a = c.select(
-        F.col("__id").alias("id_b"),
+        F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
         "cell",
     )
     b = c.select(
-        F.col("__id").alias("id_a"),
+        F.col("__id").alias("id_b"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
         "cell",
@@ -1013,12 +1013,14 @@ def semantic_dup_pairs(
     score = _dot(F.col("__va"), F.col("__vb")).cast("double") / F.sqrt(
         F.col("__na").cast("double") * F.col("__nb").cast("double")
     )
+    # no distinct(): each id lives in exactly one cell, so the cell
+    # equi-join structurally emits every pair at most once — a dedup
+    # here would be a full extra shuffle of the edge list for nothing
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(score >= F.lit(float(threshold)))
         .select("id_a", "id_b")
-        .distinct()
     )
 
 

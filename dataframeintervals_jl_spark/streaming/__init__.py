@@ -883,6 +883,16 @@ def stream_hampel(
             order_tiebreak=order_tiebreak,
         )
 
+    # the state ring is LongType: the streaming path requires bigint
+    # ts and value (the engine's ns-native/fixed-point contract) —
+    # fail loudly rather than TypeError inside an executor
+    for c in (ts_col, value_col):
+        if not isinstance(events.schema[c].dataType, T.LongType):
+            raise ValueError(
+                f"stream_hampel: streaming input column {c!r} must be "
+                f"BIGINT (got {events.schema[c].dataType.simpleString()}"
+                "); convert timestamps to epoch-ns first"
+            )
     w, kn, kd = int(half_window), int(k_num), int(k_den)
     key_fields = [events.schema[c] for c in by_cols]
     out_schema = T.StructType(
@@ -903,7 +913,11 @@ def stream_hampel(
             T.StructField("n_seen", T.LongType()),
         ]
     )
-    src = events.select(*by_cols, ts_col, value_col)
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    src = events.select(
+        *by_cols, *([order_tiebreak] if order_tiebreak else []), ts_col,
+        value_col,
+    )
 
     def scan(key, pdfs, state):
         buf: list = []
@@ -918,7 +932,7 @@ def stream_hampel(
                 ([t for t, _ in buf], [x for _, x in buf], n_seen)
             )
             return
-        batch = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
         out = []
         for t, x in zip(batch[ts_col].tolist(), batch[value_col].tolist()):
             buf.append((int(t), int(x)))
@@ -944,8 +958,8 @@ def stream_hampel(
                 out,
                 columns=[ts_col, value_col, "med", "mad", "is_spike", "cleaned"],
             )
-            for c in by_cols:
-                res[c] = key[by_cols.index(c)] if len(by_cols) > 1 else key[0]
+            for i, c in enumerate(by_cols):
+                res[c] = key[i]
             yield res[[*by_cols, ts_col, value_col, "med", "mad", "is_spike", "cleaned"]]
 
     return src.groupBy(*by_cols).applyInPandasWithState(

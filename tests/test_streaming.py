@@ -674,3 +674,18 @@ def test_stream_hampel_parity_with_batch_prefix(spark, tmp_path):
     # row tuple = (k, ts, x, med, mad, is_spike, cleaned): the spike
     # was flagged and repaired in-stream
     assert got[(1, 5)][5] is True and got[(1, 5)][6] == 100
+
+
+def test_stream_hampel_rejects_non_bigint_stream_ts(spark, tmp_path):
+    """The streaming path's state ring is LongType — a timestamp ts
+    must be rejected loudly, not TypeError inside an executor."""
+    from dataframeintervals_jl_spark.streaming import stream_hampel
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 5)], "k long, ts string, x long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "x")
+    d = str(tmp_path / "hampel_ts_in")
+    df.write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    with pytest.raises(ValueError, match="BIGINT"):
+        stream_hampel(stream, "x", ts_col="ts", by="k")
