@@ -154,3 +154,43 @@ def test_span_iou(spark):
     assert _eval_pair(spark, None, (0, 10), span_iou) is None
     # zero-measure union -> null, not division error
     assert _eval_pair(spark, (5, 5), (5, 5), span_iou) is None
+
+
+def test_span_accessors_and_timestamp_adapter(spark):
+    """Direct contracts for the thin exported helpers: SPAN_DDL parses,
+    accessors invert make_span, and the timestamp adapter widens µs
+    timestamps to epoch-ns spans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from dataframeintervals_jl_spark import (
+        SPAN_DDL,
+        make_span,
+        span_from_timestamps,
+        span_start,
+        span_stop,
+    )
+
+    schema = StructType.fromDDL(f"span {SPAN_DDL}")
+    assert [f.name for f in schema["span"].dataType.fields] == ["start", "stop"]
+
+    row = (
+        spark.range(1)
+        .select(make_span(F.lit(7), F.lit(11)).alias("span"))
+        .select(
+            span_start(F.col("span")).alias("a"),
+            span_stop(F.col("span")).alias("b"),
+        )
+        .first()
+    )
+    assert (row["a"], row["b"]) == (7, 11)
+
+    ts = spark.createDataFrame(
+        [("2026-01-02 00:00:00.000001", "2026-01-02 00:00:01")],
+        "t0 string, t1 string",
+    ).selectExpr(
+        "CAST(t0 AS TIMESTAMP_NTZ) AS t0", "CAST(t1 AS TIMESTAMP_NTZ) AS t1"
+    )
+    (sp,) = ts.select(span_from_timestamps("t0", "t1").alias("s")).collect()
+    assert sp["s"]["stop"] - sp["s"]["start"] == 999_999_000  # 1s - 1µs, in ns
+    assert sp["s"]["start"] % 1000 == 0  # µs-precision widened to ns
