@@ -141,11 +141,15 @@ def span_from_timestamps(start_ts, stop_ts) -> Column:
     """Build a span from two (microsecond-precision) timestamp columns.
 
     Spark ``TimestampType``/``TimestampNTZType`` carry microseconds; we
-    widen to nanoseconds so all spans share one unit.
+    widen to nanoseconds so all spans share one unit.  The cast to
+    TIMESTAMP before ``unix_micros`` is load-bearing: ``unix_micros``
+    rejects TIMESTAMP_NTZ outright (the type parquet scans actually
+    deliver), and with the session timezone pinned to UTC
+    (session.py) the cast is a pure reinterpretation.
     """
     return make_span(
-        F.unix_micros(_c(start_ts)) * NS_PER_US,
-        F.unix_micros(_c(stop_ts)) * NS_PER_US,
+        F.unix_micros(_c(start_ts).cast("timestamp")) * NS_PER_US,
+        F.unix_micros(_c(stop_ts).cast("timestamp")) * NS_PER_US,
     )
 
 
