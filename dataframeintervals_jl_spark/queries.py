@@ -4625,6 +4625,46 @@ def q_stream_hampel(spark, sf_dir):
     )
 
 
+def q_pack_stats(spark, sf_dir):
+    """Per-chunk fill report over the packed corpus: documents/tokens
+    per 1024-token context window and the fill ratio — the packing
+    efficiency dashboard (fill > 1 marks chunks a long document spills
+    out of)."""
+    from .operators.packing import pack_sequences, pack_stats
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, budget=_PACK_BUDGET, tokens_col="n_tokens", order_col="doc_id"
+    )
+    st = pack_stats(packed, budget=_PACK_BUDGET)
+    return st.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_docs",
+        "n_tokens",
+        F.round("fill_ratio", 6).alias("fill_ratio"),
+    )
+
+
+_SQL_PACK_STATS = rf"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t
+), p AS (
+  SELECT CAST(s // {_PACK_BUDGET} AS BIGINT) AS chunk_id, n_tokens FROM c)
+SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
+             / {float(_PACK_BUDGET)!r}, 6) AS fill_ratio
+FROM p GROUP BY chunk_id"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -4749,4 +4789,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_semantic_clusters": (q_semantic_clusters, _sql_semantic_clusters(16, 0.4)),
     "q_hybrid_dedup_clusters": (q_hybrid_dedup_clusters, _sql_hybrid_clusters(16, 0.4)),
     "q_stream_hampel": (q_stream_hampel, _SQL_HAMPEL),
+    "q_pack_stats": (q_pack_stats, _SQL_PACK_STATS),
 }
