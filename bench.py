@@ -307,6 +307,7 @@ def main() -> None:
 
     spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # the catalog grows every round; r1_catalog_sec keeps an
     # apples-to-apples subtotal over the round-1 query set so suite
     # growth from NEW queries is not mistaken for a perf regression
@@ -325,24 +326,52 @@ def main() -> None:
         "q_stream_sessionize", "q_text_quality", "q_text_token_stats",
         "q_training_prep", "selective_binned", "selective_bnl_2pct",
     }
-    print(
-        json.dumps(
-            {
-                "metric": "suite_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "r1_catalog_sec": round(
-                    sum(v for k, v in timings.items() if k in r1_set), 3
-                ),
-                "spread": spreads,
-                "recall": recall,
-                "errors": errors,
-                "cpu_probe": probes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    full = {
+        "metric": "suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "r1_catalog_sec": round(
+            sum(v for k, v in timings.items() if k in r1_set), 3
+        ),
+        "spread": spreads,
+        "recall": recall,
+        "errors": errors,
+        "cpu_probe": probes,
+        "sf": sf_val,
+    }
+    # TRUNCATION-PROOFING (round-4 lesson): the driver records only the
+    # TAIL of stdout, and BENCH_r04 lost every headline number because
+    # the one huge JSON line ended with the cpu_probe dict.  Three
+    # layers: (1) the full record is written to BENCH_LOCAL.json in the
+    # repo so nothing is ever lost; (2) the full line is printed first;
+    # (3) the LAST line printed is a compact headline whose scalar
+    # verdict numbers sit at the END of the line, so any tail window
+    # captures them.
+    try:
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
         )
-    )
+        with open(local_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    headline = {
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+        ),
+        "errors": {k: v[:120] for k, v in errors.items()},
+        "metric": "suite_sec",
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "recall": recall,
+        "r1_catalog_sec": full["r1_catalog_sec"],
+        "value": full["value"],
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

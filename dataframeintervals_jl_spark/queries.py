@@ -4791,3 +4791,82 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_hampel": (q_stream_hampel, _SQL_HAMPEL),
     "q_pack_stats": (q_pack_stats, _SQL_PACK_STATS),
 }
+
+# ---------------------------------------------------------------------------
+# driver-gate ordering (round-5): the driver's CORRECTNESS gate checks the
+# FIRST 50 catalog entries only, so insertion order is a correctness-signal
+# budget.  Rounds 1-4 left the 67 newest queries (everything after
+# q_dedup_clusters: CDC, BPE, signal ops, coverage-select, hybrid dedup,
+# streaming twins) driver-unverified.  The prefix below puts (a) this
+# round's NEW queries, (b) the riskiest round-3/4 surface, and (c) a core
+# interval-join set inside the gate; everything else keeps its original
+# relative order after the prefix.  Rotate the prefix each round so driver
+# verification eventually covers the whole catalog.
+# ---------------------------------------------------------------------------
+
+_GATE_PREFIX = [
+    # core interval-join set (always in the gate)
+    "q_quantile_windows",
+    "q_dfspan",
+    "q_interval_join_inner",
+    "q_interval_join_binned",
+    "q_interval_join_full",
+    "q_interval_join_mixed_bounds",
+    "q_groupby_interval_join_agg",
+    "q_interval_join_by",
+    # round-5 additions (registered below; missing names are skipped)
+    "q_interval_join_date",
+    "q_interval_join_by_keepleft",
+    "q_validity_intervals_global",
+    # riskiest round-3/4 surface, previously driver-unverified
+    "q_build_vocab",
+    "q_mean_token_rank",
+    "q_oov_rate",
+    "q_bpe_merges",
+    "q_coverage_select",
+    "q_pagerank",
+    "q_triangle_counts",
+    "q_hampel_despike",
+    "q_ewma",
+    "q_cusum",
+    "q_resample_interp",
+    "q_resample_locf",
+    "q_scd2_intervals",
+    "q_snapshot_at",
+    "q_snapshot_diff",
+    "q_apply_cdc",
+    "q_incremental_agg",
+    "q_kmv_distinct",
+    "q_kmv_overlap",
+    "q_heavy_hitters",
+    "q_semantic_dedup",
+    "q_semantic_clusters",
+    "q_hybrid_dedup_clusters",
+    "q_shingle_dup_pairs",
+    "q_levenshtein_pairs",
+    "q_allen_relations",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_anomaly_flags",
+    "q_pack_sequences",
+    "q_pack_greedy",
+    "q_pack_stats",
+    "q_chunk_documents",
+    "q_rag_prep",
+    "q_span_gaps",
+    "q_span_complement",
+    "q_point_in_span",
+    "q_topk_per_group",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    "q_sample_per_group",
+    "q_gopher_rules",
+]
+
+
+def _gate_reorder(queries: dict, prefix: list) -> dict:
+    head = {n: queries[n] for n in prefix if n in queries}
+    return {**head, **{n: q for n, q in queries.items() if n not in head}}
+
+
+QUERIES = _gate_reorder(QUERIES, _GATE_PREFIX)
