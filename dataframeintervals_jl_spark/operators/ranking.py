@@ -1,0 +1,124 @@
+"""Distributed global frequency ranking — no single-partition window.
+
+The tokenizer-vocabulary queries need a TOTAL 0-based rank of every
+term by ``(count DESC, term ASC)``.  The naive ``row_number() OVER
+(ORDER BY count DESC, term)`` funnels the whole distinct-term table
+through ONE task (``WindowExec: No Partition Defined``) — at web-corpus
+scale the vocabulary is hundreds of millions of rows (typos, URLs,
+code), so that window is the straggler that kills the job.
+
+This module decomposes the rank into three fully parallel pieces, the
+same prefix-offset structure as ``pack_sequences``' bucketed global
+cumsum (operators/packing.py) and the keyless as-of fill
+(operators/asof_join.py):
+
+``rank(t) = base(count_t) + prefix(count_t, bucket_t) + rn(t) - 1``
+
+1. **base(c)** — number of terms with count > c.  Group terms per
+   distinct count, log2-bucket the counts, cumsum inside each bucket,
+   and correct buckets by a <=64-row driver-collected prefix.  Log
+   bucketing is the skew answer: a value-range bucket over Zipfian
+   counts puts nearly every distinct count in the lowest bucket,
+   while bucket ``[2^b, 2^(b+1))`` holds at most
+   ``min(2^b, |{terms with count >= 2^b}|)`` rows — bounded by
+   ~sqrt(vocabulary) under any heavy-tailed count distribution.
+2. **prefix(c, p)** — among terms of count c, how many sort before
+   bucket p, where p is the term's 2-char prefix.  One aggregate per
+   (count, prefix) plus a window PARTITIONED BY count over that tiny
+   table (<= |prefixes| rows per count value).
+3. **rn(t)** — ``row_number()`` partitioned by (count, prefix).  The
+   largest partition is the hapax-legomena terms sharing one 2-char
+   prefix — a vanishing fraction of the vocabulary, spillable.
+
+A string prefix is order-consistent with full-string comparison (the
+first differing position between two strings with different 2-char
+prefixes lies within those prefixes), so the decomposed rank equals the
+single-window rank exactly, ties and all.
+
+Engine extension beyond the reference surface (the reference,
+/root/reference/src/DataFrameIntervals.jl, has no ranking operator);
+part of the LLM-pipeline layer (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LB = "__dfi_rank_lb"  # log2(count) bucket
+_PB = "__dfi_rank_pb"  # tie-column 2-char prefix bucket
+
+
+def frequency_rank(
+    df: DataFrame,
+    count_col: str = "count",
+    tie_col: str = "term",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Append ``rank_col``: the 0-based position of each row under
+    ``ORDER BY count_col DESC, tie_col ASC`` — exactly
+    ``row_number() - 1`` over that global order, computed with no
+    single-partition exchange.
+
+    Requirements: ``count_col`` >= 1 (a groupBy-count is), ``tie_col``
+    non-null and unique per row (a distinct-term table is).
+    """
+    spark = df.sparkSession
+    cnt = F.col(count_col).cast("long")
+
+    # -- base(c): terms in strictly-greater count groups -----------------
+    g = df.groupBy(count_col).agg(F.count(F.lit(1)).alias("__gn"))
+    g = g.withColumn(_LB, F.floor(F.log2(cnt)).cast("long"))
+    bucket_tot = g.groupBy(_LB).agg(F.sum("__gn").alias("__bt")).collect()
+    if not bucket_tot:
+        return df.select(
+            "*", F.lit(0).cast("long").alias(rank_col)
+        ).limit(0)
+    rows, acc = [], 0
+    for r in sorted(bucket_tot, key=lambda r: -r[_LB]):
+        rows.append((r[_LB], acc))
+        acc += int(r["__bt"])
+    boffs = spark.createDataFrame(rows, f"{_LB} long, __boff long")
+    wb = (
+        Window.partitionBy(_LB)
+        .orderBy(cnt.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = g.join(F.broadcast(boffs), _LB).select(
+        count_col,
+        (F.sum("__gn").over(wb) - F.col("__gn") + F.col("__boff")).alias(
+            "__base"
+        ),
+    )
+
+    # -- prefix(c, p): same-count terms in lexically-earlier buckets -----
+    t = df.withColumn(_PB, F.substring(F.col(tie_col), 1, 2))
+    cp = t.groupBy(count_col, _PB).agg(F.count(F.lit(1)).alias("__pn"))
+    wp = (
+        Window.partitionBy(count_col)
+        .orderBy(F.col(_PB).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    poff = cp.select(
+        count_col,
+        _PB,
+        (F.sum("__pn").over(wp) - F.col("__pn")).alias("__poff"),
+    )
+
+    # -- rn(t): row_number within (count, prefix) ------------------------
+    wr = Window.partitionBy(count_col, _PB).orderBy(F.col(tie_col).asc())
+    return (
+        t.join(poff, [count_col, _PB])
+        .join(base, count_col)
+        .select(
+            *[F.col(c) for c in df.columns],
+            (
+                F.col("__base")
+                + F.col("__poff")
+                + F.row_number().over(wr)
+                - 1
+            )
+            .cast("long")
+            .alias(rank_col),
+        )
+    )

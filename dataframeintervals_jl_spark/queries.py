@@ -2679,22 +2679,26 @@ def q_mean_token_rank(spark, sf_dir):
     tokens against the corpus vocabulary (rank 0 = most frequent) — an
     integer-exact proxy for unigram perplexity (rare-word-heavy docs
     score high).  Sum of bigint ranks per doc, one fixed-order double
-    division at the end."""
-    from pyspark.sql import Window as W
+    division at the end.
 
+    Scale shape: ranks come from the distributed prefix-offset rank
+    (operators/ranking.py — no single-partition window), and the
+    token→vocab join is a plain equi-join (NOT a broadcast hint: the
+    web-scale vocabulary is itself huge; AQE still broadcasts it when
+    it measures small)."""
     from .functions.text import tokens
+    from .operators.ranking import frequency_rank
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
-    vocab = tf.select(
-        "term", (F.row_number().over(w) - 1).cast("long").alias("rank")
-    )
+    vocab = frequency_rank(
+        tf, count_col="cnt", tie_col="term", rank_col="rank"
+    ).select("term", "rank")
     return (
-        toks.join(F.broadcast(vocab), "term")
+        toks.join(vocab, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -3082,11 +3086,12 @@ def q_build_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary over the corpus: (term, token_id,
     count) with ids assigned by (count desc, term) — the deterministic
     tokenizer-vocab construction step.  One partial-aggregated term
-    count; the ranking window runs over the (small) distinct-term
-    table, not the corpus."""
-    from pyspark.sql import Window as W
-
+    count; ids come from the distributed prefix-offset rank
+    (operators/ranking.py) — NO single-partition window, so the
+    hundreds-of-millions-row web-scale vocabulary never funnels
+    through one task."""
     from .functions.text import tokens
+    from .operators.ranking import frequency_rank
 
     docs = read_table(spark, sf_dir, "documents")
     tf = (
@@ -3094,12 +3099,9 @@ def q_build_vocab(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    w = W.orderBy(F.col("count").desc(), F.col("term"))
-    return tf.select(
-        "term",
-        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
-        "count",
-    )
+    return frequency_rank(
+        tf, count_col="count", tie_col="term", rank_col="token_id"
+    ).select("term", "token_id", "count")
 
 
 _SQL_VOCAB = r"""WITH tf AS (
@@ -4416,9 +4418,11 @@ def q_oov_rate(spark, sf_dir):
     """Tokenizer-eval staple: per-document out-of-vocabulary fraction
     against the frequency-ranked top-1000 vocabulary (integer ppm) —
     the vocabulary table is tiny and BROADCAST; the corpus-side pass
-    is one explode + one broadcast join + one per-doc agg."""
-    from pyspark.sql import Window as W
+    is one explode + one broadcast join + one per-doc agg.
 
+    The top-1000 cut is ``orderBy().limit()`` — Spark plans it as
+    TakeOrderedAndProject (per-partition partial top-k, driver merge
+    of k-row heaps), never a global window over the full vocabulary."""
     from .functions.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -4426,10 +4430,9 @@ def q_oov_rate(spark, sf_dir):
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
     vocab = (
-        tf.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= 1000)
+        tf.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(1000)
         .select("term", F.lit(True).alias("__in_v"))
     )
     return (

@@ -1,0 +1,96 @@
+"""frequency_rank: exact equivalence with the single-window rank, and
+the plan contract that motivated it (no single-partition exchange)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframeintervals_jl_spark.operators.ranking import frequency_rank
+
+
+def _reference_rank(df, count_col, tie_col, rank_col):
+    w = Window.orderBy(F.col(count_col).desc(), F.col(tie_col).asc())
+    return df.select(
+        "*", (F.row_number().over(w) - 1).cast("long").alias(rank_col)
+    )
+
+
+@pytest.fixture(scope="module")
+def vocab(spark):
+    # zipf-ish counts, adversarial ties: many terms share counts, terms
+    # share 2-char prefixes, include 1-char terms and prefix-of-other
+    # pairs ("a" vs "ab") so the prefix-bucket order consistency is
+    # actually exercised
+    rng = random.Random(7)
+    terms = set()
+    while len(terms) < 2000:
+        n = rng.randint(1, 8)
+        terms.add("".join(rng.choice("abcdxyz") for _ in range(n)))
+    rows = [(t, rng.randint(1, 50) ** 2) for t in sorted(terms)]
+    rows += [("a", 49), ("ab", 49), ("abc", 49)]  # dup counts, nested prefixes
+    seen = {}
+    for t, c in rows:
+        seen[t] = c
+    return spark.createDataFrame(
+        list(seen.items()), "term string, cnt long"
+    ).repartition(8)
+
+
+def test_matches_single_window_rank_exactly(spark, vocab):
+    got = {
+        r["term"]: r["rank"]
+        for r in frequency_rank(
+            vocab, count_col="cnt", tie_col="term", rank_col="rank"
+        ).collect()
+    }
+    want = {
+        r["term"]: r["rank"]
+        for r in _reference_rank(vocab, "cnt", "term", "rank").collect()
+    }
+    assert got == want
+
+
+def test_rank_is_total_and_dense(spark, vocab):
+    n = vocab.count()
+    ranks = [
+        r["rank"]
+        for r in frequency_rank(vocab, "cnt", "term", "rank").collect()
+    ]
+    assert sorted(ranks) == list(range(n))
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], "term string, cnt long")
+    out = frequency_rank(empty, "cnt", "term", "rank")
+    assert out.count() == 0
+    assert out.columns == ["term", "cnt", "rank"]
+
+
+def test_no_single_partition_exchange(spark, vocab):
+    out = frequency_rank(vocab, "cnt", "term", "rank")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_queries_plan_no_single_partition(spark):
+    """The three rewritten catalog queries must never regress to the
+    keyless-window plan (VERDICT r4 'What's wrong' #1)."""
+    import os
+
+    from dataframeintervals_jl_spark.queries import (
+        q_build_vocab,
+        q_mean_token_rank,
+        q_oov_rate,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    for q in (q_build_vocab, q_mean_token_rank, q_oov_rate):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, q.__name__
+    # top-1000 cut must be the partial-top-k operator, not a sort
+    plan = q_oov_rate(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
