@@ -161,25 +161,130 @@ def validity_intervals(
 
     Scale shape: one shuffle on the key, two window passes over the
     same per-key sort (Spark reuses the sort), no joins — the standard
-    temporal-table build at any key cardinality."""
+    temporal-table build at any key cardinality.  With NO key a naive
+    keyless window would funnel the whole stream through one task, so
+    the global case range-buckets rows by time and repairs bucket
+    boundaries with two O(buckets) driver summaries (the same
+    structure as the keyless as-of join, asof_join.py) — every heavy
+    stage stays parallel."""
     keys = _by_cols(by)
-    w = Window.partitionBy(*keys).orderBy(on, *order) if keys else (
-        Window.orderBy(on, *order)
-    )
+    if not keys:
+        return _validity_intervals_global(df, attrs, on, order)
+    w = Window.partitionBy(*keys).orderBy(on, *order)
     cur = F.struct(*[F.col(a) for a in attrs])
     prev = F.lag(cur).over(w)
     changed = prev.isNull() | ~prev.eqNullSafe(cur)
     runs = df.withColumn("__dfi_chg", changed).filter(
         F.col("__dfi_chg")
     ).drop("__dfi_chg")
-    w2 = Window.partitionBy(*keys).orderBy(on, *order) if keys else (
-        Window.orderBy(on, *order)
-    )
+    w2 = Window.partitionBy(*keys).orderBy(on, *order)
     return runs.select(
         *keys,
         *attrs,
         F.col(on).alias("valid_from"),
         F.lead(F.col(on)).over(w2).alias("valid_to"),
+    )
+
+
+def _validity_intervals_global(
+    df: DataFrame, attrs: Sequence[str], on: str, order: Sequence[str]
+) -> DataFrame:
+    """Keyless SCD2 without a single-partition window.
+
+    Range-bucket rows by ``on`` (bucket ids from one min/max agg), then:
+
+    1. change detection — ``lag`` runs inside each bucket; the first
+       row of a bucket compares against the LAST attrs of the previous
+       non-empty bucket (per-bucket ``max_by`` summary, O(buckets)
+       rows collected and broadcast back);
+    2. ``valid_to`` — ``lead`` over run starts inside each bucket; the
+       last run of a bucket closes at the FIRST run start of the next
+       bucket that has one (second O(buckets) summary, scanned on the
+       driver in descending bucket order).
+
+    The run-start table is localCheckpoint'ed between the two passes so
+    the change-detection join is not recomputed for the summary.  The
+    bucket id derives from ``on`` alone, so equal timestamps always
+    share a bucket and the tie-break ``order`` never crosses a
+    boundary."""
+    b, tsl = "__dfi_vi_bucket", "__dfi_vi_tsl"
+    spark = df.sparkSession
+    oc = F.col(on).cast("long")
+    bounds = df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi")).first()
+    lo = bounds["lo"]
+    if lo is None:  # empty input — emit the output schema, zero rows
+        return df.select(
+            *attrs,
+            F.col(on).alias("valid_from"),
+            F.col(on).alias("valid_to"),
+        ).limit(0)
+    nb = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+    width = max((int(bounds["hi"]) - int(lo)) // nb + 1, 1)
+    u = df.withColumn(tsl, oc - F.lit(int(lo))).withColumn(
+        b, F.expr(f"{tsl} DIV {width}")
+    )
+
+    cur = F.struct(*[F.col(a) for a in attrs])
+    scan_pos = F.struct(oc, *[F.col(c) for c in order])
+    summ = (
+        u.groupBy(b)
+        .agg(F.max_by(cur, scan_pos).alias("__last_attrs"))
+        .collect()
+    )
+    attrs_type = df.select(cur.alias("s")).schema["s"].dataType
+    inc_rows, prev_attrs = [], None
+    for r in sorted(summ, key=lambda r: r[b]):
+        inc_rows.append((r[b], prev_attrs))
+        prev_attrs = r["__last_attrs"]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    incoming = spark.createDataFrame(
+        inc_rows,
+        StructType(
+            [
+                StructField(b, LongType(), False),
+                StructField("__inc", attrs_type, True),
+            ]
+        ),
+    )
+
+    wb = Window.partitionBy(b).orderBy(on, *order)
+    prev_any = F.coalesce(F.lag(cur).over(wb), F.col("__inc"))
+    changed = prev_any.isNull() | ~prev_any.eqNullSafe(cur)
+    runs = (
+        u.join(F.broadcast(incoming), b)
+        .withColumn("__dfi_chg", changed)
+        .filter(F.col("__dfi_chg"))
+        .select(b, *attrs, F.col(on).alias("valid_from"), *order)
+        .localCheckpoint()  # reused by the summary AND the final pass
+    )
+
+    nxt = runs.groupBy(b).agg(F.min("valid_from").alias("__first_vf")).collect()
+    on_type = runs.schema["valid_from"].dataType
+    nxt_rows, nxt_vf = [], None
+    for r in sorted(nxt, key=lambda r: -r[b]):
+        nxt_rows.append((r[b], nxt_vf))
+        nxt_vf = r["__first_vf"]
+    nextdf = spark.createDataFrame(
+        nxt_rows,
+        StructType(
+            [
+                StructField(b, LongType(), False),
+                StructField("__nxt", on_type, True),
+            ]
+        ),
+    )
+
+    wl = Window.partitionBy(b).orderBy("valid_from", *order)
+    return (
+        runs.join(F.broadcast(nextdf), b)
+        .select(
+            *attrs,
+            "valid_from",
+            F.coalesce(
+                F.lead("valid_from").over(wl), F.col("__nxt")
+            ).alias("valid_to"),
+        )
     )
 
 

@@ -2558,6 +2558,36 @@ SELECT user_id, event_type, t AS valid_from,
 FROM runs"""
 
 
+def q_validity_intervals_global(spark, sf_dir):
+    """KEYLESS SCD2: collapse the single global event_type change
+    stream (all users interleaved, ordered by (ts, event_id)) into
+    validity intervals — exercises the bucketed keyless path
+    (operators/timeseries.py::_validity_intervals_global): range-bucket
+    by time, per-bucket lag/lead, O(buckets) boundary repair, NO
+    single-partition window."""
+    from .operators.timeseries import validity_intervals
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    return validity_intervals(
+        ev, attrs=["event_type"], on="ts", by=None, order=["event_id"]
+    )
+
+
+_SQL_VALIDITY_GLOBAL = """WITH ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id FROM events
+), m AS (
+  SELECT *, lag(event_type) OVER (ORDER BY t, event_id) AS prev FROM ev
+), runs AS (
+  SELECT event_type, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT event_type, t AS valid_from,
+       lead(t) OVER (ORDER BY t, event_id) AS valid_to
+FROM runs"""
+
+
 _SNAPSHOT_T_NS = 1_705_276_800_000_000_000  # 2024-01-15T00:00Z
 
 
@@ -4764,6 +4794,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
+    "q_validity_intervals_global": (
+        q_validity_intervals_global,
+        _SQL_VALIDITY_GLOBAL,
+    ),
     "q_snapshot_at": (q_snapshot_at, _SQL_SNAPSHOT),
     "q_dominant_label": (q_dominant_label, _SQL_DOMINANT),
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),

@@ -300,6 +300,64 @@ def test_validity_intervals_null_attr_is_a_value(spark):
     assert vals == [(1, "a"), (2, None), (4, "a")]
 
 
+def test_validity_intervals_global_matches_keyed_single_stream(spark):
+    """Keyless (bucketed) path == naive global window semantics: run it
+    on a stream long enough to span many buckets and compare against
+    the keyed path over a constant key (same total order)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        validity_intervals,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(2000):
+        # irregular timestamps incl. exact ties (order broken by eid)
+        rows.append((i // 3 * 7, rng.choice("abc"), i))
+    df = spark.createDataFrame(rows, "ts long, attr string, eid long")
+    out = validity_intervals(
+        df, attrs=["attr"], on="ts", by=None, order=["eid"]
+    )
+    ref = validity_intervals(
+        df.withColumn("k", F.lit(1)),
+        attrs=["attr"],
+        on="ts",
+        by="k",
+        order=["eid"],
+    ).drop("k")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want and len(got) > 100
+
+
+def test_validity_intervals_global_no_single_partition(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        validity_intervals,
+    )
+
+    rows = [(i * 5, "ab"[i % 2], i) for i in range(200)]
+    df = spark.createDataFrame(rows, "ts long, attr string, eid long")
+    out = validity_intervals(
+        df, attrs=["attr"], on="ts", by=None, order=["eid"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_validity_intervals_global_empty(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        validity_intervals,
+    )
+
+    df = spark.createDataFrame([], "ts long, attr string")
+    out = validity_intervals(df, attrs=["attr"], on="ts", by=None)
+    assert out.count() == 0
+    assert out.columns == ["attr", "valid_from", "valid_to"]
+
+
 def test_hampel_despike_flags_and_repairs_spike(spark):
     from dataframeintervals_jl_spark.operators.timeseries import (
         hampel_despike,
