@@ -137,6 +137,74 @@ def make_span_double(start, stop) -> Column:
     )
 
 
+#: Ordered non-numeric endpoint domains accepted via one-time cast
+#: adapters (reference parity: the reference is generic over ANY
+#: ordered endpoint type T, /root/reference/src/DataFrameIntervals.jl:31-46).
+#: Each maps to an exact integer ordinal — days since epoch for dates,
+#: epoch-µs for timestamps — so every integral-path optimization
+#: (binned rewrite, exact bin math, pushdown) applies unchanged.
+_DOMAIN_ORDINALS = {
+    "date": T.DateType,
+    "timestamp": T.TimestampType,
+    "timestamp_ntz": T.TimestampNTZType,
+}
+
+
+def span_endpoint_domain(dtype: T.DataType):
+    """``'date'`` / ``'timestamp'`` / ``'timestamp_ntz'`` when ``dtype``
+    is a span struct over that ordered endpoint type, else ``None``
+    (numeric spans — the canonical path — or anything invalid, which
+    ``validate_span_type`` rejects downstream with its own message)."""
+    if not (
+        isinstance(dtype, T.StructType)
+        and [f.name for f in dtype.fields] == ["start", "stop"]
+        and type(dtype.fields[0].dataType) is type(dtype.fields[1].dataType)
+    ):
+        return None
+    for name, tp in _DOMAIN_ORDINALS.items():
+        if isinstance(dtype.fields[0].dataType, tp):
+            return name
+    return None
+
+
+def span_to_ordinal(span, domain: str) -> Column:
+    """Cast a date/timestamp-endpoint span struct to its exact integer
+    ordinal span (days-since-epoch int / epoch-µs long).  The NTZ cast
+    relies on the session timezone being pinned to UTC (session.py) —
+    same contract as :func:`span_from_timestamps`."""
+    s = _c(span)
+
+    def conv(f):
+        if domain == "date":
+            return F.unix_date(f)
+        return F.unix_micros(f.cast("timestamp"))
+
+    out = F.struct(
+        conv(s.getField("start")).alias("start"),
+        conv(s.getField("stop")).alias("stop"),
+    )
+    return F.when(s.isNotNull(), out)
+
+
+def span_from_ordinal(span, domain: str) -> Column:
+    """Inverse of :func:`span_to_ordinal` — restore the user's endpoint
+    domain on an integer-ordinal span (null-preserving, so outer-join
+    rows keep their null spans)."""
+    s = _c(span)
+
+    def conv(f):
+        if domain == "date":
+            return F.date_from_unix_date(f)
+        ts = F.timestamp_micros(f.cast("long"))
+        return ts.cast("timestamp_ntz") if domain == "timestamp_ntz" else ts
+
+    out = F.struct(
+        conv(s.getField("start")).alias("start"),
+        conv(s.getField("stop")).alias("stop"),
+    )
+    return F.when(s.isNotNull(), out)
+
+
 def span_from_timestamps(start_ts, stop_ts) -> Column:
     """Build a span from two (microsecond-precision) timestamp columns.
 

@@ -39,8 +39,11 @@ from ..functions.spans import (
     SPAN_TYPE,
     exact_floor_div as _floor_div,
     normalize_bounds,
+    span_endpoint_domain,
     span_endpoints_integral,
+    span_from_ordinal,
     span_intersect,
+    span_to_ordinal,
     spans_overlap,
     validate_span_type,
 )
@@ -81,6 +84,64 @@ def _resolve_on(on) -> Tuple[str, str]:
         "Interval joins support only one `on` column (a name or a "
         "(left_name, right_name) pair); iterables are not allowed."
     )
+
+
+def _adapt_endpoint_domains(left, right, on):
+    """Generic-ordered-endpoint support (reference parity src:31-46):
+    when the ``on`` span structs carry date/timestamp endpoints, cast
+    each side to its exact integer ordinal (days / epoch-µs) so the
+    whole engine — overlap predicates, binned rewrite, outer recovery —
+    runs on the canonical integral path, then the caller restores the
+    user's domain on the output span columns via the returned
+    ``(left_domain, right_domain)``.
+
+    Date may not mix with timestamp (no common ordinal unit — a day is
+    not a µs count); timestamp and timestamp_ntz MAY mix (both become
+    epoch-µs under the UTC-pinned session).  ``(None, None)`` means
+    numeric spans — the no-op fast path."""
+    lon, ron = _resolve_on(on)
+    dl = (
+        span_endpoint_domain(left.schema[lon].dataType)
+        if lon in left.columns
+        else None
+    )
+    dr = (
+        span_endpoint_domain(right.schema[ron].dataType)
+        if ron in right.columns
+        else None
+    )
+    if dl is None and dr is None:
+        return left, right, (None, None)
+    if dl is not None and dr is not None and (dl == "date") != (dr == "date"):
+        raise ValueError(
+            f"cannot join date-endpoint spans against {dr if dl == 'date' else dl}"
+            "-endpoint spans: no common ordinal unit. Cast one side first "
+            "(span_to_ordinal / make_span)."
+        )
+    if dl is not None:
+        left = left.withColumn(lon, span_to_ordinal(F.col(lon), dl))
+    if dr is not None:
+        right = right.withColumn(ron, span_to_ordinal(F.col(ron), dr))
+    return left, right, (dl, dr)
+
+
+def _restore_endpoint_domains(out, sides, domains):
+    dl, dr = domains
+    if dl is None and dr is None:
+        return out
+    cols = []
+    for c in out.columns:
+        if c == sides.left_on and dl is not None:
+            cols.append(span_from_ordinal(F.col(c), dl).alias(c))
+        elif c == sides.right_on and dr is not None:
+            cols.append(span_from_ordinal(F.col(c), dr).alias(c))
+        elif c == sides.joined_on:
+            # the intersection inherits the LEFT side's domain (falls
+            # back to right when only the right side was adapted)
+            cols.append(span_from_ordinal(F.col(c), dl or dr).alias(c))
+        else:
+            cols.append(F.col(c))
+    return out.select(*cols)
 
 
 class _Sides:
@@ -324,7 +385,11 @@ def interval_join(
     omitted), ``with_indices`` (adds ``_left_idx``/``_right_idx`` for
     deterministic-order tests).  ``on`` columns may be any numeric span
     struct — bigint-ns is canonical, ``struct<start: double, stop:
-    double>`` is supported for generic ordered domains.
+    double>`` is supported for generic ordered domains — or a span over
+    DATE / TIMESTAMP / TIMESTAMP_NTZ endpoints (reference parity with
+    arbitrary ordered ``T``, src:31-46): those are adapted one-time to
+    exact integer ordinals (days / epoch-µs), joined on the integral
+    fast path, and restored to the original domain on output.
 
     ``strategy='auto'`` (default) is stats-driven: one tiny agg per side
     (fused with the null validation), then broadcast the smaller side if
@@ -335,6 +400,7 @@ def interval_join(
     width estimate when ``bin_width`` is omitted).
     """
     normalize_bounds(bounds)
+    left, right, domains = _adapt_endpoint_domains(left, right, on)
     sides = setup_column_names(
         left,
         right,
@@ -434,7 +500,9 @@ def interval_join(
     intersection = span_intersect(F.col(sides.left_on), F.col(sides.right_on)).alias(
         sides.joined_on
     )
-    return joined.select(*out_cols, intersection)
+    return _restore_endpoint_domains(
+        joined.select(*out_cols, intersection), sides, domains
+    )
 
 
 def interval_join_prebinned(
@@ -784,10 +852,15 @@ def interval_join_by(
 
     ``strategy``: 'hash' (default — equi shuffle join, Catalyst picks
     sort-merge/shuffled-hash; the scale default), 'broadcast_right' /
-    'broadcast_left' (tiny side), or 'binned' (inner-only: composite
-    (keys, bin) equi-join with the emit-once guard — for LOW-cardinality
-    keys whose per-key row counts are too large for a per-key nested
-    loop).
+    'broadcast_left' (tiny side), or 'binned' (composite (keys, bin)
+    equi-join with the emit-once guard — for LOW-cardinality keys whose
+    per-key row counts are too large for a per-key nested loop;
+    keepleft/keepright/full recover unmatched rows via anti-joins on
+    persisted row ids, same structure as the global binned path).
+
+    Like :func:`interval_join`, ``on`` spans with date / timestamp /
+    timestamp_ntz endpoints are adapted to exact integer ordinals and
+    restored on output.
     """
     lb_flavor, rb_flavor = normalize_bounds(bounds)
     by_cols = [by] if isinstance(by, str) else list(by)
@@ -799,6 +872,7 @@ def interval_join_by(
             raise ValueError(f"`by` column {c!r} must exist in both tables")
         if c in (lon_in, ron_in):
             raise ValueError(f"`by` column {c!r} clashes with the `on` column")
+    left, right, domains = _adapt_endpoint_domains(left, right, on)
 
     # hide keys behind reserved names so the rename protocol (including
     # renamecols suffixing and clash detection) only governs payload
@@ -867,11 +941,6 @@ def interval_join_by(
             cond = cond & e
         joined = l_in.join(r_in, cond & overlap, how)
     elif strategy == "binned":
-        if how != "inner":
-            raise ValueError(
-                "strategy='binned' supports inner keyed joins only; "
-                "use 'hash' for keepleft/keepright"
-            )
         if bin_width is None:
             stats = (
                 _SideStats(lefts, sides.left_on),
@@ -879,6 +948,19 @@ def interval_join_by(
             )
             bin_width = _estimate_bin_width(stats, integral)
         w = max(int(bin_width), 1) if integral else float(bin_width)
+        # outer recovery needs stable row identities across the inner
+        # pass and the anti-join — same persisted-id structure as the
+        # global binned path (_binned_join)
+        need_left_ids = keepleft
+        need_right_ids = keepright
+        if need_left_ids:
+            lefts = lefts.withColumn(
+                LEFT_IDX, F.monotonically_increasing_id()
+            ).persist()
+        if need_right_ids:
+            rights = rights.withColumn(
+                RIGHT_IDX, F.monotonically_increasing_id()
+            ).persist()
         lcol, rcol = F.col(sides.left_on), F.col(sides.right_on)
         lb = _drop_empty_spans(lefts, lcol, lb_flavor)
         rb = _drop_empty_spans(rights, rcol, rb_flavor)
@@ -900,6 +982,17 @@ def interval_join_by(
         joined = lb.join(
             rb, cond & overlap & (F.col(_BIN) == guard_div), "inner"
         ).drop(_BIN, f"{_BIN}_r")
+        if how != "inner":
+            pieces = [joined]
+            if need_left_ids:
+                matched_l = joined.select(LEFT_IDX).distinct()
+                pieces.append(lefts.join(matched_l, LEFT_IDX, "left_anti"))
+            if need_right_ids:
+                matched_r = joined.select(RIGHT_IDX).distinct()
+                pieces.append(rights.join(matched_r, RIGHT_IDX, "left_anti"))
+            joined = pieces[0]
+            for p in pieces[1:]:
+                joined = joined.unionByName(p, allowMissingColumns=True)
     else:
         raise ValueError(
             f"unsupported strategy {strategy!r}; use 'hash', "
@@ -913,7 +1006,9 @@ def interval_join_by(
     payload = [
         c for c in sides.left_cols if c not in lk_final
     ] + [c for c in sides.right_cols if c not in rk_final]
-    return joined.select(*key_out, *payload, inter)
+    return _restore_endpoint_domains(
+        joined.select(*key_out, *payload, inter), sides, domains
+    )
 
 
 def point_in_span_join(

@@ -446,6 +446,74 @@ FROM os JOIN w ON greatest(os.s, w.w_start) < least(os.e, w.w_stop)
 GROUP BY w.idx"""
 
 
+def q_interval_join_date(spark, sf_dir):
+    """Generic-endpoint-domain join (reference parity: arbitrary
+    ordered T, src:31-46): 30-day order spans with DATE endpoints
+    joined against quarterly DATE windows.  interval_join adapts the
+    date structs to exact day ordinals internally (binned integral
+    path) and restores DATE on output — this query round-trips the
+    adapter end-to-end against DuckDB's native date-overlap join."""
+    from .functions.spans import exact_floor_div
+    from .sources import col_to_ns
+
+    day_ns = 86_400_000_000_000
+    od = read_table(spark, sf_dir, "orders")
+    start_ns = col_to_ns(
+        F.col("o_orderdate"), od.schema["o_orderdate"].dataType
+    )
+    start_date = F.date_from_unix_date(
+        exact_floor_div(start_ns, day_ns).cast("int")
+    )
+    orders = od.select(
+        "o_orderkey",
+        F.struct(
+            start_date.alias("start"),
+            F.date_add(start_date, 30).alias("stop"),
+        ).alias("span"),
+    )
+    epoch = F.lit("1995-01-01").cast("date")
+    quarters = spark.range(28).select(
+        F.col("id").cast("long").alias("q_id"),
+        F.struct(
+            F.add_months(epoch, F.col("id").cast("int") * 3).alias("start"),
+            F.add_months(epoch, (F.col("id").cast("int") + 1) * 3).alias(
+                "stop"
+            ),
+        ).alias("span"),
+    )
+    j = interval_join(
+        orders, quarters, validate="skip", strategy="broadcast_right"
+    )
+    return j.select(
+        "o_orderkey",
+        "q_id",
+        F.col("span_left.start").alias("o_start"),
+        F.col("span_left.stop").alias("o_stop"),
+        F.col("span_right.start").alias("q_start"),
+        F.col("span_right.stop").alias("q_stop"),
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_JOIN_DATE = """WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 30 AS e
+  FROM orders
+), q AS (
+  SELECT CAST(i AS BIGINT) AS q_id,
+         CAST(DATE '1995-01-01' + to_months(CAST(3*i AS INT)) AS DATE) AS s,
+         CAST(DATE '1995-01-01' + to_months(CAST(3*(i+1) AS INT)) AS DATE)
+           AS e
+  FROM (SELECT unnest(range(0, 28)) AS i)
+)
+SELECT o.o_orderkey, q.q_id,
+       o.s AS o_start, o.e AS o_stop,
+       q.s AS q_start, q.e AS q_stop,
+       greatest(o.s, q.s) AS i_start, least(o.e, q.e) AS i_stop
+FROM o JOIN q ON greatest(o.s, q.s) < least(o.e, q.e)"""
+
+
 def q_lineitem_interval_agg(spark, sf_dir):
     """Fused interval-join + group over the engine's largest input
     (~600k rows at sf0.1): 7-day shipping spans x 8 equal windows,
@@ -4722,6 +4790,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
     "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
+    "q_interval_join_date": (q_interval_join_date, _SQL_JOIN_DATE),
     "q_lineitem_interval_agg": (q_lineitem_interval_agg, _SQL_LINEITEM_AGG),
     "q_dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),

@@ -82,9 +82,11 @@ def stream_interval_join(
     watermark: str = "10 minutes",
     renameon=("_left", "_right"),
     max_span_ns: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or mixed / batch-batch) interval overlap join —
-    unbounded counterpart of batch ``interval_join`` (inner, half-open).
+    unbounded counterpart of batch ``interval_join`` (half-open;
+    ``how='inner'`` or ``'left_outer'``).
 
     Spark refuses stream-stream joins without an equality predicate, so
     this is the streaming form of the engine's binned rewrite (batch
@@ -117,9 +119,36 @@ def stream_interval_join(
     appended last.  The reference is fully batch (SURVEY.md §2.C) —
     this is an engine extension, validated against the batch operator
     on file streams in tests.
+
+    ``how='left_outer'`` (streaming counterpart of batch ``keepleft``:
+    unmatched left rows emit once the right watermark passes them, with
+    null right columns and a null intersection) switches to an
+    ASYMMETRIC binning: the symmetric explode would null-pad every
+    *bin copy* of a left row that found no partner in that bin, so
+    instead the left side keeps exactly ONE row (its start bin) and the
+    right side explodes over ``[start - max_span_ns, stop)``.  Any
+    overlapping pair then meets in exactly the left row's start bin
+    (the left start lies in ``(r.start - left_duration, r.stop)``), so
+    no emit-once guard is needed, and outer padding is exact — one
+    padded row per truly-unmatched left row.  ``max_span_ns`` is
+    REQUIRED for ``left_outer`` (it bounds the right-side bin fan-out
+    AND supplies the watermark time-range constraint Spark needs to
+    emit outer results); the right fan-out grows by
+    ``max_span_ns / bin_width_ns`` bins per row — pick ``bin_width_ns``
+    near ``max_span_ns`` when spans are short.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"unsupported how {how!r}; use 'inner' or 'left_outer'"
+        )
     if bin_width_ns < NS_PER_US:
         raise ValueError("bin_width_ns must be at least one microsecond")
+    if how == "left_outer" and max_span_ns is None:
+        raise ValueError(
+            "stream_interval_join(how='left_outer') requires max_span_ns: "
+            "it bounds the right-side bin expansion and provides the "
+            "watermark range constraint outer state eviction needs"
+        )
     if left.isStreaming and right.isStreaming and max_span_ns is None:
         raise ValueError(
             "stream_interval_join: both inputs are streaming; pass "

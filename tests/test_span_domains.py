@@ -1,0 +1,187 @@
+"""Generic endpoint domains: date / timestamp / timestamp_ntz span
+structs adapted to exact integer ordinals inside the join and restored
+on output (reference parity: arbitrary ordered T, src:31-46)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataframeintervals_jl_spark import interval_join, interval_join_by
+from dataframeintervals_jl_spark.functions.spans import (
+    span_endpoint_domain,
+    span_from_ordinal,
+    span_to_ordinal,
+)
+
+D = dt.date
+
+
+def _date_spans(spark, rows, tag):
+    return spark.createDataFrame(
+        [({"start": s, "stop": e}, i) for i, (s, e) in enumerate(rows)],
+        f"span struct<start: date, stop: date>, {tag} long",
+    )
+
+
+@pytest.fixture(scope="module")
+def date_tables(spark):
+    L = [
+        (D(2024, 1, 1), D(2024, 1, 10)),
+        (D(2024, 1, 8), D(2024, 2, 1)),
+        (D(2024, 3, 1), D(2024, 3, 2)),
+    ]
+    R = [
+        (D(2024, 1, 5), D(2024, 1, 9)),
+        (D(2024, 2, 15), D(2024, 3, 15)),
+        (D(2025, 1, 1), D(2025, 1, 2)),  # matches nothing
+    ]
+    return L, R, _date_spans(spark, L, "li"), _date_spans(spark, R, "ri")
+
+
+def _pairs(j):
+    return sorted(
+        ((r["li"], r["ri"]) for r in j.collect()), key=repr
+    )
+
+
+def _brute(L, R, how="inner"):
+    pairs = [
+        (i, j)
+        for i, (a, b) in enumerate(L)
+        for j, (s, e) in enumerate(R)
+        if max(a, s) < min(b, e)
+    ]
+    res = list(pairs)
+    if how in ("left", "full"):
+        m = {p[0] for p in pairs}
+        res += [(i, None) for i in range(len(L)) if i not in m]
+    if how in ("right", "full"):
+        m = {p[1] for p in pairs}
+        res += [(None, j) for j in range(len(R)) if j not in m]
+    return sorted(res, key=repr)
+
+
+def test_date_join_matches_brute_force_and_restores_dates(
+    spark, date_tables
+):
+    L, R, ldf, rdf = date_tables
+    j = interval_join(ldf, rdf, validate="skip", strategy="broadcast_right")
+    assert _pairs(j) == _brute(L, R)
+    # output endpoint types restored to DATE, intersection clipped
+    for c in ("span_left", "span_right", "span"):
+        ep = j.schema[c].dataType.fields[0].dataType
+        assert isinstance(ep, T.DateType), c
+    row = j.filter(F.col("li") == 0).first()
+    assert row["span"]["start"] == D(2024, 1, 5)
+    assert row["span"]["stop"] == D(2024, 1, 9)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast_right", "binned"])
+def test_date_join_strategy_parity(spark, date_tables, strategy):
+    L, R, ldf, rdf = date_tables
+    j = interval_join(
+        ldf, rdf, validate="skip", strategy=strategy,
+        **({"bin_width": 7} if strategy == "binned" else {}),
+    )
+    assert _pairs(j) == _brute(L, R)
+
+
+def test_date_join_outer_null_spans_restore(spark, date_tables):
+    L, R, ldf, rdf = date_tables
+    j = interval_join(
+        ldf, rdf, keepleft=True, keepright=True, validate="skip",
+        strategy="broadcast_right",
+    )
+    assert _pairs(j) == _brute(L, R, "full")
+    padded = j.filter(F.col("li").isNull() | F.col("ri").isNull())
+    # padded rows keep NULL span structs (not structs of nulls)
+    assert padded.count() == 1
+    assert padded.filter(
+        F.col("span").isNotNull() | F.col("span_left").isNotNull()
+    ).count() == 0
+
+
+def test_timestamp_and_ntz_endpoints(spark):
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(cast):
+        return spark.createDataFrame(
+            [
+                (
+                    {
+                        "start": ts,
+                        "stop": ts + dt.timedelta(hours=2),
+                    },
+                    0,
+                )
+            ],
+            f"span struct<start: {cast}, stop: {cast}>, i long",
+        )
+
+    l, r = mk("timestamp"), mk("timestamp_ntz")
+    j = interval_join(
+        l, r, validate="skip", strategy="broadcast_right", renamecols=("", "_r")
+    )
+    assert j.count() == 1
+    assert isinstance(
+        j.schema["span_left"].dataType.fields[0].dataType, T.TimestampType
+    )
+    assert isinstance(
+        j.schema["span_right"].dataType.fields[0].dataType,
+        T.TimestampNTZType,
+    )
+    # intersection inherits the LEFT domain
+    assert isinstance(
+        j.schema["span"].dataType.fields[0].dataType, T.TimestampType
+    )
+
+
+def test_date_vs_timestamp_mix_rejected(spark, date_tables):
+    _, _, ldf, _ = date_tables
+    ts = dt.datetime(2024, 1, 1)
+    rdf = spark.createDataFrame(
+        [({"start": ts, "stop": ts + dt.timedelta(days=3)}, 0)],
+        "span struct<start: timestamp, stop: timestamp>, ri long",
+    )
+    with pytest.raises(ValueError, match="no common ordinal unit"):
+        interval_join(ldf, rdf, validate="skip")
+
+
+def test_interval_join_by_date_spans(spark):
+    rows_l = [
+        (1, {"start": D(2024, 1, 1), "stop": D(2024, 1, 10)}, 0),
+        (2, {"start": D(2024, 1, 1), "stop": D(2024, 1, 10)}, 1),
+    ]
+    rows_r = [
+        (1, {"start": D(2024, 1, 5), "stop": D(2024, 1, 6)}, 0),
+        (3, {"start": D(2024, 1, 5), "stop": D(2024, 1, 6)}, 1),
+    ]
+    ddl = "k long, span struct<start: date, stop: date>, {} long"
+    ldf = spark.createDataFrame(rows_l, ddl.format("li"))
+    rdf = spark.createDataFrame(rows_r, ddl.format("ri"))
+    j = interval_join_by(ldf, rdf, by="k", validate="skip")
+    got = [(r["k"], r["li"], r["ri"]) for r in j.collect()]
+    assert got == [(1, 0, 0)]
+    assert isinstance(
+        j.schema["span"].dataType.fields[0].dataType, T.DateType
+    )
+
+
+def test_ordinal_round_trip_expressions(spark):
+    df = spark.createDataFrame(
+        [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
+        "span struct<start: date, stop: date>",
+    )
+    assert span_endpoint_domain(df.schema["span"].dataType) == "date"
+    back = df.select(
+        span_from_ordinal(
+            span_to_ordinal(F.col("span"), "date"), "date"
+        ).alias("span")
+    )
+    got = [r["span"] for r in back.collect()]
+    assert got[0]["start"] == D(2024, 2, 29) and got[0]["stop"] == D(2024, 3, 1)
+    assert got[1] is None  # null-preserving both ways
