@@ -185,11 +185,22 @@ def stream_interval_join(
         d = d.withColumn(f"__ts{tag}", F.timestamp_micros(start_us))
         if df.isStreaming:
             d = d.withWatermark(f"__ts{tag}", watermark)
+        if how == "left_outer" and tag == "_l":
+            # asymmetric scheme: the left row exists ONCE, in its start
+            # bin — outer padding stays one-row-per-unmatched-left
+            return d.withColumn("__bin", exact_floor_div(start_us, w_us))
+        first_us = start_us
+        if how == "left_outer" and tag == "_r":
+            # ...and the right side reaches back far enough to meet any
+            # left start that could overlap it: left starts lie in
+            # (r.start - left_duration, r.stop) ⊆ [r.start - max_span,
+            # r.stop), so cover those bins
+            first_us = start_us - F.lit(int(max_span_ns) // NS_PER_US)
         return d.withColumn(
             "__bin",
             F.explode(
                 F.sequence(
-                    exact_floor_div(start_us, w_us),
+                    exact_floor_div(first_us, w_us),
                     exact_floor_div(last_us, w_us),
                 )
             ),
@@ -200,12 +211,12 @@ def stream_interval_join(
     ls, lstop = F.col(f"{lon}.start"), F.col(f"{lon}.stop")
     rs, rstop = F.col(f"{ron}.start"), F.col(f"{ron}.stop")
     inter_start_us = exact_floor_div(F.greatest(ls, rs), NS_PER_US)
-    cond = (
-        (l["__bin"] == r["__bin"])
-        & (ls < rstop)
-        & (rs < lstop)
-        & (l["__bin"] == exact_floor_div(inter_start_us, w_us))
-    )
+    cond = (l["__bin"] == r["__bin"]) & (ls < rstop) & (rs < lstop)
+    if how == "inner":
+        # emit-once guard — only meaningful for the symmetric explode;
+        # the asymmetric left_outer scheme produces each pair exactly
+        # once by construction (the left row exists in one bin)
+        cond = cond & (l["__bin"] == exact_floor_div(inter_start_us, w_us))
     if max_span_ns is not None:
         # overlapping spans' starts differ by < max_span (each start is
         # within max_span of the intersection start); +1µs covers the
@@ -222,8 +233,13 @@ def stream_interval_join(
     out_cols = [c for c in l.columns if c not in ("__bin", "__ts_l")] + [
         c for c in r.columns if c not in ("__bin", "__ts_r")
     ]
-    inter = make_span(F.greatest(ls, rs), F.least(lstop, rstop)).alias(on)
-    return l.join(r, cond, "inner").select(*out_cols, inter)
+    # greatest/least SKIP nulls, so guard: padded outer rows must carry
+    # a NULL intersection, not the left span
+    inter = F.when(
+        F.col(lon).isNotNull() & F.col(ron).isNotNull(),
+        make_span(F.greatest(ls, rs), F.least(lstop, rstop)),
+    ).alias(on)
+    return l.join(r, cond, how).select(*out_cols, inter)
 
 
 def stream_exact_dedup(

@@ -190,6 +190,103 @@ def test_stream_interval_join_max_span_bound(spark, tmp_path):
         too_small.collect()
 
 
+def _with_flush(spark, df, t):
+    """Append a far-future sentinel span (id -1) that drives the
+    watermark past every real row so append-mode outer results flush."""
+    flush = spark.createDataFrame(
+        [({"start": t, "stop": t + 1_000 * US}, -1)], df.schema
+    )
+    return df.unionByName(flush)
+
+
+def test_stream_interval_join_left_outer_matches_batch_keepleft(
+    spark, tmp_path
+):
+    """Streaming keepleft parity: unmatched left rows emit (null right
+    columns, null intersection) once the watermark passes them; matched
+    pairs equal the inner join exactly — asymmetric binning produces
+    each pair once (no bin-copy padding artifacts)."""
+    left = _spans(spark, 40, width=90_000, step=60_000, name="lid")
+    # sparse right: lefts inside the 300ms gaps go unmatched
+    right = _spans(spark, 10, width=50_000, step=300_000, name="rid")
+    batch = interval_join(
+        left, right, keepleft=True, validate="skip",
+        strategy="broadcast_right",
+    )
+    expected = sorted(
+        ((r["lid"], r["rid"]) for r in batch.select("lid", "rid").collect()),
+        key=repr,
+    )
+    assert any(rid is None for _, rid in expected), "need unmatched lefts"
+
+    day = 86_400_000_000_000
+    ls = _roundtrip_stream(
+        spark, _with_flush(spark, left, EPOCH0 + day), str(tmp_path / "lo_l")
+    )
+    rs = _roundtrip_stream(
+        spark, _with_flush(spark, right, EPOCH0 + day), str(tmp_path / "lo_r")
+    )
+    out = stream_interval_join(
+        ls, rs, watermark="1 second", max_span_ns=90_000 * US,
+        how="left_outer",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_lo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r for r in spark.sql("SELECT * FROM sij_lo").collect()
+        if r["lid"] != -1
+    ]
+    got = sorted(((r["lid"], r["rid"]) for r in rows), key=repr)
+    assert got == expected
+    for r in rows:
+        if r["rid"] is None:
+            assert r["span_right"] is None and r["span"] is None
+        else:
+            assert r["span"]["start"] == max(
+                r["span_left"]["start"], r["span_right"]["start"]
+            )
+
+
+def test_stream_interval_join_left_outer_batch_mode_parity(spark):
+    """The asymmetric scheme is exact in batch mode too (isStreaming
+    False): same rows as batch keepleft."""
+    left = _spans(spark, 30, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 8, width=50_000, step=300_000, name="rid")
+    expected = sorted(
+        (
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, keepleft=True, validate="skip",
+                strategy="broadcast_right",
+            ).select("lid", "rid").collect()
+        ),
+        key=repr,
+    )
+    out = stream_interval_join(
+        left, right, max_span_ns=90_000 * US, how="left_outer"
+    )
+    got = sorted(
+        ((r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()),
+        key=repr,
+    )
+    assert got == expected
+
+
+def test_stream_interval_join_left_outer_contract(spark):
+    left = _spans(spark, 3, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 3, width=50_000, step=100_000, name="rid")
+    with pytest.raises(ValueError, match="left_outer.*requires max_span"):
+        stream_interval_join(left, right, how="left_outer")
+    with pytest.raises(ValueError, match="unsupported how"):
+        stream_interval_join(left, right, how="full_outer")
+
+
 def test_stream_stream_requires_max_span(spark, tmp_path):
     """Both inputs streaming + no max_span_ns = unbounded join state —
     construction must fail fast, not defer the OOM to production."""
