@@ -33,35 +33,38 @@ def pagerank(
     matches bit-for-bit (the same replay strategy as the IVF k-means
     oracle).
 
-    Scale design: each iteration is one equi-join of the edge list
-    against the (vertex, rank) table plus one partial-aggregated
-    groupBy on the destination — the textbook distributed PageRank
-    shape, shuffling only (vertex, long) pairs.  ``localCheckpoint``
-    every ``checkpoint_every`` rounds bounds lineage depth exactly like
-    connected_components.  Vertices are the edge endpoints (isolated
-    documents are rank-irrelevant here); in an undirected graph every
-    vertex has degree >= 1, so there are no dangling-mass corrections.
+    Scale design: the out-degree is attached to the persisted edge
+    table ONCE (``(u, v, deg)``), so each iteration is exactly one
+    equi-join of that table against the (vertex, rank) table plus one
+    partial-aggregated groupBy on the destination — the textbook
+    distributed PageRank shape at half the per-iteration join count of
+    the naive edges⋈ranks⋈degrees form, shuffling only (vertex, long)
+    pairs.  ``localCheckpoint`` every ``checkpoint_every`` rounds
+    bounds lineage depth exactly like connected_components.  Vertices
+    are the edge endpoints (isolated documents are rank-irrelevant
+    here); in an undirected graph every vertex has degree >= 1, so
+    there are no dangling-mass corrections.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct()
-    und = und.persist()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()  # also materializes `und` for the loop
+    ed = und.join(deg, "u").persist()  # (u, v, deg) — the loop's table
+    verts = ed.select("u").distinct()
+    n = verts.count()  # also materializes `ed` for the loop
     if n == 0:
-        und.unpersist()
+        ed.unpersist()
         return edges.sparkSession.createDataFrame([], "v long, rank_fx long")
 
     teleport = (PR_SCALE - (PR_SCALE * damping_num) // damping_den) // n
-    ranks = deg.select(
+    ranks = verts.select(
         F.col("u").alias("v"), F.lit(PR_SCALE // n).cast("long").alias("r")
     )
     for i in range(iterations):
         contrib = (
-            und.join(ranks.withColumnRenamed("v", "u"), "u")
-            .join(deg, "u")
+            ed.join(ranks.withColumnRenamed("v", "u"), "u")
             .select(F.col("v"), F.expr("r DIV deg").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("in_sum"))
@@ -77,8 +80,9 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     # final checkpoint cuts the plan's dependence on the persisted edge
     # table so it can be released here instead of leaking per call
+    # (measured ~0.1s at sf0.1 — the leak-free contract is worth it)
     ranks = ranks.localCheckpoint(eager=True)
-    und.unpersist()
+    ed.unpersist()
     return ranks.select(F.col("v"), F.col("r").alias("rank_fx"))
 
 
