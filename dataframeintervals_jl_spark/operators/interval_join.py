@@ -723,6 +723,7 @@ def _interval_semi_anti(
 ) -> DataFrame:
     lb_flavor, rb_flavor = normalize_bounds(bounds)
     lon, ron = _resolve_on(on)
+    left, right, (dom_l, _dom_r) = _adapt_endpoint_domains(left, right, on)
     validate_span_type(left.schema[lon].dataType, f"left `on` ({lon})")
     validate_span_type(right.schema[ron].dataType, f"right `on` ({ron})")
     integral = span_endpoints_integral(
@@ -731,6 +732,12 @@ def _interval_semi_anti(
 
     rspans = right.select(F.col(ron).alias("__dfi_rspan"))
     cond = spans_overlap(F.col(lon), F.col("__dfi_rspan"), bounds=bounds)
+
+    def _restore(df):
+        # "output = left unchanged" includes the endpoint domain
+        if dom_l is None:
+            return df
+        return df.withColumn(lon, span_from_ordinal(F.col(lon), dom_l))
 
     stats = None
     if strategy == "auto":
@@ -742,7 +749,7 @@ def _interval_semi_anti(
             stats = (_SideStats(left, lon), sr)
 
     if strategy == "broadcast_right":
-        return left.join(F.broadcast(rspans), cond, how)
+        return _restore(left.join(F.broadcast(rspans), cond, how))
     if strategy != "binned":
         raise ValueError(
             f"unsupported strategy {strategy!r}; use 'auto', "
@@ -772,7 +779,7 @@ def _interval_semi_anti(
         .select(LEFT_IDX)
         .distinct()
     )
-    return lid.join(matched_ids, LEFT_IDX, how).drop(LEFT_IDX)
+    return _restore(lid.join(matched_ids, LEFT_IDX, how).drop(LEFT_IDX))
 
 
 def interval_semi_join(

@@ -1656,6 +1656,56 @@ FROM c JOIN p ON c.user_id = p.user_id
              AND greatest(c.s, p.s) < least(c.e, p.e)"""
 
 
+def q_interval_join_by_keepleft(spark, sf_dir):
+    """Keyed LEFT-OUTER overlap join through the BINNED strategy: every
+    click row survives (null purchase columns when no same-user overlap)
+    — exercises the keyed binned path's persisted-id anti-join recovery
+    end-to-end against the oracle.  Purchases here keep their raw
+    (unwidened) spans so a large fraction of clicks are genuinely
+    unmatched."""
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    clicks = es.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "span"
+    )
+    pad = 3_600_000_000_000  # ±1h — some matches, many padded rows
+    purch = es.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event"),
+        make_span(
+            F.col("span.start") - F.lit(pad), F.col("span.stop") + F.lit(pad)
+        ).alias("span"),
+    )
+    j = interval_join_by(
+        clicks,
+        purch,
+        by="user_id",
+        keepleft=True,
+        validate="skip",
+        strategy="binned",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "p_event",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_JOIN_BY_KEEPLEFT = f"""WITH {_ES_CTE},
+c AS (SELECT user_id, event_id, s, e FROM es WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS p_event,
+             s - 3600000000000 AS s, e + 3600000000000 AS e FROM es
+      WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, p.p_event,
+       CASE WHEN p.p_event IS NULL THEN NULL
+            ELSE greatest(c.s, p.s) END AS i_start,
+       CASE WHEN p.p_event IS NULL THEN NULL
+            ELSE least(c.e, p.e) END AS i_stop
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+                  AND greatest(c.s, p.s) < least(c.e, p.e)"""
+
+
 def q_overlap_profile(spark, sf_dir):
     """Per-user concurrency depth profile of event spans (sweep-line):
     disjoint segments + how many spans cover them."""
@@ -4810,6 +4860,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_overlap_profile": (q_overlap_profile, _SQL_OVERLAP_PROFILE),
     "q_interval_semijoin": (q_interval_semijoin, _SQL_SEMIJOIN),
     "q_interval_join_by": (q_interval_join_by, _SQL_JOIN_BY),
+    "q_interval_join_by_keepleft": (
+        q_interval_join_by_keepleft,
+        _SQL_JOIN_BY_KEEPLEFT,
+    ),
     "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
     "q_stream_interval_join": (q_stream_interval_join, _SQL_STREAM_JOIN),

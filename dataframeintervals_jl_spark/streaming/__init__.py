@@ -135,20 +135,28 @@ def stream_interval_join(
     AND supplies the watermark time-range constraint Spark needs to
     emit outer results); the right fan-out grows by
     ``max_span_ns / bin_width_ns`` bins per row — pick ``bin_width_ns``
-    near ``max_span_ns`` when spans are short.
+    near ``max_span_ns`` when spans are short.  ``how='right_outer'``
+    is the mirror image (right side preserved, left side explodes the
+    extended range).  Streaming full outer is intentionally absent:
+    with either side exploded, unmatched bin copies would each
+    null-pad — use two outer joins or the batch operator.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer"):
         raise ValueError(
-            f"unsupported how {how!r}; use 'inner' or 'left_outer'"
+            f"unsupported how {how!r}; use 'inner', 'left_outer' or "
+            "'right_outer' (streaming full outer would null-pad every "
+            "bin copy of the exploded side — use two outer joins or the "
+            "batch operator)"
+        )
+    outer = how != "inner"
+    if outer and max_span_ns is None:
+        raise ValueError(
+            f"stream_interval_join(how={how!r}) requires max_span_ns: "
+            "it bounds the exploded side's bin expansion and provides "
+            "the watermark range constraint outer state eviction needs"
         )
     if bin_width_ns < NS_PER_US:
         raise ValueError("bin_width_ns must be at least one microsecond")
-    if how == "left_outer" and max_span_ns is None:
-        raise ValueError(
-            "stream_interval_join(how='left_outer') requires max_span_ns: "
-            "it bounds the right-side bin expansion and provides the "
-            "watermark range constraint outer state eviction needs"
-        )
     if left.isStreaming and right.isStreaming and max_span_ns is None:
         raise ValueError(
             "stream_interval_join: both inputs are streaming; pass "
@@ -185,16 +193,18 @@ def stream_interval_join(
         d = d.withColumn(f"__ts{tag}", F.timestamp_micros(start_us))
         if df.isStreaming:
             d = d.withWatermark(f"__ts{tag}", watermark)
-        if how == "left_outer" and tag == "_l":
-            # asymmetric scheme: the left row exists ONCE, in its start
-            # bin — outer padding stays one-row-per-unmatched-left
+        keep_tag = {"left_outer": "_l", "right_outer": "_r"}.get(how)
+        if tag == keep_tag:
+            # asymmetric scheme: the preserved side's row exists ONCE,
+            # in its start bin — outer padding stays one row per
+            # unmatched preserved row
             return d.withColumn("__bin", exact_floor_div(start_us, w_us))
         first_us = start_us
-        if how == "left_outer" and tag == "_r":
-            # ...and the right side reaches back far enough to meet any
-            # left start that could overlap it: left starts lie in
-            # (r.start - left_duration, r.stop) ⊆ [r.start - max_span,
-            # r.stop), so cover those bins
+        if keep_tag is not None:
+            # ...and the exploded side reaches back far enough to meet
+            # any preserved-side start that could overlap it: those
+            # starts lie in (start - other_duration, stop) ⊆
+            # [start - max_span, stop), so cover those bins
             first_us = start_us - F.lit(int(max_span_ns) // NS_PER_US)
         return d.withColumn(
             "__bin",

@@ -171,6 +171,27 @@ def test_interval_join_by_date_spans(spark):
     )
 
 
+def test_semi_anti_date_spans(spark, date_tables):
+    from dataframeintervals_jl_spark import (
+        interval_anti_join,
+        interval_semi_join,
+    )
+
+    L, R, ldf, rdf = date_tables
+    matched = {i for i, _ in _brute(L, R)}
+    semi = interval_semi_join(ldf, rdf, strategy="broadcast_right")
+    anti = interval_anti_join(ldf, rdf, strategy="broadcast_right")
+    assert {r["li"] for r in semi.collect()} == matched
+    assert {r["li"] for r in anti.collect()} == set(range(len(L))) - matched
+    # output = left unchanged, including the DATE endpoint domain
+    assert semi.columns == ldf.columns
+    assert isinstance(
+        semi.schema["span"].dataType.fields[0].dataType, T.DateType
+    )
+    row = semi.filter(F.col("li") == 0).first()
+    assert row["span"]["start"] == D(2024, 1, 1)
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],

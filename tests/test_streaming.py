@@ -278,11 +278,38 @@ def test_stream_interval_join_left_outer_batch_mode_parity(spark):
     assert got == expected
 
 
+def test_stream_interval_join_right_outer_batch_mode_parity(spark):
+    """right_outer is the mirror image: parity vs batch keepright."""
+    left = _spans(spark, 8, width=50_000, step=300_000, name="lid")
+    right = _spans(spark, 30, width=90_000, step=60_000, name="rid")
+    expected = sorted(
+        (
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, keepright=True, validate="skip",
+                strategy="broadcast_left",
+            ).select("lid", "rid").collect()
+        ),
+        key=repr,
+    )
+    out = stream_interval_join(
+        left, right, max_span_ns=90_000 * US, how="right_outer"
+    )
+    got = sorted(
+        ((r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()),
+        key=repr,
+    )
+    assert got == expected
+    assert any(lid is None for lid, _ in got), "need unmatched rights"
+
+
 def test_stream_interval_join_left_outer_contract(spark):
     left = _spans(spark, 3, width=90_000, step=60_000, name="lid")
     right = _spans(spark, 3, width=50_000, step=100_000, name="rid")
     with pytest.raises(ValueError, match="left_outer.*requires max_span"):
         stream_interval_join(left, right, how="left_outer")
+    with pytest.raises(ValueError, match="right_outer.*requires max_span"):
+        stream_interval_join(left, right, how="right_outer")
     with pytest.raises(ValueError, match="unsupported how"):
         stream_interval_join(left, right, how="full_outer")
 
