@@ -192,6 +192,37 @@ def test_semi_anti_date_spans(spark, date_tables):
     assert row["span"]["start"] == D(2024, 1, 1)
 
 
+def test_decimal_endpoint_spans(spark):
+    """decimal(38,0) endpoints ride the numeric path directly (no
+    adapter): exact integral semantics, scale-0 decimals count as
+    integral for the binned math."""
+    from dataframeintervals_jl_spark.functions.spans import (
+        span_endpoints_integral,
+    )
+
+    from decimal import Decimal as Dec
+
+    rows_l = [
+        ({"start": Dec(0), "stop": Dec(10)}, 0),
+        ({"start": Dec(20), "stop": Dec(25)}, 1),
+    ]
+    rows_r = [
+        ({"start": Dec(8), "stop": Dec(9)}, 0),
+        ({"start": Dec(11), "stop": Dec(12)}, 1),
+    ]
+    ddl = "span struct<start: decimal(38,0), stop: decimal(38,0)>, {} long"
+    ldf = spark.createDataFrame(rows_l, ddl.format("li"))
+    rdf = spark.createDataFrame(rows_r, ddl.format("ri"))
+    assert span_endpoints_integral(ldf.schema["span"].dataType)
+    j = interval_join(
+        ldf, rdf, validate="skip", strategy="broadcast_right"
+    )
+    assert [(r["li"], r["ri"]) for r in j.collect()] == [(0, 0)]
+    assert isinstance(
+        j.schema["span"].dataType.fields[0].dataType, T.DecimalType
+    )
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
