@@ -76,6 +76,40 @@ def test_no_single_partition_exchange(spark, vocab):
     assert "SinglePartition" not in plan
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_terms = st.lists(
+    st.tuples(
+        # short alphabet + short strings → heavy prefix/count collisions
+        st.text(alphabet="ab¢", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=6),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_terms)
+def test_property_matches_single_window(spark, rows):
+    df = spark.createDataFrame(rows, "term string, cnt long").repartition(4)
+    got = {
+        r["term"]: r["rank"]
+        for r in frequency_rank(df, "cnt", "term", "rank").collect()
+    }
+    want = {
+        r["term"]: r["rank"]
+        for r in _reference_rank(df, "cnt", "term", "rank").collect()
+    }
+    assert got == want
+
+
 def test_vocab_queries_plan_no_single_partition(spark):
     """The three rewritten catalog queries must never regress to the
     keyless-window plan (VERDICT r4 'What's wrong' #1)."""
