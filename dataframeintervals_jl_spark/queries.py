@@ -983,6 +983,47 @@ SELECT es.event_id, es.user_id, w.idx,
 FROM es JOIN w ON {_OVERLAP_SQL}"""
 
 
+def q_stream_join_keepleft(spark, sf_dir):
+    """The STREAMING left-outer interval join in batch-batch mode —
+    asymmetric binning (left keeps its start bin, right explodes back
+    by max_span) — against the plain LEFT JOIN oracle.  Only 2 of 8
+    windows survive the filter, so a large fraction of event spans are
+    genuinely unmatched and exercise the outer padding."""
+    from .streaming import stream_interval_join
+
+    es = event_spans(spark, sf_dir, truncate_us=True).select(
+        "event_id", "user_id", "span"
+    )
+    _, w = _es_windows(spark, sf_dir, 8, "idx")
+    w2 = w.filter(F.col("idx").isin(2, 5))
+    j = stream_interval_join(
+        es,
+        w2,
+        bin_width_ns=21_600_000_000_000,
+        max_span_ns=35 * 86_400_000_000_000,  # > the ~31-day data range
+        how="left_outer",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "idx",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_STREAM_JOIN_KEEPLEFT = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')},
+w2 AS (SELECT * FROM w WHERE idx IN (2, 5))
+SELECT es.event_id, es.user_id, w2.idx,
+       CASE WHEN w2.idx IS NULL THEN NULL
+            ELSE greatest(es.s, w2.w_start) END AS i_start,
+       CASE WHEN w2.idx IS NULL THEN NULL
+            ELSE least(es.e, w2.w_stop) END AS i_stop
+FROM es LEFT JOIN w2
+  ON greatest(es.s, w2.w_start) < least(es.e, w2.w_stop)"""
+
+
 def q_merge_spans(spark, sf_dir):
     """Interval coalesce (span-set union): 1-hour event spans merged
     into per-user coverage islands — gaps-and-islands, one shuffle."""
@@ -4867,6 +4908,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
     "q_stream_interval_join": (q_stream_interval_join, _SQL_STREAM_JOIN),
+    "q_stream_join_keepleft": (
+        q_stream_join_keepleft,
+        _SQL_STREAM_JOIN_KEEPLEFT,
+    ),
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),
     "q_multimodal_frames": (q_multimodal_frames, _SQL_MM_FRAMES),
@@ -4978,6 +5023,7 @@ _GATE_PREFIX = [
     "q_interval_join_date",
     "q_interval_join_by_keepleft",
     "q_validity_intervals_global",
+    "q_stream_join_keepleft",
     # riskiest round-3/4 surface, previously driver-unverified
     "q_build_vocab",
     "q_mean_token_rank",
