@@ -1716,6 +1716,9 @@ def q_interval_join_by_keepleft(spark, sf_dir):
             F.col("span.start") - F.lit(pad), F.col("span.stop") + F.lit(pad)
         ).alias("span"),
     )
+    # explicit 7-day bins: the key already partitions the join, so wide
+    # bins minimize explode fan-out (measured 1.9s vs 3.7s with the
+    # global-join width estimate at sf0.1) and skip the stats scans
     j = interval_join_by(
         clicks,
         purch,
@@ -1723,6 +1726,7 @@ def q_interval_join_by_keepleft(spark, sf_dir):
         keepleft=True,
         validate="skip",
         strategy="binned",
+        bin_width=7 * 24 * 3_600_000_000_000,
     )
     return j.select(
         "user_id",
