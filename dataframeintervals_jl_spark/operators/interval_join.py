@@ -1078,12 +1078,32 @@ def point_in_span_join(
     if ts_col not in points.columns:
         raise ValueError(f"point_in_span_join: no column {ts_col!r} in points")
     dt = points.schema[ts_col].dataType.simpleString()
-    if dt not in ("bigint", "int", "smallint", "tinyint"):
+    span_dom = (
+        span_endpoint_domain(spans.schema[on].dataType)
+        if on in spans.columns
+        else None
+    )
+    if dt == "date" and span_dom == "date":
+        # date-stabbing (SCD2 date lookups): [d, d+1) over day ordinals
+        # is exact; interval_join's domain adapter converts the span
+        # side to the same unit
+        ts = F.unix_date(F.col(ts_col)).cast("long")
+    elif dt in ("timestamp", "timestamp_ntz") and span_dom in (
+        "timestamp",
+        "timestamp_ntz",
+    ):
+        # µs-stabbing over epoch-µs ordinals (UTC-pinned NTZ cast, same
+        # contract as span_from_timestamps)
+        ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    elif dt not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
             "point_in_span_join: ts_col must be an integral epoch-ns "
-            f"column (the [t, t+1) encoding is exact only there), got {dt}"
+            "column, or a date/timestamp column paired with spans of "
+            f"the same endpoint domain; got {dt} points over "
+            f"{span_dom or 'numeric'} spans"
         )
-    ts = F.col(ts_col).cast("long")
+    else:
+        ts = F.col(ts_col).cast("long")
     pts = points.withColumn(on, F.struct(ts.alias("start"), (ts + 1).alias("stop")))
     joined = interval_join(
         pts,

@@ -223,6 +223,42 @@ def test_decimal_endpoint_spans(spark):
     )
 
 
+def test_point_in_span_join_date_domain(spark):
+    """Date-stabbing: each (key, date) point picks the SCD2-style date
+    interval containing it; containment is [start, stop)."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        point_in_span_join,
+    )
+
+    spans = spark.createDataFrame(
+        [
+            ({"start": D(2024, 1, 1), "stop": D(2024, 2, 1)}, "jan"),
+            ({"start": D(2024, 2, 1), "stop": D(2024, 3, 1)}, "feb"),
+        ],
+        "span struct<start: date, stop: date>, label string",
+    )
+    points = spark.createDataFrame(
+        [(D(2024, 1, 31), 0), (D(2024, 2, 1), 1), (D(2024, 3, 1), 2)],
+        "ts date, pid long",
+    )
+    j = point_in_span_join(
+        points, spans, keep_unmatched=True, validate="skip",
+        strategy="broadcast_right",
+    )
+    got = {r["pid"]: r["label"] for r in j.collect()}
+    assert got == {0: "jan", 1: "feb", 2: None}
+    assert isinstance(
+        j.schema["span_right"].dataType.fields[0].dataType, T.DateType
+    )
+    # mismatched pairing still rejected
+    with pytest.raises(ValueError, match="endpoint domain"):
+        point_in_span_join(
+            points.select(F.col("ts").cast("timestamp").alias("ts"), "pid"),
+            spans,
+            validate="skip",
+        )
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
