@@ -97,8 +97,12 @@ def _adapt_endpoint_domains(left, right, on):
 
     Date may not mix with timestamp (no common ordinal unit — a day is
     not a µs count); timestamp and timestamp_ntz MAY mix (both become
-    epoch-µs under the UTC-pinned session).  ``(None, None)`` means
-    numeric spans — the no-op fast path."""
+    epoch-µs under the UTC-pinned session).  A domain side MAY mix with
+    a numeric side — the numeric side is then taken AS the ordinal unit
+    (days for date, epoch-µs for timestamps; this is what
+    ``point_in_span_join``'s encoded points rely on), which is the
+    caller's responsibility.  ``(None, None)`` means numeric spans —
+    the no-op fast path."""
     lon, ron = _resolve_on(on)
     dl = (
         span_endpoint_domain(left.schema[lon].dataType)

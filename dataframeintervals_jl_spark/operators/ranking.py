@@ -63,6 +63,10 @@ def frequency_rank(
     Requirements: ``count_col`` >= 1 (a groupBy-count is), ``tie_col``
     non-null and unique per row (a distinct-term table is).
     """
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists in the input"
+        )
     spark = df.sparkSession
     cnt = F.col(count_col).cast("long")
 
