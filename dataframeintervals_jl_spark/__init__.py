@@ -24,11 +24,13 @@ from .functions.spans import (
     make_span,
     span_contains,
     span_duration,
+    span_from_ordinal,
     span_from_timestamps,
     span_intersect,
     span_iou,
     span_start,
     span_stop,
+    span_to_ordinal,
     spans_overlap,
 )
 from .operators.asof_join import asof_join
@@ -97,6 +99,7 @@ from .operators.cdc import (
     snapshot_diff,
 )
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
+from .operators.ranking import frequency_rank
 from .operators.sessionize import sessionize
 from .operators.skew import salted_join
 from .operators.similarity import (
@@ -187,10 +190,12 @@ __all__ = [
     "setup_column_names",
     "span_contains",
     "span_duration",
+    "span_from_ordinal",
     "span_from_timestamps",
     "span_intersect",
     "span_start",
     "span_stop",
+    "span_to_ordinal",
     "spans_overlap",
     "allen_relation",
     "ALLEN_RELATIONS",
@@ -221,6 +226,7 @@ __all__ = [
     "semantic_dedup",
     "write_zordered",
     "zorder_value",
+    "frequency_rank",
     "salted_join",
     "stream_latest_by_key",
     "redact_pii",
