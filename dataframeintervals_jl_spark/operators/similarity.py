@@ -1090,3 +1090,63 @@ def semantic_dedup(
         "cell",
         F.col("__id_a").isNull().alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dimensionality reduction: deterministic sign random projection
+# ---------------------------------------------------------------------------
+
+
+def random_projection(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    out_dims: int = 8,
+    scale: int = 1_000_000,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: append ``out_col``
+    = ``array<long>`` of ``out_dims`` components, ``y_j = Σ_i s(i,j)·
+    round(x_i·scale)`` with ``s(i,j) ∈ {+1,-1}`` derived from pure
+    integer arithmetic (``xor(i·73856093, j·19349663) >> 13 & 1``) — a
+    deterministic Achlioptas-style projection any engine replays
+    bit-for-bit (the DuckDB oracle mirrors it with a 2-arg list
+    lambda).
+
+    The standard pre-ANN scale move: shrink wide embeddings before
+    LSH/IVF bucketing so the candidate-generation state is
+    ``out_dims/in_dims`` the size while pairwise distances are
+    JL-preserved in expectation.  Pure Column expressions — map-only,
+    whole-stage codegen, zero Python on the hot path; fixed-point
+    bigint sums are exact (|x|≤scale, 64 dims → |y| ≤ 6.4e7 ≪ 2^63).
+    """
+    if out_dims <= 0:
+        raise ValueError(f"out_dims must be positive, got {out_dims}")
+    xf = F.transform(
+        F.col(emb_col),
+        lambda v: F.round(v.cast("double") * scale).cast("long"),
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1)
+
+    def _sign(j: int):
+        cj = F.lit(int(j) * 19349663)
+
+        def s(i):
+            # sequence() yields INT — widen before the multiply (ANSI
+            # mode makes int overflow a runtime error, not a wrap)
+            h = (i.cast("long") * F.lit(73856093)).bitwiseXOR(cj)
+            return F.lit(1) - F.lit(2) * (
+                F.shiftright(h, 13).bitwiseAND(F.lit(1))
+            )
+
+        return s
+
+    def _dim(j: int):
+        sgn = _sign(j)
+        terms = F.zip_with(xf, idx, lambda x, i: x * sgn(i))
+        return F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+        )
+
+    return df.withColumn(
+        out_col, F.array(*[_dim(j) for j in range(out_dims)])
+    )

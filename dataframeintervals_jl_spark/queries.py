@@ -698,6 +698,35 @@ pairs AS (
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= 5"""
 
 
+def q_random_projection(spark, sf_dir):
+    """Deterministic JL sign projection of the 64-d embeddings to 8
+    bigint components — map-only pure expressions, exact fixed-point
+    sums, mirrored bit-for-bit by the DuckDB 2-arg-lambda oracle.  The
+    pre-ANN dimensionality-reduction step at corpus scale."""
+    from .operators.similarity import random_projection
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dims=8)
+    return proj.select("vec_id", F.posexplode("proj")).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("j"),
+        F.col("col").alias("y"),
+    )
+
+
+_SQL_RANDOM_PROJECTION = """WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+  FROM embeddings
+), js AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j)
+SELECT e.vec_id, js.j,
+       CAST(list_sum(list_transform(e.v, (x, i) ->
+         x * (1 - 2 * ((xor((i-1)*73856093, js.j*19349663) >> 13) & 1))))
+         AS BIGINT) AS y
+FROM e, js"""
+
+
 def q_lang_id(spark, sf_dir):
     from .functions.text import lang_id
 
@@ -4893,6 +4922,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
     "q_hash_split": (q_hash_split, _SQL_HASH_SPLIT),
     "q_similarity_topk": (q_similarity_topk, _SQL_SIMILARITY_TOPK),
+    "q_random_projection": (q_random_projection, _SQL_RANDOM_PROJECTION),
     "q_lang_id": (q_lang_id, _SQL_LANG_ID),
     "q_quality_score": (q_quality_score, _SQL_QUALITY),
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
@@ -5028,6 +5058,7 @@ _GATE_PREFIX = [
     "q_interval_join_by_keepleft",
     "q_validity_intervals_global",
     "q_stream_join_keepleft",
+    "q_random_projection",
     # riskiest round-3/4 surface, previously driver-unverified
     "q_build_vocab",
     "q_mean_token_rank",

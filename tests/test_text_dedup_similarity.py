@@ -711,3 +711,29 @@ def test_semantic_dup_pairs_consistent_with_dedup(spark):
     assert dropped == dropped_from_pairs
     for r in pairs.collect():
         assert r["id_a"] < r["id_b"]
+
+
+def test_random_projection_deterministic_and_shaped(spark):
+    """Same input vector -> identical projection regardless of
+    partitioning; output is out_dims exact bigints; JL sanity: the
+    projection of v and 2v scales linearly (pure linearity check that
+    would catch any sign/index drift)."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        random_projection,
+    )
+
+    import pyspark.sql.functions as F
+
+    v = [round(0.01 * i - 0.3, 4) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, [2 * x for x in v])],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(df, out_dims=8).collect()
+    }
+    assert len(out[1]) == 8 and out[1] == out[2]
+    assert out[3] == [2 * y for y in out[1]]
+    with __import__("pytest").raises(ValueError, match="out_dims"):
+        random_projection(df, out_dims=0)
