@@ -194,7 +194,8 @@ def span_from_ordinal(span, domain: str) -> Column:
 
     def conv(f):
         if domain == "date":
-            return F.date_from_unix_date(f)
+            # day ordinals fit int; the source may carry them as long
+            return F.date_from_unix_date(f.cast("int"))
         ts = F.timestamp_micros(f.cast("long"))
         return ts.cast("timestamp_ntz") if domain == "timestamp_ntz" else ts
 

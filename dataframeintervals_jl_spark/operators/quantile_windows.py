@@ -22,31 +22,77 @@ The DuckDB oracle uses the same integer formula.
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import Iterable, Optional, Tuple, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.spans import make_span
+from ..functions.spans import (
+    make_span,
+    span_endpoint_domain,
+    span_from_ordinal,
+    span_to_ordinal,
+)
 
 Span = Tuple[int, int]
 
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
 
-def dfspan(df: DataFrame, spancol: str = "span") -> Optional[Span]:
+
+def _ordinal_to_py(v: int, domain: str):
+    if domain == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    return _EPOCH_DT + _dt.timedelta(microseconds=v)
+
+
+def _py_to_ordinal(v) -> Tuple[int, Optional[str]]:
+    """(ordinal, domain) for a python endpoint: date → days since
+    epoch, datetime → epoch-µs, int → itself (no domain)."""
+    if isinstance(v, _dt.datetime):
+        delta = v.replace(tzinfo=None) - _EPOCH_DT
+        return delta // _dt.timedelta(microseconds=1), "timestamp"
+    if isinstance(v, _dt.date):
+        return (v - _EPOCH_DATE).days, "date"
+    return int(v), None
+
+
+def _ordinal_bounds(
+    df: DataFrame, spancol: str, domain: Optional[str]
+) -> Optional[Span]:
+    c = (
+        F.col(spancol)
+        if domain is None
+        else span_to_ordinal(F.col(spancol), domain)
+    )
+    row = df.agg(
+        F.min(c.getField("start")).alias("lo"),
+        F.max(c.getField("stop")).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None or row["hi"] is None:
+        return None
+    return int(row["lo"]), int(row["hi"])
+
+
+def dfspan(df: DataFrame, spancol: str = "span"):
     """Covering span ``[min(start), max(stop))`` of an interval column.
 
     Parity: ``dfspan`` = ``superset(IntervalSet(...))``
     (/root/reference/src/DataFrameIntervals.jl:380-387); ``None`` on
     empty input.  One tiny agg action (min/max are partial-aggregated
-    map-side, so this scales to any row count).
+    map-side, so this scales to any row count).  Generic over endpoint
+    domains like the reference (src:31-46): date / timestamp /
+    timestamp_ntz span columns return ``(date, date)`` /
+    ``(datetime, datetime)`` endpoints.
     """
-    row = df.agg(
-        F.min(F.col(spancol).getField("start")).alias("lo"),
-        F.max(F.col(spancol).getField("stop")).alias("hi"),
-    ).first()
-    if row is None or row["lo"] is None or row["hi"] is None:
+    domain = span_endpoint_domain(df.schema[spancol].dataType)
+    b = _ordinal_bounds(df, spancol, domain)
+    if b is None:
         return None
-    return int(row["lo"]), int(row["hi"])
+    if domain is None:
+        return b
+    return _ordinal_to_py(b[0], domain), _ordinal_to_py(b[1], domain)
 
 
 def quantile_windows(
@@ -67,9 +113,25 @@ def quantile_windows(
     Output: ``spancol`` struct column + label column; n rows.  Built
     from ``spark.range(n)`` with pure integer expressions — the windows
     table is tiny and is the natural broadcast side of interval joins.
+
+    Generic over endpoint domains (reference src:31-46): a DataFrame
+    with date/timestamp spans — or a ``(date, date)`` /
+    ``(datetime, datetime)`` pair — yields windows in that domain
+    (boundaries computed on exact integer ordinals, restored on
+    output), ready to join against same-domain span tables.
     """
+    domain = None
     if isinstance(span, DataFrame):
-        span = dfspan(span, spancol)
+        domain = span_endpoint_domain(span.schema[spancol].dataType)
+        span = _ordinal_bounds(span, spancol, domain)
+    elif span is not None:
+        lo_v, dom_lo = _py_to_ordinal(span[0])
+        hi_v, dom_hi = _py_to_ordinal(span[1])
+        if dom_lo != dom_hi:
+            raise ValueError(
+                f"span endpoints must share a domain, got {span!r}"
+            )
+        domain, span = dom_lo, (lo_v, hi_v)
     if span is None:
         return None
     lo, hi = int(span[0]), int(span[1])
@@ -92,15 +154,20 @@ def quantile_windows(
         (idx + 1).cast("long").alias("__dfi_i"),
     )
 
+    span_out = (
+        F.col(spancol)
+        if domain is None
+        else span_from_ordinal(F.col(spancol), domain).alias(spancol)
+    )
     if isinstance(label, tuple):
         label_name, values = label
         vals = list(values)
         if len(vals) != n:
             raise ValueError(f"label values must have length {n}, got {len(vals)}")
         arr = F.array(*[F.lit(v) for v in vals])
-        win = win.select(spancol, arr[F.col("__dfi_i") - 1].alias(label_name))
+        win = win.select(span_out, arr[F.col("__dfi_i") - 1].alias(label_name))
     else:
-        win = win.select(spancol, F.col("__dfi_i").alias(label))
+        win = win.select(span_out, F.col("__dfi_i").alias(label))
     return win
 
 

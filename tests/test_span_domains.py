@@ -259,6 +259,39 @@ def test_point_in_span_join_date_domain(spark):
         )
 
 
+def test_quantile_windows_and_dfspan_date_domain(spark, date_tables):
+    """dfspan returns (date, date); quantile_windows tiles the covering
+    date span with contiguous DATE windows that join back against the
+    source rows (generic-T parity end-to-end)."""
+    from dataframeintervals_jl_spark import dfspan, quantile_windows
+
+    L, _, ldf, _ = date_tables
+    lo, hi = dfspan(ldf)
+    assert (lo, hi) == (D(2024, 1, 1), D(2024, 3, 2))
+    w = quantile_windows(spark, 4, ldf, label="qtr")
+    rows = sorted(
+        ((r["span"]["start"], r["span"]["stop"]) for r in w.collect())
+    )
+    # contiguous tiling of [lo, hi) in the date domain
+    assert rows[0][0] == lo and rows[-1][1] == hi
+    for (s1, e1), (s2, e2) in zip(rows, rows[1:]):
+        assert e1 == s2
+    assert isinstance(
+        w.schema["span"].dataType.fields[0].dataType, T.DateType
+    )
+    j = interval_join(ldf, w, validate="skip", strategy="broadcast_right")
+    assert j.count() >= len(L)
+    # tuple input with python dates
+    w2 = quantile_windows(spark, 2, (D(2024, 1, 1), D(2024, 1, 5)))
+    got = sorted(
+        (r["span"]["start"], r["span"]["stop"]) for r in w2.collect()
+    )
+    assert got == [
+        (D(2024, 1, 1), D(2024, 1, 3)),
+        (D(2024, 1, 3), D(2024, 1, 5)),
+    ]
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
