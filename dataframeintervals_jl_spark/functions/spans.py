@@ -206,6 +206,20 @@ def span_from_ordinal(span, domain: str) -> Column:
     return F.when(s.isNotNull(), out)
 
 
+def py_endpoint_to_ordinal(v):
+    """(ordinal, domain) for a python endpoint value: date → days since
+    epoch, datetime → epoch-µs (naive/UTC), int → itself (no domain).
+    The scalar twin of :func:`span_to_ordinal` for lo/hi arguments."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        delta = v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+        return delta // _dt.timedelta(microseconds=1), "timestamp"
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days, "date"
+    return int(v), None
+
+
 def span_from_timestamps(start_ts, stop_ts) -> Column:
     """Build a span from two (microsecond-precision) timestamp columns.
 

@@ -26,7 +26,13 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.spans import make_span
+from ..functions.spans import (
+    make_span,
+    py_endpoint_to_ordinal,
+    span_endpoint_domain,
+    span_from_ordinal,
+    span_to_ordinal,
+)
 
 _B = "__dfi_mrg_bucket"
 _PMAX = "__dfi_mrg_pmax"
@@ -36,6 +42,22 @@ _ISL = "__dfi_mrg_isl"
 
 def _by_cols(by) -> list:
     return [by] if isinstance(by, str) else list(by or [])
+
+
+def _to_ordinal(df: DataFrame, spancol: str):
+    """Entry adapter for the generic-endpoint-domain contract (same as
+    interval_join's): date/timestamp span columns compute on exact
+    integer ordinals; ``None`` domain = numeric no-op."""
+    dom = span_endpoint_domain(df.schema[spancol].dataType)
+    if dom is None:
+        return df, None
+    return df.withColumn(spancol, span_to_ordinal(F.col(spancol), dom)), dom
+
+
+def _restore_ordinal(df: DataFrame, spancol: str, dom):
+    if dom is None:
+        return df
+    return df.withColumn(spancol, span_from_ordinal(F.col(spancol), dom))
 
 
 def merge_spans(
@@ -50,7 +72,15 @@ def merge_spans(
     (inputs merged into it).  ``merge_touching=True`` (default) also
     merges exactly-adjacent spans ``[a,b) + [b,c) -> [a,c)``;
     ``False`` keeps them separate (strict-overlap islands).
+
+    Generic over endpoint domains: date/timestamp span columns merge on
+    exact integer ordinals and return islands in the input domain.
     """
+    df, _dom = _to_ordinal(df, spancol)
+    if _dom is not None:
+        return _restore_ordinal(
+            merge_spans(df, spancol, by, merge_touching), spancol, _dom
+        )
     by_cols = _by_cols(by)
     start = F.col(spancol).getField("start")
     stop = F.col(spancol).getField("stop")
@@ -165,7 +195,11 @@ def span_gaps(
 ) -> DataFrame:
     """The uncovered gaps between a table's coalesced islands, per key:
     one row per gap ``[island_i.stop, island_{i+1}.start)``.  Touching
-    islands produce no gap (merged away by :func:`merge_spans`)."""
+    islands produce no gap (merged away by :func:`merge_spans`).
+    Generic over endpoint domains like :func:`merge_spans`."""
+    df, _dom = _to_ordinal(df, spancol)
+    if _dom is not None:
+        return _restore_ordinal(span_gaps(df, spancol, by), spancol, _dom)
     by_cols = _by_cols(by)
     merged = merge_spans(df, spancol, by, merge_touching=True)
     start = F.col(spancol).getField("start")
@@ -239,6 +273,11 @@ def overlap_profile(
     ``lead`` are corrected from two O(buckets) driver summaries — the
     same structure as the global :func:`merge_spans`.
     """
+    df, _dom = _to_ordinal(df, spancol)
+    if _dom is not None:
+        return _restore_ordinal(
+            overlap_profile(df, spancol, by), spancol, _dom
+        )
     by_cols = _by_cols(by)
     start = F.col(spancol).getField("start")
     stop = F.col(spancol).getField("stop")
@@ -341,7 +380,21 @@ def span_complement(
     :func:`merge_spans` islands — head ``[lo, first_start)``, the gaps,
     tail ``[last_stop, hi)``; zero-width pieces dropped.  Keys absent
     from ``right`` produce no rows (callers handle passthrough).
+    Generic over endpoint domains: with a date/timestamp span column,
+    pass ``lo`` / ``hi`` as python ``date`` / ``datetime`` values.
     """
+    right, _dom = _to_ordinal(right, spancol)
+    if _dom is not None:
+        lo_v, dom_lo = py_endpoint_to_ordinal(lo)
+        hi_v, dom_hi = py_endpoint_to_ordinal(hi)
+        if (dom_lo or _dom) != _dom or (dom_hi or _dom) != _dom:
+            raise ValueError(
+                f"span_complement bounds {lo!r}..{hi!r} do not match the "
+                f"{_dom} span column"
+            )
+        return _restore_ordinal(
+            span_complement(right, lo_v, hi_v, spancol, by), spancol, _dom
+        )
     by_cols = _by_cols(by)
     isl = merge_spans(right, spancol, by)
     start = F.col(spancol).getField("start")
@@ -397,6 +450,25 @@ def span_difference(
     (tiny, distinct-key) island table.
     """
     from .interval_join import interval_join  # local: avoid import cycle
+
+    rcol0 = right_spancol or spancol
+    left, _dl = _to_ordinal(left, spancol)
+    right, _dr = _to_ordinal(right, rcol0)
+    if _dl is not None or _dr is not None:
+        if (
+            _dl is not None
+            and _dr is not None
+            and (_dl == "date") != (_dr == "date")
+        ):
+            raise ValueError(
+                "span_difference: left and right span domains do not "
+                f"share an ordinal unit ({_dl} vs {_dr})"
+            )
+        return _restore_ordinal(
+            span_difference(left, right, spancol, by, right_spancol),
+            spancol,
+            _dl or _dr,
+        )
 
     by_cols = _by_cols(by)
     rcol = right_spancol or spancol
@@ -473,7 +545,10 @@ def span_coverage(
     by: Union[str, Sequence[str], None] = None,
 ) -> DataFrame:
     """Total covered duration per key (overlaps counted ONCE — the
-    measure of the span-set union, not the sum of raw durations)."""
+    measure of the span-set union, not the sum of raw durations).
+    Domain spans report in ordinal units (days for date, µs for
+    timestamps)."""
+    df, _ = _to_ordinal(df, spancol)  # duration needs arithmetic units
     by_cols = _by_cols(by)
     merged = merge_spans(df, spancol, by, merge_touching=True)
     dur = F.col(spancol).getField("stop") - F.col(spancol).getField("start")

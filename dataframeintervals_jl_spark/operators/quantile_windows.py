@@ -48,14 +48,9 @@ def _ordinal_to_py(v: int, domain: str):
 
 
 def _py_to_ordinal(v) -> Tuple[int, Optional[str]]:
-    """(ordinal, domain) for a python endpoint: date → days since
-    epoch, datetime → epoch-µs, int → itself (no domain)."""
-    if isinstance(v, _dt.datetime):
-        delta = v.replace(tzinfo=None) - _EPOCH_DT
-        return delta // _dt.timedelta(microseconds=1), "timestamp"
-    if isinstance(v, _dt.date):
-        return (v - _EPOCH_DATE).days, "date"
-    return int(v), None
+    from ..functions.spans import py_endpoint_to_ordinal
+
+    return py_endpoint_to_ordinal(v)
 
 
 def _ordinal_bounds(

@@ -292,6 +292,72 @@ def test_quantile_windows_and_dfspan_date_domain(spark, date_tables):
     ]
 
 
+def test_set_algebra_date_domain(spark):
+    """merge/gaps/complement/difference/coverage/profile over DATE
+    spans: computed on day ordinals, returned in the date domain."""
+    from dataframeintervals_jl_spark import (
+        merge_spans,
+        overlap_profile,
+        span_complement,
+        span_coverage,
+        span_difference,
+        span_gaps,
+    )
+
+    rows = [
+        (D(2024, 1, 1), D(2024, 1, 5)),
+        (D(2024, 1, 4), D(2024, 1, 8)),   # overlaps → one island
+        (D(2024, 1, 20), D(2024, 1, 25)),
+    ]
+    df = spark.createDataFrame(
+        [({"start": s, "stop": e},) for s, e in rows],
+        "span struct<start: date, stop: date>",
+    )
+    islands = sorted(
+        (r["span"]["start"], r["span"]["stop"], r["n_spans"])
+        for r in merge_spans(df).collect()
+    )
+    assert islands == [
+        (D(2024, 1, 1), D(2024, 1, 8), 2),
+        (D(2024, 1, 20), D(2024, 1, 25), 1),
+    ]
+    gaps = [
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_gaps(df).collect()
+    ]
+    assert gaps == [(D(2024, 1, 8), D(2024, 1, 20))]
+    comp = sorted(
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_complement(
+            df, D(2023, 12, 30), D(2024, 2, 1)
+        ).collect()
+    )
+    assert comp == [
+        (D(2023, 12, 30), D(2024, 1, 1)),
+        (D(2024, 1, 8), D(2024, 1, 20)),
+        (D(2024, 1, 25), D(2024, 2, 1)),
+    ]
+    cov = span_coverage(df).first()
+    assert (cov["covered"], cov["n_islands"]) == (12, 2)  # days
+    prof = sorted(
+        (r["span"]["start"], r["span"]["stop"], r["depth"])
+        for r in overlap_profile(df).collect()
+    )
+    assert (D(2024, 1, 4), D(2024, 1, 5), 2) in prof
+    left = spark.createDataFrame(
+        [({"start": D(2024, 1, 1), "stop": D(2024, 1, 31)}, 7)],
+        "span struct<start: date, stop: date>, lid long",
+    )
+    frags = sorted(
+        (r["span"]["start"], r["span"]["stop"])
+        for r in span_difference(left, df).collect()
+    )
+    assert frags == [
+        (D(2024, 1, 8), D(2024, 1, 20)),
+        (D(2024, 1, 25), D(2024, 1, 31)),
+    ]
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
