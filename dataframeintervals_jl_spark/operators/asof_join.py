@@ -260,6 +260,40 @@ def asof_join(
         if c not in right.columns:
             raise ValueError(f"column {c!r} not found in right table")
 
+    # generic domains (same contract as the interval joins): date /
+    # timestamp on-columns compute on exact integer ordinals (days /
+    # epoch-µs) and the two output time columns restore each side's
+    # domain.  Without this, a date column would fail the tagged union
+    # and a timestamp would be cast to lossy SECONDS.
+    def _dom_of(df, c):
+        t = df.schema[c].dataType.simpleString()
+        return t if t in ("date", "timestamp", "timestamp_ntz") else None
+
+    dom_l, dom_r = _dom_of(left, left_on), _dom_of(right, right_on)
+    if (dom_l is None) != (dom_r is None) or (
+        dom_l is not None and (dom_l == "date") != (dom_r == "date")
+    ):
+        raise ValueError(
+            f"asof_join `on` domains do not match: left is "
+            f"{dom_l or 'numeric'}, right is {dom_r or 'numeric'}"
+        )
+    if dom_l is not None:
+        import datetime as _dt
+
+        def _conv(c, dom):
+            if dom == "date":
+                return F.unix_date(c).cast("long")
+            return F.unix_micros(c.cast("timestamp"))
+
+        left = left.withColumn(left_on, _conv(F.col(left_on), dom_l))
+        right = right.withColumn(right_on, _conv(F.col(right_on), dom_r))
+        if isinstance(tolerance, _dt.timedelta):
+            tolerance = (
+                tolerance.days
+                if dom_l == "date"
+                else tolerance // _dt.timedelta(microseconds=1)
+            )
+
     right_payload = [c for c in right.columns if c != right_on and c not in by_cols]
     out_right_names = {c: f"{c}{suffix}" for c in right_payload}
     clash = [n for n in out_right_names.values() if n in left.columns]
@@ -362,8 +396,22 @@ def asof_join(
             gap = F.abs(F.col(_RTIME) - F.col(left_on).cast("long"))
         matched = matched & (gap <= F.lit(int(tolerance)))
 
-    out = [F.col(c) for c in left.columns]
-    out.append(F.when(matched, F.col(_RTIME)).alias(f"{left_on}{suffix}"))
+    def _back(col, dom):
+        if dom == "date":
+            return F.date_from_unix_date(col.cast("int"))
+        ts = F.timestamp_micros(col.cast("long"))
+        return ts.cast("timestamp_ntz") if dom == "timestamp_ntz" else ts
+
+    out = [
+        _back(F.col(c), dom_l).alias(c)
+        if (c == left_on and dom_l is not None)
+        else F.col(c)
+        for c in left.columns
+    ]
+    rt = F.when(matched, F.col(_RTIME))
+    if dom_r is not None:
+        rt = _back(rt, dom_r)
+    out.append(rt.alias(f"{left_on}{suffix}"))
     for c in right_payload:
         out.append(
             F.when(matched, F.col(_CARRY).getField(c)).alias(out_right_names[c])

@@ -217,3 +217,54 @@ def test_nearest_tolerance_absolute(spark):
         )
     )
     assert got[1] == (200, 2.0)
+
+
+def test_asof_join_date_and_timestamp_domains(spark):
+    """Date/timestamp on-columns: exact ordinal as-of semantics, both
+    output time columns restored to their side's domain, timedelta
+    tolerance honored; mismatched domains rejected."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from dataframeintervals_jl_spark import asof_join
+
+    D = dt.date
+    left = spark.createDataFrame(
+        [(D(2024, 1, 10), 0), (D(2024, 1, 2), 1), (D(2023, 12, 1), 2)],
+        "ts date, lid long",
+    )
+    right = spark.createDataFrame(
+        [(D(2024, 1, 1), "a"), (D(2024, 1, 10), "b")],
+        "ts date, tag string",
+    )
+    j = asof_join(left, right, on="ts", direction="backward")
+    got = {r["lid"]: (r["ts_right"], r["tag_right"]) for r in j.collect()}
+    assert got == {
+        0: (D(2024, 1, 10), "b"),  # exact tie matches backward
+        1: (D(2024, 1, 1), "a"),
+        2: (None, None),  # before every right row
+    }
+    assert isinstance(j.schema["ts"].dataType, T.DateType)
+    assert isinstance(j.schema["ts_right"].dataType, T.DateType)
+    # timedelta tolerance in days
+    jt = asof_join(
+        left, right, on="ts", direction="backward",
+        tolerance=dt.timedelta(days=3),
+    )
+    gt = {r["lid"]: r["tag_right"] for r in jt.collect()}
+    assert gt == {0: "b", 1: "a", 2: None}
+    # timestamps: µs-exact nearest
+    ts0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    lts = spark.createDataFrame(
+        [(ts0 + dt.timedelta(microseconds=7), 0)], "ts timestamp, lid long"
+    )
+    rts = spark.createDataFrame(
+        [(ts0, "lo"), (ts0 + dt.timedelta(microseconds=20), "hi")],
+        "ts timestamp, tag string",
+    )
+    jn = asof_join(lts, rts, on="ts", direction="nearest")
+    assert jn.first()["tag_right"] == "lo"  # 7µs < 13µs
+    with pytest.raises(ValueError, match="domains do not match"):
+        asof_join(left, rts, on="ts")
