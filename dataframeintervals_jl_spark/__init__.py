@@ -141,6 +141,7 @@ from .streaming import (
     stream_latest_by_key,
     stream_exact_dedup,
     stream_interval_join,
+    stream_validity_intervals,
     stream_merge_spans,
     stream_minhash_candidates,
     stream_resample_locf,
@@ -269,6 +270,7 @@ __all__ = [
     "stream_exact_dedup",
     "stream_minhash_candidates",
     "stream_interval_join",
+    "stream_validity_intervals",
     "stream_merge_spans",
     "stream_sessionize",
     "stream_tumbling_agg",

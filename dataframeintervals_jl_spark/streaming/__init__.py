@@ -1020,3 +1020,113 @@ def stream_hampel(
     return src.groupBy(*by_cols).applyInPandasWithState(
         scan, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_validity_intervals(
+    events: DataFrame,
+    attrs: Sequence[str],
+    on: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming SCD2 construction — the unbounded counterpart of batch
+    :func:`~..operators.timeseries.validity_intervals`: one row per
+    CLOSED run of unchanged ``attrs``, ``[valid_from, valid_to)``.
+
+    Append-mode semantics: a run emits when the NEXT run's first event
+    closes it; each key's current run stays open in state (batch mode
+    emits it with null ``valid_to`` — streaming never can, an unbounded
+    stream may always extend it), so streaming output == the batch
+    operator's non-null-``valid_to`` rows — the parity oracle.
+
+    Custom stateful operator (``applyInPandasWithState``): per-key
+    state is the open run's attrs + start time — independent of stream
+    length.  Null attribute values are values (null-safe change
+    comparison, same contract as batch).  In-order per-key arrival
+    assumed (see :func:`stream_cusum`).  Batch inputs delegate to the
+    batch operator.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_validity_intervals requires at least one key")
+    attrs = list(attrs)
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+
+    if not events.isStreaming:
+        from ..operators.timeseries import validity_intervals
+
+        return validity_intervals(
+            events,
+            attrs=attrs,
+            on=on,
+            by=by_cols,
+            order=[order_tiebreak] if order_tiebreak else (),
+        )
+
+    on_type = events.schema[on].dataType
+    key_fields = [events.schema[c] for c in by_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [events.schema[a] for a in attrs]
+        + [
+            T.StructField("valid_from", on_type),
+            T.StructField("valid_to", on_type),
+        ]
+    )
+    # state: open-run attrs (their own types) + run start + a has-run flag
+    state_schema = T.StructType(
+        [T.StructField(f"a_{i}", events.schema[a].dataType)
+         for i, a in enumerate(attrs)]
+        + [
+            T.StructField("run_from", on_type),
+            T.StructField("has_run", T.BooleanType()),
+        ]
+    )
+    order = [on] + ([order_tiebreak] if order_tiebreak else [])
+    src = events.select(
+        *by_cols, *([order_tiebreak] if order_tiebreak else []), on, *attrs
+    )
+
+    def _canon(v):
+        # pandas surfaces SQL NULL as None or NaN depending on dtype;
+        # canonicalize so the null-safe comparison sees one null
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        return v
+
+    def scan(key, pdfs, state):
+        if state.exists:
+            st = state.get
+            cur = tuple(_canon(x) for x in st[: len(attrs)])
+            run_from, has_run = st[len(attrs)], bool(st[len(attrs) + 1])
+        else:
+            cur, run_from, has_run = (), None, False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update(tuple(cur) + (run_from, has_run) if has_run
+                         else tuple([None] * len(attrs)) + (None, False))
+            return
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
+        closed = []
+        for row in batch.itertuples(index=False):
+            rd = row._asdict()
+            vals = tuple(_canon(rd[a]) for a in attrs)
+            t = rd[on]
+            if not has_run:
+                cur, run_from, has_run = vals, t, True
+            elif vals != cur:
+                closed.append(cur + (run_from, t))
+                cur, run_from = vals, t
+        state.update(tuple(cur) + (run_from, True))
+        if closed:
+            res = pd.DataFrame(
+                closed, columns=[*attrs, "valid_from", "valid_to"]
+            )
+            for i, c in enumerate(by_cols):
+                res[c] = key[i]
+            yield res[[*by_cols, *attrs, "valid_from", "valid_to"]]
+
+    return src.groupBy(*by_cols).applyInPandasWithState(
+        scan, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -813,3 +813,78 @@ def test_stream_hampel_rejects_non_bigint_stream_ts(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).parquet(d)
     with pytest.raises(ValueError, match="BIGINT"):
         stream_hampel(stream, "x", ts_col="ts", by="k")
+
+
+def test_stream_validity_intervals_parity_across_microbatches(
+    spark, tmp_path
+):
+    """Streaming SCD2 over two in-order micro-batches == the batch
+    operator's CLOSED intervals over the union — including a run
+    carried open across the batch boundary and null attrs as values."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        validity_intervals,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_validity_intervals,
+    )
+
+    schema = "k long, ts long, attr string, eid long"
+    b1 = spark.createDataFrame(
+        [
+            (1, 0, "a", 0),
+            (1, 1, "a", 1),
+            (1, 2, None, 2),   # null run begins
+            (2, 0, "x", 3),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 3, None, 4),   # null run continues across the boundary
+            (1, 4, "b", 5),    # closes the null run
+            (2, 1, "y", 6),    # closes x
+        ],
+        schema,
+    )
+    d = str(tmp_path / "svi_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_validity_intervals(
+        stream, attrs=["attr"], on="ts", by="k", order_tiebreak="eid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("svi")
+        .option("checkpointLocation", str(tmp_path / "ckpt_svi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM svi").collect()), key=repr
+    )
+    batch = validity_intervals(
+        b1.unionByName(b2), attrs=["attr"], on="ts", by="k", order=["eid"]
+    )
+    want = sorted(
+        map(tuple, batch.filter("valid_to IS NOT NULL").collect()),
+        key=repr,
+    )
+    assert got == want
+    assert (1, None, 2, 4) in got  # the boundary-straddling null run
+    # batch input delegates to the batch operator (open rows included)
+    assert sorted(
+        map(
+            tuple,
+            stream_validity_intervals(
+                b1.unionByName(b2), attrs=["attr"], on="ts", by="k",
+                order_tiebreak="eid",
+            ).collect(),
+        ),
+        key=repr,
+    ) == sorted(map(tuple, batch.collect()), key=repr)
