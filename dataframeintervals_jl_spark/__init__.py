@@ -140,6 +140,7 @@ from .streaming import (
     stream_hampel,
     stream_latest_by_key,
     stream_exact_dedup,
+    stream_asof_enrich,
     stream_interval_join,
     stream_validity_intervals,
     stream_merge_spans,
@@ -269,6 +270,7 @@ __all__ = [
     # streaming
     "stream_exact_dedup",
     "stream_minhash_candidates",
+    "stream_asof_enrich",
     "stream_interval_join",
     "stream_validity_intervals",
     "stream_merge_spans",

@@ -1130,3 +1130,140 @@ def stream_validity_intervals(
     return src.groupBy(*by_cols).applyInPandasWithState(
         scan, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_asof_enrich(
+    events: DataFrame,
+    states: DataFrame,
+    on: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    payload: Sequence[str] | None = None,
+    suffix: str = "_right",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming as-of enrichment: attach to every ``events`` row the
+    most recent ``states`` row with ``state.on <= event.on`` for the
+    same key — the unbounded counterpart of batch
+    :func:`~..operators.asof_join.asof_join` (``direction='backward'``;
+    exact timestamp ties match, like DuckDB ASOF and the batch
+    operator).
+
+    The classic stream-enrichment shape (attach latest user profile /
+    model version / experiment arm to each event).  Both inputs are
+    unioned into ONE keyed stream and scanned by a custom stateful
+    operator (``applyInPandasWithState``): per-key state is the latest
+    state row's payload + timestamp — independent of stream length,
+    shuffled once on the key like a groupBy.
+
+    Ordering contract: rows are processed in ``(on, tiebreak)`` order
+    WITHIN a micro-batch (state rows before event rows on exact ties),
+    and batches must arrive per-key in order across sources — the same
+    in-order contract as every sequential twin here
+    (:func:`stream_cusum`); feed it per-key-partitioned logs.  Batch
+    inputs delegate to the batch operator, which is the parity oracle.
+
+    Output: event columns + each payload column as ``<col><suffix>`` +
+    ``<on><suffix>`` (the matched state timestamp; all null when no
+    state row precedes the event).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_asof_enrich requires at least one key")
+    pay = [c for c in (payload or
+                       [c for c in states.columns
+                        if c != on and c not in by_cols])]
+    if not pay:
+        raise ValueError("states has no payload columns")
+
+    if not events.isStreaming and not states.isStreaming:
+        from ..operators.asof_join import asof_join
+
+        return asof_join(
+            events,
+            states.select(*by_cols, on, *pay),
+            on=on,
+            by=by_cols,
+            direction="backward",
+            suffix=suffix,
+        )
+
+    on_type = events.schema[on].dataType
+    ev_cols = events.columns
+    out_schema = T.StructType(
+        [events.schema[c] for c in ev_cols]
+        + [T.StructField(f"{on}{suffix}", on_type)]
+        + [
+            T.StructField(f"{c}{suffix}", states.schema[c].dataType)
+            for c in pay
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"p_{i}", states.schema[c].dataType)
+         for i, c in enumerate(pay)]
+        + [T.StructField("s_ts", on_type)]
+    )
+
+    # tagged union: state rows tag 0 (sort before events at equal ts),
+    # event rows tag 1 carrying their full payload as null state cols
+    tiebreak = [order_tiebreak] if order_tiebreak else []
+    ev_side = events.select(
+        *by_cols,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in tiebreak],
+        F.struct(*[F.col(c) for c in ev_cols]).alias("__ev"),
+        *[F.lit(None).cast(states.schema[c].dataType).alias(f"__p_{i}")
+          for i, c in enumerate(pay)],
+    )
+    st_side = states.select(
+        *by_cols,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(events.schema[c].dataType
+                           if c in ev_cols else "long").alias(c)
+          for c in tiebreak],
+        F.lit(None).cast(ev_side.schema["__ev"].dataType).alias("__ev"),
+        *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(pay)],
+    ).select(*ev_side.columns)
+    unioned = ev_side.unionByName(st_side)
+
+    order = ["__t", "__tag", *tiebreak]
+
+    def scan(key, pdfs, state):
+        if state.exists:
+            st = state.get
+            last_p, last_t = list(st[: len(pay)]), st[len(pay)]
+        else:
+            last_p, last_t = [None] * len(pay), None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update(tuple(last_p) + (last_t,))
+            return
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
+        out_rows = []
+        # itertuples mangles dunder-prefixed names — use dict records
+        for rd in batch.to_dict("records"):
+            if rd["__tag"] == 0:
+                last_p = [rd[f"__p_{i}"] for i in range(len(pay))]
+                last_t = rd["__t"]
+            else:
+                ev = rd["__ev"]
+                vals = (ev if isinstance(ev, dict)
+                        else ev._asdict() if hasattr(ev, "_asdict")
+                        else dict(zip(ev_cols, ev)))
+                out_rows.append(
+                    tuple(vals[c] for c in ev_cols)
+                    + (last_t,)
+                    + tuple(last_p)
+                )
+        state.update(tuple(last_p) + (last_t,))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[*ev_cols, f"{on}{suffix}",
+                         *[f"{c}{suffix}" for c in pay]],
+            )
+
+    return unioned.groupBy(*by_cols).applyInPandasWithState(
+        scan, out_schema, state_schema, "append", "NoTimeout"
+    )
