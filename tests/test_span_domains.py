@@ -358,6 +358,39 @@ def test_set_algebra_date_domain(spark):
     ]
 
 
+def test_date_join_null_validation_fires(spark, date_tables):
+    """validate='error' still rejects null spans through the domain
+    adapter (the fused check wraps the CONVERTED column)."""
+    _, _, ldf, rdf = date_tables
+    withnull = ldf.unionByName(
+        spark.createDataFrame(
+            [(None, 99)], "span struct<start: date, stop: date>, li long"
+        )
+    )
+    j = interval_join(withnull, rdf, strategy="broadcast_right")
+    with pytest.raises(Exception, match="missing values"):
+        j.collect()
+
+
+def test_groupby_interval_join_date_spans(spark, date_tables):
+    """groupby_interval_join composes with the domain adapter: grouping
+    the date-span join output by the window id works end-to-end."""
+    from dataframeintervals_jl_spark import (
+        groupby_interval_join,
+        quantile_windows,
+    )
+
+    L, _, ldf, _ = date_tables
+    w = quantile_windows(spark, 2, ldf, label="half")
+    g = groupby_interval_join(
+        ldf, w, groups=["half"], validate="skip",
+        strategy="broadcast_right",
+    )
+    counts = {r["half"]: r["n"] for r in g.agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) >= len(L)
+    assert set(counts) <= {1, 2}
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
