@@ -5110,4 +5110,25 @@ def _gate_reorder(queries: dict, prefix: list) -> dict:
     return {**head, **{n: q for n, q in queries.items() if n not in head}}
 
 
-QUERIES = _gate_reorder(QUERIES, _GATE_PREFIX)
+def _gate_rotate(queries: dict, pinned_n: int = 13, window: int = 37) -> dict:
+    """Self-rotating driver gate: the first ``pinned_n`` entries (core
+    joins + this round's additions) stay gated every round; the rest of
+    the catalog rotates through the remaining ``window`` gate slots,
+    keyed on the round number (= count of driver-written BENCH_r files),
+    so over ~3 rounds the 50-entry gate covers every query with no
+    manual reordering.  Pure ordering — never drops or alters entries."""
+    import glob as _glob
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = len(_glob.glob(_os.path.join(root, "BENCH_r*.json")))
+    names = list(queries)
+    pinned, rest = names[:pinned_n], names[pinned_n:]
+    if r <= 4 or not rest:  # round 5: keep the hand-curated order
+        return queries
+    k = ((r - 4) * window) % len(rest)
+    rot = rest[k:] + rest[:k]
+    return {n: queries[n] for n in pinned + rot}
+
+
+QUERIES = _gate_rotate(_gate_reorder(QUERIES, _GATE_PREFIX))
