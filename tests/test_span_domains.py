@@ -391,6 +391,25 @@ def test_groupby_interval_join_date_spans(spark, date_tables):
     assert set(counts) <= {1, 2}
 
 
+def test_date_join_on_name_pair(spark):
+    """(left_name, right_name) `on` pairs resolve through the adapter."""
+    l = spark.createDataFrame(
+        [({"start": D(2024, 1, 1), "stop": D(2024, 1, 9)}, 0)],
+        "lspan struct<start: date, stop: date>, li long",
+    )
+    r = spark.createDataFrame(
+        [({"start": D(2024, 1, 5), "stop": D(2024, 1, 6)}, 0)],
+        "rspan struct<start: date, stop: date>, ri long",
+    )
+    j = interval_join(l, r, on=("lspan", "rspan"), validate="skip")
+    row = j.first()
+    assert row["li"] == 0 and row["ri"] == 0
+    assert row["lspan"]["start"] == D(2024, 1, 5)  # intersection col
+    assert isinstance(
+        j.schema["lspan_left"].dataType.fields[0].dataType, T.DateType
+    )
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
