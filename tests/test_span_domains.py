@@ -391,6 +391,18 @@ def test_groupby_interval_join_date_spans(spark, date_tables):
     assert set(counts) <= {1, 2}
 
 
+def test_date_join_auto_strategy_and_stats_validation(spark, date_tables):
+    """strategy='auto' + validate='error' drive the stats path over the
+    CONVERTED ordinals (null counting, broadcast decision) — the full
+    default-arguments flow, not just the explicit-strategy fast lane."""
+    L, R, ldf, rdf = date_tables
+    j = interval_join(ldf, rdf)  # defaults: auto + error-validate
+    assert _pairs(j) == _brute(L, R)
+    assert isinstance(
+        j.schema["span"].dataType.fields[0].dataType, T.DateType
+    )
+
+
 def test_date_join_on_name_pair(spark):
     """(left_name, right_name) `on` pairs resolve through the adapter."""
     l = spark.createDataFrame(
