@@ -99,6 +99,7 @@ from .operators.cdc import (
     snapshot_diff,
 )
 from .operators.tfidf import bigram_lm_score, bm25_topk, tf_idf_top_terms
+from .operators.quantile_windows import split_spans
 from .operators.ranking import frequency_rank
 from .operators.sessionize import sessionize
 from .operators.skew import salted_join
@@ -229,6 +230,7 @@ __all__ = [
     "write_zordered",
     "zorder_value",
     "frequency_rank",
+    "split_spans",
     "salted_join",
     "stream_latest_by_key",
     "redact_pii",

@@ -317,3 +317,61 @@ def data_quantile_windows(
     return win.select(
         make_span(F.col("__s"), F.col("__e")).alias(spancol), F.col(label)
     )
+
+
+def split_spans(
+    df: DataFrame,
+    n: int,
+    spancol: str = "span",
+    index_col: str = "sub_index",
+) -> DataFrame:
+    """Split EVERY row's span into ``n`` equal closed-open sub-spans —
+    the per-row form of :func:`quantile_windows` (epoching, the
+    reference's home-domain step: cut each recording into n equal
+    epochs).  Output: the input columns with ``spancol`` replaced by
+    the sub-span, plus ``index_col`` (1..n).
+
+    Boundary math is the same exact int64 decomposition as
+    :func:`quantile_windows` (``b_i = s + i*q + (i*r) DIV n`` with
+    ``q, r = divmod(stop-start, n)``) evaluated per row in pure column
+    expressions — map-only explode, no shuffle, no Python; sub-spans
+    tile the parent exactly (``b_0 = start``, ``b_n = stop``).  Spans
+    narrower than ``n`` units produce empty sub-spans (``b_i ==
+    b_{i+1}``) rather than losing coverage.  Generic over endpoint
+    domains via the usual ordinal adapters.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    domain = span_endpoint_domain(df.schema[spancol].dataType)
+    if domain is not None:
+        conv = df.withColumn(
+            spancol, span_to_ordinal(F.col(spancol), domain)
+        )
+        out = split_spans(conv, n, spancol, index_col)
+        return out.withColumn(
+            spancol, span_from_ordinal(F.col(spancol), domain)
+        )
+    s = F.col(spancol).getField("start").cast("long")
+    q = F.expr(f"({spancol}.stop - {spancol}.start) DIV {n}")
+    # (i*r) DIV n per row; i < n and r < n keep i*r < n² — tiny
+    r_expr = f"pmod({spancol}.stop - {spancol}.start, {n})"
+
+    def boundary(i_sql: str, i_col):
+        return s + i_col.cast("long") * q + F.expr(
+            f"(({i_sql}) * {r_expr}) DIV {n}"
+        )
+
+    i = F.col("__dfi_si")
+    lo = boundary("__dfi_si", i)
+    hi = boundary("__dfi_si + 1", i + 1)
+    other = [c for c in df.columns if c != spancol]
+    return (
+        df.withColumn(
+            "__dfi_si", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            *other,
+            make_span(lo, hi).alias(spancol),
+            (F.col("__dfi_si") + 1).cast("long").alias(index_col),
+        )
+    )

@@ -1053,6 +1053,35 @@ FROM es LEFT JOIN w2
   ON greatest(es.s, w2.w_start) < least(es.e, w2.w_stop)"""
 
 
+def q_split_spans(spark, sf_dir):
+    """Per-row epoching: every event span split into 4 equal closed-open
+    sub-spans with the exact int64 boundary decomposition — map-only
+    explode, no shuffle; the reference's home-domain step (cut each
+    recording into n epochs) as a row-wise operator."""
+    from .operators.quantile_windows import split_spans
+
+    es = event_spans(spark, sf_dir, truncate_us=True).select(
+        "event_id", "span"
+    )
+    out = split_spans(es, 4)
+    return out.select(
+        "event_id",
+        "sub_index",
+        F.col("span.start").alias("e_start"),
+        F.col("span.stop").alias("e_stop"),
+    )
+
+
+_SQL_SPLIT_SPANS = f"""WITH {_ES_CTE},
+i AS (SELECT unnest(range(0, 4)) AS si)
+SELECT es.event_id, CAST(si + 1 AS BIGINT) AS sub_index,
+       es.s + si*((es.e - es.s)//4) + (si*((es.e - es.s)%4))//4
+         AS e_start,
+       es.s + (si+1)*((es.e - es.s)//4) + ((si+1)*((es.e - es.s)%4))//4
+         AS e_stop
+FROM es, i"""
+
+
 def q_merge_spans(spark, sf_dir):
     """Interval coalesce (span-set union): 1-hour event spans merged
     into per-user coverage islands — gaps-and-islands, one shuffle."""
@@ -4930,6 +4959,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
+    "q_split_spans": (q_split_spans, _SQL_SPLIT_SPANS),
     "q_span_coverage": (q_span_coverage, _SQL_SPAN_COVERAGE),
     "q_span_difference": (q_span_difference, _SQL_SPAN_DIFFERENCE),
     "q_overlap_profile": (q_overlap_profile, _SQL_OVERLAP_PROFILE),
@@ -5059,6 +5089,7 @@ _GATE_PREFIX = [
     "q_validity_intervals_global",
     "q_stream_join_keepleft",
     "q_random_projection",
+    "q_split_spans",
     # riskiest round-3/4 surface, previously driver-unverified
     "q_build_vocab",
     "q_mean_token_rank",
@@ -5110,7 +5141,7 @@ def _gate_reorder(queries: dict, prefix: list) -> dict:
     return {**head, **{n: q for n, q in queries.items() if n not in head}}
 
 
-def _gate_rotate(queries: dict, pinned_n: int = 13, window: int = 37) -> dict:
+def _gate_rotate(queries: dict, pinned_n: int = 14, window: int = 36) -> dict:
     """Self-rotating driver gate: the first ``pinned_n`` entries (core
     joins + this round's additions) stay gated every round; the rest of
     the catalog rotates through the remaining ``window`` gate slots,

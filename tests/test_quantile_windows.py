@@ -165,3 +165,76 @@ def test_exact_quantile_longs_small_ranges(spark):
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     got = exact_quantile_longs(df, "v", [1, 2, 3, 4, 5], 5, 9, 5, buckets=2)
     assert got == [5, 5, 5, 7, 9]
+
+
+def test_split_spans_tiles_parent_exactly(spark):
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        split_spans,
+    )
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [({"start": 0, "stop": 10}, 0), ({"start": 5, "stop": 7}, 1),
+         ({"start": 3, "stop": 3}, 2)],  # zero-width parent
+        "span struct<start: long, stop: long>, rid long",
+    )
+    out = split_spans(df, 3)
+    rows = sorted(
+        (r["rid"], r["sub_index"], r["span"]["start"], r["span"]["stop"])
+        for r in out.collect()
+    )
+    # parent [0,10): widths 4,3,3 — floor boundaries 0,3(+1),6(+?) ->
+    # b_i = (i*10)//3: 0,3,6,10
+    assert [(s, e) for rid, i, s, e in rows if rid == 0] == [
+        (0, 3), (3, 6), (6, 10)
+    ]
+    assert [(s, e) for rid, i, s, e in rows if rid == 1] == [
+        (5, 5), (5, 6), (6, 7)
+    ]
+    # zero-width parent: 3 empty sub-spans, coverage preserved (none)
+    assert [(s, e) for rid, i, s, e in rows if rid == 2] == [
+        (3, 3), (3, 3), (3, 3)
+    ]
+    # tiling invariant on every row: first=parent.start, last=parent.stop,
+    # adjacent boundaries meet
+    per = {}
+    for rid, i, s, e in rows:
+        per.setdefault(rid, []).append((i, s, e))
+    for rid, subs in per.items():
+        subs.sort()
+        assert subs[0][1] == {0: 0, 1: 5, 2: 3}[rid]
+        assert subs[-1][2] == {0: 10, 1: 7, 2: 3}[rid]
+        for (_i1, _s1, e1), (_i2, s2, _e2) in zip(subs, subs[1:]):
+            assert e1 == s2
+    with pytest.raises(ValueError, match="n must be"):
+        split_spans(df, 0)
+
+
+def test_split_spans_date_domain(spark):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        split_spans,
+    )
+
+    D = dt.date
+    df = spark.createDataFrame(
+        [({"start": D(2024, 1, 1), "stop": D(2024, 1, 11)}, 0)],
+        "span struct<start: date, stop: date>, rid long",
+    )
+    out = split_spans(df, 2)
+    got = sorted(
+        (r["sub_index"], r["span"]["start"], r["span"]["stop"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, D(2024, 1, 1), D(2024, 1, 6)),
+        (2, D(2024, 1, 6), D(2024, 1, 11)),
+    ]
+    assert isinstance(
+        out.schema["span"].dataType.fields[0].dataType, T.DateType
+    )
