@@ -167,21 +167,36 @@ def span_endpoint_domain(dtype: T.DataType):
     return None
 
 
+def endpoint_to_ordinal(col, domain: str) -> Column:
+    """Scalar endpoint → exact integer ordinal: days since epoch for
+    ``'date'``, epoch-µs for ``'timestamp'``/``'timestamp_ntz'`` (the
+    NTZ cast relies on the UTC-pinned session, session.py — same
+    contract as :func:`span_from_timestamps`).  The single source of
+    truth for the mapping; the struct adapters and every operator-level
+    conversion route through here."""
+    c = _c(col)
+    if domain == "date":
+        return F.unix_date(c).cast("long")
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def ordinal_to_endpoint(col, domain: str) -> Column:
+    """Inverse of :func:`endpoint_to_ordinal`."""
+    c = _c(col)
+    if domain == "date":
+        # day ordinals fit int; the source may carry them as long
+        return F.date_from_unix_date(c.cast("int"))
+    ts = F.timestamp_micros(c.cast("long"))
+    return ts.cast("timestamp_ntz") if domain == "timestamp_ntz" else ts
+
+
 def span_to_ordinal(span, domain: str) -> Column:
     """Cast a date/timestamp-endpoint span struct to its exact integer
-    ordinal span (days-since-epoch int / epoch-µs long).  The NTZ cast
-    relies on the session timezone being pinned to UTC (session.py) —
-    same contract as :func:`span_from_timestamps`."""
+    ordinal span (days-since-epoch / epoch-µs)."""
     s = _c(span)
-
-    def conv(f):
-        if domain == "date":
-            return F.unix_date(f)
-        return F.unix_micros(f.cast("timestamp"))
-
     out = F.struct(
-        conv(s.getField("start")).alias("start"),
-        conv(s.getField("stop")).alias("stop"),
+        endpoint_to_ordinal(s.getField("start"), domain).alias("start"),
+        endpoint_to_ordinal(s.getField("stop"), domain).alias("stop"),
     )
     return F.when(s.isNotNull(), out)
 
@@ -191,29 +206,25 @@ def span_from_ordinal(span, domain: str) -> Column:
     domain on an integer-ordinal span (null-preserving, so outer-join
     rows keep their null spans)."""
     s = _c(span)
-
-    def conv(f):
-        if domain == "date":
-            # day ordinals fit int; the source may carry them as long
-            return F.date_from_unix_date(f.cast("int"))
-        ts = F.timestamp_micros(f.cast("long"))
-        return ts.cast("timestamp_ntz") if domain == "timestamp_ntz" else ts
-
     out = F.struct(
-        conv(s.getField("start")).alias("start"),
-        conv(s.getField("stop")).alias("stop"),
+        ordinal_to_endpoint(s.getField("start"), domain).alias("start"),
+        ordinal_to_endpoint(s.getField("stop"), domain).alias("stop"),
     )
     return F.when(s.isNotNull(), out)
 
 
 def py_endpoint_to_ordinal(v):
     """(ordinal, domain) for a python endpoint value: date → days since
-    epoch, datetime → epoch-µs (naive/UTC), int → itself (no domain).
-    The scalar twin of :func:`span_to_ordinal` for lo/hi arguments."""
+    epoch, datetime → epoch-µs (naive = UTC wall clock; tz-AWARE values
+    are converted to UTC first — the engine pins everything to UTC),
+    int → itself (no domain).  The python-scalar twin of
+    :func:`endpoint_to_ordinal` for lo/hi arguments."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        delta = v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        delta = v - _dt.datetime(1970, 1, 1)
         return delta // _dt.timedelta(microseconds=1), "timestamp"
     if isinstance(v, _dt.date):
         return (v - _dt.date(1970, 1, 1)).days, "date"

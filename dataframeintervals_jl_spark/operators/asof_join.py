@@ -280,19 +280,21 @@ def asof_join(
     if dom_l is not None:
         import datetime as _dt
 
-        def _conv(c, dom):
-            if dom == "date":
-                return F.unix_date(c).cast("long")
-            return F.unix_micros(c.cast("timestamp"))
+        from ..functions.spans import endpoint_to_ordinal as _conv
 
         left = left.withColumn(left_on, _conv(F.col(left_on), dom_l))
         right = right.withColumn(right_on, _conv(F.col(right_on), dom_r))
         if isinstance(tolerance, _dt.timedelta):
-            tolerance = (
-                tolerance.days
-                if dom_l == "date"
-                else tolerance // _dt.timedelta(microseconds=1)
-            )
+            if dom_l == "date":
+                if tolerance % _dt.timedelta(days=1):
+                    raise ValueError(
+                        f"tolerance {tolerance!r} is not a whole number "
+                        "of days — the date domain counts day ordinals, "
+                        "so sub-day components would be silently dropped"
+                    )
+                tolerance = tolerance.days
+            else:
+                tolerance = tolerance // _dt.timedelta(microseconds=1)
 
     right_payload = [c for c in right.columns if c != right_on and c not in by_cols]
     out_right_names = {c: f"{c}{suffix}" for c in right_payload}
@@ -396,11 +398,7 @@ def asof_join(
             gap = F.abs(F.col(_RTIME) - F.col(left_on).cast("long"))
         matched = matched & (gap <= F.lit(int(tolerance)))
 
-    def _back(col, dom):
-        if dom == "date":
-            return F.date_from_unix_date(col.cast("int"))
-        ts = F.timestamp_micros(col.cast("long"))
-        return ts.cast("timestamp_ntz") if dom == "timestamp_ntz" else ts
+    from ..functions.spans import ordinal_to_endpoint as _back
 
     out = [
         _back(F.col(c), dom_l).alias(c)

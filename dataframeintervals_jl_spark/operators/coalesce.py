@@ -387,7 +387,14 @@ def span_complement(
     if _dom is not None:
         lo_v, dom_lo = py_endpoint_to_ordinal(lo)
         hi_v, dom_hi = py_endpoint_to_ordinal(hi)
-        if (dom_lo or _dom) != _dom or (dom_hi or _dom) != _dom:
+
+        def _compat(d):
+            # ints pass through (caller supplies the ordinal); datetime
+            # bounds are valid for BOTH timestamp and timestamp_ntz
+            # columns (same epoch-µs ordinal under the UTC session)
+            return d is None or (d == "date") == (_dom == "date")
+
+        if not (_compat(dom_lo) and _compat(dom_hi)):
             raise ValueError(
                 f"span_complement bounds {lo!r}..{hi!r} do not match the "
                 f"{_dom} span column"
@@ -455,19 +462,24 @@ def span_difference(
     left, _dl = _to_ordinal(left, spancol)
     right, _dr = _to_ordinal(right, rcol0)
     if _dl is not None or _dr is not None:
-        if (
-            _dl is not None
-            and _dr is not None
-            and (_dl == "date") != (_dr == "date")
+        # unlike the joins (where point_in_span_join legitimately mixes
+        # an encoded-ordinal numeric side with a domain side), a
+        # subtraction has no internal encoded caller: a numeric side
+        # mixed with a domain side is always a unit error — reject
+        # instead of producing ns-reinterpreted-as-days garbage
+        if (_dl is None) != (_dr is None) or (_dl == "date") != (
+            _dr == "date"
         ):
             raise ValueError(
                 "span_difference: left and right span domains do not "
-                f"share an ordinal unit ({_dl} vs {_dr})"
+                f"share an ordinal unit ({_dl or 'numeric'} vs "
+                f"{_dr or 'numeric'}); convert one side first "
+                "(span_to_ordinal / span_from_ordinal)"
             )
         return _restore_ordinal(
             span_difference(left, right, spancol, by, right_spancol),
             spancol,
-            _dl or _dr,
+            _dl,  # output fragments live in LEFT's domain
         )
 
     by_cols = _by_cols(by)

@@ -716,16 +716,31 @@ def _binned_join(
 
     if how == "inner":
         return matched
+    return _recover_unmatched(
+        matched, lefts, rights, need_left_ids, need_right_ids
+    )
 
+
+def _recover_unmatched(
+    matched: DataFrame,
+    lefts: DataFrame,
+    rights: DataFrame,
+    need_left_ids: bool,
+    need_right_ids: bool,
+) -> DataFrame:
+    """Outer recovery shared by the global and keyed binned paths:
+    anti-join each persisted id-stamped side against the matched ids,
+    union the padding rows in (``allowMissingColumns`` nulls the other
+    side).  ``monotonically_increasing_id`` is stable here because both
+    stamped inputs were persisted before the inner pass (the id-
+    stability subtlety lives in ONE place — here)."""
     pieces = [matched]
     if need_left_ids:
         matched_l = matched.select(LEFT_IDX).distinct()
-        unmatched_l = lefts.join(matched_l, LEFT_IDX, "left_anti")
-        pieces.append(unmatched_l)
+        pieces.append(lefts.join(matched_l, LEFT_IDX, "left_anti"))
     if need_right_ids:
         matched_r = matched.select(RIGHT_IDX).distinct()
-        unmatched_r = rights.join(matched_r, RIGHT_IDX, "left_anti")
-        pieces.append(unmatched_r)
+        pieces.append(rights.join(matched_r, RIGHT_IDX, "left_anti"))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
@@ -1016,16 +1031,9 @@ def interval_join_by(
             rb, cond & overlap & (F.col(_BIN) == guard_div), "inner"
         ).drop(_BIN, f"{_BIN}_r")
         if how != "inner":
-            pieces = [joined]
-            if need_left_ids:
-                matched_l = joined.select(LEFT_IDX).distinct()
-                pieces.append(lefts.join(matched_l, LEFT_IDX, "left_anti"))
-            if need_right_ids:
-                matched_r = joined.select(RIGHT_IDX).distinct()
-                pieces.append(rights.join(matched_r, RIGHT_IDX, "left_anti"))
-            joined = pieces[0]
-            for p in pieces[1:]:
-                joined = joined.unionByName(p, allowMissingColumns=True)
+            joined = _recover_unmatched(
+                joined, lefts, rights, need_left_ids, need_right_ids
+            )
     else:
         raise ValueError(
             f"unsupported strategy {strategy!r}; use 'hash', "
@@ -1087,18 +1095,17 @@ def point_in_span_join(
         if on in spans.columns
         else None
     )
-    if dt == "date" and span_dom == "date":
-        # date-stabbing (SCD2 date lookups): [d, d+1) over day ordinals
-        # is exact; interval_join's domain adapter converts the span
-        # side to the same unit
-        ts = F.unix_date(F.col(ts_col)).cast("long")
-    elif dt in ("timestamp", "timestamp_ntz") and span_dom in (
-        "timestamp",
-        "timestamp_ntz",
+    if (dt == "date" and span_dom == "date") or (
+        dt in ("timestamp", "timestamp_ntz")
+        and span_dom in ("timestamp", "timestamp_ntz")
     ):
-        # µs-stabbing over epoch-µs ordinals (UTC-pinned NTZ cast, same
-        # contract as span_from_timestamps)
-        ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        # date-stabbing (SCD2 lookups) over day ordinals / µs-stabbing
+        # over epoch-µs ordinals — [t, t+1) is exact in either unit;
+        # interval_join's domain adapter converts the span side to the
+        # same unit
+        from ..functions.spans import endpoint_to_ordinal
+
+        ts = endpoint_to_ordinal(F.col(ts_col), dt)
     elif dt not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
             "point_in_span_join: ts_col must be an integral epoch-ns "

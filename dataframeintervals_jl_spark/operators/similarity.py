@@ -1143,9 +1143,14 @@ def random_projection(
     def _dim(j: int):
         sgn = _sign(j)
         terms = F.zip_with(xf, idx, lambda x, i: x * sgn(i))
-        return F.aggregate(
+        agg = F.aggregate(
             terms, F.lit(0).cast("long"), lambda acc, t: acc + t
         )
+        # empty embeddings: sequence(0, -1) yields [0, -1] and zip_with
+        # null-pads, so the sum would be NULL — the mathematically
+        # correct projection of the empty vector is 0 (a NULL embedding
+        # column still projects to NULL components, SQL propagation)
+        return F.when(F.size(F.col(emb_col)) == 0, F.lit(0)).otherwise(agg)
 
     return df.withColumn(
         out_col, F.array(*[_dim(j) for j in range(out_dims)])

@@ -209,7 +209,16 @@ def _validity_intervals_global(
     boundary."""
     b, tsl = "__dfi_vi_bucket", "__dfi_vi_tsl"
     spark = df.sparkSession
-    oc = F.col(on).cast("long")
+    # bucket ids need integer arithmetic; derive the ordinal by DOMAIN
+    # (date would fail a bare long cast, timestamp would truncate to
+    # SECONDS — fine for a monotonic bucket id but NOT for ordering)
+    on_dt = df.schema[on].dataType.simpleString()
+    if on_dt in ("date", "timestamp", "timestamp_ntz"):
+        from ..functions.spans import endpoint_to_ordinal
+
+        oc = endpoint_to_ordinal(F.col(on), on_dt)
+    else:
+        oc = F.col(on).cast("long")
     bounds = df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi")).first()
     lo = bounds["lo"]
     if lo is None:  # empty input — emit the output schema, zero rows
@@ -225,7 +234,10 @@ def _validity_intervals_global(
     )
 
     cur = F.struct(*[F.col(a) for a in attrs])
-    scan_pos = F.struct(oc, *[F.col(c) for c in order])
+    # order by the RAW on column (exact — the ordinal may be coarser,
+    # e.g. µs for ns-resolution longs would never be, but a timestamp's
+    # long-cast is seconds), tiebroken exactly like the window sort
+    scan_pos = F.struct(F.col(on), *[F.col(c) for c in order])
     summ = (
         u.groupBy(b)
         .agg(F.max_by(cur, scan_pos).alias("__last_attrs"))

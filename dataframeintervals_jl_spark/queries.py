@@ -721,9 +721,11 @@ _SQL_RANDOM_PROJECTION = """WITH e AS (
   FROM embeddings
 ), js AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j)
 SELECT e.vec_id, js.j,
-       CAST(list_sum(list_transform(e.v, (x, i) ->
-         x * (1 - 2 * ((xor((i-1)*73856093, js.j*19349663) >> 13) & 1))))
-         AS BIGINT) AS y
+       CAST(CASE WHEN len(e.v) = 0 THEN 0
+            ELSE list_sum(list_transform(e.v, (x, i) ->
+              x * (1 - 2 * ((xor((i-1)*73856093, js.j*19349663) >> 13)
+                            & 1))))
+            END AS BIGINT) AS y
 FROM e, js"""
 
 

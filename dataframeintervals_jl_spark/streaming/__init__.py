@@ -204,8 +204,13 @@ def stream_interval_join(
             # ...and the exploded side reaches back far enough to meet
             # any preserved-side start that could overlap it: those
             # starts lie in (start - other_duration, stop) ⊆
-            # [start - max_span, stop), so cover those bins
-            first_us = start_us - F.lit(int(max_span_ns) // NS_PER_US)
+            # [start - max_span, stop); +1µs covers the floor-to-µs
+            # truncation of a non-µs-aligned max_span (a start exactly
+            # max_span-minus-sub-µs earlier floors one µs — possibly
+            # one BIN — below the aligned reach)
+            first_us = start_us - F.lit(
+                int(max_span_ns) // NS_PER_US + 1
+            )
         return d.withColumn(
             "__bin",
             F.explode(
@@ -249,7 +254,35 @@ def stream_interval_join(
         F.col(lon).isNotNull() & F.col(ron).isNotNull(),
         make_span(F.greatest(ls, rs), F.least(lstop, rstop)),
     ).alias(on)
-    return l.join(r, cond, how).select(*out_cols, inter)
+    joined = l.join(r, cond, how).select(*out_cols, inter)
+    if how == "inner":
+        return joined
+    # outer parity with batch keepleft/keepright: EMPTY preserved-side
+    # spans were dropped before the join (they must never match — the
+    # raw ls<rstop & rs<lstop predicate would wrongly admit them), but
+    # batch pads such rows with nulls; re-add them as a stateless
+    # pre-padded branch unioned after the join
+    preserved, pres_on, other = (
+        (left, lon, r) if how == "left_outer" else (right, ron, l)
+    )
+    if preserved.isStreaming != joined.isStreaming:
+        # batch-preserved vs streaming-other: Spark rejects that outer
+        # join shape itself; nothing to pad here
+        return joined
+    other_cols = [c for c in other.columns if c not in ("__bin", "__ts_l", "__ts_r")]
+    empt = preserved.withColumnRenamed(on, pres_on).filter(
+        F.col(f"{pres_on}.stop") <= F.col(f"{pres_on}.start")
+    )
+    padded = empt.select(
+        *[
+            F.col(c)
+            if c not in other_cols or c == pres_on
+            else F.lit(None).cast(other.schema[c].dataType).alias(c)
+            for c in out_cols
+        ],
+        F.lit(None).cast(joined.schema[on].dataType).alias(on),
+    )
+    return joined.unionByName(padded)
 
 
 def stream_exact_dedup(

@@ -422,6 +422,72 @@ def test_date_join_on_name_pair(spark):
     )
 
 
+def test_review_fixes_domain_edges(spark):
+    """Round-5 self-review regressions: (a) tz-aware datetime bounds
+    convert via UTC; (b) datetime bounds accepted for NTZ span columns;
+    (c) numeric×domain span_difference rejected; (d) date-domain
+    timedelta tolerance must be whole days; (e) empty-embedding
+    projection is the zero vector."""
+    import datetime as dt
+
+    from dataframeintervals_jl_spark import asof_join, span_difference
+    from dataframeintervals_jl_spark.functions.spans import (
+        py_endpoint_to_ordinal,
+    )
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        span_complement,
+    )
+    from dataframeintervals_jl_spark.operators.similarity import (
+        random_projection,
+    )
+
+    # (a) tz-aware == its UTC naive equivalent
+    aware = dt.datetime(2024, 1, 1, 5, 0, tzinfo=dt.timezone(
+        dt.timedelta(hours=5)
+    ))
+    naive_utc = dt.datetime(2024, 1, 1, 0, 0)
+    assert py_endpoint_to_ordinal(aware) == py_endpoint_to_ordinal(
+        naive_utc
+    )
+
+    # (b) NTZ span column + datetime bounds
+    ts0 = dt.datetime(2024, 1, 1)
+    ntz = spark.createDataFrame(
+        [({"start": ts0 + dt.timedelta(days=2),
+           "stop": ts0 + dt.timedelta(days=3)},)],
+        "span struct<start: timestamp_ntz, stop: timestamp_ntz>",
+    )
+    comp = span_complement(ntz, ts0, ts0 + dt.timedelta(days=5))
+    assert comp.count() == 2  # head + tail gaps
+
+    # (c) numeric left x date right subtraction rejected
+    num = spark.createDataFrame(
+        [({"start": 0, "stop": 10}, 1)],
+        "span struct<start: long, stop: long>, lid long",
+    )
+    datespans = spark.createDataFrame(
+        [({"start": D(2024, 1, 1), "stop": D(2024, 1, 2)},)],
+        "span struct<start: date, stop: date>",
+    )
+    with pytest.raises(ValueError, match="ordinal unit"):
+        span_difference(num, datespans)
+
+    # (d) sub-day timedelta tolerance on date domain raises
+    l = spark.createDataFrame([(D(2024, 1, 2), 0)], "ts date, lid long")
+    r = spark.createDataFrame([(D(2024, 1, 1), "a")], "ts date, tag string")
+    with pytest.raises(ValueError, match="whole number of days"):
+        asof_join(l, r, on="ts", tolerance=dt.timedelta(hours=12))
+
+    # (e) empty embedding projects to the zero vector, null stays null
+    emb = spark.createDataFrame(
+        [(0, []), (1, None)], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["proj"]
+           for r in random_projection(emb, out_dims=3).collect()}
+    assert got[0] == [0, 0, 0]
+    assert got[1] == [None, None, None]
+
+
 def test_ordinal_round_trip_expressions(spark):
     df = spark.createDataFrame(
         [({"start": D(2024, 2, 29), "stop": D(2024, 3, 1)},), (None,)],
