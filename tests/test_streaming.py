@@ -303,6 +303,40 @@ def test_stream_interval_join_right_outer_batch_mode_parity(spark):
     assert any(lid is None for lid, _ in got), "need unmatched rights"
 
 
+def test_stream_interval_join_outer_pads_empty_preserved_spans(spark):
+    """Batch keepleft pads zero-width left spans with nulls; the
+    streaming operator's pre-padded branch must do the same (and such
+    rows must never MATCH — [t,t) is empty under '[)')."""
+    from pyspark.sql.types import LongType
+
+    t0 = EPOCH0 + 50_000 * US
+    rows_l = [(EPOCH0, EPOCH0 + 90_000 * US, 0), (t0, t0, 1)]  # [t,t)
+    rows_r = [(EPOCH0 + 10_000 * US, EPOCH0 + 95_000 * US, 0)]
+    left = make_span_df(spark, rows_l, extra=[("lid", LongType())])
+    right = make_span_df(spark, rows_r, extra=[("rid", LongType())])
+    expected = sorted(
+        (
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, keepleft=True, validate="skip",
+                strategy="broadcast_right",
+            ).select("lid", "rid").collect()
+        ),
+        key=repr,
+    )
+    assert (1, None) in expected  # batch pads the empty span
+    out = stream_interval_join(
+        left, right, max_span_ns=90_000 * US + 1, how="left_outer"
+    )
+    got = sorted(
+        ((r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()),
+        key=repr,
+    )
+    assert got == expected
+    pad = out.filter(F.col("rid").isNull()).first()
+    assert pad["span_right"] is None and pad["span"] is None
+
+
 def test_stream_interval_join_left_outer_contract(spark):
     left = _spans(spark, 3, width=90_000, step=60_000, name="lid")
     right = _spans(spark, 3, width=50_000, step=100_000, name="rid")
