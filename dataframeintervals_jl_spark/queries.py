@@ -858,6 +858,52 @@ SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
 FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t"""
 
 
+def q_asof_join_date(spark, sf_dir):
+    """KEYLESS as-of over the DATE domain: each order's date matched to
+    the latest month-start marker at-or-before it — exercises the
+    bucketed global (no-keys) carry AND the date ordinal adapters in
+    one query, against DuckDB's native ASOF JOIN on dates."""
+    from .functions.spans import exact_floor_div
+    from .operators.asof_join import asof_join
+    from .sources import col_to_ns
+
+    day_ns = 86_400_000_000_000
+    od = read_table(spark, sf_dir, "orders")
+    start_ns = col_to_ns(
+        F.col("o_orderdate"), od.schema["o_orderdate"].dataType
+    )
+    orders = od.select(
+        "o_orderkey",
+        F.date_from_unix_date(
+            exact_floor_div(start_ns, day_ns).cast("int")
+        ).alias("ts"),
+    )
+    epoch = F.lit("1995-01-01").cast("date")
+    markers = spark.range(85).select(
+        F.add_months(epoch, F.col("id").cast("int")).alias("ts"),
+        F.col("id").cast("long").alias("month_id"),
+    )
+    out = asof_join(orders, markers, on="ts", direction="backward")
+    return out.select(
+        "o_orderkey",
+        "ts",
+        F.col("ts_right").alias("month_start"),
+        F.col("month_id_right").alias("month_id"),
+    )
+
+
+_SQL_ASOF_DATE = """WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ts FROM orders
+), m AS (
+  SELECT CAST(DATE '1995-01-01' + to_months(CAST(i AS INT)) AS DATE)
+           AS ts,
+         CAST(i AS BIGINT) AS month_id
+  FROM (SELECT unnest(range(0, 85)) AS i)
+)
+SELECT o.o_orderkey, o.ts, m.ts AS month_start, m.month_id
+FROM o ASOF LEFT JOIN m ON o.ts >= m.ts"""
+
+
 def q_asof_nearest(spark, sf_dir):
     """direction='nearest' as-of: attach whichever purchase (before or
     after) is closest in time, absolute-gap tolerance of 12h; exact
@@ -4958,6 +5004,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_quality_score": (q_quality_score, _SQL_QUALITY),
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
+    "q_asof_join_date": (q_asof_join_date, _SQL_ASOF_DATE),
     "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
@@ -5092,6 +5139,7 @@ _GATE_PREFIX = [
     "q_stream_join_keepleft",
     "q_random_projection",
     "q_split_spans",
+    "q_asof_join_date",
     # riskiest round-3/4 surface, previously driver-unverified
     "q_build_vocab",
     "q_mean_token_rank",
@@ -5143,7 +5191,7 @@ def _gate_reorder(queries: dict, prefix: list) -> dict:
     return {**head, **{n: q for n, q in queries.items() if n not in head}}
 
 
-def _gate_rotate(queries: dict, pinned_n: int = 14, window: int = 36) -> dict:
+def _gate_rotate(queries: dict, pinned_n: int = 15, window: int = 35) -> dict:
     """Self-rotating driver gate: the first ``pinned_n`` entries (core
     joins + this round's additions) stay gated every round; the rest of
     the catalog rotates through the remaining ``window`` gate slots,
