@@ -904,6 +904,105 @@ SELECT o.o_orderkey, o.ts, m.ts AS month_start, m.month_id
 FROM o ASOF LEFT JOIN m ON o.ts >= m.ts"""
 
 
+def _order_date_spans(spark, sf_dir, modulus: int, width_days: int):
+    """Sparse DATE spans from orders: every ``modulus``-th order key,
+    span ``[o_orderdate, +width_days)`` — sparse enough that islands
+    and gaps are non-trivial."""
+    from .functions.spans import exact_floor_div
+    from .sources import col_to_ns
+
+    day_ns = 86_400_000_000_000
+    od = read_table(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(modulus)) == 0
+    )
+    start_ns = col_to_ns(
+        F.col("o_orderdate"), od.schema["o_orderdate"].dataType
+    )
+    d0 = F.date_from_unix_date(exact_floor_div(start_ns, day_ns).cast("int"))
+    return od.select(
+        "o_orderkey",
+        F.struct(
+            d0.alias("start"), F.date_add(d0, width_days).alias("stop")
+        ).alias("span"),
+    )
+
+
+def q_merge_spans_date(spark, sf_dir):
+    """Interval coalesce in the DATE domain: sparse 3-day order spans
+    merged into maximal islands — drives the set-algebra ordinal
+    adapters (merge on day ordinals, islands restored as dates) against
+    a DuckDB gaps-and-islands window oracle."""
+    from .operators.coalesce import merge_spans
+
+    spans = _order_date_spans(spark, sf_dir, 37, 3).select("span")
+    m = merge_spans(spans)
+    return m.select(
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+        "n_spans",
+    )
+
+
+_SQL_MERGE_SPANS_DATE = """WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 3 AS e
+  FROM orders WHERE o_orderkey % 37 = 0
+), m AS (
+  SELECT s, e,
+         CASE WHEN s > coalesce(max(e) OVER (ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                DATE '0001-01-01')
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), g AS (
+  SELECT s, e, sum(brk) OVER (ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m
+)
+SELECT min(s) AS i_start, max(e) AS i_stop,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM g GROUP BY isl"""
+
+
+def q_quantile_windows_date(spark, sf_dir):
+    """quantile_windows over a DATE span table: 8 equal-day windows
+    tiling the covering span of the sparse order spans, joined back for
+    per-window counts — domain window generation + domain join in one
+    oracle-gated query."""
+    spans = _order_date_spans(spark, sf_dir, 37, 3)
+    w = quantile_windows(spark, 8, spans.select("span"), label="w_id")
+    j = interval_join(
+        spans, w, validate="skip", strategy="broadcast_right"
+    )
+    return j.groupBy("w_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("span_left.start")).alias("first_start"),
+    )
+
+
+_SQL_QW_DATE = """WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 3 AS e
+  FROM orders WHERE o_orderkey % 37 = 0
+), b AS (
+  SELECT CAST(min(s) - DATE '1970-01-01' AS BIGINT) AS lo,
+         CAST(max(e) - DATE '1970-01-01' AS BIGINT) AS hi
+  FROM o
+), w AS (
+  SELECT DATE '1970-01-01'
+           + CAST(lo + i*((hi-lo)//8) + (i*((hi-lo)%8))//8 AS INT)
+           AS w_start,
+         DATE '1970-01-01'
+           + CAST(lo + (i+1)*((hi-lo)//8) + ((i+1)*((hi-lo)%8))//8
+                  AS INT) AS w_stop,
+         CAST(i+1 AS BIGINT) AS w_id
+  FROM b, generate_series(0, 7) t(i)
+)
+SELECT w.w_id, CAST(count(*) AS BIGINT) AS n, min(o.s) AS first_start
+FROM o JOIN w ON greatest(o.s, w.w_start) < least(o.e, w.w_stop)
+GROUP BY w.w_id"""
+
+
 def q_asof_nearest(spark, sf_dir):
     """direction='nearest' as-of: attach whichever purchase (before or
     after) is closest in time, absolute-gap tolerance of 12h; exact
@@ -5005,6 +5104,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_asof_join_date": (q_asof_join_date, _SQL_ASOF_DATE),
+    "q_merge_spans_date": (q_merge_spans_date, _SQL_MERGE_SPANS_DATE),
+    "q_quantile_windows_date": (q_quantile_windows_date, _SQL_QW_DATE),
     "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
@@ -5140,6 +5241,8 @@ _GATE_PREFIX = [
     "q_random_projection",
     "q_split_spans",
     "q_asof_join_date",
+    "q_merge_spans_date",
+    "q_quantile_windows_date",
     # riskiest round-3/4 surface, previously driver-unverified
     "q_build_vocab",
     "q_mean_token_rank",
@@ -5191,7 +5294,7 @@ def _gate_reorder(queries: dict, prefix: list) -> dict:
     return {**head, **{n: q for n, q in queries.items() if n not in head}}
 
 
-def _gate_rotate(queries: dict, pinned_n: int = 15, window: int = 35) -> dict:
+def _gate_rotate(queries: dict, pinned_n: int = 17, window: int = 33) -> dict:
     """Self-rotating driver gate: the first ``pinned_n`` entries (core
     joins + this round's additions) stay gated every round; the rest of
     the catalog rotates through the remaining ``window`` gate slots,
