@@ -5212,19 +5212,25 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
 }
 
 # ---------------------------------------------------------------------------
-# driver-gate ordering (round-5): the driver's CORRECTNESS gate checks the
-# FIRST 50 catalog entries only, so insertion order is a correctness-signal
-# budget.  Rounds 1-4 left the 67 newest queries (everything after
-# q_dedup_clusters: CDC, BPE, signal ops, coverage-select, hybrid dedup,
-# streaming twins) driver-unverified.  The prefix below puts (a) this
-# round's NEW queries, (b) the riskiest round-3/4 surface, and (c) a core
-# interval-join set inside the gate; everything else keeps its original
-# relative order after the prefix.  Rotate the prefix each round so driver
-# verification eventually covers the whole catalog.
+# driver-gate ordering (round-6, coverage-aware): the driver's CORRECTNESS
+# gate checks the FIRST 50 catalog entries only, so insertion order is a
+# correctness-signal budget.  The order is a pure function of repo-COMMITTED
+# state -- the CORRECTNESS_r*.json files the driver itself writes into the
+# repo each round:
+#   1. a small pinned core (the flagship interval-join surface) stays gated
+#      every round as a regression tripwire;
+#   2. every catalog entry that has NEVER had a green driver row across all
+#      committed CORRECTNESS_r*.json comes next -- brand-new queries land
+#      here by construction, so the gate always verifies new and
+#      never-verified entries first;
+#   3. the already-driver-verified remainder keeps catalog order.
+# No BENCH-file glob, no round counter: with zero CORRECTNESS files on disk
+# the order degrades to pinned-core + catalog order (fails safe, and the
+# next round's file restores coverage-awareness).  ``_gate_order`` is pure
+# and unit-tested in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
-_GATE_PREFIX = [
-    # core interval-join set (always in the gate)
+_GATE_PINNED = [
     "q_quantile_windows",
     "q_dfspan",
     "q_interval_join_inner",
@@ -5233,86 +5239,56 @@ _GATE_PREFIX = [
     "q_interval_join_mixed_bounds",
     "q_groupby_interval_join_agg",
     "q_interval_join_by",
-    # round-5 additions (registered below; missing names are skipped)
     "q_interval_join_date",
-    "q_interval_join_by_keepleft",
-    "q_validity_intervals_global",
-    "q_stream_join_keepleft",
-    "q_random_projection",
-    "q_split_spans",
     "q_asof_join_date",
-    "q_merge_spans_date",
     "q_quantile_windows_date",
-    # riskiest round-3/4 surface, previously driver-unverified
-    "q_build_vocab",
-    "q_mean_token_rank",
-    "q_oov_rate",
-    "q_bpe_merges",
-    "q_coverage_select",
-    "q_pagerank",
-    "q_triangle_counts",
-    "q_hampel_despike",
-    "q_ewma",
-    "q_cusum",
-    "q_resample_interp",
-    "q_resample_locf",
-    "q_scd2_intervals",
-    "q_snapshot_at",
-    "q_snapshot_diff",
-    "q_apply_cdc",
-    "q_incremental_agg",
-    "q_kmv_distinct",
-    "q_kmv_overlap",
-    "q_heavy_hitters",
-    "q_semantic_dedup",
-    "q_semantic_clusters",
-    "q_hybrid_dedup_clusters",
-    "q_shingle_dup_pairs",
-    "q_levenshtein_pairs",
-    "q_allen_relations",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_anomaly_flags",
-    "q_pack_sequences",
-    "q_pack_greedy",
-    "q_pack_stats",
-    "q_chunk_documents",
-    "q_rag_prep",
-    "q_span_gaps",
-    "q_span_complement",
-    "q_point_in_span",
-    "q_topk_per_group",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    "q_sample_per_group",
-    "q_gopher_rules",
+    "q_stream_join_keepleft",
 ]
 
 
-def _gate_reorder(queries: dict, prefix: list) -> dict:
-    head = {n: queries[n] for n in prefix if n in queries}
-    return {**head, **{n: q for n, q in queries.items() if n not in head}}
-
-
-def _gate_rotate(queries: dict, pinned_n: int = 17, window: int = 33) -> dict:
-    """Self-rotating driver gate: the first ``pinned_n`` entries (core
-    joins + this round's additions) stay gated every round; the rest of
-    the catalog rotates through the remaining ``window`` gate slots,
-    keyed on the round number (= count of driver-written BENCH_r files),
-    so over ~3 rounds the 50-entry gate covers every query with no
-    manual reordering.  Pure ordering — never drops or alters entries."""
+def _driver_verified_names(root: str) -> set:
+    """Names with at least one green driver CORRECTNESS row, read from the
+    committed CORRECTNESS_r*.json files.  A row counts as green when rows
+    and schema match and the value hash either matched or was not computed
+    (the driver's weaker rows-only check for non-SQL-expressible ops)."""
     import glob as _glob
+    import json as _json
     import os as _os
 
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    r = len(_glob.glob(_os.path.join(root, "BENCH_r*.json")))
-    names = list(queries)
-    pinned, rest = names[:pinned_n], names[pinned_n:]
-    if r <= 4 or not rest:  # round 5: keep the hand-curated order
-        return queries
-    k = ((r - 4) * window) % len(rest)
-    rot = rest[k:] + rest[:k]
-    return {n: queries[n] for n in pinned + rot}
+    seen = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ):
+                seen.add(name)
+    return seen
 
 
-QUERIES = _gate_rotate(_gate_reorder(QUERIES, _GATE_PREFIX))
+def _gate_order(queries: dict, pinned: list, verified: set) -> dict:
+    """Pure reordering: pinned core, then never-driver-verified entries in
+    catalog order, then the verified remainder in catalog order.  Never
+    drops or alters entries; names in ``pinned`` missing from the catalog
+    are skipped."""
+    head = [n for n in pinned if n in queries]
+    head_set = set(head)
+    never = [n for n in queries if n not in head_set and n not in verified]
+    rest = [n for n in queries if n not in head_set and n in verified]
+    return {n: queries[n] for n in head + never + rest}
+
+
+_REPO_ROOT = __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+)
+QUERIES = _gate_order(QUERIES, _GATE_PINNED, _driver_verified_names(_REPO_ROOT))

@@ -342,3 +342,91 @@ def test_resample_locf_keyed_no_single_partition(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert_no_python_row_udf(out)
+
+
+# ---------------------------------------------------------------------------
+# driver-gate ordering (coverage-aware, round-6)
+# ---------------------------------------------------------------------------
+
+
+def test_gate_order_puts_never_verified_first():
+    from dataframeintervals_jl_spark.queries import _gate_order
+
+    catalog = {f"q{i}": i for i in range(8)}
+    pinned = ["q3", "q0", "q_missing"]
+    verified = {"q1", "q2", "q5"}
+    out = list(_gate_order(catalog, pinned, verified))
+    # pinned first (missing names skipped), then never-verified in catalog
+    # order, then verified remainder in catalog order; nothing dropped.
+    assert out == ["q3", "q0", "q4", "q6", "q7", "q1", "q2", "q5"]
+    assert _gate_order(catalog, pinned, verified) == {
+        n: catalog[n] for n in out
+    }
+
+
+def test_gate_order_fails_safe_without_correctness_files(tmp_path):
+    """No CORRECTNESS files (driver renamed/pruned them) -> empty verified
+    set -> order degrades to pinned + catalog order, never an exception."""
+    from dataframeintervals_jl_spark.queries import (
+        _driver_verified_names,
+        _gate_order,
+    )
+
+    assert _driver_verified_names(str(tmp_path)) == set()
+    catalog = {"a": 1, "b": 2, "c": 3}
+    assert list(_gate_order(catalog, ["b"], set())) == ["b", "a", "c"]
+
+
+def test_driver_verified_names_reads_green_rows(tmp_path):
+    import json
+
+    from dataframeintervals_jl_spark.queries import _driver_verified_names
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                },
+                "q_rows_only": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": None,
+                },
+                "q_red": {
+                    "rows_match": False,
+                    "schema_match": True,
+                    "hash_match": False,
+                },
+                "q_hash_miss": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                },
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text("not json {")
+    got = _driver_verified_names(str(tmp_path))
+    assert got == {"q_green", "q_rows_only"}
+
+
+def test_gate_live_catalog_covers_never_verified():
+    """On the live repo state: every never-driver-verified catalog entry
+    must sit inside the 50-entry driver gate window."""
+    from dataframeintervals_jl_spark.queries import (
+        QUERIES,
+        _GATE_PINNED,
+        _REPO_ROOT,
+        _driver_verified_names,
+    )
+
+    verified = _driver_verified_names(_REPO_ROOT)
+    names = list(QUERIES)
+    never = [n for n in names if n not in verified]
+    gate = set(names[:50])
+    missing = [n for n in never if n not in gate]
+    assert not missing, f"never-verified entries outside the gate: {missing}"
+    assert [n for n in _GATE_PINNED if n in QUERIES] == names[: len(_GATE_PINNED)]
