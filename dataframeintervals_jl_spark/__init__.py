@@ -65,6 +65,7 @@ from .operators.interval_join import (
     interval_join_by,
     interval_join_prebinned,
     interval_semi_join,
+    release_join_caches,
     setup_column_names,
 )
 from .operators.quantile_windows import (
@@ -180,6 +181,7 @@ __all__ = [
     "groupby_interval_join",
     "interval_join",
     "interval_join_by",
+    "release_join_caches",
     "interval_semi_join",
     "interval_anti_join",
     "point_in_span_join",

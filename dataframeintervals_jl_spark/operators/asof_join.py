@@ -295,6 +295,17 @@ def asof_join(
                 tolerance = tolerance.days
             else:
                 tolerance = tolerance // _dt.timedelta(microseconds=1)
+        elif tolerance is not None:
+            # a bare integer would silently change units by domain (ns
+            # for numeric on-columns, days for date, µs for timestamp)
+            # — a ns-thinking caller against a timestamp column would
+            # get a 1000×-too-large window with no error
+            raise TypeError(
+                f"tolerance for a {dom_l} `on` column must be a "
+                f"datetime.timedelta (got {type(tolerance).__name__}); "
+                "bare integers are only accepted for numeric epoch-ns "
+                "columns"
+            )
 
     right_payload = [c for c in right.columns if c != right_on and c not in by_cols]
     out_right_names = {c: f"{c}{suffix}" for c in right_payload}

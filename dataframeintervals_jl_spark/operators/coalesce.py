@@ -462,11 +462,9 @@ def span_difference(
     left, _dl = _to_ordinal(left, spancol)
     right, _dr = _to_ordinal(right, rcol0)
     if _dl is not None or _dr is not None:
-        # unlike the joins (where point_in_span_join legitimately mixes
-        # an encoded-ordinal numeric side with a domain side), a
-        # subtraction has no internal encoded caller: a numeric side
-        # mixed with a domain side is always a unit error — reject
-        # instead of producing ns-reinterpreted-as-days garbage
+        # same policy as the join family: a numeric side mixed with a
+        # domain side is always a unit error — reject instead of
+        # producing ns-reinterpreted-as-days garbage
         if (_dl is None) != (_dr is None) or (_dl == "date") != (
             _dr == "date"
         ):

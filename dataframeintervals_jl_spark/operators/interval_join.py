@@ -97,12 +97,14 @@ def _adapt_endpoint_domains(left, right, on):
 
     Date may not mix with timestamp (no common ordinal unit — a day is
     not a µs count); timestamp and timestamp_ntz MAY mix (both become
-    epoch-µs under the UTC-pinned session).  A domain side MAY mix with
-    a numeric side — the numeric side is then taken AS the ordinal unit
-    (days for date, epoch-µs for timestamps; this is what
-    ``point_in_span_join``'s encoded points rely on), which is the
-    caller's responsibility.  ``(None, None)`` means numeric spans —
-    the no-op fast path."""
+    epoch-µs under the UTC-pinned session).  A domain side may NOT mix
+    with a plain numeric side: reinterpreting canonical epoch-ns spans
+    as day/epoch-µs ordinals silently produces unit garbage, so the mix
+    is rejected — same policy as ``span_difference`` and ``asof_join``.
+    (``point_in_span_join``, the one internal caller that legitimately
+    encodes ordinals into a numeric side, converts BOTH sides to
+    ordinals itself before delegating here.)  ``(None, None)`` means
+    numeric spans — the no-op fast path."""
     lon, ron = _resolve_on(on)
     dl = (
         span_endpoint_domain(left.schema[lon].dataType)
@@ -116,7 +118,14 @@ def _adapt_endpoint_domains(left, right, on):
     )
     if dl is None and dr is None:
         return left, right, (None, None)
-    if dl is not None and dr is not None and (dl == "date") != (dr == "date"):
+    if (dl is None) != (dr is None):
+        raise ValueError(
+            f"cannot join {dl or 'numeric'}-endpoint spans against "
+            f"{dr or 'numeric'}-endpoint spans: a plain numeric side would "
+            "be reinterpreted as day/epoch-µs ordinals (unit garbage). "
+            "Cast one side first (span_to_ordinal / span_from_ordinal)."
+        )
+    if (dl == "date") != (dr == "date"):
         raise ValueError(
             f"cannot join date-endpoint spans against {dr if dl == 'date' else dl}"
             "-endpoint spans: no common ordinal unit. Cast one side first "
@@ -413,6 +422,12 @@ def interval_join(
     must never be picked implicitly.  Explicit 'broadcast_right' /
     'broadcast_left' / 'binned' skip the stats actions (except binned's
     width estimate when ``bin_width`` is omitted).
+
+    Cache note: outer variants (``keepleft``/``keepright``/full) on the
+    binned path persist their id-stamped inputs for row-id stability
+    between the matched pass and the unmatched-recovery anti-join; the
+    cache stays referenced by the lazy result.  After materializing the
+    result, call :func:`release_join_caches` to free it.
     """
     normalize_bounds(bounds)
     left, right, domains = _adapt_endpoint_domains(left, right, on)
@@ -687,9 +702,9 @@ def _binned_join(
     if need_right_ids and RIGHT_IDX not in rights.columns:
         rights = rights.withColumn(RIGHT_IDX, F.monotonically_increasing_id())
     if need_left_ids:
-        lefts = lefts.persist()
+        lefts = _register_persisted(lefts.persist())
     if need_right_ids:
-        rights = rights.persist()
+        rights = _register_persisted(rights.persist())
 
     lcol = F.col(sides.left_on)
     rcol = F.col(sides.right_on)
@@ -719,6 +734,44 @@ def _binned_join(
     return _recover_unmatched(
         matched, lefts, rights, need_left_ids, need_right_ids
     )
+
+
+# Persisted id-stamped inputs of outer binned joins (the persist is
+# load-bearing: monotonically_increasing_id must agree between the
+# matched pass and the anti-join, so the stamped plan may NOT be
+# recomputed).  Spark has no "result materialized" callback, so the
+# engine cannot know when the cache is safe to drop — entries are
+# tracked here and released explicitly by the caller.
+_PERSISTED_JOIN_INPUTS: list = []
+
+
+def _register_persisted(df: DataFrame) -> DataFrame:
+    _PERSISTED_JOIN_INPUTS.append(df)
+    return df
+
+
+def release_join_caches(blocking: bool = False) -> int:
+    """Unpersist every id-stamped input cached by outer binned interval
+    joins (:func:`interval_join` / :func:`interval_join_by` with
+    ``keepleft``/``keepright``/full, and binned semi/anti joins).
+
+    The caches exist for row-id stability between the matched pass and
+    the unmatched-recovery anti-join; they stay referenced by the
+    returned lazy DataFrames, so the engine cannot drop them itself.
+    Call this AFTER materializing (collect/write) the join results —
+    releasing earlier makes downstream actions silently recompute the
+    id-stamped plans (wasted work, and recomputed ids are not
+    guaranteed stable).  Returns the number of entries released.
+    """
+    n = 0
+    while _PERSISTED_JOIN_INPUTS:
+        df = _PERSISTED_JOIN_INPUTS.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def _recover_unmatched(
@@ -808,7 +861,9 @@ def _interval_semi_anti(
         bin_width = _estimate_bin_width(stats, integral)
     w = max(int(bin_width), 1) if integral else float(bin_width)
 
-    lid = left.withColumn(LEFT_IDX, F.monotonically_increasing_id()).persist()
+    lid = _register_persisted(
+        left.withColumn(LEFT_IDX, F.monotonically_increasing_id()).persist()
+    )
     lcol = F.col(lon)
     rcol = F.col("__dfi_rspan")
     lb = _drop_empty_spans(lid.select(LEFT_IDX, lcol), lcol, lb_flavor)
@@ -1002,13 +1057,17 @@ def interval_join_by(
         need_left_ids = keepleft
         need_right_ids = keepright
         if need_left_ids:
-            lefts = lefts.withColumn(
-                LEFT_IDX, F.monotonically_increasing_id()
-            ).persist()
+            lefts = _register_persisted(
+                lefts.withColumn(
+                    LEFT_IDX, F.monotonically_increasing_id()
+                ).persist()
+            )
         if need_right_ids:
-            rights = rights.withColumn(
-                RIGHT_IDX, F.monotonically_increasing_id()
-            ).persist()
+            rights = _register_persisted(
+                rights.withColumn(
+                    RIGHT_IDX, F.monotonically_increasing_id()
+                ).persist()
+            )
         lcol, rcol = F.col(sides.left_on), F.col(sides.right_on)
         lb = _drop_empty_spans(lefts, lcol, lb_flavor)
         rb = _drop_empty_spans(rights, rcol, rb_flavor)
@@ -1100,18 +1159,23 @@ def point_in_span_join(
         and span_dom in ("timestamp", "timestamp_ntz")
     ):
         # date-stabbing (SCD2 lookups) over day ordinals / µs-stabbing
-        # over epoch-µs ordinals — [t, t+1) is exact in either unit;
-        # interval_join's domain adapter converts the span side to the
-        # same unit
+        # over epoch-µs ordinals — [t, t+1) is exact in either unit.
+        # Convert BOTH sides to the shared ordinal unit here (the only
+        # sanctioned encoded-ordinal caller; interval_join itself
+        # rejects numeric↔domain mixes) and restore the span domain on
+        # the output below.
         from ..functions.spans import endpoint_to_ordinal
 
         ts = endpoint_to_ordinal(F.col(ts_col), dt)
-    elif dt not in ("bigint", "int", "smallint", "tinyint"):
+        spans = spans.withColumn(on, span_to_ordinal(F.col(on), span_dom))
+    elif dt not in ("bigint", "int", "smallint", "tinyint") or (
+        span_dom is not None
+    ):
         raise ValueError(
             "point_in_span_join: ts_col must be an integral epoch-ns "
-            "column, or a date/timestamp column paired with spans of "
-            f"the same endpoint domain; got {dt} points over "
-            f"{span_dom or 'numeric'} spans"
+            "column over numeric spans, or a date/timestamp column "
+            "paired with spans of the same endpoint domain; got "
+            f"{dt} points over {span_dom or 'numeric'} spans"
         )
     else:
         ts = F.col(ts_col).cast("long")
@@ -1130,7 +1194,12 @@ def point_in_span_join(
     )
     # drop the synthetic point span and the (equally synthetic)
     # intersection; the containing interval stays as `<on>_right`
-    return joined.drop(f"{on}_left", on)
+    out = joined.drop(f"{on}_left", on)
+    if span_dom is not None:
+        out = out.withColumn(
+            f"{on}_right", span_from_ordinal(F.col(f"{on}_right"), span_dom)
+        )
+    return out
 
 
 def proximity_join(

@@ -1198,10 +1198,25 @@ def stream_asof_enrich(
     Output: event columns + each payload column as ``<col><suffix>`` +
     ``<on><suffix>`` (the matched state timestamp; all null when no
     state row precedes the event).
+
+    Mode contract: both inputs streaming (the union-and-scan path) or
+    both batch (delegates to :func:`asof_join`).  A streaming events
+    table against a STATIC states table is not supported — the two
+    sides are unioned, and Spark rejects a stream↔batch union; for a
+    truly static dimension, broadcast-join the latest state per key
+    instead (``events.join(broadcast(latest_states), by)``).
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     if not by_cols:
         raise ValueError("stream_asof_enrich requires at least one key")
+    if events.isStreaming != states.isStreaming:
+        raise ValueError(
+            "stream_asof_enrich requires both inputs streaming or both "
+            "batch (the sides are unioned into one keyed stream, and "
+            "Spark does not support a stream↔batch union). For a static "
+            "states table, pre-reduce it to the latest row per key and "
+            "broadcast-join it onto the event stream."
+        )
     pay = [c for c in (payload or
                        [c for c in states.columns
                         if c != on and c not in by_cols])]

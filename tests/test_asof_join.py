@@ -268,3 +268,24 @@ def test_asof_join_date_and_timestamp_domains(spark):
     assert jn.first()["tag_right"] == "lo"  # 7µs < 13µs
     with pytest.raises(ValueError, match="domains do not match"):
         asof_join(left, rts, on="ts")
+
+
+def test_integer_tolerance_rejected_for_domain_on_columns(spark):
+    """A bare-int tolerance silently changes units by domain (ns for
+    numeric, days for date, µs for timestamp) — domain on-columns must
+    require a datetime.timedelta."""
+    import datetime as dt
+
+    D = dt.date
+    left = spark.createDataFrame([(D(2024, 1, 10), 0)], "ts date, lid long")
+    right = spark.createDataFrame([(D(2024, 1, 1), "a")], "ts date, tag string")
+    with pytest.raises(TypeError, match="timedelta"):
+        asof_join(left, right, on="ts", tolerance=3)
+    ts0 = dt.datetime(2024, 1, 1)
+    lts = spark.createDataFrame([(ts0, 0)], "ts timestamp, lid long")
+    rts = spark.createDataFrame([(ts0, "a")], "ts timestamp, tag string")
+    with pytest.raises(TypeError, match="timedelta"):
+        asof_join(lts, rts, on="ts", tolerance=10**9)
+    # numeric on-columns keep accepting bare ints (epoch-ns)
+    jn = asof_join(_left(spark), _right(spark), by="k", tolerance=60)
+    assert jn.count() == 5

@@ -643,3 +643,31 @@ def test_proximity_join_strategy_parity(spark):
         ).collect()
     )
     assert a == b and a
+
+
+def test_release_join_caches_frees_outer_binned_persists(spark):
+    """Outer binned joins persist id-stamped inputs for row-id
+    stability; release_join_caches() frees them after the caller
+    materializes the result (and is idempotent)."""
+    from dataframeintervals_jl_spark import release_join_caches
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        _PERSISTED_JOIN_INPUTS,
+    )
+
+    release_join_caches()  # drain leftovers from other tests
+    L = spark.createDataFrame(
+        [({"start": i * 10, "stop": i * 10 + 5}, i) for i in range(50)],
+        "span struct<start: long, stop: long>, lid long",
+    )
+    R = spark.createDataFrame(
+        [({"start": i * 20, "stop": i * 20 + 2}, i) for i in range(30)],
+        "span struct<start: long, stop: long>, rid long",
+    )
+    out = interval_join(
+        L, R, keepleft=True, keepright=True, strategy="binned", bin_width=16
+    )
+    assert len(_PERSISTED_JOIN_INPUTS) == 2
+    out.count()  # materialize BEFORE releasing (the documented contract)
+    assert release_join_caches() == 2
+    assert _PERSISTED_JOIN_INPUTS == []
+    assert release_join_caches() == 0

@@ -502,3 +502,39 @@ def test_ordinal_round_trip_expressions(spark):
     got = [r["span"] for r in back.collect()]
     assert got[0]["start"] == D(2024, 2, 29) and got[0]["stop"] == D(2024, 3, 1)
     assert got[1] is None  # null-preserving both ways
+
+
+def test_numeric_vs_domain_mix_rejected(spark, date_tables):
+    """A plain numeric span side joined against a date/timestamp span
+    side would silently reinterpret epoch-ns as day/µs ordinals — every
+    public join path must reject the mix (same policy as
+    span_difference and asof_join)."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_anti_join,
+        interval_join_by,
+        interval_semi_join,
+        point_in_span_join,
+    )
+
+    _, _, ldf_date, _ = date_tables
+    num = spark.createDataFrame(
+        [({"start": 0, "stop": 10**12}, 0, "k")],
+        "span struct<start: long, stop: long>, ri long, k string",
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        interval_join(ldf_date.withColumn("k", F.lit("k")), num, validate="skip")
+    with pytest.raises(ValueError, match="numeric"):
+        interval_join(num, ldf_date.withColumn("k", F.lit("k")), validate="skip")
+    for fn in (interval_semi_join, interval_anti_join):
+        with pytest.raises(ValueError, match="numeric"):
+            fn(ldf_date.withColumn("k", F.lit("k")), num)
+        with pytest.raises(ValueError, match="numeric"):
+            fn(num, ldf_date.withColumn("k", F.lit("k")))
+    with pytest.raises(ValueError, match="numeric"):
+        interval_join_by(
+            ldf_date.withColumn("k", F.lit("k")), num, by="k", validate="skip"
+        )
+    # integral epoch-ns points over date spans: unit garbage, rejected
+    pts = spark.createDataFrame([(1_700_000_000_000_000_000, 0)], "ts long, pid long")
+    with pytest.raises(ValueError, match="same endpoint domain"):
+        point_in_span_join(pts, ldf_date, validate="skip")
