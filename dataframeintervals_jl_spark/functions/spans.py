@@ -278,7 +278,17 @@ def normalize_bounds(bounds) -> tuple:
     the reference's per-interval-type bound parameters
     (/root/reference/src/DataFrameIntervals.jl:31-46): a join there may
     mix e.g. a closed-closed left column with a closed-open right one.
+
+    Per-ROW flavors (full ``Interval{T,L,R}`` element parity, reference
+    src:31-35): an element of the pair may instead be a pyspark
+    ``Column`` holding flavor strings — each row then carries its own
+    bounds.  Columns pass through unvalidated here (values are checked
+    row-side: an invalid flavor yields null closedness flags, which
+    match nothing; :func:`~..operators.interval_join.interval_join`
+    additionally raises under ``validate='error'``).
     """
+    if isinstance(bounds, Column):
+        return bounds, bounds
     if isinstance(bounds, str):
         if bounds not in BOUNDS:
             raise ValueError(
@@ -292,17 +302,37 @@ def normalize_bounds(bounds) -> tuple:
             f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()' "
             "or a (left, right) pair of them"
         ) from None
-    if lb not in BOUNDS or rb not in BOUNDS:
-        raise ValueError(
-            f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or '()' "
-            "or a (left, right) pair of them"
-        )
+    for b in (lb, rb):
+        if not isinstance(b, Column) and b not in BOUNDS:
+            raise ValueError(
+                f"unsupported bounds {bounds!r}; use '[)', '(]', '[]' or "
+                "'()', a (left, right) pair of them, or a per-row flavor "
+                "Column on either side"
+            )
     return lb, rb
 
 
 def _bound_flags(flavor: str) -> tuple:
     """(lower_closed, upper_closed) for one flavor string."""
     return flavor[0] == "[", flavor[1] == "]"
+
+
+def flavor_flags(spec) -> tuple:
+    """(lower_closed, upper_closed) as boolean COLUMNS for one side's
+    bounds spec — ``lit`` flags for a flavor string, per-row flags for a
+    flavor Column (invalid flavor values yield null flags, so they
+    satisfy no overlap predicate)."""
+    if isinstance(spec, str):
+        lc, uc = _bound_flags(spec)
+        return F.lit(lc), F.lit(uc)
+    c = _c(spec)
+    lo = F.when(F.substring(c, 1, 1) == "[", F.lit(True)).when(
+        F.substring(c, 1, 1) == "(", F.lit(False)
+    )
+    up = F.when(F.substring(c, 2, 1) == "]", F.lit(True)).when(
+        F.substring(c, 2, 1) == ")", F.lit(False)
+    )
+    return lo, up
 
 
 def spans_overlap(l, r, bounds="[)") -> Column:
@@ -338,25 +368,28 @@ def spans_overlap(l, r, bounds="[)") -> Column:
     # everything — guard so null spans match nothing (SQL semantics; the
     # validate='error' path never reaches here with nulls anyway).
     not_null = lc.isNotNull() & rc.isNotNull()
-    if lb == rb:
+    if isinstance(lb, str) and lb == rb:
         if lb in ("[)", "(]", "()"):
             return not_null & (lo < hi)
         return not_null & (lo <= hi)
-    l_lc, l_uc = _bound_flags(lb)
-    r_lc, r_uc = _bound_flags(rb)
+    # general branch: per-side flavor strings AND/OR per-row flavor
+    # Columns share one expression — closedness becomes a (possibly
+    # per-row) boolean flag instead of a Python literal
+    l_lc, l_uc = flavor_flags(lb)
+    r_lc, r_uc = flavor_flags(rb)
     ls, rs = lc.getField("start"), rc.getField("start")
     le, re_ = lc.getField("stop"), rc.getField("stop")
     lo_closed = (
-        F.when(ls > rs, F.lit(l_lc))
-        .when(ls < rs, F.lit(r_lc))
-        .otherwise(F.lit(l_lc and r_lc))
+        F.when(ls > rs, l_lc).when(ls < rs, r_lc).otherwise(l_lc & r_lc)
     )
     hi_closed = (
-        F.when(le < re_, F.lit(l_uc))
-        .when(le > re_, F.lit(r_uc))
-        .otherwise(F.lit(l_uc and r_uc))
+        F.when(le < re_, l_uc).when(le > re_, r_uc).otherwise(l_uc & r_uc)
     )
-    return not_null & ((lo < hi) | ((lo == hi) & lo_closed & hi_closed))
+    return not_null & (
+        ((lo < hi) & l_lc.isNotNull() & l_uc.isNotNull()
+         & r_lc.isNotNull() & r_uc.isNotNull())
+        | ((lo == hi) & lo_closed & hi_closed)
+    )
 
 
 def span_intersect(l, r) -> Column:

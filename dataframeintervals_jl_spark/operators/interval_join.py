@@ -379,6 +379,53 @@ def _validate_no_nulls(stats_l: _SideStats, stats_r: _SideStats) -> None:
 
 
 
+_LBND = "__dfi_lbnd"
+_RBND = "__dfi_rbnd"
+
+
+def _bounds_col_name(df: DataFrame, spec, side: str):
+    """``None`` when ``spec`` is a flavor literal; the validated column
+    name when it names a per-row flavor string column of ``df``."""
+    from ..functions.spans import BOUNDS
+
+    if not isinstance(spec, str) or spec in BOUNDS:
+        return None
+    if spec in df.columns:
+        dt = df.schema[spec].dataType.simpleString()
+        if dt != "string":
+            raise ValueError(
+                f"per-row bounds column {spec!r} in the {side} table must "
+                f"be a string column of flavors '[)', '(]', '[]', '()'; "
+                f"got {dt}"
+            )
+        return spec
+    raise ValueError(
+        f"unsupported bounds {spec!r} for the {side} side; use '[)', "
+        "'(]', '[]' or '()', or the name of a per-row flavor string "
+        f"column present in the {side} table"
+    )
+
+
+def _checked_flavor_col(name: str, side: str):
+    """The per-row flavor column wrapped in a validity check that raises
+    (first action) on any value outside the four flavors, including
+    null — the per-row analog of the fused null-span rejection."""
+    from ..functions.spans import BOUNDS
+
+    c = F.col(name)
+    return F.when(c.isin(*BOUNDS), c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"invalid per-row bounds flavor in the {side} table "
+                    f"column {name!r}: "
+                ),
+                F.coalesce(c, F.lit("NULL")),
+            )
+        )
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -402,7 +449,12 @@ def interval_join(
     reference's Interval{T,L,R} flavors applied uniformly — or a
     ``(left, right)`` pair of flavors for joins mixing interval types
     per side, e.g. ``bounds=('[]', '[)')``, matching the reference's
-    per-type bound parameters src:31-46), ``validate``
+    per-type bound parameters src:31-46; either element may ALSO name a
+    string column of that side's table holding per-ROW flavors — full
+    ``Interval{T,L,R}`` element parity, src:31-35 — e.g.
+    ``bounds=('bnd', '[)')`` for a left table mixing ``[a,b]`` and
+    ``[a,b)`` rows; the bounds column is consumed by the predicate and
+    does not appear in the output), ``validate``
     ('error' = reference-faithful null rejection, fused into the join
     when no stats scan runs | 'skip'), ``strategy``, ``bin_width`` (ns,
     or a float width for double-endpoint spans; cost-model estimate when
@@ -429,7 +481,30 @@ def interval_join(
     cache stays referenced by the lazy result.  After materializing the
     result, call :func:`release_join_caches` to free it.
     """
-    normalize_bounds(bounds)
+    lb_raw, rb_raw = _as_pair(bounds, default="[)")
+    lbc = _bounds_col_name(left, lb_raw, "left")
+    rbc = _bounds_col_name(right, rb_raw, "right")
+    if lbc is None and rbc is None:
+        normalize_bounds(bounds)
+    else:
+        # copy per-row flavors into reserved payload columns so the
+        # rename protocol carries them through (the user's column keeps
+        # its name in the output; the reserved copy is dropped at the
+        # final projection)
+        if lbc is not None:
+            left = left.withColumn(
+                _LBND,
+                _checked_flavor_col(lbc, "left")
+                if validate == "error"
+                else F.col(lbc),
+            )
+        if rbc is not None:
+            right = right.withColumn(
+                _RBND,
+                _checked_flavor_col(rbc, "right")
+                if validate == "error"
+                else F.col(rbc),
+            )
     left, right, domains = _adapt_endpoint_domains(left, right, on)
     sides = setup_column_names(
         left,
@@ -440,6 +515,18 @@ def interval_join(
         makeunique=makeunique,
         with_indices=with_indices,
     )
+    bnd_drop = set()
+    if lbc is not None or rbc is not None:
+        lb_spec, rb_spec = lb_raw, rb_raw
+        if lbc is not None:
+            name = sides.rename_left[_LBND]
+            bnd_drop.add(name)
+            lb_spec = F.col(name)
+        if rbc is not None:
+            name = sides.rename_right[_RBND]
+            bnd_drop.add(name)
+            rb_spec = F.col(name)
+        bounds = (lb_spec, rb_spec)
     validate_span_type(
         sides.left.schema[sides.left_on].dataType, f"left `on` ({sides.left_on})"
     )
@@ -526,7 +613,9 @@ def interval_join(
         )
         joined = l.join(r, cond, how)
 
-    out_cols = sides.left_cols + sides.right_cols
+    out_cols = [
+        c for c in sides.left_cols + sides.right_cols if c not in bnd_drop
+    ]
     intersection = span_intersect(F.col(sides.left_on), F.col(sides.right_on)).alias(
         sides.joined_on
     )
@@ -630,14 +719,27 @@ def _bin_ids(span_col: Column, w, flavor: str, integral: bool) -> Column:
     stop = span_col.getField("stop")
     if not integral:
         return F.sequence(_float_floor_div(start, w), _float_floor_div(stop, w))
-    last_point = stop - F.lit(1) if flavor in ("[)", "()") else stop
+    if isinstance(flavor, Column):
+        # per-row flavors: open-upper rows end at stop-1, closed-upper
+        # at stop; invalid flavors over-cover (stop) — harmless, the
+        # residual predicate rejects them
+        last_point = stop - F.when(
+            F.substring(flavor, 2, 1) == ")", F.lit(1)
+        ).otherwise(F.lit(0))
+    else:
+        last_point = stop - F.lit(1) if flavor in ("[)", "()") else stop
     return F.sequence(_floor_div(start, w), _floor_div(last_point, w))
 
 
-def _drop_empty_spans(df: DataFrame, col: Column, flavor: str) -> DataFrame:
+def _drop_empty_spans(df: DataFrame, col: Column, flavor) -> DataFrame:
     """Drop spans empty under THIS side's flavor before binning: every
     flavor with an open side makes width-0 spans empty; closed-closed
     '[]' keeps them (``[a, a]`` is the point ``a``)."""
+    if isinstance(flavor, Column):
+        return df.filter(
+            (col.getField("stop") > col.getField("start"))
+            | (flavor == "[]")
+        )
     if flavor == "[]":
         return df
     return df.filter(col.getField("stop") > col.getField("start"))

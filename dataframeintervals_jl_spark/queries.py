@@ -327,6 +327,66 @@ FROM es JOIN w
   OR (greatest(es.s, w.w_start) = least(es.e, w.w_stop) AND es.e < w.w_stop)"""
 
 
+def q_interval_join_rowbounds(spark, sf_dir):
+    """Per-ROW bound flavors (full Interval{T,L,R} element parity,
+    reference src:31-35): every event span and every window carries its
+    own '[)' / '(]' / '[]' / '()' flavor derived from its id — one
+    table freely mixing closed and open rows, joined in a single pass
+    (no user-side split by flavor).  Binned strategy so the per-row
+    bin-coverage and empty-span logic is oracle-gated, not just
+    property-tested."""
+    es, w = _es_windows(spark, sf_dir, 6, "idx")
+    flav = F.array(F.lit("[)"), F.lit("(]"), F.lit("[]"), F.lit("()"))
+    es = es.withColumn(
+        "bnd", F.element_at(flav, F.pmod(F.col("event_id"), 4).cast("int") + 1)
+    )
+    w = w.withColumn(
+        "wbnd", F.element_at(flav, F.pmod(F.col("idx"), 4).cast("int") + 1)
+    )
+    j = interval_join(
+        es, w, bounds=("bnd", "wbnd"), validate="skip", strategy="binned"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "bnd",
+        "wbnd",
+        F.col("span_left.start").alias("l_start"),
+        F.col("span_left.stop").alias("l_stop"),
+        F.col("span_right.start").alias("w_start"),
+        F.col("span_right.stop").alias("w_stop"),
+        "idx",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_FLAV = "CASE {x} % 4 WHEN 0 THEN '[)' WHEN 1 THEN '(]' WHEN 2 THEN '[]' ELSE '()' END"
+
+# per-row predicate: lo < hi, or lo == hi with the binding lower and
+# upper bounds both closed (the side supplying the larger start / the
+# smaller stop supplies the bound; exact ties need both sides closed)
+_SQL_JOIN_ROWBOUNDS = f"""WITH {_ES_CTE},
+{_w_cte(6, "idx")},
+eb AS (SELECT es.*, {_SQL_FLAV.format(x='event_id')} AS bnd FROM es),
+wb AS (SELECT w.*, {_SQL_FLAV.format(x='idx')} AS wbnd FROM w)
+SELECT eb.event_id, eb.user_id, eb.bnd, wb.wbnd,
+       eb.s AS l_start, eb.e AS l_stop, wb.w_start, wb.w_stop, wb.idx,
+       greatest(eb.s, wb.w_start) AS i_start,
+       least(eb.e, wb.w_stop) AS i_stop
+FROM eb JOIN wb
+  ON greatest(eb.s, wb.w_start) < least(eb.e, wb.w_stop)
+  OR (greatest(eb.s, wb.w_start) = least(eb.e, wb.w_stop)
+      AND (CASE WHEN eb.s > wb.w_start THEN substr(eb.bnd, 1, 1) = '['
+                WHEN eb.s < wb.w_start THEN substr(wb.wbnd, 1, 1) = '['
+                ELSE substr(eb.bnd, 1, 1) = '[' AND substr(wb.wbnd, 1, 1) = '['
+           END)
+      AND (CASE WHEN eb.e < wb.w_stop THEN substr(eb.bnd, 2, 1) = ']'
+                WHEN eb.e > wb.w_stop THEN substr(wb.wbnd, 2, 1) = ']'
+                ELSE substr(eb.bnd, 2, 1) = ']' AND substr(wb.wbnd, 2, 1) = ']'
+           END))"""
+
+
 def q_interval_join_float_binned(spark, sf_dir):
     """The binned strategy over double-endpoint spans (IEEE float
     binning, `_float_floor_div`): same query as q_interval_join_float,
@@ -5086,6 +5146,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_mixed_bounds": (
         q_interval_join_mixed_bounds,
         _SQL_JOIN_MIXED_BOUNDS,
+    ),
+    "q_interval_join_rowbounds": (
+        q_interval_join_rowbounds,
+        _SQL_JOIN_ROWBOUNDS,
     ),
     "q_groupby_interval_join_agg": (q_groupby_interval_join_agg, _SQL_GROUPBY_AGG),
     "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED),

@@ -671,3 +671,98 @@ def test_release_join_caches_frees_outer_binned_persists(spark):
     assert release_join_caches() == 2
     assert _PERSISTED_JOIN_INPUTS == []
     assert release_join_caches() == 0
+
+
+def _brute_rowbounds(lrows, rrows):
+    """(lid, rid) pairs under per-row flavors, continuous-interval
+    semantics (nonempty intersection)."""
+    def flags(f):
+        return f[0] == "[", f[1] == "]"
+
+    out = set()
+    for ls, le, lid, lf in lrows:
+        for rs, re, rid, rf in rrows:
+            llc, luc = flags(lf)
+            rlc, ruc = flags(rf)
+            lo, hi = max(ls, rs), min(le, re)
+            if lo < hi:
+                out.add((lid, rid))
+            elif lo == hi:
+                loc = llc if ls > rs else rlc if ls < rs else (llc and rlc)
+                hic = luc if le < re else ruc if le > re else (luc and ruc)
+                if loc and hic:
+                    out.add((lid, rid))
+    return out
+
+
+def _rowbounds_tables(spark):
+    flav = ["[)", "(]", "[]", "()"]
+    lrows = [((i * 7) % 50, (i * 7) % 50 + (i % 4), i, flav[i % 4]) for i in range(60)]
+    rrows = [(j * 5, j * 5 + 5, j, flav[(j + 1) % 4]) for j in range(12)]
+    L = spark.createDataFrame(
+        [({"start": s, "stop": e}, i, b) for s, e, i, b in lrows],
+        "span struct<start: long, stop: long>, lid long, bnd string",
+    )
+    R = spark.createDataFrame(
+        [({"start": s, "stop": e}, j, b) for s, e, j, b in rrows],
+        "span struct<start: long, stop: long>, rid long, rbnd string",
+    )
+    return lrows, rrows, L, R
+
+
+@pytest.mark.parametrize("strategy", ["broadcast_right", "binned"])
+def test_per_row_bounds_match_brute_force(spark, strategy):
+    """Per-row flavor columns on BOTH sides (full Interval{T,L,R}
+    element parity, reference src:31-35): zero-width spans under every
+    flavor, both strategies; the user's flavor columns survive to the
+    output, the reserved copies do not."""
+    lrows, rrows, L, R = _rowbounds_tables(spark)
+    j = interval_join(L, R, bounds=("bnd", "rbnd"), strategy=strategy, bin_width=8)
+    got = {(r["lid"], r["rid"]) for r in j.collect()}
+    assert got == _brute_rowbounds(lrows, rrows)
+    assert "bnd" in j.columns and "rbnd" in j.columns
+    assert not [c for c in j.columns if c.startswith("__dfi")]
+
+
+@pytest.mark.parametrize("flavor", ["[)", "(]", "[]", "()"])
+def test_per_row_bounds_constant_column_equals_uniform(spark, flavor):
+    """A per-row bounds column holding one constant flavor must produce
+    the identical pair set as the uniform-flavor join (property tying
+    the new path to the four audited uniform paths)."""
+    lrows, rrows, L, R = _rowbounds_tables(spark)
+    Lc = L.withColumn("bnd", F.lit(flavor))
+    Rc = R.withColumn("rbnd", F.lit(flavor))
+    ju = interval_join(L.drop("bnd"), R.drop("rbnd"), bounds=flavor,
+                       strategy="binned", bin_width=8)
+    jp = interval_join(Lc, Rc, bounds=("bnd", "rbnd"),
+                       strategy="binned", bin_width=8)
+    pu = {(r["lid"], r["rid"]) for r in ju.collect()}
+    pp = {(r["lid"], r["rid"]) for r in jp.collect()}
+    assert pu == pp
+
+
+def test_per_row_bounds_outer_and_validation(spark):
+    lrows, rrows, L, R = _rowbounds_tables(spark)
+    exp = _brute_rowbounds(lrows, rrows)
+    j = interval_join(L, R, bounds=("bnd", "rbnd"), keepleft=True,
+                      strategy="binned", bin_width=8)
+    unmatched = {lid for _, _, lid, _ in lrows} - {a for a, _ in exp}
+    assert j.count() == len(exp) + len(unmatched)
+    from dataframeintervals_jl_spark import release_join_caches
+    release_join_caches()
+    # invalid flavor: raises under validate='error', no-match under skip
+    Lbad = L.withColumn(
+        "bnd", F.when(F.col("lid") == 0, "x]").otherwise(F.col("bnd"))
+    )
+    with pytest.raises(Exception, match="invalid per-row bounds"):
+        interval_join(Lbad, R, bounds=("bnd", "rbnd"),
+                      strategy="broadcast_right").count()
+    js = interval_join(Lbad, R, bounds=("bnd", "rbnd"),
+                       strategy="broadcast_right", validate="skip")
+    got = {(r["lid"], r["rid"]) for r in js.collect()}
+    assert got == {p for p in exp if p[0] != 0}
+    # a non-string bounds column and an unknown name both reject eagerly
+    with pytest.raises(ValueError, match="string column"):
+        interval_join(L.withColumn("bnd", F.lit(1)), R, bounds=("bnd", "[)"))
+    with pytest.raises(ValueError, match="unsupported bounds"):
+        interval_join(L, R, bounds=("nope", "[)"))
