@@ -144,6 +144,7 @@ from .streaming import (
     stream_exact_dedup,
     stream_asof_enrich,
     stream_interval_join,
+    stream_interval_join_full,
     stream_validity_intervals,
     stream_merge_spans,
     stream_minhash_candidates,
@@ -276,6 +277,7 @@ __all__ = [
     "stream_minhash_candidates",
     "stream_asof_enrich",
     "stream_interval_join",
+    "stream_interval_join_full",
     "stream_validity_intervals",
     "stream_merge_spans",
     "stream_sessionize",

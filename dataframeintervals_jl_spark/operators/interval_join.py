@@ -624,6 +624,9 @@ def interval_join(
     )
 
 
+ROW_ID = "__dfi_rowid"
+
+
 def interval_join_prebinned(
     left: DataFrame,
     right: DataFrame,
@@ -634,8 +637,10 @@ def interval_join_prebinned(
     makeunique: bool = False,
     bounds: str = "[)",
     bin_col: str = None,
+    keepleft: bool = False,
+    keepright: bool = False,
 ) -> DataFrame:
-    """Inner interval join over PRE-BINNED span tables
+    """Interval join over PRE-BINNED span tables
     (:func:`~..sources.sinks.write_binned_spans`) — the shuffle-free
     path for repeated large×large joins.
 
@@ -646,29 +651,55 @@ def interval_join_prebinned(
     pair, so a mismatched width silently loses or duplicates pairs —
     hence the explicit parameter).  The join is then a bucket-co-located
     equi-join: zero Exchange on either side, asserted in
-    ``tests/test_plans.py``.  Inner join only — outer recovery needs the
-    un-exploded base tables; use :func:`interval_join` for that."""
+    ``tests/test_plans.py``.
+
+    ``keepleft`` / ``keepright`` (outer padding, as in
+    :func:`interval_join`) need two extra storage-resident facts, both
+    provided by ``write_binned_spans``: a per-base-row id column
+    (``row_ids=True``, the default — a preserved side without it is
+    rejected) and the invariant that a row's FIRST bin copy sits in
+    ``floor(span.start / W)``.  Recovery then filters the preserved
+    side to its first-bin copies (exactly one per base row — no
+    un-exploded base table and no persist needed, the ids come from
+    disk) and anti-joins them against the matched ids.  The matched
+    path stays exchange-free; only the padding branch shuffles on the
+    id, proportional to the preserved side's base rows."""
     bc = bin_col or _BIN
-    for side, df in (("left", left), ("right", right)):
+    for side, df, need in (
+        ("left", left, keepleft),
+        ("right", right, keepright),
+    ):
         if bc not in df.columns:
             raise ValueError(
                 f"{side} table has no bin column {bc!r}; write it with "
                 "write_binned_spans first"
             )
+        if need and ROW_ID not in df.columns:
+            raise ValueError(
+                f"keep{side} needs a row-id column {ROW_ID!r} on the "
+                f"{side} table for outer recovery; rewrite it with "
+                "write_binned_spans(..., row_ids=True)"
+            )
     w = max(int(bin_width), 1)
-    # give the two bin columns distinct names BEFORE the rename protocol
-    # so they neither clash nor get payload-renamed
+    # give the two bin (and row-id) columns distinct names BEFORE the
+    # rename protocol so they neither clash nor get payload-renamed
     lb = left.withColumnRenamed(bc, "__dfi_bin_l")
     rb = right.withColumnRenamed(bc, "__dfi_bin_r")
+    if ROW_ID in lb.columns:
+        lb = lb.withColumnRenamed(ROW_ID, "__dfi_rid_l")
+    if ROW_ID in rb.columns:
+        rb = rb.withColumnRenamed(ROW_ID, "__dfi_rid_r")
     sides = setup_column_names(
         lb, rb, on, renamecols=renamecols, renameon=renameon, makeunique=makeunique
     )
     validate_span_type(sides.left.schema[sides.left_on].dataType, "left `on`")
     validate_span_type(sides.right.schema[sides.right_on].dataType, "right `on`")
 
-    # renamecols also touches the bin columns — resolve their final names
+    # renamecols also touches the bin/id columns — resolve final names
     bin_l = sides.rename_left["__dfi_bin_l"]
     bin_r = sides.rename_right["__dfi_bin_r"]
+    rid_l = sides.rename_left.get("__dfi_rid_l")
+    rid_r = sides.rename_right.get("__dfi_rid_r")
     l = sides.left.alias("__dfi_l")
     r = sides.right.alias("__dfi_r")
     lq = F.col(f"__dfi_l.{sides.left_on}")
@@ -679,10 +710,30 @@ def interval_join_prebinned(
         & spans_overlap(lq, rq, bounds=bounds)
         & (F.col(f"__dfi_l.{bin_l}") == _floor_div(inter_start, w))
     )
-    joined = l.join(r, cond, "inner")
-    out_cols = [c for c in sides.left_cols if c != bin_l] + [
-        c for c in sides.right_cols if c != bin_r
-    ]
+    joined = l.join(r, cond, "inner").drop(bin_l, bin_r)
+    if keepleft or keepright:
+        # one base row per id: a span's FIRST bin copy always sits in
+        # floor(start/W) (write_binned_spans' explode starts there for
+        # every flavor, including empty spans — which never match but,
+        # like batch keepleft/keepright, still pad)
+        def _first_bin_copies(side_df, on_name, bin_name):
+            return side_df.filter(
+                F.col(bin_name)
+                == _floor_div(F.col(on_name).getField("start"), w)
+            ).drop(bin_name)
+
+        joined = _recover_unmatched(
+            joined,
+            _first_bin_copies(sides.left, sides.left_on, bin_l),
+            _first_bin_copies(sides.right, sides.right_on, bin_r),
+            keepleft,
+            keepright,
+            left_id=rid_l or LEFT_IDX,
+            right_id=rid_r or RIGHT_IDX,
+        )
+    out_cols = [
+        c for c in sides.left_cols if c not in (bin_l, rid_l)
+    ] + [c for c in sides.right_cols if c not in (bin_r, rid_r)]
     intersection = span_intersect(
         F.col(sides.left_on), F.col(sides.right_on)
     ).alias(sides.joined_on)
@@ -882,20 +933,24 @@ def _recover_unmatched(
     rights: DataFrame,
     need_left_ids: bool,
     need_right_ids: bool,
+    left_id: str = LEFT_IDX,
+    right_id: str = RIGHT_IDX,
 ) -> DataFrame:
-    """Outer recovery shared by the global and keyed binned paths:
-    anti-join each persisted id-stamped side against the matched ids,
-    union the padding rows in (``allowMissingColumns`` nulls the other
-    side).  ``monotonically_increasing_id`` is stable here because both
-    stamped inputs were persisted before the inner pass (the id-
-    stability subtlety lives in ONE place — here)."""
+    """Outer recovery shared by the global/keyed binned paths and the
+    prebinned path: anti-join each id-stamped side against the matched
+    ids, union the padding rows in (``allowMissingColumns`` nulls the
+    other side).  ``monotonically_increasing_id`` is stable here because
+    both stamped inputs were persisted before the inner pass (the id-
+    stability subtlety lives in ONE place — here); prebinned callers
+    pass storage-resident ids instead (stable by construction, no
+    persist)."""
     pieces = [matched]
     if need_left_ids:
-        matched_l = matched.select(LEFT_IDX).distinct()
-        pieces.append(lefts.join(matched_l, LEFT_IDX, "left_anti"))
+        matched_l = matched.select(left_id).distinct()
+        pieces.append(lefts.join(matched_l, left_id, "left_anti"))
     if need_right_ids:
-        matched_r = matched.select(RIGHT_IDX).distinct()
-        pieces.append(rights.join(matched_r, RIGHT_IDX, "left_anti"))
+        matched_r = matched.select(right_id).distinct()
+        pieces.append(rights.join(matched_r, right_id, "left_anti"))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)

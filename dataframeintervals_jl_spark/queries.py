@@ -1260,6 +1260,51 @@ FROM es LEFT JOIN w2
   ON greatest(es.s, w2.w_start) < least(es.e, w2.w_stop)"""
 
 
+def q_stream_join_full(spark, sf_dir):
+    """The STREAMING full-outer interval join composition
+    (left_outer ∪ unmatched-right of right_outer) in batch-batch mode —
+    against the plain FULL JOIN oracle.  Only 2 of 8 windows survive,
+    so both genuinely-unmatched event spans AND (via the narrow span
+    filter) unmatched windows exercise both padding directions."""
+    from .streaming import stream_interval_join_full
+
+    es = event_spans(spark, sf_dir, truncate_us=True).select(
+        "event_id", "user_id", "span"
+    )
+    # drop long spans so some WINDOWS go unmatched too
+    es = es.filter(
+        (F.col("span.stop") - F.col("span.start")) < 6 * 3_600_000_000_000
+    )
+    _, w = _es_windows(spark, sf_dir, 8, "idx")
+    w2 = w.filter(F.col("idx").isin(2, 5))
+    j = stream_interval_join_full(
+        es,
+        w2,
+        bin_width_ns=21_600_000_000_000,
+        max_span_ns=35 * 86_400_000_000_000,  # > the ~31-day data range
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "idx",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
+_SQL_STREAM_JOIN_FULL = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')},
+es2 AS (SELECT * FROM es WHERE e - s < 6 * 3600000000000),
+w2 AS (SELECT * FROM w WHERE idx IN (2, 5))
+SELECT es2.event_id, es2.user_id, w2.idx,
+       CASE WHEN w2.idx IS NULL OR es2.event_id IS NULL THEN NULL
+            ELSE greatest(es2.s, w2.w_start) END AS i_start,
+       CASE WHEN w2.idx IS NULL OR es2.event_id IS NULL THEN NULL
+            ELSE least(es2.e, w2.w_stop) END AS i_stop
+FROM es2 FULL JOIN w2
+  ON greatest(es2.s, w2.w_start) < least(es2.e, w2.w_stop)"""
+
+
 def q_split_spans(spark, sf_dir):
     """Per-row epoching: every event span split into 4 equal closed-open
     sub-spans with the exact int64 boundary decomposition — map-only
@@ -5189,6 +5234,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_join_keepleft": (
         q_stream_join_keepleft,
         _SQL_STREAM_JOIN_KEEPLEFT,
+    ),
+    "q_stream_join_full": (
+        q_stream_join_full,
+        _SQL_STREAM_JOIN_FULL,
     ),
     "q_embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "q_multimodal_meta": (q_multimodal_meta, _SQL_MM_META),

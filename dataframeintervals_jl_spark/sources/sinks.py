@@ -81,6 +81,7 @@ def write_binned_spans(
     bounds: str = "[)",
     path: Optional[str] = None,
     mode: str = "overwrite",
+    row_ids: bool = True,
 ) -> None:
     """Materialize a span table PRE-EXPLODED into fixed-width bins and
     hash-bucketed on the bin id — the storage layout that makes the
@@ -93,12 +94,21 @@ def write_binned_spans(
     :func:`~..operators.interval_join.interval_join_prebinned` plans the
     join with ZERO Exchange (asserted in ``tests/test_plans.py``).
 
+    ``row_ids`` (default on) stamps each BASE row with a unique id
+    before the explode; storage-resident ids are what let the prebinned
+    join offer ``keepleft``/``keepright`` outer recovery without the
+    un-exploded base tables (and without any persist — the ids are
+    stable on disk).  The id column is internal
+    (``interval_join_prebinned`` drops it from join output).
+
     ``bin_width`` must match exactly at join time — record it in the
     table name or an external catalog."""
     from pyspark.sql import functions as F
 
-    from ..operators.interval_join import _BIN, _bin_ids
+    from ..operators.interval_join import _BIN, ROW_ID, _bin_ids
 
+    if row_ids:
+        df = df.withColumn(ROW_ID, F.monotonically_increasing_id())
     binned = df.withColumn(
         _BIN,
         F.explode(_bin_ids(F.col(spancol), int(bin_width), bounds, integral=True)),

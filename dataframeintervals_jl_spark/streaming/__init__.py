@@ -137,16 +137,17 @@ def stream_interval_join(
     ``max_span_ns / bin_width_ns`` bins per row — pick ``bin_width_ns``
     near ``max_span_ns`` when spans are short.  ``how='right_outer'``
     is the mirror image (right side preserved, left side explodes the
-    extended range).  Streaming full outer is intentionally absent:
-    with either side exploded, unmatched bin copies would each
-    null-pad — use two outer joins or the batch operator.
+    extended range).  Streaming full outer is intentionally not a
+    ``how`` mode: with either side exploded, unmatched bin copies would
+    each null-pad — use :func:`stream_interval_join_full`, the packaged
+    exact two-join composition.
     """
     if how not in ("inner", "left_outer", "right_outer"):
         raise ValueError(
             f"unsupported how {how!r}; use 'inner', 'left_outer' or "
-            "'right_outer' (streaming full outer would null-pad every "
-            "bin copy of the exploded side — use two outer joins or the "
-            "batch operator)"
+            "'right_outer' (a single-pass streaming full outer would "
+            "null-pad every bin copy of the exploded side — use "
+            "stream_interval_join_full, the exact two-join composition)"
         )
     outer = how != "inner"
     if outer and max_span_ns is None:
@@ -283,6 +284,49 @@ def stream_interval_join(
         F.lit(None).cast(joined.schema[on].dataType).alias(on),
     )
     return joined.unionByName(padded)
+
+
+def stream_interval_join_full(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "span",
+    bin_width_ns: int = 3_600_000_000_000,
+    watermark: str = "10 minutes",
+    renameon=("_left", "_right"),
+    max_span_ns: int | None = None,
+) -> DataFrame:
+    """Streaming FULL-outer interval join — packaged two-join
+    composition (batch ``keepleft=True, keepright=True`` counterpart).
+
+    A single-pass streaming full outer is unsound under the binned
+    rewrite: whichever side explodes into bin copies would null-pad
+    every unmatched COPY, not every unmatched row (see
+    :func:`stream_interval_join`).  The exact composition instead runs
+    the two asymmetric outer joins and unions the left-outer result
+    with the right-outer result RESTRICTED to unmatched right rows::
+
+        full = left_outer ∪ σ[left is null](right_outer)
+
+    Matched pairs appear once (from the left-outer pass), each
+    unmatched row of either side pads once.  Cost: both inputs are
+    consumed twice (two join states in streaming mode) — the price of
+    exactness; prefer a one-sided outer when only one side needs
+    padding.  ``max_span_ns`` is required, as for each outer pass.
+    Parity-tested against batch ``interval_join(keepleft=True,
+    keepright=True)`` in batch mode and on file streams (the reference
+    exercises full outer at test:50-54).
+    """
+    kwargs = dict(
+        on=on,
+        bin_width_ns=bin_width_ns,
+        watermark=watermark,
+        renameon=renameon,
+        max_span_ns=max_span_ns,
+    )
+    lo = stream_interval_join(left, right, how="left_outer", **kwargs)
+    ro = stream_interval_join(left, right, how="right_outer", **kwargs)
+    lon = f"{on}{renameon[0]}"
+    return lo.unionByName(ro.filter(F.col(lon).isNull()))
 
 
 def stream_exact_dedup(

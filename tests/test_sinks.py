@@ -269,3 +269,94 @@ def test_zordered_three_columns(spark, tmp_path):
         # on its secondary dims); bound against the files ACTUALLY
         # written — range-partition sampling can leave empty partitions
         assert touched < total, (c, touched, total)
+
+
+@pytest.mark.parametrize("side", ["keepleft", "keepright"])
+def test_prebinned_outer_matches_batch_and_matched_path_no_shuffle(
+    spark, tmp_path, side
+):
+    """Prebinned keepleft/keepright: storage-resident row ids recover
+    unmatched base rows (one padded row each, null other side + null
+    intersection), pair multiset equals the batch outer join, and the
+    MATCHED branch of the plan stays Exchange-free (only the padding
+    anti-join may shuffle)."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join,
+        interval_join_prebinned,
+    )
+    from dataframeintervals_jl_spark.plans import simple_plan
+    from dataframeintervals_jl_spark.sources.sinks import write_binned_spans
+
+    width = 64
+    # sparse rights: many lefts unmatched (and vice versa at the edges)
+    lefts = make_span_df(
+        spark, [(i * 37 % 3000, i * 37 % 3000 + 1 + i % 30) for i in range(250)]
+    ).withColumn("lid", F.monotonically_increasing_id())
+    rights = make_span_df(
+        spark, [(j * 211 % 3200, j * 211 % 3200 + 1 + j % 20) for j in range(40)]
+    ).withColumn("rid", F.monotonically_increasing_id())
+    lefts, rights = lefts.cache(), rights.cache()
+    lefts.count(), rights.count()
+
+    tl, tr = f"t_ob_l_{side}", f"t_ob_r_{side}"
+    write_binned_spans(lefts, tl, width, 4, path=str(tmp_path / "ol"))
+    write_binned_spans(rights, tr, width, 4, path=str(tmp_path / "or"))
+    kw = {"keepleft": side == "keepleft", "keepright": side == "keepright"}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = interval_join_prebinned(
+            read_bucketed(spark, tl),
+            read_bucketed(spark, tr),
+            bin_width=width,
+            **kw,
+        )
+        expect = interval_join(
+            lefts, rights, validate="skip", strategy="binned",
+            bin_width=width, **kw,
+        )
+        got = sorted(
+            ((r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()),
+            key=repr,
+        )
+        exp = sorted(
+            ((r["lid"], r["rid"]) for r in expect.select("lid", "rid").collect()),
+            key=repr,
+        )
+        assert got == exp
+        assert any(None in p for p in exp), "need unmatched rows"
+        # no internal columns leak
+        assert not [c for c in j.columns if c.startswith("__dfi")]
+        # padded rows carry a null intersection
+        nullside = "rid" if side == "keepleft" else "lid"
+        pad = j.filter(F.col(nullside).isNull()).first()
+        assert pad["span"] is None
+        # matched path exchange-free: the inner-only query over the
+        # same bucketed tables plans with zero Exchange; the outer
+        # plan's exchanges all belong to the padding anti-join branch
+        assert "LeftAnti" in simple_plan(j)
+        ji = interval_join_prebinned(
+            read_bucketed(spark, tl), read_bucketed(spark, tr), bin_width=width
+        )
+        assert count_exchanges(ji) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tr}")
+
+
+def test_prebinned_outer_requires_row_ids(spark, tmp_path):
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join_prebinned,
+    )
+    from dataframeintervals_jl_spark.sources.sinks import write_binned_spans
+
+    spans = make_span_df(spark, [(0, 10), (50, 60)])
+    write_binned_spans(
+        spans, "t_norid", 16, 2, path=str(tmp_path / "nr"), row_ids=False
+    )
+    try:
+        t = read_bucketed(spark, "t_norid")
+        with pytest.raises(ValueError, match="row_ids=True"):
+            interval_join_prebinned(t, t, bin_width=16, keepleft=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_norid")

@@ -994,3 +994,96 @@ def test_stream_asof_enrich_parity_across_microbatches(spark, tmp_path):
         ev1.unionByName(ev2), st1.unionByName(st2), on="ts", by="k"
     )
     assert sorted(map(tuple, bb.collect()), key=repr) == want
+
+
+def test_stream_interval_join_full_batch_mode_parity(spark):
+    """Packaged full-outer composition in batch mode: identical pair
+    multiset to batch interval_join(keepleft=True, keepright=True) —
+    the reference's full-outer coverage (test:50-54 analog)."""
+    from dataframeintervals_jl_spark.streaming import stream_interval_join_full
+
+    left = _spans(spark, 30, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 8, width=50_000, step=300_000, name="rid")
+    # shift right so some rights precede every left -> unmatched rights
+    right = right.withColumn(
+        "span",
+        F.struct(
+            (F.col("span.start") - 2_000_000 * US).alias("start"),
+            (F.col("span.stop") - 2_000_000 * US).alias("stop"),
+        ),
+    )
+    expected = sorted(
+        (
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, keepleft=True, keepright=True, validate="skip",
+                strategy="broadcast_right",
+            ).select("lid", "rid").collect()
+        ),
+        key=repr,
+    )
+    assert any(lid is None for lid, _ in expected), "need unmatched rights"
+    assert any(rid is None for _, rid in expected), "need unmatched lefts"
+    out = stream_interval_join_full(
+        left, right, max_span_ns=90_000 * US + 2
+    )
+    got = sorted(
+        ((r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()),
+        key=repr,
+    )
+    assert got == expected
+
+
+def test_stream_interval_join_full_file_stream_parity(spark, tmp_path):
+    """Full-outer composition on real file streams: both inputs
+    consumed twice (two outer join states), result equals batch full
+    outer after the flush sentinel advances both watermarks."""
+    from dataframeintervals_jl_spark.streaming import stream_interval_join_full
+
+    left = _spans(spark, 24, width=90_000, step=60_000, name="lid")
+    right = _spans(spark, 6, width=50_000, step=300_000, name="rid")
+    right = right.withColumn(
+        "span",
+        F.struct(
+            (F.col("span.start") - 2_000_000 * US).alias("start"),
+            (F.col("span.stop") - 2_000_000 * US).alias("stop"),
+        ),
+    )
+    batch = interval_join(
+        left, right, keepleft=True, keepright=True, validate="skip",
+        strategy="broadcast_right",
+    )
+    expected = sorted(
+        ((r["lid"], r["rid"]) for r in batch.select("lid", "rid").collect()),
+        key=repr,
+    )
+    day = 86_400_000_000_000
+    ls = _roundtrip_stream(
+        spark, _with_flush(spark, left, EPOCH0 + day), str(tmp_path / "fo_l")
+    )
+    rs = _roundtrip_stream(
+        spark, _with_flush(spark, right, EPOCH0 + day), str(tmp_path / "fo_r")
+    )
+    out = stream_interval_join_full(
+        ls, rs, watermark="1 second", max_span_ns=90_000 * US + 2
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_full")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        r
+        for r in spark.sql("SELECT * FROM sij_full").collect()
+        if r["lid"] != -1 and r["rid"] != -1
+    ]
+    got = sorted(((r["lid"], r["rid"]) for r in rows), key=repr)
+    assert got == expected
+    for r in rows:
+        if r["lid"] is None:
+            assert r["span_left"] is None and r["span"] is None
+        if r["rid"] is None:
+            assert r["span_right"] is None and r["span"] is None
