@@ -96,6 +96,19 @@ def main() -> None:
             # buckets, ...); drop them between runs so storage-memory
             # pressure from query N doesn't tax query N+1's timing
             spark.catalog.clearCache()
+            # localCheckpoint blocks (pagerank / triangle counts /
+            # frequency_rank materialization) are NOT freed by
+            # clearCache — only by the ContextCleaner after JVM GC.
+            # Without this hint, checkpoint debris from run N makes run
+            # N+1 bimodal (measured q_pagerank 4.8-6.7s with GC between
+            # runs vs 5-23s without, quiet cpu_probe both times).
+            import gc as _gc
+
+            _gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
         try:
             one()
@@ -283,6 +296,66 @@ def main() -> None:
             spark.conf.set(k, v)
     except Exception as exc:  # noqa: BLE001
         errors["skew_join_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # frequency_rank scale probe (VERDICT r5 #7): rank an INFLATED
+    # vocabulary through the distributed prefix-offset rank vs the
+    # single-partition global window, so the distributed plan's
+    # advantage is a recorded number per round, not just a plan
+    # assertion.  The corpus' own vocabulary is tiny (31 synthetic
+    # tokens), so distinct terms are manufactured from the data itself:
+    # per-(doc, term) occurrence counts (~86k distinct at sf0.1, counts
+    # keep the within-doc tie structure) replicated x30 with a suffix —
+    # ~2.6M distinct terms, exactly the axis a `row_number() OVER
+    # (ORDER BY ...)` with no PARTITION BY funnels through one task.
+    try:
+        from pyspark.sql import Window as _W
+
+        from dataframeintervals_jl_spark.functions.text import tokens
+        from dataframeintervals_jl_spark.operators.ranking import (
+            frequency_rank,
+        )
+
+        def _vocab_big():
+            docs = read_table(spark, sf_dir, "documents")
+            tf = (
+                docs.select(
+                    "doc_id",
+                    F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+                )
+                .groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+            return tf.crossJoin(
+                spark.range(30).select(F.col("id").alias("__rep"))
+            ).select(
+                F.concat_ws(
+                    "_", "term", F.col("doc_id"), F.col("__rep")
+                ).alias("term"),
+                "count",
+            )
+
+        bench(
+            "vocab_big_rank_distributed",
+            lambda: frequency_rank(
+                _vocab_big(), count_col="count", tie_col="term",
+                rank_col="rank",
+            ),
+        )
+        bench(
+            "vocab_big_rank_single_window",
+            lambda: _vocab_big().select(
+                "term",
+                "count",
+                (
+                    F.row_number().over(
+                        _W.orderBy(F.col("count").desc(), F.col("term"))
+                    )
+                    - 1
+                ).cast("long").alias("rank"),
+            ),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["vocab_big_setup"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade

@@ -37,6 +37,39 @@ from ..sources import ensure_parallelism
 
 QUANT = 1_000_000
 
+#: Broadcast-safety ceiling for the EXACT baselines (`cosine_topk` /
+#: `sq8_topk`): both cross-join the corpus against a broadcast query
+#: side, so cost is O(corpus x queries) and the query table must fit in
+#: every executor.  Mirrors AUTO_BROADCAST_ROWS in the join family.
+EXACT_QUERY_BROADCAST_ROWS = 10_000
+
+
+def _guard_exact_queries(
+    queries: DataFrame, allow_large_queries: bool, op: str
+) -> None:
+    """Refuse an over-broadcast query side on the exact baselines.
+
+    One bounded action (`limit(n+1).count()` — the scan stops as soon
+    as the limit is hit) keeps the truth baselines from being silently
+    routed at scale: a 1M-query exact pass is a 1M-way broadcast
+    nested loop.  Large query sets belong on `lsh_topk` /
+    `ivf_topk_indexed`; callers that genuinely want the quadratic pass
+    (recall-floor tests, tiny corpora) opt in with
+    ``allow_large_queries=True``."""
+    if allow_large_queries:
+        return
+    n = queries.limit(EXACT_QUERY_BROADCAST_ROWS + 1).count()
+    if n > EXACT_QUERY_BROADCAST_ROWS:
+        raise ValueError(
+            f"{op}: query side has more than "
+            f"{EXACT_QUERY_BROADCAST_ROWS} rows ({n}+); the exact "
+            "baseline is O(corpus x queries) with a broadcast query "
+            "table and is meant as a truth baseline, not a scale "
+            "path. Use lsh_topk / ivf_topk_indexed for large query "
+            "sets, or pass allow_large_queries=True to force the "
+            "quadratic pass."
+        )
+
 
 def _quantized(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
@@ -81,11 +114,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    allow_large_queries: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: (q_id, rank, n_id, score).
 
     ``queries`` is broadcast (the typical many-corpus × few-queries
-    shape); ties broken by neighbor id so ranking is total."""
+    shape); ties broken by neighbor id so ranking is total.  Refuses
+    query sides above :data:`EXACT_QUERY_BROADCAST_ROWS` unless
+    ``allow_large_queries=True`` — this is the O(corpus × queries)
+    truth baseline, not the scale path (use ``lsh_topk`` /
+    ``ivf_topk_indexed`` there)."""
+    _guard_exact_queries(queries, allow_large_queries, "cosine_topk")
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("n_id"), _quantized(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
@@ -775,6 +814,7 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    allow_large_queries: bool = False,
 ) -> DataFrame:
     """Cosine top-k over SCALAR-QUANTIZED (int8-range) vectors — the
     4×-compression ANN path: each dimension is affinely mapped to
@@ -795,7 +835,12 @@ def sq8_topk(
     KBs); quantization is a codegen'd projection; the search itself is
     the broadcast-queries pass of :func:`cosine_topk` but moving 1/4
     of the bytes.  At 100 TB the codebook would be computed once and
-    persisted with the table, not per query."""
+    persisted with the table, not per query.
+
+    Like :func:`cosine_topk`, refuses query sides above
+    :data:`EXACT_QUERY_BROADCAST_ROWS` unless
+    ``allow_large_queries=True``."""
+    _guard_exact_queries(queries, allow_large_queries, "sq8_topk")
     mx_rows = (
         corpus.select(F.posexplode(F.col(vec_col)))
         .groupBy("pos")

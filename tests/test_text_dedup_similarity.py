@@ -132,6 +132,25 @@ def test_cosine_topk(spark):
     assert scores[1] == pytest.approx(0.99 / math.sqrt(0.99**2 + 0.1**2), abs=1e-4)
 
 
+def test_exact_topk_guards_large_query_side(spark, monkeypatch):
+    """The exact baselines refuse over-broadcast query sides unless the
+    caller explicitly opts into the quadratic pass (VERDICT r5 #8)."""
+    from dataframeintervals_jl_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    monkeypatch.setattr(sim, "EXACT_QUERY_BROADCAST_ROWS", 2)
+    with pytest.raises(ValueError, match="cosine_topk.*lsh_topk"):
+        sim.cosine_topk(emb, emb, k=2)
+    with pytest.raises(ValueError, match="sq8_topk"):
+        sim.sq8_topk(emb, emb, k=2)
+    # explicit opt-in still runs the quadratic pass
+    out = sim.cosine_topk(emb, emb, k=1, allow_large_queries=True)
+    assert out.count() == 4
+    # under the threshold: no error
+    ok = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=1)
+    assert ok.count() == 2
+
+
 def test_embedding_neardup_exact_vs_lsh(spark):
     emb = _emb(spark)
     exact = {
