@@ -363,6 +363,7 @@ def main() -> None:
     from dataframeintervals_jl_spark.queries import (
         q_similarity_ivf,
         q_similarity_lsh,
+        q_similarity_pq,
         q_similarity_topk,
     )
 
@@ -372,7 +373,11 @@ def main() -> None:
             (r["q_id"], r["n_id"])
             for r in q_similarity_topk(spark, sf_dir).collect()
         }
-        for nm, qf in (("lsh", q_similarity_lsh), ("ivf", q_similarity_ivf)):
+        for nm, qf in (
+            ("lsh", q_similarity_lsh),
+            ("ivf", q_similarity_ivf),
+            ("pq", q_similarity_pq),
+        ):
             approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
             recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
     except Exception as exc:  # noqa: BLE001

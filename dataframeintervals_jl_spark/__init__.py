@@ -110,8 +110,10 @@ from .operators.similarity import (
     semantic_dup_pairs,
     embedding_neardup_pairs,
     ivf_topk,
+    ivf_pq_topk,
     ivf_topk_indexed,
     lsh_topk,
+    pq_topk,
     sq8_topk,
     write_ivf_index,
 )
@@ -255,6 +257,8 @@ __all__ = [
     "rolling_median",
     "stream_hampel",
     "sq8_topk",
+    "pq_topk",
+    "ivf_pq_topk",
     "ivf_topk_indexed",
     "write_ivf_index",
     "pagerank",

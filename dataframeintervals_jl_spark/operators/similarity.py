@@ -1200,3 +1200,312 @@ def random_projection(
     return df.withColumn(
         out_col, F.array(*[_dim(j) for j in range(out_dims)])
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / IVF-PQ): the billion-vector compressed scan
+# ---------------------------------------------------------------------------
+
+#: Lloyd iterations for the per-subspace PQ codebooks — far fewer than
+#: IVF's 10: each subspace problem is low-dimensional and converges in
+#: 2-3 iterations (recall@5 measured 0.88-0.96 at 3 iters vs 0.92 at
+#: 6), and every iteration is replayed unrolled by the SQL oracle, so
+#: iterations are the oracle's dominant cost (~5s each at sf0.01).
+PQ_ITERS = 3
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int,
+    ks: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> np.ndarray:
+    """Deterministic per-subspace k-means: ``(m_sub, ks, dim/m_sub)``
+    int64 codebooks, bit-reproducible across engines.
+
+    Same sampling scheme as :func:`_train_centroids` (hash-ordered, no
+    RNG); init is the first ``ks`` sample subvectors per subspace; then
+    :data:`PQ_ITERS` Lloyd iterations under EXACT integer arithmetic:
+
+    - assignment minimizes ``||x - c||²`` via the equivalent integer
+      objective ``c·c - 2·x·c`` (the ``x·x`` term is constant per row),
+      ties to the lowest code — numpy ``argmin`` first-occurrence ==
+      SQL ``ORDER BY dist ASC, code``;
+    - update is the per-dimension FLOOR-divided member mean
+      (``sum // count`` — numpy floor division; the oracle uses the
+      pmod trick since DuckDB ``//`` truncates toward zero);
+    - an empty cluster keeps its previous centroid.
+
+    Training state is tiny and driver-side (≤ 256·ks sample rows); the
+    corpus is never collected."""
+    if dim % m_sub:
+        raise ValueError(
+            f"pq: dim {dim} is not divisible by m_sub {m_sub}"
+        )
+    ds = dim // m_sub
+    sample_n = 256 * ks
+    key = F.pmod(
+        F.col("id") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(SAMPLE_M)
+    )
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("v")
+        )
+        .orderBy(key, F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_topk: corpus is empty — nothing to index")
+    x = np.array([r["v"] for r in sample], dtype=np.int64)
+    if x.shape[1] != dim:
+        raise ValueError(
+            f"pq: vectors have {x.shape[1]} dims, expected {dim}"
+        )
+    k_eff = min(ks, len(x))
+    cbs = []
+    for m in range(m_sub):
+        xs = x[:, m * ds : (m + 1) * ds]  # (n, ds)
+        cent = xs[:k_eff].copy()
+        for _ in range(PQ_ITERS):
+            # objective: cn - 2*dot, exact int64 (|v| ≤ QUANT,
+            # ds·QUANT² ≪ 2^63); argmin first-occurrence = lowest code
+            dist = (cent * cent).sum(axis=1)[None, :] - 2 * (xs @ cent.T)
+            assign = dist.argmin(axis=1)
+            for c in range(k_eff):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.sum(axis=0) // len(members)
+        cbs.append(cent)
+    return np.stack(cbs)  # (m_sub, k_eff, ds)
+
+
+def _pq_encoded_corpus(
+    corpus: DataFrame, cb: np.ndarray, id_col: str, vec_col: str
+):
+    """``(n_id, codes array<int>, rn bigint)`` — per-subspace code
+    assignment plus the reconstructed squared norm, one Arrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub, k_eff, ds = cb.shape
+    cbn2 = (cb.astype(np.int64) ** 2).sum(axis=2)  # (m_sub, k_eff)
+
+    @pandas_udf("codes array<int>, rn bigint")
+    def encode(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vs.tolist(), dtype=np.int64)
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        rn = np.zeros(len(mat), dtype=np.int64)
+        for m in range(m_sub):
+            xs = mat[:, m * ds : (m + 1) * ds]
+            dist = cbn2[m][None, :] - 2 * (xs @ cb[m].T)
+            codes[:, m] = dist.argmin(axis=1)
+            rn += cbn2[m][codes[:, m]]
+        return pd.DataFrame({"codes": list(codes), "rn": rn})
+
+    return ensure_parallelism(corpus).select(
+        F.col(id_col).alias("n_id"),
+        encode(_quantized(F.col(vec_col))).alias("e"),
+    ).select("n_id", F.col("e.codes").alias("codes"), F.col("e.rn").alias("rn"))
+
+
+def _pq_query_luts(
+    queries: DataFrame, cb: np.ndarray, id_col: str, vec_col: str
+):
+    """``(q_id, lut array<bigint>, qn bigint)`` — the per-query ADC
+    lookup table ``lut[m·ks + j] = q_m · cb[m][j]`` (flat, exact
+    int64), one Arrow pass over the (small, broadcastable) query side."""
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub, k_eff, ds = cb.shape
+
+    @pandas_udf("lut array<bigint>, qn bigint")
+    def lut_of(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vs.tolist(), dtype=np.int64)
+        luts = np.empty((len(mat), m_sub * k_eff), dtype=np.int64)
+        for m in range(m_sub):
+            qs = mat[:, m * ds : (m + 1) * ds]
+            luts[:, m * k_eff : (m + 1) * k_eff] = qs @ cb[m].T
+        qn = (mat * mat).sum(axis=1)
+        return pd.DataFrame({"lut": list(luts), "qn": qn})
+
+    return queries.select(
+        F.col(id_col).alias("q_id"),
+        lut_of(_quantized(F.col(vec_col))).alias("e"),
+    ).select("q_id", F.col("e.lut").alias("lut"), F.col("e.qn").alias("qn"))
+
+
+def _pq_score_topk(pairs: DataFrame, k_eff: int, k: int) -> DataFrame:
+    """ADC score + top-k over joined (codes, rn) × (lut, qn) pairs.
+
+    The reconstructed dot is a pure JVM expression — ``m_sub`` flat-LUT
+    lookups summed as exact int64 (``Σ_m lut[m·ks + code_m]``), no
+    Python on the per-pair path; score is the reconstructed cosine
+    ``recon_dot / sqrt(qn · rn)`` in the same IEEE order the oracle
+    runs."""
+    recon_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.size(F.col("codes")) - 1),
+            lambda c, m: F.element_at(
+                F.col("lut"),
+                (m.cast("long") * F.lit(k_eff) + c.cast("long") + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        (
+            recon_dot.cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("rn").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m_sub: int = 32,
+    ks: int = 256,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    exclude_self: bool = True,
+    allow_large_queries: bool = False,
+) -> DataFrame:
+    """Product-quantization top-k — the compressed-domain brute scan
+    (FAISS ``IndexPQ`` shape): ``(q_id, rank, n_id, score)``.
+
+    Each vector is encoded as ``m_sub`` one-byte codes (per-subspace
+    k-means codebooks, :func:`_train_pq_codebooks`), a
+    ``dim·4 → m_sub``-byte compression (64 floats → 8 bytes at the
+    defaults).  Queries build an ADC lookup table once (``m_sub × ks``
+    exact int64 dots) and every corpus row is scored by ``m_sub`` table
+    lookups — no full-vector arithmetic on the scan.  Scores are the
+    reconstructed cosine, so ranking is approximate (recall floor
+    pytest-asserted vs :func:`cosine_topk`).
+
+    At 100 TB the codes table is ~``m_sub`` bytes/vector — the layout
+    that keeps a billion-vector index scannable; the scan is still
+    O(corpus × queries) (queries broadcast), so the same
+    :data:`EXACT_QUERY_BROADCAST_ROWS` guard applies — cell-pruned
+    :func:`ivf_pq_topk` is the path for large query sets.
+
+    Fully deterministic (hash-ordered sample, integer training,
+    integer LUTs): the DuckDB oracle replays training, encoding, and
+    scoring bit-for-bit."""
+    _guard_exact_queries(queries, allow_large_queries, "pq_topk")
+    cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
+    k_eff = cb.shape[1]
+    c = _pq_encoded_corpus(corpus, cb, id_col, vec_col)
+    q = _pq_query_luts(queries, cb, id_col, vec_col)
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        pairs = pairs.filter(F.col("n_id") != F.col("q_id"))
+    return _pq_score_topk(pairs, k_eff, k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 32,
+    ks: int = 256,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: coarse Voronoi cells prune the scan, PQ codes compress
+    it — the standard billion-vector ANN layout (FAISS
+    ``IndexIVFPQ``): ``(q_id, rank, n_id, score)``.
+
+    The corpus is assigned to ``n_centroids`` cells
+    (:func:`_train_centroids`, one Arrow pass) and PQ-encoded on the
+    RAW vectors (``by_residual=False`` — residual encoding needs
+    float centroid subtraction and would break the exact-integer
+    determinism contract; the recall cost at these code sizes is
+    covered by the pytest floor).  A query probes its ``n_probe``
+    closest cells and ADC-scores only those codes: the candidate join
+    is a cell equi-join touching ``n_probe / n_centroids`` of the
+    codes table.  At ``n_probe == n_centroids`` the result equals
+    :func:`pq_topk` exactly (property-tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
+    n_probe_eff = min(n_probe, len(cent))
+    cnorm = _centroid_norms(cent)
+    cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
+    k_eff = cb.shape[1]
+
+    ds = dim // m_sub
+    cbn2 = (cb.astype(np.int64) ** 2).sum(axis=2)
+
+    @pandas_udf("cell int, codes array<int>, rn bigint")
+    def index_row(vs: pd.Series) -> pd.DataFrame:
+        # ONE Arrow pass builds the whole per-row index entry: coarse
+        # cell + PQ codes + reconstructed norm (a second scan or an
+        # id-join between separate cell/code passes would shuffle the
+        # corpus for nothing)
+        mat = np.array(vs.tolist(), dtype=np.int64)
+        scores = (mat @ cent.T).astype(np.float64) / cnorm[None, :]
+        cells = scores.argmax(axis=1).astype(np.int32)
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        rn = np.zeros(len(mat), dtype=np.int64)
+        for m in range(m_sub):
+            xs = mat[:, m * ds : (m + 1) * ds]
+            dist = cbn2[m][None, :] - 2 * (xs @ cb[m].T)
+            codes[:, m] = dist.argmin(axis=1)
+            rn += cbn2[m][codes[:, m]]
+        return pd.DataFrame({"cell": cells, "codes": list(codes), "rn": rn})
+
+    @pandas_udf("array<int>")
+    def probe_cells_udf(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.int64)
+        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
+
+    c = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("n_id"),
+            index_row(_quantized(F.col(vec_col))).alias("e"),
+        )
+        .select(
+            "n_id",
+            F.col("e.cell").alias("cell"),
+            F.col("e.codes").alias("codes"),
+            F.col("e.rn").alias("rn"),
+        )
+    )
+    # boundary: materialize the codes+cells once (this IS the persisted
+    # IVF-PQ index; on disk it would be the codes table partitioned by
+    # cell — see write_ivf_index for the layout)
+    c = c.persist()
+    c.count()
+    q = _pq_query_luts(queries, cb, id_col, vec_col).join(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.explode(
+                probe_cells_udf(_quantized(F.col(vec_col)))
+            ).alias("cell"),
+        ),
+        "q_id",
+    )
+    pairs = c.join(q, "cell").filter(F.col("n_id") != F.col("q_id"))
+    return _pq_score_topk(pairs, k_eff, k)
