@@ -50,7 +50,9 @@ from .operators.dedup import (
     exact_dedup,
     exact_dedup_keep,
     jaccard_similarity_join,
+    incremental_minhash_dedup,
     minhash_lsh_pairs,
+    write_minhash_index,
     minhash_signatures,
     ngram_jaccard_pairs,
     shared_shingle_pairs,
@@ -219,6 +221,8 @@ __all__ = [
     "lsh_topk",
     "jaccard_similarity_join",
     "minhash_lsh_pairs",
+    "incremental_minhash_dedup",
+    "write_minhash_index",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",

@@ -783,3 +783,110 @@ def shared_shingle_pairs(
     if min_shared > 1:
         pairs = pairs.filter(F.col("n_shared") >= min_shared)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a persisted band-bucket index for batch-over-history
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus' MinHash band-bucket table — the index that
+    makes dedup INCREMENTAL: each new batch probes this table instead
+    of re-pairing against the full history.
+
+    Layout: ``(id, band, bh)`` hash-BUCKETED by ``bh`` (sorted within
+    buckets), registered as ``table`` in the session catalog.  The
+    probe join's hot side is therefore pre-partitioned on disk: when
+    the increment is too large to broadcast, only the increment
+    shuffles — the 100 TB history is read in place, never exchanged.
+    The index costs ``bands`` rows per document of (long, int, long) —
+    ~1e11 rows at 100 TB, parquet-encoded ~100s of GB, ~0.3% of the
+    corpus it replaces in every later dedup pass.
+
+    The banding parameters are part of the index identity: probes MUST
+    use the same ``num_hashes/bands/shingle_k/portable`` (stored
+    nowhere — at production scale they belong in the table comment or
+    a sidecar; here the catalog query pins them by construction)."""
+    from ..sources.sinks import write_bucketed
+
+    bnd = minhash_banded(
+        docs, text_col, id_col, num_hashes, bands, shingle_k, portable
+    )
+    write_bucketed(
+        bnd, table, ["bh"], n_buckets, sort_cols=["bh"], path=path, mode=mode
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    min_shared_bands: int = 1,
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Flag each increment row against the persisted history index:
+    ``new_docs`` columns + ``kept`` (true = no indexed near-duplicate).
+
+    The production dedup shape: history is indexed ONCE
+    (:func:`write_minhash_index`), every arriving batch is banded and
+    probed against the index — never against raw history text, never
+    all-pairs.  A row is a duplicate when it shares ≥
+    ``min_shared_bands`` (band, bucket) cells with any indexed row.
+
+    Plan shape: with ``broadcast_increment=True`` (the common
+    small-batch case) the banded increment broadcasts and the index
+    scan is map-side — ZERO shuffle of history.  With it false, the
+    increment shuffles into the index's bucket layout and the bucketed
+    side still moves nothing.  Keep id spaces disjoint between history
+    and increment (the probe does not filter self-matches — an
+    increment doc already present in the index under the same id is,
+    correctly, a duplicate).
+
+    After accepting a batch, append its kept rows' bands to the index
+    (:func:`write_minhash_index` with ``mode='append'``) so the next
+    batch dedups against them too — intra-batch duplicates are NOT
+    resolved here (run :func:`minhash_lsh_pairs` +
+    :func:`dedup_cluster_keep` within the batch first when batches are
+    large enough to self-duplicate)."""
+    inc = minhash_banded(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k, portable
+    )
+    probe = F.broadcast(inc) if broadcast_increment else inc
+    hits = index.select("band", "bh").join(probe, ["band", "bh"])
+    # k history docs in one bucket must count as ONE matched band for
+    # an increment row — countDistinct on the (small) hit set, never a
+    # distinct over the full index
+    if min_shared_bands <= 1:
+        matched = hits.select(id_col).distinct()
+    else:
+        matched = (
+            hits.groupBy(id_col)
+            .agg(F.countDistinct("band").alias("__nb"))
+            .filter(F.col("__nb") >= min_shared_bands)
+            .select(id_col)
+        )
+    m = matched.withColumnRenamed(id_col, "__dup_id")
+    return new_docs.join(
+        m, new_docs[id_col] == m["__dup_id"], "left"
+    ).select(
+        *[F.col(c) for c in new_docs.columns],
+        F.col("__dup_id").isNull().alias("kept"),
+    )

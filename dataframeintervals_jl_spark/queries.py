@@ -1556,6 +1556,80 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
 WHERE jaccard >= {threshold}"""
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a PERSISTED band-bucket index — the
+    production shape: history (doc_id % 5 != 0) is indexed once
+    (bucketed by bucket hash), the increment (doc_id % 5 == 0) is
+    banded, broadcast, and probed map-side — zero shuffle, zero
+    re-pairing of history text.  The oracle recomputes both sides'
+    bands directly, so the Spark path's index write+read round-trip is
+    verified against a pure recomputation."""
+    from .operators.dedup import (
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    write_minhash_index(
+        hist,
+        "dfi_minhash_idx_q",
+        n_buckets=16,
+        path="/tmp/dfi_minhash_idx_q",
+        num_hashes=32,
+        bands=8,
+        portable=True,
+    )
+    idx = spark.table("dfi_minhash_idx_q")
+    out = incremental_minhash_dedup(
+        inc, idx, num_hashes=32, bands=8, portable=True
+    )
+    return out.select("doc_id", "kept")
+
+
+def _sql_incremental_dedup(num_hashes: int = 32, bands: int = 8, k: int = 3) -> str:
+    rows = num_hashes // bands
+    fam = _hash_family(num_hashes)
+    h = _PH60.format(x="s")
+    sig_items = ",\n    ".join(
+        f"list_min(list_transform(hl, h -> (h*{a} + {b}) % {_MH_MOD}))"
+        for a, b in fam
+    )
+
+    def fold(base: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"sig[band*{rows}+1 : band*{rows}+{rows}]), "
+            f"(a, h) -> (a*{base} + h) % {_MH_MOD})"
+        )
+
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < {k} THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - {k} + 2),
+                           i -> array_to_string(tl[i:i+{k - 1}], ' ')) END AS sl
+  FROM toks
+), hs AS MATERIALIZED (
+  SELECT doc_id, list_transform(list_distinct(sl), s -> {h} % {_MH_MOD}) AS hl
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, [{sig_items}] AS sig FROM hs
+), bnd AS MATERIALIZED (
+  SELECT doc_id, band, ({fold(_FOLD_BASES[0])}) * {_MH_MOD + 1}
+         + ({fold(_FOLD_BASES[1])}) AS bh
+  FROM sig, range(0, {bands}) t(band)
+), matched AS (
+  SELECT DISTINCT i.doc_id
+  FROM bnd i JOIN bnd h ON i.band = h.band AND i.bh = h.bh
+  WHERE i.doc_id % 5 = 0 AND h.doc_id % 5 <> 0
+)
+SELECT d.doc_id, (m.doc_id IS NULL) AS kept
+FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+WHERE d.doc_id % 5 = 0"""
+
+
 def q_ngram_jaccard_join(spark, sf_dir):
     """Exact set-similarity self-join (prefix filtering) — the oracle is
     the NAIVE all-pairs Jaccard: prefix filtering is lossless, so the
@@ -5359,6 +5433,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
     "q_similarity_pq": (q_similarity_pq, _sql_pq()),
+    "q_incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
     "q_rolling_fingerprint": (q_rolling_fingerprint, _SQL_ROLLING_FP),
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),

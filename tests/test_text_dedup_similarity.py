@@ -132,6 +132,60 @@ def test_cosine_topk(spark):
     assert scores[1] == pytest.approx(0.99 / math.sqrt(0.99**2 + 0.1**2), abs=1e-4)
 
 
+def test_incremental_minhash_dedup_roundtrip(spark, tmp_path):
+    """Index history once, probe an increment: near-dups of indexed
+    docs are flagged, novel docs keep; appending an accepted batch's
+    bands makes the NEXT batch dedup against it; the probe plan
+    broadcasts the increment (history never shuffles)."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    novel = " ".join(f"zz{i}" for i in range(40))
+    hist = _docs(spark, [base, " ".join(f"yy{i}" for i in range(40))])
+    write_minhash_index(
+        hist, "dfi_test_idx", n_buckets=4, path=str(tmp_path / "idx")
+    )
+    idx = spark.table("dfi_test_idx")
+
+    inc = spark.createDataFrame(
+        [(100, near), (101, novel)], "doc_id long, text string"
+    )
+    out = incremental_minhash_dedup(inc, idx)
+    flags = {r["doc_id"]: r["kept"] for r in out.collect()}
+    assert flags == {100: False, 101: True}
+    # the probe side broadcasts; the index side carries no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # min_shared_bands > 1: novel still keeps, identical text dups
+    out2 = incremental_minhash_dedup(inc, idx, min_shared_bands=2)
+    flags2 = {r["doc_id"]: r["kept"] for r in out2.collect()}
+    assert flags2[101] is True
+
+    # append the accepted batch, then a near-dup of it must be caught
+    kept_docs = inc.join(
+        out.filter("kept").select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    write_minhash_index(
+        kept_docs, "dfi_test_idx", n_buckets=4,
+        path=str(tmp_path / "idx"), mode="append",
+    )
+    idx2 = spark.table("dfi_test_idx")
+    near_novel = " ".join(f"zz{i}" for i in range(39)) + " changed"
+    inc2 = spark.createDataFrame(
+        [(200, near_novel)], "doc_id long, text string"
+    )
+    flags3 = {
+        r["doc_id"]: r["kept"]
+        for r in incremental_minhash_dedup(inc2, idx2).collect()
+    }
+    assert flags3 == {200: False}
+
+
 def test_pq_topk_recall_floor_and_ivfpq_equivalence(spark):
     """PQ recall floor vs the exact baseline, IVF-PQ == PQ at full
     probe, partial-probe scores remain PQ-exact (the candidate set may
