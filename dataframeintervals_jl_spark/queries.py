@@ -2192,6 +2192,42 @@ FROM c JOIN p ON c.user_id = p.user_id
              AND greatest(c.s, p.s) < least(c.e, p.e)"""
 
 
+def q_stream_join_by(spark, sf_dir):
+    """The KEYED streaming interval join (by='user_id') in batch-batch
+    mode — the streaming twin of interval_join_by: the key compounds
+    the bin equi-join, so per-user streams co-partition and never meet
+    cross-user candidates.  Same fixture as q_interval_join_by (clicks
+    × ±12h-widened same-user purchases), same oracle."""
+    from .streaming import stream_interval_join
+
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    clicks = es.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "span"
+    )
+    wide = 43_200_000_000_000
+    purch = es.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event"),
+        make_span(
+            F.col("span.start") - F.lit(wide), F.col("span.stop") + F.lit(wide)
+        ).alias("span"),
+    )
+    j = stream_interval_join(
+        clicks,
+        purch,
+        by="user_id",
+        bin_width_ns=21_600_000_000_000,
+        max_span_ns=35 * 86_400_000_000_000,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "p_event",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
 def q_interval_join_by_keepleft(spark, sf_dir):
     """Keyed LEFT-OUTER overlap join through the BINNED strategy: every
     click row survives (null purchase columns when no same-user overlap)
@@ -5434,6 +5470,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
     "q_similarity_pq": (q_similarity_pq, _sql_pq()),
     "q_incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
+    "q_stream_join_by": (q_stream_join_by, _SQL_JOIN_BY),
     "q_rolling_fingerprint": (q_rolling_fingerprint, _SQL_ROLLING_FP),
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),

@@ -83,6 +83,7 @@ def stream_interval_join(
     renameon=("_left", "_right"),
     max_span_ns: int | None = None,
     how: str = "inner",
+    by=None,
 ) -> DataFrame:
     """Stream-stream (or mixed / batch-batch) interval overlap join —
     unbounded counterpart of batch ``interval_join`` (half-open;
@@ -137,7 +138,16 @@ def stream_interval_join(
     ``max_span_ns / bin_width_ns`` bins per row — pick ``bin_width_ns``
     near ``max_span_ns`` when spans are short.  ``how='right_outer'``
     is the mirror image (right side preserved, left side explodes the
-    extended range).  Streaming full outer is intentionally not a
+    extended range).
+
+    ``by`` (a column name or list) adds equi-key matching — the
+    streaming twin of batch ``interval_join_by``: pairs must agree on
+    the keys AND overlap.  The keys compound the bin id in the
+    equi-join condition, so per-key streams co-partition exactly like
+    the batch keyed join; the output carries each key once (coalesced
+    across sides, so outer-padded rows keep the preserved side's key).
+
+    Streaming full outer is intentionally not a
     ``how`` mode: with either side exploded, unmatched bin copies would
     each null-pad — use :func:`stream_interval_join_full`, the packaged
     exact two-join composition.
@@ -165,6 +175,21 @@ def stream_interval_join(
             "state is evictable — without the derived time-range "
             "constraint Spark keeps every row ever seen"
         )
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    for k in by_keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(
+                f"stream_interval_join: by-key {k!r} must exist on both "
+                f"sides (left: {left.columns}, right: {right.columns})"
+            )
+        if k == on:
+            raise ValueError(
+                "stream_interval_join: by-key cannot be the on column"
+            )
+    # the right side's keys are renamed for the join and coalesced back
+    # into ONE output key column afterwards
+    for k in by_keys:
+        right = right.withColumnRenamed(k, f"__by_{k}")
     w_us = bin_width_ns // NS_PER_US
     ron_l, ron_r = renameon
     lon, ron = f"{on}{ron_l}", f"{on}{ron_r}"
@@ -228,6 +253,8 @@ def stream_interval_join(
     rs, rstop = F.col(f"{ron}.start"), F.col(f"{ron}.stop")
     inter_start_us = exact_floor_div(F.greatest(ls, rs), NS_PER_US)
     cond = (l["__bin"] == r["__bin"]) & (ls < rstop) & (rs < lstop)
+    for k in by_keys:
+        cond = cond & (l[k] == r[f"__by_{k}"])
     if how == "inner":
         # emit-once guard — only meaningful for the symmetric explode;
         # the asymmetric left_outer scheme produces each pair exactly
@@ -247,7 +274,10 @@ def stream_interval_join(
             & (l["__ts_l"] <= r["__ts_r"] + iv)
         )
     out_cols = [c for c in l.columns if c not in ("__bin", "__ts_l")] + [
-        c for c in r.columns if c not in ("__bin", "__ts_r")
+        c
+        for c in r.columns
+        if c not in ("__bin", "__ts_r")
+        and c not in [f"__by_{k}" for k in by_keys]
     ]
     # greatest/least SKIP nulls, so guard: padded outer rows must carry
     # a NULL intersection, not the left span
@@ -255,7 +285,13 @@ def stream_interval_join(
         F.col(lon).isNotNull() & F.col(ron).isNotNull(),
         make_span(F.greatest(ls, rs), F.least(lstop, rstop)),
     ).alias(on)
-    joined = l.join(r, cond, how).select(*out_cols, inter)
+    out_exprs = [
+        F.coalesce(F.col(c), F.col(f"__by_{c}")).alias(c)
+        if c in by_keys
+        else F.col(c)
+        for c in out_cols
+    ]
+    joined = l.join(r, cond, how).select(*out_exprs, inter)
     if how == "inner":
         return joined
     # outer parity with batch keepleft/keepright: EMPTY preserved-side
@@ -274,13 +310,21 @@ def stream_interval_join(
     empt = preserved.withColumnRenamed(on, pres_on).filter(
         F.col(f"{pres_on}.stop") <= F.col(f"{pres_on}.start")
     )
+    def _pad_col(c):
+        if c in by_keys:
+            # the preserved side owns the key in a padded row; on the
+            # right_outer path the preserved frame carries it renamed
+            return (
+                F.col(c)
+                if how == "left_outer"
+                else F.col(f"__by_{c}").alias(c)
+            )
+        if c not in other_cols or c == pres_on:
+            return F.col(c)
+        return F.lit(None).cast(other.schema[c].dataType).alias(c)
+
     padded = empt.select(
-        *[
-            F.col(c)
-            if c not in other_cols or c == pres_on
-            else F.lit(None).cast(other.schema[c].dataType).alias(c)
-            for c in out_cols
-        ],
+        *[_pad_col(c) for c in out_cols],
         F.lit(None).cast(joined.schema[on].dataType).alias(on),
     )
     return joined.unionByName(padded)
@@ -294,6 +338,7 @@ def stream_interval_join_full(
     watermark: str = "10 minutes",
     renameon=("_left", "_right"),
     max_span_ns: int | None = None,
+    by=None,
 ) -> DataFrame:
     """Streaming FULL-outer interval join — packaged two-join
     composition (batch ``keepleft=True, keepright=True`` counterpart).
@@ -322,6 +367,7 @@ def stream_interval_join_full(
         watermark=watermark,
         renameon=renameon,
         max_span_ns=max_span_ns,
+        by=by,
     )
     lo = stream_interval_join(left, right, how="left_outer", **kwargs)
     ro = stream_interval_join(left, right, how="right_outer", **kwargs)

@@ -1087,3 +1087,127 @@ def test_stream_interval_join_full_file_stream_parity(spark, tmp_path):
             assert r["span_left"] is None and r["span"] is None
         if r["rid"] is None:
             assert r["span_right"] is None and r["span"] is None
+
+
+def _keyed_spans(spark, n, width, step, name, n_keys=3):
+    from pyspark.sql.types import LongType
+
+    rows = [
+        (EPOCH0 + i * step * US, EPOCH0 + (i * step + width) * US, i)
+        for i in range(n)
+    ]
+    df = make_span_df(spark, rows, extra=[("rid", LongType())]).toDF(
+        "span", name
+    )
+    return df.withColumn("user_id", F.col(name) % n_keys)
+
+
+def test_stream_interval_join_by_batch_mode_parity(spark):
+    """Keyed streaming join (by='user_id') == batch interval_join_by:
+    pairs must share the key AND overlap; the output carries the key
+    ONCE."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join_by,
+    )
+
+    left = _keyed_spans(spark, 30, width=90_000, step=60_000, name="lid")
+    right = _keyed_spans(spark, 25, width=50_000, step=100_000, name="rid")
+    expected = sorted(
+        (r["user_id"], r["lid"], r["rid"])
+        for r in interval_join_by(
+            left, right, by="user_id", validate="skip", strategy="hash"
+        ).select("user_id", "lid", "rid").collect()
+    )
+    assert expected, "fixture must produce keyed matches"
+    # and the keyed result must differ from the keyless one
+    keyless = interval_join(
+        left.drop("user_id"), right.drop("user_id"),
+        validate="skip", strategy="broadcast_right",
+    ).count()
+    assert keyless > len(expected)
+
+    out = stream_interval_join(left, right, by="user_id")
+    assert out.columns.count("user_id") == 1
+    got = sorted(
+        (r["user_id"], r["lid"], r["rid"])
+        for r in out.select("user_id", "lid", "rid").collect()
+    )
+    assert got == expected
+
+
+def test_stream_interval_join_by_outer_batch_mode_parity(spark):
+    """Keyed left/right outer: parity vs interval_join_by keepleft /
+    keepright; padded rows keep the preserved side's key."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join_by,
+    )
+
+    left = _keyed_spans(spark, 30, width=90_000, step=60_000, name="lid")
+    right = _keyed_spans(spark, 6, width=50_000, step=300_000, name="rid")
+    for how, keep in (("left_outer", "keepleft"), ("right_outer", "keepright")):
+        expected = sorted(
+            (
+                (r["user_id"], r["lid"], r["rid"])
+                for r in interval_join_by(
+                    left, right, by="user_id", validate="skip",
+                    strategy="hash", **{keep: True},
+                ).select("user_id", "lid", "rid").collect()
+            ),
+            key=repr,
+        )
+        out = stream_interval_join(
+            left, right, by="user_id", max_span_ns=90_000 * US, how=how
+        )
+        got = sorted(
+            (
+                (r["user_id"], r["lid"], r["rid"])
+                for r in out.select("user_id", "lid", "rid").collect()
+            ),
+            key=repr,
+        )
+        assert got == expected, how
+        assert all(u is not None for u, _, _ in got), how
+
+
+def test_stream_interval_join_by_file_stream(spark, tmp_path):
+    """Keyed join on real file streams: same pairs as the batch keyed
+    join after draining."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_join_by,
+    )
+
+    left = _keyed_spans(spark, 24, width=90_000, step=60_000, name="lid")
+    right = _keyed_spans(spark, 18, width=50_000, step=100_000, name="rid")
+    expected = sorted(
+        (r["user_id"], r["lid"], r["rid"])
+        for r in interval_join_by(
+            left, right, by="user_id", validate="skip", strategy="hash"
+        ).select("user_id", "lid", "rid").collect()
+    )
+    ls = _roundtrip_stream(spark, left, str(tmp_path / "kl"))
+    rs = _roundtrip_stream(spark, right, str(tmp_path / "kr"))
+    out = stream_interval_join(
+        ls, rs, by="user_id", watermark="1 second", max_span_ns=90_000 * US
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_by")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["lid"], r["rid"])
+        for r in spark.sql("SELECT * FROM sij_by").collect()
+    )
+    assert got == expected
+
+
+def test_stream_interval_join_by_validates_keys(spark):
+    left = _keyed_spans(spark, 4, width=10_000, step=20_000, name="lid")
+    right = _keyed_spans(spark, 4, width=10_000, step=20_000, name="rid")
+    with pytest.raises(ValueError, match="must exist on both"):
+        stream_interval_join(left, right, by="nope")
+    with pytest.raises(ValueError, match="cannot be the on column"):
+        stream_interval_join(left, right, by="span")
