@@ -113,11 +113,13 @@ from .operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     ivf_pq_topk,
+    ivf_pq_topk_indexed,
     ivf_topk_indexed,
     lsh_topk,
     pq_topk,
     sq8_topk,
     write_ivf_index,
+    write_ivfpq_index,
 )
 from .operators.timeseries import (
     cusum_changepoints,
@@ -263,6 +265,8 @@ __all__ = [
     "sq8_topk",
     "pq_topk",
     "ivf_pq_topk",
+    "ivf_pq_topk_indexed",
+    "write_ivfpq_index",
     "ivf_topk_indexed",
     "write_ivf_index",
     "pagerank",

@@ -997,6 +997,140 @@ def ivf_topk_indexed(
     )
 
 
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m_sub: int = 32,
+    ks: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Build and PERSIST the IVF-PQ index — the billion-vector layout
+    written once, queried many times:
+
+    - ``<path>/codes`` — (n_id, codes array<int>, rn) PARTITIONED BY
+      cell: ~``m_sub`` bytes per vector, laid out so a probe reads
+      only its cells' directories;
+    - ``<path>/centroids`` — the coarse codebook (cell, c);
+    - ``<path>/codebooks`` — the PQ codebooks (m, code, cv).
+
+    Training is the same exact-integer machinery as
+    :func:`ivf_pq_topk`, so :func:`ivf_pq_topk_indexed` at the same
+    parameters returns identical results (test-asserted) without
+    re-training or re-encoding."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
+    cnorm = _centroid_norms(cent)
+    cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
+    k_eff = cb.shape[1]
+    ds = dim // m_sub
+    cbn2 = (cb.astype(np.int64) ** 2).sum(axis=2)
+
+    @pandas_udf("cell int, codes array<int>, rn bigint")
+    def index_row(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vs.tolist(), dtype=np.int64)
+        scores = (mat @ cent.T).astype(np.float64) / cnorm[None, :]
+        cells = scores.argmax(axis=1).astype(np.int32)
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        rn = np.zeros(len(mat), dtype=np.int64)
+        for m in range(m_sub):
+            xs = mat[:, m * ds : (m + 1) * ds]
+            dist = cbn2[m][None, :] - 2 * (xs @ cb[m].T)
+            codes[:, m] = dist.argmin(axis=1)
+            rn += cbn2[m][codes[:, m]]
+        return pd.DataFrame({"cell": cells, "codes": list(codes), "rn": rn})
+
+    c = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("n_id"),
+            index_row(_quantized(F.col(vec_col))).alias("e"),
+        )
+        .select(
+            "n_id",
+            F.col("e.cell").alias("cell"),
+            F.col("e.codes").alias("codes"),
+            F.col("e.rn").alias("rn"),
+        )
+    )
+    c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
+        "cell int, c array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (m, j, [int(v) for v in cb[m, j]])
+            for m in range(m_sub)
+            for j in range(k_eff)
+        ],
+        "m int, code int, cv array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index (:func:`write_ivfpq_index`):
+    identical results to :func:`ivf_pq_topk` at the same parameters
+    (test-asserted) with NO training, encoding, or corpus-vector reads.
+
+    The probed cell set is pushed as a static ``cell IN (...)``
+    partition filter — the scan touches only the probed cells'
+    directories of the ~``m_sub``-bytes-per-vector codes table, so the
+    bytes read per query scale as
+    ``(n_probe / n_centroids) · m_sub / (4·dim)`` of a raw-vector
+    scan (two orders of magnitude at the defaults)."""
+    from pyspark.sql.functions import pandas_udf
+
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent = np.array([r["c"] for r in crows], dtype=np.int64)
+    cnorm = _centroid_norms(cent)
+    n_probe_eff = min(n_probe, len(cent))
+    cbrows = spark.read.parquet(f"{path}/codebooks").orderBy(
+        "m", "code"
+    ).collect()
+    m_sub = 1 + max(r["m"] for r in cbrows)
+    k_eff = len(cbrows) // m_sub
+    ds = len(cbrows[0]["cv"])
+    cb = np.array([r["cv"] for r in cbrows], dtype=np.int64).reshape(
+        m_sub, k_eff, ds
+    )
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.int64)
+        scores = (m @ cent.T).astype(np.float64) / cnorm[None, :]
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
+
+    q = _pq_query_luts(queries, cb, id_col, vec_col).join(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.explode(probe_cells(_quantized(F.col(vec_col)))).alias("cell"),
+        ),
+        "q_id",
+    )
+    q = q.persist()
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+
+    c = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    return _pq_score_topk(pairs, k_eff, k)
+
+
 def _cell_assignments(
     corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -233,6 +233,35 @@ def test_pq_topk_recall_floor_and_ivfpq_equivalence(spark):
         pq_topk(emb, q, m_sub=7, ks=16, k=5)
 
 
+def test_ivfpq_index_roundtrip(spark, tmp_path):
+    """Persisted IVF-PQ index: identical results to the direct
+    operator at the same parameters, scan pruned to the probed cells'
+    partitions."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        write_ivfpq_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, n_centroids=8, m_sub=32, ks=256)
+    idx = ivf_pq_topk_indexed(spark, path, q, n_probe=2, k=5)
+    direct = ivf_pq_topk(
+        emb, q, n_centroids=8, n_probe=2, m_sub=32, ks=256, k=5
+    )
+    a = {(r["q_id"], r["rank"], r["n_id"], r["score"]) for r in idx.collect()}
+    b = {
+        (r["q_id"], r["rank"], r["n_id"], r["score"])
+        for r in direct.collect()
+    }
+    assert a == b and a
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan  # probed-cells pruning
+
+
 def test_exact_topk_guards_large_query_side(spark, monkeypatch):
     """The exact baselines refuse over-broadcast query sides unless the
     caller explicitly opts into the quadratic pass (VERDICT r5 #8)."""
