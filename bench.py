@@ -65,6 +65,7 @@ def main() -> None:
     # 5) — absorbs cold-codegen first samples and one-off steal bursts
     # that best-of-2 cannot (q_shingle_dup_pairs measured [21.1, 12.6,
     # 2.9] in one quiet session: the third sample IS the honest one).
+    _sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         with open(
             os.path.join(
@@ -72,7 +73,20 @@ def main() -> None:
                 "BENCH_LOCAL.json",
             )
         ) as _fh:
-            _prior = json.load(_fh).get("queries", {})
+            _prior_rec = json.load(_fh)
+        # records from a DIFFERENT scale factor must not steer sampling
+        # (an sf0.01 record would flag every sf0.1 min as 'too slow'
+        # and waste 3 extra samples per query)
+        # steer by the rolling per-query BEST (kept separately from
+        # the honest per-run record): one noisy run must not lower the
+        # bar for the next run's sampling (observed: a 7.6s steal-era
+        # record let a 6.9s min pass unchallenged while the true
+        # steady state is 1.8s)
+        _prior = (
+            _prior_rec.get("best_queries") or _prior_rec.get("queries", {})
+            if str(_prior_rec.get("sf")) == _sf_tag
+            else {}
+        )
     except Exception:
         _prior = {}
 
@@ -119,13 +133,25 @@ def main() -> None:
             # Without this hint, checkpoint debris from run N makes run
             # N+1 bimodal (measured q_pagerank 4.8-6.7s with GC between
             # runs vs 5-23s without, quiet cpu_probe both times).
-            import gc as _gc
-
-            _gc.collect()
+            # CONDITIONAL: a full System.gc() after every light query
+            # measured ~5% net drag in an alternating A/B, so the hint
+            # fires only when the block manager actually holds leftover
+            # RDD blocks (getRDDStorageInfo is 0 after clearCache for
+            # queries that checkpoint nothing).
             try:
-                spark.sparkContext._jvm.System.gc()
+                debris = len(
+                    spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                )
             except Exception:
-                pass
+                debris = 0
+            if debris:
+                import gc as _gc
+
+                _gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
 
         try:
             one()
@@ -497,6 +523,9 @@ def main() -> None:
         "q_stream_sessionize", "q_text_quality", "q_text_token_stats",
         "q_training_prep", "selective_binned", "selective_bnl_2pct",
     }
+    best_queries = {
+        k: round(min(v, _prior.get(k, v)), 3) for k, v in timings.items()
+    }
     full = {
         "metric": "suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -508,6 +537,7 @@ def main() -> None:
         "spread": spreads,
         "recall": recall,
         "layout": layout,
+        "best_queries": best_queries,
         "errors": errors,
         "cpu_probe": probes,
         "sf": sf_val,
