@@ -723,6 +723,122 @@ def decontaminate(
     )
 
 
+#: word width of the bloom bitset table — 32 bits per BIGINT word keeps
+#: every shift strictly below the sign bit, so both engines (Spark ANSI,
+#: DuckDB overflow-checked ``<<``) compute the same positive words
+_BLOOM_WORD = 32
+
+
+def _bloom_positions(n_bits: int, n_hashes: int) -> list:
+    """The ``n_hashes`` bloom positions of hash column ``__sh`` via
+    double hashing (Kirsch & Mitzenmacher): ``pos_i = (h1 + i·h2) mod
+    n_bits`` with ``h1 = sh mod n_bits`` and ``h2`` an odd offset from
+    the high hash bits — full-cycle for power-of-two ``n_bits``, and
+    pure positive-integer arithmetic a SQL oracle replays exactly."""
+    h1 = F.pmod(F.col("__sh"), F.lit(n_bits))
+    h2 = F.pmod(F.shiftright(F.col("__sh"), 20), F.lit(n_bits)) * 2 + 1
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)]
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_overlap: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Decontamination via a BLOOM FILTER of the eval set's shingles —
+    the constant-broadcast variant of :func:`decontaminate` for when
+    even the eval side's distinct-shingle table is too large to ship:
+    the broadcast is ``n_bits/8`` bytes (128 KiB at the 2^20 default)
+    REGARDLESS of eval-set size, vs the full shingle-hash table
+    (8 bytes × |eval shingles|, unbounded).
+
+    The filter is a (word_idx, word) table of 32-bit words built with
+    ``n_hashes`` double-hashed positions per shingle; the corpus probe
+    is ``n_hashes`` broadcast LEFT joins on word index — every probe
+    row stays ONE row (no explode, no per-shingle re-aggregation), so
+    the corpus pass is map-only and the only shuffle is the per-doc
+    count over bloom-positive shingles.  Deterministic by construction
+    (hash positions are pure integer arithmetic), so false positives
+    are REPRODUCIBLE and a SQL oracle replays the exact output;
+    ``n_overlap`` here is an upper bound on the true shingle overlap
+    (one-sided error: clean-and-flagged possible at the ~(fill)^k
+    bloom rate, contaminated-and-missed impossible).
+
+    Output: ``(id_col, n_bloom, contaminated)`` — one row per corpus
+    document, like :func:`decontaminate`.
+    """
+    if n_bits & (n_bits - 1) or n_bits < _BLOOM_WORD:
+        raise ValueError(f"n_bits must be a power of two >= 32, got {n_bits}")
+    if not (1 <= n_hashes <= 16):
+        raise ValueError(f"n_hashes must be in [1, 16], got {n_hashes}")
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    sh_of = lambda d: F.explode(  # noqa: E731
+        F.array_distinct(shingles(F.col(text_col), shingle_k))
+    )
+    ev_sh = (
+        eval_df.select(sh_of(eval_df).alias("__s"))
+        .select(hash_fn(F.col("__s")).alias("__sh"))
+        .distinct()
+    )
+    pos = _bloom_positions(n_bits, n_hashes)
+    words = (
+        ev_sh.select(F.explode(F.array(*pos)).alias("__pos"))
+        .select(
+            F.expr(f"__pos DIV {_BLOOM_WORD}").alias("__w"),
+            F.pmod(F.col("__pos"), F.lit(_BLOOM_WORD)).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(__b AS INT)))").alias("__word"))
+    )
+    probe = ensure_parallelism(corpus).select(
+        F.col(id_col), sh_of(corpus).alias("__s")
+    ).select(
+        id_col,
+        hash_fn(F.col("__s")).alias("__sh"),
+    )
+    probe = probe.select(
+        id_col,
+        *[p.alias(f"__p{i}") for i, p in enumerate(pos)],
+    ).select(
+        id_col,
+        *[F.expr(f"__p{i} DIV {_BLOOM_WORD}").alias(f"__w{i}") for i in range(n_hashes)],
+        *[F.pmod(F.col(f"__p{i}"), F.lit(_BLOOM_WORD)).alias(f"__b{i}") for i in range(n_hashes)],
+    )
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        w = words.select(
+            F.col("__w").alias(f"__w{i}"), F.col("__word").alias(f"__word{i}")
+        )
+        probe = probe.join(F.broadcast(w), f"__w{i}", "left")
+        hit = hit & (
+            F.expr(
+                f"coalesce(__word{i}, 0L) & shiftleft(1L, CAST(__b{i} AS INT))"
+            )
+            != 0
+        )
+    hits = (
+        probe.filter(hit)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom"))
+    )
+    n = F.coalesce(F.col("n_bloom"), F.lit(0).cast("long"))
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n.alias("n_bloom"),
+            (n >= F.lit(min_overlap)).alias("contaminated"),
+        )
+    )
+
+
 def shared_shingle_pairs(
     df: DataFrame,
     shingle_k: int = 16,

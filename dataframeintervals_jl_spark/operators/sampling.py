@@ -372,6 +372,111 @@ def kmv_overlap_estimate(
     )
 
 
+def _hll_alpha(m: int) -> float:
+    """Standard HyperLogLog bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_params(p: int) -> dict:
+    """Shared HLL constants for the operator and its SQL oracle:
+    ``m`` registers, hash split widths, the scaled-integer register
+    sum exponent, the numerator constant ``C = alpha·m²·2^SCALE``
+    (emitted as the SAME double literal in both engines), and the
+    precomputed linear-counting table ``lc[V] = round(m·ln(m/V))``
+    (1-indexed; a table lookup instead of a runtime ``ln`` keeps the
+    small-range correction bit-identical across engines)."""
+    import math
+
+    if not (4 <= p <= 12):
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    scale = 53 - p  # bit width of the rho window; max register sum m·2^scale = 2^53
+    return {
+        "p": p,
+        "m": m,
+        "scale": scale,
+        "c_lit": repr(_hll_alpha(m) * m * m * float(1 << scale)),
+        "lc": [int(round(m * math.log(m / v))) for v in range(1, m + 1)],
+    }
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007), in a
+    fully DETERMINISTIC cross-engine form: the portable 53-bit hash
+    splits into a register index (low ``p`` bits) and a rho window
+    (high ``53-p`` bits); rho is computed by integer bit-length
+    (``length(conv(w, 10, 2))``), the harmonic mean is a scaled
+    BIGINT sum ``S = Σ 2^(SCALE-rho)`` (order-independent, exact),
+    the raw estimate is ONE IEEE double division by a shared literal
+    constant, and the small-range linear-counting correction is a
+    precomputed integer table lookup — no runtime ``ln``, no
+    float accumulation, so the result is bit-identical on any engine,
+    any partitioning, any merge order (same contract as
+    :func:`kmv_distinct`, at ~1.04/√m relative error for a fraction
+    of KMV's state: 2^p registers vs k 64-bit minima).
+
+    Output: group keys + ``hll_est`` (bigint) + ``v_zero`` (bigint,
+    the count of untouched registers — 0 means the sketch is
+    saturated and the raw estimator is in effect).
+
+    Scale shape (100 TB): rows map to ``(key, idx, rho)`` and
+    partial-aggregate to at most ``m`` register rows PER TASK before
+    the shuffle — the shuffle carries O(groups·m) rows no matter the
+    input size, and register merge (max) is associative, so the same
+    construction serves batch, incremental append, and streaming
+    merge."""
+    prm = hll_params(p)
+    m, scale, c_lit, lc = prm["m"], prm["scale"], prm["c_lit"], prm["lc"]
+    keys = [by] if isinstance(by, str) else list(by or [])
+    h = F.shiftright(portable_hash60(F.col(col)), 7)
+    w = F.shiftright(h, p)
+    # rho = leading-zero count of the (53-p)-bit window + 1, via exact
+    # integer bit-length; w == 0 (all zeros) gives the max rho
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(scale + 1)).otherwise(F.lit(scale + 1) - bitlen)
+    regs = (
+        df.select(
+            *keys,
+            F.pmod(h, F.lit(m)).alias("__idx"),
+            rho.alias("__rho"),
+        )
+        .groupBy(*keys, "__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    g = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__present"),
+        # rho can exceed SCALE only for w == 0; least() caps its
+        # contribution at 1 (deterministically — the oracle applies
+        # the identical cap)
+        F.sum(
+            F.expr(f"shiftleft(1L, {scale} - least(__rho, {scale}))")
+        ).alias("__s_present"),
+    )
+    v_zero = F.lit(m) - F.col("__present")
+    s_total = F.col("__s_present") + v_zero * F.lit(1 << scale)
+    raw = F.expr(f"CAST(floor({c_lit} / __s)  AS BIGINT)")
+    lc_arr = F.array(*[F.lit(v).cast("long") for v in lc])
+    est = F.when(
+        (F.col("__v") > 0) & (raw <= F.lit(5 * m // 2)),
+        F.element_at(lc_arr, F.col("__v").cast("int")),
+    ).otherwise(raw)
+    return (
+        g.select(*keys, v_zero.alias("__v"), s_total.alias("__s"))
+        .select(*keys, est.alias("hll_est"), F.col("__v").cast("long").alias("v_zero"))
+    )
+
+
 def greedy_coverage_select(
     docs: DataFrame,
     k: int,

@@ -2904,6 +2904,74 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 23 <> 0"""
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination over the same eval split as
+    q_decontaminate: the eval shingles are folded into a 2^16-bit bloom
+    (8 KiB broadcast, constant in eval-set size) and the corpus probe
+    is 4 broadcast left joins on word index — map-only, no explode, no
+    per-shingle regroup.  Deterministic one-sided error: the oracle
+    replays bloom construction and probe bit-for-bit, so the (rare,
+    reproducible) false positives hash-match too."""
+    from .operators.dedup import bloom_decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    return bloom_decontaminate(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        shingle_k=4,
+        min_overlap=2,
+        n_bits=1 << 16,
+        n_hashes=4,
+        portable=True,
+    )
+
+
+def _sql_bloom_decon(n_bits: int, n_hashes: int) -> str:
+    """DuckDB replay of q_bloom_decontaminate: same double-hashed
+    positions (h1 = h mod n_bits, h2 = odd((h >> 20) mod n_bits)),
+    same 32-bit word table, same all-bits-set probe."""
+    idx = "[" + ", ".join(str(i) for i in range(n_hashes)) + "]"
+    p_of = (
+        f"((h % {n_bits}) + t.i * (((h // 1048576) % {n_bits}) * 2 + 1))"
+        f" % {n_bits}"
+    )
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < 4 THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - 2),
+                           i -> array_to_string(tl[i:i+3], ' ')) END AS sl
+  FROM toks
+), ex AS (
+  SELECT doc_id, {_PH60.format(x="s")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM sh)
+), epos AS (
+  SELECT {p_of} AS p
+  FROM (SELECT DISTINCT h FROM ex WHERE doc_id % 23 = 0),
+       (SELECT unnest({idx}) AS i) t
+), words AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+  FROM epos GROUP BY 1
+), cprobe AS (
+  SELECT doc_id, h, {p_of} AS p
+  FROM (SELECT doc_id, h FROM ex WHERE doc_id % 23 <> 0),
+       (SELECT unnest({idx}) AS i) t
+), cbits AS (
+  SELECT doc_id, h, count(*) AS nset
+  FROM cprobe LEFT JOIN words ON (p // 32) = words.w
+  WHERE (COALESCE(word, 0) & (1::BIGINT << CAST(p % 32 AS INT))) <> 0
+  GROUP BY doc_id, h
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM cbits WHERE nset = {n_hashes} GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(hi.n, 0) AS n_bloom,
+       COALESCE(hi.n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits hi USING (doc_id)
+WHERE d.doc_id % 23 <> 0"""
+
+
 _LOCF_STEP_NS = 12 * 3_600 * 1_000_000_000  # 12h grid
 
 
@@ -3221,6 +3289,66 @@ SELECT g.event_type,
          AS n_distinct_est,
        g.n_hashes, x.n_exact
 FROM g JOIN x USING (event_type)"""
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality sketch vs exact truth: per event_type,
+    the p=8 (256-register) estimate of distinct users alongside the
+    exact count — deterministic cross-engine HLL (portable hash,
+    integer bit-length rho, scaled-bigint harmonic sum, table-lookup
+    linear counting; no runtime ln, no float accumulation), the
+    bounded-state twin of q_kmv_distinct: the shuffle carries at most
+    m register rows per group per task regardless of input size."""
+    from .operators.sampling import hll_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", p=8, by="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_est", "v_zero", "n_exact"
+    )
+
+
+def _sql_hll(p: int = 8) -> str:
+    """Bit-exact DuckDB replay of hll_distinct(events.user_id, p,
+    by=event_type): same hash split, same integer rho, same scaled
+    register sum, same shared double literal for the raw estimator,
+    same precomputed linear-counting table."""
+    from .operators.sampling import hll_params
+
+    prm = hll_params(p)
+    m, scale, c_lit, lc = prm["m"], prm["scale"], prm["c_lit"], prm["lc"]
+    lc_lit = "[" + ", ".join(str(v) for v in lc) + "]"
+    h = _PH60.format(x="user_id::VARCHAR") + " // 128"
+    return f"""WITH h AS (
+  SELECT event_type, {h} AS hv FROM events
+), r AS (
+  SELECT event_type, hv % {m} AS idx,
+         CASE WHEN (hv // {m}) = 0 THEN {scale + 1}
+              ELSE {scale + 1} - length(to_base(hv // {m}, 2)) END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, idx, max(rho) AS rho FROM r GROUP BY event_type, idx
+), g AS (
+  SELECT event_type, count(*) AS present,
+         CAST(sum(1::BIGINT << ({scale} - least(rho, {scale}))) AS BIGINT) AS sp
+  FROM regs GROUP BY event_type
+), e AS (
+  SELECT event_type, ({m} - present) AS v,
+         sp + ({m} - present) * (1::BIGINT << {scale}) AS s
+  FROM g
+), x AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(CASE WHEN v > 0 AND CAST(floor({c_lit} / s) AS BIGINT) <= {5 * m // 2}
+                 THEN ({lc_lit})[v]
+                 ELSE CAST(floor({c_lit} / s) AS BIGINT) END AS BIGINT) AS hll_est,
+       CAST(v AS BIGINT) AS v_zero, x.n_exact
+FROM e JOIN x USING (event_type)"""
 
 
 def q_scd2_intervals(spark, sf_dir):
@@ -5486,6 +5614,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pack_greedy": (q_pack_greedy, _SQL_PACK_GREEDY),
     "q_training_prep_v2": (q_training_prep_v2, _SQL_TRAINING_PREP_V2),
     "q_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "q_bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decon(1 << 16, 4)),
     "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),
     "q_gopher_rules": (q_gopher_rules, _SQL_GOPHER),
@@ -5510,6 +5639,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_rag_prep": (q_rag_prep, _SQL_RAG_PREP),
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
+    "q_hll_distinct": (q_hll_distinct, _sql_hll(8)),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
@@ -5567,22 +5697,26 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
 # and unit-tested in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
+#: driver gate width: the correctness driver verifies the first 50
+#: catalog entries each round
+_GATE_WINDOW = 50
+
+#: pinned regression tripwires in PRIORITY order — ``_gate_order``
+#: keeps as many as fit beside the never-verified entries, dropping
+#: from the tail first, so growing the catalog can never push a
+#: never-verified entry out of the driver's window
 _GATE_PINNED = [
-    "q_quantile_windows",
-    "q_dfspan",
     "q_interval_join_inner",
     "q_interval_join_binned",
     "q_interval_join_full",
-    "q_interval_join_mixed_bounds",
-    "q_groupby_interval_join_agg",
     "q_interval_join_by",
-    "q_interval_join_date",
+    "q_quantile_windows",
+    "q_groupby_interval_join_agg",
+    "q_interval_join_mixed_bounds",
     "q_asof_join_date",
-    # q_quantile_windows_date was pinned through round 6's gate-window
-    # crunch (12 pinned + 39 never-verified > 50 slots); the date
-    # domain keeps two pinned tripwires (join + as-of) and the windows
-    # variant rotates with the verified remainder
     "q_stream_join_keepleft",
+    "q_interval_join_date",
+    "q_dfspan",
 ]
 
 
@@ -5616,16 +5750,26 @@ def _driver_verified_names(root: str) -> set:
     return seen
 
 
-def _gate_order(queries: dict, pinned: list, verified: set) -> dict:
+def _gate_order(
+    queries: dict, pinned: list, verified: set, window: int = _GATE_WINDOW
+) -> dict:
     """Pure reordering: pinned core, then never-driver-verified entries in
     catalog order, then the verified remainder in catalog order.  Never
     drops or alters entries; names in ``pinned`` missing from the catalog
-    are skipped."""
-    head = [n for n in pinned if n in queries]
-    head_set = set(head)
+    are skipped.  When pinned + never-verified would overflow the driver's
+    ``window``, pinned names are dropped from the TAIL until every
+    never-verified entry fits (never-verified coverage outranks the
+    tripwires: a pinned entry has already had green driver rows)."""
+    pin = [n for n in pinned if n in queries]
+    n_never = sum(
+        1 for n in queries if n not in set(pin) and n not in verified
+    )
+    if len(pin) + n_never > window:
+        pin = pin[: max(0, window - n_never)]
+    head_set = set(pin)
     never = [n for n in queries if n not in head_set and n not in verified]
     rest = [n for n in queries if n not in head_set and n in verified]
-    return {n: queries[n] for n in head + never + rest}
+    return {n: queries[n] for n in pin + never + rest}
 
 
 _REPO_ROOT = __import__("os").path.dirname(

@@ -289,6 +289,35 @@ def test_kmv_distinct_accuracy_and_exact_smallgroups(spark):
         kmv_distinct(df, "v", k=1)
 
 
+def test_hll_distinct_accuracy_partition_invariance(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import hll_distinct
+
+    df = spark.range(8000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    ).unionByName(
+        spark.range(40).select(
+            F.lit("small").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+        )
+    )
+    out = {r["g"]: (r["hll_est"], r["v_zero"]) for r in
+           hll_distinct(df, "v", p=8, by="g").collect()}
+    est_big, _ = out["big"]
+    assert abs(est_big - 8000) / 8000 < 0.20  # ~6.5% std error at m=256
+    est_small, v_small = out["small"]
+    # linear-counting regime: most registers untouched, estimate close
+    assert v_small > 200 and abs(est_small - 40) <= 8
+    # duplicates absorbed by register max; partitioning irrelevant
+    noisy = df.unionByName(df).repartition(17)
+    out2 = {r["g"]: r["hll_est"] for r in
+            hll_distinct(noisy, "v", p=8, by="g").collect()}
+    assert out2 == {g: e for g, (e, _) in out.items()}
+    with pytest.raises(ValueError, match="p must be"):
+        hll_distinct(df, "v", p=2)
+
+
 def test_sample_per_group_bounded_and_deterministic(spark):
     from dataframeintervals_jl_spark import sample_per_group
 

@@ -423,10 +423,19 @@ def test_gate_live_catalog_covers_never_verified():
         _driver_verified_names,
     )
 
+    from dataframeintervals_jl_spark.queries import _GATE_WINDOW
+
     verified = _driver_verified_names(_REPO_ROOT)
     names = list(QUERIES)
     never = [n for n in names if n not in verified]
-    gate = set(names[:50])
+    gate = set(names[:_GATE_WINDOW])
     missing = [n for n in never if n not in gate]
     assert not missing, f"never-verified entries outside the gate: {missing}"
-    assert [n for n in _GATE_PINNED if n in QUERIES] == names[: len(_GATE_PINNED)]
+    # the effective pinned prefix: tail-trimmed so never-verified fit
+    pin = [n for n in _GATE_PINNED if n in QUERIES]
+    n_never = sum(1 for n in never if n not in set(pin))
+    if len(pin) + n_never > _GATE_WINDOW:
+        pin = pin[: max(0, _GATE_WINDOW - n_never)]
+    assert pin == names[: len(pin)]
+    # the top-priority tripwire is never trimmed in practice
+    assert names[0] == "q_interval_join_inner" or not pin

@@ -145,6 +145,60 @@ def test_decontaminate_short_doc_whole_text_shingle(spark):
     assert got == {1: True, 2: False}
 
 
+@pytest.mark.parametrize("portable", [False, True])
+def test_bloom_decontaminate_no_false_negatives(spark, portable):
+    from dataframeintervals_jl_spark.operators.dedup import bloom_decontaminate
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota"),
+            (3, "alpha beta gamma zeta"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "alpha beta gamma delta phi")])
+    exact = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(
+            corpus, eval_df, shingle_k=3, min_overlap=2, portable=portable
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_bloom"], r["contaminated"])
+        for r in bloom_decontaminate(
+            corpus, eval_df, shingle_k=3, min_overlap=2, portable=portable
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, (n_exact, flagged_exact) in exact.items():
+        n_bloom, flagged_bloom = bloom[d]
+        # one-sided error: bloom count >= exact count, so a truly
+        # contaminated doc can never be missed
+        assert n_bloom >= n_exact
+        assert not flagged_exact or flagged_bloom
+    # at 2^20 bits over a handful of shingles the filter is exact
+    assert bloom == exact
+    # determinism: identical output on re-evaluation
+    again = {
+        r["doc_id"]: (r["n_bloom"], r["contaminated"])
+        for r in bloom_decontaminate(
+            corpus, eval_df, shingle_k=3, min_overlap=2, portable=portable
+        ).collect()
+    }
+    assert again == bloom
+
+
+def test_bloom_decontaminate_validation(spark):
+    from dataframeintervals_jl_spark.operators.dedup import bloom_decontaminate
+
+    corpus = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_decontaminate(corpus, corpus, n_bits=1000)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_decontaminate(corpus, corpus, n_hashes=0)
+
+
 def test_bm25_topk_hand_example(spark):
     from dataframeintervals_jl_spark.operators.tfidf import bm25_topk
 
