@@ -85,6 +85,25 @@ def minhash_signatures(
     ``transform``+``aggregate`` array expressions, fully JVM-side.
     ``portable=True`` uses the md5-based :func:`portable_hash60` base
     hash (DuckDB-recomputable) instead of xxhash64."""
+    return _with_minhash_sig(
+        ensure_parallelism(df).select(F.col(id_col), F.col(text_col)),
+        text_col,
+        num_hashes,
+        shingle_k,
+        portable,
+    ).select(id_col, F.col("__dfi_sig").alias("sig"))
+
+
+def _with_minhash_sig(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    portable: bool,
+) -> DataFrame:
+    """All input columns + ``__dfi_sig`` (array<long> minhash
+    signature).  Two projection steps so the shingle hashing is
+    computed once, not once per signature slot."""
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
     if portable:
         hashed = F.transform(sh, lambda s: portable_hash60(s) % _MOD)
@@ -111,9 +130,9 @@ def minhash_signatures(
         ]
     )
     return (
-        ensure_parallelism(df)
-        .select(F.col(id_col), hashed.alias("__dfi_sh"))
-        .select(id_col, sig.alias("sig"))
+        df.withColumn("__dfi_sh", hashed)
+        .withColumn("__dfi_sig", sig)
+        .drop("__dfi_sh")
     )
 
 
@@ -123,6 +142,54 @@ def _band_fold(sig_col, b: int, rows: int, base: int):
     for r in range(rows):
         acc = (acc * base + sig_col[b * rows + r]) % _MOD
     return acc
+
+
+def _band_key_array(sig_col, num_hashes: int, bands: int, portable: bool):
+    """array<long> of the ``bands`` LSH band-bucket keys of a minhash
+    signature column — the row-local fold shared by every banding
+    consumer."""
+    rows = num_hashes // bands
+    if portable:
+        return F.array(
+            *[
+                _band_fold(sig_col, b, rows, _FOLD_BASES[0])
+                * (_MOD + 1)  # pack the two 31-bit folds into one long
+                + _band_fold(sig_col, b, rows, _FOLD_BASES[1])
+                for b in range(bands)
+            ]
+        )
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[sig_col[b * rows + r] for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def with_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    portable: bool = False,
+    out_col: str = "__bk",
+) -> DataFrame:
+    """All input columns + ``out_col``: the array<long> of LSH band
+    keys — the column-preserving form of :func:`minhash_banded` for
+    operators that must keep the document row intact (the streaming
+    probe).  Two projection steps so the shingle hashing is computed
+    once, not once per signature slot."""
+    assert num_hashes % bands == 0
+    return (
+        _with_minhash_sig(df, text_col, num_hashes, shingle_k, portable)
+        .withColumn(
+            out_col, _band_key_array(F.col("__dfi_sig"), num_hashes, bands, portable)
+        )
+        .drop("__dfi_sig")
+    )
 
 
 def minhash_banded(
@@ -143,26 +210,7 @@ def minhash_banded(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, portable)
-    if portable:
-        band_key = F.array(
-            *[
-                _band_fold(F.col("sig"), b, rows, _FOLD_BASES[0])
-                * (_MOD + 1)  # pack the two 31-bit folds into one long
-                + _band_fold(F.col("sig"), b, rows, _FOLD_BASES[1])
-                for b in range(bands)
-            ]
-        )
-    else:
-        band_key = F.array(
-            *[
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                    )
-                )
-                for b in range(bands)
-            ]
-        )
+    band_key = _band_key_array(F.col("sig"), num_hashes, bands, portable)
     return sigs.select(
         F.col(id_col),
         F.posexplode(band_key).alias("band", "bh"),

@@ -1588,6 +1588,34 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "kept")
 
 
+def q_stream_incremental_dedup(spark, sf_dir):
+    """Batch-mode run of the STREAMING incremental-dedup probe over
+    q_incremental_dedup's exact fixture: the stateless bands-wide
+    stream-static join composition must produce the same kept set as
+    the batch operator, so it shares the same pure-recomputation
+    oracle."""
+    from .operators.dedup import write_minhash_index
+    from .streaming import stream_incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    write_minhash_index(
+        hist,
+        "dfi_minhash_idx_qs",
+        n_buckets=16,
+        path="/tmp/dfi_minhash_idx_qs",
+        num_hashes=32,
+        bands=8,
+        portable=True,
+    )
+    idx = spark.table("dfi_minhash_idx_qs")
+    out = stream_incremental_dedup(
+        inc, idx, num_hashes=32, bands=8, portable=True
+    )
+    return out.select("doc_id", "kept")
+
+
 def _sql_incremental_dedup(num_hashes: int = 32, bands: int = 8, k: int = 3) -> str:
     rows = num_hashes // bands
     fam = _hash_family(num_hashes)
@@ -5598,6 +5626,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
     "q_similarity_pq": (q_similarity_pq, _sql_pq()),
     "q_incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
+    "q_stream_incremental_dedup": (
+        q_stream_incremental_dedup,
+        _sql_incremental_dedup(),
+    ),
     "q_stream_join_by": (q_stream_join_by, _SQL_JOIN_BY),
     "q_rolling_fingerprint": (q_rolling_fingerprint, _SQL_ROLLING_FP),
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),

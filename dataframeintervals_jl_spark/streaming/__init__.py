@@ -875,6 +875,69 @@ def stream_minhash_candidates(
     )
 
 
+def stream_incremental_dedup(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`~..operators.dedup.incremental_minhash_dedup`: every
+    arriving document is probed against a PERSISTED history band index
+    (:func:`~..operators.dedup.write_minhash_index`) and emitted with
+    ``kept`` — the online ingest-dedup shape: history is never
+    re-paired, the probe is per-document, and the output is
+    append-mode with NO state and NO watermark.
+
+    Statelessness is the design: instead of exploding the band keys
+    (which would force a per-document re-aggregation the streaming
+    engine only allows under a watermark), the ``bands`` keys stay as
+    one array column and the probe is ``bands`` stream-static LEFT
+    joins on band key — each a static-side equi-join the engine
+    re-plans per micro-batch, so index updates between batches are
+    picked up automatically.  ``kept`` is false when >=
+    ``min_shared_bands`` of the joins hit (matching the batch
+    operator's countDistinct-band semantics: k history docs in one
+    bucket count once).
+
+    Works unchanged on a batch ``docs`` input (the joins are ordinary),
+    which is how the oracle and the batch-parity test drive it.
+
+    Scale shape: each join's static side is the per-band slice of the
+    index, pre-bucketed on ``bh`` by the index writer — the stream side
+    is micro-batch-sized, so every join broadcasts or shuffles only the
+    increment; history is read in place.  Persist/cache the index table
+    when micro-batches are frequent — ``bands`` scans per trigger
+    otherwise."""
+    from ..operators.dedup import with_minhash_bands
+
+    keyed = with_minhash_bands(
+        docs, text_col, num_hashes, bands, shingle_k, portable, out_col="__bk"
+    )
+    probe = keyed.select(
+        "*", *[F.col("__bk")[b].alias(f"__k{b}") for b in range(bands)]
+    ).drop("__bk")
+    n_hit = F.lit(0)
+    for b in range(bands):
+        side = (
+            index.filter(F.col("band") == b)
+            .select(F.col("bh").alias(f"__k{b}"))
+            .distinct()
+            .withColumn(f"__hit{b}", F.lit(1))
+        )
+        probe = probe.join(side, f"__k{b}", "left")
+        n_hit = n_hit + F.when(F.col(f"__hit{b}").isNotNull(), 1).otherwise(0)
+    return probe.select(
+        *docs.columns,
+        (n_hit < F.lit(min_shared_bands)).alias("kept"),
+    )
+
+
 def stream_latest_by_key(
     changes: DataFrame,
     keys: Union[str, Sequence[str]],

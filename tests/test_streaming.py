@@ -510,6 +510,76 @@ def test_stream_minhash_candidates_matches_batch_components(spark, tmp_path):
     assert components(stream_edges, nodes) == components(batch_edges, nodes)
 
 
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """The stateless stream-static probe must flag exactly the rows the
+    batch incremental_minhash_dedup flags, on a real file stream split
+    across two micro-batches, against a really-persisted index."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    hist_rows = [(i, base + f" variant {i}") for i in range(10)]
+    # increment: ids 100+; half are near-copies of history, half novel
+    inc_rows = [
+        (100 + i, base + f" variant {i}") for i in range(5)
+    ] + [
+        (200 + i, f"completely different text number {i} with unrelated words here")
+        for i in range(5)
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+
+    write_minhash_index(
+        hist,
+        "dfi_sid_test_idx",
+        n_buckets=4,
+        path=str(tmp_path / "idx"),
+        num_hashes=32,
+        bands=8,
+    )
+    idx = spark.table("dfi_sid_test_idx")
+
+    expected = {
+        r["doc_id"]: r["kept"]
+        for r in incremental_minhash_dedup(
+            inc, idx, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert set(expected.values()) == {True, False}, "fixture needs both outcomes"
+
+    d = str(tmp_path / "sid_in")
+    inc.filter("doc_id < 200").coalesce(1).write.parquet(d + "/f1")
+    inc.filter("doc_id >= 200").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_incremental_dedup(stream, idx, num_hashes=32, bands=8)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sid")
+        .option("checkpointLocation", str(tmp_path / "sid_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["kept"] for r in spark.sql("SELECT * FROM sid").collect()
+    }
+    assert got == expected
+    # batch-mode run of the same composition agrees too
+    batch_mode = {
+        r["doc_id"]: r["kept"]
+        for r in stream_incremental_dedup(inc, idx, num_hashes=32, bands=8).collect()
+    }
+    assert batch_mode == expected
+
+
 def test_stream_minhash_rejects_batch_input(spark):
     from dataframeintervals_jl_spark.streaming import stream_minhash_candidates
 
