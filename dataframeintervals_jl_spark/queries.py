@@ -1960,14 +1960,20 @@ def q_similarity_ivf(spark, sf_dir):
     )
 
 
-def _sql_kmeans_cor(n_centroids: int = 16, dim: int = 64) -> tuple:
+def _sql_kmeans_cor(
+    n_centroids: int = 16, dim: int = 64, corpus_where: str = ""
+) -> tuple:
     """Shared unrolled k-means replay: the CTE chain through ``cor``
     (every corpus vector with its quantized form, self-dot, and
     assigned cell) — the common prefix of the IVF and semantic-dedup
-    oracles.  Returns ``(prefix_sql, nrm)`` where ``nrm`` renders the
+    oracles.  ``corpus_where`` filters the corpus BEFORE sampling,
+    training, and assignment (the filtered-ANN variant — the whole
+    index pipeline sees only matching vectors).  Returns
+    ``(prefix_sql, nrm)`` where ``nrm`` renders the
     exact-int-then-IEEE norm expression."""
     sample_n = 256 * n_centroids
     key = f"(id * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_M}"
+    where = f" WHERE {corpus_where}" if corpus_where else ""
 
     def nrm(c: str) -> str:
         return (
@@ -1980,7 +1986,7 @@ def _sql_kmeans_cor(n_centroids: int = 16, dim: int = 64) -> tuple:
     # the chain 2^ITERS times
     parts = [
         f"""WITH e AS MATERIALIZED (
-  SELECT vec_id AS id, {_QUANT_V} AS v FROM embeddings
+  SELECT vec_id AS id, {_QUANT_V} AS v FROM embeddings{where}
 ), samp AS MATERIALIZED (
   SELECT id, v FROM e ORDER BY {key}, id LIMIT {sample_n}
 ), c0 AS MATERIALIZED (
@@ -2031,19 +2037,24 @@ def _sql_ivf(
     k: int = 5,
     dim: int = 64,
     qmax: int = 5,
+    corpus_where: str = "",
 ) -> str:
     """Unrolled replay of ivf_topk: shared k-means/cor prefix → query
-    probe assignment → probe equi-join → exact rerank."""
-    prefix, nrm = _sql_kmeans_cor(n_centroids, dim)
+    probe assignment → probe equi-join → exact rerank.
+    ``corpus_where`` filters the CORPUS side only (training, cells,
+    candidates); queries always come from the full table."""
+    prefix, nrm = _sql_kmeans_cor(n_centroids, dim, corpus_where)
     cN = f"c{IVF_ITERS}"
-    return prefix + f""", qp AS (
+    return prefix + f""", eq AS MATERIALIZED (
+  SELECT vec_id AS id, {_QUANT_V} AS v FROM embeddings WHERE vec_id < {qmax}
+), qp AS (
   SELECT id AS q_id, v AS qv, CAST(list_dot_product(v, v) AS BIGINT) AS qn,
          cell FROM (
     SELECT e.id, e.v, c.cell,
            row_number() OVER (PARTITION BY e.id
              ORDER BY list_dot_product(e.v, c.cv) / {nrm("c.cv")} DESC, c.cell)
              AS rn
-    FROM e, {cN} c WHERE e.id < {qmax}) WHERE rn <= {n_probe}
+    FROM eq e, {cN} c) WHERE rn <= {n_probe}
 ), scored AS (
   SELECT qp.q_id, cor.n_id,
          CAST(list_dot_product(cor.cv, qp.qv) AS DOUBLE)
@@ -2054,6 +2065,27 @@ def _sql_ivf(
                     ORDER BY score DESC, n_id) AS BIGINT) AS rank,
          n_id, round(score, 6) AS score FROM scored)
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
+
+
+def q_similarity_ivf_filtered(spark, sf_dir):
+    """Metadata-FILTERED ANN: IVF top-k where the corpus is restricted
+    to ``label % 3 = 1`` BEFORE training — pre-filtering, the correct
+    strategy when the predicate is selective (post-filtering a top-k
+    can return fewer than k survivors and re-probing is wasted work;
+    pre-filtering keeps the guarantee and the label predicate pushes
+    into the parquet scan, so at 100 TB only matching row groups are
+    decoded).  Centroids train on the filtered corpus, so cells follow
+    the restricted distribution — the oracle replays the whole
+    filtered pipeline."""
+    from .operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.pmod(F.col("label"), F.lit(3)) == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(corpus, queries, n_centroids=16, n_probe=4, k=5)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
 
 
 def q_similarity_pq(spark, sf_dir):
@@ -5624,6 +5656,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
+    "q_similarity_ivf_filtered": (
+        q_similarity_ivf_filtered,
+        _sql_ivf(n_centroids=16, n_probe=4, corpus_where="label % 3 = 1"),
+    ),
     "q_similarity_pq": (q_similarity_pq, _sql_pq()),
     "q_incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
     "q_stream_incremental_dedup": (

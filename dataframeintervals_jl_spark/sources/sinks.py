@@ -175,6 +175,64 @@ def write_sized(
     return n
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    sort_cols: Optional[Sequence[str]] = None,
+    target_file_mb: int = 256,
+    mode: str = "overwrite",
+) -> dict:
+    """Table-maintenance compaction: rewrite a fragmented parquet
+    directory into ``target_file_mb``-sized files, optionally restoring
+    a range-sort layout (``sort_cols`` → ``repartitionByRange`` +
+    in-file sort, so parquet min/max footer statistics become
+    selective again) — the periodic job every long-lived lake table
+    needs after streaming/incremental appends accumulate small files.
+
+    Writes to ``out_path`` (never in place: readers of ``path`` are
+    unaffected until the caller swaps directories — at production
+    scale that swap is the catalog/manifest pointer flip).  Returns
+    ``{"files_before", "files_after", "rows"}`` read from the
+    filesystem and the write, so callers can assert the compaction
+    actually compacted.
+
+    Scale shape: one round-robin (unsorted) or range (sorted) exchange
+    of the table — the same cost as the original write, amortized over
+    every later scan's metadata/listing savings; file count comes from
+    the plan-size estimate like :func:`write_sized` (no extra job)."""
+    import glob as _glob
+    import os as _os
+
+    df = spark.read.parquet(path)
+    files_before = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    est = None
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        pass
+    if est is None or est <= 0 or est >= (1 << 62):
+        n = df.rdd.getNumPartitions()
+    else:
+        n = est // (target_file_mb * (1 << 20)) + 1
+    n = max(1, int(n))
+    if sort_cols:
+        part = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        part = df.repartition(n)
+    part.write.mode(mode).parquet(out_path)
+    files_after = len(_glob.glob(_os.path.join(out_path, "*.parquet")))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": spark.read.parquet(out_path).count(),
+    }
+
+
 def zorder_value(*cols, bits: int = 21):
     """Morton (Z-order) interleave of 2-4 non-negative bigint columns:
     bit ``b`` of column ``i`` lands at position ``len(cols)*b + i``.

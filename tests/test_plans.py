@@ -311,6 +311,33 @@ def test_decontaminate_eval_side_broadcast(spark):
     assert_no_python_row_udf(out)
 
 
+def test_filtered_ann_pushes_label_predicate(spark):
+    """Pre-filtered IVF: the label predicate must reach the parquet
+    scan as a pushed filter — at 100 TB only matching row groups are
+    decoded before any vector math runs."""
+    from dataframeintervals_jl_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.pmod(F.col("label"), F.lit(3)) == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(corpus, queries, n_centroids=4, n_probe=2, k=3)
+    assert any("label" in f for f in pushed_filters(out))
+
+
+def test_bloom_decontaminate_broadcast_map_only(spark):
+    """The bloom words table must broadcast for every probe join; no
+    row-at-a-time Python anywhere."""
+    from dataframeintervals_jl_spark.operators.dedup import bloom_decontaminate
+
+    docs = read_table(spark, SF_DIR, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    out = bloom_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), shingle_k=4, n_hashes=4
+    )
+    assert count_broadcast_exchanges(out) >= 4
+    assert_no_python_row_udf(out)
+
+
 def test_sliding_window_partial_agg_single_shuffle(spark):
     """The explode amplifies rows map-side, but the aggregation must
     stay partial/final around ONE exchange — shuffled bytes scale with

@@ -170,6 +170,44 @@ def test_write_sized_compacts_small_partitions(spark, tmp_path):
     assert back.count() == 10_000
 
 
+def test_compact_table_shrinks_files_preserves_rows(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from dataframeintervals_jl_spark.sources.sinks import compact_table
+
+    df = spark.range(20_000).withColumn("k", F.col("id") % 97)
+    frag = str(tmp_path / "frag")
+    df.repartition(48).write.parquet(frag)  # 48 tiny files
+    out = str(tmp_path / "compacted")
+    stats = compact_table(spark, frag, out, sort_cols=["id"])
+    assert stats["files_before"] == 48
+    assert stats["files_after"] < 48
+    assert stats["rows"] == 20_000
+    # sorted layout: per-file id ranges must be non-overlapping, so
+    # footer min/max stats prune time/key-slice reads
+    import glob
+    import os
+
+    ranges = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ids = [
+            (
+                md.row_group(g).column(0).statistics.min,
+                md.row_group(g).column(0).statistics.max,
+            )
+            for g in range(md.num_row_groups)
+        ]
+        if ids:
+            ranges.append((min(lo for lo, _ in ids), max(hi for _, hi in ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # round-trip contents identical
+    back = spark.read.parquet(out)
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(20_000))
+
+
 def test_zorder_value_matches_python_interleave(spark):
     from dataframeintervals_jl_spark.sources.sinks import zorder_value
 
