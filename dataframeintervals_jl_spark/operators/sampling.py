@@ -406,6 +406,88 @@ def hll_params(p: int) -> dict:
     }
 
 
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """The MERGEABLE half of :func:`hll_distinct`: group keys +
+    ``(__idx, __rho)`` register rows (max rho per occupied register).
+    Registers from disjoint inputs (partitions, days, corpora, stream
+    micro-batches) union + re-max to exactly the registers of the
+    combined input — max is associative/commutative/idempotent — so
+    this is the persistable incremental-cardinality sketch: store
+    ≤ 2^p rows per group, merge with :func:`hll_merge_registers`,
+    finalize with :func:`hll_from_registers`.  The projection is
+    row-local, so it runs unchanged on a STREAMING input as a single
+    update-mode aggregation."""
+    prm = hll_params(p)
+    m, scale = prm["m"], prm["scale"]
+    keys = [by] if isinstance(by, str) else list(by or [])
+    h = F.shiftright(portable_hash60(F.col(col)), 7)
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(scale + 1)).otherwise(F.lit(scale + 1) - bitlen)
+    return (
+        df.select(
+            *keys,
+            F.pmod(h, F.lit(m)).alias("__idx"),
+            rho.alias("__rho"),
+        )
+        .groupBy(*keys, "__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+
+
+def hll_merge_registers(
+    *regs: DataFrame, by: Union[str, Sequence[str], None] = None
+) -> DataFrame:
+    """Union register tables from disjoint inputs into one — the
+    sketch-merge that makes HLL the 100 TB cardinality shape: per-day
+    register tables of ≤ 2^p rows each combine in O(tables · m), never
+    re-reading the data they summarize."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    out = regs[0]
+    for r in regs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*keys, "__idx").agg(F.max("__rho").alias("__rho"))
+
+
+def hll_from_registers(
+    regs: DataFrame,
+    p: int = 8,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Finalize a register table into ``(keys, hll_est, v_zero)`` —
+    the non-mergeable last step of :func:`hll_distinct` (see there for
+    the determinism contract)."""
+    prm = hll_params(p)
+    m, scale, c_lit, lc = prm["m"], prm["scale"], prm["c_lit"], prm["lc"]
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__present"),
+        # rho can exceed SCALE only for w == 0; least() caps its
+        # contribution at 1 (deterministically — the oracle applies
+        # the identical cap)
+        F.sum(
+            F.expr(f"shiftleft(1L, {scale} - least(__rho, {scale}))")
+        ).alias("__s_present"),
+    )
+    v_zero = F.lit(m) - F.col("__present")
+    s_total = F.col("__s_present") + v_zero * F.lit(1 << scale)
+    raw = F.expr(f"CAST(floor({c_lit} / __s)  AS BIGINT)")
+    lc_arr = F.array(*[F.lit(v).cast("long") for v in lc])
+    est = F.when(
+        (F.col("__v") > 0) & (raw <= F.lit(5 * m // 2)),
+        F.element_at(lc_arr, F.col("__v").cast("int")),
+    ).otherwise(raw)
+    return (
+        g.select(*keys, v_zero.alias("__v"), s_total.alias("__s"))
+        .select(*keys, est.alias("hll_est"), F.col("__v").cast("long").alias("v_zero"))
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     col: str,
@@ -435,46 +517,9 @@ def hll_distinct(
     the shuffle — the shuffle carries O(groups·m) rows no matter the
     input size, and register merge (max) is associative, so the same
     construction serves batch, incremental append, and streaming
-    merge."""
-    prm = hll_params(p)
-    m, scale, c_lit, lc = prm["m"], prm["scale"], prm["c_lit"], prm["lc"]
-    keys = [by] if isinstance(by, str) else list(by or [])
-    h = F.shiftright(portable_hash60(F.col(col)), 7)
-    w = F.shiftright(h, p)
-    # rho = leading-zero count of the (53-p)-bit window + 1, via exact
-    # integer bit-length; w == 0 (all zeros) gives the max rho
-    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
-    rho = F.when(w == 0, F.lit(scale + 1)).otherwise(F.lit(scale + 1) - bitlen)
-    regs = (
-        df.select(
-            *keys,
-            F.pmod(h, F.lit(m)).alias("__idx"),
-            rho.alias("__rho"),
-        )
-        .groupBy(*keys, "__idx")
-        .agg(F.max("__rho").alias("__rho"))
-    )
-    g = regs.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__present"),
-        # rho can exceed SCALE only for w == 0; least() caps its
-        # contribution at 1 (deterministically — the oracle applies
-        # the identical cap)
-        F.sum(
-            F.expr(f"shiftleft(1L, {scale} - least(__rho, {scale}))")
-        ).alias("__s_present"),
-    )
-    v_zero = F.lit(m) - F.col("__present")
-    s_total = F.col("__s_present") + v_zero * F.lit(1 << scale)
-    raw = F.expr(f"CAST(floor({c_lit} / __s)  AS BIGINT)")
-    lc_arr = F.array(*[F.lit(v).cast("long") for v in lc])
-    est = F.when(
-        (F.col("__v") > 0) & (raw <= F.lit(5 * m // 2)),
-        F.element_at(lc_arr, F.col("__v").cast("int")),
-    ).otherwise(raw)
-    return (
-        g.select(*keys, v_zero.alias("__v"), s_total.alias("__s"))
-        .select(*keys, est.alias("hll_est"), F.col("__v").cast("long").alias("v_zero"))
-    )
+    merge (the split lives in :func:`hll_registers` /
+    :func:`hll_from_registers`; this is their composition)."""
+    return hll_from_registers(hll_registers(df, col, p, by), p, by)
 
 
 def greedy_coverage_select(

@@ -318,6 +318,76 @@ def test_hll_distinct_accuracy_partition_invariance(spark):
         hll_distinct(df, "v", p=2)
 
 
+def test_hll_registers_merge_equals_whole(spark):
+    """Sketch mergeability: per-slice register tables union+re-max to
+    the whole input's registers — the persistable incremental shape."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        hll_distinct,
+        hll_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    whole = {r["g"]: (r["hll_est"], r["v_zero"]) for r in
+             hll_distinct(df, "v", p=6, by="g").collect()}
+    slices = [df.filter(F.pmod(F.xxhash64("v"), F.lit(3)) == i) for i in range(3)]
+    regs = [hll_registers(s, "v", p=6, by="g") for s in slices]
+    merged = hll_merge_registers(*regs, by="g")
+    got = {r["g"]: (r["hll_est"], r["v_zero"]) for r in
+           hll_from_registers(merged, p=6, by="g").collect()}
+    assert got == whole
+
+
+def test_hll_registers_streaming_update_mode(spark, tmp_path):
+    """hll_registers is a plain update-mode streaming aggregation; the
+    final register states finalize to the batch answer."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        hll_distinct,
+        hll_from_registers,
+    )
+    from dataframeintervals_jl_spark.operators.sampling import hll_registers
+
+    df = spark.range(4000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    d = str(tmp_path / "hll_in")
+    df.filter("id % 2 = 0").coalesce(1).write.parquet(d + "/f1")
+    df.filter("id % 2 = 1").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    regs = hll_registers(stream, "v", p=6)
+    assert regs.isStreaming
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hllregs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a register row per refinement; re-max gives
+    # the final state
+    final = (
+        spark.sql("SELECT * FROM hllregs")
+        .groupBy("__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    got = hll_from_registers(final, p=6).collect()[0]
+    want = hll_distinct(df, "v", p=6).collect()[0]
+    assert (got["hll_est"], got["v_zero"]) == (want["hll_est"], want["v_zero"])
+
+
 def test_sample_per_group_bounded_and_deterministic(spark):
     from dataframeintervals_jl_spark import sample_per_group
 
