@@ -1318,6 +1318,85 @@ def stream_validity_intervals(
     )
 
 
+def stream_asof_enrich_static(
+    events: DataFrame,
+    states: DataFrame,
+    on: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    payload: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of enrichment of a STREAMING event stream against a STATIC
+    states table — the mixed case :func:`stream_asof_enrich` (a
+    stream↔stream union-and-scan) cannot express: attach to every
+    event the latest state row with ``state.on <= event.on`` for the
+    same key, where the dimension is a fixed table (reference data, a
+    published SCD snapshot, yesterday's model registry).
+
+    STATELESS by construction: each state row is turned into its
+    validity window ``[on, next on)`` with one ``lead()`` window over
+    the static side, and the probe is a single stream-static LEFT join
+    on ``key AND event.on inside window`` — append-mode, no state
+    store, no watermark, and the static plan is re-evaluated per
+    micro-batch, so replacing the underlying table between batches is
+    picked up.  Exactly one match per event (windows partition the
+    timeline per key), so the join IS the as-of.
+
+    ``(by, on)`` must be unique on the states side (duplicate
+    timestamps would make windows ambiguous — raise upstream or
+    pre-reduce).  Batch inputs run the identical plan, which is how
+    the parity test pins it to :func:`~..operators.asof_join.asof_join`
+    (``direction='backward'``, tie matches, like DuckDB ASOF).
+
+    Output: event columns + ``<on><suffix>`` (matched state timestamp,
+    null when no state precedes) + each payload column as
+    ``<col><suffix>``.
+
+    Scale shape: the static side shuffles once per micro-batch for the
+    ``lead()`` window and then joins by key — persist the windowed
+    dimension (or pre-write it with
+    :func:`~..operators.timeseries.validity_intervals`) when triggers
+    are frequent; the stream side is micro-batch-sized."""
+    from pyspark.sql import Window
+
+    if states.isStreaming:
+        raise ValueError(
+            "stream_asof_enrich_static requires a STATIC states table; "
+            "use stream_asof_enrich for stream-stream enrichment"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_asof_enrich_static requires at least one key")
+    pay = [c for c in (payload or
+                       [c for c in states.columns
+                        if c != on and c not in by_cols])]
+    if not pay:
+        raise ValueError("states has no payload columns")
+    w = Window.partitionBy(*by_cols).orderBy(on)
+    iv = states.select(*by_cols, on, *pay).withColumn(
+        "__vto", F.lead(on).over(w)
+    )
+    iv = iv.select(
+        *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(by_cols)],
+        F.col(on).alias(f"{on}{suffix}"),
+        F.col("__vto"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in pay],
+    )
+    cond = F.lit(True)
+    for i, k in enumerate(by_cols):
+        cond = cond & (events[k] == iv[f"__k_{i}"])
+    cond = (
+        cond
+        & (events[on] >= iv[f"{on}{suffix}"])
+        & (iv["__vto"].isNull() | (events[on] < iv["__vto"]))
+    )
+    return events.join(iv, cond, "left").select(
+        *[events[c] for c in events.columns],
+        iv[f"{on}{suffix}"],
+        *[iv[f"{c}{suffix}"] for c in pay],
+    )
+
+
 def stream_asof_enrich(
     events: DataFrame,
     states: DataFrame,
@@ -1354,10 +1433,10 @@ def stream_asof_enrich(
 
     Mode contract: both inputs streaming (the union-and-scan path) or
     both batch (delegates to :func:`asof_join`).  A streaming events
-    table against a STATIC states table is not supported — the two
-    sides are unioned, and Spark rejects a stream↔batch union; for a
-    truly static dimension, broadcast-join the latest state per key
-    instead (``events.join(broadcast(latest_states), by)``).
+    table against a STATIC states table is not supported here — the
+    two sides are unioned, and Spark rejects a stream↔batch union;
+    that shape is :func:`stream_asof_enrich_static` (a stateless
+    validity-window stream-static join).
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     if not by_cols:
@@ -1367,8 +1446,7 @@ def stream_asof_enrich(
             "stream_asof_enrich requires both inputs streaming or both "
             "batch (the sides are unioned into one keyed stream, and "
             "Spark does not support a stream↔batch union). For a static "
-            "states table, pre-reduce it to the latest row per key and "
-            "broadcast-join it onto the event stream."
+            "states table use stream_asof_enrich_static."
         )
     pay = [c for c in (payload or
                        [c for c in states.columns

@@ -994,6 +994,65 @@ def test_stream_validity_intervals_parity_across_microbatches(
     ) == sorted(map(tuple, batch.collect()), key=repr)
 
 
+def test_stream_asof_enrich_static_matches_batch_asof(spark, tmp_path):
+    """Streaming events against a STATIC dimension: the stateless
+    validity-window stream-static join must equal batch
+    asof_join(direction='backward') — ties match, pre-first-state
+    events get nulls, and the last state's open window carries
+    forward."""
+    from dataframeintervals_jl_spark import asof_join
+    from dataframeintervals_jl_spark.streaming import stream_asof_enrich_static
+
+    ev = spark.createDataFrame(
+        [(1, 5, 0), (1, 10, 1), (1, 20, 2), (2, 3, 3), (2, 4, 4), (3, 1, 5)],
+        "k long, ts long, eid long",
+    )
+    st = spark.createDataFrame(
+        [(1, 5, "a"), (1, 15, "b"), (2, 4, "x")], "k long, ts long, ver string"
+    )
+    expected = sorted(
+        (r["eid"], r["ts_right"], r["ver_right"])
+        for r in asof_join(
+            ev, st, on="ts", by="k", direction="backward"
+        ).collect()
+    )
+
+    d = str(tmp_path / "enrich_static")
+    ev.filter("eid < 3").coalesce(1).write.parquet(d + "/ev/f1")
+    ev.filter("eid >= 3").coalesce(1).write.parquet(d + "/ev/f2")
+    evs = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/ev/*")
+    )
+    out = stream_asof_enrich_static(evs, st, on="ts", by="k")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_static")
+        .option("checkpointLocation", str(tmp_path / "ckpt_es"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["eid"], r["ts_right"], r["ver_right"])
+        for r in spark.sql("SELECT * FROM enrich_static").collect()
+    )
+    assert got == expected
+    # batch-mode run of the identical plan agrees
+    bt = sorted(
+        (r["eid"], r["ts_right"], r["ver_right"])
+        for r in stream_asof_enrich_static(ev, st, on="ts", by="k").collect()
+    )
+    assert bt == expected
+    # a streaming states side is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="STATIC"):
+        stream_asof_enrich_static(evs, evs, on="ts", by="k")
+
+
 def test_stream_asof_enrich_parity_across_microbatches(spark, tmp_path):
     """Streaming as-of enrichment over two in-order micro-batches ==
     batch asof_join(direction='backward') over the union — including a
