@@ -844,6 +844,11 @@ def bloom_decontaminate(
         .groupBy("__w")
         .agg(F.expr("bit_or(shiftleft(1L, CAST(__b AS INT)))").alias("__word"))
     )
+    # the ``n_hashes`` probe joins broadcast differently-renamed views
+    # of this table, so exchange reuse never kicks in — a lazy local
+    # checkpoint materializes the eval-side scan ONCE (<= n_bits/32
+    # rows) instead of once per hash function
+    words = words.localCheckpoint(eager=False)
     probe = ensure_parallelism(corpus).select(
         F.col(id_col), sh_of(corpus).alias("__s")
     ).select(
