@@ -875,6 +875,55 @@ def stream_minhash_candidates(
     )
 
 
+def stream_interval_filter(
+    stream: DataFrame,
+    windows: DataFrame,
+    on: str = "span",
+    bounds: str = "[)",
+    keep: str = "inside",
+) -> DataFrame:
+    """Keep (``keep='inside'``) or drop (``'outside'``) streaming rows
+    whose span overlaps a STATIC window set — the stream-static twin
+    of :func:`~..operators.interval_join.interval_semi_join` /
+    ``interval_anti_join``: retain only rows inside experiment /
+    recording / business-hours windows, or censor rows inside
+    maintenance / contamination windows, as events arrive.
+
+    STATELESS: the window table broadcasts and the probe is one
+    BroadcastNestedLoop left-semi (or left-anti) stream-static join —
+    append-mode, no state store, no watermark, output rows are the
+    input rows unchanged (never duplicated, however many windows
+    match; SQL EXISTS semantics — null spans drop on 'inside' and
+    keep on 'outside', like the batch operators, which also makes the
+    batch operators the parity oracle).  The static side re-plans per
+    micro-batch, so swapping the window table between triggers is
+    picked up.
+
+    The window set must be broadcast-sized (it is forced to the
+    broadcast strategy — the binned existence path persists id-stamped
+    inputs, which a stream cannot).  At 100 TB-of-stream scale that is
+    the right constraint: window sets are calendars, not data."""
+    if windows.isStreaming:
+        raise ValueError(
+            "stream_interval_filter requires a STATIC windows table "
+            "(use stream_interval_join for stream-stream matching)"
+        )
+    from ..operators.interval_join import (
+        interval_anti_join,
+        interval_semi_join,
+    )
+
+    if keep == "inside":
+        return interval_semi_join(
+            stream, windows, on=on, bounds=bounds, strategy="broadcast_right"
+        )
+    if keep == "outside":
+        return interval_anti_join(
+            stream, windows, on=on, bounds=bounds, strategy="broadcast_right"
+        )
+    raise ValueError(f"keep must be 'inside' or 'outside', got {keep!r}")
+
+
 def stream_incremental_dedup(
     docs: DataFrame,
     index: DataFrame,

@@ -510,6 +510,52 @@ def test_stream_minhash_candidates_matches_batch_components(spark, tmp_path):
     assert components(stream_edges, nodes) == components(batch_edges, nodes)
 
 
+def test_stream_interval_filter_matches_batch_semi_anti(spark, tmp_path):
+    """Stream-static overlap filtering == batch semi/anti joins on a
+    two-micro-batch file stream, both keep directions."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_anti_join,
+        interval_semi_join,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_interval_filter
+
+    left = _spans(spark, 30, width=80_000, step=60_000, name="lid")
+    win = _spans(spark, 4, width=200_000, step=500_000, name="wid").select("span")
+
+    exp_in = sorted(r["lid"] for r in interval_semi_join(left, win).collect())
+    exp_out = sorted(r["lid"] for r in interval_anti_join(left, win).collect())
+    assert exp_in and exp_out, "fixture needs both matched and unmatched"
+
+    d = str(tmp_path / "sif")
+    left.filter("lid % 2 = 0").coalesce(1).write.parquet(d + "/f1")
+    left.filter("lid % 2 = 1").coalesce(1).write.parquet(d + "/f2")
+    ls = (
+        spark.readStream.schema(left.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    for keep, expected in (("inside", exp_in), ("outside", exp_out)):
+        out = stream_interval_filter(ls, win, keep=keep)
+        assert out.isStreaming
+        qn = f"sif_{keep}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{keep}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["lid"] for r in spark.sql(f"SELECT * FROM {qn}").collect())
+        assert got == expected
+    import pytest
+
+    with pytest.raises(ValueError, match="STATIC"):
+        stream_interval_filter(ls, ls)
+    with pytest.raises(ValueError, match="keep must be"):
+        stream_interval_filter(ls, win, keep="sideways")
+
+
 def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     """The stateless stream-static probe must flag exactly the rows the
     batch incremental_minhash_dedup flags, on a real file stream split
