@@ -2470,6 +2470,45 @@ FROM es WHERE NOT EXISTS (SELECT 1 FROM ws
                           WHERE ws.w_start < es.e AND es.s < ws.w_stop)"""
 
 
+def q_stream_interval_filter(spark, sf_dir):
+    """Batch-mode run of the STREAMING stream-static overlap filter
+    (both keep directions over q_interval_semijoin's exact fixture,
+    tagged and unioned): the stateless broadcast semi/anti composition
+    must partition the left multiset exactly — every row lands on
+    exactly one side, so the oracle is one EXISTS CASE over es."""
+    from .streaming import stream_interval_filter
+
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    wsel = w.filter(F.col("idx").isin(3, 6)).select("span")
+    parts = [
+        stream_interval_filter(es, wsel, keep=keep).withColumn(
+            "side", F.lit(keep)
+        )
+        for keep in ("inside", "outside")
+    ]
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("span.start").alias("s"),
+            F.col("span.stop").alias("e"),
+            "side",
+        )
+    )
+
+
+_SQL_STREAM_INTERVAL_FILTER = f"""WITH {_ES_CTE},
+{_w_cte(8, 'idx')},
+ws AS (SELECT w_start, w_stop FROM w WHERE idx IN (3, 6))
+SELECT es.event_id, es.user_id, es.s, es.e,
+       CASE WHEN EXISTS (SELECT 1 FROM ws
+                         WHERE ws.w_start < es.e AND es.s < ws.w_stop)
+            THEN 'inside' ELSE 'outside' END AS side
+FROM es"""
+
+
 def q_data_quantile_windows(spark, sf_dir):
     """16 equal-count windows over event timestamps (exact data
     quantiles via iterative histogram refinement — no sort shuffle),
@@ -5638,6 +5677,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _SQL_JOIN_BY_KEEPLEFT,
     ),
     "q_interval_antijoin": (q_interval_antijoin, _SQL_ANTIJOIN),
+    "q_stream_interval_filter": (
+        q_stream_interval_filter,
+        _SQL_STREAM_INTERVAL_FILTER,
+    ),
     "q_stream_sessionize": (q_stream_sessionize, _SQL_STREAM_SESSIONIZE),
     "q_stream_interval_join": (q_stream_interval_join, _SQL_STREAM_JOIN),
     "q_stream_join_keepleft": (
