@@ -616,3 +616,145 @@ def greedy_coverage_select(
     return spark.createDataFrame(
         picks, f"sel_rank long, {id_col} {id_type}, gain long"
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+#: Mersenne-prime hash modulus shared with the minhash family: inputs
+#: reduce below 2^31 so a*h + b stays under 2^61 (ANSI-long safe) with
+#: coefficients < 2^30.
+_CMS_MOD = (1 << 31) - 1
+
+
+def cms_params(width: int = 512, depth: int = 4) -> dict:
+    """Shared Count-Min constants for the operator and its SQL oracle:
+    ``depth`` independent ``(a, b)`` pairwise hash rows (same splitmix64
+    family as minhash — deterministic, engine-independent) over a
+    ``width``-bucket table.  Standard guarantees (Cormode & Muthukrishnan
+    2005): overestimate only, error ≤ 2N/width with prob 1 - 2^-depth."""
+    from .dedup import _hash_family
+
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1, got {width}x{depth}")
+    return {"width": width, "depth": depth, "family": _hash_family(depth)}
+
+
+def _cms_bucket_array(col, family, width: int) -> Column:
+    h = F.pmod(portable_hash60(col), F.lit(_CMS_MOD))
+    return F.array(
+        *[
+            F.pmod(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_CMS_MOD)), F.lit(width))
+            for a, b in family
+        ]
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 4,
+    weight_col: Union[str, None] = None,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """The MERGEABLE half of a Count-Min frequency sketch: group keys +
+    ``(__row, __bkt, __cnt)`` register rows — for every input occurrence
+    of ``col``, each of the ``depth`` hash rows increments one of its
+    ``width`` buckets by 1 (or by ``weight_col``).  Registers from
+    disjoint inputs (partitions, days, stream micro-batches) union +
+    re-SUM to exactly the combined input's registers — sum is
+    associative/commutative — so this is the persistable incremental
+    frequency sketch: store ≤ depth·width rows per group, merge with
+    :func:`cms_merge_registers`, query with :func:`cms_estimate`.
+
+    Scale shape (100 TB): rows map to ``depth`` (row, bucket) pairs and
+    partial-aggregate to at most depth·width register rows PER TASK
+    before the shuffle — shuffle volume is O(groups·depth·width)
+    regardless of input size.  The projection + sum is a plain
+    streaming update-mode aggregation, so the SAME call is the
+    streaming twin (tested)."""
+    prm = cms_params(width, depth)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.select(
+            *keys,
+            F.posexplode(
+                _cms_bucket_array(F.col(col), prm["family"], width)
+            ).alias("__row", "__bkt"),
+            w.alias("__w"),
+        )
+        .groupBy(*keys, "__row", "__bkt")
+        .agg(F.sum("__w").alias("__cnt"))
+    )
+
+
+def cms_merge_registers(
+    *regs: DataFrame, by: Union[str, Sequence[str], None] = None
+) -> DataFrame:
+    """Union Count-Min register tables from disjoint inputs into one —
+    per-slice sketches of ≤ depth·width rows combine in
+    O(tables·depth·width), never re-reading the data they summarize."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    out = regs[0]
+    for r in regs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*keys, "__row", "__bkt").agg(
+        F.sum("__cnt").alias("__cnt")
+    )
+
+
+def cms_estimate(
+    regs: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 4,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Point-query a register table: for each row of ``items``, the
+    Count-Min estimate ``cms_est`` = min over the ``depth`` hash rows of
+    that item's bucket count (missing bucket → 0; never underestimates
+    the true count, deterministically replayable).
+
+    The registers (≤ groups·depth·width rows) BROADCAST to the items —
+    querying a 100 TB corpus sketch against any number of probe items is
+    a map-only pass over the items."""
+    prm = cms_params(width, depth)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    probes = items.select(
+        "*",
+        F.posexplode(_cms_bucket_array(F.col(col), prm["family"], width)).alias(
+            "__row", "__bkt"
+        ),
+    )
+    item_cols = items.columns
+    joined = probes.join(
+        F.broadcast(regs), [*keys, "__row", "__bkt"], "left"
+    ).withColumn("__cnt", F.coalesce(F.col("__cnt"), F.lit(0).cast("long")))
+    return joined.groupBy(*item_cols).agg(F.min("__cnt").alias("cms_est"))
+
+
+def cms_sql_registers(
+    source_sql: str,
+    expr: str,
+    width: int = 512,
+    depth: int = 4,
+    weight: str = "1::BIGINT",
+) -> str:
+    """DuckDB CTE body replaying :func:`cms_registers` bit-for-bit on
+    ``source_sql`` (a relation exposing ``{expr}`` per occurrence):
+    emits ``(__row, __bkt, __cnt)``.  Shared by the catalog oracles."""
+    from ..functions.text import PORTABLE_HASH60_SQL
+
+    prm = cms_params(width, depth)
+    h = f"({PORTABLE_HASH60_SQL.format(x=expr)} % {_CMS_MOD})"
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS __row, ((({h}*{a} + {b}) % {_CMS_MOD}) % {width}) AS __bkt,"
+        f" {weight} AS __w FROM ({source_sql}) __src"
+        for i, (a, b) in enumerate(prm["family"])
+    )
+    return (
+        f"SELECT __row, __bkt, sum(__w)::BIGINT AS __cnt FROM ({rows}) "
+        f"GROUP BY __row, __bkt"
+    )

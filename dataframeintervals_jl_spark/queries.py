@@ -3450,6 +3450,60 @@ SELECT e.event_type,
 FROM e JOIN x USING (event_type)"""
 
 
+def q_cms_word_counts(spark, sf_dir):
+    """Count-Min frequency sketch vs exact truth: a 256x4 register
+    table over every document token, point-queried for the exact
+    top-20 words (ties broken by word) — deterministic cross-engine
+    CMS (portable hash, splitmix64 pairwise rows, bigint counts), the
+    frequency twin of q_hll_distinct: shuffle volume is depth*width
+    register rows regardless of corpus size, estimates never
+    underestimate, and the oracle replays every collision
+    bit-for-bit."""
+    from .functions.text import tokens
+    from .operators.sampling import cms_estimate, cms_registers
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    probes = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "w")
+        .limit(20)
+    )
+    regs = cms_registers(toks, "w", width=256, depth=4)
+    return cms_estimate(regs, probes, "w", width=256, depth=4).select(
+        "w", "exact_cnt", "cms_est"
+    )
+
+
+def _sql_cms_word_counts(width: int = 256, depth: int = 4) -> str:
+    from .operators.sampling import _CMS_MOD, cms_params, cms_sql_registers
+
+    prm = cms_params(width, depth)
+    reg = cms_sql_registers("SELECT w FROM src", "w", width, depth)
+    h = f"({_PH60.format(x='p.w')} % {_CMS_MOD})"
+    probe_rows = " UNION ALL ".join(
+        f"SELECT p.w, p.exact_cnt, {i} AS __row, "
+        f"((({h}*{a} + {b}) % {_CMS_MOD}) % {width}) AS __bkt FROM probes p"
+        for i, (a, b) in enumerate(prm["family"])
+    )
+    return rf"""WITH src AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+), reg AS (
+  {reg}
+), exact AS (
+  SELECT w, count(*)::BIGINT AS exact_cnt FROM src GROUP BY w
+), probes AS (
+  SELECT w, exact_cnt FROM exact ORDER BY exact_cnt DESC, w LIMIT 20
+), pb AS (
+  {probe_rows}
+)
+SELECT pb.w, pb.exact_cnt,
+       CAST(min(coalesce(r.__cnt, 0)) AS BIGINT) AS cms_est
+FROM pb LEFT JOIN reg r ON pb.__row = r.__row AND pb.__bkt = r.__bkt
+GROUP BY pb.w, pb.exact_cnt"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -5751,6 +5805,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
     "q_hll_distinct": (q_hll_distinct, _sql_hll(8)),
+    "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),

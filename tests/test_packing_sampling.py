@@ -494,3 +494,106 @@ def test_greedy_coverage_select_bruteforce(spark):
 
     with _pytest.raises(RuntimeError):
         greedy_coverage_select(docs, k=6)  # only 5 docs of coverage
+
+
+def test_cms_overestimates_and_exact_when_wide(spark):
+    """Count-Min never underestimates; with width >> distinct items the
+    estimate is exact.  Partitioning never changes the registers."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_estimate,
+        cms_params,
+        cms_registers,
+    )
+
+    # zipf-ish: item i appears (50 - i) times, i in 0..49
+    df = spark.range(50).select(
+        F.explode(F.expr("array_repeat(id, int(50 - id))")).alias("x")
+    ).select(F.concat(F.lit("w"), F.col("x")).alias("w"))
+    exact = {r["w"]: r["n"] for r in
+             df.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    items = df.select("w").distinct()
+    for width in (8, 2048):
+        regs = cms_registers(df, "w", width=width, depth=4)
+        got = {r["w"]: r["cms_est"] for r in
+               cms_estimate(regs, items, "w", width=width, depth=4).collect()}
+        assert all(got[w] >= n for w, n in exact.items())
+        if width == 2048:
+            assert got == exact
+    # registers are partition-invariant (pure groupBy-sum)
+    a = sorted(map(tuple, cms_registers(df, "w", 64, 3).collect()))
+    b = sorted(map(tuple, cms_registers(df.repartition(13), "w", 64, 3).collect()))
+    assert a == b
+    # unseen probes may collide but never go negative
+    ghost = spark.createDataFrame([("zzz-unseen",)], "w string")
+    est = cms_estimate(cms_registers(df, "w", 2048, 4), ghost, "w", 2048, 4)
+    assert est.collect()[0]["cms_est"] >= 0
+    with pytest.raises(ValueError, match="width"):
+        cms_params(1, 0)
+
+
+def test_cms_registers_merge_equals_whole(spark):
+    """Per-slice register tables union+re-sum to the whole input's
+    registers, grouped and weighted."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_merge_registers,
+        cms_registers,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 2).alias("g"),
+        F.concat(F.lit("t"), F.col("id") % 40).alias("w"),
+        (F.col("id") % 5 + 1).alias("wt"),
+    )
+    whole = sorted(map(tuple, cms_registers(
+        df, "w", 32, 3, weight_col="wt", by="g").collect()))
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    merged = cms_merge_registers(
+        *[cms_registers(s, "w", 32, 3, weight_col="wt", by="g") for s in slices],
+        by="g",
+    )
+    assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_cms_registers_streaming_update_mode(spark, tmp_path):
+    """cms_registers is a plain update-mode streaming aggregation; the
+    final register states re-sum...  no: update mode re-emits the row's
+    RUNNING total per refinement, so re-MAX per (row, bucket) recovers
+    the final state, which must equal the batch registers."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import cms_registers
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("s"), F.col("id") % 30).alias("w")
+    )
+    d = str(tmp_path / "cms_in")
+    df.filter("id % 2 = 0").coalesce(1).write.parquet(d + "/f1")
+    df.filter("id % 2 = 1").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    regs = cms_registers(stream, "w", width=64, depth=3)
+    assert regs.isStreaming
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("cmsregs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.sql("SELECT * FROM cmsregs")
+        .groupBy("__row", "__bkt")
+        .agg(F.max("__cnt").alias("__cnt"))
+    )
+    want = sorted(map(tuple, cms_registers(df, "w", 64, 3).collect()))
+    assert sorted(map(tuple, final.collect())) == want
