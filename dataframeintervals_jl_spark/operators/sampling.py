@@ -758,3 +758,119 @@ def cms_sql_registers(
         f"SELECT __row, __bkt, sum(__w)::BIGINT AS __cnt FROM ({rows}) "
         f"GROUP BY __row, __bkt"
     )
+
+# --- Quantile sketch (bottom-k row sample) ---------------------------------
+
+#: Register-count cap: 16384 values per group is ~0.4% rank error at
+#: the median, and the per-group collect in qsk_quantiles stays tiny.
+QSK_MAX_K = 16_384
+
+
+def qsk_registers(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    by: Union[str, Sequence[str], None] = None,
+    salt: str = "qsk",
+) -> DataFrame:
+    """The MERGEABLE half of a quantile sketch: per group, the ``k``
+    rows with the smallest portable hash of ``(salt, key_col)`` — a
+    deterministic uniform ROW sample (keys must be distinct per row,
+    e.g. a doc id; hashing the key rather than the value is what makes
+    it a row sample and not a distinct-value sample).  Registers are
+    group keys + ``(__pri, __val)`` rows.  Registers from disjoint
+    inputs (partitions, days, stream micro-batches) union +
+    re-bottom-k to exactly the combined input's registers — bottom-k
+    under a total order is associative — so this is the persistable
+    incremental quantile sketch completing the family (KMV/HLL =
+    cardinality, CMS = frequency, QSK = quantiles): store ≤ k rows per
+    group, merge with :func:`qsk_merge_registers`, query with
+    :func:`qsk_quantiles`.  Rank error is the binomial sampling error,
+    ~``sqrt(p(1-p)/k)`` at quantile ``p``.
+
+    Scale shape (100 TB): one shuffle of (group, pri, val) triples;
+    WindowGroupLimit prunes each task to its k smallest priorities
+    BEFORE the shuffle, so no group's full row set ever moves.  The
+    bottom-k maintenance is a window, not an aggregate, so the
+    STREAMING story is micro-batch register merging (foreachBatch:
+    ``qsk_merge_registers(index, qsk_registers(batch, ...))`` — the
+    register table is ≤ groups·k rows), mirroring
+    ``incremental_minhash_dedup``'s persisted-index shape."""
+    if k < 8 or k > QSK_MAX_K:
+        raise ValueError(f"k must be in [8, {QSK_MAX_K}], got {k}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    pri = portable_hash60(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    h = df.select(
+        *keys, pri.alias("__pri"), F.col(value_col).alias("__val")
+    )
+    w = Window.partitionBy(*keys).orderBy("__pri", "__val")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def qsk_merge_registers(
+    *regs: DataFrame, k: int = 256, by: Union[str, Sequence[str], None] = None
+) -> DataFrame:
+    """Union quantile-sketch register tables from disjoint inputs and
+    re-apply the bottom-k — per-slice sketches of ≤ k rows combine in
+    O(tables·k) without re-reading the data they summarize.  ``k`` must
+    match the k the slices were built with (a larger k here cannot
+    invent rows the slices already dropped)."""
+    if k < 8 or k > QSK_MAX_K:
+        raise ValueError(f"k must be in [8, {QSK_MAX_K}], got {k}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    out = regs[0]
+    for r in regs[1:]:
+        out = out.unionByName(r)
+    w = Window.partitionBy(*keys).orderBy("__pri", "__val")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def qsk_quantiles(
+    regs: DataFrame,
+    probs_ppm: Sequence[int],
+    by: Union[str, Sequence[str], None] = None,
+    out_col: str = "q_val",
+) -> DataFrame:
+    """Query a register table for quantiles: per group and requested
+    probability (parts-per-million, so the index math is pure bigint),
+    the TYPE-1 (lower) sample quantile — sort the ≤ k sampled values,
+    take element ``(ppm·(n-1)) DIV 1e6`` (0-based).  No interpolation,
+    no floats: bit-identical on any engine.
+
+    Output: group keys + ``prob_ppm`` + ``out_col`` + ``n_sample``.
+    The per-group collect_list is bounded by the sketch's k."""
+    probs = [int(p) for p in probs_ppm]
+    if not probs or any(p < 0 or p > BUCKETS for p in probs):
+        raise ValueError(f"probs_ppm must be within [0, {BUCKETS}], got {probs_ppm}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = regs.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__val")).alias("__vs"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    return g.select(
+        *keys,
+        F.explode(F.array(*[F.lit(p) for p in probs])).alias("prob_ppm"),
+        F.col("__vs"),
+        F.col("n_sample"),
+    ).select(
+        *keys,
+        "prob_ppm",
+        F.element_at(
+            F.col("__vs"),
+            F.expr(
+                f"CAST((prob_ppm * (n_sample - 1)) DIV {BUCKETS} AS INT) + 1"
+            ),
+        ).alias(out_col),
+        F.col("n_sample").cast("long").alias("n_sample"),
+    )

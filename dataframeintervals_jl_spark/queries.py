@@ -3504,6 +3504,43 @@ FROM pb LEFT JOIN reg r ON pb.__row = r.__row AND pb.__bkt = r.__bkt
 GROUP BY pb.w, pb.exact_cnt"""
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (bottom-k row sample): per language,
+    a k=128 deterministic uniform row sample of document lengths
+    (priority = portable hash of the doc id) queried at p10/p50/p90 as
+    exact type-1 sample quantiles — the quantile member of the sketch
+    family (KMV/HLL = cardinality, CMS = frequency).  Registers are
+    ≤ k rows per group, merge by union + re-bottom-k, and the oracle
+    replays the sample AND the index math bit-for-bit."""
+    from .operators.sampling import qsk_quantiles, qsk_registers
+
+    docs = read_table(spark, sf_dir, "documents")
+    regs = qsk_registers(docs, "n_chars", "doc_id", k=128, by="lang")
+    return qsk_quantiles(
+        regs, [100_000, 500_000, 900_000], by="lang"
+    ).select("lang", "prob_ppm", "q_val", "n_sample")
+
+
+def _sql_quantile_sketch(k: int = 128) -> str:
+    h = _PH60.format(x="('qsk|' || doc_id::VARCHAR)")
+    return f"""WITH pri AS (
+  SELECT lang, {h} AS __pri, n_chars AS __val FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY __pri, __val) AS rn
+  FROM pri
+), samp AS (
+  SELECT lang, __val FROM ranked WHERE rn <= {k}
+), ord AS (
+  SELECT lang, __val,
+         row_number() OVER (PARTITION BY lang ORDER BY __val) AS vi,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp
+), probs AS (SELECT unnest([100000, 500000, 900000]) AS prob_ppm)
+SELECT o.lang, CAST(p.prob_ppm AS INT) AS prob_ppm, o.__val AS q_val,
+       CAST(o.n AS BIGINT) AS n_sample
+FROM ord o JOIN probs p ON o.vi = (p.prob_ppm * (o.n - 1)) // 1000000 + 1"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -5806,6 +5843,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
     "q_hll_distinct": (q_hll_distinct, _sql_hll(8)),
     "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
+    "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),

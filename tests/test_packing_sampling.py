@@ -597,3 +597,80 @@ def test_cms_registers_streaming_update_mode(spark, tmp_path):
     )
     want = sorted(map(tuple, cms_registers(df, "w", 64, 3).collect()))
     assert sorted(map(tuple, final.collect())) == want
+
+
+def test_qsk_exact_when_k_covers_input(spark):
+    """With k >= n the sample IS the input, so qsk_quantiles must equal
+    the exact type-1 quantiles; registers are partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        qsk_quantiles,
+        qsk_registers,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    regs = qsk_registers(df, "v", "rid", k=256, by="g")
+    got = {
+        (r["g"], r["prob_ppm"]): (r["q_val"], r["n_sample"])
+        for r in qsk_quantiles(
+            regs, [0, 250_000, 500_000, 1_000_000], by="g"
+        ).collect()
+    }
+    rows = df.collect()
+    for g in (0, 1):
+        vs = sorted(r["v"] for r in rows if r["g"] == g)
+        n = len(vs)
+        for ppm in (0, 250_000, 500_000, 1_000_000):
+            assert got[(g, ppm)] == (vs[ppm * (n - 1) // 1_000_000], n)
+    a = sorted(map(tuple, regs.collect()))
+    b = sorted(
+        map(tuple, qsk_registers(df.repartition(13), "v", "rid", k=256, by="g").collect())
+    )
+    assert a == b
+
+
+def test_qsk_registers_merge_equals_whole(spark):
+    """Per-slice register tables union + re-bottom-k to exactly the
+    whole input's registers (grouped), and the k<n sketch median lands
+    within binomial sampling error of the true median."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        qsk_merge_registers,
+        qsk_quantiles,
+        qsk_registers,
+    )
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("rid"),
+        F.col("id").alias("v"),
+    )
+    whole = sorted(map(tuple, qsk_registers(df, "v", "rid", k=64, by="g").collect()))
+    slices = [df.filter(F.col("id") % 4 == i) for i in range(4)]
+    merged = qsk_merge_registers(
+        *[qsk_registers(s, "v", "rid", k=64, by="g") for s in slices],
+        k=64,
+        by="g",
+    )
+    assert sorted(map(tuple, merged.collect())) == whole
+    # error-bound sanity: true per-group median is ~3000; with k=64 the
+    # rank error is ~sqrt(.25/64)=6.25%, allow 4 sigma (25% of range)
+    med = {
+        r["g"]: r["q_val"]
+        for r in qsk_quantiles(
+            qsk_registers(df, "v", "rid", k=64, by="g"), [500_000], by="g"
+        ).collect()
+    }
+    for g in (0, 1, 2):
+        assert abs(med[g] - 3000) < 1500
+    with pytest.raises(ValueError, match="k must be"):
+        qsk_registers(df, "v", "rid", k=4)
+    with pytest.raises(ValueError, match="probs_ppm"):
+        qsk_quantiles(qsk_registers(df, "v", "rid", k=64), [2_000_000])
