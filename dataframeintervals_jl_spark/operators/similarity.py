@@ -1552,6 +1552,82 @@ def pq_topk(
     return _pq_score_topk(pairs, k_eff, k)
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m_sub: int = 32,
+    ks: int = 256,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    exclude_self: bool = True,
+    allow_large_queries: bool = False,
+) -> DataFrame:
+    """Two-stage retrieval: PQ ADC SHORTLIST → EXACT re-rank — the
+    production ANN serving shape (FAISS refine / ``IndexRefineFlat``):
+    ``(q_id, rank, n_id, score)`` where ``score`` is the EXACT cosine,
+    not the reconstructed one.
+
+    Stage 1 scans only the ``m_sub``-byte codes table and keeps each
+    query's ``shortlist`` best ADC candidates (ties by neighbor id);
+    stage 2 fetches raw vectors for ONLY those ``queries × shortlist``
+    ids — a broadcast semi-join against the corpus, so the full-width
+    vector column is decoded for a vanishing fraction of rows (at
+    100 TB: the codes scan is ~``m_sub/(4·dim)`` of the raw bytes and
+    the re-rank touches ``|Q|·shortlist`` rows, i.e. the expensive
+    exactness is paid only where it changes the ranking).  Recall
+    strictly dominates :func:`pq_topk` at the same k: the top-k is
+    re-ordered by true scores, so any true neighbor reaching the
+    shortlist is ranked exactly (``shortlist == |corpus|`` equals
+    :func:`cosine_topk` exactly, property-tested).
+
+    Deterministic end-to-end: integer training/encoding/LUTs (stage 1)
+    and integer dots (stage 2); the DuckDB oracle replays both stages
+    bit-for-bit."""
+    if shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    _guard_exact_queries(queries, allow_large_queries, "pq_rerank_topk")
+    cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
+    k_eff = cb.shape[1]
+    c = _pq_encoded_corpus(corpus, cb, id_col, vec_col)
+    q = _pq_query_luts(queries, cb, id_col, vec_col)
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        pairs = pairs.filter(F.col("n_id") != F.col("q_id"))
+    cand = _pq_score_topk(pairs, k_eff, shortlist).select("q_id", "n_id")
+
+    raw = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("n_id"),
+            _quantized(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    # candidates (|Q|·shortlist rows) broadcast INTO the corpus scan —
+    # the corpus is never shuffled for the re-rank
+    fetched = raw.join(F.broadcast(cand), "n_id")
+    scored = fetched.join(F.broadcast(qraw), "q_id").select(
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("cv"), F.col("qv")).cast("double")
+            / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2111,13 +2111,17 @@ def _sql_pq(
     k: int = 5,
     dim: int = 64,
     qmax: int = 5,
+    shortlist: int | None = None,
 ) -> str:
     """Unrolled replay of pq_topk: per-subspace k-means (PQ_ITERS
     Lloyd iterations under exact integer arithmetic — the assignment
     objective is ``c·c - 2·x·c`` with ties to the lowest code, the
     update is the per-dim FLOOR-divided mean via the pmod trick since
     DuckDB ``//`` truncates toward zero), then corpus code assignment
-    and the reconstructed-cosine ADC score."""
+    and the reconstructed-cosine ADC score.  With ``shortlist`` set it
+    replays pq_rerank_topk instead: the ADC ranking keeps ``shortlist``
+    candidates per query and the final ranking is the EXACT cosine on
+    the raw quantized vectors."""
     from .operators.similarity import PQ_ITERS
 
     ds = dim // m_sub
@@ -2193,10 +2197,46 @@ def _sql_pq(
 ), ranked AS (
   SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY score DESC, n_id) AS BIGINT) AS rank,
-         n_id, round(score, 6) AS score FROM scored)
-SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
+         n_id, round(score, 6) AS score FROM scored)"""
     )
+    if shortlist is None:
+        parts.append(
+            f"\nSELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"
+        )
+    else:
+        parts.append(
+            f""", cand AS (
+  SELECT q_id, n_id FROM ranked WHERE rank <= {shortlist}
+), ex AS (
+  SELECT cand.q_id, cand.n_id,
+         CAST(list_dot_product(nc.v, qe.v) AS DOUBLE)
+           / sqrt(CAST(list_dot_product(nc.v, nc.v) AS DOUBLE)
+                  * CAST(list_dot_product(qe.v, qe.v) AS DOUBLE)) AS score
+  FROM cand JOIN e nc ON nc.id = cand.n_id JOIN e qe ON qe.id = cand.q_id
+), rr AS (
+  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+         n_id, round(score, 6) AS score FROM ex)
+SELECT q_id, rank, n_id, score FROM rr WHERE rank <= {k}"""
+        )
     return "".join(parts)
+
+
+def q_similarity_pq_rerank(spark, sf_dir):
+    """Two-stage ANN: PQ ADC shortlist (20 candidates from the 8-byte
+    codes scan) re-ranked by the EXACT cosine on raw vectors fetched
+    for only those candidates — the production serving shape where
+    the compressed scan finds candidates and full-precision work is
+    paid on |Q|·shortlist rows only.  Recall@k dominates plain PQ at
+    the same k; the oracle replays both stages bit-for-bit."""
+    from .operators.similarity import pq_rerank_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_rerank_topk(emb, queries, m_sub=32, ks=256, k=5, shortlist=20)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
 
 
 def _sql_semantic_dedup(n_centroids: int = 16, threshold: float = 0.85) -> str:
@@ -5795,6 +5835,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _sql_ivf(n_centroids=16, n_probe=4, corpus_where="label % 3 = 1"),
     ),
     "q_similarity_pq": (q_similarity_pq, _sql_pq()),
+    "q_similarity_pq_rerank": (
+        q_similarity_pq_rerank,
+        _sql_pq(shortlist=20),
+    ),
     "q_incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
     "q_stream_incremental_dedup": (
         q_stream_incremental_dedup,

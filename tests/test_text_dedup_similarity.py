@@ -886,3 +886,44 @@ def test_random_projection_deterministic_and_shaped(spark):
     assert out[3] == [2 * y for y in out[1]]
     with __import__("pytest").raises(ValueError, match="out_dims"):
         random_projection(df, out_dims=0)
+
+
+def test_pq_rerank_equals_exact_at_full_shortlist(spark):
+    """pq_rerank_topk with shortlist >= |corpus| IS cosine_topk (the
+    re-rank sees every candidate, so approximation vanishes), and at a
+    tight shortlist its recall dominates plain PQ at the same k."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.similarity import (
+        cosine_topk,
+        pq_rerank_topk,
+        pq_topk,
+    )
+    from dataframeintervals_jl_spark.queries import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 5")
+    exact = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    full = sorted(
+        map(
+            tuple,
+            pq_rerank_topk(
+                emb, q, m_sub=32, ks=256, k=5, shortlist=10**9
+            ).collect(),
+        )
+    )
+    assert full == exact
+    ex_pairs = {(r[0], r[2]) for r in exact}
+
+    def recall(rows):
+        got = {(r["q_id"], r["n_id"]) for r in rows}
+        return len(got & ex_pairs) / len(ex_pairs)
+
+    rr = recall(
+        pq_rerank_topk(emb, q, m_sub=32, ks=256, k=5, shortlist=20).collect()
+    )
+    pq = recall(pq_topk(emb, q, m_sub=32, ks=256, k=5).collect())
+    assert rr >= pq, f"rerank recall {rr} below plain PQ {pq}"
+    assert rr >= 0.85
+    with pytest.raises(ValueError, match="shortlist"):
+        pq_rerank_topk(emb, q, k=5, shortlist=3)
