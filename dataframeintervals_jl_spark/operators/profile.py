@@ -1,0 +1,127 @@
+"""One-pass table profiling (the ANALYZE-TABLE / Deequ shape).
+
+Before a 100 TB corpus is joined, deduped, or sampled, the pipeline
+needs its shape: row count, per-column null counts, distinct-value
+estimates, and numeric ranges.  ``profile_table`` computes all of it
+in two scale-bounded passes — one composite aggregate (no shuffle of
+data rows, one partial-agg row per task) and one KMV distinct-sketch
+pass (shuffle bounded at O(tasks · columns · k) by the same
+WindowGroupLimit pruning the KMV family relies on) — instead of the
+per-column job loops profiling tools usually run.
+
+Everything is deterministic (portable-hash KMV, bigint min/max/sum),
+so the whole profile is oracle-replayable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+from .sampling import kmv_distinct
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Union[Sequence[str], None] = None,
+    k: int = 256,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in two passes: one row per
+    column with ``(col_name, n_rows, n_nulls, n_distinct_est, min_v,
+    max_v, sum_v)``.
+
+    - ``n_rows`` / ``n_nulls``: exact, from ONE composite aggregate —
+      every column's null count is a partial-agg expression in the
+      same job, so the data is scanned once with no shuffle.
+    - ``n_distinct_est``: the deterministic KMV sketch
+      (:func:`~.sampling.kmv_distinct`) over the STRING-cast values
+      (faithful for integral columns; profiling semantics for the
+      rest), exact below ``k`` distinct.  All columns share one
+      explode + sketch job.
+    - ``min_v`` / ``max_v``: exact bigints for integral columns (part
+      of the same composite aggregate), null for non-integral columns
+      and columns with no non-null values.
+    - ``sum_v``: exact decimal(38,0) — a BIGINT accumulator overflows
+      immediately on wide-domain columns (an epoch-ns column at
+      ~1.7e18 overflows int64 by the sixth row), so the sum runs in
+      Spark's 38-digit decimal domain end-to-end.
+
+    Scale shape (100 TB): pass 1 reduces to a single row map-side;
+    pass 2 explodes each row into ``|columns|`` (column, value) pairs
+    but the per-column bottom-k prunes every task to ``k`` hashes per
+    column before the shuffle, so shuffle volume is independent of
+    row count.  The final join glues |columns| rows to |columns| rows.
+    """
+    cols = list(columns or df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if not cols or missing:
+        raise ValueError(f"unknown or empty columns: {missing or cols}")
+    integral = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, _INTEGRAL)
+    }
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{i}"))
+        if c in integral:
+            aggs.append(F.min(c).cast("long").alias(f"__mn_{i}"))
+            aggs.append(F.max(c).cast("long").alias(f"__mx_{i}"))
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(f"__sm_{i}")
+            )
+    stats = df.agg(*aggs)
+
+    null_long = F.lit(None).cast("long")
+    null_dec = F.lit(None).cast("decimal(38,0)")
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__nn_{i}").alias("n_nulls"),
+            (F.col(f"__mn_{i}") if c in integral else null_long).alias("min_v"),
+            (F.col(f"__mx_{i}") if c in integral else null_long).alias("max_v"),
+            (F.col(f"__sm_{i}") if c in integral else null_dec).alias("sum_v"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    long = stats.select(
+        F.col("__n").alias("n_rows"), F.explode(F.array(*entries)).alias("e")
+    ).select("e.col_name", "n_rows", "e.n_nulls", "e.min_v", "e.max_v", "e.sum_v")
+
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("string").alias("__v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.col_name", "e.__v")
+        .filter(F.col("__v").isNotNull())
+    )
+    est = kmv_distinct(pairs, "__v", k=k, by="col_name").select(
+        "col_name", "n_distinct_est"
+    )
+    return long.join(est, "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.coalesce("n_distinct_est", F.lit(0).cast("long")).alias(
+            "n_distinct_est"
+        ),
+        "min_v",
+        "max_v",
+        "sum_v",
+    )

@@ -3430,6 +3430,59 @@ SELECT g.event_type,
 FROM g JOIN x USING (event_type)"""
 
 
+def q_profile_documents(spark, sf_dir):
+    """One-pass table profile of the documents table: per column, the
+    exact row/null counts and bigint min/max/sum (integral columns)
+    from ONE composite aggregate, plus the deterministic KMV distinct
+    estimate (k=64, exact below 64 distinct) from one shared sketch
+    pass — the ANALYZE-TABLE shape whose shuffle volume is independent
+    of row count."""
+    from .operators.profile import profile_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return profile_table(docs, k=64)
+
+
+def _sql_profile_documents(k: int = 64) -> str:
+    h = _PH60.format(x="v")
+    return f"""WITH nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+), vals AS (
+  SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS v FROM documents
+  UNION ALL SELECT 'text', text FROM documents
+  UNION ALL SELECT 'lang', lang FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents
+), nn AS (
+  SELECT col_name, CAST(count(*) - count(v) AS BIGINT) AS n_nulls
+  FROM vals GROUP BY col_name
+), hh AS (
+  SELECT DISTINCT col_name, {h} // 128 AS hv FROM vals WHERE v IS NOT NULL
+), r AS (
+  SELECT col_name, hv,
+         row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn
+  FROM hh
+), g AS (
+  SELECT col_name, max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_hashes
+  FROM r WHERE rn <= {k} GROUP BY col_name
+), mm AS (
+  SELECT 'doc_id' AS col_name, min(doc_id)::BIGINT AS min_v,
+         max(doc_id)::BIGINT AS max_v, sum(doc_id)::DECIMAL(38,0) AS sum_v
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', min(n_chars)::BIGINT, max(n_chars)::BIGINT,
+         sum(n_chars)::DECIMAL(38,0)
+  FROM documents
+)
+SELECT nn.col_name, nr.n_rows, nn.n_nulls,
+       CAST(coalesce(CASE WHEN g.n_hashes < {k} THEN g.n_hashes
+            ELSE ({k - 1} * {1 << 53}) // greatest(g.hk, 1) END, 0) AS BIGINT)
+         AS n_distinct_est,
+       mm.min_v, mm.max_v, mm.sum_v
+FROM nn CROSS JOIN nr
+LEFT JOIN g USING (col_name) LEFT JOIN mm USING (col_name)"""
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog cardinality sketch vs exact truth: per event_type,
     the p=8 (256-register) estimate of distinct users alongside the
@@ -5888,6 +5941,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_hll_distinct": (q_hll_distinct, _sql_hll(8)),
     "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
+    "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),

@@ -674,3 +674,32 @@ def test_qsk_registers_merge_equals_whole(spark):
         qsk_registers(df, "v", "rid", k=4)
     with pytest.raises(ValueError, match="probs_ppm"):
         qsk_quantiles(qsk_registers(df, "v", "rid", k=64), [2_000_000])
+
+
+def test_profile_table_exact_stats(spark):
+    """profile_table: exact null/row counts and integral min/max/sum;
+    KMV distinct exact below k; non-integral columns carry null
+    numeric stats; all-null columns report 0 distinct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.5, None), (2, "b", None, None), (3, None, 2.0, None), (None, "a", 3.0, None)],
+        "id bigint, s string, d double, z string",
+    )
+    got = {r["col_name"]: r for r in profile_table(df, k=64).collect()}
+    assert set(got) == {"id", "s", "d", "z"}
+    for r in got.values():
+        assert r["n_rows"] == 4
+    assert got["id"]["n_nulls"] == 1 and got["s"]["n_nulls"] == 1
+    assert got["z"]["n_nulls"] == 4 and got["z"]["n_distinct_est"] == 0
+    assert got["id"]["n_distinct_est"] == 3  # exact below k
+    assert got["s"]["n_distinct_est"] == 2
+    assert (got["id"]["min_v"], got["id"]["max_v"], got["id"]["sum_v"]) == (1, 3, 6)
+    # non-integral: numeric stats null, distinct still estimated
+    assert got["d"]["min_v"] is None and got["d"]["sum_v"] is None
+    assert got["d"]["n_distinct_est"] == 3
+    with pytest.raises(ValueError, match="columns"):
+        profile_table(df, columns=["nope"])
