@@ -466,3 +466,43 @@ def test_gate_live_catalog_covers_never_verified():
     assert pin == names[: len(pin)]
     # the top-priority tripwire is never trimmed in practice
     assert names[0] == "q_interval_join_inner" or not pin
+
+
+def test_qsk_registers_window_group_limit(spark):
+    """The quantile sketch's bottom-k must plan as WindowGroupLimit —
+    each task keeps k rows per group BEFORE the shuffle, so shuffle
+    volume is O(tasks·groups·k), independent of row count."""
+    from dataframeintervals_jl_spark.operators.sampling import qsk_registers
+
+    docs = read_table(spark, SF_DIR, "documents")
+    regs = qsk_registers(docs, "n_chars", "doc_id", k=64, by="lang")
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "bottom-k pruning missing"
+    assert_no_python_row_udf(regs)
+
+
+def test_profile_table_plan_bounded(spark):
+    """profile_table: the KMV pass must carry WindowGroupLimit pruning
+    and nothing in the profile may fall back to row-at-a-time Python;
+    the composite stats pass partial-aggregates around one exchange."""
+    from dataframeintervals_jl_spark.operators.profile import profile_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = profile_table(docs, k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "KMV bottom-k pruning missing"
+    assert_no_python_row_udf(out)
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+
+
+def test_pq_rerank_candidates_broadcast(spark):
+    """Two-stage re-rank: the query LUTs, the shortlist candidate ids,
+    and the raw query vectors must ALL broadcast — the corpus is never
+    shuffled for either stage (SURVEY.md §4.2)."""
+    from dataframeintervals_jl_spark.operators.similarity import pq_rerank_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = pq_rerank_topk(emb, q, m_sub=8, ks=16, k=3, shortlist=6)
+    assert count_broadcast_exchanges(out) >= 3
+    assert_no_python_row_udf(out)
