@@ -874,3 +874,104 @@ def qsk_quantiles(
         ).alias(out_col),
         F.col("n_sample").cast("long").alias("n_sample"),
     )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    col: str,
+    by: str,
+    k: int = 256,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Pairwise key-overlap MATRIX between the groups of ``by`` from
+    per-group KMV sketches — "how much do my sources share users /
+    domains / documents?" for every source pair at once, the
+    dataset-mixing diagnostic (estimators as in
+    :func:`kmv_overlap_estimate`, Beyer et al. SIGMOD'07; same
+    determinism contract: portable hash, bigint-only arithmetic).
+
+    Output: one row per unordered pair ``(group_a, group_b, n_bottom,
+    union_est, jaccard_ppm, intersect_est)`` with ``group_a <
+    group_b``; below-k unions are exact by construction.
+
+    Scale shape (100 TB): ONE distinct + bottom-k pass over the data
+    (WindowGroupLimit prunes to k hashes per group per task — the only
+    stage that sees the input); everything after operates on the
+    G·k-row sketch table, expanded to at most G²·k/2 pair rows via two
+    equi-joins against the broadcast pair list.  G is gated by
+    ``max_groups`` (the matrix is meant for source/split-level G, not
+    per-user G; the gate's group count is read off the ≤ G·k-row
+    sketch, not the input)."""
+    if k < 2 or k > 100_000:
+        raise ValueError(f"k must be in [2, 100000], got {k}")
+    H = 1 << 53
+    h = df.select(
+        F.col(by).alias("__g"),
+        F.shiftright(portable_hash60(F.col(col)), 7).alias("__h"),
+    ).distinct()
+    w = Window.partitionBy("__g").orderBy("__h")
+    s = (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        # reused three times (group list + both pair sides): checkpoint
+        # the G·k-row sketch so the full-table distinct runs once
+        .localCheckpoint(eager=True)
+    )
+    gs = s.select("__g").distinct()
+    n_groups = gs.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{n_groups} groups exceeds max_groups={max_groups}; "
+            f"the pairwise matrix is O(G^2) — raise max_groups only if "
+            f"G^2*k rows are acceptable"
+        )
+    pairs = (
+        gs.select(F.col("__g").alias("__ga"))
+        .crossJoin(gs.select(F.col("__g").alias("__gb")))
+        .filter(F.col("__ga") < F.col("__gb"))
+    )
+    ua = F.broadcast(pairs).join(s, s["__g"] == F.col("__ga")).select(
+        "__ga", "__gb", "__h",
+        F.lit(1).alias("__ia"), F.lit(0).alias("__ib"),
+    )
+    ub = F.broadcast(pairs).join(s, s["__g"] == F.col("__gb")).select(
+        "__ga", "__gb", "__h",
+        F.lit(0).alias("__ia"), F.lit(1).alias("__ib"),
+    )
+    m = (
+        ua.unionByName(ub)
+        .groupBy("__ga", "__gb", "__h")
+        .agg(F.max("__ia").alias("__ina"), F.max("__ib").alias("__inb"))
+    )
+    w2 = Window.partitionBy("__ga", "__gb").orderBy("__h")
+    r = m.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    agg = r.groupBy("__ga", "__gb").agg(
+        F.count(F.lit(1)).alias("n_bottom"),
+        F.max("__h").alias("__hk"),
+        F.sum((F.col("__ina") + F.col("__inb") == 2).cast("long")).alias(
+            "__both"
+        ),
+    )
+    union_est = F.when(
+        F.col("n_bottom") < F.lit(k), F.col("n_bottom")
+    ).otherwise(F.expr(f"({k} - 1) * {H}L DIV greatest(__hk, 1L)"))
+    pre = agg.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        F.col("n_bottom").cast("long").alias("n_bottom"),
+        union_est.cast("long").alias("union_est"),
+        F.expr("__both * 1000000 DIV n_bottom").alias("jaccard_ppm"),
+    )
+    return pre.select(
+        "group_a",
+        "group_b",
+        "n_bottom",
+        "union_est",
+        "jaccard_ppm",
+        F.expr("(union_est * jaccard_ppm) DIV 1000000").alias(
+            "intersect_est"
+        ),
+    )

@@ -3430,6 +3430,58 @@ SELECT g.event_type,
 FROM g JOIN x USING (event_type)"""
 
 
+def q_kmv_overlap_matrix(spark, sf_dir):
+    """Pairwise user-overlap matrix across event types from per-group
+    KMV sketches (k=32): one distinct+bottom-k pass over the data,
+    then pure G²·k-row arithmetic — the dataset-mixing diagnostic, and
+    the matrix generalization of q_kmv_overlap."""
+    from .operators.sampling import kmv_overlap_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    return kmv_overlap_matrix(ev, "user_id", by="event_type", k=32)
+
+
+def _sql_kmv_overlap_matrix(k: int = 32) -> str:
+    h = _PH60.format(x="user_id::VARCHAR")
+    return f"""WITH h AS (
+  SELECT DISTINCT event_type AS g, {h} // 128 AS hv FROM events
+), s AS (
+  SELECT g, hv FROM (
+    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+    FROM h)
+  WHERE rn <= {k}
+), p AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM s) a
+  JOIN (SELECT DISTINCT g FROM s) b ON a.g < b.g
+), u AS (
+  SELECT p.ga, p.gb, s.hv,
+         CASE WHEN s.g = p.ga THEN 1 ELSE 0 END AS ia,
+         CASE WHEN s.g = p.gb THEN 1 ELSE 0 END AS ib
+  FROM p JOIN s ON s.g = p.ga OR s.g = p.gb
+), m AS (
+  SELECT ga, gb, hv, max(ia) AS ina, max(ib) AS inb FROM u
+  GROUP BY ga, gb, hv
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn
+  FROM m
+), gg AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_bottom, max(hv) AS hk,
+         CAST(sum(CASE WHEN ina + inb = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM r WHERE rn <= {k} GROUP BY ga, gb
+), pre AS (
+  SELECT ga AS group_a, gb AS group_b, n_bottom,
+         CAST(CASE WHEN n_bottom < {k} THEN n_bottom
+              ELSE {k - 1} * {1 << 53} // greatest(hk, 1) END AS BIGINT)
+           AS union_est,
+         CAST(n_both * 1000000 // n_bottom AS BIGINT) AS jaccard_ppm
+  FROM gg)
+SELECT group_a, group_b, n_bottom, union_est, jaccard_ppm,
+       CAST(union_est * jaccard_ppm // 1000000 AS BIGINT) AS intersect_est
+FROM pre"""
+
+
 def q_profile_documents(spark, sf_dir):
     """One-pass table profile of the documents table: per column, the
     exact row/null counts and bigint min/max/sum (integral columns)
@@ -5942,6 +5994,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
+    "q_kmv_overlap_matrix": (
+        q_kmv_overlap_matrix,
+        _sql_kmv_overlap_matrix(),
+    ),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),

@@ -703,3 +703,52 @@ def test_profile_table_exact_stats(spark):
     assert got["d"]["n_distinct_est"] == 3
     with pytest.raises(ValueError, match="columns"):
         profile_table(df, columns=["nope"])
+
+
+def test_kmv_overlap_matrix_exact_below_k_and_pair_parity(spark):
+    """Below-k the matrix is exact (known synthetic overlaps); each
+    matrix row must equal kmv_overlap_estimate run on that pair alone
+    (same estimator, same k); group-count gate raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        kmv_overlap_estimate,
+        kmv_overlap_matrix,
+    )
+
+    rows = (
+        [("x", i) for i in range(100)]
+        + [("y", i) for i in range(50, 150)]
+        + [("z", i) for i in range(200, 250)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_overlap_matrix(df, "v", by="g", k=512).collect()
+    }
+    xy = got[("x", "y")]
+    assert (xy["n_bottom"], xy["union_est"]) == (150, 150)
+    assert xy["jaccard_ppm"] == 50 * 1_000_000 // 150
+    assert xy["intersect_est"] == 150 * xy["jaccard_ppm"] // 1_000_000
+    xz = got[("x", "z")]
+    assert xz["jaccard_ppm"] == 0 and xz["intersect_est"] == 0
+    assert xz["union_est"] == 150
+
+    # estimation regime: every pair row == the two-table estimator
+    mat64 = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_overlap_matrix(df, "v", by="g", k=64).collect()
+    }
+    for (a, b), r in mat64.items():
+        solo = kmv_overlap_estimate(
+            df.filter(F.col("g") == a), df.filter(F.col("g") == b), "v", k=64
+        ).collect()[0]
+        assert (
+            r["n_bottom"], r["union_est"], r["jaccard_ppm"], r["intersect_est"]
+        ) == (
+            solo["n_bottom"], solo["union_est"],
+            solo["jaccard_ppm"], solo["intersect_est"],
+        ), (a, b)
+    with pytest.raises(ValueError, match="max_groups"):
+        kmv_overlap_matrix(df, "v", by="g", k=16, max_groups=2)
