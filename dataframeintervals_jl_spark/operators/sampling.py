@@ -975,3 +975,47 @@ def kmv_overlap_matrix(
             "intersect_est"
         ),
     )
+
+
+def cms_join_size(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    width: int = 512,
+    depth: int = 4,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min register tables —
+    the classic sketch inner product (Cormode & Muthukrishnan 2005,
+    §4.2): per hash row, ``Σ_bucket cnt_a · cnt_b`` estimates
+    ``Σ_key f_a(key) · f_b(key)`` = the join's output rows; the MIN
+    over the ``depth`` rows is the estimate.  Overestimate-only
+    (collisions only add), deterministic, and computed WITHOUT
+    touching either table again: "how big is this join?" for the
+    planner / skew guard from two ≤ depth·width-row sketches that may
+    have been built days apart or streamed (:func:`cms_registers` is
+    an update-mode streaming aggregation).
+
+    Output: group keys + ``join_rows_est`` (bigint).  Registers must
+    share ``width``/``depth`` (same hash family by construction).
+
+    Scale shape: O(depth·width) arithmetic per group — the input data
+    is never re-read."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1, got {width}x{depth}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    a = regs_a.select(*keys, "__row", "__bkt", F.col("__cnt").alias("__ca"))
+    b = regs_b.select(*keys, "__row", "__bkt", F.col("__cnt").alias("__cb"))
+    # inner join: a bucket missing from either sketch contributes 0
+    prod = a.join(b, [*keys, "__row", "__bkt"]).select(
+        *keys, "__row", (F.col("__ca") * F.col("__cb")).alias("__p")
+    )
+    rows = prod.groupBy(*keys, "__row").agg(F.sum("__p").alias("__ip"))
+    # a hash row with ZERO shared buckets has inner product 0 — it
+    # vanishes from the inner join, so min-over-present-rows would
+    # overestimate; fewer than `depth` surviving rows means the true
+    # min is 0
+    return rows.groupBy(*keys).agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0).cast("long"))
+        .otherwise(F.min("__ip").cast("long"))
+        .alias("join_rows_est")
+    )

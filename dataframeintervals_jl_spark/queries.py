@@ -3686,6 +3686,68 @@ SELECT o.lang, CAST(p.prob_ppm AS INT) AS prob_ppm, o.__val AS q_val,
 FROM ord o JOIN probs p ON o.vi = (p.prob_ppm * (o.n - 1)) // 1000000 + 1"""
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Join-size estimation WITHOUT running the join: the Count-Min
+    inner product (Cormode & Muthukrishnan §4.2) of the click-side and
+    purchase-side user-frequency sketches estimates how many rows
+    clicks⋈purchases-on-user would produce, next to the exact answer —
+    the planner/skew-guard primitive; the sketches are ≤ depth·width
+    rows each and the data is never re-read.  Deterministic: the
+    oracle replays both register tables and the min-of-inner-products
+    bit-for-bit."""
+    from .operators.sampling import cms_join_size, cms_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = cms_join_size(
+        cms_registers(a, "user_id", width=256, depth=4),
+        cms_registers(b, "user_id", width=256, depth=4),
+        width=256,
+        depth=4,
+    )
+    ca = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("__ca"))
+    cb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("__cb"))
+    exact = ca.join(cb, "user_id").agg(
+        F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_rows")
+    )
+    return est.crossJoin(exact)
+
+
+def _sql_cms_join_size(width: int = 256, depth: int = 4) -> str:
+    from .operators.sampling import cms_sql_registers
+
+    ra = cms_sql_registers(
+        "SELECT user_id::VARCHAR AS w FROM events WHERE event_type = 'click'",
+        "w", width, depth,
+    )
+    rb = cms_sql_registers(
+        "SELECT user_id::VARCHAR AS w FROM events WHERE event_type = 'purchase'",
+        "w", width, depth,
+    )
+    return f"""WITH ra AS (
+  {ra}
+), rb AS (
+  {rb}
+), ip AS (
+  SELECT a.__row, sum(a.__cnt * b.__cnt) AS p
+  FROM ra a JOIN rb b ON a.__row = b.__row AND a.__bkt = b.__bkt
+  GROUP BY a.__row
+), est AS (
+  SELECT CAST(CASE WHEN count(*) < {depth} THEN 0 ELSE min(p) END AS BIGINT)
+    AS join_rows_est FROM ip
+), ex AS (
+  SELECT CAST(coalesce(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_rows
+  FROM (SELECT user_id, count(*) AS ca FROM events
+        WHERE event_type = 'click' GROUP BY user_id) x
+  JOIN (SELECT user_id, count(*) AS cb FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id) y USING (user_id)
+)
+SELECT est.join_rows_est, ex.exact_rows FROM est CROSS JOIN ex"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -5992,6 +6054,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
     "q_hll_distinct": (q_hll_distinct, _sql_hll(8)),
     "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
+    "q_cms_join_size": (q_cms_join_size, _sql_cms_join_size()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
     "q_kmv_overlap_matrix": (

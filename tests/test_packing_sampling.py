@@ -752,3 +752,60 @@ def test_kmv_overlap_matrix_exact_below_k_and_pair_parity(spark):
         ), (a, b)
     with pytest.raises(ValueError, match="max_groups"):
         kmv_overlap_matrix(df, "v", by="g", k=16, max_groups=2)
+
+
+def test_cms_join_size_exact_wide_overestimate_narrow(spark):
+    """The CMS inner product: exact when width >> distinct keys, never
+    an underestimate when narrow, 0 for disjoint key sets (including
+    the all-rows-vanish inner-join edge), grouped variant agrees."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_join_size,
+        cms_registers,
+    )
+
+    # a: key i appears i+1 times (i in 0..19); b: key i appears 2 times
+    # for even i only -> true join rows = sum over even i of (i+1)*2
+    a = spark.range(20).select(
+        F.explode(F.expr("array_repeat(id, int(id + 1))")).alias("k")
+    )
+    b = spark.range(20).filter("id % 2 = 0").select(
+        F.explode(F.expr("array_repeat(id, 2)")).alias("k")
+    )
+    truth = sum((i + 1) * 2 for i in range(0, 20, 2))
+    for width, check in ((2048, "exact"), (8, "over")):
+        est = cms_join_size(
+            cms_registers(a, "k", width, 4),
+            cms_registers(b, "k", width, 4),
+            width,
+            4,
+        ).collect()[0]["join_rows_est"]
+        assert est == truth if check == "exact" else est >= truth
+    # disjoint key sets
+    c = spark.range(100, 120).select(F.col("id").alias("k"))
+    zero = cms_join_size(
+        cms_registers(a, "k", 2048, 4),
+        cms_registers(c, "k", 2048, 4),
+        2048,
+        4,
+    ).collect()[0]["join_rows_est"]
+    assert zero == 0
+    # grouped: two independent groups, each exact at wide width
+    ag = a.withColumn("g", F.lit("x")).unionByName(
+        c.withColumn("g", F.lit("y"))
+    )
+    bg = b.withColumn("g", F.lit("x")).unionByName(
+        c.withColumn("g", F.lit("y"))
+    )
+    got = {
+        r["g"]: r["join_rows_est"]
+        for r in cms_join_size(
+            cms_registers(ag, "k", 2048, 4, by="g"),
+            cms_registers(bg, "k", 2048, 4, by="g"),
+            2048,
+            4,
+            by="g",
+        ).collect()
+    }
+    assert got == {"x": truth, "y": 20}
