@@ -1386,3 +1386,66 @@ def test_stream_interval_join_by_validates_keys(spark):
         stream_interval_join(left, right, by="nope")
     with pytest.raises(ValueError, match="cannot be the on column"):
         stream_interval_join(left, right, by="span")
+
+
+def test_qsk_register_index_foreachbatch_merge(spark, tmp_path):
+    """The quantile sketch's streaming story: maintain a persisted
+    register index by merging each micro-batch's registers via
+    foreachBatch — the final index must equal the whole input's batch
+    registers exactly, so sketch quantiles over the stream equal the
+    batch answer."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        qsk_merge_registers,
+        qsk_quantiles,
+        qsk_registers,
+    )
+
+    df = spark.range(600).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 13 % 997).alias("v"),
+    )
+    d = str(tmp_path / "qsk_in")
+    df.filter("id % 3 = 0").coalesce(1).write.parquet(d + "/f1")
+    df.filter("id % 3 = 1").coalesce(1).write.parquet(d + "/f2")
+    df.filter("id % 3 = 2").coalesce(1).write.parquet(d + "/f3")
+    idx = str(tmp_path / "qsk_idx")
+
+    def update_index(batch, batch_id):
+        regs = qsk_registers(batch, "v", "rid", k=48, by="g")
+        try:
+            prev = batch.sparkSession.read.parquet(idx + f"/v{batch_id - 1}")
+            regs = qsk_merge_registers(prev, regs, k=48, by="g")
+        except Exception:
+            pass  # first batch: no prior version
+        regs.write.mode("overwrite").parquet(idx + f"/v{batch_id}")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(update_index)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import glob as _glob
+
+    last = sorted(_glob.glob(idx + "/v*"))[-1]
+    final = spark.read.parquet(last)
+    whole = qsk_registers(df, "v", "rid", k=48, by="g")
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    sq = sorted(
+        map(tuple, qsk_quantiles(final, [500_000], by="g").collect())
+    )
+    bq = sorted(
+        map(tuple, qsk_quantiles(whole, [500_000], by="g").collect())
+    )
+    assert sq == bq
