@@ -476,6 +476,67 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["vocab_big_setup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # join-size planning probe: the CMS inner-product estimate
+    # (cms_join_size — two register aggregations, the data read once
+    # each, NO join) vs actually running the equi-join on a 16x
+    # key-replicated event table.  At test scale the actual join is
+    # CHEAP (both sides shuffle in one wave), so wall time alone
+    # cannot show the estimator's value — the scale-faithful numbers
+    # recorded alongside are the register-table size (bounded at
+    # depth·width rows per side regardless of input) and the estimate
+    # accuracy; at 100 TB the avoided cost is the join's shuffle and
+    # output materialization.
+    join_size = {}
+    try:
+        from dataframeintervals_jl_spark.operators.sampling import (
+            cms_join_size,
+            cms_registers,
+        )
+
+        _JS_W, _JS_D = 65536, 4
+
+        def _js_side(et):
+            ev = read_table(spark, sf_dir, "events")
+            return (
+                ev.filter(F.col("event_type") == et)
+                .crossJoin(spark.range(16).select(F.col("id").alias("__rep")))
+                .select(
+                    (F.col("user_id") * 16 + F.col("__rep")).alias("user_id")
+                )
+            )
+
+        def _js_regs(et):
+            return cms_registers(_js_side(et), "user_id", _JS_W, _JS_D)
+
+        bench(
+            "join_size_cms_estimate",
+            lambda: cms_join_size(
+                _js_regs("click"), _js_regs("purchase"), _JS_W, _JS_D
+            ),
+        )
+        bench(
+            "join_size_actual_join",
+            lambda: _js_side("click")
+            .join(_js_side("purchase"), "user_id")
+            .agg(F.count(F.lit(1)).alias("join_rows")),
+        )
+        est_row = cms_join_size(
+            _js_regs("click"), _js_regs("purchase"), _JS_W, _JS_D
+        ).first()
+        act_row = (
+            _js_side("click")
+            .join(_js_side("purchase"), "user_id")
+            .agg(F.count(F.lit(1)).alias("join_rows"))
+            .first()
+        )
+        join_size = {
+            "est_rows": int(est_row["join_rows_est"]),
+            "actual_rows": int(act_row["join_rows"]),
+            "register_rows_bound": _JS_W * _JS_D,
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["join_size_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade
     # away recall are visible (floors asserted in pytest)
@@ -537,6 +598,7 @@ def main() -> None:
         "spread": spreads,
         "recall": recall,
         "layout": layout,
+        "join_size": join_size,
         "best_queries": best_queries,
         "errors": errors,
         "cpu_probe": probes,
