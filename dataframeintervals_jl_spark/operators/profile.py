@@ -19,7 +19,13 @@ from typing import Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
 
 from .sampling import kmv_distinct
 
@@ -50,6 +56,11 @@ def profile_table(
       immediately on wide-domain columns (an epoch-ns column at
       ~1.7e18 overflows int64 by the sixth row), so the sum runs in
       Spark's 38-digit decimal domain end-to-end.
+    - ``len_min`` / ``len_max`` / ``len_sum``: exact character-length
+      stats for string columns (same composite aggregate; a length sum
+      is bounded by total corpus characters, bigint-safe), null
+      elsewhere — the text-curation numbers (truncation, empty-field,
+      bytes-per-row) a document table profile exists for.
 
     Scale shape (100 TB): pass 1 reduces to a single row map-side;
     pass 2 explodes each row into ``|columns|`` (column, value) pairs
@@ -64,6 +75,9 @@ def profile_table(
     integral = {
         f.name for f in df.schema.fields if isinstance(f.dataType, _INTEGRAL)
     }
+    stringy = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    }
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
@@ -76,6 +90,11 @@ def profile_table(
                 .cast("decimal(38,0)")
                 .alias(f"__sm_{i}")
             )
+        elif c in stringy:
+            ln = F.length(F.col(c))
+            aggs.append(F.min(ln).cast("long").alias(f"__lmn_{i}"))
+            aggs.append(F.max(ln).cast("long").alias(f"__lmx_{i}"))
+            aggs.append(F.sum(ln.cast("long")).alias(f"__lsm_{i}"))
     stats = df.agg(*aggs)
 
     null_long = F.lit(None).cast("long")
@@ -87,12 +106,18 @@ def profile_table(
             (F.col(f"__mn_{i}") if c in integral else null_long).alias("min_v"),
             (F.col(f"__mx_{i}") if c in integral else null_long).alias("max_v"),
             (F.col(f"__sm_{i}") if c in integral else null_dec).alias("sum_v"),
+            (F.col(f"__lmn_{i}") if c in stringy else null_long).alias("len_min"),
+            (F.col(f"__lmx_{i}") if c in stringy else null_long).alias("len_max"),
+            (F.col(f"__lsm_{i}") if c in stringy else null_long).alias("len_sum"),
         )
         for i, c in enumerate(cols)
     ]
     long = stats.select(
         F.col("__n").alias("n_rows"), F.explode(F.array(*entries)).alias("e")
-    ).select("e.col_name", "n_rows", "e.n_nulls", "e.min_v", "e.max_v", "e.sum_v")
+    ).select(
+        "e.col_name", "n_rows", "e.n_nulls", "e.min_v", "e.max_v", "e.sum_v",
+        "e.len_min", "e.len_max", "e.len_sum",
+    )
 
     pairs = (
         df.select(
@@ -124,4 +149,7 @@ def profile_table(
         "min_v",
         "max_v",
         "sum_v",
+        "len_min",
+        "len_max",
+        "len_sum",
     )

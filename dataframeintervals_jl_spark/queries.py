@@ -3525,14 +3525,28 @@ def _sql_profile_documents(k: int = 64) -> str:
   SELECT 'n_chars', min(n_chars)::BIGINT, max(n_chars)::BIGINT,
          sum(n_chars)::DECIMAL(38,0)
   FROM documents
+), ll AS (
+  SELECT 'text' AS col_name, min(length(text))::BIGINT AS len_min,
+         max(length(text))::BIGINT AS len_max,
+         sum(length(text))::BIGINT AS len_sum
+  FROM documents
+  UNION ALL
+  SELECT 'lang', min(length(lang))::BIGINT, max(length(lang))::BIGINT,
+         sum(length(lang))::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'source', min(length(source))::BIGINT, max(length(source))::BIGINT,
+         sum(length(source))::BIGINT
+  FROM documents
 )
 SELECT nn.col_name, nr.n_rows, nn.n_nulls,
        CAST(coalesce(CASE WHEN g.n_hashes < {k} THEN g.n_hashes
             ELSE ({k - 1} * {1 << 53}) // greatest(g.hk, 1) END, 0) AS BIGINT)
          AS n_distinct_est,
-       mm.min_v, mm.max_v, mm.sum_v
+       mm.min_v, mm.max_v, mm.sum_v, ll.len_min, ll.len_max, ll.len_sum
 FROM nn CROSS JOIN nr
-LEFT JOIN g USING (col_name) LEFT JOIN mm USING (col_name)"""
+LEFT JOIN g USING (col_name) LEFT JOIN mm USING (col_name)
+LEFT JOIN ll USING (col_name)"""
 
 
 def q_hll_distinct(spark, sf_dir):

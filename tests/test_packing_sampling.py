@@ -701,6 +701,10 @@ def test_profile_table_exact_stats(spark):
     # non-integral: numeric stats null, distinct still estimated
     assert got["d"]["min_v"] is None and got["d"]["sum_v"] is None
     assert got["d"]["n_distinct_est"] == 3
+    # string length stats: s has 'a','b','a' non-null -> min/max/sum 1/1/3
+    assert (got["s"]["len_min"], got["s"]["len_max"], got["s"]["len_sum"]) == (1, 1, 3)
+    assert got["id"]["len_min"] is None and got["d"]["len_sum"] is None
+    assert got["z"]["len_min"] is None  # all-null string column
     with pytest.raises(ValueError, match="columns"):
         profile_table(df, columns=["nope"])
 
