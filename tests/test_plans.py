@@ -506,3 +506,42 @@ def test_pq_rerank_candidates_broadcast(spark):
     out = pq_rerank_topk(emb, q, m_sub=8, ks=16, k=3, shortlist=6)
     assert count_broadcast_exchanges(out) >= 3
     assert_no_python_row_udf(out)
+
+
+def test_kmv_overlap_matrix_window_group_limit(spark):
+    """The overlap matrix's only data-sized stage is the per-group
+    bottom-k — WindowGroupLimit must prune it task-side; everything
+    after runs on the sketch table with the pair list broadcast."""
+    from dataframeintervals_jl_spark.operators.sampling import (
+        kmv_overlap_matrix,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = kmv_overlap_matrix(ev, "user_id", by="event_type", k=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "bottom-k pruning missing"
+    assert count_broadcast_exchanges(out) >= 2  # both pair-side joins
+    assert_no_python_row_udf(out)
+
+
+def test_cms_join_size_partial_aggregation(spark):
+    """cms_join_size must partial-aggregate the register builds
+    map-side (shuffle bounded at depth*width rows per side per task)
+    and stay free of row-at-a-time Python."""
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_join_size,
+        cms_registers,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    out = cms_join_size(
+        cms_registers(a, "user_id", 64, 3),
+        cms_registers(b, "user_id", 64, 3),
+        64,
+        3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
+    assert_no_python_row_udf(out)
