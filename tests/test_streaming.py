@@ -1449,3 +1449,61 @@ def test_qsk_register_index_foreachbatch_merge(spark, tmp_path):
         map(tuple, qsk_quantiles(whole, [500_000], by="g").collect())
     )
     assert sq == bq
+
+
+def test_cms_estimate_streaming_probe_of_static_registers(spark, tmp_path):
+    """cms_estimate's docstringed 100 TB shape works as the STREAMING
+    probe too: a stream of point queries against a static (persisted)
+    corpus register table is a plain update-mode aggregation — final
+    estimates equal the batch call exactly."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    corpus = spark.range(3000).select(
+        F.concat(F.lit("w"), F.col("id") % 37).alias("w")
+    )
+    regs_path = str(tmp_path / "cms_regs")
+    cms_registers(corpus, "w", width=64, depth=3).write.parquet(regs_path)
+    regs = spark.read.parquet(regs_path)
+
+    probes = spark.createDataFrame(
+        [("w0",), ("w5",), ("w36",), ("zz-unseen",)], "w string"
+    )
+    batch_est = sorted(
+        map(tuple, cms_estimate(regs, probes, "w", 64, 3).collect())
+    )
+
+    d = str(tmp_path / "probe_in")
+    probes.limit(2).coalesce(1).write.parquet(d + "/f1")
+    probes.subtract(probes.limit(2)).coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = cms_estimate(regs, stream, "w", 64, 3)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cmsprobe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits refinements; each probe's LAST row is final,
+    # and since a probe appears in exactly one file, rows are final
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT * FROM cmsprobe"
+            ).dropDuplicates(["w"]).collect(),
+        )
+    )
+    assert got == batch_est
