@@ -520,18 +520,23 @@ def main() -> None:
             .join(_js_side("purchase"), "user_id")
             .agg(F.count(F.lit(1)).alias("join_rows")),
         )
-        est_row = cms_join_size(
-            _js_regs("click"), _js_regs("purchase"), _JS_W, _JS_D
-        ).first()
-        act_row = (
-            _js_side("click")
-            .join(_js_side("purchase"), "user_id")
-            .agg(F.count(F.lit(1)).alias("join_rows"))
+        # ONE extra pass records the accuracy numbers (bench() is
+        # fault-isolated and discards results, so values cannot be
+        # captured from its timed runs); est and actual share the job
+        acc = (
+            cms_join_size(
+                _js_regs("click"), _js_regs("purchase"), _JS_W, _JS_D
+            )
+            .crossJoin(
+                _js_side("click")
+                .join(_js_side("purchase"), "user_id")
+                .agg(F.count(F.lit(1)).alias("join_rows"))
+            )
             .first()
         )
         join_size = {
-            "est_rows": int(est_row["join_rows_est"]),
-            "actual_rows": int(act_row["join_rows"]),
+            "est_rows": int(acc["join_rows_est"]),
+            "actual_rows": int(acc["join_rows"]),
             "register_rows_bound": _JS_W * _JS_D,
         }
     except Exception as exc:  # noqa: BLE001

@@ -68,7 +68,7 @@ def profile_table(
     column before the shuffle, so shuffle volume is independent of
     row count.  The final join glues |columns| rows to |columns| rows.
     """
-    cols = list(columns or df.columns)
+    cols = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]
     if not cols or missing:
         raise ValueError(f"unknown or empty columns: {missing or cols}")
@@ -102,7 +102,11 @@ def profile_table(
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
-            F.col(f"__nn_{i}").alias("n_nulls"),
+            # sum over an EMPTY table is NULL; a zero-row table has
+            # zero nulls, so pin it (matches the oracle's count(*)-count(v))
+            F.coalesce(F.col(f"__nn_{i}"), F.lit(0).cast("long")).alias(
+                "n_nulls"
+            ),
             (F.col(f"__mn_{i}") if c in integral else null_long).alias("min_v"),
             (F.col(f"__mx_{i}") if c in integral else null_long).alias("max_v"),
             (F.col(f"__sm_{i}") if c in integral else null_dec).alias("sum_v"),

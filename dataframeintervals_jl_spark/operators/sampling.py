@@ -803,7 +803,11 @@ def qsk_registers(
     pri = portable_hash60(
         F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
     )
-    h = df.select(
+    # NULL values carry no quantile information and would desync the
+    # sorted-array index math downstream (collect_list drops nulls but
+    # a count would include them) — exclude them BEFORE sampling so
+    # the k-row budget is spent on real values
+    h = df.filter(F.col(value_col).isNotNull()).select(
         *keys, pri.alias("__pri"), F.col(value_col).alias("__val")
     )
     w = Window.partitionBy(*keys).orderBy("__pri", "__val")
@@ -1005,17 +1009,41 @@ def cms_join_size(
     keys = [by] if isinstance(by, str) else list(by or [])
     a = regs_a.select(*keys, "__row", "__bkt", F.col("__cnt").alias("__ca"))
     b = regs_b.select(*keys, "__row", "__bkt", F.col("__cnt").alias("__cb"))
-    # inner join: a bucket missing from either sketch contributes 0
+    # inner join: a bucket missing from either sketch contributes 0.
+    # products and sums run in decimal(38,0): two billion-row sides can
+    # put a single bucket product past int64 (profile_table's sum uses
+    # the same domain for the same reason), and the DuckDB replay
+    # promotes to HUGEINT — a wrapping long would break both the
+    # overestimate guarantee and the cross-engine contract
     prod = a.join(b, [*keys, "__row", "__bkt"]).select(
-        *keys, "__row", (F.col("__ca") * F.col("__cb")).alias("__p")
+        *keys,
+        "__row",
+        (F.col("__ca").cast("decimal(38,0)") * F.col("__cb")).alias("__p"),
     )
-    rows = prod.groupBy(*keys, "__row").agg(F.sum("__p").alias("__ip"))
+    rows = prod.groupBy(*keys, "__row").agg(
+        F.sum("__p").cast("decimal(38,0)").alias("__ip")
+    )
     # a hash row with ZERO shared buckets has inner product 0 — it
     # vanishes from the inner join, so min-over-present-rows would
     # overestimate; fewer than `depth` surviving rows means the true
     # min is 0
-    return rows.groupBy(*keys).agg(
+    est = rows.groupBy(*keys).agg(
         F.when(F.count(F.lit(1)) < depth, F.lit(0).cast("long"))
         .otherwise(F.min("__ip").cast("long"))
         .alias("join_rows_est")
+    )
+    if not keys:
+        return est
+    # grouped: a group whose sketches share NO bucket on any row (or
+    # that exists on only one side) vanishes from the inner join — a
+    # planner iterating groups must see 0, not a missing row, so
+    # re-anchor on every group present in either register table
+    universe = (
+        regs_a.select(*keys).unionByName(regs_b.select(*keys)).distinct()
+    )
+    return universe.join(est, keys, "left").select(
+        *keys,
+        F.coalesce("join_rows_est", F.lit(0).cast("long")).alias(
+            "join_rows_est"
+        ),
     )

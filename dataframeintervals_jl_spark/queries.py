@@ -3684,6 +3684,7 @@ def _sql_quantile_sketch(k: int = 128) -> str:
     h = _PH60.format(x="('qsk|' || doc_id::VARCHAR)")
     return f"""WITH pri AS (
   SELECT lang, {h} AS __pri, n_chars AS __val FROM documents
+  WHERE n_chars IS NOT NULL
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY __pri, __val) AS rn
   FROM pri

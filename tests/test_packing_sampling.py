@@ -900,3 +900,77 @@ def test_cms_join_size_never_underestimates_random(spark, ka, kb, width):
     # (asserting it here would be ~5%-flaky: with 31 possible keys even
     # 1024 buckets collide in all 4 rows for some key multisets)
     assert est >= truth
+
+
+def test_qsk_null_values_excluded(spark):
+    """NULL values must not consume sample budget or desync the
+    quantile index math: quantiles over a column with nulls equal
+    quantiles over the pre-filtered column."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        qsk_quantiles,
+        qsk_registers,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    probs = [0, 500_000, 1_000_000]
+    with_nulls = sorted(map(tuple, qsk_quantiles(
+        qsk_registers(df, "v", "rid", k=256), probs).collect()))
+    clean = sorted(map(tuple, qsk_quantiles(
+        qsk_registers(df.filter("v IS NOT NULL"), "v", "rid", k=256),
+        probs).collect()))
+    assert with_nulls == clean
+    n = with_nulls[0][2]  # n_sample column
+    assert n == 66  # 100 minus the 34 nulls
+    assert all(q is not None for _, q, _ in with_nulls)
+
+
+def test_cms_join_size_grouped_disjoint_group_reports_zero(spark):
+    """A group whose two sketches share no buckets (disjoint keys at
+    wide width, or present on one side only) must report 0, not vanish."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_join_size,
+        cms_registers,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 100), ("only_a", 7)], "g string, k long"
+    )
+    b = spark.createDataFrame(
+        [("x", 1), ("y", 999)], "g string, k long"
+    )
+    got = {
+        r["g"]: r["join_rows_est"]
+        for r in cms_join_size(
+            cms_registers(a, "k", 2048, 4, by="g"),
+            cms_registers(b, "k", 2048, 4, by="g"),
+            2048,
+            4,
+            by="g",
+        ).collect()
+    }
+    assert got["x"] == 1
+    assert got["y"] == 0  # disjoint keys
+    assert got["only_a"] == 0  # absent from b entirely
+
+
+def test_profile_table_empty_and_bad_args(spark):
+    """Empty table: n_rows=0 and n_nulls=0 (not NULL); columns=[] must
+    raise, not silently profile everything."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([], "id bigint, s string")
+    got = {r["col_name"]: r for r in profile_table(df, k=64).collect()}
+    assert set(got) == {"id", "s"}
+    for r in got.values():
+        assert (r["n_rows"], r["n_nulls"], r["n_distinct_est"]) == (0, 0, 0)
+    with pytest.raises(ValueError, match="columns"):
+        profile_table(df, columns=[])
