@@ -969,15 +969,46 @@ def kmv_overlap_matrix(
         union_est.cast("long").alias("union_est"),
         F.expr("__both * 1000000 DIV n_bottom").alias("jaccard_ppm"),
     )
-    return pre.select(
+    # per-group cardinality estimates from the SAME sketches (exactly
+    # kmv_distinct's estimator) feed the DIRECTIONAL containment
+    # |A∩B|/|A| — the "is source A mostly inside B" signal Jaccard
+    # cannot express for asymmetric sizes; capped at 1e6 because the
+    # two estimates are independently noisy
+    gstats = s.groupBy("__g").agg(
+        F.max("__h").alias("__ghk"), F.count(F.lit(1)).alias("__gn")
+    )
+    n_est = F.when(F.col("__gn") < F.lit(k), F.col("__gn")).otherwise(
+        F.expr(f"({k} - 1) * {H}L DIV greatest(__ghk, 1L)")
+    )
+    ga = gstats.select(
+        F.col("__g").alias("group_a"), n_est.cast("long").alias("n_a_est")
+    )
+    gb = gstats.select(
+        F.col("__g").alias("group_b"), n_est.cast("long").alias("n_b_est")
+    )
+    pre2 = (
+        pre.withColumn(
+            "intersect_est",
+            F.expr("(union_est * jaccard_ppm) DIV 1000000"),
+        )
+        .join(F.broadcast(ga), "group_a")
+        .join(F.broadcast(gb), "group_b")
+    )
+    return pre2.select(
         "group_a",
         "group_b",
         "n_bottom",
         "union_est",
         "jaccard_ppm",
-        F.expr("(union_est * jaccard_ppm) DIV 1000000").alias(
-            "intersect_est"
-        ),
+        "intersect_est",
+        "n_a_est",
+        "n_b_est",
+        F.expr(
+            "least(1000000L, intersect_est * 1000000 DIV greatest(n_a_est, 1L))"
+        ).alias("containment_a_ppm"),
+        F.expr(
+            "least(1000000L, intersect_est * 1000000 DIV greatest(n_b_est, 1L))"
+        ).alias("containment_b_ppm"),
     )
 
 

@@ -3476,10 +3476,24 @@ def _sql_kmv_overlap_matrix(k: int = 32) -> str:
               ELSE {k - 1} * {1 << 53} // greatest(hk, 1) END AS BIGINT)
            AS union_est,
          CAST(n_both * 1000000 // n_bottom AS BIGINT) AS jaccard_ppm
-  FROM gg)
-SELECT group_a, group_b, n_bottom, union_est, jaccard_ppm,
-       CAST(union_est * jaccard_ppm // 1000000 AS BIGINT) AS intersect_est
-FROM pre"""
+  FROM gg
+), nest AS (
+  SELECT g, CAST(CASE WHEN gn < {k} THEN gn
+            ELSE {k - 1} * {1 << 53} // greatest(ghk, 1) END AS BIGINT)
+         AS n_est
+  FROM (SELECT g, max(hv) AS ghk, CAST(count(*) AS BIGINT) AS gn
+        FROM s GROUP BY g)
+), pre2 AS (
+  SELECT pre.*,
+         CAST(union_est * jaccard_ppm // 1000000 AS BIGINT) AS intersect_est
+  FROM pre)
+SELECT p.group_a, p.group_b, p.n_bottom, p.union_est, p.jaccard_ppm,
+       p.intersect_est, a.n_est AS n_a_est, b.n_est AS n_b_est,
+       CAST(least(1000000, p.intersect_est * 1000000 // greatest(a.n_est, 1))
+            AS BIGINT) AS containment_a_ppm,
+       CAST(least(1000000, p.intersect_est * 1000000 // greatest(b.n_est, 1))
+            AS BIGINT) AS containment_b_ppm
+FROM pre2 p JOIN nest a ON a.g = p.group_a JOIN nest b ON b.g = p.group_b"""
 
 
 def q_profile_documents(spark, sf_dir):

@@ -735,9 +735,16 @@ def test_kmv_overlap_matrix_exact_below_k_and_pair_parity(spark):
     assert (xy["n_bottom"], xy["union_est"]) == (150, 150)
     assert xy["jaccard_ppm"] == 50 * 1_000_000 // 150
     assert xy["intersect_est"] == 150 * xy["jaccard_ppm"] // 1_000_000
+    assert (xy["n_a_est"], xy["n_b_est"]) == (100, 100)
+    # containment derives from the (ppm-floored) intersect estimate:
+    # 150 * (50e6//150) // 1e6 = 49, so 490000 ppm — the floor chain
+    # is the estimator's own arithmetic, replayed by the oracle
+    assert xy["containment_a_ppm"] == xy["intersect_est"] * 1_000_000 // 100
+    assert xy["containment_b_ppm"] == xy["containment_a_ppm"]
     xz = got[("x", "z")]
     assert xz["jaccard_ppm"] == 0 and xz["intersect_est"] == 0
     assert xz["union_est"] == 150
+    assert xz["containment_a_ppm"] == 0 and xz["containment_b_ppm"] == 0
 
     # estimation regime: every pair row == the two-table estimator
     mat64 = {
