@@ -549,6 +549,7 @@ def main() -> None:
         q_similarity_ivf,
         q_similarity_lsh,
         q_similarity_pq,
+        q_similarity_pq_rerank,
         q_similarity_topk,
     )
 
@@ -562,6 +563,7 @@ def main() -> None:
             ("lsh", q_similarity_lsh),
             ("ivf", q_similarity_ivf),
             ("pq", q_similarity_pq),
+            ("pq_rerank", q_similarity_pq_rerank),
         ):
             approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
             recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
