@@ -344,3 +344,80 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def update_register_index(
+    spark: SparkSession,
+    path: str,
+    batch_regs: DataFrame,
+    merge,
+    keep_versions: int = 2,
+) -> str:
+    """Versioned maintenance for a MERGEABLE register index — the one
+    persistence pattern every sketch family here shares (KMV bottom-k,
+    HLL re-max, CMS re-sum, QSK re-bottom-k: per-slice register tables
+    merge to exactly the whole input's).  Reads the latest ``v{N}``
+    under ``path``, merges it with ``batch_regs`` via
+    ``merge(prev, batch)`` (e.g. ``cms_merge_registers``,
+    ``lambda a, b: qsk_merge_registers(a, b, k=..., by=...)``), writes
+    ``v{N+1}``, then prunes to ``keep_versions`` newest — versioned
+    because Spark cannot overwrite a path it is reading, and the
+    previous version must survive until the new write has committed
+    (write-then-prune ordering guarantees that here).
+
+    Designed for ``foreachBatch`` (the streaming story of the sketch
+    families whose maintenance is a window, not an aggregation) and
+    for daily batch appends alike.  The index is ≤ groups·k (or
+    depth·width / 2^p) rows, so each merge is sketch-sized work
+    regardless of history size.  Returns the new version's path.
+    Path listing uses the local filesystem (same contract as
+    :func:`compact_table`)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    versions = sorted(
+        (
+            p
+            for p in _glob.glob(_os.path.join(path, "v*"))
+            if _os.path.basename(p)[1:].isdigit()
+        ),
+        key=lambda p: int(_os.path.basename(p)[1:]),
+    )
+    if versions:
+        prev = spark.read.parquet(versions[-1])
+        out = merge(prev, batch_regs)
+        n = int(_os.path.basename(versions[-1])[1:]) + 1
+    else:
+        out = batch_regs
+        n = 0
+    new_path = _os.path.join(path, f"v{n}")
+    # "error" mode: a concurrent writer racing to the same version is a
+    # bug worth surfacing, not silently overwriting
+    out.write.mode("error").parquet(new_path)
+    survivors = keep_versions - 1  # plus the one just written
+    stale = versions[: len(versions) - survivors] if survivors else versions
+    for old in stale:
+        _shutil.rmtree(old, ignore_errors=True)
+    return new_path
+
+
+def read_register_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the newest version of an :func:`update_register_index`
+    index; raises FileNotFoundError when no version exists yet."""
+    import glob as _glob
+    import os as _os
+
+    versions = sorted(
+        (
+            p
+            for p in _glob.glob(_os.path.join(path, "v*"))
+            if _os.path.basename(p)[1:].isdigit()
+        ),
+        key=lambda p: int(_os.path.basename(p)[1:]),
+    )
+    if not versions:
+        raise FileNotFoundError(f"no register index versions under {path}")
+    return spark.read.parquet(versions[-1])

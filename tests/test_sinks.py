@@ -398,3 +398,67 @@ def test_prebinned_outer_requires_row_ids(spark, tmp_path):
             interval_join_prebinned(t, t, bin_width=16, keepleft=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_norid")
+
+
+def test_update_register_index_versions_merge_and_prune(spark, tmp_path):
+    """The generic sketch-index maintenance: each update merges the
+    batch registers with the persisted latest and prunes to
+    keep_versions; the final index equals whole-input registers for
+    BOTH a bottom-k (qsk) and a re-sum (cms) family."""
+    import glob
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_merge_registers,
+        cms_registers,
+        qsk_merge_registers,
+        qsk_registers,
+    )
+    from dataframeintervals_jl_spark.sources.sinks import (
+        read_register_index,
+        update_register_index,
+    )
+
+    df = spark.range(900).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 17 % 401).alias("v"),
+        F.concat(F.lit("w"), F.col("id") % 23).alias("w"),
+    )
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+
+    qpath = str(tmp_path / "qsk_idx")
+    for s in slices:
+        update_register_index(
+            spark,
+            qpath,
+            qsk_registers(s, "v", "rid", k=32, by="g"),
+            lambda a, b: qsk_merge_registers(a, b, k=32, by="g"),
+        )
+    final = read_register_index(spark, qpath)
+    whole = qsk_registers(df, "v", "rid", k=32, by="g")
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    assert len(glob.glob(qpath + "/v*")) == 2  # keep_versions default
+
+    cpath = str(tmp_path / "cms_idx")
+    for s in slices:
+        update_register_index(
+            spark,
+            cpath,
+            cms_registers(s, "w", 32, 3),
+            cms_merge_registers,
+            keep_versions=1,
+        )
+    cfinal = read_register_index(spark, cpath)
+    cwhole = cms_registers(df, "w", 32, 3)
+    assert sorted(map(tuple, cfinal.collect())) == sorted(
+        map(tuple, cwhole.collect())
+    )
+    assert len(glob.glob(cpath + "/v*")) == 1  # pruned to newest only
+    with pytest.raises(FileNotFoundError):
+        read_register_index(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="keep_versions"):
+        update_register_index(spark, cpath, cwhole, cms_merge_registers, 0)
