@@ -1411,16 +1411,19 @@ def test_qsk_register_index_foreachbatch_merge(spark, tmp_path):
     df.filter("id % 3 = 0").coalesce(1).write.parquet(d + "/f1")
     df.filter("id % 3 = 1").coalesce(1).write.parquet(d + "/f2")
     df.filter("id % 3 = 2").coalesce(1).write.parquet(d + "/f3")
+    from dataframeintervals_jl_spark.sources.sinks import (
+        update_register_index,
+    )
+
     idx = str(tmp_path / "qsk_idx")
 
     def update_index(batch, batch_id):
-        regs = qsk_registers(batch, "v", "rid", k=48, by="g")
-        try:
-            prev = batch.sparkSession.read.parquet(idx + f"/v{batch_id - 1}")
-            regs = qsk_merge_registers(prev, regs, k=48, by="g")
-        except Exception:
-            pass  # first batch: no prior version
-        regs.write.mode("overwrite").parquet(idx + f"/v{batch_id}")
+        update_register_index(
+            batch.sparkSession,
+            idx,
+            qsk_registers(batch, "v", "rid", k=48, by="g"),
+            lambda a, b: qsk_merge_registers(a, b, k=48, by="g"),
+        )
 
     stream = (
         spark.readStream.schema(df.schema)
@@ -1434,10 +1437,11 @@ def test_qsk_register_index_foreachbatch_merge(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    import glob as _glob
+    from dataframeintervals_jl_spark.sources.sinks import (
+        read_register_index,
+    )
 
-    last = sorted(_glob.glob(idx + "/v*"))[-1]
-    final = spark.read.parquet(last)
+    final = read_register_index(spark, idx)
     whole = qsk_registers(df, "v", "rid", k=48, by="g")
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, whole.collect())
