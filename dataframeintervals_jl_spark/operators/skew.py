@@ -66,3 +66,50 @@ def salted_join(
     )
     out = l.join(r, keys + ["__salt"], how).drop("__salt")
     return out
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: Key,
+    probs_ppm: Sequence[int] = (500_000, 900_000, 990_000),
+    k: int = 1024,
+) -> DataFrame:
+    """Per-key-count distribution report - the diagnostic that decides
+    WHETHER :func:`salted_join` (or AQE's skew split) is needed and how
+    to size ``n_salt``: one row per requested quantile with the count
+    distribution's summary alongside.
+
+    Output columns: ``prob_ppm``, ``cnt_quantile`` (QSK sketch quantile
+    of per-key row counts, deterministic), ``n_sample``, plus repeated
+    summary columns ``n_keys``, ``max_cnt``, ``total_rows``,
+    ``mean_cnt`` (floor) - all exact bigints.  A hot key shows up as
+    ``max_cnt`` (or the p99) standing far above ``mean_cnt``;
+    ``n_salt ~ max_cnt / p50`` is the salting rule of thumb.
+
+    Scale shape (100 TB): ONE groupBy produces the per-key counts (the
+    same shuffle the join under diagnosis would pay, minus the probe
+    side); the quantile sketch and the 1-row summary both reduce that
+    counts table with bounded state (WindowGroupLimit k rows / one
+    partial-agg row per task).  No driver-side collection."""
+    from .sampling import qsk_quantiles, qsk_registers
+
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+    # the key itself is the per-row identity for the count-row sample
+    kc = counts.withColumn("__k", F.concat_ws("|", *keys))
+    quants = qsk_quantiles(
+        qsk_registers(kc, "__cnt", "__k", k=k),
+        probs_ppm,
+        out_col="cnt_quantile",
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__cnt").alias("max_cnt"),
+        F.sum("__cnt").alias("total_rows"),
+    ).select(
+        "n_keys",
+        "max_cnt",
+        "total_rows",
+        F.expr("total_rows DIV n_keys").alias("mean_cnt"),
+    )
+    return quants.crossJoin(F.broadcast(summary))

@@ -65,3 +65,31 @@ def test_salted_join_rejects_bad_args(spark, skewed):
         salted_join(left, right, "k", n_salt=1)
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_key_skew_report_exact_small(spark):
+    """Known zipf-ish key distribution: summary columns exact; sketch
+    quantiles equal exact type-1 quantiles when k covers all keys."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.skew import key_skew_report
+
+    # key i in 0..29 appears (i+1) times; key 99 is hot with 400 rows
+    df = spark.range(30).select(
+        F.explode(F.expr("array_repeat(id, int(id + 1))")).alias("k")
+    ).unionByName(
+        spark.range(400).select(F.lit(99).alias("k"))
+    )
+    rows = key_skew_report(
+        df, "k", probs_ppm=[0, 500_000, 1_000_000], k=1024
+    ).collect()
+    got = {r["prob_ppm"]: r for r in rows}
+    n_keys, total = 31, sum(range(1, 31)) + 400
+    cnts = sorted(list(range(1, 31)) + [400])
+    for ppm in (0, 500_000, 1_000_000):
+        r = got[ppm]
+        assert (r["n_keys"], r["max_cnt"], r["total_rows"]) == (
+            n_keys, 400, total)
+        assert r["mean_cnt"] == total // n_keys
+        assert r["cnt_quantile"] == cnts[ppm * (n_keys - 1) // 1_000_000]
+        assert r["n_sample"] == n_keys
