@@ -115,6 +115,27 @@ def main() -> None:
         overlap_profile(es.select("span")),
     )
 
+    from dataframeintervals_jl_spark.operators.profile import profile_table
+    from dataframeintervals_jl_spark.operators.sampling import qsk_registers
+
+    docs_full = read_table(spark, sf, "documents")
+    add(
+        "qsk_registers — quantile-sketch bottom-k with WindowGroupLimit",
+        "The only data-sized stage: WindowGroupLimit prunes each task to k "
+        "rows per group BEFORE the exchange, so shuffle volume is "
+        "O(tasks·groups·k) regardless of input size — the contract every "
+        "sketch in the family (KMV / QSK / overlap matrix) relies on.",
+        qsk_registers(docs_full, "n_chars", "doc_id", k=64, by="lang"),
+    )
+    add(
+        "profile_table — one composite aggregate + one shared sketch pass",
+        "Pass 1 partial-aggregates every column's null/min/max/sum "
+        "expressions map-side into a single row (no data shuffle); pass 2 is "
+        "the KMV explode whose bottom-k is WindowGroupLimit-pruned per "
+        "column. The glue join is |columns| x |columns| rows.",
+        profile_table(docs_full, k=64),
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical plans of the headline operators\n\n")
