@@ -810,12 +810,27 @@ def qsk_registers(
     h = df.filter(F.col(value_col).isNotNull()).select(
         *keys, pri.alias("__pri"), F.col(value_col).alias("__val")
     )
-    w = Window.partitionBy(*keys).orderBy("__pri", "__val")
-    return (
-        h.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _bottom_k(h, keys, k)
+
+
+def _bottom_k(h: DataFrame, keys: list, k: int) -> DataFrame:
+    """Bottom-k rows by (__pri, __val) per group — as a rank window
+    when grouped (WindowGroupLimit prunes each task to k rows per
+    group pre-shuffle) and as ``orderBy().limit(k)`` when KEYLESS:
+    Spark plans that as TakeOrderedAndProject (distributed partial
+    top-k, map-side heaps), where an empty-partition rank window would
+    funnel every row through ONE partition (the same single-window
+    trap the round-5 vocabulary rankings hit).  Rows beyond the cut
+    that tie on the full (__pri, __val) tuple are interchangeable, so
+    either physical form yields the same register multiset."""
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__pri", "__val")
+        return (
+            h.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return h.orderBy("__pri", "__val").limit(k)
 
 
 def qsk_merge_registers(
@@ -832,12 +847,7 @@ def qsk_merge_registers(
     out = regs[0]
     for r in regs[1:]:
         out = out.unionByName(r)
-    w = Window.partitionBy(*keys).orderBy("__pri", "__val")
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _bottom_k(out, keys, k)
 
 
 def qsk_quantiles(

@@ -545,3 +545,20 @@ def test_cms_join_size_partial_aggregation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
     assert_no_python_row_udf(out)
+
+
+def test_key_skew_report_bounded_state(spark):
+    """The skew diagnostic must not undo what it diagnoses: per-key
+    counts partial-aggregate map-side, the quantile pass carries
+    WindowGroupLimit pruning, and nothing is row-at-a-time Python."""
+    from dataframeintervals_jl_spark.operators.skew import key_skew_report
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = key_skew_report(ev, "user_id", k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # KEYLESS bottom-k plans as TakeOrderedAndProject (distributed
+    # partial top-k) — never an empty-partition rank window
+    assert "TakeOrderedAndProject" in plan, "distributed top-k missing"
+    assert "WindowGroupLimit" not in plan and "Window " not in plan
+    assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
+    assert_no_python_row_udf(out)

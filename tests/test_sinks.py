@@ -462,3 +462,36 @@ def test_update_register_index_versions_merge_and_prune(spark, tmp_path):
         read_register_index(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="keep_versions"):
         update_register_index(spark, cpath, cwhole, cms_merge_registers, 0)
+
+
+def test_update_register_index_order_independent(spark, tmp_path):
+    """Feeding the same slices in a different order converges to the
+    same final index (merge associativity/commutativity is the whole
+    point of the register contract)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        qsk_merge_registers,
+        qsk_registers,
+    )
+    from dataframeintervals_jl_spark.sources.sinks import (
+        read_register_index,
+        update_register_index,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("rid"), (F.col("id") * 31 % 257).alias("v")
+    )
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    merge = lambda a, b: qsk_merge_registers(a, b, k=24)  # noqa: E731
+    finals = []
+    for order in ((0, 1, 2), (2, 0, 1)):
+        path = str(tmp_path / f"idx_{order[0]}{order[1]}{order[2]}")
+        for i in order:
+            update_register_index(
+                spark, path, qsk_registers(slices[i], "v", "rid", k=24), merge
+            )
+        finals.append(
+            sorted(map(tuple, read_register_index(spark, path).collect()))
+        )
+    assert finals[0] == finals[1]
