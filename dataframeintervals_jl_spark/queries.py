@@ -3502,11 +3502,18 @@ def q_profile_documents(spark, sf_dir):
     from ONE composite aggregate, plus the deterministic KMV distinct
     estimate (k=64, exact below 64 distinct) from one shared sketch
     pass — the ANALYZE-TABLE shape whose shuffle volume is independent
-    of row count."""
+    of row count.
+
+    ``sum_v`` is DECIMAL(38,0) inside :func:`profile_table` (bigint
+    overflows on wide-domain columns); the QUERY output casts it to
+    string because decimal canonicalization differs between Spark and
+    DuckDB's Arrow path (``124750`` vs ``124750.0``) in cross-engine
+    hashers — the value itself is exact either way."""
     from .operators.profile import profile_table
 
     docs = read_table(spark, sf_dir, "documents")
-    return profile_table(docs, k=64)
+    prof = profile_table(docs, k=64)
+    return prof.withColumn("sum_v", F.col("sum_v").cast("string"))
 
 
 def _sql_profile_documents(k: int = 64) -> str:
@@ -3533,11 +3540,12 @@ def _sql_profile_documents(k: int = 64) -> str:
   FROM r WHERE rn <= {k} GROUP BY col_name
 ), mm AS (
   SELECT 'doc_id' AS col_name, min(doc_id)::BIGINT AS min_v,
-         max(doc_id)::BIGINT AS max_v, sum(doc_id)::DECIMAL(38,0) AS sum_v
+         max(doc_id)::BIGINT AS max_v,
+         sum(doc_id)::DECIMAL(38,0)::VARCHAR AS sum_v
   FROM documents
   UNION ALL
   SELECT 'n_chars', min(n_chars)::BIGINT, max(n_chars)::BIGINT,
-         sum(n_chars)::DECIMAL(38,0)
+         sum(n_chars)::DECIMAL(38,0)::VARCHAR
   FROM documents
 ), ll AS (
   SELECT 'text' AS col_name, min(length(text))::BIGINT AS len_min,
@@ -6140,11 +6148,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
 #      committed CORRECTNESS_r*.json comes next -- brand-new queries land
 #      here by construction, so the gate always verifies new and
 #      never-verified entries first;
-#   3. the already-driver-verified remainder keeps catalog order.
-# No BENCH-file glob, no round counter: with zero CORRECTNESS files on disk
-# the order degrades to pinned-core + catalog order (fails safe, and the
-# next round's file restores coverage-awareness).  ``_gate_order`` is pure
-# and unit-tested in tests/test_plans.py.
+#   3. the already-driver-verified remainder ROTATES (round 7+): the list
+#      is rotated by (committed-CORRECTNESS-file-count x free window slots)
+#      so each round the driver re-verifies the NEXT slice of the deep
+#      catalog instead of re-gating the same first-38 verified entries
+#      forever -- a regression anywhere in the verified tail surfaces
+#      within ceil(len(verified)/free_slots) rounds.
+# No BENCH-file glob: the only round counter is the number of committed
+# CORRECTNESS_r*.json files, which the driver itself writes.  With zero
+# files on disk the order degrades to pinned-core + catalog order (fails
+# safe, and the next round's file restores coverage-awareness).
+# ``_gate_order`` is pure and unit-tested in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
 #: driver gate width: the correctness driver verifies the first 50
@@ -6168,6 +6182,17 @@ _GATE_PINNED = [
     "q_interval_join_date",
     "q_dfspan",
 ]
+
+
+def _correctness_round_count(root: str) -> int:
+    """Number of committed CORRECTNESS_r*.json files — the repo-owned
+    round counter that drives the verified-remainder rotation.  The
+    driver writes exactly one per round, so this advances by one each
+    round without any BENCH-glob or wall-clock dependence."""
+    import glob as _glob
+    import os as _os
+
+    return len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
 
 
 def _driver_verified_names(root: str) -> set:
@@ -6201,15 +6226,22 @@ def _driver_verified_names(root: str) -> set:
 
 
 def _gate_order(
-    queries: dict, pinned: list, verified: set, window: int = _GATE_WINDOW
+    queries: dict,
+    pinned: list,
+    verified: set,
+    window: int = _GATE_WINDOW,
+    rounds: int = 0,
 ) -> dict:
     """Pure reordering: pinned core, then never-driver-verified entries in
-    catalog order, then the verified remainder in catalog order.  Never
-    drops or alters entries; names in ``pinned`` missing from the catalog
-    are skipped.  When pinned + never-verified would overflow the driver's
-    ``window``, pinned names are dropped from the TAIL until every
-    never-verified entry fits (never-verified coverage outranks the
-    tripwires: a pinned entry has already had green driver rows)."""
+    catalog order, then the verified remainder ROTATED by ``rounds`` times
+    the number of free window slots — so every round the driver re-gates a
+    fresh slice of the verified deep catalog and cycles through all of it
+    in ceil(len(verified)/free) rounds.  Never drops or alters entries;
+    names in ``pinned`` missing from the catalog are skipped.  When pinned
+    + never-verified would overflow the driver's ``window``, pinned names
+    are dropped from the TAIL until every never-verified entry fits
+    (never-verified coverage outranks the tripwires: a pinned entry has
+    already had green driver rows)."""
     pin = [n for n in pinned if n in queries]
     n_never = sum(
         1 for n in queries if n not in set(pin) and n not in verified
@@ -6219,10 +6251,19 @@ def _gate_order(
     head_set = set(pin)
     never = [n for n in queries if n not in head_set and n not in verified]
     rest = [n for n in queries if n not in head_set and n in verified]
+    free = max(0, window - len(pin) - len(never))
+    if rest and free and rounds:
+        off = (rounds * free) % len(rest)
+        rest = rest[off:] + rest[:off]
     return {n: queries[n] for n in pin + never + rest}
 
 
 _REPO_ROOT = __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))
 )
-QUERIES = _gate_order(QUERIES, _GATE_PINNED, _driver_verified_names(_REPO_ROOT))
+QUERIES = _gate_order(
+    QUERIES,
+    _GATE_PINNED,
+    _driver_verified_names(_REPO_ROOT),
+    rounds=_correctness_round_count(_REPO_ROOT),
+)

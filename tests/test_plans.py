@@ -391,6 +391,47 @@ def test_gate_order_puts_never_verified_first():
     }
 
 
+def test_gate_order_rotates_verified_remainder():
+    """Round 7+: the verified remainder rotates by rounds x free-slots so
+    the driver re-gates a fresh verified slice each round instead of the
+    same fixed prefix forever.  Pins and never-verified stay in front;
+    rotation never drops or duplicates entries."""
+    from dataframeintervals_jl_spark.queries import _gate_order
+
+    catalog = {f"q{i}": i for i in range(20)}
+    pinned = ["q0", "q1"]
+    verified = {f"q{i}" for i in range(2, 20)}  # q0/q1 pinned, rest verified
+    window = 8  # free slots = 8 - 2 pins - 0 never = 6
+    r0 = list(_gate_order(catalog, pinned, verified, window, rounds=0))
+    r1 = list(_gate_order(catalog, pinned, verified, window, rounds=1))
+    r2 = list(_gate_order(catalog, pinned, verified, window, rounds=2))
+    assert r0[:2] == r1[:2] == r2[:2] == ["q0", "q1"]
+    # rounds=0 keeps catalog order; rounds=1 rotates by 6; rounds=2 by 12
+    assert r0[2:8] == ["q2", "q3", "q4", "q5", "q6", "q7"]
+    assert r1[2:8] == ["q8", "q9", "q10", "q11", "q12", "q13"]
+    assert r2[2:8] == ["q14", "q15", "q16", "q17", "q18", "q19"]
+    # full cycle: 3 consecutive windows cover the entire verified set
+    assert set(r0[2:8]) | set(r1[2:8]) | set(r2[2:8]) == verified
+    # a rotation is a permutation — nothing dropped or duplicated
+    for r in (r0, r1, r2):
+        assert sorted(r) == sorted(catalog)
+    # never-verified entries always outrank the rotated remainder
+    part = dict(catalog)
+    out = list(
+        _gate_order(part, pinned, verified - {"q9"}, window, rounds=3)
+    )
+    assert out[2] == "q9"
+
+
+def test_correctness_round_count(tmp_path):
+    from dataframeintervals_jl_spark.queries import _correctness_round_count
+
+    assert _correctness_round_count(str(tmp_path)) == 0
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r02.json").write_text("not json")
+    assert _correctness_round_count(str(tmp_path)) == 2
+
+
 def test_gate_order_fails_safe_without_correctness_files(tmp_path):
     """No CORRECTNESS files (driver renamed/pruned them) -> empty verified
     set -> order degrades to pinned + catalog order, never an exception."""
