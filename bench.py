@@ -127,6 +127,17 @@ def main() -> None:
             # buckets, ...); drop them between runs so storage-memory
             # pressure from query N doesn't tax query N+1's timing
             spark.catalog.clearCache()
+            # the ANN family also registers its persisted intermediates;
+            # drain the registry so Python-side DataFrame refs (lineage)
+            # don't accumulate across the suite
+            try:
+                from dataframeintervals_jl_spark.operators.similarity import (
+                    release_ann_caches,
+                )
+
+                release_ann_caches()
+            except Exception:
+                pass
             # localCheckpoint blocks (pagerank / triangle counts /
             # frequency_rank materialization) are NOT freed by
             # clearCache — only by the ContextCleaner after JVM GC.

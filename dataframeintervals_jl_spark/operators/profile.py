@@ -21,15 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     ShortType,
     StringType,
+    TimestampNTZType,
+    TimestampType,
 )
 
+from ..functions.spans import endpoint_to_ordinal
 from .sampling import kmv_distinct
 
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_ORDINAL = {
+    DateType: "date",
+    TimestampType: "timestamp",
+    TimestampNTZType: "timestamp_ntz",
+}
+_FLOATY = (FloatType, DoubleType)
 
 
 def profile_table(
@@ -49,13 +61,21 @@ def profile_table(
       (faithful for integral columns; profiling semantics for the
       rest), exact below ``k`` distinct.  All columns share one
       explode + sketch job.
-    - ``min_v`` / ``max_v``: exact bigints for integral columns (part
-      of the same composite aggregate), null for non-integral columns
-      and columns with no non-null values.
+    - ``min_v`` / ``max_v``: exact bigints for integral columns AND
+      (round 7) for date/timestamp/timestamp_ntz columns via the span
+      family's ordinal adapters — days-since-epoch for dates, epoch-µs
+      for timestamps (:func:`~..functions.spans.endpoint_to_ordinal`,
+      the same exact mapping every interval operator uses).  Null for
+      other types and columns with no non-null values.
     - ``sum_v``: exact decimal(38,0) — a BIGINT accumulator overflows
-      immediately on wide-domain columns (an epoch-ns column at
-      ~1.7e18 overflows int64 by the sixth row), so the sum runs in
-      Spark's 38-digit decimal domain end-to-end.
+      immediately on wide-domain columns (an epoch-µs column at
+      ~1.7e15 overflows int64 within ten thousand rows), so the sum
+      runs in Spark's 38-digit decimal domain end-to-end (ordinal
+      domain for date/timestamp columns).
+    - ``min_d`` / ``max_d``: exact doubles for float/double columns —
+      a min/max picks an actual stored element (no accumulation, so
+      it is bit-reproducible cross-engine, unlike a float SUM, which
+      is order-dependent and deliberately not offered).
     - ``len_min`` / ``len_max`` / ``len_sum``: exact character-length
       stats for string columns (same composite aggregate; a length sum
       is bounded by total corpus characters, bigint-safe), null
@@ -78,17 +98,38 @@ def profile_table(
     stringy = {
         f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
     }
+    ordinal = {
+        f.name: _ORDINAL[type(f.dataType)]
+        for f in df.schema.fields
+        if type(f.dataType) in _ORDINAL
+    }
+    floaty = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, _FLOATY)
+    }
+
+    def _ord_or_raw(c):
+        if c in ordinal:
+            return endpoint_to_ordinal(F.col(c), ordinal[c])
+        return F.col(c)
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{i}"))
-        if c in integral:
-            aggs.append(F.min(c).cast("long").alias(f"__mn_{i}"))
-            aggs.append(F.max(c).cast("long").alias(f"__mx_{i}"))
+        if c in integral or c in ordinal:
+            v = _ord_or_raw(c)
+            aggs.append(F.min(v).cast("long").alias(f"__mn_{i}"))
+            aggs.append(F.max(v).cast("long").alias(f"__mx_{i}"))
             aggs.append(
-                F.sum(F.col(c).cast("decimal(38,0)"))
+                F.sum(v.cast("decimal(38,0)"))
                 .cast("decimal(38,0)")
                 .alias(f"__sm_{i}")
+            )
+        elif c in floaty:
+            aggs.append(
+                F.min(F.col(c)).cast("double").alias(f"__dmn_{i}")
+            )
+            aggs.append(
+                F.max(F.col(c)).cast("double").alias(f"__dmx_{i}")
             )
         elif c in stringy:
             ln = F.length(F.col(c))
@@ -99,6 +140,8 @@ def profile_table(
 
     null_long = F.lit(None).cast("long")
     null_dec = F.lit(None).cast("decimal(38,0)")
+    null_dbl = F.lit(None).cast("double")
+    exact = integral | set(ordinal)
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
@@ -107,9 +150,11 @@ def profile_table(
             F.coalesce(F.col(f"__nn_{i}"), F.lit(0).cast("long")).alias(
                 "n_nulls"
             ),
-            (F.col(f"__mn_{i}") if c in integral else null_long).alias("min_v"),
-            (F.col(f"__mx_{i}") if c in integral else null_long).alias("max_v"),
-            (F.col(f"__sm_{i}") if c in integral else null_dec).alias("sum_v"),
+            (F.col(f"__mn_{i}") if c in exact else null_long).alias("min_v"),
+            (F.col(f"__mx_{i}") if c in exact else null_long).alias("max_v"),
+            (F.col(f"__sm_{i}") if c in exact else null_dec).alias("sum_v"),
+            (F.col(f"__dmn_{i}") if c in floaty else null_dbl).alias("min_d"),
+            (F.col(f"__dmx_{i}") if c in floaty else null_dbl).alias("max_d"),
             (F.col(f"__lmn_{i}") if c in stringy else null_long).alias("len_min"),
             (F.col(f"__lmx_{i}") if c in stringy else null_long).alias("len_max"),
             (F.col(f"__lsm_{i}") if c in stringy else null_long).alias("len_sum"),
@@ -120,8 +165,24 @@ def profile_table(
         F.col("__n").alias("n_rows"), F.explode(F.array(*entries)).alias("e")
     ).select(
         "e.col_name", "n_rows", "e.n_nulls", "e.min_v", "e.max_v", "e.sum_v",
-        "e.len_min", "e.len_max", "e.len_sum",
+        "e.min_d", "e.max_d", "e.len_min", "e.len_max", "e.len_sum",
     )
+
+    def _kmv_repr(c):
+        # canonical string for the distinct-sketch hash: engines do NOT
+        # agree on timestamp/double formatting, so hash the exact
+        # integer ordinal for date/timestamp columns and a floor-
+        # quantized micro-unit bigint for float/double columns
+        # (documented profiling semantics: distinct-after-1e-6-
+        # quantization; floor is deterministic on identical doubles
+        # where round half-cases are not)
+        if c in ordinal:
+            return endpoint_to_ordinal(F.col(c), ordinal[c]).cast("string")
+        if c in floaty:
+            return F.floor(F.col(c).cast("double") * 1_000_000).cast(
+                "long"
+            ).cast("string")
+        return F.col(c).cast("string")
 
     pairs = (
         df.select(
@@ -130,7 +191,7 @@ def profile_table(
                     *[
                         F.struct(
                             F.lit(c).alias("col_name"),
-                            F.col(c).cast("string").alias("__v"),
+                            _kmv_repr(c).alias("__v"),
                         )
                         for c in cols
                     ]
@@ -153,6 +214,8 @@ def profile_table(
         "min_v",
         "max_v",
         "sum_v",
+        "min_d",
+        "max_d",
         "len_min",
         "len_max",
         "len_sum",

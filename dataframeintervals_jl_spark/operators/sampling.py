@@ -672,10 +672,29 @@ def cms_registers(
     before the shuffle — shuffle volume is O(groups·depth·width)
     regardless of input size.  The projection + sum is a plain
     streaming update-mode aggregation, so the SAME call is the
-    streaming twin (tested)."""
+    streaming twin (tested).
+
+    ``weight_col`` MUST be non-negative and non-null: Count-Min's
+    overestimate-only guarantee (which :func:`cms_estimate` and
+    :func:`cms_join_size` rely on — min over hash rows assumes counts
+    only ever add) breaks under negative updates.  Enforced row-wise
+    with ``assert_true`` (a task-failing check, costs one codegen'd
+    comparison)."""
     prm = cms_params(width, depth)
     keys = [by] if isinstance(by, str) else list(by or [])
-    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    if weight_col:
+        wc = F.col(weight_col)
+        w = F.when(
+            F.assert_true(
+                wc.isNotNull() & (wc >= 0),
+                f"cms_registers: weight_col {weight_col!r} must be "
+                "non-negative and non-null (Count-Min is overestimate-"
+                "only; negative updates break cms_estimate/cms_join_size)",
+            ).isNull(),
+            wc.cast("long"),
+        )
+    else:
+        w = F.lit(1).cast("long")
     return (
         df.select(
             *keys,

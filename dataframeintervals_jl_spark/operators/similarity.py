@@ -37,6 +37,39 @@ from ..sources import ensure_parallelism
 
 QUANT = 1_000_000
 
+#: Intermediates the ANN operators persisted and have not yet released
+#: — lsh bucket tables, IVF cell assignments, PQ code tables, query
+#: LUTs.  These persists are load-bearing (an Arrow UDF pass must not
+#: re-run inside a join stage / a multi-read boundary), but the
+#: RESULTS are lazy so the operator cannot know when its caller has
+#: materialized them; callers release with :func:`release_ann_caches`
+#: (bench.py does, between queries) or ``spark.catalog.clearCache()``.
+_ANN_CACHES: list = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for :func:`release_ann_caches`."""
+    df = df.persist()
+    _ANN_CACHES.append(df)
+    return df
+
+
+def release_ann_caches() -> int:
+    """Unpersist every intermediate the ANN operators cached since the
+    last release; returns how many were released.  Safe to call any
+    time — a result already materialized is unaffected, a result NOT
+    yet materialized simply recomputes its (bounded) Arrow pass."""
+    n = 0
+    while _ANN_CACHES:
+        df = _ANN_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 #: Broadcast-safety ceiling for the EXACT baselines (`cosine_topk` /
 #: `sq8_topk`): both cross-join the corpus against a broadcast query
 #: side, so cost is O(corpus x queries) and the query table must fit in
@@ -343,8 +376,8 @@ def embedding_neardup_pairs(
         grouped = (
             flat.groupBy("tbl", "bucket")
             .agg(F.collect_list("item").alias("items"))
-            .persist()
         )
+        grouped = _track_cache(grouped)
         # observed buckets -> neighbor bucket pairs within probe_radius
         # (driver-side: bounded by the bucket space, NOT the corpus)
         seen = {
@@ -612,7 +645,7 @@ def ivf_topk(
     # UDF pass (ArrowEvalPython) otherwise re-runs inside the join stage
     # per probed cell.  At scale this is the persisted IVF *index*
     # (corpus partitioned/bucketed by cell on disk).
-    c = c.persist()
+    c = _track_cache(c)
     c.count()
     q = (
         queries.select(
@@ -973,7 +1006,7 @@ def ivf_topk_indexed(
         .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
         .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
     )
-    q = q.persist()
+    q = _track_cache(q)
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
 
     c = spark.read.parquet(f"{path}/corpus").filter(
@@ -1121,7 +1154,7 @@ def ivf_pq_topk_indexed(
         ),
         "q_id",
     )
-    q = q.persist()
+    q = _track_cache(q)
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
 
     c = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
@@ -1156,7 +1189,7 @@ def _cell_assignments(
         .withColumn("cell", nearest_cell(F.col("__v")))
         .withColumn("__n", _dot(F.col("__v"), F.col("__v")))
     )
-    c = c.persist()
+    c = _track_cache(c)
     c.count()
     return c
 
@@ -1706,7 +1739,7 @@ def ivf_pq_topk(
     # boundary: materialize the codes+cells once (this IS the persisted
     # IVF-PQ index; on disk it would be the codes table partitioned by
     # cell — see write_ivf_index for the layout)
-    c = c.persist()
+    c = _track_cache(c)
     c.count()
     q = _pq_query_luts(queries, cb, id_col, vec_col).join(
         queries.select(

@@ -159,6 +159,44 @@ SELECT {_JOIN_COLS_SQL}
 FROM es LEFT JOIN (SELECT * FROM w WHERE quarter <= 3) w ON {_OVERLAP_SQL}"""
 
 
+def q_interval_join_prebinned_keepleft(spark, sf_dir):
+    """OUTER recovery on the PREBINNED path (interval_join.py:630):
+    both sides are written with write_binned_spans (pre-exploded,
+    hash-bucketed, storage-resident row ids), read back, and joined
+    keepleft — the matched branch is the exchange-free co-located
+    equi-join, the padding branch anti-joins the disk-resident first-
+    bin ids.  Shares q_interval_join_keepleft's exact fixture and
+    oracle (same windows, same quarter<=3 right filter), so prebinned-
+    outer must reproduce the on-the-fly outer join bit-for-bit."""
+    import os
+
+    from .operators.interval_join import interval_join_prebinned
+    from .sources.sinks import read_bucketed, write_binned_spans
+
+    es, w = _es_windows(spark, sf_dir, 4, "quarter")
+    lo, hi = dfspan(es)
+    width = max((hi - lo) // 256, 1)
+    pid = os.getpid()
+    tl, tr = f"dfi_prebin_l_{pid}", f"dfi_prebin_r_{pid}"
+    write_binned_spans(
+        es, tl, width, 8, path=_fixture_scratch(sf_dir, "prebin_l")
+    )
+    write_binned_spans(
+        w.filter(F.col("quarter") <= 3),
+        tr,
+        width,
+        8,
+        path=_fixture_scratch(sf_dir, "prebin_r"),
+    )
+    j = interval_join_prebinned(
+        read_bucketed(spark, tl),
+        read_bucketed(spark, tr),
+        bin_width=width,
+        keepleft=True,
+    )
+    return _flat_join(j)
+
+
 def q_interval_join_keepright(spark, sf_dir):
     es, w = _es_windows(spark, sf_dir, 8, "idx")
     lo, hi = dfspan(es)
@@ -1556,6 +1594,20 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
 WHERE jaccard >= {threshold}"""
 
 
+def _fixture_scratch(sf_dir: str, name: str) -> str:
+    """Per-(sf_dir, process) scratch path for queries that write an
+    index/table fixture before reading it back.  Keyed on the sf_dir
+    (different scale factors must not clobber each other's fixtures)
+    AND the pid (concurrent suite runs on one host race a fixed path:
+    an overwrite mid-read in run A while run B rewrites is a wrong
+    answer, not just a crash)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/dfi_fixtures_{tag}_{_os.getpid()}/{name}"
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup against a PERSISTED band-bucket index — the
     production shape: history (doc_id % 5 != 0) is indexed once
@@ -1564,6 +1616,8 @@ def q_incremental_dedup(spark, sf_dir):
     re-pairing of history text.  The oracle recomputes both sides'
     bands directly, so the Spark path's index write+read round-trip is
     verified against a pure recomputation."""
+    import os
+
     from .operators.dedup import (
         incremental_minhash_dedup,
         write_minhash_index,
@@ -1572,16 +1626,17 @@ def q_incremental_dedup(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 5 != 0)
     inc = docs.filter(F.col("doc_id") % 5 == 0)
+    tbl = f"dfi_minhash_idx_q_{os.getpid()}"
     write_minhash_index(
         hist,
-        "dfi_minhash_idx_q",
+        tbl,
         n_buckets=16,
-        path="/tmp/dfi_minhash_idx_q",
+        path=_fixture_scratch(sf_dir, "minhash_idx_q"),
         num_hashes=32,
         bands=8,
         portable=True,
     )
-    idx = spark.table("dfi_minhash_idx_q")
+    idx = spark.table(tbl)
     out = incremental_minhash_dedup(
         inc, idx, num_hashes=32, bands=8, portable=True
     )
@@ -1594,22 +1649,25 @@ def q_stream_incremental_dedup(spark, sf_dir):
     stream-static join composition must produce the same kept set as
     the batch operator, so it shares the same pure-recomputation
     oracle."""
+    import os
+
     from .operators.dedup import write_minhash_index
     from .streaming import stream_incremental_dedup
 
     docs = read_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 5 != 0)
     inc = docs.filter(F.col("doc_id") % 5 == 0)
+    tbl = f"dfi_minhash_idx_qs_{os.getpid()}"
     write_minhash_index(
         hist,
-        "dfi_minhash_idx_qs",
+        tbl,
         n_buckets=16,
-        path="/tmp/dfi_minhash_idx_qs",
+        path=_fixture_scratch(sf_dir, "minhash_idx_qs"),
         num_hashes=32,
         bands=8,
         portable=True,
     )
-    idx = spark.table("dfi_minhash_idx_qs")
+    idx = spark.table(tbl)
     out = stream_incremental_dedup(
         inc, idx, num_hashes=32, bands=8, portable=True
     )
@@ -3565,10 +3623,247 @@ SELECT nn.col_name, nr.n_rows, nn.n_nulls,
        CAST(coalesce(CASE WHEN g.n_hashes < {k} THEN g.n_hashes
             ELSE ({k - 1} * {1 << 53}) // greatest(g.hk, 1) END, 0) AS BIGINT)
          AS n_distinct_est,
-       mm.min_v, mm.max_v, mm.sum_v, ll.len_min, ll.len_max, ll.len_sum
+       mm.min_v, mm.max_v, mm.sum_v,
+       NULL::DOUBLE AS min_d, NULL::DOUBLE AS max_d,
+       ll.len_min, ll.len_max, ll.len_sum
 FROM nn CROSS JOIN nr
 LEFT JOIN g USING (col_name) LEFT JOIN mm USING (col_name)
 LEFT JOIN ll USING (col_name)"""
+
+
+def q_profile_events(spark, sf_dir):
+    """Profile of the events table exercising the round-7 non-integral
+    orderable extensions: a TIMESTAMP_NTZ column (``ts_t``) profiles
+    min/max/sum in the exact epoch-µs ordinal domain and a DATE column
+    (``ts_d``) in days-since-epoch (the same adapters every interval
+    operator uses), while the DOUBLE column reports exact min_d/max_d
+    (a min/max picks a stored element — bit-reproducible where a float
+    sum is not) and its distinct sketch hashes the floor-quantized
+    micro-unit bigint so both engines hash identical strings.  The
+    typed time columns are derived from read_table's normalized
+    epoch-ns bigint (exact: the testdata's ns values are µs·1000), so
+    the fixture is robust to the driver flipping ts's physical parquet
+    type between rounds.  sum_v → string for the same cross-engine
+    decimal canonicalization reason as q_profile_documents."""
+    from .operators.profile import profile_table
+
+    ev = read_table(spark, sf_dir, "events")
+    evp = ev.select(
+        "event_id",
+        F.expr("timestamp_micros(ts DIV 1000)")
+        .cast("timestamp_ntz")
+        .alias("ts_t"),
+        F.expr("date_from_unix_date(CAST(ts DIV 86400000000000 AS INT))")
+        .alias("ts_d"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    prof = profile_table(evp, k=64)
+    return prof.withColumn("sum_v", F.col("sum_v").cast("string"))
+
+
+def _sql_profile_events(k: int = 64) -> str:
+    h = _PH60.format(x="v")
+    day_ns = 86_400_000_000_000
+    return f"""WITH ev AS (
+  SELECT event_id, user_id, event_type, value, props,
+         epoch_ns(ts) // 1000 AS us,
+         epoch_ns(ts) // {day_ns} AS day
+  FROM events
+), nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM ev
+), vals AS (
+  SELECT 'event_id' AS col_name, event_id::VARCHAR AS v FROM ev
+  UNION ALL SELECT 'ts_t', us::VARCHAR FROM ev
+  UNION ALL SELECT 'ts_d', day::VARCHAR FROM ev
+  UNION ALL SELECT 'user_id', user_id::VARCHAR FROM ev
+  UNION ALL SELECT 'event_type', event_type FROM ev
+  UNION ALL SELECT 'value',
+    CAST(floor(value * 1000000) AS BIGINT)::VARCHAR FROM ev
+  UNION ALL SELECT 'props', props FROM ev
+), nn AS (
+  SELECT col_name, CAST(count(*) - count(v) AS BIGINT) AS n_nulls
+  FROM vals GROUP BY col_name
+), hh AS (
+  SELECT DISTINCT col_name, {h} // 128 AS hv FROM vals WHERE v IS NOT NULL
+), r AS (
+  SELECT col_name, hv,
+         row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn
+  FROM hh
+), g AS (
+  SELECT col_name, max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_hashes
+  FROM r WHERE rn <= {k} GROUP BY col_name
+), mm AS (
+  SELECT 'event_id' AS col_name, min(event_id)::BIGINT AS min_v,
+         max(event_id)::BIGINT AS max_v,
+         sum(event_id)::DECIMAL(38,0)::VARCHAR AS sum_v
+  FROM ev
+  UNION ALL
+  SELECT 'user_id', min(user_id)::BIGINT, max(user_id)::BIGINT,
+         sum(user_id)::DECIMAL(38,0)::VARCHAR
+  FROM ev
+  UNION ALL
+  SELECT 'ts_t', min(us)::BIGINT, max(us)::BIGINT,
+         sum(us::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR
+  FROM ev
+  UNION ALL
+  SELECT 'ts_d', min(day)::BIGINT, max(day)::BIGINT,
+         sum(day::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR
+  FROM ev
+), dd AS (
+  SELECT 'value' AS col_name, min(value)::DOUBLE AS min_d,
+         max(value)::DOUBLE AS max_d
+  FROM ev
+), ll AS (
+  SELECT 'event_type' AS col_name,
+         min(length(event_type))::BIGINT AS len_min,
+         max(length(event_type))::BIGINT AS len_max,
+         sum(length(event_type))::BIGINT AS len_sum
+  FROM ev
+  UNION ALL
+  SELECT 'props', min(length(props))::BIGINT, max(length(props))::BIGINT,
+         sum(length(props))::BIGINT
+  FROM ev
+)
+SELECT nn.col_name, nr.n_rows, nn.n_nulls,
+       CAST(coalesce(CASE WHEN g.n_hashes < {k} THEN g.n_hashes
+            ELSE ({k - 1} * {1 << 53}) // greatest(g.hk, 1) END, 0) AS BIGINT)
+         AS n_distinct_est,
+       mm.min_v, mm.max_v, mm.sum_v, dd.min_d, dd.max_d,
+       ll.len_min, ll.len_max, ll.len_sum
+FROM nn CROSS JOIN nr
+LEFT JOIN g USING (col_name) LEFT JOIN mm USING (col_name)
+LEFT JOIN dd USING (col_name) LEFT JOIN ll USING (col_name)"""
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Storage-maintenance round-trip (sinks.py: compact_table): the
+    documents table is deliberately fragmented (64 tiny files — the
+    small-files debris incremental appends leave), compacted with a
+    doc_id range-sort restoration, and the COMPACTED output is read
+    back and aggregated per source — count, char sum, id range must
+    equal the original table exactly, so the rewrite is verified
+    lossless by the oracle.  The file-count reduction and footer range
+    restoration are asserted in pytest (tests/test_sinks.py); this
+    entry puts the data-fidelity half on the driver's cross-engine
+    gate."""
+    import shutil
+
+    from .sources.sinks import compact_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frag = _fixture_scratch(sf_dir, "compact_frag")
+    out = _fixture_scratch(sf_dir, "compact_out")
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_table(spark, frag, out, sort_cols=["doc_id"])
+    comp = spark.read.parquet(out)
+    return comp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SQL_COMPACT_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY source"""
+
+
+def q_register_index_update(spark, sf_dir):
+    """Versioned register-index round-trip (sinks.py:
+    update_register_index / read_register_index): the events table is
+    split into two disjoint batches, each batch's Count-Min registers
+    are merged into the on-disk index in turn (write v0, then
+    read-merge-write v1 with pruning), and the read-back index must
+    equal the WHOLE input's registers bit-for-bit — the mergeability
+    contract that makes the sketch families incrementally
+    maintainable.  The oracle recomputes the whole-input registers
+    directly, so the disk round-trip, version listing, and merge are
+    all on the verified path."""
+    import shutil
+
+    from .operators.sampling import cms_merge_registers, cms_registers
+    from .sources.sinks import read_register_index, update_register_index
+
+    ev = read_table(spark, sf_dir, "events")
+    path = _fixture_scratch(sf_dir, "cms_reg_idx")
+    shutil.rmtree(path, ignore_errors=True)  # fresh round-trip per run
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    update_register_index(
+        spark,
+        path,
+        cms_registers(a, "user_id", width=256, depth=4),
+        cms_merge_registers,
+    )
+    update_register_index(
+        spark,
+        path,
+        cms_registers(b, "user_id", width=256, depth=4),
+        cms_merge_registers,
+    )
+    idx = read_register_index(spark, path)
+    return idx.select("__row", "__bkt", "__cnt")
+
+
+def _sql_register_index_update(width: int = 256, depth: int = 4) -> str:
+    from .operators.sampling import cms_sql_registers
+
+    return cms_sql_registers(
+        "SELECT user_id::VARCHAR AS w FROM events", "w", width, depth
+    )
+
+
+def q_key_skew_report(spark, sf_dir):
+    """Planner-toolkit skew diagnostic: the per-key row-count
+    distribution of events.user_id — p50/p90/p99 QSK quantiles of the
+    counts next to the exact n_keys/max_cnt/total_rows/mean_cnt
+    summary — the number that decides WHETHER a salted join or AQE
+    skew split is needed and how to size n_salt (~max_cnt/p50).  One
+    groupBy produces the counts; the sketch and summary reduce them
+    with bounded state (operators/skew.py:71)."""
+    from .operators.skew import key_skew_report
+
+    ev = read_table(spark, sf_dir, "events")
+    return key_skew_report(
+        ev, "user_id", probs_ppm=(500_000, 900_000, 990_000), k=1024
+    )
+
+
+def _sql_key_skew_report(k: int = 1024) -> str:
+    h = _PH60.format(x="('qsk|' || k)")
+    return f"""WITH counts AS (
+  SELECT user_id::VARCHAR AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), pri AS (
+  SELECT {h} AS __pri, cnt AS __val FROM counts
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY __pri, __val) AS rn FROM pri
+), samp AS (
+  SELECT __val FROM ranked WHERE rn <= {k}
+), ord AS (
+  SELECT __val, row_number() OVER (ORDER BY __val) AS vi,
+         count(*) OVER () AS n
+  FROM samp
+), probs AS (SELECT unnest([500000, 900000, 990000]) AS prob_ppm),
+summ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, max(cnt) AS max_cnt,
+         CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(sum(cnt) // count(*) AS BIGINT) AS mean_cnt
+  FROM counts
+)
+SELECT CAST(p.prob_ppm AS INT) AS prob_ppm, o.__val AS cnt_quantile,
+       CAST(o.n AS BIGINT) AS n_sample,
+       s.n_keys, s.max_cnt, s.total_rows, s.mean_cnt
+FROM ord o JOIN probs p ON o.vi = (p.prob_ppm * (o.n - 1)) // 1000000 + 1
+CROSS JOIN summ s"""
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -5273,6 +5568,102 @@ FROM ({union})"""
     return "".join(parts)
 
 
+def q_apply_bpe_merges(spark, sf_dir):
+    """Tokenizer INFERENCE on-cluster (bpe.py: apply_bpe_merges): the
+    10 merges learned by q_bpe_merges' exact procedure are applied to
+    every 37th document — per doc, the full token count and the first
+    24 tokens.  The application is k literal codegen'd ``replace`` ops
+    in rank order over sentinel-packed words (no Python on the data
+    path); the oracle replays learning AND application unrolled, so
+    the greedy left-to-right merge semantics are cross-engine
+    verified."""
+    from .operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=10)
+    toks = apply_bpe_merges(F.col("text"), merges)
+    return (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.concat_ws("|", F.slice(toks, 1, 24)).alias("head_tokens"),
+        )
+    )
+
+
+def _sql_apply_bpe(n_merges: int = 10) -> str:
+    """Learning chain identical to :func:`_sql_bpe`, then the merges
+    applied to the selected documents: per word, sentinel-pack the
+    characters and run the same literal replaces in rank order (the
+    1-row m{r} CTEs cross-join in; DuckDB lambdas capture the merge
+    row's columns)."""
+    from .operators.bpe import _SYM_RE
+
+    sym_re = _SYM_RE.replace("'", "''")
+    parts = [
+        f"""WITH wt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT array_to_string(
+    list_transform(regexp_extract_all(w, '.'),
+                   c -> chr(30) || c || chr(31)), '') AS s, cnt
+  FROM wt
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(sy[:len(sy) - 1]) AS lhs, unnest(sy[2:]) AS rhs, cnt
+    FROM (SELECT regexp_extract_all(s, '{sym_re}', 1) AS sy, cnt
+          FROM w{r - 1}))
+  GROUP BY lhs, rhs
+), m{r} AS MATERIALIZED (
+  SELECT {r} AS merge_rank, lhs, rhs, c
+  FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT replace(w.s,
+                 chr(30) || m.lhs || chr(31) || chr(30) || m.rhs || chr(31),
+                 chr(30) || m.lhs || m.rhs || chr(31)) AS s,
+         w.cnt
+  FROM w{r - 1} w, m{r} m
+)"""
+        )
+    parts.append(
+        """, a0 AS (
+  SELECT doc_id, list_transform(
+    regexp_extract_all(lower(text), '[a-z]+'),
+    w -> array_to_string(
+      list_transform(regexp_extract_all(w, '.'),
+                     c -> chr(30) || c || chr(31)), '')) AS ps
+  FROM documents WHERE doc_id % 37 = 0
+)"""
+    )
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", a{r} AS (
+  SELECT a.doc_id, list_transform(a.ps, s -> replace(s,
+    chr(30) || m.lhs || chr(31) || chr(30) || m.rhs || chr(31),
+    chr(30) || m.lhs || m.rhs || chr(31))) AS ps
+  FROM a{r - 1} a, m{r} m
+)"""
+        )
+    parts.append(
+        f""", toks AS (
+  SELECT doc_id, flatten(list_transform(
+    ps, s -> regexp_extract_all(s, '{sym_re}', 1))) AS ts
+  FROM a{n_merges}
+)
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       array_to_string(ts[:24], '|') AS head_tokens
+FROM toks"""
+    )
+    return "".join(parts)
+
+
 def q_incremental_agg(spark, sf_dir):
     """Materialized-view maintenance: a per-lang (count, sum n_chars)
     aggregate updated from a snapshot diff — drops, edits, group moves
@@ -5965,6 +6356,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_inner": (q_interval_join_inner, _SQL_JOIN_INNER),
     "q_interval_join_binned": (q_interval_join_binned, _SQL_JOIN_INNER),
     "q_interval_join_keepleft": (q_interval_join_keepleft, _SQL_JOIN_KEEPLEFT),
+    "q_interval_join_prebinned_keepleft": (
+        q_interval_join_prebinned_keepleft,
+        _SQL_JOIN_KEEPLEFT,
+    ),
     "q_interval_join_keepright": (q_interval_join_keepright, _SQL_JOIN_KEEPRIGHT),
     "q_interval_join_full": (q_interval_join_full, _SQL_JOIN_FULL),
     "q_interval_join_closed": (q_interval_join_closed, _SQL_JOIN_CLOSED),
@@ -6094,6 +6489,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_cms_join_size": (q_cms_join_size, _sql_cms_join_size()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
+    "q_profile_events": (q_profile_events, _sql_profile_events()),
+    "q_key_skew_report": (q_key_skew_report, _sql_key_skew_report()),
+    "q_register_index_update": (
+        q_register_index_update,
+        _sql_register_index_update(),
+    ),
+    "q_compact_roundtrip": (q_compact_roundtrip, _SQL_COMPACT_ROUNDTRIP),
     "q_kmv_overlap_matrix": (
         q_kmv_overlap_matrix,
         _sql_kmv_overlap_matrix(),
@@ -6119,6 +6521,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
     "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
+    "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
     "q_kmv_overlap": (q_kmv_overlap, _SQL_KMV_OVERLAP),

@@ -25,6 +25,44 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    scheme-aware (file://, hdfs://, s3a://...), unlike a local glob,
+    so the versioning/compaction contracts hold on any cluster
+    filesystem instead of silently finding nothing off-box."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_versions(spark: SparkSession, path: str) -> list:
+    """Sorted ``[(n, uri_string), ...]`` of ``v{N}`` children under
+    ``path`` on whatever filesystem the path's scheme names."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append((int(name[1:]), st.getPath().toString()))
+    return sorted(out)
+
+
+def _count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Count direct children of ``path`` ending in ``suffix`` via the
+    Hadoop FileSystem API (scheme-aware)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(suffix)
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -200,12 +238,12 @@ def compact_table(
     Scale shape: one round-robin (unsorted) or range (sorted) exchange
     of the table — the same cost as the original write, amortized over
     every later scan's metadata/listing savings; file count comes from
-    the plan-size estimate like :func:`write_sized` (no extra job)."""
-    import glob as _glob
-    import os as _os
-
+    the plan-size estimate like :func:`write_sized` (no extra job).
+    File counting goes through the Hadoop FileSystem API, so the
+    before/after report is correct on hdfs://, s3a://, etc., not just
+    the local filesystem."""
     df = spark.read.parquet(path)
-    files_before = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    files_before = _count_files(spark, path)
     est = None
     try:
         est = int(
@@ -225,7 +263,7 @@ def compact_table(
     else:
         part = df.repartition(n)
     part.write.mode(mode).parquet(out_path)
-    files_after = len(_glob.glob(_os.path.join(out_path, "*.parquet")))
+    files_after = _count_files(spark, out_path)
     return {
         "files_before": files_before,
         "files_after": files_after,
@@ -370,54 +408,41 @@ def update_register_index(
     for daily batch appends alike.  The index is ≤ groups·k (or
     depth·width / 2^p) rows, so each merge is sketch-sized work
     regardless of history size.  Returns the new version's path.
-    Path listing uses the local filesystem (same contract as
-    :func:`compact_table`)."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-
+    Version listing and pruning go through the Hadoop FileSystem API
+    (scheme-aware), so the merge-with-history contract holds on
+    hdfs://, s3a://, etc. — a listing that silently found nothing
+    would otherwise discard the merge and collide on v0."""
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
-    versions = sorted(
-        (
-            p
-            for p in _glob.glob(_os.path.join(path, "v*"))
-            if _os.path.basename(p)[1:].isdigit()
-        ),
-        key=lambda p: int(_os.path.basename(p)[1:]),
-    )
+    versions = _list_versions(spark, path)
     if versions:
-        prev = spark.read.parquet(versions[-1])
+        prev = spark.read.parquet(versions[-1][1])
         out = merge(prev, batch_regs)
-        n = int(_os.path.basename(versions[-1])[1:]) + 1
+        n = versions[-1][0] + 1
     else:
         out = batch_regs
         n = 0
-    new_path = _os.path.join(path, f"v{n}")
+    new_path = path.rstrip("/") + f"/v{n}"
     # "error" mode: a concurrent writer racing to the same version is a
     # bug worth surfacing, not silently overwriting
     out.write.mode("error").parquet(new_path)
     survivors = keep_versions - 1  # plus the one just written
     stale = versions[: len(versions) - survivors] if survivors else versions
-    for old in stale:
-        _shutil.rmtree(old, ignore_errors=True)
+    fs, _ = _hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for _, old in stale:
+        try:
+            fs.delete(jvm_path(old), True)
+        except Exception:
+            pass  # pruning is best-effort; the new version is committed
     return new_path
 
 
 def read_register_index(spark: SparkSession, path: str) -> DataFrame:
     """Read the newest version of an :func:`update_register_index`
-    index; raises FileNotFoundError when no version exists yet."""
-    import glob as _glob
-    import os as _os
-
-    versions = sorted(
-        (
-            p
-            for p in _glob.glob(_os.path.join(path, "v*"))
-            if _os.path.basename(p)[1:].isdigit()
-        ),
-        key=lambda p: int(_os.path.basename(p)[1:]),
-    )
+    index (scheme-aware listing); raises FileNotFoundError when no
+    version exists yet."""
+    versions = _list_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no register index versions under {path}")
-    return spark.read.parquet(versions[-1])
+    return spark.read.parquet(versions[-1][1])
