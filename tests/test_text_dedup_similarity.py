@@ -387,6 +387,17 @@ def test_ann_recall_floors(spark):
     # measured 0.84 at sf0.001 and 0.80 at sf0.1
     # (2 tables x 8 planes, radius 3; was 0.36/0.20 single-table r2)
     assert recall(lsh, exact) >= 0.7
+
+    from dataframeintervals_jl_spark.queries import q_similarity_lsh_rerank
+
+    lshr = {
+        (r["q_id"], r["n_id"])
+        for r in q_similarity_lsh_rerank(spark, sf).collect()
+    }
+    # two-stage: narrow 4-table candidate generation + exact re-rank;
+    # must strictly dominate the 2-table carried-vector lsh_topk
+    assert recall(lshr, exact) >= 0.95
+    assert recall(lshr, exact) >= recall(lsh, exact)
     # measured 0.92 at sf0.001 and 0.80 at sf0.1 (probe 8/32 cells;
     # was 0.84/0.36 at probe 4/16 — finer cells, same scanned fraction)
     assert recall(ivf, exact) >= 0.7
