@@ -15,6 +15,8 @@ aggregate, explode, groupBy) — no Python on the hot path.
 
 from __future__ import annotations
 
+from typing import Union
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -225,6 +227,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     portable: bool = False,
+    max_bucket: Union[int, None] = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b, n_shared_bands).
 
@@ -235,7 +238,21 @@ def minhash_lsh_pairs(
 
     ``portable=True`` makes the whole candidate generation
     DuckDB-recomputable: md5-based base hash + two polynomial band
-    folds (≈62-bit combined key) instead of xxhash64."""
+    folds (≈62-bit combined key) instead of xxhash64.
+
+    ``max_bucket`` is the HOT-BUCKET guard for degenerate corpora: a
+    band bucket shared by w documents (empty texts, boilerplate, exact
+    template spam) emits w·(w-1)/2 pairs — quadratic INSIDE one bucket,
+    the one place AQE's skew split can only spread, not shrink, the
+    work.  With ``max_bucket`` set, buckets wider than it are DROPPED
+    from pair generation and a warning reports how many buckets/rows
+    were skipped (no silent caps).  Dropping is the honest mitigation:
+    every member of a degenerate bucket collides in all its other
+    bands too (near-identical docs agree on most bands), so real
+    duplicate clusters keep their edges through the surviving buckets,
+    while salting would still emit every within-bucket pair.  Default
+    ``None`` = exact reference semantics (required by the catalog
+    oracles, which replay every pair)."""
     assert num_hashes % bands == 0
     banded = minhash_banded(
         df, text_col, id_col, num_hashes, bands, shingle_k, portable
@@ -250,6 +267,36 @@ def minhash_lsh_pairs(
     # eager: both self-join sides otherwise race the cold cache and each
     # computes the signatures (bimodal 4x timings observed at sf0.1)
     banded.count()
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        # one partial agg over the (already persisted) banded table —
+        # O(buckets) output; the wide set is tiny by construction, so
+        # the exclusion is a broadcast anti-join (map-side, no shuffle
+        # of the banded table)
+        wide = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_bucket)
+        )
+        stats = wide.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__w").alias("rows")
+        ).first()
+        if stats["n"]:
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_pairs: dropping {stats['n']} band bucket(s) "
+                f"wider than max_bucket={max_bucket} "
+                f"({stats['rows']} banded rows) from pair generation — "
+                "pairs exclusively within those buckets are NOT emitted",
+                stacklevel=2,
+            )
+            banded = banded.join(
+                F.broadcast(wide.select("band", "bh")),
+                ["band", "bh"],
+                "left_anti",
+            )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

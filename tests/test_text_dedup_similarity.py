@@ -93,6 +93,47 @@ def test_minhash_finds_near_dups_not_distinct(spark):
     assert out[(0, 1)] > 0.9
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """Adversarial constant-text corpus: 60 identical boilerplate docs
+    share every band bucket (each bucket would emit 60·59/2 pairs — the
+    within-bucket quadratic blowup).  With max_bucket set below the
+    cluster size, those buckets are dropped WITH a warning (no silent
+    caps), the capped pair set is a subset of the uncapped one, and
+    pairs between the normal near-dup docs survive (their buckets are
+    narrow)."""
+    import warnings
+
+    spam = ["copy me " * 20] * 60
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " changed"
+    docs = _docs(spark, spam + [base, near])
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8).collect()
+    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, num_hashes=32, bands=8, max_bucket=30
+            ).collect()
+        }
+    msgs = [str(w.message) for w in caught if "max_bucket" in str(w.message)]
+    assert msgs, "hot-bucket drop must warn (no silent caps)"
+    assert capped <= uncapped
+    # the spam cluster's 60-wide buckets are gone: no within-spam pairs
+    assert not any(a < 60 and b < 60 for a, b in capped)
+    # narrow buckets survive: the genuine near-dup pair is still found
+    assert (60, 61) in capped
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, max_bucket=1).collect()
+
+
 def test_jaccard_identical_is_one(spark):
     docs = _docs(spark, ["a b c d e", "a b c d e"])
     cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
