@@ -311,6 +311,28 @@ def test_decontaminate_eval_side_broadcast(spark):
     assert_no_python_row_udf(out)
 
 
+def test_lsh_rerank_candidate_join_is_narrow_and_broadcast(spark):
+    """lsh_rerank_topk's scale contract: the probe side, the candidate
+    ids, and the query vectors all reach their joins as broadcasts (the
+    corpus is never shuffled), and the candidate bucket join carries
+    only (tbl, bucket, id) — the vector column must NOT appear in any
+    Exchange, that narrowness being what pays for the extra tables."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        lsh_rerank_topk,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_rerank_topk(emb, queries, dim=64, k=3, n_tables=2)
+    assert count_broadcast_exchanges(out) >= 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "cv#" not in line and " v#" not in line, (
+                "vector column shuffled in candidate generation:\n" + line
+            )
+
+
 def test_filtered_ann_pushes_label_predicate(spark):
     """Pre-filtered IVF: the label predicate must reach the parquet
     scan as a pushed filter — at 100 TB only matching row groups are
