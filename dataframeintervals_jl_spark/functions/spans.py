@@ -52,6 +52,7 @@ _ENDPOINT_TYPES = (
     T.FloatType,
     T.DoubleType,
     T.DecimalType,
+    T.StringType,
 )
 
 
@@ -60,9 +61,14 @@ def validate_span_type(dtype: T.DataType, where: str = "span") -> T.DataType:
     endpoint type.
 
     Accepts ``struct<start: E, stop: E>`` for any numeric endpoint
-    ``E`` (the comparison/greatest/least expressions are type-generic);
-    anything else raises with a clear message instead of failing deep in
-    ANSI execution."""
+    ``E`` (the comparison/greatest/least expressions are type-generic)
+    and — reference parity with ``Interval{T}`` over ANY ordered ``T``
+    (/root/reference/src/DataFrameIntervals.jl:31-46) — STRING
+    endpoints, which are ordered but not arithmetic: overlap,
+    intersection, and the broadcast join strategies apply, while the
+    binned rewrite (needs endpoint arithmetic) rejects them with a
+    typed error.  Anything else raises with a clear message instead of
+    failing deep in ANSI execution."""
     ok = (
         isinstance(dtype, T.StructType)
         and [f.name for f in dtype.fields] == ["start", "stop"]
@@ -72,10 +78,17 @@ def validate_span_type(dtype: T.DataType, where: str = "span") -> T.DataType:
     if not ok:
         raise ValueError(
             f"`{where}` must be a span struct<start: E, stop: E> with both "
-            f"endpoints of one numeric type (e.g. {SPAN_DDL} or "
-            f"{SPAN_DDL_DOUBLE}); got {dtype.simpleString()}"
+            f"endpoints of one numeric (e.g. {SPAN_DDL} or "
+            f"{SPAN_DDL_DOUBLE}) or string type; got {dtype.simpleString()}"
         )
     return dtype.fields[0].dataType
+
+
+def span_endpoints_orderable_only(dtype: T.DataType) -> bool:
+    """True when the span's endpoints are ordered but NOT arithmetic
+    (strings): comparisons, greatest/least, and broadcast joins work;
+    bin math, durations, and quantile boundaries do not."""
+    return isinstance(validate_span_type(dtype), T.StringType)
 
 
 def span_endpoints_integral(dtype: T.DataType) -> bool:
@@ -134,6 +147,18 @@ def make_span_double(start, stop) -> Column:
     return F.struct(
         _c(start).cast("double").alias("start"),
         _c(stop).cast("double").alias("stop"),
+    )
+
+
+def make_span_string(start, stop) -> Column:
+    """Build a STRING-endpoint span struct — the reference's arbitrary
+    ordered ``T`` (src:31-46) for dictionary-ordered domains (name
+    ranges, version prefixes, key ranges).  Ordering is Spark's binary
+    (codepoint) string comparison; see
+    :func:`span_endpoints_orderable_only` for what such spans support."""
+    return F.struct(
+        _c(start).cast("string").alias("start"),
+        _c(stop).cast("string").alias("stop"),
     )
 
 

@@ -279,15 +279,21 @@ class _SideStats:
 
     __slots__ = ("n", "nulls", "dur", "lo", "hi", "kdist")
 
-    def __init__(self, df: DataFrame, on_name: str, key_cols=None):
+    def __init__(self, df: DataFrame, on_name: str, key_cols=None, arithmetic=True):
+        # arithmetic=False: orderable-only endpoints (strings) — the
+        # duration/range aggregates would be ANSI type errors; only the
+        # count/null stats (strategy + validation) are computed
         c = F.col(on_name)
         aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(c.isNull().cast("long")).alias("nulls"),
-            F.avg(c.getField("stop") - c.getField("start")).alias("d"),
-            F.min(c.getField("start")).alias("lo"),
-            F.max(c.getField("stop")).alias("hi"),
         ]
+        if arithmetic:
+            aggs += [
+                F.avg(c.getField("stop") - c.getField("start")).alias("d"),
+                F.min(c.getField("start")).alias("lo"),
+                F.max(c.getField("stop")).alias("hi"),
+            ]
         if key_cols:
             # keyed joins: distinct-key estimate rides the SAME single
             # agg action (HLL sketch, map-side partial) — it feeds the
@@ -300,9 +306,13 @@ class _SideStats:
         row = df.agg(*aggs).first()
         self.n = row["n"] or 0
         self.nulls = row["nulls"] or 0
-        self.dur = float(row["d"]) if row["d"] is not None else 1.0
-        self.lo = row["lo"]
-        self.hi = row["hi"]
+        self.dur = (
+            float(row["d"])
+            if arithmetic and row["d"] is not None
+            else 1.0
+        )
+        self.lo = row["lo"] if arithmetic else None
+        self.hi = row["hi"] if arithmetic else None
         self.kdist = (row["kd"] or 1) if key_cols else 1
 
 
@@ -537,6 +547,32 @@ def interval_join(
     integral = span_endpoints_integral(
         sides.left.schema[sides.left_on].dataType
     ) and span_endpoints_integral(sides.right.schema[sides.right_on].dataType)
+    from ..functions.spans import span_endpoints_orderable_only
+
+    # string endpoints: ordered but not arithmetic — the binned rewrite
+    # (bin math on endpoints) is impossible, so only the broadcast
+    # strategies apply; the overlap/intersection expressions themselves
+    # are comparison-only and type-generic
+    l_str = span_endpoints_orderable_only(
+        sides.left.schema[sides.left_on].dataType
+    )
+    r_str = span_endpoints_orderable_only(
+        sides.right.schema[sides.right_on].dataType
+    )
+    if l_str != r_str:
+        raise ValueError(
+            "cannot join string-endpoint spans against numeric-endpoint "
+            "spans: implicit casts would compare lexicographic garbage. "
+            "Cast one side first."
+        )
+    orderable_only = l_str
+    if orderable_only and strategy == "binned":
+        raise ValueError(
+            "strategy='binned' needs arithmetic span endpoints; string-"
+            "endpoint spans join via strategy='broadcast_left'/"
+            "'broadcast_right' (for a large x large join, map the "
+            "dictionary-ordered key to an integer ordinal first)"
+        )
 
     # Strategy fast path FIRST (plan statistics, no execution): a side
     # Catalyst already knows to be tiny is broadcast without scanning
@@ -563,8 +599,8 @@ def interval_join(
     stats = None
     if needs_stats:
         stats = (
-            _SideStats(sides.left, sides.left_on),
-            _SideStats(sides.right, sides.right_on),
+            _SideStats(sides.left, sides.left_on, arithmetic=not orderable_only),
+            _SideStats(sides.right, sides.right_on, arithmetic=not orderable_only),
         )
     if validate == "error":
         if stats is not None:
@@ -591,6 +627,14 @@ def interval_join(
         if small.n <= AUTO_BROADCAST_ROWS:
             strategy = (
                 "broadcast_left" if small is stats[0] else "broadcast_right"
+            )
+        elif orderable_only:
+            raise ValueError(
+                "both sides exceed the broadcast threshold "
+                f"({AUTO_BROADCAST_ROWS} rows) and string-endpoint spans "
+                "cannot use the binned rewrite; map the dictionary-"
+                "ordered key to an integer ordinal for large x large "
+                "interval joins"
             )
         else:
             strategy = "binned"

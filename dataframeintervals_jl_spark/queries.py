@@ -544,6 +544,56 @@ FROM os JOIN w ON greatest(os.s, w.w_start) < least(os.e, w.w_stop)
 GROUP BY w.idx"""
 
 
+def q_interval_join_string(spark, sf_dir):
+    """STRING-endpoint span join (reference parity: Interval{T} over
+    ANY ordered T, src:31-46 — the last uncovered endpoint class):
+    customer names as degenerate [name, name||chr(1)) string spans
+    stabbed into literal dictionary ranges, then per-range counts and
+    the lexicographic min/max of the intersections.  Strings are
+    ordered but not arithmetic, so the engine routes this through the
+    broadcast strategy (the binned rewrite is typed-rejected for
+    string endpoints) with intersection via type-generic
+    greatest/least."""
+    from .functions.spans import make_span_string
+
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey"),
+        make_span_string(
+            F.col("c_name"), F.concat(F.col("c_name"), F.lit("\x01"))
+        ).alias("span"),
+    )
+    bands = [("lo", "Customer#000000000", "Customer#000000400"),
+             ("mid", "Customer#000000400", "Customer#000000900"),
+             ("hi", "Customer#000000900", "Customer#999999999")]
+    ranges = spark.createDataFrame(
+        bands, "label string, lo string, hi string"
+    ).select("label", make_span_string("lo", "hi").alias("span"))
+    j = interval_join(
+        pts, ranges, validate="skip", strategy="broadcast_right"
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("span.start")).alias("first_name"),
+        F.max(F.col("span.start")).alias("last_name"),
+    )
+
+
+def _sql_join_string() -> str:
+    vals = (
+        "('lo', 'Customer#000000000', 'Customer#000000400'), "
+        "('mid', 'Customer#000000400', 'Customer#000000900'), "
+        "('hi', 'Customer#000000900', 'Customer#999999999')"
+    )
+    return f"""WITH r(label, lo, hi) AS (VALUES {vals})
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       min(greatest(c_name, lo)) AS first_name,
+       max(greatest(c_name, lo)) AS last_name
+FROM customer JOIN r
+  ON greatest(c_name, lo) < least(c_name || chr(1), hi)
+GROUP BY label"""
+
+
 def q_interval_join_date(spark, sf_dir):
     """Generic-endpoint-domain join (reference parity: arbitrary
     ordered T, src:31-46): 30-day order spans with DATE endpoints
@@ -6452,6 +6502,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED),
     "q_orders_interval_join": (q_orders_interval_join, _SQL_ORDERS_JOIN),
     "q_interval_join_date": (q_interval_join_date, _SQL_JOIN_DATE),
+    "q_interval_join_string": (q_interval_join_string, _sql_join_string()),
     "q_lineitem_interval_agg": (q_lineitem_interval_agg, _SQL_LINEITEM_AGG),
     "q_dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "q_text_token_stats": (q_text_token_stats, _SQL_TOKEN_STATS),

@@ -372,11 +372,22 @@ def test_malformed_on_column_errors(spark):
     )
     with pytest.raises(ValueError, match="span struct"):
         interval_join(mixed, good)
+    # string spans are a SUPPORTED ordered domain (round 7, reference
+    # src:31-46) — but they may not mix with numeric spans: implicit
+    # casts would compare lexicographic garbage
     stringy = spark.createDataFrame(
         [({"start": "a", "stop": "b"},)], "span struct<start: string, stop: string>"
     )
-    with pytest.raises(ValueError, match="span struct"):
+    with pytest.raises(ValueError, match="lexicographic"):
         interval_join(stringy, good)
+    # a date struct is a supported ADAPTER domain, not malformed; a
+    # bool-endpoint struct IS malformed
+    boolish = spark.createDataFrame(
+        [({"start": True, "stop": False},)],
+        "span struct<start: boolean, stop: boolean>",
+    )
+    with pytest.raises(ValueError, match="span struct"):
+        interval_join(boolish, good)
 
 
 # ---------------------------------------------------------------------------

@@ -538,3 +538,93 @@ def test_numeric_vs_domain_mix_rejected(spark, date_tables):
     pts = spark.createDataFrame([(1_700_000_000_000_000_000, 0)], "ts long, pid long")
     with pytest.raises(ValueError, match="same endpoint domain"):
         point_in_span_join(pts, ldf_date, validate="skip")
+
+
+# ---------------------------------------------------------------------------
+# string-endpoint spans (round 7): ordered but not arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _str_spans(spark, rows, tag):
+    return spark.createDataFrame(
+        [({"start": s, "stop": e}, i) for i, (s, e) in enumerate(rows)],
+        f"span struct<start: string, stop: string>, {tag} long",
+    )
+
+
+@pytest.fixture(scope="module")
+def str_tables(spark):
+    L = [("alice", "carol"), ("bob", "frank"), ("zed", "zz")]
+    R = [("carl", "dave"), ("aa", "alicf"), ("yy", "zzz")]
+    return L, R, _str_spans(spark, L, "li"), _str_spans(spark, R, "ri")
+
+
+def test_string_span_join_matches_brute_force(spark, str_tables):
+    """String-endpoint spans (reference: Interval{T} over any ordered T,
+    src:31-46): overlap is lexicographic, intersection is a string span,
+    both broadcast strategies agree with the python brute force."""
+    L, R, ldf, rdf = str_tables
+    for strategy in ("broadcast_right", "broadcast_left", "auto"):
+        j = interval_join(ldf, rdf, validate="skip", strategy=strategy)
+        assert _pairs(j) == _brute(L, R)
+    j = interval_join(ldf, rdf, validate="skip")
+    row = {
+        (r["li"], r["ri"]): (r["span"]["start"], r["span"]["stop"])
+        for r in j.collect()
+    }
+    # intersection of [bob,frank) x [carl,dave) = [carl,dave)
+    assert row[(1, 0)] == ("carl", "dave")
+    # [alice,carol) x [aa,alicf) = [alice,alicf)
+    assert row[(0, 1)] == ("alice", "alicf")
+
+
+def test_string_span_outer_and_bounds(spark, str_tables):
+    L, R, ldf, rdf = str_tables
+    j = interval_join(
+        ldf, rdf, keepleft=True, keepright=True, validate="skip",
+        strategy="broadcast_right",
+    )
+    assert _pairs(j) == _brute(L, R, "full")
+    # closed bounds: touching spans [a,b] x [b,c] now overlap
+    t1 = _str_spans(spark, [("aa", "bb")], "li")
+    t2 = _str_spans(spark, [("bb", "cc")], "ri")
+    assert (
+        interval_join(t1, t2, validate="skip", bounds="[]").count() == 1
+    )
+    assert interval_join(t1, t2, validate="skip").count() == 0
+
+
+def test_string_span_binned_and_mixed_rejected(spark, str_tables):
+    _, _, ldf, rdf = str_tables
+    with pytest.raises(ValueError, match="binned"):
+        interval_join(ldf, rdf, validate="skip", strategy="binned")
+    num = spark.createDataFrame(
+        [({"start": 0, "stop": 10}, 0)],
+        "span struct<start: long, stop: long>, ri long",
+    )
+    with pytest.raises(ValueError, match="lexicographic"):
+        interval_join(ldf, num, validate="skip")
+
+
+def test_make_span_string_and_groupby(spark, str_tables):
+    """make_span_string constructor + groupby_interval_join over string
+    spans (the grouped operator inherits the string support)."""
+    from dataframeintervals_jl_spark import make_span_string
+    from dataframeintervals_jl_spark.operators.groupby_interval_join import (
+        groupby_interval_join,
+    )
+
+    L, R, ldf, rdf = str_tables
+    built = spark.createDataFrame(
+        [("alice", "carol", 0)], "lo string, hi string, li long"
+    ).select(make_span_string("lo", "hi").alias("span"), "li")
+    j = interval_join(built, rdf, validate="skip", strategy="broadcast_right")
+    # [alice,carol) overlaps [carl,dave) ('carl' < 'carol') and [aa,alicf)
+    assert sorted(r["ri"] for r in j.collect()) == [0, 1]
+
+    g = groupby_interval_join(
+        ldf, rdf, "ri", validate="skip"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = {r["ri"]: r["n"] for r in g.collect()}
+    # [carl,dave) catches both [alice,carol) and [bob,frank)
+    assert got == {0: 2, 1: 1, 2: 1}
