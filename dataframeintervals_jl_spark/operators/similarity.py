@@ -673,6 +673,31 @@ def ivf_topk(
     )
 
 
+def _explode_probes(qh: DataFrame, n_tables: int, masks: list) -> DataFrame:
+    """(…, bs) → one row per (table, probe mask) with the probed
+    ``bucket = bs[tbl] ^ mask`` — TWO small literal-array explodes
+    (|tables| + |masks| entries) instead of one |tables|·|masks|
+    struct array, which at 4×93 blows janino's method-size limit and
+    silently drops the stage out of whole-stage codegen."""
+    tbl_arr = F.array(*[F.lit(t) for t in range(n_tables)])
+    mask_arr = F.array(*[F.lit(int(m)).cast("long") for m in masks])
+    keep = [c for c in qh.columns if c != "bs"]
+    return (
+        qh.select(*keep, "bs", F.explode(tbl_arr).alias("tbl"))
+        .select(
+            *keep,
+            "tbl",
+            F.element_at(F.col("bs"), F.col("tbl") + 1).alias("__b"),
+            F.explode(mask_arr).alias("__m"),
+        )
+        .select(
+            *keep,
+            "tbl",
+            F.col("__b").bitwiseXOR(F.col("__m")).alias("bucket"),
+        )
+    )
+
+
 def lsh_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -729,21 +754,13 @@ def lsh_rerank_topk(
             )
         ).alias("e"),
     ).select("n_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
-    qe = qh.select(
-        F.col("id").alias("q_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.col("bs")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                    for m in masks
-                ]
-            )
-        ).alias("e"),
-    ).select("q_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket"))
+    # two SMALL explodes (tables, then masks) instead of one
+    # tables×masks struct-literal array: 4 tables × 93 radius-3 masks
+    # is 372 struct constructions in a single Generate — past janino's
+    # method-size limit, killing whole-stage codegen for the stage
+    qe = _explode_probes(
+        qh.select(F.col("id").alias("q_id"), "bs"), n_tables, masks
+    ).select("q_id", "tbl", "bucket")
     cand = ce.join(F.broadcast(qe), ["tbl", "bucket"])
     if exclude_self:
         cand = cand.filter(F.col("n_id") != F.col("q_id"))
@@ -1123,6 +1140,143 @@ def ivf_topk_indexed(
         "n_id",
         (
             dot.cast("double")
+            / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("score", 6).alias("score"))
+    )
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the LSH index for
+    :func:`lsh_rerank_topk_indexed` — hash the corpus ONCE and write:
+
+    - ``<path>/buckets`` — (n_id) PARTITIONED BY (tbl, bucket): the
+      narrow candidate table (ids only — the same narrowness
+      :func:`lsh_rerank_topk` exploits per call, here laid out so a
+      probe reads only its buckets' directories);
+    - ``<path>/raw`` — (n_id, cv, cn): quantized vectors + norms for
+      the exact re-rank fetch;
+    - ``<path>/meta`` — one row (dim, n_planes, n_tables): the
+      hashing parameters, so query time reconstructs the SAME
+      deterministic hyperplanes (seeds are a pure function of the
+      table number).
+
+    At 100 TB the hash pass runs once at ingest; each query then
+    touches ``|probed buckets| / (n_tables · 2^n_planes)`` of the
+    bucket table via partition pruning plus |candidates| rows of raw
+    vectors."""
+    spark = corpus.sparkSession
+    seeds = [lsh_table_seed(t) for t in range(n_tables)]
+    ch = lsh_hash_frame(
+        ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
+    )
+    ch = _track_cache(ch)
+    ch.select(
+        F.col("id").alias("n_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col("bs")[t].alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "n_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    ).write.partitionBy("tbl", "bucket").mode("overwrite").parquet(
+        f"{path}/buckets"
+    )
+    ch.select(
+        F.col("id").alias("n_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    ).write.mode("overwrite").parquet(f"{path}/raw")
+    spark.createDataFrame(
+        [(int(dim), int(n_planes), int(n_tables))],
+        "dim int, n_planes int, n_tables int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lsh_rerank_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    probe_radius: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted LSH index (:func:`write_lsh_index`):
+    identical results to :func:`lsh_rerank_topk` at the same
+    parameters (parity test-asserted) without re-hashing the corpus.
+
+    The probe bucket set is computed from the (small) query side and
+    pushed as a static ``(tbl, bucket) IN`` partition filter — the
+    bucket table scan reads only probed directories.  The probe list
+    is bounded by ``min(|Q|·tables·masks, tables·2^n_planes)`` —
+    driver-bounded by the bucket space itself, never the corpus."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    dim, n_planes, n_tables = (
+        meta["dim"], meta["n_planes"], meta["n_tables"],
+    )
+    seeds = [lsh_table_seed(t) for t in range(n_tables)]
+    masks = probe_masks(n_planes, probe_radius)
+
+    qh = lsh_hash_frame(queries, id_col, vec_col, dim, n_planes, seeds)
+    qe = _explode_probes(
+        qh.select(
+            F.col("id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "bs",
+        ),
+        n_tables,
+        masks,
+    )
+    qe = _track_cache(qe)
+    probed = [
+        (r["tbl"], r["bucket"])
+        for r in qe.select("tbl", "bucket").distinct().collect()
+    ]
+    by_tbl: dict = {}
+    for t, b in probed:
+        by_tbl.setdefault(t, []).append(b)
+    probe_filter = None
+    for t, bs in by_tbl.items():
+        clause = (F.col("tbl") == t) & F.col("bucket").isin(bs)
+        probe_filter = clause if probe_filter is None else probe_filter | clause
+
+    bt = spark.read.parquet(f"{path}/buckets").filter(probe_filter)
+    cand = (
+        bt.join(F.broadcast(qe.select("q_id", "tbl", "bucket")), ["tbl", "bucket"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    raw = spark.read.parquet(f"{path}/raw")
+    fetched = raw.join(F.broadcast(cand), "n_id")
+    scored = fetched.join(
+        F.broadcast(qe.select("q_id", "qv", "qn").distinct()), "q_id"
+    ).select(
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("cv"), F.col("qv")).cast("double")
             / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
         ).alias("score"),
     )

@@ -2126,6 +2126,32 @@ pairs AS (
 SELECT q_id, rank, n_id, score FROM ranked WHERE rank <= {k}"""
 
 
+def q_similarity_lsh_indexed(spark, sf_dir):
+    """Persisted-LSH-index query (similarity.py: write_lsh_index /
+    lsh_rerank_topk_indexed): the corpus is hashed ONCE into an
+    id-only bucket table partitioned by (tbl, bucket) plus a raw
+    fetch table; the query probes push a static (tbl, bucket)
+    partition filter (plan-asserted in pytest) and re-rank exactly.
+    Shares q_similarity_lsh_rerank's oracle — the index round-trip
+    must be invisible in the results."""
+    import shutil
+
+    from .operators.similarity import (
+        lsh_rerank_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = _fixture_scratch(sf_dir, "lsh_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    write_lsh_index(emb, path, dim=64, n_planes=8, n_tables=4)
+    out = lsh_rerank_topk_indexed(spark, path, queries, k=5, probe_radius=3)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-indexed ANN top-k (probe 8 of 32 cells — finer cells at the
     same scanned fraction beat coarse cells: recall 0.80 vs 0.36 at
@@ -6555,6 +6581,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "q_similarity_lsh_rerank": (
         q_similarity_lsh_rerank,
+        _sql_similarity_lsh_rerank(),
+    ),
+    "q_similarity_lsh_indexed": (
+        q_similarity_lsh_indexed,
         _sql_similarity_lsh_rerank(),
     ),
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),

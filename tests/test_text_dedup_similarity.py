@@ -733,6 +733,40 @@ def test_ivf_index_persisted_parity_and_pruning(spark, tmp_path):
     assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
 
 
+def test_lsh_index_persisted_parity_and_pruning(spark, tmp_path):
+    """write_lsh_index + lsh_rerank_topk_indexed must reproduce
+    lsh_rerank_topk exactly at the same (dim, n_planes, n_tables,
+    probe_radius), and the bucket-table scan must carry (tbl, bucket)
+    partition filters (probe-pruned directories)."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        lsh_rerank_topk,
+        lsh_rerank_topk_indexed,
+        write_lsh_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, dim=64, n_planes=8, n_tables=3)
+    idx = lsh_rerank_topk_indexed(spark, path, q, k=4, probe_radius=2)
+    live = lsh_rerank_topk(
+        emb, q, dim=64, k=4, n_planes=8, probe_radius=2, n_tables=3
+    )
+    assert sorted(map(tuple, idx.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # the BUCKETS scan (not the raw-vector scan) must carry the probe
+    # set as partition filters — find the occurrence that names them
+    tails = [
+        seg[:400] for seg in plan.split("PartitionFilters")[1:]
+    ]
+    assert any(
+        "bucket" in t or "tbl" in t for t in tails
+    ), f"no probed (tbl, bucket) partition filter in plan:\n{tails}"
+
+
 def test_bigram_lm_score_matches_bruteforce(spark):
     """Exact bigint bigram-LM score vs a pure-Python reference; docs
     with <2 tokens are absent; boilerplate outranks novel text."""
