@@ -1159,14 +1159,20 @@ def write_lsh_index(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_dirs: bool = False,
 ) -> None:
     """Build and PERSIST the LSH index for
     :func:`lsh_rerank_topk_indexed` — hash the corpus ONCE and write:
 
-    - ``<path>/buckets`` — (n_id) PARTITIONED BY (tbl, bucket): the
-      narrow candidate table (ids only — the same narrowness
-      :func:`lsh_rerank_topk` exploits per call, here laid out so a
-      probe reads only its buckets' directories);
+    - ``<path>/buckets`` — (n_id, bucket) PARTITIONED BY tbl and
+      RANGE-SORTED on bucket within files, so a probe prunes the tbl
+      directory AND skips non-matching row groups via parquet min/max
+      footer statistics.  ``bucket_dirs=True`` additionally partitions
+      by bucket (one directory per bucket): pays off only when every
+      (tbl, bucket) cell holds at least a row group's worth of data —
+      at test scale the n_tables·2^n_planes tiny directories are pure
+      metadata tax (measured 40s vs 3s for a 2k-vector corpus), so
+      directory-per-bucket is the 100 TB opt-in, not the default;
     - ``<path>/raw`` — (n_id, cv, cn): quantized vectors + norms for
       the exact re-rank fetch;
     - ``<path>/meta`` — one row (dim, n_planes, n_tables): the
@@ -1175,16 +1181,15 @@ def write_lsh_index(
       table number).
 
     At 100 TB the hash pass runs once at ingest; each query then
-    touches ``|probed buckets| / (n_tables · 2^n_planes)`` of the
-    bucket table via partition pruning plus |candidates| rows of raw
-    vectors."""
+    touches the probed buckets' row groups (or directories) plus
+    |candidates| rows of raw vectors."""
     spark = corpus.sparkSession
     seeds = [lsh_table_seed(t) for t in range(n_tables)]
     ch = lsh_hash_frame(
         ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
     )
     ch = _track_cache(ch)
-    ch.select(
+    bt = ch.select(
         F.col("id").alias("n_id"),
         F.explode(
             F.array(
@@ -1198,9 +1203,19 @@ def write_lsh_index(
         ).alias("e"),
     ).select(
         "n_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
-    ).write.partitionBy("tbl", "bucket").mode("overwrite").parquet(
-        f"{path}/buckets"
     )
+    if bucket_dirs:
+        bt.write.partitionBy("tbl", "bucket").mode("overwrite").parquet(
+            f"{path}/buckets"
+        )
+    else:
+        (
+            bt.repartition("tbl")
+            .sortWithinPartitions("bucket")
+            .write.partitionBy("tbl")
+            .mode("overwrite")
+            .parquet(f"{path}/buckets")
+        )
     ch.select(
         F.col("id").alias("n_id"),
         F.col("v").alias("cv"),

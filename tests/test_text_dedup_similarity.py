@@ -757,14 +757,15 @@ def test_lsh_index_persisted_parity_and_pruning(spark, tmp_path):
         map(tuple, live.collect())
     )
     plan = idx._jdf.queryExecution().executedPlan().toString()
-    # the BUCKETS scan (not the raw-vector scan) must carry the probe
-    # set as partition filters — find the occurrence that names them
-    tails = [
-        seg[:400] for seg in plan.split("PartitionFilters")[1:]
-    ]
+    # the BUCKETS scan (not the raw-vector scan) must prune: tbl as a
+    # partition filter, bucket pushed into the parquet scan (row-group
+    # skipping via the bucket-sorted layout)
+    tails = [seg[:400] for seg in plan.split("PartitionFilters")[1:]]
+    assert any("tbl" in t for t in tails), f"tbl not partition-pruned:\n{tails}"
+    pushed = [seg[:400] for seg in plan.split("PushedFilters")[1:]]
     assert any(
-        "bucket" in t or "tbl" in t for t in tails
-    ), f"no probed (tbl, bucket) partition filter in plan:\n{tails}"
+        "bucket" in t for t in pushed
+    ), f"bucket probe not pushed to the scan:\n{pushed}"
 
 
 def test_bigram_lm_score_matches_bruteforce(spark):
