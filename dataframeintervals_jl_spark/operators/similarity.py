@@ -1216,10 +1216,14 @@ def write_lsh_index(
             .mode("overwrite")
             .parquet(f"{path}/buckets")
         )
+    # cbs (per-table bucket array) rides along for the STREAMING probe's
+    # stateless emit-once guard (first-matching-table, needs both sides'
+    # arrays row-locally — see streaming.stream_lsh_probe)
     ch.select(
         F.col("id").alias("n_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
+        F.col("bs").alias("cbs"),
     ).write.mode("overwrite").parquet(f"{path}/raw")
     spark.createDataFrame(
         [(int(dim), int(n_planes), int(n_tables))],

@@ -2152,6 +2152,86 @@ def q_similarity_lsh_indexed(spark, sf_dir):
     )
 
 
+def q_stream_lsh_probe(spark, sf_dir):
+    """Batch-mode run of the STREAMING persisted-index ANN probe
+    (streaming.stream_lsh_probe): query vectors hashed row-locally,
+    probed stream-static against the id-only bucket table, exact-
+    cosine scored, thresholded — stateless append-mode online
+    retrieval.  Emit-once across tables via the row-local first-
+    matching-table guard (both sides carry their bucket arrays); the
+    oracle replays hashing, probing, the guard, and the threshold."""
+    import shutil
+
+    from .operators.similarity import write_lsh_index
+    from .streaming import stream_lsh_probe
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = _fixture_scratch(sf_dir, "lsh_probe_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    write_lsh_index(emb, path, dim=64, n_planes=8, n_tables=4)
+    return stream_lsh_probe(
+        spark, path, queries, threshold=0.25, probe_radius=3
+    )
+
+
+def _sql_stream_lsh_probe(
+    threshold: float = 0.25,
+    dim: int = 64,
+    n_planes: int = 8,
+    qmax: int = 5,
+    probe_radius: int = 3,
+    n_tables: int = 4,
+) -> str:
+    from .operators.similarity import lsh_table_seed, probe_masks
+
+    masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_radius))
+    bucket_cols = ",\n         ".join(
+        f"{_sql_bucket_expr(dim, n_planes, seed=lsh_table_seed(t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    tbls = ", ".join(str(t) for t in range(n_tables))
+    pick = (
+        "CASE tbl "
+        + " ".join(f"WHEN {t} THEN b{t}" for t in range(n_tables))
+        + " END"
+    )
+    guards = []
+    for t in range(1, n_tables):
+        earlier = " OR ".join(
+            f"bit_count(xor(c.b{tp}, qp.b{tp})) <= {probe_radius}"
+            for tp in range(t)
+        )
+        guards.append(f"(c.tbl = {t} AND ({earlier}))")
+    guard_sql = f"AND NOT ({' OR '.join(guards)})" if guards else ""
+    bsel = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""WITH e AS (
+  SELECT vec_id, {_QUANT_V} AS v FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+         {bucket_cols}
+  FROM e
+), q AS (SELECT * FROM n WHERE vec_id < {qmax}),
+cp AS (
+  SELECT vec_id, v, nrm, {bsel}, t.tbl, {pick} AS bucket
+  FROM n, unnest([{tbls}]::BIGINT[]) t(tbl)
+),
+qp AS (
+  SELECT vec_id, v, nrm, {bsel}, tbl, xor({pick}, m) AS bucket
+  FROM q, unnest([{tbls}]::BIGINT[]) t(tbl), unnest([{masks}]::BIGINT[]) mm(m)
+),
+pairs AS (
+  SELECT qp.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_dot_product(c.v, qp.v) AS DOUBLE)
+           / sqrt(CAST(c.nrm AS DOUBLE) * CAST(qp.nrm AS DOUBLE)) AS score
+  FROM cp c JOIN qp ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+                   AND c.vec_id <> qp.vec_id
+  {guard_sql}
+)
+SELECT q_id, n_id, round(score, 6) AS score
+FROM pairs WHERE score >= {threshold}"""
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-indexed ANN top-k (probe 8 of 32 cells — finer cells at the
     same scanned fraction beat coarse cells: recall 0.80 vs 0.36 at
@@ -6587,6 +6667,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_similarity_lsh_indexed,
         _sql_similarity_lsh_rerank(),
     ),
+    "q_stream_lsh_probe": (q_stream_lsh_probe, _sql_stream_lsh_probe()),
     "q_similarity_ivf": (q_similarity_ivf, _sql_ivf(n_centroids=32, n_probe=8)),
     "q_similarity_ivf_filtered": (
         q_similarity_ivf_filtered,

@@ -1595,3 +1595,103 @@ def stream_asof_enrich(
     return unioned.groupBy(*by_cols).applyInPandasWithState(
         scan, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_lsh_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    probe_radius: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming ANN probe against a PERSISTED LSH index
+    (:func:`~..operators.similarity.write_lsh_index`): every arriving
+    query vector is hashed row-locally (the same deterministic
+    hyperplanes, Arrow-batched), its probe buckets joined
+    stream-static against the id-only bucket table, candidates fetched
+    from the raw table and scored with the EXACT cosine; rows with
+    ``score >= threshold`` are emitted as ``(q_id, n_id, score)`` —
+    the online retrieval shape (dedup-on-ingest, near-real-time
+    similarity alerts).
+
+    Stateless by design: append-mode, NO state, NO watermark.  Top-k
+    ranking is a non-time window (not allowed stateless), so the
+    streaming operator emits the THRESHOLDED candidate set; a
+    downstream batch step ranks if needed.  A (q, n) pair reachable
+    through several tables is emitted exactly once WITHOUT a dedup
+    shuffle: within a table at most one probe mask can hit a given
+    neighbor (the mask is determined by the two buckets), and across
+    tables a first-matching-table guard — computable row-locally
+    because BOTH sides carry their per-table bucket arrays — keeps
+    only the earliest table within ``probe_radius`` hamming distance
+    (same emit-once philosophy as the batch multi-table join and the
+    binned interval join).
+
+    Works unchanged on a batch ``queries`` input, which is how the
+    oracle (`q_stream_lsh_probe`) and the parity test drive it.
+
+    Scale shape: the static sides are re-planned per micro-batch (index
+    updates picked up automatically); the stream side is micro-batch
+    sized, so each join moves only the increment."""
+    from ..operators.similarity import (
+        _dot,
+        _explode_probes,
+        lsh_hash_frame,
+        lsh_table_seed,
+        probe_masks,
+    )
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    dim, n_planes, n_tables = (
+        meta["dim"], meta["n_planes"], meta["n_tables"],
+    )
+    seeds = [lsh_table_seed(t) for t in range(n_tables)]
+    masks = probe_masks(n_planes, probe_radius)
+
+    qh = lsh_hash_frame(queries, id_col, vec_col, dim, n_planes, seeds)
+    qe = _explode_probes(
+        qh.select(
+            F.col("id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bs").alias("qbs"),
+            "bs",
+        ),
+        n_tables,
+        masks,
+    )
+    bt = spark.read.parquet(f"{path}/buckets")
+    cand = qe.join(bt, ["tbl", "bucket"]).filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    raw = spark.read.parquet(f"{path}/raw")
+    fetched = cand.join(raw, "n_id")
+    # first-matching-table emit-once guard: tables are probed in order;
+    # keep the row only when no EARLIER table already matched within
+    # probe_radius (least() skips the null branches of unmatched tables)
+    first_tbl = F.least(
+        *[
+            F.when(
+                F.bit_count(
+                    F.element_at(F.col("qbs"), t + 1).bitwiseXOR(
+                        F.element_at(F.col("cbs"), t + 1)
+                    )
+                )
+                <= probe_radius,
+                F.lit(t),
+            )
+            for t in range(n_tables)
+        ]
+    ) if n_tables > 1 else F.lit(0)
+    score = (
+        _dot(F.col("cv"), F.col("qv")).cast("double")
+        / F.sqrt(F.col("cn").cast("double") * F.col("qn").cast("double"))
+    )
+    return (
+        fetched.filter(F.col("tbl") == first_tbl)
+        .select("q_id", "n_id", score.alias("score"))
+        .filter(F.col("score") >= float(threshold))
+        .select("q_id", "n_id", F.round("score", 6).alias("score"))
+    )

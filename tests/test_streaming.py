@@ -1511,3 +1511,57 @@ def test_cms_estimate_streaming_probe_of_static_registers(spark, tmp_path):
         )
     )
     assert got == batch_est
+
+
+def test_stream_lsh_probe_matches_batch(spark, tmp_path):
+    """The stateless persisted-index ANN probe must emit exactly the
+    same thresholded (q_id, n_id, score) rows on a real file stream
+    (two micro-batches) as in batch mode, each pair exactly once (the
+    row-local first-table guard replaces a dedup shuffle)."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        write_lsh_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+    from dataframeintervals_jl_spark.streaming import stream_lsh_probe
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "lshp")
+    write_lsh_index(emb, path, dim=64, n_planes=8, n_tables=4)
+
+    expected = {
+        (r["q_id"], r["n_id"]): r["score"]
+        for r in stream_lsh_probe(
+            spark, path, q, threshold=0.1, probe_radius=2
+        ).collect()
+    }
+    assert expected, "fixture must emit rows"
+    # emit-once: batch mode must not duplicate pairs
+    n_rows = stream_lsh_probe(
+        spark, path, q, threshold=0.1, probe_radius=2
+    ).count()
+    assert n_rows == len(expected)
+
+    d = str(tmp_path / "lshp_in")
+    q.filter("vec_id < 3").coalesce(1).write.parquet(d + "/f1")
+    q.filter("vec_id >= 3").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_lsh_probe(spark, path, stream, threshold=0.1, probe_radius=2)
+    assert out.isStreaming
+    sq = (
+        out.writeStream.format("memory")
+        .queryName("lshp")
+        .option("checkpointLocation", str(tmp_path / "lshp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {
+        (r["q_id"], r["n_id"]): r["score"]
+        for r in spark.sql("SELECT * FROM lshp").collect()
+    }
+    assert got == expected
