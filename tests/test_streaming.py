@@ -1565,3 +1565,60 @@ def test_stream_lsh_probe_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM lshp").collect()
     }
     assert got == expected
+
+
+def test_foreachbatch_register_index_maintenance(spark, tmp_path):
+    """update_register_index driven from an ACTUAL stream via
+    foreachBatch: two file micro-batches of events merge their CMS
+    registers through the versioned on-disk index, and the final
+    read-back equals the whole input's registers bit-for-bit — the
+    streaming maintenance story of the sketch family."""
+    from dataframeintervals_jl_spark.operators.sampling import (
+        cms_merge_registers,
+        cms_registers,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+    from dataframeintervals_jl_spark.sources.sinks import (
+        read_register_index,
+        update_register_index,
+    )
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    d = str(tmp_path / "ev_in")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(d + "/f1")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(d + "/f2")
+    idx_path = str(tmp_path / "cms_idx")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+
+    def upd(batch_df, batch_id):
+        update_register_index(
+            spark,
+            idx_path,
+            cms_registers(batch_df, "user_id", width=128, depth=4),
+            cms_merge_registers,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["__row"], r["__bkt"]): r["__cnt"]
+        for r in read_register_index(spark, idx_path).collect()
+    }
+    want = {
+        (r["__row"], r["__bkt"]): r["__cnt"]
+        for r in cms_registers(ev, "user_id", width=128, depth=4).collect()
+    }
+    assert got == want
