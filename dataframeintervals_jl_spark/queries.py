@@ -197,6 +197,47 @@ def q_interval_join_prebinned_keepleft(spark, sf_dir):
     return _flat_join(j)
 
 
+def q_interval_join_prebinned_full(spark, sf_dir):
+    """FULL outer recovery on the prebinned path: both sides written
+    with storage-resident row ids, both preserved — the matched branch
+    stays the co-located equi-join, each padding branch anti-joins its
+    side's disk-resident first-bin ids.  Shares q_interval_join_full's
+    exact fixture and oracle."""
+    import os
+
+    from .operators.interval_join import interval_join_prebinned
+    from .sources.sinks import read_bucketed, write_binned_spans
+
+    es, w = _es_windows(spark, sf_dir, 8, "idx")
+    lo, hi = dfspan(es)
+    mid = lo + (hi - lo) // 2
+    width = max((hi - lo) // 256, 1)
+    pid = os.getpid()
+    tl, tr = f"dfi_prebinf_l_{pid}", f"dfi_prebinf_r_{pid}"
+    write_binned_spans(
+        es.filter(F.col("span.stop") <= F.lit(mid)),
+        tl,
+        width,
+        8,
+        path=_fixture_scratch(sf_dir, "prebinf_l"),
+    )
+    write_binned_spans(
+        w.filter(F.col("idx") >= 5),
+        tr,
+        width,
+        8,
+        path=_fixture_scratch(sf_dir, "prebinf_r"),
+    )
+    j = interval_join_prebinned(
+        read_bucketed(spark, tl),
+        read_bucketed(spark, tr),
+        bin_width=width,
+        keepleft=True,
+        keepright=True,
+    )
+    return _flat_join(j, label="idx")
+
+
 def q_interval_join_keepright(spark, sf_dir):
     es, w = _es_windows(spark, sf_dir, 8, "idx")
     lo, hi = dfspan(es)
@@ -6589,6 +6630,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_prebinned_keepleft": (
         q_interval_join_prebinned_keepleft,
         _SQL_JOIN_KEEPLEFT,
+    ),
+    "q_interval_join_prebinned_full": (
+        q_interval_join_prebinned_full,
+        _SQL_JOIN_FULL,
     ),
     "q_interval_join_keepright": (q_interval_join_keepright, _SQL_JOIN_KEEPRIGHT),
     "q_interval_join_full": (q_interval_join_full, _SQL_JOIN_FULL),
