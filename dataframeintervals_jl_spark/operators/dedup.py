@@ -818,6 +818,79 @@ def decontaminate(
     )
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    portable: bool = False,
+    merge_touching: bool = True,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination report: instead of
+    :func:`decontaminate`'s per-document flag, the exact TOKEN RANGES
+    of each corpus document that overlap the evaluation set — so a
+    pipeline can surgically excise leaked passages (the Lee/Brown
+    "remove the contaminated span, keep the document" policy) rather
+    than drop whole documents.
+
+    Per document: every word ``shingle_k``-gram whose hash appears in
+    the eval set's shingle table becomes the token span
+    ``[pos, pos+k)``; overlapping/touching hit spans are coalesced by
+    the engine's own interval algebra (:func:`~.coalesce.merge_spans`
+    on the token-ordinal domain).  Output: ``id_col`` + ``span``
+    (struct<start,stop> token offsets, 0-based half-open) +
+    ``n_spans`` (hit grams merged into the island) — one row per
+    maximal contaminated region; clean documents are absent.
+
+    Scale shape: identical to :func:`decontaminate` — the eval shingle
+    hash table broadcasts, the corpus pass is map-only, and only HIT
+    grams (a vanishing fraction) reach the per-document merge, which
+    is a window over each document's own hits.  Documents shorter than
+    ``shingle_k`` tokens match as one whole-text gram spanning
+    ``[0, n_tokens)``, mirroring :func:`~..functions.text.shingles`."""
+    from ..functions.spans import make_span
+    from ..functions.text import tokens
+    from .coalesce import merge_spans
+
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    ev = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_k))
+            ).alias("__s")
+        )
+        .select(hash_fn(F.col("__s")).alias("__sh"))
+        .distinct()
+    )
+    toks_n = F.size(tokens(F.col(text_col)))
+    grams = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        toks_n.alias("__n"),
+        F.posexplode(shingles(F.col(text_col), shingle_k)).alias(
+            "__i", "__s"
+        ),
+    )
+    hits = (
+        grams.join(
+            F.broadcast(ev),
+            hash_fn(F.col("__s")) == F.col("__sh"),
+            "left_semi",
+        )
+        .select(
+            id_col,
+            make_span(
+                F.col("__i"),
+                F.least(F.col("__i") + F.lit(int(shingle_k)), F.col("__n")),
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    return merge_spans(
+        hits, "span", by=id_col, merge_touching=merge_touching
+    )
+
+
 #: word width of the bloom bitset table — 32 bits per BIGINT word keeps
 #: every shift strictly below the sign bit, so both engines (Spark ANSI,
 #: DuckDB overflow-checked ``<<``) compute the same positive words

@@ -3372,6 +3372,72 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 23 <> 0"""
 
 
+def q_contamination_spans(spark, sf_dir):
+    """Span-level decontamination over q_decontaminate's eval split:
+    per corpus document, the maximal contaminated TOKEN RANGES
+    (coalesced by the engine's own merge_spans on the token-ordinal
+    domain) — the surgical excise-the-passage policy instead of
+    drop-the-document.  Oracle replays shingling, the eval probe, and
+    the island merge (gaps-and-islands SQL)."""
+    from .operators.dedup import contamination_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    out = contamination_spans(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        shingle_k=4,
+        portable=True,
+    )
+    return out.select(
+        "doc_id",
+        F.col("span.start").alias("tok_start"),
+        F.col("span.stop").alias("tok_stop"),
+        "n_spans",
+    )
+
+
+def _sql_contamination_spans(k: int = 4) -> str:
+    h = _PH60.format(x="s")
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), grams0 AS (
+  SELECT doc_id, len(tl) AS n,
+         CASE WHEN len(tl) < {k} THEN [array_to_string(tl, ' ')]
+              ELSE list_transform(
+                     range(1, greatest(len(tl) - {k} + 1, 1) + 1),
+                     i -> array_to_string(tl[i:i+{k - 1}], ' ')) END AS sl
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         generate_subscripts(sl, 1) - 1 AS pos,
+         CASE WHEN n < {k} THEN least({k}::BIGINT, n)
+              ELSE generate_subscripts(sl, 1) - 1 + {k} END AS stop,
+         unnest(sl) AS s
+  FROM grams0
+), evs AS (
+  SELECT DISTINCT {h} AS hh FROM grams WHERE doc_id % 23 = 0
+), hits AS (
+  SELECT DISTINCT doc_id, pos, stop
+  FROM grams WHERE doc_id % 23 <> 0 AND {h} IN (SELECT hh FROM evs)
+), ordd AS (
+  SELECT doc_id, pos, stop,
+         max(stop) OVER (PARTITION BY doc_id ORDER BY pos, stop
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos, stop,
+         sum(CASE WHEN prev_max IS NULL OR prev_max < pos
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos, stop) AS isl_id
+  FROM ordd
+)
+SELECT doc_id, min(pos) AS tok_start, max(stop) AS tok_stop,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM isl GROUP BY doc_id, isl_id"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination over the same eval split as
     q_decontaminate: the eval shingles are folded into a 2^16-bit bloom
@@ -4090,6 +4156,41 @@ def _sql_register_index_update(width: int = 256, depth: int = 4) -> str:
     return cms_sql_registers(
         "SELECT user_id::VARCHAR AS w FROM events", "w", width, depth
     )
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured ingestion: the events props JSON column parsed
+    with an EXPLICIT schema (``from_json`` — JVM expression, no
+    Python, no schema inference pass) and aggregated per event type —
+    the normalize-at-the-edge pattern every log pipeline needs.  Null
+    handling is part of the contract: unparseable/missing keys
+    aggregate as nulls, counted separately."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_EXTRACT = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(k) AS BIGINT) AS n_null_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type"""
 
 
 def q_key_skew_report(spark, sf_dir):
@@ -6744,6 +6845,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pack_greedy": (q_pack_greedy, _SQL_PACK_GREEDY),
     "q_training_prep_v2": (q_training_prep_v2, _SQL_TRAINING_PREP_V2),
     "q_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "q_contamination_spans": (
+        q_contamination_spans,
+        _sql_contamination_spans(),
+    ),
     "q_bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decon(1 << 16, 4)),
     "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),
@@ -6776,6 +6881,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
     "q_profile_events": (q_profile_events, _sql_profile_events()),
     "q_key_skew_report": (q_key_skew_report, _sql_key_skew_report()),
+    "q_json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
     "q_register_index_update": (
         q_register_index_update,
         _sql_register_index_update(),

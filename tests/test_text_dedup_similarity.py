@@ -1014,3 +1014,43 @@ def test_pq_rerank_equals_exact_at_full_shortlist(spark):
     assert rr >= 0.85
     with pytest.raises(ValueError, match="shortlist"):
         pq_rerank_topk(emb, q, k=5, shortlist=3)
+
+
+def test_contamination_spans_exact(spark):
+    """Hand-checkable span-level decontamination: hit grams coalesce
+    into maximal token ranges; clean docs are absent; short docs match
+    as one whole-text span."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        contamination_spans,
+    )
+
+    leak = "alpha beta gamma delta"  # the eval 4-gram
+    docs = _docs(
+        spark,
+        [
+            # doc 0: leak at tokens [2,6) and again at [7,11) (gap of 1
+            # token -> two islands)
+            "x y alpha beta gamma delta z alpha beta gamma delta",
+            # doc 1: two OVERLAPPING hits: tokens [0,4) and [1,5)
+            # ("beta gamma delta alpha"? no - construct shifted leak)
+            "alpha beta gamma delta epsilon",
+            # doc 2: clean
+            "totally unrelated words only here",
+            # doc 3: short (3 tokens < k) equal to an eval short doc
+            "tiny eval snippet",
+        ],
+    )
+    ev = _docs(spark, [leak + " epsilon", "tiny eval snippet"])
+    out = contamination_spans(docs, ev, shingle_k=4)
+    got = {
+        (r["doc_id"], r["span"]["start"], r["span"]["stop"]): r["n_spans"]
+        for r in out.collect()
+    }
+    # doc 0: islands [2,6) and [7,11), one gram each
+    assert got[(0, 2, 6)] == 1 and got[(0, 7, 11)] == 1
+    # doc 1: grams [0,4) and [1,5) merge into [0,5), two grams
+    assert got[(1, 0, 5)] == 2
+    # doc 2 clean -> absent; doc 3 whole-text span [0,3)
+    assert not any(k[0] == 2 for k in got)
+    assert got[(3, 0, 3)] == 1
+    assert len(got) == 4
