@@ -426,3 +426,77 @@ def asof_join(
             F.when(matched, F.col(_CARRY).getField(c)).alias(out_right_names[c])
         )
     return filled.select(*out)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    within: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    by: str = "user_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: per funnel stage, how many distinct
+    ``by`` keys complete steps ``1..i`` IN ORDER with every later step
+    strictly after the previous one and the whole chain within
+    ``within`` (same unit as ``ts_col``) of its step-1 anchor — the
+    conversion-funnel primitive (ClickHouse ``windowFunnel`` shape).
+
+    Semantics (pinned for the oracle): EVERY step-1 event is an
+    anchor; from an anchor the chain extends greedily to the EARLIEST
+    step-i event strictly after the previous step's match; a key
+    reaches stage ``i`` when any of its anchors does.  Greedy-earliest
+    is optimal for a fixed anchor, and all anchors are enumerated, so
+    the result is exact, not a heuristic.
+
+    Built from the engine's own as-of machinery: stage ``i`` is a
+    FORWARD :func:`asof_join` from the surviving anchors onto the
+    step-``i`` events (strictness via a +1 ordinal shift on the
+    anchor's probe time) followed by the window filter — so each stage
+    is one per-key merge whose left side only ever SHRINKS.  Output:
+    ``(stage, step, n_keys)``, one row per stage.
+
+    Scale shape: s-1 as-of joins (each the bucketed per-key merge the
+    as-of family already plans) + s tiny count-distinct aggregates;
+    nothing driver-side grows with data volume."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps, got {steps!r}")
+    if int(within) <= 0:
+        raise ValueError(f"within must be positive, got {within}")
+    ev = events.select(
+        F.col(by), F.col(type_col), F.col(ts_col).cast("long").alias("__ts")
+    )
+    cur = ev.filter(F.col(type_col) == steps[0]).select(
+        by, F.col("__ts").alias("__t1"), F.col("__ts").alias("__prev")
+    )
+    counts = []
+
+    def _stage_count(df, i, name):
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("step"),
+            F.count_distinct(F.col(by)).alias("n_keys"),
+        )
+
+    counts.append(_stage_count(cur, 1, steps[0]))
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col(type_col) == st).select(
+            by, F.col("__ts").alias("__on")
+        )
+        probe = cur.withColumn("__on", F.col("__prev") + F.lit(1))
+        j = asof_join(
+            probe, nxt, on="__on", by=by, direction="forward", suffix="_s"
+        )
+        cur = (
+            j.filter(
+                F.col("__on_s").isNotNull()
+                & (F.col("__on_s") <= F.col("__t1") + F.lit(int(within)))
+            )
+            .select(by, "__t1", F.col("__on_s").alias("__prev"))
+        )
+        counts.append(_stage_count(cur, i, st))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

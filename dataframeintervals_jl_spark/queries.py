@@ -1047,6 +1047,52 @@ SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
 FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t"""
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Conversion funnel view → click → purchase within 6 hours
+    (asof_join.py: funnel_counts): every step-1 event anchors a chain
+    extended greedily to the earliest strictly-later next-step event —
+    s-1 forward as-of joins over a monotonically shrinking anchor set,
+    exact by anchor enumeration.  The oracle replays every anchor's
+    greedy chain with correlated min() lookups."""
+    from .operators.asof_join import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within=6 * hour_ns
+    )
+
+
+def _sql_funnel_counts(within_ns: int = 6 * 3_600_000_000_000) -> str:
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+), a1 AS (
+  SELECT user_id, t AS t1 FROM ev WHERE event_type = 'view'
+), a2 AS (
+  SELECT a1.user_id, t1,
+         (SELECT min(e.t) FROM ev e
+          WHERE e.user_id = a1.user_id AND e.event_type = 'click'
+            AND e.t > a1.t1) AS t2
+  FROM a1
+), a2f AS (
+  SELECT * FROM a2 WHERE t2 IS NOT NULL AND t2 <= t1 + {within_ns}
+), a3 AS (
+  SELECT a2f.user_id, t1,
+         (SELECT min(e.t) FROM ev e
+          WHERE e.user_id = a2f.user_id AND e.event_type = 'purchase'
+            AND e.t > a2f.t2) AS t3
+  FROM a2f
+), a3f AS (
+  SELECT * FROM a3 WHERE t3 IS NOT NULL AND t3 <= t1 + {within_ns}
+)
+SELECT 1 AS stage, 'view' AS step,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys FROM a1
+UNION ALL
+SELECT 2, 'click', CAST(count(DISTINCT user_id) AS BIGINT) FROM a2f
+UNION ALL
+SELECT 3, 'purchase', CAST(count(DISTINCT user_id) AS BIGINT) FROM a3f"""
+
+
 def q_asof_join_date(spark, sf_dir):
     """KEYLESS as-of over the DATE domain: each order's date matched to
     the latest month-start marker at-or-before it — exercises the
@@ -6768,6 +6814,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_asof_join_date": (q_asof_join_date, _SQL_ASOF_DATE),
+    "q_funnel_counts": (q_funnel_counts, _sql_funnel_counts()),
     "q_merge_spans_date": (q_merge_spans_date, _SQL_MERGE_SPANS_DATE),
     "q_quantile_windows_date": (q_quantile_windows_date, _SQL_QW_DATE),
     "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),

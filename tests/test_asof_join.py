@@ -289,3 +289,52 @@ def test_integer_tolerance_rejected_for_domain_on_columns(spark):
     # numeric on-columns keep accepting bare ints (epoch-ns)
     jn = asof_join(_left(spark), _right(spark), by="k", tolerance=60)
     assert jn.count() == 5
+
+
+def test_funnel_counts_exact_semantics(spark):
+    """Pinned funnel semantics: anchors at EVERY step-1 event, greedy-
+    earliest strictly-later chain, window measured from the anchor.
+    User 1 converts only via its SECOND anchor (the first anchor's
+    chain exceeds the window) — anchor enumeration is what makes the
+    result exact."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        funnel_counts,
+    )
+
+    rows = [
+        # user 1: anchor A at t=0 -> click at 100 -> purchase at 2000
+        # (outside within=1000 from t=0); anchor B at t=1500 -> click
+        # 1600 -> purchase 2000 (inside): reaches stage 3 only via B
+        (1, "view", 0), (1, "click", 100), (1, "view", 1500),
+        (1, "click", 1600), (1, "purchase", 2000),
+        # user 2: click BEFORE view only -> stage 1 (order matters)
+        (2, "click", 50), (2, "view", 60), (2, "purchase", 61),
+        # wait - purchase after view but no click after view: the
+        # chain needs view < click < purchase; user 2 stops at stage 1
+        # user 3: simultaneous view/click (strictness: click at the
+        # SAME ts as view does not count) -> stage 1
+        (3, "view", 10), (3, "click", 10),
+        # user 4: never views
+        (4, "click", 5), (4, "purchase", 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+    out = {
+        (r["stage"], r["step"]): r["n_keys"]
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], within=1000
+        ).collect()
+    }
+    assert out == {
+        (1, "view"): 3,      # users 1, 2, 3 have a view
+        (2, "click"): 1,     # only user 1 (strictly-later click in window)
+        (3, "purchase"): 1,  # user 1 via anchor B
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="steps"):
+        funnel_counts(ev, ["view"], within=10)
+    with _pytest.raises(ValueError, match="within"):
+        funnel_counts(ev, ["view", "click"], within=0)
