@@ -1024,6 +1024,24 @@ def _interval_semi_anti(
     integral = span_endpoints_integral(
         left.schema[lon].dataType
     ) and span_endpoints_integral(right.schema[ron].dataType)
+    from ..functions.spans import span_endpoints_orderable_only
+
+    l_str = span_endpoints_orderable_only(left.schema[lon].dataType)
+    r_str = span_endpoints_orderable_only(right.schema[ron].dataType)
+    if l_str != r_str:
+        raise ValueError(
+            "cannot join string-endpoint spans against numeric-endpoint "
+            "spans: implicit casts would compare lexicographic garbage. "
+            "Cast one side first."
+        )
+    orderable_only = l_str
+    if orderable_only and strategy == "binned":
+        raise ValueError(
+            "strategy='binned' needs arithmetic span endpoints; string-"
+            "endpoint spans use strategy='broadcast_right' (map the "
+            "dictionary-ordered key to an integer ordinal for large x "
+            "large joins)"
+        )
 
     rspans = right.select(F.col(ron).alias("__dfi_rspan"))
     cond = spans_overlap(F.col(lon), F.col("__dfi_rspan"), bounds=bounds)
@@ -1036,9 +1054,16 @@ def _interval_semi_anti(
 
     stats = None
     if strategy == "auto":
-        sr = _SideStats(rspans, "__dfi_rspan")
+        sr = _SideStats(rspans, "__dfi_rspan", arithmetic=not orderable_only)
         if sr.n <= AUTO_BROADCAST_ROWS:
             strategy = "broadcast_right"
+        elif orderable_only:
+            raise ValueError(
+                "right side exceeds the broadcast threshold "
+                f"({AUTO_BROADCAST_ROWS} rows) and string-endpoint spans "
+                "cannot use the binned rewrite; map the dictionary-"
+                "ordered key to an integer ordinal first"
+            )
         else:
             strategy = "binned"
             stats = (_SideStats(left, lon), sr)

@@ -628,3 +628,34 @@ def test_make_span_string_and_groupby(spark, str_tables):
     got = {r["ri"]: r["n"] for r in g.collect()}
     # [carl,dave) catches both [alice,carol) and [bob,frank)
     assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_string_span_semi_anti_and_by(spark, str_tables):
+    """Semi/anti joins and the keyed join support string spans through
+    the broadcast path; binned and string-vs-numeric mixes are
+    typed-rejected."""
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        interval_anti_join,
+        interval_join_by,
+        interval_semi_join,
+    )
+
+    L, R, ldf, rdf = str_tables
+    brute = {i for i, j in _brute(L, R)}
+    semi = {r["li"] for r in interval_semi_join(ldf, rdf).collect()}
+    anti = {r["li"] for r in interval_anti_join(ldf, rdf).collect()}
+    assert semi == brute
+    assert anti == set(range(len(L))) - brute
+    with pytest.raises(ValueError, match="binned"):
+        interval_semi_join(ldf, rdf, strategy="binned")
+    num = spark.createDataFrame(
+        [({"start": 0, "stop": 9}, 0)],
+        "span struct<start: long, stop: long>, ri long",
+    )
+    with pytest.raises(ValueError, match="lexicographic"):
+        interval_anti_join(ldf, num)
+    # keyed join: same-key string spans overlap per key
+    lk = ldf.withColumn("k", F.lit("g"))
+    rk = rdf.withColumn("k", F.lit("g"))
+    j = interval_join_by(lk, rk, by="k", validate="skip")
+    assert {(r["li"], r["ri"]) for r in j.collect()} == set(_brute(L, R))
