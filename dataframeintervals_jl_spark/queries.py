@@ -1047,6 +1047,43 @@ SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
 FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t"""
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: for each weekly cohort (users active in week
+    w) and offset k, how many of them are active again in week w+k —
+    the engagement matrix every activity pipeline reports.  Shape: one
+    distinct over (user, week) — shuffle bounded by active pairs, not
+    events — then a self equi-join on user (weeks-per-user is small)
+    and a count-distinct per (cohort, offset)."""
+    ev = read_table(spark, sf_dir, "events")
+    week_ns = 7 * 86_400_000_000_000
+    # integer DIV, not float division: epoch-ns exceeds double's 53-bit
+    # mantissa, so a float path can misplace week-boundary events
+    uw = ev.select(
+        "user_id", F.expr(f"ts DIV {week_ns}").alias("week")
+    ).distinct()
+    a, b = uw.alias("a"), uw.alias("b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("b.week") >= F.col("a.week"))
+        .groupBy(
+            F.col("a.week").alias("cohort_week"),
+            (F.col("b.week") - F.col("a.week")).alias("offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_SQL_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // (7*86400000000000) AS week
+  FROM events
+)
+SELECT a.week AS cohort_week, b.week - a.week AS "offset",
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.week >= a.week
+GROUP BY 1, 2"""
+
+
 def q_funnel_counts(spark, sf_dir):
     """Conversion funnel view → click → purchase within 6 hours
     (asof_join.py: funnel_counts): every step-1 event anchors a chain
@@ -6815,6 +6852,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_asof_join_date": (q_asof_join_date, _SQL_ASOF_DATE),
     "q_funnel_counts": (q_funnel_counts, _sql_funnel_counts()),
+    "q_retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
     "q_merge_spans_date": (q_merge_spans_date, _SQL_MERGE_SPANS_DATE),
     "q_quantile_windows_date": (q_quantile_windows_date, _SQL_QW_DATE),
     "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),

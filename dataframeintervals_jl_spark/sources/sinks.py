@@ -438,11 +438,27 @@ def update_register_index(
     return new_path
 
 
-def read_register_index(spark: SparkSession, path: str) -> DataFrame:
-    """Read the newest version of an :func:`update_register_index`
-    index (scheme-aware listing); raises FileNotFoundError when no
-    version exists yet."""
+def read_register_index(
+    spark: SparkSession, path: str, version: Optional[int] = None
+) -> DataFrame:
+    """Read an :func:`update_register_index` index (scheme-aware
+    listing): the newest version by default, or a pinned ``version``
+    number for time travel — any version still inside the
+    ``keep_versions`` retention window is readable, so a consumer can
+    compare "the index as of the previous merge" against the current
+    one (sketch deltas, rollback checks).  Raises FileNotFoundError
+    when no version exists (or the requested one was pruned)."""
     versions = _list_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no register index versions under {path}")
-    return spark.read.parquet(versions[-1][1])
+    if version is None:
+        return spark.read.parquet(versions[-1][1])
+    for n, uri in versions:
+        if n == int(version):
+            return spark.read.parquet(uri)
+    kept = [n for n, _ in versions]
+    raise FileNotFoundError(
+        f"register index version {version} not under {path} "
+        f"(kept versions: {kept} — older ones are pruned by "
+        "keep_versions)"
+    )

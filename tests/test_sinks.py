@@ -463,6 +463,25 @@ def test_update_register_index_versions_merge_and_prune(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_versions"):
         update_register_index(spark, cpath, cwhole, cms_merge_registers, 0)
 
+    # time travel: within the qsk index's retention window both v1 and
+    # v2 are readable; v2 pinned == latest; v0 was pruned -> typed miss
+    pinned = read_register_index(spark, qpath, version=2)
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, final.collect())
+    )
+    prev = read_register_index(spark, qpath, version=1)
+    two = qsk_merge_registers(
+        qsk_registers(slices[0], "v", "rid", k=32, by="g"),
+        qsk_registers(slices[1], "v", "rid", k=32, by="g"),
+        k=32,
+        by="g",
+    )
+    assert sorted(map(tuple, prev.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+    with pytest.raises(FileNotFoundError, match="kept versions"):
+        read_register_index(spark, qpath, version=0)
+
 
 def test_update_register_index_order_independent(spark, tmp_path):
     """Feeding the same slices in a different order converges to the
