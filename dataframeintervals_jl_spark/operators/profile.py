@@ -48,10 +48,13 @@ def profile_table(
     df: DataFrame,
     columns: Union[Sequence[str], None] = None,
     k: int = 256,
+    by: Union[str, Sequence[str], None] = None,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) in two passes: one row per
-    column with ``(col_name, n_rows, n_nulls, n_distinct_est, min_v,
-    max_v, sum_v)``.
+    column — per GROUP when ``by`` is given (the partitioned-corpus
+    profile: per source / per language / per day, same two bounded
+    passes, group keys prepended to the output) — with ``(col_name,
+    n_rows, n_nulls, n_distinct_est, min_v, max_v, sum_v)``.
 
     - ``n_rows`` / ``n_nulls``: exact, from ONE composite aggregate —
       every column's null count is a partial-agg expression in the
@@ -88,10 +91,22 @@ def profile_table(
     column before the shuffle, so shuffle volume is independent of
     row count.  The final join glues |columns| rows to |columns| rows.
     """
-    cols = list(columns) if columns is not None else list(df.columns)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    for kc in keys:
+        if kc not in df.columns:
+            raise ValueError(f"unknown `by` column: {kc!r}")
+    cols = (
+        list(columns)
+        if columns is not None
+        else [c for c in df.columns if c not in keys]
+    )
     missing = [c for c in cols if c not in df.columns]
-    if not cols or missing:
-        raise ValueError(f"unknown or empty columns: {missing or cols}")
+    overlap = [c for c in cols if c in keys]
+    if not cols or missing or overlap:
+        raise ValueError(
+            f"unknown/empty/key-overlapping columns: "
+            f"{missing or overlap or cols}"
+        )
     integral = {
         f.name for f in df.schema.fields if isinstance(f.dataType, _INTEGRAL)
     }
@@ -136,7 +151,7 @@ def profile_table(
             aggs.append(F.min(ln).cast("long").alias(f"__lmn_{i}"))
             aggs.append(F.max(ln).cast("long").alias(f"__lmx_{i}"))
             aggs.append(F.sum(ln.cast("long")).alias(f"__lsm_{i}"))
-    stats = df.agg(*aggs)
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
     null_long = F.lit(None).cast("long")
     null_dec = F.lit(None).cast("decimal(38,0)")
@@ -162,8 +177,11 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     long = stats.select(
-        F.col("__n").alias("n_rows"), F.explode(F.array(*entries)).alias("e")
+        *keys,
+        F.col("__n").alias("n_rows"),
+        F.explode(F.array(*entries)).alias("e"),
     ).select(
+        *keys,
         "e.col_name", "n_rows", "e.n_nulls", "e.min_v", "e.max_v", "e.sum_v",
         "e.min_d", "e.max_d", "e.len_min", "e.len_max", "e.len_sum",
     )
@@ -186,6 +204,7 @@ def profile_table(
 
     pairs = (
         df.select(
+            *keys,
             F.explode(
                 F.array(
                     *[
@@ -196,15 +215,16 @@ def profile_table(
                         for c in cols
                     ]
                 )
-            ).alias("e")
+            ).alias("e"),
         )
-        .select("e.col_name", "e.__v")
+        .select(*keys, "e.col_name", "e.__v")
         .filter(F.col("__v").isNotNull())
     )
-    est = kmv_distinct(pairs, "__v", k=k, by="col_name").select(
-        "col_name", "n_distinct_est"
+    est = kmv_distinct(pairs, "__v", k=k, by=keys + ["col_name"]).select(
+        *keys, "col_name", "n_distinct_est"
     )
-    return long.join(est, "col_name", "left").select(
+    return long.join(est, keys + ["col_name"], "left").select(
+        *keys,
         "col_name",
         "n_rows",
         "n_nulls",

@@ -4241,6 +4241,73 @@ def _sql_register_index_update(width: int = 256, depth: int = 4) -> str:
     )
 
 
+def q_profile_by_lang(spark, sf_dir):
+    """GROUPED table profile (round 7: profile_table(by=...)): the
+    documents table profiled per language — per (lang, column), exact
+    row/null counts, bigint min/max/sum, string length stats, and the
+    per-group KMV distinct estimate, still two bounded passes (the
+    composite agg groups by lang; the sketch prunes bottom-k per
+    (lang, column) before its one shuffle).  sum_v → string for the
+    cross-engine decimal canonicalization reason shared by the other
+    profile queries."""
+    from .operators.profile import profile_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    prof = profile_table(
+        docs, columns=["doc_id", "n_chars", "text"], k=64, by="lang"
+    )
+    return prof.withColumn("sum_v", F.col("sum_v").cast("string"))
+
+
+def _sql_profile_by_lang(k: int = 64) -> str:
+    h = _PH60.format(x="v")
+    return f"""WITH nr AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY lang
+), vals AS (
+  SELECT lang, 'doc_id' AS col_name, doc_id::VARCHAR AS v FROM documents
+  UNION ALL SELECT lang, 'n_chars', n_chars::VARCHAR FROM documents
+  UNION ALL SELECT lang, 'text', text FROM documents
+), nn AS (
+  SELECT lang, col_name, CAST(count(*) - count(v) AS BIGINT) AS n_nulls
+  FROM vals GROUP BY lang, col_name
+), hh AS (
+  SELECT DISTINCT lang, col_name, {h} // 128 AS hv
+  FROM vals WHERE v IS NOT NULL
+), r AS (
+  SELECT lang, col_name, hv,
+         row_number() OVER (PARTITION BY lang, col_name ORDER BY hv) AS rn
+  FROM hh
+), g AS (
+  SELECT lang, col_name, max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_hashes
+  FROM r WHERE rn <= {k} GROUP BY lang, col_name
+), mm AS (
+  SELECT lang, 'doc_id' AS col_name, min(doc_id)::BIGINT AS min_v,
+         max(doc_id)::BIGINT AS max_v,
+         sum(doc_id)::DECIMAL(38,0)::VARCHAR AS sum_v
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT lang, 'n_chars', min(n_chars)::BIGINT, max(n_chars)::BIGINT,
+         sum(n_chars)::DECIMAL(38,0)::VARCHAR
+  FROM documents GROUP BY lang
+), ll AS (
+  SELECT lang, 'text' AS col_name,
+         min(length(text))::BIGINT AS len_min,
+         max(length(text))::BIGINT AS len_max,
+         sum(length(text))::BIGINT AS len_sum
+  FROM documents GROUP BY lang
+)
+SELECT nn.lang, nn.col_name, nr.n_rows, nn.n_nulls,
+       CAST(coalesce(CASE WHEN g.n_hashes < {k} THEN g.n_hashes
+            ELSE ({k - 1} * {1 << 53}) // greatest(g.hk, 1) END, 0) AS BIGINT)
+         AS n_distinct_est,
+       mm.min_v, mm.max_v, mm.sum_v,
+       NULL::DOUBLE AS min_d, NULL::DOUBLE AS max_d,
+       ll.len_min, ll.len_max, ll.len_sum
+FROM nn JOIN nr USING (lang)
+LEFT JOIN g USING (lang, col_name) LEFT JOIN mm USING (lang, col_name)
+LEFT JOIN ll USING (lang, col_name)"""
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured ingestion: the events props JSON column parsed
     with an EXPLICIT schema (``from_json`` — JVM expression, no
@@ -6967,6 +7034,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_profile_events": (q_profile_events, _sql_profile_events()),
     "q_key_skew_report": (q_key_skew_report, _sql_key_skew_report()),
     "q_json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "q_profile_by_lang": (q_profile_by_lang, _sql_profile_by_lang()),
     "q_register_index_update": (
         q_register_index_update,
         _sql_register_index_update(),
