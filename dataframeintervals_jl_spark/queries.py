@@ -1047,13 +1047,14 @@ SELECT e.event_id, e.user_id, e.event_type, e.t AS ts,
 FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t"""
 
 
-def q_retention_cohorts(spark, sf_dir):
-    """Cohort retention: for each weekly cohort (users active in week
-    w) and offset k, how many of them are active again in week w+k —
-    the engagement matrix every activity pipeline reports.  Shape: one
-    distinct over (user, week) — shuffle bounded by active pairs, not
-    events — then a self equi-join on user (weeks-per-user is small)
-    and a count-distinct per (cohort, offset)."""
+def q_retention_weekly(spark, sf_dir):
+    """WEEKLY retention matrix — complements q_retention_cohorts (which
+    anchors each user to their FIRST-activity day): here EVERY active
+    week is a cohort, and (cohort_week, offset) counts users active in
+    both weeks — the rolling engagement matrix.  Shape: one distinct
+    over (user, week) — shuffle bounded by active pairs, not events —
+    then a self equi-join on user (weeks-per-user is small) and a
+    count-distinct per (cohort, offset)."""
     ev = read_table(spark, sf_dir, "events")
     week_ns = 7 * 86_400_000_000_000
     # integer DIV, not float division: epoch-ns exceeds double's 53-bit
@@ -1073,7 +1074,7 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
-_SQL_RETENTION = """
+_SQL_RETENTION_WEEKLY = """
 WITH uw AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // (7*86400000000000) AS week
   FROM events
@@ -6919,7 +6920,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_asof_join_date": (q_asof_join_date, _SQL_ASOF_DATE),
     "q_funnel_counts": (q_funnel_counts, _sql_funnel_counts()),
-    "q_retention_cohorts": (q_retention_cohorts, _SQL_RETENTION),
+    "q_retention_weekly": (q_retention_weekly, _SQL_RETENTION_WEEKLY),
     "q_merge_spans_date": (q_merge_spans_date, _SQL_MERGE_SPANS_DATE),
     "q_quantile_windows_date": (q_quantile_windows_date, _SQL_QW_DATE),
     "q_asof_nearest": (q_asof_nearest, _SQL_ASOF_NEAREST),
