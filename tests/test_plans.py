@@ -625,3 +625,25 @@ def test_key_skew_report_bounded_state(spark):
     assert "WindowGroupLimit" not in plan and "Window " not in plan
     assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
     assert_no_python_row_udf(out)
+
+
+def test_no_duplicate_catalog_names_in_source():
+    """Python dict literals and module-level defs silently keep the
+    LAST duplicate — a re-used query name would shadow an existing
+    catalog entry without any error (it happened once: a new retention
+    variant reused q_retention_cohorts).  Scan the source."""
+    import re
+    from collections import Counter
+
+    import dataframeintervals_jl_spark.queries as qmod
+
+    src = open(qmod.__file__.replace(".pyc", ".py")).read()
+    for pat, what in [
+        (r'^\s+"(q_\w+)": \(', "registry key"),
+        (r"^def (q_\w+)", "query def"),
+        (r"^def (_sql_\w+)", "oracle def"),
+        (r"^(_SQL_\w+) =", "oracle constant"),
+    ]:
+        names = re.findall(pat, src, re.M)
+        dups = [n for n, c in Counter(names).items() if c > 1]
+        assert not dups, f"duplicate {what}(s): {dups}"
