@@ -6273,6 +6273,55 @@ SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT z FROM tri) GROUP BY v"""
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-vertex local clustering coefficient over the MinHash
+    duplicate-pair graph (graph.py: clustering_coefficient):
+    2T/(d(d-1)) in exact ppm floor arithmetic — separates structural
+    duplicate cliques (→1e6) from chain-like accidental similarity
+    (→0).  Same O(m^1.5) oriented wedge pass as q_triangle_counts plus
+    one degree join."""
+    from .operators.graph import clustering_coefficient
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    return clustering_coefficient(pairs)
+
+
+def _sql_clustering_coefficient() -> str:
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    return f"""WITH mh AS MATERIALIZED ({base}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM mh WHERE id_a <> id_b
+), deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (ka.d, ka.x) < (kb.d, kb.x) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (ka.d, ka.x) < (kb.d, kb.x) THEN e.v ELSE e.u END AS t,
+         CASE WHEN (ka.d, ka.x) < (kb.d, kb.x)
+              THEN struct_pack(d := kb.d, i := kb.x)
+              ELSE struct_pack(d := ka.d, i := ka.x) END AS kt
+  FROM e JOIN deg ka ON e.u = ka.x JOIN deg kb ON e.v = kb.x
+), tri AS (
+  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.kt < e2.kt
+  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
+), nt AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY v
+)
+SELECT deg.x AS v, deg.d,
+       coalesce(nt.n_triangles, 0)::BIGINT AS n_triangles,
+       CAST(2 * coalesce(nt.n_triangles, 0) * 1000000
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_ppm
+FROM deg LEFT JOIN nt ON nt.v = deg.x
+WHERE deg.d >= 2"""
+
+
 def q_kmv_overlap(spark, sf_dir):
     """Join-cardinality estimation without running the join: KMV
     bottom-256 sketches of orders.o_custkey vs customer.c_custkey —
@@ -7069,6 +7118,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
+    "q_clustering_coefficient": (
+        q_clustering_coefficient,
+        _sql_clustering_coefficient(),
+    ),
     "q_kmv_overlap": (q_kmv_overlap, _SQL_KMV_OVERLAP),
     "q_hampel_despike": (q_hampel_despike, _SQL_HAMPEL),
     "q_ewma": (q_ewma, _SQL_EWMA),
