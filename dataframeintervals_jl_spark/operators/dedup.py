@@ -877,6 +877,10 @@ def contamination_spans(
             hash_fn(F.col("__s")) == F.col("__sh"),
             "left_semi",
         )
+        # zero-token documents produce shingles()' degenerate empty
+        # gram; a zero-width [0, 0) "contaminated region" is
+        # meaningless — no tokens, nothing to excise — so drop it
+        .filter(F.col("__n") > 0)
         .select(
             id_col,
             make_span(

@@ -3503,7 +3503,8 @@ def _sql_contamination_spans(k: int = 4) -> str:
   SELECT DISTINCT {h} AS hh FROM grams WHERE doc_id % 23 = 0
 ), hits AS (
   SELECT DISTINCT doc_id, pos, stop
-  FROM grams WHERE doc_id % 23 <> 0 AND {h} IN (SELECT hh FROM evs)
+  FROM grams WHERE doc_id % 23 <> 0 AND stop > pos
+    AND {h} IN (SELECT hh FROM evs)
 ), ordd AS (
   SELECT doc_id, pos, stop,
          max(stop) OVER (PARTITION BY doc_id ORDER BY pos, stop

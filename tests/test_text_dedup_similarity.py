@@ -1054,3 +1054,73 @@ def test_contamination_spans_exact(spark):
     assert not any(k[0] == 2 for k in got)
     assert got[(3, 0, 3)] == 1
     assert len(got) == 4
+
+
+def test_contamination_spans_property(spark):
+    """Property check vs a pure-Python reference: random small-alphabet
+    corpora against a random eval set — hit-gram span extraction and
+    island merging must match exactly (hypothesis drives the shapes;
+    each example is a Spark round-trip, so examples are few and
+    small)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark.operators.dedup import (
+        contamination_spans,
+    )
+
+    K = 3
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+    corpora = st.tuples(
+        st.lists(doc, min_size=1, max_size=5),
+        st.lists(doc, min_size=1, max_size=3),
+    )
+
+    def ref(corpus, eval_texts):
+        def grams(text):
+            toks = text.split()
+            if not toks:
+                return [], 0
+            if len(toks) < K:
+                return [(0, len(toks), " ".join(toks))], len(toks)
+            return [
+                (i, i + K, " ".join(toks[i : i + K]))
+                for i in range(len(toks) - K + 1)
+            ], len(toks)
+
+        ev = set()
+        for t in eval_texts:
+            ev |= {g for _, _, g in grams(t)[0]}
+        out = {}
+        for did, text in enumerate(corpus):
+            gs, _n = grams(text)
+            hits = sorted({(s, e) for s, e, g in gs if g in ev})
+            islands = []
+            for s, e in hits:
+                if islands and s <= islands[-1][1]:  # touching merges
+                    ps, pe, n = islands[-1]
+                    islands[-1] = (ps, max(pe, e), n + 1)
+                else:
+                    islands.append((s, e, 1))
+            for s, e, n in islands:
+                out[(did, s, e)] = n
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpora)
+    def run(data):
+        corpus, eval_texts = data
+        cdf = _docs(spark, corpus)
+        edf = _docs(spark, eval_texts)
+        got = {
+            (r["doc_id"], r["span"]["start"], r["span"]["stop"]): r["n_spans"]
+            for r in contamination_spans(cdf, edf, shingle_k=K).collect()
+        }
+        assert got == ref(corpus, eval_texts)
+
+    run()
