@@ -136,6 +136,35 @@ def main() -> None:
         profile_table(docs_full, k=64),
     )
 
+    from dataframeintervals_jl_spark.operators.similarity import (
+        lsh_rerank_topk,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    add(
+        "lsh_rerank_topk — narrow candidate join + exact re-rank fetch",
+        "Stage 1 joins only (table, bucket, id) triples — the probe side, "
+        "the deduped candidate ids, and the query vectors all arrive as "
+        "BroadcastExchanges, so the corpus is never shuffled and no "
+        "Exchange carries a vector column; stage 2's exact cosine touches "
+        "raw vectors for |candidates| rows only.",
+        lsh_rerank_topk(
+            emb, emb.filter(F.col("vec_id") < 3), dim=64, k=3, n_tables=2
+        ),
+    )
+
+    from dataframeintervals_jl_spark.operators.asof_join import funnel_counts
+
+    ev = read_table(spark, sf, "events")
+    add(
+        "funnel_counts — forward as-of joins over shrinking anchors",
+        "Each stage is the as-of family's bucketed per-key merge from the "
+        "surviving anchors onto the next step's events, then a tiny "
+        "count-distinct; the anchor set only ever shrinks, and nothing "
+        "driver-side grows with data volume.",
+        funnel_counts(ev, ["view", "click"], within=6 * 3_600_000_000_000),
+    )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical plans of the headline operators\n\n")
