@@ -338,3 +338,75 @@ def test_funnel_counts_exact_semantics(spark):
         funnel_counts(ev, ["view"], within=10)
     with _pytest.raises(ValueError, match="within"):
         funnel_counts(ev, ["view", "click"], within=0)
+
+
+def test_funnel_counts_property(spark):
+    """Property check vs a pure-Python reference: random event streams,
+    random window — anchor enumeration + greedy strictly-later chains
+    must match exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        funnel_counts,
+    )
+
+    STEPS = ["a", "b", "c"]
+    event = st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.sampled_from(["a", "b", "c", "x"]),      # type (x = noise)
+        st.integers(min_value=0, max_value=30),     # ts
+    )
+    cases = st.tuples(
+        st.lists(event, min_size=1, max_size=25),
+        st.integers(min_value=1, max_value=15),     # within
+    )
+
+    def ref(rows, within):
+        by_user = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((ts, t))
+        reach = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            best = 0
+            anchors = [ts for ts, t in evs if t == STEPS[0]]
+            if anchors:
+                best = 1
+            for t1 in anchors:
+                prev, stage = t1, 1
+                for step in STEPS[1:]:
+                    nxt = min(
+                        (ts for ts, t in evs if t == step and ts > prev),
+                        default=None,
+                    )
+                    if nxt is None or nxt > t1 + within:
+                        break
+                    prev, stage = nxt, stage + 1
+                best = max(best, stage)
+            reach[u] = best
+        return {
+            i: sum(1 for b in reach.values() if b >= i)
+            for i in range(1, len(STEPS) + 1)
+            if sum(1 for b in reach.values() if b >= i)
+        }
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(cases)
+    def run(case):
+        rows, within = case
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long"
+        )
+        got = {
+            r["stage"]: r["n_keys"]
+            for r in funnel_counts(ev, STEPS, within=within).collect()
+            if r["n_keys"] > 0
+        }
+        assert got == ref(rows, within)
+
+    run()
