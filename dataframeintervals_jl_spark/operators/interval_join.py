@@ -1231,6 +1231,22 @@ def interval_join_by(
     integral = span_endpoints_integral(
         sides.left.schema[sides.left_on].dataType
     ) and span_endpoints_integral(sides.right.schema[sides.right_on].dataType)
+    from ..functions.spans import span_endpoints_orderable_only as _ord_only
+
+    kl_str = _ord_only(sides.left.schema[sides.left_on].dataType)
+    kr_str = _ord_only(sides.right.schema[sides.right_on].dataType)
+    if kl_str != kr_str:
+        raise ValueError(
+            "cannot join string-endpoint spans against numeric-endpoint "
+            "spans: implicit casts would compare lexicographic garbage. "
+            "Cast one side first."
+        )
+    if kl_str and strategy == "binned":
+        raise ValueError(
+            "strategy='binned' needs arithmetic span endpoints; string-"
+            "endpoint keyed joins use 'hash' (the default) or the "
+            "broadcast strategies"
+        )
 
     lefts, rights = sides.left, sides.right
     if validate == "error":

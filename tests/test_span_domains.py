@@ -659,3 +659,17 @@ def test_string_span_semi_anti_and_by(spark, str_tables):
     rk = rdf.withColumn("k", F.lit("g"))
     j = interval_join_by(lk, rk, by="k", validate="skip")
     assert {(r["li"], r["ri"]) for r in j.collect()} == set(_brute(L, R))
+
+
+def test_string_span_keyed_binned_and_mix_guards(spark, str_tables):
+    _, _, ldf, rdf = str_tables
+    lk = ldf.withColumn("k", F.lit("g"))
+    rk = rdf.withColumn("k", F.lit("g"))
+    with pytest.raises(ValueError, match="binned"):
+        interval_join_by(lk, rk, by="k", validate="skip", strategy="binned")
+    num = spark.createDataFrame(
+        [({"start": 0, "stop": 9}, 0, "g")],
+        "span struct<start: long, stop: long>, ri long, k string",
+    )
+    with pytest.raises(ValueError, match="lexicographic"):
+        interval_join_by(lk, num, by="k", validate="skip")
