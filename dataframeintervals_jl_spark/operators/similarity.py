@@ -857,41 +857,42 @@ def lsh_topk(
     seeds = [lsh_table_seed(t) for t in range(n_tables)]
     masks = probe_masks(n_planes, probe_radius)
 
+    # NARROW candidate generation (round 7 — same restructure that took
+    # lsh_rerank_topk to 4 tables at 2-table cost): the bucket join
+    # carries only ids + the small per-table bucket arrays, never the
+    # vector columns; the exact scoring FETCHES vectors afterwards via
+    # broadcast joins of the (query-bounded) candidate set into pure
+    # expression-quantized projections (bit-identical to the Arrow
+    # hash stage's quantization — documented contract of
+    # lsh_hash_frame), so neither side's Arrow pass re-runs and no
+    # Exchange ever moves a vector.  At sf0.1 (2k vectors, one Arrow
+    # batch) this measures as a wash — the win is the SCALE shape:
+    # the xL corpus explode and the bucket shuffle carry ids, not
+    # dim-sized arrays.  Output bit-identical (oracle + recall-floor
+    # verified).
     c = lsh_hash_frame(
         ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
-    ).select(
-        F.col("id").alias("n_id"),
-        F.col("v").alias("cv"),
-        F.col("bs").alias("cbs"),
-        F.col("nrm").alias("cn"),
-    )
+    ).select(F.col("id").alias("n_id"), F.col("bs").alias("cbs"))
     q = lsh_hash_frame(queries, id_col, vec_col, dim, n_planes, seeds).select(
-        F.col("id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("bs").alias("qbs"),
-        F.col("nrm").alias("qn"),
+        F.col("id").alias("q_id"), F.col("bs").alias("qbs")
     )
-    # The numpy hash stage is itself the materialization boundary the
-    # old expression path needed a persist+count for: CollapseProject
-    # cannot inline expressions past the ArrowEvalPython barrier, so the
-    # buckets are computed exactly once per side and the probe explode /
-    # join reference materialized columns (each side feeds ONE join —
-    # no re-execution of the Python stage).  Two persist+count actions
-    # removed.  At 100 TB this is where the hashed corpus would live as
-    # a bucketed TABLE (hash once at ingest, join shuffle-free).
 
     if n_tables == 1:
-        c = c.select("n_id", "cv", "cn", F.col("cbs")[0].alias("bucket"))
+        c = c.select("n_id", F.col("cbs")[0].alias("bucket"))
         q = q.select(
-            "q_id", "qv", "qn",
+            "q_id",
             F.explode(
                 F.array(*[F.col("qbs")[0].bitwiseXOR(F.lit(m)) for m in masks])
             ).alias("bucket"),
         )
-        pairs = c.join(q, "bucket").filter(F.col("n_id") != F.col("q_id"))
+        # a (q, n) pair matches via exactly ONE mask (the mask is the
+        # xor of the two buckets), so no dedup is needed
+        cand = c.join(F.broadcast(q), "bucket").filter(
+            F.col("n_id") != F.col("q_id")
+        )
     else:
         c = c.select(
-            "n_id", "cv", "cn", "cbs",
+            "n_id", "cbs",
             F.explode(
                 F.array(
                     *[
@@ -903,26 +904,13 @@ def lsh_topk(
                 )
             ).alias("tb"),
         ).select(
-            "n_id", "cv", "cn", "cbs",
+            "n_id", "cbs",
             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
         )
-        q = q.select(
-            "q_id", "qv", "qn", "qbs",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            F.col("qbs")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                        for m in masks
-                    ]
-                )
-            ).alias("tb"),
-        ).select(
-            "q_id", "qv", "qn", "qbs",
-            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        q = _explode_probes(
+            q.select("q_id", "qbs", F.col("qbs").alias("bs")),
+            n_tables,
+            masks,
         )
         # first-matching-table guard: drop a table-t match if any
         # earlier table t' already pairs them (hamming <= radius)
@@ -939,13 +927,26 @@ def lsh_topk(
             no_earlier = F.when(F.col("tbl") == t, ~any_earlier).otherwise(
                 no_earlier
             )
-        pairs = (
-            c.join(q, ["tbl", "bucket"])
+        cand = (
+            c.join(F.broadcast(q), ["tbl", "bucket"])
             .filter(F.col("n_id") != F.col("q_id"))
             .filter(no_earlier)
         )
+    cand = cand.select("q_id", "n_id")
+
+    raw = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("n_id"), _quantized(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    fetched = raw.join(F.broadcast(cand), "n_id")
     dot = _dot(F.col("cv"), F.col("qv"))
-    scored = pairs.select(
+    scored = fetched.join(F.broadcast(qraw), "q_id").select(
         "q_id",
         "n_id",
         (
