@@ -853,7 +853,14 @@ def lsh_topk(
     per-table bucket arrays, and the join keeps only the first table
     where the pair's buckets are within ``probe_radius`` hamming
     distance (``bit_count`` guard — same emit-once philosophy as the
-    binned interval join)."""
+    binned interval join).
+
+    The probe explode, the candidate id set, and the query vectors are
+    BROADCAST (all |Q|-bounded — the corpus is never shuffled); for
+    query sets beyond broadcast scale, use the persisted-index path
+    (:func:`lsh_rerank_topk_indexed`) or the streaming probe
+    (:func:`~..streaming.stream_lsh_probe`), which bound the working
+    set per micro-batch."""
     seeds = [lsh_table_seed(t) for t in range(n_tables)]
     masks = probe_masks(n_planes, probe_radius)
 
