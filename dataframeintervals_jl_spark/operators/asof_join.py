@@ -30,6 +30,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _TAG = "__dfi_asof_tag"
 _CARRY = "__dfi_asof_carry"
@@ -464,9 +465,28 @@ def funnel_counts(
         raise ValueError(f"need at least 2 steps, got {steps!r}")
     if int(within) <= 0:
         raise ValueError(f"within must be positive, got {within}")
-    ev = events.select(
-        F.col(by), F.col(type_col), F.col(ts_col).cast("long").alias("__ts")
+    # Date/timestamp ts_col goes through the exact ordinal adapters
+    # (days / epoch-µs), NOT a raw long cast — a raw cast on TIMESTAMP
+    # yields epoch SECONDS, silently mismatching a µs-scale `within`.
+    # `within` is therefore in ordinal units: days for date, µs for
+    # timestamp/ntz, the column's own unit for numerics.
+    from ..functions.spans import _DOMAIN_ORDINALS, endpoint_to_ordinal
+
+    ts_type = events.schema[ts_col].dataType
+    domain = next(
+        (d for d, tp in _DOMAIN_ORDINALS.items() if isinstance(ts_type, tp)),
+        None,
     )
+    if domain is not None:
+        ts_expr = endpoint_to_ordinal(F.col(ts_col), domain)
+    elif isinstance(ts_type, (T.NumericType,)):
+        ts_expr = F.col(ts_col).cast("long")
+    else:
+        raise TypeError(
+            f"funnel_counts: ts_col {ts_col!r} must be numeric, date, or "
+            f"timestamp; got {ts_type.simpleString()}"
+        )
+    ev = events.select(F.col(by), F.col(type_col), ts_expr.alias("__ts"))
     cur = ev.filter(F.col(type_col) == steps[0]).select(
         by, F.col("__ts").alias("__t1"), F.col("__ts").alias("__prev")
     )

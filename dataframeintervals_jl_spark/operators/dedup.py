@@ -250,9 +250,14 @@ def minhash_lsh_pairs(
     every member of a degenerate bucket collides in all its other
     bands too (near-identical docs agree on most bands), so real
     duplicate clusters keep their edges through the surviving buckets,
-    while salting would still emit every within-bucket pair.  Default
-    ``None`` = exact reference semantics (required by the catalog
-    oracles, which replay every pair)."""
+    while salting would still emit every within-bucket pair.  NOTE:
+    with ``max_bucket`` set, ``n_shared_bands`` counts SURVIVING
+    buckets only — a pair that additionally collided in a dropped
+    bucket reports a lower count, so a ``min n_shared_bands``
+    threshold applied downstream is conservative (under-counts, never
+    over-counts) on corpora that trip the guard.  Default ``None`` =
+    exact reference semantics (required by the catalog oracles, which
+    replay every pair)."""
     assert num_hashes % bands == 0
     banded = minhash_banded(
         df, text_col, id_col, num_hashes, bands, shingle_k, portable

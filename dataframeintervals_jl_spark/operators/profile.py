@@ -197,9 +197,20 @@ def profile_table(
         if c in ordinal:
             return endpoint_to_ordinal(F.col(c), ordinal[c]).cast("string")
         if c in floaty:
-            return F.floor(F.col(c).cast("double") * 1_000_000).cast(
-                "long"
-            ).cast("string")
+            # NaN/Inf would overflow the long cast to null and silently
+            # vanish from the distinct sketch (while still counting as
+            # non-null); map them to sentinel strings instead so each
+            # counts as one distinct value — and so the DuckDB oracle
+            # (whose CAST would ERROR on them) sees the same stream.
+            d = F.col(c).cast("double")
+            return (
+                F.when(F.isnan(d), F.lit("__nan__"))
+                .when(d == F.lit(float("inf")), F.lit("__inf__"))
+                .when(d == F.lit(float("-inf")), F.lit("__-inf__"))
+                .otherwise(
+                    F.floor(d * 1_000_000).cast("long").cast("string")
+                )
+            )
         return F.col(c).cast("string")
 
     pairs = (

@@ -46,11 +46,27 @@ QUANT = 1_000_000
 #: (bench.py does, between queries) or ``spark.catalog.clearCache()``.
 _ANN_CACHES: list = []
 
+#: FIFO cap on the registry: long-lived sessions that never call
+#: :func:`release_ann_caches` would otherwise accumulate persisted
+#: intermediates (executor storage memory + lineage refs) without
+#: bound.  When the cap is hit the OLDEST entry is unpersisted — by
+#: then its consumer has long since materialized, and in the worst
+#: case an unmaterialized result merely recomputes its bounded pass.
+_ANN_CACHE_CAP = 32
+
 
 def _track_cache(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for :func:`release_ann_caches`."""
+    """Persist ``df`` and register it for :func:`release_ann_caches`;
+    FIFO-evicts beyond ``_ANN_CACHE_CAP`` so sessions that never
+    release do not leak storage memory."""
     df = df.persist()
     _ANN_CACHES.append(df)
+    while len(_ANN_CACHES) > _ANN_CACHE_CAP:
+        old = _ANN_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 
@@ -1283,6 +1299,11 @@ def lsh_rerank_topk_indexed(
     by_tbl: dict = {}
     for t, b in probed:
         by_tbl.setdefault(t, []).append(b)
+    if not by_tbl:  # empty query set — no probe buckets, empty result
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], schema=f"q_id {qt}, rank int, n_id {qt}, score double"
+        )
     probe_filter = None
     for t, bs in by_tbl.items():
         clause = (F.col("tbl") == t) & F.col("bucket").isin(bs)

@@ -340,6 +340,44 @@ def test_funnel_counts_exact_semantics(spark):
         funnel_counts(ev, ["view", "click"], within=0)
 
 
+def test_funnel_counts_timestamp_domain(spark):
+    """A TIMESTAMP ts_col must go through the exact µs ordinal, not a
+    raw long cast (which yields SECONDS): the same event stream as the
+    long-domain test, encoded as timestamps at µs granularity, with
+    `within` in µs, must reproduce the long-domain answer.  A plain
+    .cast('long') would divide every gap by 1e6 and match everything."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        funnel_counts,
+    )
+
+    rows = [
+        (1, "view", 0), (1, "click", 100), (1, "view", 1500),
+        (1, "click", 1600), (1, "purchase", 2000),
+        (2, "click", 50), (2, "view", 60), (2, "purchase", 61),
+        (3, "view", 10), (3, "click", 10),
+        (4, "click", 5), (4, "purchase", 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    out = {
+        (r["stage"], r["step"]): r["n_keys"]
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], within=1000
+        ).collect()
+    }
+    assert out == {(1, "view"): 3, (2, "click"): 1, (3, "purchase"): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="ts_col"):
+        funnel_counts(
+            ev.withColumn("ts", F.col("ts").cast("string")),
+            ["view", "click"],
+            within=10,
+        )
+
+
 def test_funnel_counts_property(spark):
     """Property check vs a pure-Python reference: random event streams,
     random window — anchor enumeration + greedy strictly-later chains

@@ -709,6 +709,26 @@ def test_profile_table_exact_stats(spark):
         profile_table(df, columns=["nope"])
 
 
+def test_profile_table_nan_inf_distinct(spark):
+    """NaN/±Inf doubles must each count as ONE distinct value in the
+    KMV sketch (sentinel strings), not silently vanish as nulls from
+    the quantizing long cast while still counting as non-null."""
+    from dataframeintervals_jl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (float("nan"),), (float("nan"),),
+            (float("inf"),), (float("-inf"),),
+            (1.5,), (None,),
+        ],
+        "d double",
+    )
+    r = profile_table(df, k=64).collect()[0]
+    assert r["n_rows"] == 6 and r["n_nulls"] == 1
+    # distinct stream: nan, inf, -inf, 1.5 -> 4 (exact below k)
+    assert r["n_distinct_est"] == 4
+
+
 def test_kmv_overlap_matrix_exact_below_k_and_pair_parity(spark):
     """Below-k the matrix is exact (known synthetic overlaps); each
     matrix row must equal kmv_overlap_estimate run on that pair alone

@@ -733,6 +733,25 @@ def test_ivf_index_persisted_parity_and_pruning(spark, tmp_path):
     assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
 
 
+def test_lsh_rerank_topk_indexed_empty_queries(spark, tmp_path):
+    """An empty query set must return an empty (q_id, rank, n_id,
+    score) frame, not raise on the never-built probe filter."""
+    from dataframeintervals_jl_spark.operators.similarity import (
+        lsh_rerank_topk_indexed,
+        write_lsh_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "lsh_empty")
+    write_lsh_index(emb, path, dim=64, n_planes=8, n_tables=2)
+    out = lsh_rerank_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") < 0), k=4, probe_radius=1
+    )
+    assert out.count() == 0
+    assert out.columns == ["q_id", "rank", "n_id", "score"]
+
+
 def test_lsh_index_persisted_parity_and_pruning(spark, tmp_path):
     """write_lsh_index + lsh_rerank_topk_indexed must reproduce
     lsh_rerank_topk exactly at the same (dim, n_planes, n_tables,
