@@ -900,6 +900,124 @@ def contamination_spans(
     )
 
 
+def duplicate_spans(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_docs: int = 2,
+    max_docs: Union[int, None] = None,
+    portable: bool = False,
+    merge_touching: bool = True,
+) -> DataFrame:
+    """CORPUS-INTERNAL duplicate-span report: per document, the
+    maximal TOKEN RANGES whose word ``shingle_k``-grams also occur in
+    at least ``min_docs`` distinct documents (the document itself
+    included) — the gram-granular Spark shape of the suffix-array
+    self-dedup in Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": find the boilerplate/template passages
+    duplicated ACROSS the corpus so they can be excised while the
+    documents are kept.  The corpus-facing counterpart of
+    :func:`contamination_spans` (which matches an external eval set);
+    the reference has no text layer at all (SURVEY.md §2.C).
+
+    Semantics (pinned for the oracle): a token position ``i`` of a
+    document is duplicated when the exact word gram ``tokens[i:i+k]``
+    appears in ``>= min_docs`` distinct documents (within-document
+    repetition alone does NOT qualify — doc counts are DISTINCT);
+    hit positions become spans ``[i, i+k)`` and overlapping/touching
+    spans coalesce into islands exactly as
+    :func:`~.coalesce.merge_spans` would.  Output: ``id_col`` +
+    ``span`` (struct<start,stop>, 0-based half-open token offsets) +
+    ``n_spans`` (hit grams merged into the island) +
+    ``n_docs_sharing`` (the MAX distinct-doc count among the island's
+    grams — how hot its hottest passage is).  Documents shorter than
+    ``shingle_k`` tokens participate as one whole-text gram spanning
+    ``[0, n_tokens)`` (two short identical documents flag each other
+    entirely); zero-token documents emit nothing.  ``max_docs`` is an
+    optional REPORTING ceiling — grams in more than ``max_docs``
+    documents are excluded (e.g. to separate rare template reuse from
+    corpus-wide boilerplate); it is a semantic filter, not a
+    performance guard.
+
+    Scale shape (100 TB): two map-only passes over the corpus — one
+    into a partial-aggregated distinct-doc count per gram HASH (never
+    the gram string), one probing that count table with an equi-join
+    on the hash.  The count side is pre-filtered to duplicated grams
+    (``>= min_docs``) BEFORE the join, so the join's build side is the
+    duplicated-gram fraction only; a corpus-wide hot gram is w probe
+    rows against ONE build row — linear, no within-bucket quadratic
+    hazard (unlike LSH band buckets, which pair rows), so no
+    ``max_bucket``-style cap is needed.  The island merge is a window
+    over each document's own hits.  ``portable=True`` swaps xxhash64
+    for the md5-prefix hash a SQL oracle recomputes exactly."""
+    from ..functions.spans import make_span
+    from ..functions.text import tokens
+    from .coalesce import _ISL, _break_expr
+    from pyspark.sql import Window
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if max_docs is not None and max_docs < min_docs:
+        raise ValueError(
+            f"max_docs ({max_docs}) must be >= min_docs ({min_docs})"
+        )
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    grams = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("__n"),
+        F.posexplode(shingles(F.col(text_col), shingle_k)).alias(
+            "__i", "__s"
+        ),
+    ).select(
+        id_col, "__n", "__i", hash_fn(F.col("__s")).alias("__h")
+    ).filter(F.col("__n") > 0)
+
+    cnt_pred = F.col("n_docs_sharing") >= F.lit(int(min_docs))
+    if max_docs is not None:
+        cnt_pred = cnt_pred & (F.col("n_docs_sharing") <= F.lit(int(max_docs)))
+    dup_grams = (
+        grams.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs_sharing"))
+        .filter(cnt_pred)
+    )
+    hits = grams.join(dup_grams, "__h").select(
+        id_col,
+        make_span(
+            F.col("__i"),
+            F.least(F.col("__i") + F.lit(int(shingle_k)), F.col("__n")),
+        ).alias("span"),
+        "n_docs_sharing",
+    )
+    # inline island merge (merge_spans' keyed plan, coalesce.py:88-103,
+    # plus the max-sharing aggregate merge_spans does not carry)
+    start = F.col("span").getField("start")
+    stop = F.col("span").getField("stop")
+    w = Window.partitionBy(id_col).orderBy(start, stop)
+    pmax = F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = F.sum(_break_expr(start, pmax, merge_touching)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.select(
+            id_col, F.col("span"), "n_docs_sharing", isl.alias(_ISL)
+        )
+        .groupBy(id_col, _ISL)
+        .agg(
+            F.min(start).alias("__s"),
+            F.max(stop).alias("__e"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("n_docs_sharing").alias("n_docs_sharing"),
+        )
+        .select(
+            id_col,
+            make_span(F.col("__s"), F.col("__e")).alias("span"),
+            "n_spans",
+            "n_docs_sharing",
+        )
+    )
+
+
 #: word width of the bloom bitset table — 32 bits per BIGINT word keeps
 #: every shift strictly below the sign bit, so both engines (Spark ANSI,
 #: DuckDB overflow-checked ``<<``) compute the same positive words

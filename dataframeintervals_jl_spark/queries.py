@@ -3523,6 +3523,71 @@ SELECT doc_id, min(pos) AS tok_start, max(stop) AS tok_stop,
 FROM isl GROUP BY doc_id, isl_id"""
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Corpus-INTERNAL duplicate spans over the documents table: per
+    document, the maximal token ranges whose word 4-grams appear in
+    >= 2 distinct documents — the self-dedup counterpart of
+    q_contamination_spans (Lee et al. passage-level boilerplate
+    excision).  Oracle replays shingling, the distinct-doc gram
+    counts, and the island merge."""
+    from .operators.dedup import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, shingle_k=4, min_docs=2, portable=True)
+    return out.select(
+        "doc_id",
+        F.col("span.start").alias("tok_start"),
+        F.col("span.stop").alias("tok_stop"),
+        "n_spans",
+        "n_docs_sharing",
+    )
+
+
+def _sql_duplicate_spans(k: int = 4, min_docs: int = 2) -> str:
+    h = _PH60.format(x="s")
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), grams0 AS (
+  SELECT doc_id, len(tl) AS n,
+         CASE WHEN len(tl) < {k} THEN [array_to_string(tl, ' ')]
+              ELSE list_transform(
+                     range(1, greatest(len(tl) - {k} + 1, 1) + 1),
+                     i -> array_to_string(tl[i:i+{k - 1}], ' ')) END AS sl
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         generate_subscripts(sl, 1) - 1 AS pos,
+         CASE WHEN n < {k} THEN least({k}::BIGINT, n)
+              ELSE generate_subscripts(sl, 1) - 1 + {k} END AS stop,
+         unnest(sl) AS s
+  FROM grams0
+), g AS (
+  SELECT doc_id, pos, stop, {h} AS hh FROM grams WHERE stop > pos
+), cnts AS (
+  SELECT hh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM g GROUP BY hh HAVING count(DISTINCT doc_id) >= {min_docs}
+), hits AS (
+  SELECT g.doc_id, g.pos, g.stop, c.n_docs
+  FROM g JOIN cnts c USING (hh)
+), ordd AS (
+  SELECT doc_id, pos, stop, n_docs,
+         max(stop) OVER (PARTITION BY doc_id ORDER BY pos, stop
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos, stop, n_docs,
+         sum(CASE WHEN prev_max IS NULL OR prev_max < pos
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos, stop) AS isl_id
+  FROM ordd
+)
+SELECT doc_id, min(pos) AS tok_start, max(stop) AS tok_stop,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       max(n_docs) AS n_docs_sharing
+FROM isl GROUP BY doc_id, isl_id"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination over the same eval split as
     q_decontaminate: the eval shingles are folded into a 2^16-bit bloom
@@ -7052,6 +7117,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_contamination_spans,
         _sql_contamination_spans(),
     ),
+    "q_duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
     "q_bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decon(1 << 16, 4)),
     "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),

@@ -1143,3 +1143,115 @@ def test_contamination_spans_property(spark):
         assert got == ref(corpus, eval_texts)
 
     run()
+
+
+def test_duplicate_spans_pinned_semantics(spark):
+    """Pinned corpus-internal semantics: cross-document gram sharing
+    only (within-doc repetition alone does not qualify), whole-text
+    grams for short docs, island merge with max-sharing reporting,
+    min_docs/max_docs filters, argument validation."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.dedup import duplicate_spans
+
+    docs = _docs(
+        spark,
+        [
+            "a b c d e",        # 0: shares "b c d" with 1 at pos 1
+            "x b c d y",        # 1
+            "p q p q p q p q",  # 2: self-repetition only -> clean
+            "zz ww",            # 3: short, identical to 4
+            "zz ww",            # 4
+            "",                 # 5: zero tokens -> absent
+        ],
+    )
+    out = duplicate_spans(docs, shingle_k=3, min_docs=2)
+    got = {
+        (r["doc_id"], r["span"]["start"], r["span"]["stop"]): (
+            r["n_spans"], r["n_docs_sharing"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 1, 4): (1, 2),
+        (1, 1, 4): (1, 2),
+        (3, 0, 2): (1, 2),
+        (4, 0, 2): (1, 2),
+    }
+    # max_docs excludes grams above the ceiling
+    three = _docs(spark, ["m n o", "m n o", "m n o", "u v w"])
+    only_pairs = duplicate_spans(three, shingle_k=3, min_docs=2, max_docs=2)
+    assert only_pairs.count() == 0  # the hot gram is in 3 docs > max 2
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicate_spans(docs, min_docs=1)
+    with pytest.raises(ValueError, match="max_docs"):
+        duplicate_spans(docs, min_docs=3, max_docs=2)
+
+
+def test_duplicate_spans_property(spark):
+    """Property check vs pure-Python brute force: random small-alphabet
+    corpora — a position is duplicated iff its exact gram appears in
+    >= min_docs DISTINCT docs; islands and their max sharing counts
+    must match exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark.operators.dedup import duplicate_spans
+
+    K = 3
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    corpora = st.lists(doc, min_size=1, max_size=6)
+
+    def grams(text):
+        toks = text.split()
+        if not toks:
+            return []
+        if len(toks) < K:
+            return [(0, len(toks), " ".join(toks))]
+        return [
+            (i, i + K, " ".join(toks[i : i + K]))
+            for i in range(len(toks) - K + 1)
+        ]
+
+    def ref(corpus, min_docs=2):
+        docs_of = {}
+        for did, text in enumerate(corpus):
+            for _s, _e, g in grams(text):
+                docs_of.setdefault(g, set()).add(did)
+        out = {}
+        for did, text in enumerate(corpus):
+            hits = sorted(
+                (s, e, len(docs_of[g]))
+                for s, e, g in grams(text)
+                if len(docs_of[g]) >= min_docs
+            )
+            islands = []
+            for s, e, nd in hits:
+                if islands and s <= islands[-1][1]:
+                    ps, pe, n, pnd = islands[-1]
+                    islands[-1] = (ps, max(pe, e), n + 1, max(pnd, nd))
+                else:
+                    islands.append((s, e, 1, nd))
+            for s, e, n, nd in islands:
+                out[(did, s, e)] = (n, nd)
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpora)
+    def run(corpus):
+        got = {
+            (r["doc_id"], r["span"]["start"], r["span"]["stop"]): (
+                r["n_spans"], r["n_docs_sharing"]
+            )
+            for r in duplicate_spans(
+                _docs(spark, corpus), shingle_k=K, min_docs=2
+            ).collect()
+        }
+        assert got == ref(corpus)
+
+    run()
