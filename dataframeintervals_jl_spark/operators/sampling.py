@@ -110,6 +110,98 @@ def stratified_sample(
     return df.filter(_bucket(F.col(key_col), salt) < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    by: str,
+    key_col: str,
+    weights: Union[Mapping[str, float], None] = None,
+    temperature: float = 1.0,
+    exact: bool = False,
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance ``df`` toward a TARGET MIXTURE over the groups of
+    ``by`` — the general data-mixing primitive behind training-corpus
+    source weighting (q_source_mix's uniform rebalance is the
+    ``weights=None, temperature=inf`` special case; tuned per-source
+    weights with a temperature knob are the production shape).
+
+    Target share of group g: ``s_g ∝ base_g ** (1/temperature)`` where
+    ``base_g = weights[g]`` when ``weights`` is given (groups ABSENT
+    from ``weights`` get share 0 — dropped, the source-filter idiom)
+    and ``base_g = n_g`` (the empirical count) when it is ``None`` —
+    so with no weights, ``temperature=1`` keeps the natural
+    distribution (every threshold saturates, no row dropped) and
+    ``temperature → inf`` flattens toward uniform, the standard
+    multilingual temperature-sampling convention (p ∝ p_emp^(1/T)).
+
+    Keep-rates are DOWNSAMPLING-ONLY (deterministic content-keyed ppm
+    thresholds — no upsampling, no duplication):
+
+    - ``exact=False`` (default): ``r_g = min(1, s_g · N / n_g)`` —
+      keeps the most data; over-represented groups come down to their
+      share, groups already below it keep everything (the realized mix
+      is approximate where the cap binds — q_source_mix's policy).
+    - ``exact=True``: ``r_g = s_g · K / n_g`` with
+      ``K = min_g n_g / s_g`` — the realized mixture matches the
+      target exactly (up to ppm rounding) at the cost of scaling every
+      group down to the binding one.
+
+    Thresholds are computed driver-side from ONE collected O(groups)
+    count table in EXACT rational arithmetic (``Fraction``; the power
+    is an exact binary fraction of the IEEE result), floored to ppm —
+    bit-reproducible across runs and engines, and for integer weights
+    at ``temperature=1`` identical to what a SQL oracle computes with
+    integer division.  The filter itself is one narrow row-local CASE
+    over ``hash(salt|key)`` — no shuffle, pushdown-friendly, nothing
+    broadcast beyond the CASE literal (groups are assumed few: sources,
+    languages, domains)."""
+    from fractions import Fraction
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if weights is not None:
+        for g, w in weights.items():
+            if w < 0:
+                raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
+    counts = {
+        r[by]: r["n"]
+        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    total = sum(counts.values())
+
+    def base(g):
+        if weights is not None:
+            return Fraction(weights.get(g, 0))
+        return Fraction(counts[g])
+
+    def powered(g):
+        b = base(g)
+        if b == 0:
+            return Fraction(0)
+        if temperature == 1.0:
+            return b
+        return Fraction(float(b) ** (1.0 / float(temperature)))
+
+    shares = {g: powered(g) for g in counts}
+    denom = sum(shares.values())
+    if denom == 0:
+        return df.filter(F.lit(False))
+    shares = {g: s / denom for g, s in shares.items()}
+    if exact:
+        scale = min(
+            Fraction(counts[g]) / s for g, s in shares.items() if s > 0
+        )
+    else:
+        scale = Fraction(total)
+    thr = F.lit(0)
+    for g in sorted(counts, key=str):
+        t = min(BUCKETS, int(shares[g] * scale * BUCKETS / counts[g]))
+        thr = F.when(F.col(by) == F.lit(g), F.lit(t)).otherwise(thr)
+    return df.filter(_bucket(F.col(key_col), salt) < thr)
+
+
 def topk_per_group(
     df: DataFrame,
     by: Union[str, Sequence[str]],

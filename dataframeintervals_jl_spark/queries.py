@@ -3906,18 +3906,53 @@ def q_source_mix(spark, sf_dir):
     through the content-keyed hash filter — over-represented sources
     downsample toward the uniform share, rare sources keep everything.
     One tiny collected count table; the filter itself is narrow."""
-    from .operators.sampling import BUCKETS, _bucket
+    from .operators.sampling import mixture_sample
 
     docs = read_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    total = sum(r["n"] for r in counts)
-    n_src = len(counts)
-    thr = F.lit(0)
-    for r in sorted(counts, key=lambda r: r["source"]):
-        t = min(BUCKETS, (total * BUCKETS) // (n_src * r["n"]))
-        thr = F.when(F.col("source") == r["source"], F.lit(t)).otherwise(thr)
-    kept = docs.filter(_bucket(F.col("doc_id"), "mix") < thr)
+    kept = mixture_sample(
+        docs, "source", "doc_id", temperature=float("inf"), salt="mix"
+    )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture rebalancing toward TUNED per-language weights
+    (fr:4 de:2 es:2 en:1 zh:1 — upweight the rare languages), the
+    general mixture_sample operator at temperature=1: each language's
+    keep-threshold is ``min(1e6, w·N·1e6 // (W·n_lang))`` ppm through
+    the content-keyed hash filter — exact integer arithmetic a SQL
+    oracle replays verbatim."""
+    from .operators.sampling import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        "lang",
+        "doc_id",
+        weights={"en": 1, "de": 2, "es": 2, "fr": 4, "zh": 1},
+        salt="mix",
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SQL_MIXTURE_SAMPLE = f"""WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         CASE lang WHEN 'fr' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+                   WHEN 'en' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END AS wt
+  FROM c
+), t AS (
+  SELECT lang, n,
+         least(1000000,
+               (wt * (SELECT sum(n) FROM c) * 1000000)
+               // ((SELECT sum(wt) FROM w) * n)) AS thr
+  FROM w
+), kept AS (
+  SELECT d.lang FROM documents d JOIN t USING (lang)
+  WHERE ({_PH60.format(x="'mix|' || doc_id::VARCHAR")} % 1000000) < t.thr
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang"""
 
 
 _SQL_SOURCE_MIX = f"""WITH c AS (
@@ -7162,6 +7197,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _sql_kmv_overlap_matrix(),
     ),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
+    "q_mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_validity_intervals_global": (

@@ -125,6 +125,93 @@ def test_stratified_sample_rejects_bad_rate(spark, docs):
         stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
 
 
+def _mix_df(spark, sizes):
+    """One group per key, `sizes[g]` rows, unique bigint keys."""
+    rows, nxt = [], 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((nxt, g))
+            nxt += 1
+    return spark.createDataFrame(rows, "id long, grp string")
+
+
+def test_mixture_sample_semantics(spark):
+    """Pinned mixture_sample behavior: natural distribution is a no-op
+    at T=1/no-weights; uniform (T=inf) downsamples only the dominant
+    group; explicit weights hit their target within ppm tolerance;
+    exact=True realizes the target ratio; absent-from-weights groups
+    drop; determinism and subset structure hold; bad args raise."""
+    from dataframeintervals_jl_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    sizes = {"big": 4000, "mid": 1000, "small": 200}
+    df = _mix_df(spark, sizes)
+
+    # no weights, T=1: every threshold saturates -> no row dropped
+    assert mixture_sample(df, "grp", "id").count() == sum(sizes.values())
+
+    # uniform via T=inf: per-group share ~ min group count (cap mode
+    # keeps everything at/below the uniform share)
+    uni = {
+        r["grp"]: r["n"]
+        for r in mixture_sample(df, "grp", "id", temperature=float("inf"))
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    target = sum(sizes.values()) / 3  # ~1733
+    assert uni["small"] == 200   # below share -> untouched
+    assert uni["mid"] == 1000    # also below the uniform share
+    assert abs(uni["big"] - target) / target < 0.15
+
+    # explicit weights, cap mode: big downsampled toward 1/6 share,
+    # small (weight-absent) dropped entirely
+    wtd = {
+        r["grp"]: r["n"]
+        for r in mixture_sample(
+            df, "grp", "id", weights={"big": 1, "mid": 5}
+        ).groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "small" not in wtd
+    assert wtd["mid"] == 1000  # 5/6 share of N=5200 > 1000 -> cap
+    exp_big = 5200 / 6
+    assert abs(wtd["big"] - exp_big) / exp_big < 0.15
+
+    # exact mode: realized big:mid ratio matches weights 1:5 scaled to
+    # the binding group (mid at share 5/6 binds: K = 1200, big -> 200)
+    ex = {
+        r["grp"]: r["n"]
+        for r in mixture_sample(
+            df, "grp", "id", weights={"big": 1, "mid": 5}, exact=True
+        ).groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert ex["mid"] == 1000
+    assert abs(ex["big"] - 200) / 200 < 0.25
+
+    # temperature between 1 and inf lands between natural and uniform
+    t2 = {
+        r["grp"]: r["n"]
+        for r in mixture_sample(df, "grp", "id", temperature=2.0)
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert uni["big"] <= t2["big"] <= sizes["big"]
+
+    # deterministic + subset-of-input (content-keyed, not seeded)
+    a = {r["id"] for r in mixture_sample(
+        df, "grp", "id", weights={"big": 1, "mid": 5}).collect()}
+    b = {r["id"] for r in mixture_sample(
+        df, "grp", "id", weights={"big": 1, "mid": 5}).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="temperature"):
+        mixture_sample(df, "grp", "id", temperature=0)
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(df, "grp", "id", weights={"big": -1})
+    # empty input returns empty, no division by zero
+    assert mixture_sample(
+        df.filter(F.lit(False)), "grp", "id"
+    ).count() == 0
+
+
 def test_topk_per_group(spark, docs):
     out = topk_per_group(
         docs, "lang", [F.col("n_tokens").desc(), F.col("doc_id")], k=2
