@@ -84,6 +84,33 @@ def validate_span_type(dtype: T.DataType, where: str = "span") -> T.DataType:
     return dtype.fields[0].dataType
 
 
+def normalize_span_field_order(df, spancol: str):
+    """Accept a span struct whose fields arrive as ``(stop, start)``
+    and rewrite it to the canonical ``(start, stop)`` order —
+    reference parity: NamedTuple intervals are accepted in BOTH field
+    orders (/root/reference/src/DataFrameIntervals.jl:38), e.g. a
+    parquet table written with ``struct<stop, start>``.  Field access
+    is BY NAME, so the rewrite is a pure null-preserving projection;
+    everything downstream (and the output) is canonical order.  A
+    no-op for canonical spans and for anything that is not a
+    reversed-order struct (``validate_span_type`` rejects those with
+    its own message downstream)."""
+    if spancol not in df.columns:
+        return df
+    dt = df.schema[spancol].dataType
+    if not (
+        isinstance(dt, T.StructType)
+        and [f.name for f in dt.fields] == ["stop", "start"]
+    ):
+        return df
+    s = F.col(spancol)
+    out = F.struct(
+        s.getField("start").alias("start"),
+        s.getField("stop").alias("stop"),
+    )
+    return df.withColumn(spancol, F.when(s.isNotNull(), out))
+
+
 def span_endpoints_orderable_only(dtype: T.DataType) -> bool:
     """True when the span's endpoints are ordered but NOT arithmetic
     (strings): comparisons, greatest/least, and broadcast joins work;

@@ -48,6 +48,9 @@ def _to_ordinal(df: DataFrame, spancol: str):
     """Entry adapter for the generic-endpoint-domain contract (same as
     interval_join's): date/timestamp span columns compute on exact
     integer ordinals; ``None`` domain = numeric no-op."""
+    from ..functions.spans import normalize_span_field_order
+
+    df = normalize_span_field_order(df, spancol)
     dom = span_endpoint_domain(df.schema[spancol].dataType)
     if dom is None:
         return df, None

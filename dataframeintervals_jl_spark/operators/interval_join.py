@@ -106,6 +106,12 @@ def _adapt_endpoint_domains(left, right, on):
     ordinals itself before delegating here.)  ``(None, None)`` means
     numeric spans — the no-op fast path."""
     lon, ron = _resolve_on(on)
+    # reversed-field-order structs normalize to canonical (start, stop)
+    # first — reference parity src:38 (NamedTuples in both orders)
+    from ..functions.spans import normalize_span_field_order
+
+    left = normalize_span_field_order(left, lon)
+    right = normalize_span_field_order(right, ron)
     dl = (
         span_endpoint_domain(left.schema[lon].dataType)
         if lon in left.columns

@@ -81,6 +81,9 @@ def dfspan(df: DataFrame, spancol: str = "span"):
     timestamp_ntz span columns return ``(date, date)`` /
     ``(datetime, datetime)`` endpoints.
     """
+    from ..functions.spans import normalize_span_field_order
+
+    df = normalize_span_field_order(df, spancol)
     domain = span_endpoint_domain(df.schema[spancol].dataType)
     b = _ordinal_bounds(df, spancol, domain)
     if b is None:
@@ -117,6 +120,9 @@ def quantile_windows(
     """
     domain = None
     if isinstance(span, DataFrame):
+        from ..functions.spans import normalize_span_field_order
+
+        span = normalize_span_field_order(span, spancol)
         domain = span_endpoint_domain(span.schema[spancol].dataType)
         span = _ordinal_bounds(span, spancol, domain)
     elif span is not None:

@@ -673,3 +673,71 @@ def test_string_span_keyed_binned_and_mix_guards(spark, str_tables):
     )
     with pytest.raises(ValueError, match="lexicographic"):
         interval_join_by(lk, num, by="k", validate="skip")
+
+
+def test_reversed_field_order_spans_accepted(spark):
+    """Reference parity (src:38): span structs are accepted with the
+    fields in EITHER order.  A struct<stop, start> input — e.g. a
+    parquet table written with the fields swapped — must normalize to
+    canonical (start, stop) at every entry point and produce the same
+    result as the canonical input, with canonical-order output; nulls
+    stay null through the normalization."""
+    from dataframeintervals_jl_spark import (
+        interval_join,
+        merge_spans,
+        normalize_span_field_order,
+        quantile_windows,
+    )
+    from dataframeintervals_jl_spark.operators.quantile_windows import dfspan
+
+    rows = [(i, {"start": 10 * i, "stop": 10 * i + 15}) for i in range(8)]
+    canon = spark.createDataFrame(
+        rows, "li long, span struct<start: long, stop: long>"
+    )
+    # the same data with the struct fields physically reversed
+    rev = canon.select(
+        "li",
+        F.struct(
+            F.col("span.stop").alias("stop"),
+            F.col("span.start").alias("start"),
+        ).alias("span"),
+    )
+    assert [f.name for f in rev.schema["span"].dataType.fields] == [
+        "stop", "start",
+    ]
+
+    # normalization helper: field order flips, values by NAME unchanged
+    norm = normalize_span_field_order(rev, "span")
+    assert [f.name for f in norm.schema["span"].dataType.fields] == [
+        "start", "stop",
+    ]
+    assert sorted(map(tuple, norm.collect())) == sorted(map(tuple, canon.collect()))
+
+    # interval_join accepts the reversed side on BOTH sides + strategies
+    w = quantile_windows(spark, 4, canon, label="q")
+    ref = sorted(
+        map(tuple, interval_join(canon, w, strategy="broadcast_right").collect())
+    )
+    for strat in ("broadcast_right", "binned"):
+        got = interval_join(rev, w, strategy=strat)
+        assert [f.name for f in got.schema["span"].dataType.fields] == [
+            "start", "stop",
+        ]
+        assert sorted(map(tuple, got.collect())) == ref
+
+    # windows built FROM a reversed-order table match
+    w_rev = quantile_windows(spark, 4, rev, label="q")
+    assert sorted(map(tuple, w_rev.collect())) == sorted(map(tuple, w.collect()))
+    assert dfspan(rev) == dfspan(canon)
+
+    # set algebra entry (merge_spans via _to_ordinal)
+    m_ref = sorted(map(tuple, merge_spans(canon, "span").collect()))
+    assert sorted(map(tuple, merge_spans(rev, "span").collect())) == m_ref
+
+    # nulls survive normalization as nulls
+    withnull = spark.createDataFrame(
+        [(0, {"stop": 5, "start": 1}), (1, None)],
+        "li long, span struct<stop: long, start: long>",
+    )
+    out = normalize_span_field_order(withnull, "span").collect()
+    assert {r["li"]: r["span"] for r in out}[1] is None
