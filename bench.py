@@ -278,6 +278,30 @@ def main() -> None:
         ).filter(F.col("user_id") == F.col("user_id_r")),
     )
 
+    # planner auto-pick probes (round 8): strategy='auto' must land on
+    # (or beat) the better manual plan on both discriminator cases —
+    # the global selective join (binned wins; BNLJ is ~100x) and the
+    # keyed self-join (hash/broadcast wins; forced binning pays an
+    # explode for nothing).  Auto's probe cost (plan stats, counted
+    # stats, CMS registers when both sides are large) is INCLUDED in
+    # the timing — the comparison is end-to-end.
+    bench(
+        "selective_auto",
+        lambda: interval_join(
+            _selective_es(),
+            _selective_probes(),
+            validate="skip",
+            strategy="auto",
+            renamecols=("", "_p"),
+        ),
+    )
+    bench(
+        "keyed_selfjoin_auto",
+        lambda: interval_join_by(
+            _esk(), _esk2(), by="user_id", validate="skip", strategy="auto"
+        ),
+    )
+
     # AQE skew-join stress: zipf-ish keyed join — HALF of all spans land
     # on key 0, the rest spread over ~750 keys, so one shuffle partition
     # carries ~33x the median.  Joined (key-equi + overlap residual)

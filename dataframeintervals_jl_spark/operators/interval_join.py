@@ -347,6 +347,22 @@ def _with_fused_null_check(df: DataFrame, on_name: str, side: str) -> DataFrame:
 #: slower than binned at sf0.1, and unboundedly worse beyond).
 AUTO_BROADCAST_ROWS = 100_000
 
+#: The PAIR-WORK guard on auto broadcast (round 8): an overlap join's
+#: broadcast plan is a BroadcastNestedLoopJoin evaluating every
+#: n_small·n_large pair, so row counts alone mispick badly — a 98k x
+#: 100k SELECTIVE join (tiny output) measured 70s broadcast vs 4s
+#: binned at sf0.1 (1e10 pair evaluations at ~1.4e8/s).  Auto therefore
+#: broadcasts a non-tiny side only when the cross-pair count stays
+#: under this budget; above it the binned rewrite wins regardless of
+#: how comfortably the small side fits in memory.
+AUTO_BNL_PAIR_BUDGET = 250_000_000
+
+#: Sides at or below this many rows broadcast UNCONDITIONALLY (windows
+#: tilings, dimension tables): the BNLJ pair work is then bounded by
+#: tiny·n_large, the same order as the binned path's explode output,
+#: without its second shuffle.
+BROADCAST_TINY_ROWS = 4_096
+
 #: Zero-execution fast path for `auto`: if Catalyst's optimized-plan
 #: statistics (derived from parquet file sizes — no job runs) say a side
 #: is at most this many bytes, broadcast it without scanning anything.
@@ -590,9 +606,16 @@ def interval_join(
         szr = _plan_size_bytes(sides.right)
         if szl is not None and szr is not None:
             small = min(szl, szr)
+            # size//MIN_ROW_BYTES over-counts rows (16 B is the narrow-
+            # est span row), so the pair-budget check is conservative
+            rl, rr = szl // MIN_ROW_BYTES, szr // MIN_ROW_BYTES
             if (
                 small <= AUTO_BROADCAST_BYTES
-                and small // MIN_ROW_BYTES <= AUTO_BROADCAST_ROWS
+                and min(rl, rr) <= AUTO_BROADCAST_ROWS
+                and (
+                    min(rl, rr) <= BROADCAST_TINY_ROWS
+                    or rl * rr <= AUTO_BNL_PAIR_BUDGET
+                )
             ):
                 strategy = "broadcast_left" if szl <= szr else "broadcast_right"
 
@@ -630,7 +653,14 @@ def interval_join(
 
     if strategy == "auto":
         small = min(stats, key=lambda s: s.n)
-        if small.n <= AUTO_BROADCAST_ROWS:
+        # pair-work guard: broadcast only a truly tiny side, a side
+        # whose cross-pair count fits the BNLJ budget, or a string-
+        # endpoint side (which cannot bin — broadcast or bust)
+        if small.n <= AUTO_BROADCAST_ROWS and (
+            small.n <= BROADCAST_TINY_ROWS
+            or stats[0].n * stats[1].n <= AUTO_BNL_PAIR_BUDGET
+            or orderable_only
+        ):
             strategy = (
                 "broadcast_left" if small is stats[0] else "broadcast_right"
             )
@@ -846,7 +876,11 @@ def _drop_empty_spans(df: DataFrame, col: Column, flavor) -> DataFrame:
     return df.filter(col.getField("stop") > col.getField("start"))
 
 
-def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats], integral: bool = True):
+def _estimate_bin_width(
+    stats: Tuple[_SideStats, _SideStats],
+    integral: bool = True,
+    key_factor: Optional[float] = None,
+):
     """Bin width from a cost model over per-side stats (count, mean
     duration, covering span — already collected for strategy selection).
 
@@ -865,7 +899,14 @@ def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats], integral: bool = T
     key cardinality K while explode cost is unchanged — W* widens by
     ~sqrt(K) (``key_factor = min(K_l, K_r)`` from the fused HLL
     estimate; measured at sf0.1, 1000 users: the unkeyed width read
-    3.7s, the widened one 1.9s)."""
+    3.7s, the widened one 1.9s).
+
+    An explicit ``key_factor`` overrides the HLL cardinality with the
+    sketch-planner's EFFECTIVE cardinality ``n_l·n_r / J`` (J = the
+    Count-Min pair-work estimate, :mod:`..plans.planner`): identical
+    to K for uniform keys, SMALLER under skew — so a hot key gets
+    narrower bins, which is exactly how a composite (key, bin) shuffle
+    key spreads skew."""
     sl, sr = stats
     if not sl.n or not sr.n or sl.lo is None or sr.lo is None:
         return 1 if integral else 1.0
@@ -873,7 +914,10 @@ def _estimate_bin_width(stats: Tuple[_SideStats, _SideStats], integral: bool = T
         max(float(sl.hi), float(sr.hi)) - min(float(sl.lo), float(sr.lo)),
         1.0 if integral else 1e-300,
     )
-    key_factor = max(min(sl.kdist, sr.kdist), 1)
+    if key_factor is None:
+        key_factor = max(min(sl.kdist, sr.kdist), 1)
+    else:
+        key_factor = max(float(key_factor), 1.0)
     w2 = (
         key_factor * t * (sl.n * sl.dur + sr.n * sr.dur) / (sl.n * sr.n)
         + sl.dur * sr.dur
@@ -1187,11 +1231,20 @@ def interval_join_by(
 
     ``strategy``: 'hash' (default — equi shuffle join, Catalyst picks
     sort-merge/shuffled-hash; the scale default), 'broadcast_right' /
-    'broadcast_left' (tiny side), or 'binned' (composite (keys, bin)
+    'broadcast_left' (tiny side), 'binned' (composite (keys, bin)
     equi-join with the emit-once guard — for LOW-cardinality keys whose
     per-key row counts are too large for a per-key nested loop;
     keepleft/keepright/full recover unmatched rows via anti-joins on
-    persisted row ids, same structure as the global binned path).
+    persisted row ids, same structure as the global binned path), or
+    'auto' — SKETCH-DRIVEN selection (:mod:`..plans.planner`): tiny
+    sides broadcast (plan stats, then counted stats); otherwise a
+    bounded Count-Min register pass per side estimates the same-key
+    pair work J = Σ_k n_l(k)·n_r(k) (the cms_join_size inner product)
+    and picks 'hash' while J stays within PAIR_WORK_FACTOR× the rows
+    shuffled, else 'binned' with the bin width informed by the
+    EFFECTIVE key cardinality n_l·n_r/J (uniform keys → K, skewed
+    keys → narrower bins).  A key predicted to own ≥50% of J emits a
+    salt-or-warn advisory naming key_skew_report / AQE skew join.
 
     Like :func:`interval_join`, ``on`` spans with date / timestamp /
     timestamp_ntz endpoints are adapted to exact integer ordinals and
@@ -1281,6 +1334,42 @@ def interval_join_by(
         (True, True): "full_outer",
     }[(keepleft, keepright)]
 
+    auto_key_factor = None
+    if strategy == "auto":
+        from ..plans.planner import (
+            choose_keyed_strategy,
+            keyed_join_profile,
+            warn_if_hot_key,
+        )
+
+        # tiny-side fast path first: plan statistics, no execution
+        szl = _plan_size_bytes(lefts)
+        szr = _plan_size_bytes(rights)
+        if szl is not None and szr is not None:
+            small = min(szl, szr)
+            if (
+                small <= AUTO_BROADCAST_BYTES
+                and small // MIN_ROW_BYTES <= AUTO_BROADCAST_ROWS
+            ):
+                strategy = (
+                    "broadcast_left" if szl <= szr else "broadcast_right"
+                )
+        if strategy == "auto":
+            cl = lefts.count()
+            cr = rights.count()
+            if min(cl, cr) <= AUTO_BROADCAST_ROWS:
+                strategy = (
+                    "broadcast_left" if cl <= cr else "broadcast_right"
+                )
+            else:
+                prof = keyed_join_profile(lefts, rights, lk_final, rk_final)
+                warn_if_hot_key(prof, "interval_join_by")
+                strategy = choose_keyed_strategy(prof)
+                if strategy == "binned" and kl_str:
+                    strategy = "hash"  # string endpoints cannot bin
+                if strategy == "binned" and bin_width is None:
+                    auto_key_factor = prof.pair_key_factor
+
     if strategy in ("hash", "broadcast_right", "broadcast_left"):
         l_in, r_in = lefts, rights
         if strategy == "broadcast_right":
@@ -1297,7 +1386,9 @@ def interval_join_by(
                 _SideStats(lefts, sides.left_on, key_cols=lk_final),
                 _SideStats(rights, sides.right_on, key_cols=rk_final),
             )
-            bin_width = _estimate_bin_width(stats, integral)
+            bin_width = _estimate_bin_width(
+                stats, integral, key_factor=auto_key_factor
+            )
         w = max(int(bin_width), 1) if integral else float(bin_width)
         # outer recovery needs stable row identities across the inner
         # pass and the anti-join — same persisted-id structure as the
@@ -1343,7 +1434,7 @@ def interval_join_by(
             )
     else:
         raise ValueError(
-            f"unsupported strategy {strategy!r}; use 'hash', "
+            f"unsupported strategy {strategy!r}; use 'auto', 'hash', "
             "'broadcast_right', 'broadcast_left' or 'binned'"
         )
 

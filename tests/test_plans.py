@@ -647,3 +647,40 @@ def test_no_duplicate_catalog_names_in_source():
         names = re.findall(pat, src, re.M)
         dups = [n for n, c in Counter(names).items() if c > 1]
         assert not dups, f"duplicate {what}(s): {dups}"
+
+
+def test_auto_broadcast_pair_budget_guard(spark, monkeypatch):
+    """Auto strategy must not hand two non-tiny sides to a
+    BroadcastNestedLoopJoin just because the smaller one fits in
+    memory: above the pair budget the binned rewrite is forced (the
+    98k x 100k selective case measured 70s BNLJ vs 4s binned).  A
+    truly tiny side still broadcasts unconditionally."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark import interval_join
+    from dataframeintervals_jl_spark.operators import interval_join as ij
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    monkeypatch.setattr(ij, "AUTO_BNL_PAIR_BUDGET", 1_000)
+    monkeypatch.setattr(ij, "BROADCAST_TINY_ROWS", 4)
+
+    def spans(n, ri=False):
+        col = "ri" if ri else "li"
+        return spark.createDataFrame(
+            [(i, {"start": 7 * i, "stop": 7 * i + 10}) for i in range(n)],
+            f"{col} long, span struct<start: long, stop: long>",
+        )
+
+    big_l, big_r = spans(100), spans(100, ri=True)
+    auto = interval_join(big_l, big_r, strategy="auto", validate="skip")
+    assert "BroadcastNestedLoopJoin" not in simple_plan(auto)
+    ref = interval_join(
+        big_l, big_r, strategy="broadcast_right", validate="skip"
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+    tiny_r = spans(3, ri=True)
+    auto_tiny = interval_join(big_l, tiny_r, strategy="auto", validate="skip")
+    assert "BroadcastNestedLoopJoin" in simple_plan(auto_tiny)

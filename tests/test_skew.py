@@ -93,3 +93,146 @@ def test_key_skew_report_exact_small(spark):
         assert r["mean_cnt"] == total // n_keys
         assert r["cnt_quantile"] == cnts[ppm * (n_keys - 1) // 1_000_000]
         assert r["n_sample"] == n_keys
+
+
+def _spans_df(spark, rows):
+    """rows: (key, start, stop, id)"""
+    return spark.createDataFrame(
+        [(k, {"start": a, "stop": b}, i) for i, (k, a, b) in enumerate(rows)],
+        "k long, span struct<start: long, stop: long>, rid long",
+    )
+
+
+def test_keyed_join_profile_uniform_and_skewed(spark):
+    """The CMS planner profile: J matches the true same-key pair count
+    (within overestimate-only error), pair_key_factor recovers ~K for
+    uniform keys and collapses under skew, hot_share flags the
+    dominant key."""
+    from dataframeintervals_jl_spark.plans.planner import (
+        KeyedJoinProfile,
+        choose_keyed_strategy,
+        keyed_join_profile,
+        warn_if_hot_key,
+    )
+
+    # uniform: 50 keys x 4 rows per side -> J_true = 50*16 = 800
+    uni = spark.createDataFrame(
+        [(k, r) for k in range(50) for r in range(4)], "k long, r long"
+    )
+    p = keyed_join_profile(uni, uni, ["k"], ["k"])
+    assert p.n_left == p.n_right == 200
+    assert 800 <= p.join_rows_est <= 1200  # overestimate-only, small bias
+    assert 30 <= p.pair_key_factor <= 50   # ~K, never above it
+    assert p.hot_share < 0.2
+
+    # skewed: one key holds half the rows -> J dominated by it
+    skew_rows = [(0, r) for r in range(100)] + [
+        (k, r) for k in range(1, 101) for r in range(1)
+    ]
+    sk = spark.createDataFrame(skew_rows, "k long, r long")
+    ps = keyed_join_profile(sk, sk, ["k"], ["k"])
+    true_j = 100 * 100 + 100 * 1
+    assert true_j <= ps.join_rows_est <= true_j * 1.5
+    assert ps.hot_share > 0.8
+    # effective cardinality collapses: 200*200/10100 ~ 4 << 101 keys
+    assert ps.pair_key_factor < 10
+
+    # strategy rule + warning thresholds (pure dataclass logic)
+    heavy = KeyedJoinProfile(
+        n_left=10_000, n_right=10_000,
+        join_rows_est=10_000_000, heavy_pair_est=9_000_000,
+    )
+    light = KeyedJoinProfile(
+        n_left=10_000, n_right=10_000,
+        join_rows_est=40_000, heavy_pair_est=100,
+    )
+    assert choose_keyed_strategy(heavy) == "binned"
+    assert choose_keyed_strategy(light) == "hash"
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert warn_if_hot_key(heavy, "test") is True
+        assert warn_if_hot_key(light, "test") is False
+    assert len(rec) == 1 and "pair evaluations" in str(rec[0].message)
+
+
+def test_interval_join_by_auto_strategy(spark):
+    """strategy='auto' end-to-end: a tiny side broadcasts; a
+    high-cardinality join stays hash; a low-cardinality heavy join
+    goes binned with the J-informed width — and ALL paths return the
+    same rows as the explicit strategies."""
+    from dataframeintervals_jl_spark import interval_join_by
+    from dataframeintervals_jl_spark.plans import join_strategies
+
+    # high-cardinality: 300 keys x 4 spans -> hash (pair work small)
+    hi = _spans_df(
+        spark,
+        [(k, 10 * r, 10 * r + 15) for k in range(300) for r in range(4)],
+    )
+    hi2 = hi.withColumnRenamed("rid", "rid_r")
+    ref = sorted(
+        map(tuple, interval_join_by(
+            hi, hi2, by="k", strategy="hash", validate="skip"
+        ).collect())
+    )
+    got = interval_join_by(hi, hi2, by="k", strategy="auto", validate="skip")
+    assert sorted(map(tuple, got.collect())) == ref
+
+    # tiny right side -> broadcast join in the plan
+    tiny = _spans_df(spark, [(k, 0, 100) for k in range(5)]).withColumnRenamed(
+        "rid", "rid_r"
+    )
+    j = interval_join_by(hi, tiny, by="k", strategy="auto", validate="skip")
+    assert "BroadcastHashJoin" in join_strategies(j)
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, interval_join_by(
+            hi, tiny, by="k", strategy="broadcast_right", validate="skip"
+        ).collect())
+    )
+
+
+def test_interval_join_by_auto_cms_branch(spark, monkeypatch):
+    """Force the sketch branch (broadcast thresholds patched to 0/tiny)
+    and check both outcomes of the pair-work rule: high-cardinality
+    keys resolve to 'hash' (no bin column in the plan), low-cardinality
+    heavy keys resolve to 'binned' (bin equi-key present), and both
+    return exactly the explicit-strategy rows."""
+    from dataframeintervals_jl_spark import interval_join_by
+    from dataframeintervals_jl_spark.operators import interval_join as ij
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    monkeypatch.setattr(ij, "AUTO_BROADCAST_BYTES", 0)
+    monkeypatch.setattr(ij, "AUTO_BROADCAST_ROWS", 4)
+
+    # 300 keys x 4 spans: J ~ 300*16 = 4800 < 16*(2400) -> hash
+    hi = _spans_df(
+        spark,
+        [(k, 10 * r, 10 * r + 15) for k in range(300) for r in range(4)],
+    )
+    hi2 = hi.withColumnRenamed("rid", "rid_r")
+    auto_hi = interval_join_by(
+        hi, hi2, by="k", strategy="auto", validate="skip"
+    )
+    assert "__dfi_bin" not in simple_plan(auto_hi)
+    assert sorted(map(tuple, auto_hi.collect())) == sorted(
+        map(tuple, interval_join_by(
+            hi, hi2, by="k", strategy="hash", validate="skip"
+        ).collect())
+    )
+
+    # 2 keys x 600 spans: J ~ 2*600^2 = 720k > 16*2400 -> binned
+    lo = _spans_df(
+        spark,
+        [(k, 10 * r, 10 * r + 15) for k in range(2) for r in range(600)],
+    )
+    lo2 = lo.withColumnRenamed("rid", "rid_r")
+    auto_lo = interval_join_by(
+        lo, lo2, by="k", strategy="auto", validate="skip"
+    )
+    assert "__dfi_bin" in simple_plan(auto_lo)
+    assert sorted(map(tuple, auto_lo.collect())) == sorted(
+        map(tuple, interval_join_by(
+            lo, lo2, by="k", strategy="hash", validate="skip"
+        ).collect())
+    )
