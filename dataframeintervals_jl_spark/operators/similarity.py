@@ -1206,8 +1206,46 @@ def write_lsh_index(
 
     At 100 TB the hash pass runs once at ingest; each query then
     touches the probed buckets' row groups (or directories) plus
-    |candidates| rows of raw vectors."""
+    |candidates| rows of raw vectors.  Vectors arriving AFTER the
+    build are appended by :func:`append_lsh_index` (the foreachBatch
+    maintenance twin); every reader unions those update segments in."""
     spark = corpus.sparkSession
+    bt, raw = _lsh_index_frames(
+        corpus, dim, n_planes, n_tables, id_col, vec_col
+    )
+    if bucket_dirs:
+        bt.write.partitionBy("tbl", "bucket").mode("overwrite").parquet(
+            f"{path}/buckets"
+        )
+    else:
+        (
+            bt.repartition("tbl")
+            .sortWithinPartitions("bucket")
+            .write.partitionBy("tbl")
+            .mode("overwrite")
+            .parquet(f"{path}/buckets")
+        )
+    raw.write.mode("overwrite").parquet(f"{path}/raw")
+    spark.createDataFrame(
+        [(int(dim), int(n_planes), int(n_tables))],
+        "dim int, n_planes int, n_tables int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _lsh_index_frames(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+):
+    """(bucket rows, raw rows) of the LSH index layout for ``corpus``
+    — shared by the initial :func:`write_lsh_index` build and the
+    :func:`append_lsh_index` maintenance path so both hash with the
+    SAME deterministic hyperplanes.  ``cbs`` (per-table bucket array)
+    rides along in raw for the streaming probe's stateless emit-once
+    guard (see streaming.stream_lsh_probe)."""
     seeds = [lsh_table_seed(t) for t in range(n_tables)]
     ch = lsh_hash_frame(
         ensure_parallelism(corpus), id_col, vec_col, dim, n_planes, seeds
@@ -1228,31 +1266,98 @@ def write_lsh_index(
     ).select(
         "n_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
     )
-    if bucket_dirs:
-        bt.write.partitionBy("tbl", "bucket").mode("overwrite").parquet(
-            f"{path}/buckets"
-        )
-    else:
-        (
-            bt.repartition("tbl")
-            .sortWithinPartitions("bucket")
-            .write.partitionBy("tbl")
-            .mode("overwrite")
-            .parquet(f"{path}/buckets")
-        )
-    # cbs (per-table bucket array) rides along for the STREAMING probe's
-    # stateless emit-once guard (first-matching-table, needs both sides'
-    # arrays row-locally — see streaming.stream_lsh_probe)
-    ch.select(
+    raw = ch.select(
         F.col("id").alias("n_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
         F.col("bs").alias("cbs"),
-    ).write.mode("overwrite").parquet(f"{path}/raw")
-    spark.createDataFrame(
-        [(int(dim), int(n_planes), int(n_tables))],
-        "dim int, n_planes int, n_tables int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    )
+    return bt, raw
+
+
+def append_lsh_index(
+    batch: DataFrame,
+    path: str,
+    epoch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Append a batch of NEW vectors to a persisted LSH index
+    (:func:`write_lsh_index`) as an UPDATE SEGMENT — the streaming
+    maintenance path (probes pick up arrivals between full rebuilds):
+
+    - hashes the batch with the index's OWN meta parameters (same
+      deterministic hyperplanes as the base build);
+    - writes ``<path>/updates/e{epoch}/buckets`` (partitioned by tbl,
+      bucket-sorted within files — the same pruning layout as the
+      base) and ``.../raw``;
+    - mode OVERWRITE into the epoch-named directory, so a foreachBatch
+      REPLAY of the same epoch after a failure rewrites the identical
+      segment instead of duplicating rows — exactly-once by
+      idempotence, the same contract update_register_index gets from
+      version-then-prune (an update here is pure ADDITION, so the
+      segment form replaces the merge-rewrite: history is never
+      re-read, each append costs O(batch)).
+
+    Readers (:func:`lsh_rerank_topk_indexed`,
+    ``streaming.stream_lsh_probe``) union all segments in; their probe
+    filters push down into every segment's scan.  ``vec_id``s must be
+    new (an id re-sent in a later batch would rank twice) — upstream
+    dedup is the ingest contract.  Segments accumulate one directory
+    per batch: rebuild with :func:`write_lsh_index` periodically (the
+    compaction), which drops ``updates/`` wholesale.
+
+    Usable directly as ``foreachBatch(lambda b, e: append_lsh_index(
+    b, path, e))`` — or via ``streaming.maintain_lsh_index``."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bt, raw = _lsh_index_frames(
+        batch,
+        meta["dim"],
+        meta["n_planes"],
+        meta["n_tables"],
+        id_col,
+        vec_col,
+    )
+    seg = f"{path}/updates/e{int(epoch_id):020d}"
+    (
+        bt.repartition("tbl")
+        .sortWithinPartitions("bucket")
+        .write.partitionBy("tbl")
+        .mode("overwrite")
+        .parquet(f"{seg}/buckets")
+    )
+    raw.write.mode("overwrite").parquet(f"{seg}/raw")
+    return seg
+
+
+def _lsh_update_segments(spark, path: str) -> list:
+    """Sorted update-segment URIs under ``<path>/updates`` via the
+    Hadoop FileSystem API (scheme-aware — hdfs://, s3a://...)."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, f"{path.rstrip('/')}/updates")
+    if not fs.exists(jpath):
+        return []
+    segs = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("e"):
+            segs.append((name, st.getPath().toString()))
+    return [uri for _, uri in sorted(segs)]
+
+
+def _read_lsh_tables(spark, path: str):
+    """(buckets, raw) of an LSH index INCLUDING update segments.  The
+    union is of parquet scans only — filters applied by the caller
+    push through the Union into every child scan (partition pruning
+    and footer skipping hold per segment)."""
+    bt = spark.read.parquet(f"{path}/buckets")
+    raw = spark.read.parquet(f"{path}/raw")
+    for seg in _lsh_update_segments(spark, path):
+        bt = bt.unionByName(spark.read.parquet(f"{seg}/buckets"))
+        raw = raw.unionByName(spark.read.parquet(f"{seg}/raw"))
+    return bt, raw
 
 
 def lsh_rerank_topk_indexed(
@@ -1309,14 +1414,14 @@ def lsh_rerank_topk_indexed(
         clause = (F.col("tbl") == t) & F.col("bucket").isin(bs)
         probe_filter = clause if probe_filter is None else probe_filter | clause
 
-    bt = spark.read.parquet(f"{path}/buckets").filter(probe_filter)
+    bt_all, raw = _read_lsh_tables(spark, path)
+    bt = bt_all.filter(probe_filter)
     cand = (
         bt.join(F.broadcast(qe.select("q_id", "tbl", "bucket")), ["tbl", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id")
         .distinct()
     )
-    raw = spark.read.parquet(f"{path}/raw")
     fetched = raw.join(F.broadcast(cand), "n_id")
     scored = fetched.join(
         F.broadcast(qe.select("q_id", "qv", "qn").distinct()), "q_id"

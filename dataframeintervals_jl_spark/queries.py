@@ -2277,6 +2277,38 @@ def q_similarity_lsh_indexed(spark, sf_dir):
     )
 
 
+def q_similarity_lsh_maintained(spark, sf_dir):
+    """MAINTAINED persisted-LSH-index query (similarity.py:
+    append_lsh_index / streaming.maintain_lsh_index): the index is
+    built from one third of the corpus, the other two thirds arrive as
+    two append segments (epoch-idempotent update directories — the
+    foreachBatch maintenance path), and the probe unions base +
+    segments.  Shares q_similarity_lsh_rerank's oracle — maintenance
+    must be invisible in the results vs a full batch build."""
+    import shutil
+
+    from .operators.similarity import (
+        append_lsh_index,
+        lsh_rerank_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = _fixture_scratch(sf_dir, "lsh_idx_maint")
+    shutil.rmtree(path, ignore_errors=True)
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    write_lsh_index(
+        emb.filter(third == 0), path, dim=64, n_planes=8, n_tables=4
+    )
+    append_lsh_index(emb.filter(third == 1), path, 0)
+    append_lsh_index(emb.filter(third == 2), path, 1)
+    out = lsh_rerank_topk_indexed(spark, path, queries, k=5, probe_radius=3)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
+    )
+
+
 def q_stream_lsh_probe(spark, sf_dir):
     """Batch-mode run of the STREAMING persisted-index ANN probe
     (streaming.stream_lsh_probe): query vectors hashed row-locally,
@@ -7114,6 +7146,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "q_similarity_lsh_indexed": (
         q_similarity_lsh_indexed,
+        _sql_similarity_lsh_rerank(),
+    ),
+    "q_similarity_lsh_maintained": (
+        q_similarity_lsh_maintained,
         _sql_similarity_lsh_rerank(),
     ),
     "q_stream_lsh_probe": (q_stream_lsh_probe, _sql_stream_lsh_probe()),

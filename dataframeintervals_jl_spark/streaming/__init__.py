@@ -1662,11 +1662,12 @@ def stream_lsh_probe(
         n_tables,
         masks,
     )
-    bt = spark.read.parquet(f"{path}/buckets")
+    from ..operators.similarity import _read_lsh_tables
+
+    bt, raw = _read_lsh_tables(spark, path)
     cand = qe.join(bt, ["tbl", "bucket"]).filter(
         F.col("n_id") != F.col("q_id")
     )
-    raw = spark.read.parquet(f"{path}/raw")
     fetched = cand.join(raw, "n_id")
     # first-matching-table emit-once guard: tables are probed in order;
     # keep the row only when no EARLIER table already matched within
@@ -1695,3 +1696,44 @@ def stream_lsh_probe(
         .filter(F.col("score") >= float(threshold))
         .select("q_id", "n_id", F.round("score", 6).alias("score"))
     )
+
+
+def maintain_lsh_index(
+    vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Maintain a persisted LSH index from a STREAM of arriving
+    vectors — the write twin of :func:`stream_lsh_probe`: each
+    micro-batch is hashed with the index's own meta parameters and
+    appended as an idempotent epoch-named update segment
+    (:func:`~..operators.similarity.append_lsh_index`), so probes
+    defined after the batch see the new vectors WITHOUT a full index
+    rebuild.  Returns the started StreamingQuery.
+
+    Exactly-once: foreachBatch may replay an epoch after failure; the
+    segment write is mode-overwrite into ``updates/e{epoch}``, so a
+    replay rewrites the identical directory (the same idempotence
+    contract update_register_index gets from version-then-prune —
+    append-only data wants segments, merge-able sketches want
+    versions).  Segment count grows one per batch: periodically
+    rebuild with write_lsh_index (drops ``updates/`` wholesale) — the
+    compaction step.  The index must already exist (``meta`` holds the
+    hashing parameters new segments must share)."""
+    from ..operators.similarity import append_lsh_index
+
+    def _apply(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        append_lsh_index(batch, path, epoch_id, id_col, vec_col)
+
+    writer = (
+        vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1622,3 +1622,79 @@ def test_foreachbatch_register_index_maintenance(spark, tmp_path):
         for r in cms_registers(ev, "user_id", width=128, depth=4).collect()
     }
     assert got == want
+
+
+def test_maintain_lsh_index_stream_parity(spark, tmp_path):
+    """Streaming LSH index maintenance: an index built on part of the
+    corpus and maintained from a two-file stream of the remaining
+    vectors (maintain_lsh_index -> epoch-idempotent append segments)
+    must answer queries IDENTICALLY to an index batch-built on the
+    whole corpus; a replayed epoch (same epoch id re-applied) must not
+    change the answer (idempotent overwrite, exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.similarity import (
+        append_lsh_index,
+        lsh_rerank_topk_indexed,
+        write_lsh_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+    from dataframeintervals_jl_spark.streaming import maintain_lsh_index
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+
+    # full batch build = the reference answer
+    full_path = str(tmp_path / "lsh_full")
+    write_lsh_index(emb, full_path, dim=64, n_planes=8, n_tables=3)
+    want = sorted(
+        map(tuple, lsh_rerank_topk_indexed(
+            spark, full_path, q, k=4, probe_radius=2
+        ).collect())
+    )
+
+    # base on one third; stream the other two thirds as two files
+    m_path = str(tmp_path / "lsh_maint")
+    write_lsh_index(
+        emb.filter(third == 0), m_path, dim=64, n_planes=8, n_tables=3
+    )
+    d = str(tmp_path / "vec_in")
+    emb.filter(third == 1).coalesce(1).write.parquet(d + "/f1")
+    emb.filter(third == 2).coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sq = maintain_lsh_index(
+        stream,
+        m_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    sq.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, lsh_rerank_topk_indexed(
+            spark, m_path, q, k=4, probe_radius=2
+        ).collect())
+    )
+    assert got == want
+
+    # replayed epoch (deterministic, no stream ordering assumption):
+    # appending the SAME batch under the SAME epoch id twice rewrites
+    # the segment in place — no duplicate rows, answer unchanged
+    r_path = str(tmp_path / "lsh_replay")
+    write_lsh_index(
+        emb.filter(third == 0), r_path, dim=64, n_planes=8, n_tables=3
+    )
+    append_lsh_index(emb.filter(third == 1), r_path, 0)
+    append_lsh_index(emb.filter(third == 1), r_path, 0)  # replay
+    append_lsh_index(emb.filter(third == 2), r_path, 1)
+    again = sorted(
+        map(tuple, lsh_rerank_topk_indexed(
+            spark, r_path, q, k=4, probe_radius=2
+        ).collect())
+    )
+    assert again == want
