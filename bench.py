@@ -577,6 +577,37 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["join_size_setup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # BPE linear-rounds probe (round 8): learn_bpe_merges checkpoints
+    # its vocabulary lineage every few rounds, so per-round cost must
+    # be CONSTANT in the round number — recorded as the marginal
+    # per-round seconds between an 8-merge and a 64-merge run on the
+    # same corpus slice (superlinear plan growth would blow t64 up).
+    bpe_linear = {}
+    try:
+        from dataframeintervals_jl_spark.operators.bpe import (
+            learn_bpe_merges,
+        )
+        from dataframeintervals_jl_spark.sources import read_table as _rt
+
+        _bpe_docs = _rt(spark, sf_dir, "documents").filter(
+            F.pmod(F.col("doc_id"), F.lit(8)) == 0
+        )
+        _t0 = time.time()
+        _m8 = learn_bpe_merges(_bpe_docs, 8)
+        _t8 = time.time() - _t0
+        _t0 = time.time()
+        _m64 = learn_bpe_merges(_bpe_docs, 64)
+        _t64 = time.time() - _t0
+        spark.catalog.clearCache()
+        bpe_linear = {
+            "t8_sec": round(_t8, 3),
+            "t64_sec": round(_t64, 3),
+            "marginal_per_round_sec": round((_t64 - _t8) / 56, 4),
+            "prefix_stable": _m64[:8] == _m8,
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["bpe_linear_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade
     # away recall are visible (floors asserted in pytest)
@@ -643,6 +674,7 @@ def main() -> None:
         "recall": recall,
         "layout": layout,
         "join_size": join_size,
+        "bpe_linear": bpe_linear,
         "best_queries": best_queries,
         "errors": errors,
         "cpu_probe": probes,

@@ -43,6 +43,14 @@ R = "\x1f"
 #: regex extracting the symbol contents back out of the packed form
 _SYM_RE = f"{L}([^{L}{R}]+){R}"
 
+#: lineage-truncation cadence for the merge loop: localCheckpoint the
+#: vocabulary table every this many rounds so plan depth (and optimizer
+#: time) stays bounded at any n_merges.
+_CHECKPOINT_EVERY = 8
+
+#: n_merges above this emits the sequential-rounds advisory.
+_WARN_MERGES = 1024
+
 
 def _pack_chars(word_col) -> F.Column:
     """Word string → packed symbol string of wrapped single chars."""
@@ -89,12 +97,33 @@ def learn_bpe_merges(
     One corpus pass builds the word-frequency table; each round is a
     pair-count aggregation over that (persisted, vocabulary-sized)
     table, one 1-row ``orderBy().limit(1)`` collect, and a narrow
-    ``replace`` projection.  A ``localCheckpoint`` every few rounds
-    would bound lineage for large ``n_merges``; at tens of merges the
-    projection chain is shallow enough to skip.
+    ``replace`` projection.  Every ``_CHECKPOINT_EVERY`` rounds the
+    vocabulary table is ``localCheckpoint``-ed (eager), truncating the
+    accumulated ``replace`` lineage — so plan size and optimizer time
+    stay BOUNDED and total work is LINEAR in ``n_merges`` (bench probe
+    ``bpe_merges_64``), not quadratic in plan depth.  The driver-side
+    boundary is inherent to BPE itself (each round is one tiny Spark
+    job + a 1-row collect — rounds are sequential by definition): at a
+    real tokenizer's 32k merges that is 32k scheduler round-trips, so
+    very large ``n_merges`` emits a warning pointing at the practical
+    recipe (learn on the vocabulary of a SAMPLE; the word-frequency
+    table of even a 100 TB corpus is vocabulary-sized anyway).
     """
+    import warnings
+
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if n_merges > _WARN_MERGES:
+        warnings.warn(
+            f"learn_bpe_merges(n_merges={n_merges}): each merge is one "
+            "sequential Spark job (inherent to BPE) — thousands of "
+            "merges mean thousands of scheduler round-trips. Work per "
+            "round is vocabulary-sized and lineage is checkpoint-"
+            "bounded, so this completes, but for full tokenizer "
+            "training consider learning on a sampled corpus's "
+            "vocabulary table.",
+            stacklevel=2,
+        )
     words = docs.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
@@ -128,8 +157,18 @@ def learn_bpe_merges(
         w2 = w.select(
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
             "cnt",
-        ).persist()
-        w2.count()
+        )
+        if r % _CHECKPOINT_EVERY == 0:
+            # truncate the replace-projection lineage: without this the
+            # logical plan nests one replace per round and optimizer
+            # time grows with r — the checkpoint keeps every round O(1)
+            # plan work (eager, so w is fully consumed before release)
+            w2 = w2.localCheckpoint(eager=True)
+        else:
+            w2 = w2.persist()
+            w2.count()
+        # w is never read again once w2 is materialized — releasing its
+        # blocks is safe even when w itself was a checkpoint
         w.unpersist()
         w = w2
     w.unpersist()

@@ -949,6 +949,29 @@ def test_bpe_merge_never_crosses_symbol_boundaries(spark):
     assert toks == ["hel", "he"]
 
 
+def test_bpe_checkpoint_cadence_invariant(spark, monkeypatch):
+    """The lineage-truncation checkpoint is an execution detail: with
+    the cadence forced to every round, every other round, and
+    effectively never, the learned merges are identical — and a large
+    n_merges emits the sequential-rounds advisory."""
+    import warnings
+
+    from dataframeintervals_jl_spark.operators import bpe
+
+    docs = _docs(spark, ["abab cdcd abcd abab", "dcba abab cd cd"])
+    want = bpe.learn_bpe_merges(docs, n_merges=6)
+    assert len(want) >= 4
+    for every in (1, 2, 100):
+        monkeypatch.setattr(bpe, "_CHECKPOINT_EVERY", every)
+        assert bpe.learn_bpe_merges(docs, n_merges=6) == want
+
+    monkeypatch.setattr(bpe, "_WARN_MERGES", 3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        bpe.learn_bpe_merges(docs, n_merges=6)
+    assert any("sequential" in str(w.message) for w in rec)
+
+
 def test_semantic_dup_pairs_consistent_with_dedup(spark):
     """Pairs and keep flags agree: a vector is dropped by
     semantic_dedup iff it is the HIGHER id of at least one pair."""
