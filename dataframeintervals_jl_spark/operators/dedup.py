@@ -1018,6 +1018,73 @@ def duplicate_spans(
     )
 
 
+def excise_token_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_col: str = "span",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Apply a span-level dedup/decontamination report: REMOVE the
+    flagged token ranges from each document's text — the consumer of
+    :func:`contamination_spans` and :func:`duplicate_spans` that turns
+    "these token ranges are leaked/boilerplate" into the cleaned
+    corpus (excise the passage, keep the document — the Lee et al.
+    policy the span finders exist for).
+
+    ``spans``: ``(id_col, span struct<start,stop>)`` rows, 0-based
+    half-open TOKEN offsets under the same whitespace tokenization as
+    :func:`~..functions.text.tokens` (exactly what the span finders
+    emit).  Output: every ``docs`` row (documents with no spans pass
+    through whole) with ``out_col`` = the surviving tokens re-joined
+    by single spaces, plus ``n_tokens_removed`` (distinct token
+    positions covered — overlapping spans do not double-count).
+
+    Scale shape: spans aggregate to ONE array per document (islands
+    per doc are few by construction — the finders coalesce), the join
+    back to the corpus is a plain equi-join on ``id_col`` (AQE
+    broadcasts the span side when the flagged fraction is small), and
+    the excision is a pure expression — tokenize once, keep positions
+    hit by no span (O(tokens·islands) comparisons per row, all
+    codegen'd; no Python, no explode of the corpus)."""
+    from ..functions.text import tokens
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.col(span_col)).alias("__spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    toks = tokens(F.col(text_col))
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<start: bigint, stop: bigint>>"),
+    )
+    # (token, position) pairs; keep those no span covers
+    idx = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        idx,
+        lambda e: ~F.exists(
+            spans_arr,
+            lambda s: (e["i"] >= s["start"]) & (e["i"] < s["stop"]),
+        ),
+    )
+    cleaned = F.array_join(
+        F.transform(kept, lambda e: e["t"]), " "
+    )
+    removed = (F.size(toks) - F.size(kept)).cast("long")
+    return joined.select(
+        *docs.columns,
+        F.when(F.size(toks) > 0, cleaned).otherwise(F.lit("")).alias(out_col),
+        F.when(F.size(toks) > 0, removed).otherwise(F.lit(0).cast("long")).alias(
+            "n_tokens_removed"
+        ),
+    )
+
+
 #: word width of the bloom bitset table — 32 bits per BIGINT word keeps
 #: every shift strictly below the sign bit, so both engines (Spark ANSI,
 #: DuckDB overflow-checked ``<<``) compute the same positive words

@@ -3620,6 +3620,49 @@ SELECT doc_id, min(pos) AS tok_start, max(stop) AS tok_stop,
 FROM isl GROUP BY doc_id, isl_id"""
 
 
+def q_excise_duplicate_spans(spark, sf_dir):
+    """End-to-end span-level self-dedup: find the cross-document
+    duplicated token ranges (q_duplicate_spans' exact report) and
+    EXCISE them — every document survives with its boilerplate
+    passages removed and the removal count exact.  The oracle replays
+    the report and the excision (anti-exists on token positions +
+    ordered string_agg)."""
+    from .operators.dedup import duplicate_spans, excise_token_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = duplicate_spans(docs, shingle_k=4, min_docs=2, portable=True)
+    out = excise_token_spans(docs, rep)
+    return out.select("doc_id", "text_clean", "n_tokens_removed")
+
+
+def _sql_excise_duplicate_spans(k: int = 4, min_docs: int = 2) -> str:
+    inner = _sql_duplicate_spans(k, min_docs)
+    return rf"""WITH rep AS (
+  SELECT * FROM ({inner})
+), toksx AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), tokx AS (
+  SELECT doc_id, unnest(tl) AS t,
+         generate_subscripts(tl, 1) - 1 AS p, len(tl) AS n
+  FROM toksx
+), keptx AS (
+  SELECT k.doc_id, k.t, k.p, k.n
+  FROM tokx k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rep r
+    WHERE r.doc_id = k.doc_id AND k.p >= r.tok_start AND k.p < r.tok_stop)
+), aggx AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text_clean,
+         CAST(any_value(n) - count(*) AS BIGINT) AS n_tokens_removed
+  FROM keptx GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_tokens_removed,
+                CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT))
+         AS n_tokens_removed
+FROM documents d LEFT JOIN aggx a USING (doc_id)"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination over the same eval split as
     q_decontaminate: the eval shingles are folded into a 2^16-bit bloom
@@ -7189,6 +7232,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _sql_contamination_spans(),
     ),
     "q_duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
+    "q_excise_duplicate_spans": (
+        q_excise_duplicate_spans,
+        _sql_excise_duplicate_spans(),
+    ),
     "q_bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decon(1 << 16, 4)),
     "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),

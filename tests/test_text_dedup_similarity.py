@@ -1211,6 +1211,46 @@ def test_duplicate_spans_pinned_semantics(spark):
         duplicate_spans(docs, min_docs=3, max_docs=2)
 
 
+def test_excise_token_spans_semantics(spark):
+    """Pinned excision semantics: flagged token ranges are removed and
+    the rest re-joined by single spaces; overlapping spans do not
+    double-count removals; a fully covered doc becomes ''; docs with
+    no spans (and empty docs) pass through; spans for unknown ids are
+    ignored."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        excise_token_spans,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "a b c d e f",  # 0: excise [1,3) and overlapping [2,5) -> 'a f'
+            "x y z",        # 1: fully covered -> ''
+            "p q r",        # 2: no spans
+            "",             # 3: empty text
+        ],
+    )
+    spans = spark.createDataFrame(
+        [
+            (0, {"start": 1, "stop": 3}),
+            (0, {"start": 2, "stop": 5}),
+            (1, {"start": 0, "stop": 3}),
+            (99, {"start": 0, "stop": 1}),  # unknown doc id
+        ],
+        "doc_id long, span struct<start: long, stop: long>",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+        for r in excise_token_spans(docs, spans).collect()
+    }
+    assert got == {
+        0: ("a f", 4),
+        1: ("", 3),
+        2: ("p q r", 0),
+        3: ("", 0),
+    }
+
+
 def test_duplicate_spans_property(spark):
     """Property check vs pure-Python brute force: random small-alphabet
     corpora — a position is duplicated iff its exact gram appears in
