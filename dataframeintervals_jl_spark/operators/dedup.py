@@ -1018,6 +1018,107 @@ def duplicate_spans(
     )
 
 
+def bloom_decontaminate_rowlocal(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_overlap: int = 1,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """ROW-LOCAL bloom decontamination — :func:`bloom_decontaminate`
+    with the filter COLLECTED into one array LITERAL (``n_bits/32``
+    bigints: 16 KiB at the 2^16 default — a single Literal node, not
+    an expression tree, so no janino size hazard) and the probe folded
+    into a pure per-row expression over the document's own distinct
+    shingles.  NO join, NO shuffle, NO aggregation: the decision is a
+    narrow filter-shaped projection, which makes this the STREAMING
+    decontamination twin — it runs unchanged on a streaming DataFrame
+    (stateless, append-mode, no watermark), flagging every arriving
+    document against the eval set at ingest.
+
+    Identical output contract to :func:`bloom_decontaminate` at the
+    same parameters (same double-hashed positions, same one-sided
+    error: ``n_bloom`` is an upper bound on the true shingle overlap,
+    contaminated-and-missed impossible; false-positive rate
+    ~(fill)^n_hashes, so size ``n_bits`` to the eval set) — the two
+    are parity-tested, and a SQL oracle replays the exact output.
+    Driver-side state is the collected word table, ≤ ``n_bits/32``
+    rows by construction regardless of eval-set size.
+
+    Output: every ``corpus`` row + ``n_bloom`` (bigint) +
+    ``contaminated`` — per ROW, so no per-doc re-aggregation is ever
+    needed (a document IS a row)."""
+    if n_bits & (n_bits - 1) or n_bits < _BLOOM_WORD:
+        raise ValueError(f"n_bits must be a power of two >= 32, got {n_bits}")
+    if not (1 <= n_hashes <= 16):
+        raise ValueError(f"n_hashes must be in [1, 16], got {n_hashes}")
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    spark = corpus.sparkSession
+    ev_sh = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_k))
+            ).alias("__s")
+        )
+        .select(hash_fn(F.col("__s")).alias("__sh"))
+        .distinct()
+    )
+    pos = _bloom_positions(n_bits, n_hashes)
+    words = (
+        ev_sh.select(F.explode(F.array(*pos)).alias("__pos"))
+        .select(
+            F.expr(f"__pos DIV {_BLOOM_WORD}").alias("__w"),
+            F.pmod(F.col("__pos"), F.lit(_BLOOM_WORD)).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(__b AS INT)))").alias("__word"))
+        .collect()
+    )
+    table = [0] * (n_bits // _BLOOM_WORD)
+    for r in words:
+        table[int(r["__w"])] = int(r["__word"])
+    words_lit = F.lit(table)  # ONE Literal node of array<bigint>
+
+    def _member(sh):
+        """All n_hashes positions set for shingle-hash column sh."""
+        h1 = F.pmod(sh, F.lit(n_bits))
+        h2 = F.pmod(F.shiftright(sh, 20), F.lit(n_bits)) * 2 + 1
+        hit = F.lit(True)
+        for i in range(n_hashes):
+            p = F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits))
+            word = F.element_at(
+                words_lit, (p / F.lit(_BLOOM_WORD)).cast("int") + 1
+            )
+            # F.shiftleft only takes a literal count; the SQL function
+            # itself accepts a column — invoke it directly
+            bit = F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(p, F.lit(_BLOOM_WORD)).cast("int"),
+            )
+            hit = hit & (word.bitwiseAND(bit) != 0)
+        return hit
+
+    n_bloom = F.size(
+        F.filter(
+            F.transform(
+                F.array_distinct(shingles(F.col(text_col), shingle_k)),
+                lambda s: hash_fn(s),
+            ),
+            _member,
+        )
+    ).cast("long")
+    return corpus.select(
+        "*",
+        n_bloom.alias("n_bloom"),
+        (n_bloom >= F.lit(min_overlap)).alias("contaminated"),
+    )
+
+
 def excise_token_spans(
     docs: DataFrame,
     spans: DataFrame,

@@ -3686,6 +3686,29 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def q_stream_bloom_decontaminate(spark, sf_dir):
+    """Batch-mode run of the STATELESS streaming decontamination twin
+    (dedup.bloom_decontaminate_rowlocal via streaming alias): the eval
+    bloom collapses to ONE 2 KiB array literal and every document is
+    flagged by a pure row-local expression — zero joins, zero
+    exchanges, zero state; runs unchanged on a streaming DataFrame.
+    Shares q_bloom_decontaminate's oracle: the row-local probe is
+    bit-identical to the join-shaped batch plan."""
+    from .operators.dedup import bloom_decontaminate_rowlocal
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    return bloom_decontaminate_rowlocal(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        shingle_k=4,
+        min_overlap=2,
+        n_bits=1 << 16,
+        n_hashes=4,
+        portable=True,
+    ).select("doc_id", "n_bloom", "contaminated")
+
+
 def _sql_bloom_decon(n_bits: int, n_hashes: int) -> str:
     """DuckDB replay of q_bloom_decontaminate: same double-hashed
     positions (h1 = h mod n_bits, h2 = odd((h >> 20) mod n_bits)),
@@ -7237,6 +7260,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _sql_excise_duplicate_spans(),
     ),
     "q_bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decon(1 << 16, 4)),
+    "q_stream_bloom_decontaminate": (
+        q_stream_bloom_decontaminate,
+        _sql_bloom_decon(1 << 16, 4),
+    ),
     "q_resample_locf": (q_resample_locf, _SQL_RESAMPLE_LOCF),
     "q_sliding_window_agg": (q_sliding_window_agg, _SQL_SLIDING_WINDOW),
     "q_gopher_rules": (q_gopher_rules, _SQL_GOPHER),

@@ -1698,6 +1698,42 @@ def stream_lsh_probe(
     )
 
 
+def stream_bloom_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_overlap: int = 1,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Streaming decontamination at ingest: every arriving document is
+    flagged against the (static, batch) eval set by
+    :func:`~..operators.dedup.bloom_decontaminate_rowlocal` — the eval
+    bloom is ONE collected array literal (n_bits/8 bytes, constant in
+    eval-set size) and the probe is a pure row-local expression, so
+    the streaming plan is stateless, append-mode, join-free, and
+    shuffle-free (zero Exchanges, plan-tested).  One-sided error as
+    the batch twin: a truly contaminated document is never missed.
+    The eval side is evaluated ONCE when the query is defined —
+    re-define the stream to pick up eval-set changes."""
+    from ..operators.dedup import bloom_decontaminate_rowlocal
+
+    return bloom_decontaminate_rowlocal(
+        docs,
+        eval_df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_k=shingle_k,
+        min_overlap=min_overlap,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        portable=portable,
+    )
+
+
 def maintain_lsh_index(
     vectors: DataFrame,
     path: str,

@@ -1698,3 +1698,70 @@ def test_maintain_lsh_index_stream_parity(spark, tmp_path):
         ).collect())
     )
     assert again == want
+
+
+def test_stream_bloom_decontaminate_file_stream(spark, tmp_path):
+    """The row-local bloom probe on an ACTUAL file stream: two
+    micro-batches of corpus documents flagged against a static eval
+    split must equal the batch operator's output exactly (same
+    deterministic bloom, same one-sided error) — and the batch-mode
+    plan must be join-free and shuffle-free (that statelessness is
+    what makes the streaming form legal without state or watermark)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.dedup import (
+        bloom_decontaminate,
+    )
+    from dataframeintervals_jl_spark.plans import (
+        count_exchanges,
+        join_strategies,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+    from dataframeintervals_jl_spark.streaming import (
+        stream_bloom_decontaminate,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    corpus, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    kw = dict(
+        shingle_k=4, min_overlap=2, n_bits=1 << 14, n_hashes=4, portable=True
+    )
+
+    want = sorted(
+        (r["doc_id"], r["n_bloom"], r["contaminated"])
+        for r in bloom_decontaminate(corpus, ev, **kw).collect()
+    )
+
+    d = str(tmp_path / "docs_in")
+    corpus.filter("doc_id % 2 = 0").coalesce(1).write.parquet(d + "/f1")
+    corpus.filter("doc_id % 2 = 1").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    flagged = stream_bloom_decontaminate(stream, ev, **kw).select(
+        "doc_id", "n_bloom", "contaminated"
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloomdec")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["n_bloom"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM bloomdec").collect()
+    )
+    assert got == want
+
+    batch_plan = stream_bloom_decontaminate(corpus, ev, **kw).select(
+        "doc_id", "n_bloom", "contaminated"
+    )
+    assert count_exchanges(batch_plan) == 0
+    assert join_strategies(batch_plan) == []
