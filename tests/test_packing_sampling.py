@@ -816,6 +816,71 @@ def test_profile_table_nan_inf_distinct(spark):
     assert r["n_distinct_est"] == 4
 
 
+def test_mixture_sample_property(spark):
+    """Hypothesis property: for random group sizes and random integer
+    weights at T=1, cap mode keeps EXACTLY the rows whose ppm bucket
+    clears min(1e6, floor(w_g·N·1e6 / (W·n_g))) — replayed in pure
+    Python from the same portable hash — so proportions follow and
+    the sample is deterministic and content-keyed by construction."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        BUCKETS,
+        mixture_sample,
+    )
+
+    sizes_weights = st.lists(
+        st.tuples(st.integers(1, 40), st.integers(0, 5)),
+        min_size=1,
+        max_size=4,
+    )
+
+    def py_bucket(key: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"mix|{key}".encode()).hexdigest()
+        return int(h[:15], 16) % BUCKETS
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(sizes_weights)
+    def run(sw):
+        sizes = {f"g{i}": n for i, (n, _) in enumerate(sw)}
+        weights = {f"g{i}": w for i, (_, w) in enumerate(sw)}
+        df = _mix_df(spark, sizes)
+        got = {
+            r["id"]
+            for r in mixture_sample(
+                df, "grp", "id", weights=weights
+            ).collect()
+        }
+        # pure-Python replay of the threshold filter
+        total = sum(sizes.values())
+        wsum = sum(weights.values())
+        rows, nxt = {}, 0
+        for g, n in sorted(sizes.items()):
+            for _ in range(n):
+                rows[nxt] = g
+                nxt += 1
+        want = set()
+        if wsum:
+            thr = {
+                g: min(
+                    BUCKETS,
+                    (weights[g] * total * BUCKETS) // (wsum * sizes[g]),
+                )
+                for g in sizes
+            }
+            want = {k for k, g in rows.items() if py_bucket(k) < thr[g]}
+        assert got == want
+
+    run()
+
+
 def test_kmv_overlap_matrix_exact_below_k_and_pair_parity(spark):
     """Below-k the matrix is exact (known synthetic overlaps); each
     matrix row must equal kmv_overlap_estimate run on that pair alone
