@@ -93,3 +93,47 @@ def test_sample_frames(media):
 def test_resize_is_explicitly_unimplemented(media):
     with pytest.raises(NotImplementedError, match="codec"):
         resize_stub(media, 224, 224)
+
+
+def test_resize_raw_nearest_neighbor_exact(spark):
+    """resize_raw: exact nearest-neighbor semantics on hand-checkable
+    raw HWC buffers — 2x upscale replicates pixels, downscale-to-1x1
+    picks the top-left-of-block source pixel, and a buffer whose
+    length disagrees with its meta dims raises with the id."""
+    import numpy as np
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.multimodal import (
+        MEDIA_META_DDL,
+        resize_raw,
+    )
+
+    # 2x2 RGB: distinct per-pixel colors
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    rows = [
+        (0, bytearray(px.tobytes()), {"kind": "image", "width": 2,
+         "height": 2, "sample_rate": 0, "n_frames": 1}),
+    ]
+    media = spark.createDataFrame(
+        rows, f"id long, media binary, meta {MEDIA_META_DDL}"
+    )
+
+    up = resize_raw(media, width=4, height=4).collect()[0]
+    got = np.frombuffer(bytes(up["media"]), dtype=np.uint8).reshape(4, 4, 3)
+    # floor(i*2/4) = [0,0,1,1] on both axes -> 2x pixel replication
+    want = px[[0, 0, 1, 1]][:, [0, 0, 1, 1]]
+    assert (got == want).all()
+    assert (up["width"], up["height"]) == (4, 4)
+
+    down = resize_raw(media, width=1, height=1).collect()[0]
+    assert bytes(down["media"]) == px[0, 0].tobytes()
+
+    bad = spark.createDataFrame(
+        [(7, bytearray(b"\x00" * 5), {"kind": "image", "width": 2,
+          "height": 2, "sample_rate": 0, "n_frames": 1})],
+        f"id long, media binary, meta {MEDIA_META_DDL}",
+    )
+    with pytest.raises(Exception, match="id=7"):
+        resize_raw(bad, 2, 2).collect()
+    with pytest.raises(ValueError, match="positive"):
+        resize_raw(media, 0, 4)
