@@ -684,3 +684,55 @@ def test_auto_broadcast_pair_budget_guard(spark, monkeypatch):
     tiny_r = spans(3, ri=True)
     auto_tiny = interval_join(big_l, tiny_r, strategy="auto", validate="skip")
     assert "BroadcastNestedLoopJoin" in simple_plan(auto_tiny)
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """duplicate_spans plan locks: the duplicated-gram count side is
+    FILTERED (n_docs_sharing >= min_docs) before the probe join — the
+    join's build side is the duplicated fraction, not every distinct
+    gram; no cartesian product, no Python eval anywhere."""
+    from dataframeintervals_jl_spark.operators.dedup import duplicate_spans
+    from dataframeintervals_jl_spark.plans import (
+        join_strategies,
+        simple_plan,
+        uses_python_eval,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = duplicate_spans(docs, shingle_k=4, min_docs=2, portable=True)
+    plan = simple_plan(out)
+    assert not uses_python_eval(out)
+    assert "CartesianProduct" not in join_strategies(out)
+    # the >= filter must sit on the aggregated count, pre-join
+    assert "n_docs_sharing" in plan and ">= 2" in plan
+
+
+def test_excise_token_spans_plan_shape(spark):
+    """excise_token_spans plan locks: the excision is pure expression
+    (no Python eval), the only join is the per-doc span-array equi-join
+    on the id, and the corpus is never exploded (no Generate over the
+    docs side)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.dedup import (
+        excise_token_spans,
+    )
+    from dataframeintervals_jl_spark.plans import (
+        join_strategies,
+        simple_plan,
+        uses_python_eval,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    spans = spark.createDataFrame(
+        [(1, {"start": 0, "stop": 2})],
+        "doc_id long, span struct<start: long, stop: long>",
+    )
+    out = excise_token_spans(docs, spans)
+    assert not uses_python_eval(out)
+    strategies = join_strategies(out)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "Generate" not in simple_plan(out)  # corpus never explodes
