@@ -2726,6 +2726,37 @@ def q_interval_join_by(spark, sf_dir):
     )
 
 
+def q_interval_join_by_auto(spark, sf_dir):
+    """q_interval_join_by through the SKETCH-DRIVEN strategy='auto'
+    path (plans/planner.py): broadcast fast paths, then the Count-Min
+    pair-work estimate decides hash vs binned.  Shares the hash-path
+    oracle — whatever physical shape auto picks, the rows must be
+    identical (the planner is an execution detail, never a semantics
+    change)."""
+    es = event_spans(spark, sf_dir, truncate_us=True)
+    clicks = es.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "span"
+    )
+    pad = 43_200_000_000_000
+    purch = es.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event"),
+        make_span(
+            F.col("span.start") - F.lit(pad), F.col("span.stop") + F.lit(pad)
+        ).alias("span"),
+    )
+    j = interval_join_by(
+        clicks, purch, by="user_id", validate="skip", strategy="auto"
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "p_event",
+        F.col("span.start").alias("i_start"),
+        F.col("span.stop").alias("i_stop"),
+    )
+
+
 _SQL_JOIN_BY = f"""WITH {_ES_CTE},
 c AS (SELECT user_id, event_id, s, e FROM es WHERE event_type = 'click'),
 p AS (SELECT user_id, event_id AS p_event,
@@ -7180,6 +7211,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_overlap_profile": (q_overlap_profile, _SQL_OVERLAP_PROFILE),
     "q_interval_semijoin": (q_interval_semijoin, _SQL_SEMIJOIN),
     "q_interval_join_by": (q_interval_join_by, _SQL_JOIN_BY),
+    "q_interval_join_by_auto": (q_interval_join_by_auto, _SQL_JOIN_BY),
     "q_interval_join_by_keepleft": (
         q_interval_join_by_keepleft,
         _SQL_JOIN_BY_KEEPLEFT,
