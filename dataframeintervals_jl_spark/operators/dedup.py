@@ -952,9 +952,6 @@ def duplicate_spans(
     over each document's own hits.  ``portable=True`` swaps xxhash64
     for the md5-prefix hash a SQL oracle recomputes exactly."""
     from ..functions.spans import make_span
-    from ..functions.text import tokens
-    from .coalesce import _ISL, _break_expr
-    from pyspark.sql import Window
 
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
@@ -963,15 +960,7 @@ def duplicate_spans(
             f"max_docs ({max_docs}) must be >= min_docs ({min_docs})"
         )
     hash_fn = portable_hash60 if portable else F.xxhash64
-    grams = ensure_parallelism(corpus).select(
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("__n"),
-        F.posexplode(shingles(F.col(text_col), shingle_k)).alias(
-            "__i", "__s"
-        ),
-    ).select(
-        id_col, "__n", "__i", hash_fn(F.col("__s")).alias("__h")
-    ).filter(F.col("__n") > 0)
+    grams = _doc_grams(corpus, text_col, id_col, shingle_k, hash_fn)
 
     cnt_pred = F.col("n_docs_sharing") >= F.lit(int(min_docs))
     if max_docs is not None:
@@ -989,8 +978,44 @@ def duplicate_spans(
         ).alias("span"),
         "n_docs_sharing",
     )
-    # inline island merge (merge_spans' keyed plan, coalesce.py:88-103,
-    # plus the max-sharing aggregate merge_spans does not carry)
+    return _merge_hit_islands(hits, id_col, merge_touching)
+
+
+def _doc_grams(
+    corpus: DataFrame, text_col: str, id_col: str, shingle_k: int, hash_fn
+) -> DataFrame:
+    """(id, __n token count, __i position, __h gram hash) rows of a
+    corpus — the posexplode'd k-gram stream :func:`duplicate_spans`
+    and :func:`incremental_duplicate_spans` both probe with; the gram
+    STRING is hashed away immediately (only 64-bit hashes ever reach
+    a shuffle).  Zero-token documents are dropped (their degenerate
+    whole-text gram spans nothing)."""
+    from ..functions.text import tokens
+
+    return ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("__n"),
+        F.posexplode(shingles(F.col(text_col), shingle_k)).alias(
+            "__i", "__s"
+        ),
+    ).select(
+        id_col, "__n", "__i", hash_fn(F.col("__s")).alias("__h")
+    ).filter(F.col("__n") > 0)
+
+
+def _merge_hit_islands(
+    hits: DataFrame, id_col: str, merge_touching: bool
+) -> DataFrame:
+    """Coalesce per-document hit spans ``(id_col, span,
+    n_docs_sharing)`` into maximal islands — merge_spans' keyed plan
+    (coalesce.py:88-103) plus the max-sharing aggregate merge_spans
+    does not carry.  One shuffle on the doc id; islands per doc are
+    few by construction."""
+    from pyspark.sql import Window
+
+    from ..functions.spans import make_span
+    from .coalesce import _ISL, _break_expr
+
     start = F.col("span").getField("start")
     stop = F.col("span").getField("stop")
     w = Window.partitionBy(id_col).orderBy(start, stop)
@@ -1016,6 +1041,104 @@ def duplicate_spans(
             "n_docs_sharing",
         )
     )
+
+
+def write_gram_index(
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    path: Union[str, None] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    portable: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus' gram-hash doc-count table ``(__h, n_docs)``
+    — the index that makes :func:`duplicate_spans` INCREMENTAL: each
+    new batch probes this table for its duplicated-against-history
+    token ranges instead of re-scanning history text.
+
+    Layout: hash-BUCKETED by ``__h`` (sorted within buckets) and
+    registered as ``table`` — the probe join's big side is
+    pre-partitioned on disk, so only the increment moves.  One row per
+    DISTINCT gram in the corpus (vocabulary-of-grams-sized, far below
+    the corpus).  ``mode='append'`` accepts later batches' counts:
+    with the DISJOINT-ID contract (each document indexed exactly once
+    — same contract as :func:`write_minhash_index` appends) per-hash
+    counts from different segments simply ADD, and the probe sums
+    segments per hash over HIT rows only.  The gram parameters
+    (``shingle_k``/``portable``) are part of the index identity, like
+    the minhash index's banding parameters."""
+    from ..sources.sinks import write_bucketed
+
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    counts = (
+        _doc_grams(docs, text_col, id_col, shingle_k, hash_fn)
+        .groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+    write_bucketed(
+        counts, table, ["__h"], n_buckets, sort_cols=["__h"], path=path,
+        mode=mode,
+    )
+
+
+def incremental_duplicate_spans(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+    merge_touching: bool = True,
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Span report of NEW documents against INDEXED history
+    (:func:`write_gram_index`): per increment document, the maximal
+    token ranges whose gram appears in at least ``min_docs - 1``
+    history documents — the new document itself supplies the
+    ``min_docs``-th copy, so ``n_docs_sharing`` (history + 1) lines up
+    with :func:`duplicate_spans`' batch semantics.  The
+    ingest-time "is this passage already in the corpus?" probe.
+
+    Plan shape (the incremental-dedup shape, same as
+    :func:`incremental_minhash_dedup`): the increment's gram stream
+    broadcasts (``broadcast_increment=True``, the common small-batch
+    case) against the bucketed index — history is read in place,
+    NEVER reshuffled; with it false the increment shuffles into the
+    index's bucket layout.  Only HIT grams reach the per-(doc,
+    position) segment-sum (bounded by increment hits × index
+    segments) and the per-document island merge.  Increment documents
+    are not paired against EACH OTHER (run :func:`duplicate_spans`
+    within the batch when batches self-duplicate), and ids must be
+    disjoint from history's."""
+    from ..functions.spans import make_span
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    grams = _doc_grams(new_docs, text_col, id_col, shingle_k, hash_fn)
+    probe = F.broadcast(grams) if broadcast_increment else grams
+    hits = (
+        index.select("__h", "n_docs")
+        .join(probe, "__h")
+        # appended indexes hold one row per (segment, hash): disjoint
+        # ids mean history counts ADD across segments
+        .groupBy(id_col, "__n", "__i")
+        .agg(F.sum("n_docs").alias("__hist"))
+        .filter(F.col("__hist") >= F.lit(int(min_docs) - 1))
+        .select(
+            id_col,
+            make_span(
+                F.col("__i"),
+                F.least(F.col("__i") + F.lit(int(shingle_k)), F.col("__n")),
+            ).alias("span"),
+            (F.col("__hist") + F.lit(1)).alias("n_docs_sharing"),
+        )
+    )
+    return _merge_hit_islands(hits, id_col, merge_touching)
 
 
 def bloom_decontaminate_rowlocal(

@@ -3651,6 +3651,95 @@ SELECT doc_id, min(pos) AS tok_start, max(stop) AS tok_stop,
 FROM isl GROUP BY doc_id, isl_id"""
 
 
+def q_incremental_duplicate_spans(spark, sf_dir):
+    """Span-level self-dedup against a PERSISTED gram index — the
+    ingest-time "is this passage already in the corpus?" probe:
+    history (doc_id % 3 != 0) is indexed once as bucketed gram-hash
+    doc counts, the increment (doc_id % 3 == 0) is gram'd, broadcast,
+    and probed map-side — history never reshuffles.  A span is
+    reported when its gram lives in >= 1 history document
+    (min_docs=2, the new doc supplying the second copy);
+    n_docs_sharing = history + 1 lines up with q_duplicate_spans'
+    batch convention.  The oracle recomputes both sides' grams
+    directly, verifying the index write+read round-trip against a
+    pure recomputation."""
+    import os
+
+    from .operators.dedup import (
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    tbl = f"dfi_gram_idx_q_{os.getpid()}"
+    write_gram_index(
+        hist,
+        tbl,
+        n_buckets=16,
+        path=_fixture_scratch(sf_dir, "gram_idx_q"),
+        shingle_k=4,
+        portable=True,
+    )
+    out = incremental_duplicate_spans(
+        inc, spark.table(tbl), shingle_k=4, min_docs=2, portable=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("span.start").alias("tok_start"),
+        F.col("span.stop").alias("tok_stop"),
+        "n_spans",
+        "n_docs_sharing",
+    )
+
+
+def _sql_incremental_duplicate_spans(k: int = 4, min_docs: int = 2) -> str:
+    h = _PH60.format(x="s")
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), grams0 AS (
+  SELECT doc_id, len(tl) AS n,
+         CASE WHEN len(tl) < {k} THEN [array_to_string(tl, ' ')]
+              ELSE list_transform(
+                     range(1, greatest(len(tl) - {k} + 1, 1) + 1),
+                     i -> array_to_string(tl[i:i+{k - 1}], ' ')) END AS sl
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         generate_subscripts(sl, 1) - 1 AS pos,
+         CASE WHEN n < {k} THEN least({k}::BIGINT, n)
+              ELSE generate_subscripts(sl, 1) - 1 + {k} END AS stop,
+         unnest(sl) AS s
+  FROM grams0
+), g AS (
+  SELECT doc_id, pos, stop, {h} AS hh FROM grams WHERE stop > pos
+), hist AS (
+  SELECT hh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM g WHERE doc_id % 3 <> 0 GROUP BY hh
+), hits AS (
+  SELECT g.doc_id, g.pos, g.stop, h.n_docs + 1 AS n_docs
+  FROM g JOIN hist h USING (hh)
+  WHERE g.doc_id % 3 = 0 AND h.n_docs >= {min_docs - 1}
+), ordd AS (
+  SELECT doc_id, pos, stop, n_docs,
+         max(stop) OVER (PARTITION BY doc_id ORDER BY pos, stop
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos, stop, n_docs,
+         sum(CASE WHEN prev_max IS NULL OR prev_max < pos
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos, stop) AS isl_id
+  FROM ordd
+)
+SELECT doc_id, min(pos) AS tok_start, max(stop) AS tok_stop,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       max(n_docs) AS n_docs_sharing
+FROM isl GROUP BY doc_id, isl_id"""
+
+
 def q_excise_duplicate_spans(spark, sf_dir):
     """End-to-end span-level self-dedup: find the cross-document
     duplicated token ranges (q_duplicate_spans' exact report) and
@@ -7287,6 +7376,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _sql_contamination_spans(),
     ),
     "q_duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
+    "q_incremental_duplicate_spans": (
+        q_incremental_duplicate_spans,
+        _sql_incremental_duplicate_spans(),
+    ),
     "q_excise_duplicate_spans": (
         q_excise_duplicate_spans,
         _sql_excise_duplicate_spans(),

@@ -1211,6 +1211,73 @@ def test_duplicate_spans_pinned_semantics(spark):
         duplicate_spans(docs, min_docs=3, max_docs=2)
 
 
+def test_incremental_duplicate_spans_contracts(spark, tmp_path):
+    """Incremental span dedup against the persisted gram index: (a) a
+    two-segment appended index answers EXACTLY like a single-shot
+    index (disjoint-id counts add); (b) every flagged position is also
+    flagged by batch duplicate_spans over history+increment (the
+    incremental probe sees history sharing only — a strict subset);
+    (c) min_docs < 2 rejects."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.dedup import (
+        duplicate_spans,
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    third = F.pmod(F.col("doc_id"), F.lit(3))
+    hist, inc = docs.filter(third != 0), docs.filter(third == 0)
+    pid = os.getpid()
+
+    t1 = f"gram_idx_one_{pid}"
+    write_gram_index(
+        hist, t1, n_buckets=8, path=str(tmp_path / "g1"),
+        shingle_k=4, portable=True,
+    )
+    one = incremental_duplicate_spans(
+        inc, spark.table(t1), shingle_k=4, min_docs=2, portable=True
+    )
+    rows_one = sorted(map(tuple, one.collect()))
+    assert rows_one  # the sf0.001 corpus does share 4-grams
+
+    t2 = f"gram_idx_two_{pid}"
+    write_gram_index(
+        hist.filter("doc_id % 2 = 0"), t2, n_buckets=8,
+        path=str(tmp_path / "g2"), shingle_k=4, portable=True,
+    )
+    write_gram_index(
+        hist.filter("doc_id % 2 = 1"), t2, n_buckets=8,
+        path=str(tmp_path / "g2"), shingle_k=4, portable=True,
+        mode="append",
+    )
+    two = incremental_duplicate_spans(
+        inc, spark.table(t2), shingle_k=4, min_docs=2, portable=True
+    )
+    assert sorted(map(tuple, two.collect())) == rows_one
+
+    batch = duplicate_spans(
+        docs, shingle_k=4, min_docs=2, portable=True
+    ).filter(third == 0)
+
+    def positions(df):
+        return {
+            (r["doc_id"], p)
+            for r in df.collect()
+            for p in range(r["span"]["start"], r["span"]["stop"])
+        }
+
+    assert positions(one) <= positions(batch)
+
+    with pytest.raises(ValueError, match="min_docs"):
+        incremental_duplicate_spans(inc, spark.table(t1), min_docs=1)
+
+
 def test_excise_token_spans_semantics(spark):
     """Pinned excision semantics: flagged token ranges are removed and
     the rest re-joined by single spaces; overlapping spans do not
