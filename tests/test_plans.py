@@ -736,3 +736,41 @@ def test_excise_token_spans_plan_shape(spark):
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "Generate" not in simple_plan(out)  # corpus never explodes
+
+
+def test_incremental_duplicate_spans_plan_shape(spark, tmp_path):
+    """Incremental gram-index probe plan locks: the history index scans
+    IN PLACE (bucketed file scan — no Exchange of the index side), the
+    increment broadcasts, and the only shuffles are hit-sized (the
+    per-position segment sum and the per-doc island merge)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.dedup import (
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+    from dataframeintervals_jl_spark.plans import (
+        count_exchanges,
+        simple_plan,
+        uses_python_eval,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    third = F.pmod(F.col("doc_id"), F.lit(3))
+    tbl = f"gram_idx_planlock_{os.getpid()}"
+    write_gram_index(
+        docs.filter(third != 0), tbl, n_buckets=8,
+        path=str(tmp_path / "gidx"), shingle_k=4, portable=True,
+    )
+    out = incremental_duplicate_spans(
+        docs.filter(third == 0), spark.table(tbl), shingle_k=4,
+        portable=True,
+    )
+    plan = simple_plan(out)
+    assert "Bucketed: true" in plan          # index read in place
+    assert "BroadcastHashJoin" in plan       # increment broadcasts
+    assert count_exchanges(out) <= 2         # hit-sized shuffles only
+    assert not uses_python_eval(out)
