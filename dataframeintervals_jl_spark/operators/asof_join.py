@@ -520,3 +520,113 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def attribution_weights(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    within: int,
+    model: str = "last_touch",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    by: str = "user_id",
+) -> DataFrame:
+    """Multi-touch attribution: distribute each conversion's credit
+    over the same-user touch events in its lookback window
+    ``[conv_ts - within, conv_ts)`` — the companion of
+    :func:`funnel_counts` on the measurement side of the event family
+    (the reference has no event layer; SURVEY.md §2.C).
+
+    Models (pinned for the oracle; ties inside a window break by
+    ``(ts, id_col)`` total order):
+
+    - ``'last_touch'`` — the latest touch gets weight 1;
+    - ``'first_touch'`` — the earliest touch gets weight 1;
+    - ``'linear'`` — every touch gets ``1/n`` (exact DOUBLE ``1.0/n``,
+      reproducible cross-engine).
+
+    Conversions with no in-window touch are unattributed and absent.
+    Output: one row per (conversion, credited touch) —
+    ``by``, ``conv_id``, ``conv_ts``, ``touch_id``, ``touch_type``,
+    ``touch_ts``, ``weight`` — aggregate per ``touch_type``/campaign
+    downstream.
+
+    Scale shape: the candidate join is the engine's own keyed interval
+    join (touches as width-1 point spans × conversion lookback
+    windows, co-partitioned on ``by`` — only same-user pairs
+    materialize), then one window over each conversion's own touches
+    (bounded by touches-per-window).  Same domain contract as
+    :func:`funnel_counts`: date/timestamp ``ts_col`` adapts to exact
+    ordinals (``within`` is then days / µs); numeric stays as-is."""
+    from ..functions.spans import _DOMAIN_ORDINALS, endpoint_to_ordinal
+    from ..functions.spans import make_span
+    from .interval_join import interval_join_by
+
+    models = ("last_touch", "first_touch", "linear")
+    if model not in models:
+        raise ValueError(f"model must be one of {models}, got {model!r}")
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if int(within) <= 0:
+        raise ValueError(f"within must be positive, got {within}")
+    ts_type = events.schema[ts_col].dataType
+    domain = next(
+        (d for d, tp in _DOMAIN_ORDINALS.items() if isinstance(ts_type, tp)),
+        None,
+    )
+    if domain is not None:
+        ts_expr = endpoint_to_ordinal(F.col(ts_col), domain)
+    elif isinstance(ts_type, (T.NumericType,)):
+        ts_expr = F.col(ts_col).cast("long")
+    else:
+        raise TypeError(
+            f"attribution_weights: ts_col {ts_col!r} must be numeric, "
+            f"date, or timestamp; got {ts_type.simpleString()}"
+        )
+    ev = events.select(
+        F.col(by), F.col(type_col), F.col(id_col), ts_expr.alias("__ts")
+    )
+    conv = ev.filter(F.col(type_col) == conversion_type).select(
+        by,
+        F.col(id_col).alias("conv_id"),
+        F.col("__ts").alias("conv_ts"),
+        make_span(
+            F.col("__ts") - F.lit(int(within)), F.col("__ts")
+        ).alias("span"),
+    )
+    touch = ev.filter(F.col(type_col).isin(*touch_types)).select(
+        by,
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col("__ts").alias("touch_ts"),
+        make_span(F.col("__ts"), F.col("__ts") + F.lit(1)).alias("span"),
+    )
+    pairs = interval_join_by(
+        touch, conv, by=by, validate="skip"
+    ).select(
+        by, "conv_id", "conv_ts", "touch_id", "touch_type", "touch_ts"
+    )
+    w = Window.partitionBy("conv_id")
+    if model == "linear":
+        weight = F.lit(1.0) / F.count(F.lit(1)).over(w)
+        credited = pairs.select("*", weight.alias("weight"))
+    else:
+        order = (
+            [F.col("touch_ts").desc(), F.col("touch_id").desc()]
+            if model == "last_touch"
+            else [F.col("touch_ts").asc(), F.col("touch_id").asc()]
+        )
+        rn = F.row_number().over(w.orderBy(*order))
+        credited = (
+            pairs.select("*", rn.alias("__rn"))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("weight", F.lit(1.0))
+        )
+    return credited.select(
+        by, "conv_id", "conv_ts", "touch_id", "touch_type", "touch_ts",
+        "weight",
+    )

@@ -1101,6 +1101,67 @@ def q_funnel_counts(spark, sf_dir):
     )
 
 
+def q_attribution_linear(spark, sf_dir):
+    """Multi-touch attribution, LINEAR model (asof_join.py:
+    attribution_weights): each purchase's credit split 1/n over the
+    same-user view/click touches in its 6-hour lookback window
+    [conv_ts - within, conv_ts) — candidate pairs via the engine's own
+    keyed interval join (point touches × lookback windows), weights
+    via one per-conversion window.  Exact double 1.0/n (a single
+    division — bit-identical cross-engine, unlike a float SUM)."""
+    from .operators.asof_join import attribution_weights
+
+    ev = read_table(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    return attribution_weights(
+        ev, "purchase", ["view", "click"], within=6 * hour_ns,
+        model="linear",
+    )
+
+
+def q_attribution_last(spark, sf_dir):
+    """Multi-touch attribution, LAST-TOUCH model: the latest in-window
+    touch (ties by event id) takes weight 1 — the row_number pick the
+    oracle replays with QUALIFY."""
+    from .operators.asof_join import attribution_weights
+
+    ev = read_table(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    return attribution_weights(
+        ev, "purchase", ["view", "click"], within=6 * hour_ns,
+        model="last_touch",
+    )
+
+
+def _sql_attribution(within_ns: int, model: str) -> str:
+    base = f"""WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS t FROM events
+), conv AS (
+  SELECT user_id, event_id AS conv_id, t AS conv_ts
+  FROM ev WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+         t AS touch_ts
+  FROM ev WHERE event_type IN ('view', 'click')
+), pairs AS (
+  SELECT c.user_id, conv_id, conv_ts, touch_id, touch_type, touch_ts
+  FROM conv c JOIN touch tt USING (user_id)
+  WHERE tt.touch_ts >= c.conv_ts - {within_ns}
+    AND tt.touch_ts < c.conv_ts
+)"""
+    if model == "linear":
+        return base + """
+SELECT user_id, conv_id, conv_ts, touch_id, touch_type, touch_ts,
+       1.0 / (count(*) OVER (PARTITION BY conv_id)) AS weight
+FROM pairs"""
+    return base + """
+SELECT user_id, conv_id, conv_ts, touch_id, touch_type, touch_ts,
+       1.0 AS weight
+FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) = 1"""
+
+
 def _sql_funnel_counts(within_ns: int = 6 * 3_600_000_000_000) -> str:
     return f"""WITH ev AS (
   SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
@@ -7287,6 +7348,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_training_prep": (q_training_prep, _SQL_TRAINING_PREP),
     "q_asof_join": (q_asof_join, _SQL_ASOF),
     "q_asof_join_date": (q_asof_join_date, _SQL_ASOF_DATE),
+    "q_attribution_linear": (
+        q_attribution_linear,
+        _sql_attribution(6 * 3_600_000_000_000, "linear"),
+    ),
+    "q_attribution_last": (
+        q_attribution_last,
+        _sql_attribution(6 * 3_600_000_000_000, "last_touch"),
+    ),
     "q_funnel_counts": (q_funnel_counts, _sql_funnel_counts()),
     "q_retention_weekly": (q_retention_weekly, _SQL_RETENTION_WEEKLY),
     "q_merge_spans_date": (q_merge_spans_date, _SQL_MERGE_SPANS_DATE),

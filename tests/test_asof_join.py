@@ -448,3 +448,61 @@ def test_funnel_counts_property(spark):
         assert got == ref(rows, within)
 
     run()
+
+
+def test_attribution_weights_pinned_semantics(spark):
+    """Pinned attribution semantics: half-open lookback window (a
+    touch AT the conversion instant never counts), per-user isolation,
+    one conversion crediting multiple touches (linear 1/n), a touch
+    crediting multiple conversions, deterministic last/first picks
+    with id tiebreaks, argument validation."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        attribution_weights,
+    )
+
+    rows = [
+        (1, "ad", 100, 10), (1, "email", 101, 20), (1, "purchase", 102, 25),
+        (1, "ad", 103, 25),          # at conv_ts -> excluded
+        (2, "ad", 200, 1), (2, "purchase", 201, 50),   # outside window
+        (3, "ad", 300, 5), (3, "purchase", 301, 8),
+        (3, "purchase", 302, 9),     # same touch credits both convs
+        (4, "ad", 400, 7), (4, "ad", 401, 7),          # ts tie -> id pick
+        (4, "purchase", 402, 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts long"
+    )
+
+    def got(model):
+        return {
+            (r["conv_id"], r["touch_id"], r["weight"])
+            for r in attribution_weights(
+                ev, "purchase", ["ad", "email"], within=20, model=model
+            ).collect()
+        }
+
+    assert got("last_touch") == {
+        (102, 101, 1.0), (301, 300, 1.0), (302, 300, 1.0), (402, 401, 1.0),
+    }
+    assert got("first_touch") == {
+        (102, 100, 1.0), (301, 300, 1.0), (302, 300, 1.0), (402, 400, 1.0),
+    }
+    assert got("linear") == {
+        (102, 100, 0.5), (102, 101, 0.5),
+        (301, 300, 1.0), (302, 300, 1.0),
+        (402, 400, 0.5), (402, 401, 0.5),
+    }
+
+    with pytest.raises(ValueError, match="model"):
+        attribution_weights(ev, "purchase", ["ad"], 20, model="u_shaped")
+    with pytest.raises(ValueError, match="touch_types"):
+        attribution_weights(ev, "purchase", [], 20)
+    with pytest.raises(ValueError, match="within"):
+        attribution_weights(ev, "purchase", ["ad"], 0)
+    with pytest.raises(TypeError, match="ts_col"):
+        attribution_weights(
+            ev.withColumn("ts", F.col("ts").cast("string")),
+            "purchase", ["ad"], 20,
+        )
