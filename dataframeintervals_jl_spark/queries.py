@@ -6702,6 +6702,49 @@ FROM deg LEFT JOIN nt ON nt.v = deg.x
 WHERE deg.d >= 2"""
 
 
+def q_k_core(spark, sf_dir):
+    """2-core of the MinHash duplicate-pair graph at a FIXED peel
+    count (rounds=6, at/above the sf0.01 peel depth): strips pendant
+    and chain-like accidental similarity, keeping only vertices with
+    >= 2 surviving neighbors — the cheap densest-region filter below
+    triangles.  Fixed rounds make the operator a pure function of the
+    input; the oracle unrolls the same 6 peels (the pagerank replay
+    strategy)."""
+    from .operators.graph import k_core
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    return k_core(pairs, k=2, rounds=6)
+
+
+def _sql_k_core(k: int = 2, rounds: int = 6) -> str:
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    parts = [
+        f"""mh AS MATERIALIZED ({base}),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM mh WHERE id_a <> id_b
+), s0 AS (
+  SELECT a, b FROM u0 UNION ALL SELECT b, a FROM u0
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT a FROM s{i - 1} GROUP BY a HAVING count(*) >= {k}
+), s{i} AS (
+  SELECT s.a, s.b FROM s{i - 1} s
+  JOIN v{i} va ON s.a = va.a JOIN v{i} vb ON s.b = vb.a)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+FROM s{rounds} GROUP BY a"""
+    )
+
+
 def q_kmv_overlap(spark, sf_dir):
     """Join-cardinality estimation without running the join: KMV
     bottom-256 sketches of orders.o_custkey vs customer.c_custkey —
@@ -7529,6 +7572,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_clustering_coefficient,
         _sql_clustering_coefficient(),
     ),
+    "q_k_core": (q_k_core, _sql_k_core(2, 6)),
     "q_kmv_overlap": (q_kmv_overlap, _SQL_KMV_OVERLAP),
     "q_hampel_despike": (q_hampel_despike, _SQL_HAMPEL),
     "q_ewma": (q_ewma, _SQL_EWMA),

@@ -267,3 +267,76 @@ def test_semantic_dedup_plan_contract(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan  # Arrow only, and only pre-persist
+
+
+def _brute_k_core(edges, k):
+    """Reference peel: adjacency sets, remove < k until stable."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_k_core_hand_graph(spark):
+    """K4 + chain (4-5-6) + pendant (1-7): the 2-core strips the chain
+    and pendant in two peels, the 3-core is K4 itself, the 4-core is
+    empty; rounds=0 returns the raw degrees."""
+    from dataframeintervals_jl_spark.operators.graph import k_core
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5), (5, 6),  # chain
+        (1, 7),  # pendant
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (2, 3, 4):
+        got = {r["v"]: r["deg"] for r in k_core(df, k=k).collect()}
+        assert got == _brute_k_core(edges, k), f"k={k}"
+    # rounds=0 is the identity peel: full-graph degrees
+    got0 = {r["v"]: r["deg"] for r in k_core(df, k=3, rounds=0).collect()}
+    assert got0 == _brute_k_core(edges, 0)
+    # a fixed round count at/above the peel depth equals the fixpoint
+    gotr = {r["v"]: r["deg"] for r in k_core(df, k=2, rounds=5).collect()}
+    assert gotr == _brute_k_core(edges, 2)
+
+
+def test_k_core_randomized_matches_brute(spark):
+    """Random graphs, duplicated/reversed/self-loop edges included —
+    the distributed peel matches the adjacency-set reference for every
+    k, and the empty result is schema-stable."""
+    import random
+
+    from dataframeintervals_jl_spark.operators.graph import k_core
+
+    rng = random.Random(8)
+    edges = [(rng.randint(1, 18), rng.randint(1, 18)) for _ in range(60)]
+    edges += [(b, a) for a, b in edges[:10]]  # reversed dups
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (2, 3, 4, 6):
+        got = {r["v"]: r["deg"] for r in k_core(df, k=k).collect()}
+        assert got == _brute_k_core(edges, k), f"k={k}"
+    out = k_core(df, k=50)
+    assert out.columns == ["v", "deg"] and out.count() == 0
+
+
+def test_k_core_validation(spark):
+    import pytest as _pytest
+
+    from dataframeintervals_jl_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core(df, k=0)
+    with _pytest.raises(ValueError, match="rounds must be"):
+        k_core(df, k=2, rounds=-1)
