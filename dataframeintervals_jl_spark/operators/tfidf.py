@@ -234,3 +234,104 @@ def bigram_lm_score(
             F.expr("__ps DIV n_bigrams").alias("lm_score"),
         )
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 4096,
+    scale: int = 1_000_000,
+    lowercase: bool = True,
+    force_decimal: bool = False,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection — the DSIR
+    recipe (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") with the log-likelihood float replaced by
+    this engine's exact integer contract.
+
+    Both the raw ``corpus`` and the small high-quality ``target`` set
+    are reduced to hashed word-n-gram bucket distributions
+    (``portable_hash60(gram) % num_buckets``).  Each bucket gets an
+    add-one-smoothed importance ratio, floor-scaled to ppm::
+
+        r_b = (scale * (c_t[b]+1) * (N_r+B)) DIV ((c_r[b]+1) * (N_t+B))
+
+    (``c_t``/``c_r`` bucket counts on target/corpus, ``N`` their gram
+    totals, ``B = num_buckets``; ``r_b > scale`` ⇔ over-represented in
+    the target).  A document's weight is the floor-MEAN of its grams'
+    ratios — the arithmetic mean of ratios replacing DSIR's sum of
+    logs (a geometric mean), keeping every step bigint floor
+    arithmetic: deterministic cross-engine and monotone in the
+    target-likeness a resampling filter needs.  Ratios saturate at
+    ``scale**2`` (a documented 1e6× over-representation cap keeping
+    doc-level sums inside long range).  Intermediate products route
+    through DECIMAL(38,0) whenever the long-range bound
+    ``scale·(N_t+B)·(N_r+B) < 2^63`` would not hold, so results are
+    representation-independent.
+
+    Output: ``(id_col, n_grams, dsir_weight)``; documents whose text
+    has no tokens still emit one empty gram (n_grams >= 1 always), so
+    every corpus row is weighted.  Feed the weights to
+    :func:`~.sampling.mixture_sample`-style thresholding or a top-k
+    cut for the actual resampling step.
+
+    Scale shape (100 TB): the corpus shuffles only ``(doc_id, bucket)``
+    pairs — never text; both bucket-count aggregations are
+    partial-aggregated (hot buckets combine map-side), the ratio table
+    is at most ``num_buckets`` rows and broadcast onto the gram
+    stream, and the per-document mean is the only doc-keyed shuffle.
+    The target side is typically tiny but follows the same bounded
+    shape regardless of its size."""
+    from ..functions.text import portable_hash60, shingles
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+
+    def _grams(df: DataFrame, cols: list) -> DataFrame:
+        text = F.col(text_col)
+        if lowercase:
+            text = F.lower(text)
+        return df.select(
+            *cols, F.explode(shingles(text, n)).alias("__g")
+        ).select(
+            *cols, (portable_hash60(F.col("__g")) % num_buckets).alias("__b")
+        )
+
+    tg = _grams(target, [])
+    cg = _grams(corpus, [F.col(id_col)])
+    ct = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    cr = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    n_t = (ct.agg(F.sum("__ct")).collect()[0][0] or 0) + num_buckets
+    n_r = (cr.agg(F.sum("__cr")).collect()[0][0] or 0) + num_buckets
+    cap = scale * scale
+    # exact long arithmetic while the worst intermediate fits; DECIMAL
+    # above (identical floor-division results, just wider registers —
+    # force_decimal exists so a test can assert that equivalence)
+    wide = force_decimal or scale * n_t * n_r >= (1 << 63)
+    ty = "DECIMAL(38,0)" if wide else "BIGINT"
+    ratio = cr.join(ct, "__b", "left").select(
+        "__b",
+        F.expr(
+            f"CAST(least(({scale} * (CAST(coalesce(__ct, 0) + 1 AS {ty}))"
+            f" * {n_r}) DIV ((CAST(__cr AS {ty}) + 1) * {n_t}),"
+            f" {cap}) AS BIGINT)"
+        ).alias("__r"),
+    )
+    return (
+        cg.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__r").alias("__rs"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.expr("__rs DIV n_grams").alias("dsir_weight"),
+        )
+    )

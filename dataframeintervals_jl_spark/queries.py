@@ -6077,6 +6077,60 @@ FROM bg JOIN p USING (w1, w2)
 GROUP BY doc_id"""
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style data-selection weights: hashed bigram bucket
+    distributions of the whole corpus vs the English subset (the
+    'target' domain), add-one-smoothed ppm importance ratio per
+    bucket, floor-mean per document — exact bigint end-to-end (see
+    :func:`~dataframeintervals_jl_spark.operators.tfidf.dsir_weights`).
+    English documents should score above the cross-language rest."""
+    from .operators.tfidf import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _sql_dsir_weights(n: int = 2, buckets: int = 4096) -> str:
+    ph = _PH60.format(x="g")
+    sh = (
+        f"CASE WHEN len(tl) < {n} THEN [array_to_string(tl, ' ')] "
+        f"ELSE list_transform(range(1, len(tl) - {n} + 2), "
+        f"i -> array_to_string(tl[i:i+{n - 1}], ' ')) END"
+    )
+    return rf"""WITH tt AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS tl
+  FROM documents WHERE lang = 'en'
+), tg AS (
+  SELECT unnest({sh}) AS g FROM tt
+), tb AS (
+  SELECT ({ph} % {buckets}) AS b FROM tg
+), ct AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY b
+), ctoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tl
+  FROM documents
+), cgr AS (
+  SELECT doc_id, unnest({sh}) AS g FROM ctoks
+), cb AS MATERIALIZED (
+  SELECT doc_id, ({ph} % {buckets}) AS b FROM cgr
+), cr AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY b
+), nt AS (
+  SELECT CAST(coalesce(sum(c), 0) + {buckets} AS BIGINT) AS n FROM ct
+), nr AS (
+  SELECT CAST(coalesce(sum(c), 0) + {buckets} AS BIGINT) AS n FROM cr
+), ratio AS (
+  SELECT cr.b,
+         least((1000000 * (coalesce(ct.c, 0) + 1) * nr.n)
+               // ((cr.c + 1) * nt.n), 1000000000000) AS r
+  FROM cr LEFT JOIN ct USING (b), nt, nr
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS dsir_weight
+FROM cb JOIN ratio USING (b)
+GROUP BY doc_id"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-pipeline delta: diff the documents table against a
     deterministically perturbed re-crawl of itself (drops, edits, and
@@ -7556,6 +7610,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "q_lm_score": (q_lm_score, _SQL_LM_SCORE),
+    "q_dsir_weights": (q_dsir_weights, _sql_dsir_weights(2, 4096)),
     "q_snapshot_diff": (q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "q_apply_cdc": (q_apply_cdc, _SQL_APPLY_CDC),
     "q_sample_per_group": (q_sample_per_group, _SQL_SAMPLE_PER_GROUP),

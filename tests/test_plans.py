@@ -774,3 +774,22 @@ def test_incremental_duplicate_spans_plan_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan       # increment broadcasts
     assert count_exchanges(out) <= 2         # hit-sized shuffles only
     assert not uses_python_eval(out)
+
+
+def test_dsir_weights_plan_contract(spark):
+    """The num_buckets-row ratio table must broadcast onto the gram
+    stream (never shuffle it), and the whole operator stays
+    expression-only — no Python UDF, no cartesian product."""
+    from dataframeintervals_jl_spark.operators.tfidf import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    target = corpus.filter("doc_id < 10")
+    out = dsir_weights(corpus, target, num_buckets=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

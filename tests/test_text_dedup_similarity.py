@@ -1385,3 +1385,90 @@ def test_duplicate_spans_property(spark):
         assert got == ref(corpus)
 
     run()
+
+
+def _dsir_brute(corpus, target, n=2, buckets=64, scale=1_000_000):
+    """Pure-python replay of dsir_weights' integer contract."""
+    import hashlib
+
+    def ph60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text):
+        tl = text.lower().split()
+        if len(tl) < n:
+            return [" ".join(tl)]
+        return [" ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)]
+
+    def bcounts(docs):
+        c = {}
+        for _, t in docs:
+            for g in grams(t):
+                b = ph60(g) % buckets
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cr = bcounts(target), bcounts(corpus)
+    n_t = sum(ct.values()) + buckets
+    n_r = sum(cr.values()) + buckets
+    out = {}
+    for did, t in corpus:
+        rs = []
+        for g in grams(t):
+            b = ph60(g) % buckets
+            r = (scale * (ct.get(b, 0) + 1) * n_r) // ((cr[b] + 1) * n_t)
+            rs.append(min(r, scale * scale))
+        out[did] = (len(rs), sum(rs) // len(rs))
+    return out
+
+
+def test_dsir_weights_matches_bruteforce_and_ranks_target(spark):
+    """The distributed weights replay the integer contract exactly, and
+    documents drawn from the target's vocabulary outweigh off-domain
+    ones; the DECIMAL wide path returns identical values."""
+    from dataframeintervals_jl_spark.operators.tfidf import dsir_weights
+
+    target_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick red fox runs over the lazy cat"),
+        (102, "a quick brown dog jumps over a lazy fox"),
+    ]
+    corpus_rows = [
+        (1, "the quick brown fox jumps high"),      # on-domain
+        (2, "over the lazy dog the quick fox"),     # on-domain
+        (3, "zzz qqq www eee rrr ttt yyy uuu"),     # off-domain
+        (4, "completamente otro idioma sin solape"),  # off-domain
+        (5, ""),                                     # empty text
+        (6, "single"),                               # < n tokens
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight"])
+        for r in dsir_weights(corpus, target, num_buckets=64).collect()
+    }
+    assert got == _dsir_brute(corpus_rows, target_rows, buckets=64)
+    # every corpus row weighted, including empty / sub-n docs
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[5][0] == 1 and got[6][0] == 1
+    # on-domain docs outweigh off-domain ones
+    assert min(got[1][1], got[2][1]) > max(got[3][1], got[4][1])
+    wide = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight"])
+        for r in dsir_weights(
+            corpus, target, num_buckets=64, force_decimal=True
+        ).collect()
+    }
+    assert wide == got
+
+
+def test_dsir_weights_validation(spark):
+    import pytest as _pytest
+
+    from dataframeintervals_jl_spark.operators.tfidf import dsir_weights
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n must be"):
+        dsir_weights(df, df, n=0)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        dsir_weights(df, df, num_buckets=0)
