@@ -1597,3 +1597,58 @@ def incremental_minhash_dedup(
         *[F.col(c) for c in new_docs.columns],
         F.col("__dup_id").isNull().alias("kept"),
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster KEEP policy: given near-dup ``pairs`` over rows
+    of ``df``, keep exactly one row per connected duplicate cluster —
+    the HIGHEST-``score`` member, ties to the smaller id — and every
+    row that is in no cluster.  This is the decision step real pipelines
+    run after MinHash/SimHash/embedding pair generation: not "drop all
+    but the minimum id" (:func:`connected_components` + arbitrary pick)
+    but "keep the best copy" (longest, cleanest, highest-quality).
+
+    ``score`` is a Column evaluated against ``df``'s columns (e.g. a
+    ppm-quantized quality score — keep it integer or an exactly
+    reproducible double for cross-engine determinism).  ``id_col`` must
+    be numeric: the deterministic argmax is a single
+    ``max(struct(score, -id))`` aggregate (``max_by`` is
+    tie-nondeterministic, a window sort is a full per-cluster sort;
+    the struct-max is one partial-aggregated pass).
+
+    Returns the kept rows of ``df`` with all original columns.
+
+    Scale shape (100 TB): components run on the pair list (vertex-sized
+    state, never documents); the label join back to ``df`` is an
+    id-keyed hash join; the winner agg shuffles one (cluster, score,
+    id) row per document; the final ``left_semi`` is id-keyed.  No
+    stage carries text or vectors."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    labeled = (
+        df.select(F.col(id_col).alias("__id"), score.alias("__s"))
+        .join(comp.withColumnRenamed("v", "__id"), "__id", "left")
+        .select(
+            "__id",
+            "__s",
+            F.coalesce(F.col("cluster_id"), F.col("__id")).alias("__c"),
+        )
+    )
+    winners = (
+        labeled.groupBy("__c")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"), (-F.col("__id")).alias("ni")
+                )
+            ).alias("__w")
+        )
+        .select((-F.col("__w.ni")).alias(id_col))
+    )
+    return df.join(winners, id_col, "left_semi")

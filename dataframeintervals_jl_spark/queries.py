@@ -2162,6 +2162,65 @@ SELECT CAST(v AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY v"""
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-aware dedup KEEP policy end-to-end: MinHash near-dup
+    pairs → connected components → keep the highest-quality member of
+    each cluster (ppm-quantized quality score, ties to the smaller id)
+    plus all unclustered documents — the decision step a production
+    dedup pipeline actually ships, not just the pair list."""
+    from .functions.text import quality_score
+    from .operators.dedup import keep_best_per_cluster
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    score = F.round(quality_score(F.col("text")) * 1_000_000).cast("long")
+    kept = keep_best_per_cluster(docs, pairs, score)
+    return kept.select("doc_id", "lang")
+
+
+def _sql_dedup_keep_best() -> str:
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    return rf"""WITH RECURSIVE mh AS MATERIALIZED ({base}),
+ed AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM mh
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mh
+), reach(v, r) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a
+), comp AS (
+  SELECT v, min(r) AS c FROM reach GROUP BY v
+), m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+           AS n_uniq,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+         CAST(round(
+           (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN n_punct / greatest(n_chars, 1.0) < 0.2
+              THEN 1.0 ELSE 0.6 END)
+           * (n_uniq / greatest(n_tok, 1.0)) * 1000000) AS BIGINT) AS s
+  FROM m
+), lab AS (
+  SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS c, sc.s
+  FROM documents d JOIN sc USING (doc_id)
+  LEFT JOIN comp ON comp.v = d.doc_id
+), win AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY c ORDER BY s DESC, doc_id ASC)
+             AS rn
+    FROM lab) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN win USING (doc_id)"""
+
+
 def q_similarity_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-k: 2 hash tables x 8 planes, multi-probe
     radius 3 (93 probes/table on the tiny query side).  Measured recall
@@ -7526,6 +7585,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_multimodal_features": (q_multimodal_features, _SQL_MM_FEATURES),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),
     "q_dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "q_dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "q_span_gaps": (q_span_gaps, _SQL_SPAN_GAPS),
     "q_span_complement": (q_span_complement, _SQL_SPAN_COMPLEMENT),
     "q_stream_tumbling_agg": (q_stream_tumbling_agg, _SQL_STREAM_TUMBLING),

@@ -1472,3 +1472,35 @@ def test_dsir_weights_validation(spark):
         dsir_weights(df, df, n=0)
     with _pytest.raises(ValueError, match="num_buckets"):
         dsir_weights(df, df, num_buckets=0)
+
+
+def test_keep_best_per_cluster_hand_case(spark):
+    """Two clusters + singletons: the highest score wins its cluster,
+    exact ties break to the smaller id, unclustered rows always pass
+    through, and the output keeps every original column."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", 30),   # cluster {1,2,3}: 2 wins on score
+            (3, "c", 20),
+            (10, "d", 5),
+            (11, "e", 5),   # cluster {10,11}: tie -> smaller id (10)
+            (50, "f", 1),   # singleton: kept regardless of score
+        ],
+        "doc_id long, text string, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = keep_best_per_cluster(docs, pairs, F.col("q"))
+    assert kept.columns == ["doc_id", "text", "q"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 10, 50]
+    # empty pair list: everything is a singleton
+    nop = keep_best_per_cluster(
+        docs, pairs.filter("id_a < 0"), F.col("q")
+    )
+    assert nop.count() == docs.count()
