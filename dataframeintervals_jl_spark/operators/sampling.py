@@ -155,6 +155,25 @@ def mixture_sample(
     over ``hash(salt|key)`` — no shuffle, pushdown-friendly, nothing
     broadcast beyond the CASE literal (groups are assumed few: sources,
     languages, domains)."""
+    thresholds = mixture_thresholds(
+        df, by, weights=weights, temperature=temperature, exact=exact
+    )
+    return apply_mixture_thresholds(df, thresholds, by, key_col, salt=salt)
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    by: str,
+    weights: Union[Mapping[str, float], None] = None,
+    temperature: float = 1.0,
+    exact: bool = False,
+) -> dict:
+    """The driver-side half of :func:`mixture_sample`: ONE collected
+    O(groups) count table → per-group keep thresholds in ppm, exact
+    rational arithmetic (see mixture_sample for the share math).
+    Factored out so a STREAMING pipeline can freeze thresholds from a
+    batch snapshot and apply them row-locally with
+    :func:`apply_mixture_thresholds` (a stream cannot be counted)."""
     from fractions import Fraction
 
     if temperature <= 0:
@@ -168,7 +187,7 @@ def mixture_sample(
         for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     if not counts:
-        return df.filter(F.lit(False))
+        return {}
     total = sum(counts.values())
 
     def base(g):
@@ -187,7 +206,7 @@ def mixture_sample(
     shares = {g: powered(g) for g in counts}
     denom = sum(shares.values())
     if denom == 0:
-        return df.filter(F.lit(False))
+        return {g: 0 for g in counts}
     shares = {g: s / denom for g, s in shares.items()}
     if exact:
         scale = min(
@@ -195,10 +214,29 @@ def mixture_sample(
         )
     else:
         scale = Fraction(total)
+    return {
+        g: min(BUCKETS, int(shares[g] * scale * BUCKETS / counts[g]))
+        for g in counts
+    }
+
+
+def apply_mixture_thresholds(
+    df: DataFrame,
+    thresholds: Mapping,
+    by: str,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply frozen per-group ppm keep ``thresholds`` (from
+    :func:`mixture_thresholds`) as the pure row-local content-keyed
+    hash filter — one narrow CASE, no shuffle, no state; valid on
+    batch AND streaming DataFrames (groups absent from ``thresholds``
+    are dropped, matching mixture_sample's weights contract)."""
     thr = F.lit(0)
-    for g in sorted(counts, key=str):
-        t = min(BUCKETS, int(shares[g] * scale * BUCKETS / counts[g]))
-        thr = F.when(F.col(by) == F.lit(g), F.lit(t)).otherwise(thr)
+    for g in sorted(thresholds, key=str):
+        thr = F.when(F.col(by) == F.lit(g), F.lit(thresholds[g])).otherwise(
+            thr
+        )
     return df.filter(_bucket(F.col(key_col), salt) < thr)
 
 

@@ -4293,6 +4293,46 @@ _SQL_MIXTURE_SAMPLE = f"""WITH c AS (
 SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang"""
 
 
+def q_stream_mixture_sample(spark, sf_dir):
+    """Batch-mode run of the STREAMING mixture-sampling twin: per-lang
+    keep thresholds are frozen from a batch snapshot
+    (mixture_thresholds), then applied as the pure row-local hash
+    filter a stateless stream runs at ingest — bit-identical to the
+    batch operator on the same rows (en-heavy weights, own salt, so
+    the gate is independent of q_mixture_sample)."""
+    from .operators.sampling import mixture_thresholds
+    from .streaming import stream_mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    thr = mixture_thresholds(
+        docs, "lang", weights={"en": 3, "fr": 2, "de": 1, "es": 1, "zh": 1}
+    )
+    kept = stream_mixture_sample(
+        docs, thr, by="lang", key_col="doc_id", salt="smix"
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SQL_STREAM_MIXTURE_SAMPLE = f"""WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         CASE lang WHEN 'en' THEN 3 WHEN 'fr' THEN 2 WHEN 'de' THEN 1
+                   WHEN 'es' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END AS wt
+  FROM c
+), t AS (
+  SELECT lang, n,
+         least(1000000,
+               (wt * (SELECT sum(n) FROM c) * 1000000)
+               // ((SELECT sum(wt) FROM w) * n)) AS thr
+  FROM w
+), kept AS (
+  SELECT d.lang FROM documents d JOIN t USING (lang)
+  WHERE ({_PH60.format(x="'smix|' || doc_id::VARCHAR")} % 1000000) < t.thr
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang"""
+
+
 _SQL_SOURCE_MIX = f"""WITH c AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
 ), t AS (
@@ -7659,6 +7699,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "q_source_mix": (q_source_mix, _SQL_SOURCE_MIX),
     "q_mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
+    "q_stream_mixture_sample": (
+        q_stream_mixture_sample,
+        _SQL_STREAM_MIXTURE_SAMPLE,
+    ),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_validity_intervals_global": (

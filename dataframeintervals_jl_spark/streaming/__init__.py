@@ -1734,6 +1734,30 @@ def stream_bloom_decontaminate(
     )
 
 
+def stream_mixture_sample(
+    docs: DataFrame,
+    thresholds,
+    by: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Streaming data-mixture rebalancing at ingest: arriving documents
+    pass the same content-keyed ppm hash filter as
+    :func:`~..operators.sampling.mixture_sample`, against thresholds
+    FROZEN from a batch snapshot
+    (:func:`~..operators.sampling.mixture_thresholds` — a stream has
+    no count table to collect).  The filter is one narrow row-local
+    CASE: stateless, append-mode, join-free, shuffle-free, and
+    bit-identical to the batch operator on the same rows, so a
+    backfill and the live stream keep exactly the same documents.
+    Re-define the stream to pick up refreshed thresholds."""
+    from ..operators.sampling import apply_mixture_thresholds
+
+    return apply_mixture_thresholds(
+        docs, thresholds, by=by, key_col=key_col, salt=salt
+    )
+
+
 def maintain_lsh_index(
     vectors: DataFrame,
     path: str,

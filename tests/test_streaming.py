@@ -1765,3 +1765,42 @@ def test_stream_bloom_decontaminate_file_stream(spark, tmp_path):
     )
     assert count_exchanges(batch_plan) == 0
     assert join_strategies(batch_plan) == []
+
+
+def test_stream_mixture_sample_matches_batch(spark, tmp_path):
+    """Frozen thresholds applied on a real file stream keep EXACTLY the
+    rows the batch operator keeps (bit-identical row-local filter), and
+    the streaming plan is stateless append (no state store, no shuffle
+    commitment needed: memory-sink availableNow completes in one pass)."""
+    from dataframeintervals_jl_spark.operators.sampling import (
+        mixture_sample,
+        mixture_thresholds,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_mixture_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    weights = {"a": 3, "b": 1, "c": 1}
+    expected = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "src", "doc_id", weights=weights, salt="st"
+        ).collect()
+    )
+    assert 0 < len(expected) < 300
+
+    thr = mixture_thresholds(df, "src", weights=weights)
+    stream = _roundtrip_stream(spark, df, str(tmp_path / "mix"))
+    out = stream_mixture_sample(
+        stream, thr, by="src", key_col="doc_id", salt="st"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smix")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM smix").collect())
+    assert got == expected
