@@ -613,3 +613,75 @@ def rolling_median(
         vals, F.floor((F.size(vals) + F.lit(1)) / 2).cast("int")
     )
     return df.withColumn(out_col, med)
+
+
+def multi_resolution_rollup(
+    df: DataFrame,
+    ts_col: str,
+    resolutions,
+    by: Key = None,
+    aggs: Optional[Sequence] = None,
+) -> DataFrame:
+    """Hypertable-style MULTI-RESOLUTION time rollup in ONE shuffle:
+    every ``(by, bucket_r)`` aggregation for every resolution ``r``
+    comes out of a single ``GROUP BY GROUPING SETS`` pass instead of
+    one groupBy job per resolution — the continuous-aggregate
+    maintenance shape.  At 100 TB the scan and the map-side partial
+    aggregation (the expensive parts) are shared across resolutions;
+    each extra resolution adds only its own (small) grouped output to
+    the exchange, not another pass over the data.
+
+    ``resolutions`` maps label -> bucket width in the units of
+    ``ts_col`` (e.g. ``{"hour": HOUR_NS, "day": DAY_NS}``; insertion
+    order is the output CASE order).  ``aggs`` are the aggregate
+    Columns (default: ``count(1) AS n``).  Output:
+    ``(*by, resolution, bucket_start, <aggs>)`` — ``bucket_start`` is
+    the floor-aligned bucket in ``ts_col`` units, exact pmod/floor
+    bigint arithmetic (negative timestamps floor correctly).
+    """
+    if not resolutions:
+        raise ValueError("resolutions must be a non-empty mapping")
+    by_cols = (
+        [] if by is None else ([by] if isinstance(by, str) else list(by))
+    )
+    labels = list(resolutions)
+    t = F.col(ts_col)
+    bcols = {
+        lab: (t - F.pmod(t, F.lit(int(res)))).alias(f"__b_{lab}")
+        for lab, res in resolutions.items()
+    }
+    base = df.select(*df.columns, *bcols.values())
+    sets = [
+        [F.col(c) for c in (*by_cols, f"__b_{lab}")] for lab in labels
+    ]
+    all_cols = [*by_cols, *[f"__b_{lab}" for lab in labels]]
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n")]
+    # which set a row came from: grouping() on the bucket column (a
+    # NULL bucket value can also come from a NULL timestamp, so the
+    # indicator — not coalesce — is the reliable discriminator);
+    # grouping() is only legal inside the agg, so emit indicators there
+    inds = [
+        F.grouping(f"__b_{lab}").cast("int").alias(f"__g_{lab}")
+        for lab in labels
+    ]
+    g = base.groupingSets(sets, *[F.col(c) for c in all_cols]).agg(
+        *inds, *aggs
+    )
+    res_expr = F.lit(None).cast("string")
+    bucket_expr = F.lit(None).cast("long")
+    for lab in reversed(labels):
+        ind = F.col(f"__g_{lab}") == 0
+        res_expr = F.when(ind, F.lit(lab)).otherwise(res_expr)
+        bucket_expr = F.when(ind, F.col(f"__b_{lab}")).otherwise(bucket_expr)
+    agg_names = [
+        c
+        for c in g.columns
+        if c not in set(all_cols) and not c.startswith("__g_")
+    ]
+    return g.select(
+        *by_cols,
+        res_expr.alias("resolution"),
+        bucket_expr.alias("bucket_start"),
+        *agg_names,
+    )

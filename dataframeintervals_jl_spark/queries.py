@@ -6023,6 +6023,48 @@ SELECT event_type, day,
 FROM ev GROUP BY ROLLUP (event_type, day)"""
 
 
+def q_multi_rollup(spark, sf_dir):
+    """Hour AND day rollups of the event stream in ONE aggregation
+    pass (GROUP BY GROUPING SETS — shared scan + shared map-side
+    partial agg, one exchange): the hypertable continuous-aggregate
+    shape.  Fixed-point value sums; exact pmod bucket alignment."""
+    from .operators.timeseries import multi_resolution_rollup
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    return multi_resolution_rollup(
+        ev,
+        "ts",
+        {"hour": _HOUR_NS, "day": _DAY_NS},
+        by="event_type",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_fx").alias("sum_value_fx"),
+        ],
+    )
+
+
+_SQL_MULTI_ROLLUP = f"""WITH ev AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), b AS (
+  SELECT event_type, t - t % {3_600_000_000_000} AS bh,
+         t - t % {86_400 * 1_000_000_000} AS bd, v_fx
+  FROM ev
+)
+SELECT event_type,
+       CASE WHEN GROUPING(bh) = 0 THEN 'hour'
+            WHEN GROUPING(bd) = 0 THEN 'day' END AS resolution,
+       CASE WHEN GROUPING(bh) = 0 THEN bh ELSE bd END AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_fx) AS BIGINT) AS sum_value_fx
+FROM b GROUP BY GROUPING SETS ((event_type, bh), (event_type, bd))"""
+
+
 def q_shingle_dup_pairs(spark, sf_dir):
     """Exact-substring duplication candidates: pairs sharing >= 3
     distinct word 16-grams (stop-shingle guard df <= 50) — the
@@ -7662,6 +7704,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_sliding_agg": (q_stream_sliding_agg, _SQL_SLIDING_WINDOW),
     "q_shingle_dup_pairs": (q_shingle_dup_pairs, _SQL_SHINGLE_DUP),
     "q_rollup_daily": (q_rollup_daily, _SQL_ROLLUP_DAILY),
+    "q_multi_rollup": (q_multi_rollup, _SQL_MULTI_ROLLUP),
     "q_similarity_sq8": (q_similarity_sq8, _SQL_SIMILARITY_SQ8),
     "q_trailing_sum": (q_trailing_sum, _SQL_TRAILING_SUM),
     "q_group_percentiles": (q_group_percentiles, _SQL_GROUP_PERCENTILES),

@@ -537,3 +537,48 @@ def test_rolling_median_tracks_baseline(spark):
     df = spark.createDataFrame(rows, "k long, ts long, x long")
     out = {r["ts"]: r["med"] for r in rolling_median(df, "x", "ts", by="k").collect()}
     assert all(v == 100 for v in out.values())  # spike never moves the median
+
+
+def test_multi_resolution_rollup_hand_values_and_plan(spark):
+    """Two resolutions in one pass: per-bucket sums match hand math,
+    every resolution's buckets partition the data, and the physical
+    plan has exactly ONE Expand and ONE Exchange (the whole point —
+    no per-resolution re-aggregation)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        multi_resolution_rollup,
+    )
+
+    rows = [("a", i * 600, i) for i in range(20)] + [
+        ("b", i * 900, i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    out = multi_resolution_rollup(
+        df,
+        "ts",
+        {"h1": 3600, "h2": 7200},
+        by="k",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+    )
+    got = {
+        (r["k"], r["resolution"], r["bucket_start"]): (r["n"], r["s"])
+        for r in out.collect()
+    }
+    # hand check: key a, h1 bucket 0 covers ts 0..3000 (v 0..5)
+    assert got[("a", "h1", 0)] == (6, 15)
+    assert got[("a", "h2", 0)] == (12, 66)
+    assert got[("b", "h2", 7200)] == (2, 17)
+    # each resolution independently partitions all 30 rows
+    for lab in ("h1", "h2"):
+        assert sum(n for (k, r, b), (n, s) in got.items() if r == lab) == 30
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial plan; count nodes in the final section
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resolutions"):
+        multi_resolution_rollup(df, "ts", {})
