@@ -1652,3 +1652,76 @@ def keep_best_per_cluster(
         .select((-F.col("__w.ni")).alias(id_col))
     )
     return df.join(winners, id_col, "left_semi")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-level exact LINE deduplication — the C4/RefinedWeb
+    boilerplate rule: any line occurring in at least ``min_df``
+    DISTINCT documents (nav menus, cookie banners, license footers,
+    and — deliberately — blank lines) is removed from every document;
+    the rest of each document survives in original line order.
+
+    Output: ``(id_col, text, n_removed)`` for every input row —
+    ``text`` is the surviving lines re-joined with ``\\n`` (possibly
+    empty), ``n_removed`` the count of removed line occurrences.
+
+    Shape: one posexplode to ``(id, pos, line_hash, line)``, one
+    distinct-doc frequency aggregation on the line hash, one left_anti
+    join against the hot-hash set, and one per-document reassembly
+    (``sort_array(collect_list(struct(pos, line)))`` — deterministic
+    regardless of partitioning).  At 100 TB the frequency agg is
+    partial-aggregated (boilerplate hashes combine map-side, so the
+    one skewed key class collapses before the exchange) and the
+    anti-join's build side holds ONLY hot hashes — typically small
+    enough for AQE to broadcast, never full text.  ``portable=True``
+    swaps xxhash64 for the md5 60-bit hash so a SQL oracle replays
+    hash-for-hash."""
+    from ..functions.text import portable_hash60
+
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    idc = F.col(id_col)
+    lines = docs.select(
+        idc.alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__p", "__l"),
+    ).select("__id", "__p", "__l", hash_fn(F.col("__l")).alias("__h"))
+    hot = (
+        lines.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h")
+    )
+    kept = lines.join(hot, "__h", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("__p").alias("p"), F.col("__l").alias("l"))
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        docs.select(idc.alias("__id"), n_lines.alias("__n_lines"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            (
+                F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

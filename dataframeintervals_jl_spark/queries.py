@@ -6023,6 +6023,59 @@ SELECT event_type, day,
 FROM ev GROUP BY ROLLUP (event_type, day)"""
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level LINE dedup: the synthetic docs are flat,
+    so the query first folds them into 2-token lines (deterministic
+    expression both engines replay), then strips every line appearing
+    in >= 20 distinct documents — boilerplate removal, the line-level
+    complement of document near-dup."""
+    from .functions.text import tokens
+    from .operators.dedup import dedup_lines
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / 2).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+        ),
+        "\n",
+    )
+    docs2 = docs.select("doc_id", lined.alias("text"))
+    out = dedup_lines(docs2, min_df=20, portable=True)
+    return out.select("doc_id", "text", "n_removed")
+
+
+_SQL_DEDUP_LINES = rf"""WITH lined AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, len(tl) + 1, 2),
+                          i -> array_to_string(tl[i:i+1], ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl
+        FROM documents)
+), l AS (
+  SELECT doc_id, unnest(range(1, len(sl) + 1)) AS pos, unnest(sl) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM lined)
+), hot AS (
+  SELECT {_PH60.format(x="line")} AS h
+  FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20
+), kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE {_PH60.format(x="line")} NOT IN (SELECT h FROM hot)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM lined d LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 def q_multi_rollup(spark, sf_dir):
     """Hour AND day rollups of the event stream in ONE aggregation
     pass (GROUP BY GROUPING SETS — shared scan + shared map-side
@@ -7668,6 +7721,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),
     "q_dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "q_dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
+    "q_dedup_lines": (q_dedup_lines, _SQL_DEDUP_LINES),
     "q_span_gaps": (q_span_gaps, _SQL_SPAN_GAPS),
     "q_span_complement": (q_span_complement, _SQL_SPAN_COMPLEMENT),
     "q_stream_tumbling_agg": (q_stream_tumbling_agg, _SQL_STREAM_TUMBLING),

@@ -1504,3 +1504,42 @@ def test_keep_best_per_cluster_hand_case(spark):
         docs, pairs.filter("id_a < 0"), F.col("q")
     )
     assert nop.count() == docs.count()
+
+
+def test_dedup_lines_hand_case(spark):
+    """Boilerplate lines (>= min_df docs) vanish everywhere, including
+    blank lines; unique lines survive in order; a doc that was ALL
+    boilerplate comes back empty; duplicate lines WITHIN one doc do not
+    trip the distinct-document frequency."""
+    from dataframeintervals_jl_spark.operators.dedup import dedup_lines
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique\n{boiler}\n\nbody one"),
+            (2, f"{boiler}\n\nbody two\nbody two"),  # in-doc dup line kept
+            (3, f"{boiler}\n"),                       # all boilerplate
+            (4, "only original content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_lines(docs, min_df=3).collect()
+    }
+    # boiler appears in 3 docs, '' appears in docs 1,2,3 -> both removed
+    assert out[1] == ("alpha unique\nbody one", 2)
+    assert out[2] == ("body two\nbody two", 2)
+    assert out[3] == ("", 2)
+    assert out[4] == ("only original content", 0)
+    # portable hashing computes the same answer
+    pout = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_lines(docs, min_df=3, portable=True).collect()
+    }
+    assert pout == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_df"):
+        dedup_lines(docs, min_df=0)
