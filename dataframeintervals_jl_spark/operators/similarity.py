@@ -1210,6 +1210,12 @@ def write_lsh_index(
     build are appended by :func:`append_lsh_index` (the foreachBatch
     maintenance twin); every reader unions those update segments in."""
     spark = corpus.sparkSession
+    # a REBUILD is the compaction step: stale update segments must go
+    # FIRST — a rebuilt base already contains their vectors, and a
+    # leftover segment would union duplicate n_id rows into every
+    # reader (duplicate (q_id, n_id) scored pairs can then occupy two
+    # top-k slots)
+    _drop_update_segments(spark, path)
     bt, raw = _lsh_index_frames(
         corpus, dim, n_planes, n_tables, id_col, vec_col
     )
@@ -1329,6 +1335,17 @@ def append_lsh_index(
     )
     raw.write.mode("overwrite").parquet(f"{seg}/raw")
     return seg
+
+
+def _drop_update_segments(spark, path: str) -> None:
+    """Recursively delete ``<path>/updates`` (Hadoop FS, scheme-aware)
+    — the compaction half of the append-segment contract shared by the
+    LSH and IVF-PQ index sinks."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, f"{path.rstrip('/')}/updates")
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def _lsh_update_segments(spark, path: str) -> list:
@@ -1463,15 +1480,42 @@ def write_ivfpq_index(
     Training is the same exact-integer machinery as
     :func:`ivf_pq_topk`, so :func:`ivf_pq_topk_indexed` at the same
     parameters returns identical results (test-asserted) without
-    re-training or re-encoding."""
-    from pyspark.sql.functions import pandas_udf
-
+    re-training or re-encoding.  Rebuilding over a path that has
+    accumulated :func:`append_ivfpq_index` segments is the compaction
+    step: stale ``updates/`` are dropped first (a leftover segment
+    would union duplicate code rows into every probe)."""
     spark = corpus.sparkSession
+    _drop_update_segments(spark, path)
     cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
-    cnorm = _centroid_norms(cent)
     cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
     k_eff = cb.shape[1]
-    ds = dim // m_sub
+    c = _ivfpq_encode_frame(corpus, cent, cb, id_col, vec_col)
+    c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
+        "cell int, c array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (m, j, [int(v) for v in cb[m, j]])
+            for m in range(m_sub)
+            for j in range(k_eff)
+        ],
+        "m int, code int, cv array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _ivfpq_encode_frame(
+    df: DataFrame, cent, cb, id_col: str, vec_col: str
+) -> DataFrame:
+    """Encode vectors with FROZEN coarse centroids + PQ codebooks:
+    ``(n_id, cell, codes, rn)`` — the shared Arrow-batched kernel of
+    :func:`write_ivfpq_index` (models just trained) and
+    :func:`append_ivfpq_index` (models loaded from the index)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cnorm = _centroid_norms(cent)
+    m_sub, _k_eff, ds = cb.shape
     cbn2 = (cb.astype(np.int64) ** 2).sum(axis=2)
 
     @pandas_udf("cell int, codes array<int>, rn bigint")
@@ -1488,8 +1532,8 @@ def write_ivfpq_index(
             rn += cbn2[m][codes[:, m]]
         return pd.DataFrame({"cell": cells, "codes": list(codes), "rn": rn})
 
-    c = (
-        ensure_parallelism(corpus)
+    return (
+        ensure_parallelism(df)
         .select(
             F.col(id_col).alias("n_id"),
             index_row(_quantized(F.col(vec_col))).alias("e"),
@@ -1501,19 +1545,69 @@ def write_ivfpq_index(
             F.col("e.rn").alias("rn"),
         )
     )
-    c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
-        "cell int, c array<bigint>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [
-            (m, j, [int(v) for v in cb[m, j]])
-            for m in range(m_sub)
-            for j in range(k_eff)
-        ],
-        "m int, code int, cv array<bigint>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _load_ivfpq_models(spark, path: str):
+    """(centroids, codebooks) numpy arrays of a persisted IVF-PQ index
+    — the frozen models every post-build consumer (probe, append)
+    reconstructs identically."""
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent = np.array([r["c"] for r in crows], dtype=np.int64)
+    cbrows = spark.read.parquet(f"{path}/codebooks").orderBy(
+        "m", "code"
+    ).collect()
+    m_sub = 1 + max(r["m"] for r in cbrows)
+    k_eff = len(cbrows) // m_sub
+    ds = len(cbrows[0]["cv"])
+    cb = np.array([r["cv"] for r in cbrows], dtype=np.int64).reshape(
+        m_sub, k_eff, ds
+    )
+    return cent, cb
+
+
+def append_ivfpq_index(
+    batch: DataFrame,
+    path: str,
+    epoch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Append a batch of NEW vectors to a persisted IVF-PQ index
+    (:func:`write_ivfpq_index`) as an UPDATE SEGMENT — the streaming
+    maintenance path, mirroring :func:`append_lsh_index`'s contract:
+
+    - vectors are assigned and PQ-encoded with the index's FROZEN
+      models (no retraining — the standard IVF append semantics;
+      quantization error drifts as the data distribution drifts, and
+      a periodic :func:`write_ivfpq_index` rebuild is the re-train +
+      compaction step, which also drops ``updates/`` wholesale);
+    - codes land in ``<path>/updates/e{epoch}/codes`` PARTITIONED BY
+      cell (the same pruning layout as the base — a probe reads only
+      its cells' directories in every segment);
+    - mode OVERWRITE into the epoch-named directory: a foreachBatch
+      replay rewrites the identical segment — exactly-once by
+      idempotence.
+
+    ``vec_id``s must be new (ingest-dedup contract, as for LSH).
+    Usable directly as ``foreachBatch(lambda b, e:
+    append_ivfpq_index(b, path, e))`` — or via
+    ``streaming.maintain_ivfpq_index``."""
+    spark = batch.sparkSession
+    cent, cb = _load_ivfpq_models(spark, path)
+    c = _ivfpq_encode_frame(batch, cent, cb, id_col, vec_col)
+    seg = f"{path}/updates/e{int(epoch_id):020d}"
+    c.write.partitionBy("cell").mode("overwrite").parquet(f"{seg}/codes")
+    return seg
+
+
+def _read_ivfpq_codes(spark, path: str) -> DataFrame:
+    """The codes table of an IVF-PQ index INCLUDING update segments —
+    a union of parquet scans only, so the caller's ``cell IN`` filter
+    pushes through into partition pruning on every segment."""
+    c = spark.read.parquet(f"{path}/codes")
+    for seg in _lsh_update_segments(spark, path):
+        c = c.unionByName(spark.read.parquet(f"{seg}/codes"))
+    return c
 
 
 def ivf_pq_topk_indexed(
@@ -1537,19 +1631,10 @@ def ivf_pq_topk_indexed(
     scan (two orders of magnitude at the defaults)."""
     from pyspark.sql.functions import pandas_udf
 
-    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    cent = np.array([r["c"] for r in crows], dtype=np.int64)
+    cent, cb = _load_ivfpq_models(spark, path)
     cnorm = _centroid_norms(cent)
     n_probe_eff = min(n_probe, len(cent))
-    cbrows = spark.read.parquet(f"{path}/codebooks").orderBy(
-        "m", "code"
-    ).collect()
-    m_sub = 1 + max(r["m"] for r in cbrows)
-    k_eff = len(cbrows) // m_sub
-    ds = len(cbrows[0]["cv"])
-    cb = np.array([r["cv"] for r in cbrows], dtype=np.int64).reshape(
-        m_sub, k_eff, ds
-    )
+    k_eff = cb.shape[1]
 
     @pandas_udf("array<int>")
     def probe_cells(vs: pd.Series) -> pd.Series:
@@ -1568,7 +1653,7 @@ def ivf_pq_topk_indexed(
     q = _track_cache(q)
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
 
-    c = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
+    c = _read_ivfpq_codes(spark, path).filter(F.col("cell").isin(probed))
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("n_id") != F.col("q_id")
     )

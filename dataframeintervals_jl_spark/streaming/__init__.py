@@ -1758,6 +1758,39 @@ def stream_mixture_sample(
     )
 
 
+def maintain_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Maintain a persisted IVF-PQ index from a STREAM of arriving
+    vectors — :func:`maintain_lsh_index`'s twin for the quantized
+    index: each micro-batch is cell-assigned and PQ-encoded with the
+    index's FROZEN models and appended as an idempotent epoch-named
+    update segment
+    (:func:`~..operators.similarity.append_ivfpq_index`).  Probes via
+    ``ivf_pq_topk_indexed`` see arrivals immediately; a periodic
+    ``write_ivfpq_index`` rebuild re-trains the models and compacts
+    the segments away.  Returns the started StreamingQuery."""
+    from ..operators.similarity import append_ivfpq_index
+
+    def _apply(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        append_ivfpq_index(batch, path, epoch_id, id_col, vec_col)
+
+    writer = (
+        vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_lsh_index(
     vectors: DataFrame,
     path: str,

@@ -1804,3 +1804,63 @@ def test_stream_mixture_sample_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM smix").collect())
     assert got == expected
+
+
+def test_maintain_ivfpq_index_stream(spark, tmp_path):
+    """Streaming IVF-PQ maintenance: a base index maintained from a
+    two-file stream of new vectors answers queries identically to the
+    same base index with the same vectors appended by the BATCH append
+    path (frozen-model encoding is deterministic, so the stream and
+    batch segments hold identical codes)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivf_pq_topk_indexed,
+        write_ivfpq_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+    from dataframeintervals_jl_spark.streaming import maintain_ivfpq_index
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    base = emb.filter(third == 0)
+    rest1 = emb.filter(third == 1)
+    rest2 = emb.filter(third == 2)
+
+    # reference: base index + batch appends
+    b_path = str(tmp_path / "ivfpq_b")
+    write_ivfpq_index(base, b_path, n_centroids=8, m_sub=32, ks=256)
+    append_ivfpq_index(rest1, b_path, 0)
+    append_ivfpq_index(rest2, b_path, 1)
+    want = sorted(
+        map(tuple, ivf_pq_topk_indexed(
+            spark, b_path, q, n_probe=2, k=4
+        ).collect())
+    )
+
+    # same base maintained from a file stream (one file per epoch)
+    m_path = str(tmp_path / "ivfpq_m")
+    write_ivfpq_index(base, m_path, n_centroids=8, m_sub=32, ks=256)
+    d = str(tmp_path / "vec_in")
+    rest1.coalesce(1).write.parquet(d + "/f1")
+    rest2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sq = maintain_ivfpq_index(
+        stream,
+        m_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    sq.awaitTermination(120)
+    got = sorted(
+        map(tuple, ivf_pq_topk_indexed(
+            spark, m_path, q, n_probe=2, k=4
+        ).collect())
+    )
+    assert got == want and len(got) == 12

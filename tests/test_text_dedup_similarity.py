@@ -1543,3 +1543,98 @@ def test_dedup_lines_hand_case(spark):
 
     with _pytest.raises(ValueError, match="min_df"):
         dedup_lines(docs, min_df=0)
+
+
+def test_append_ivfpq_index_segments(spark, tmp_path):
+    """IVF-PQ maintenance contract: appended vectors (encoded with the
+    FROZEN models) are retrievable through the indexed probe; replaying
+    an epoch is idempotent; a rebuild drops the update segments and
+    matches a fresh build."""
+    import os
+
+    from dataframeintervals_jl_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivf_pq_topk_indexed,
+        write_ivfpq_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "ivfpq_m")
+    write_ivfpq_index(emb, path, n_centroids=8, m_sub=32, ks=256)
+    base = {
+        (r["q_id"], r["rank"], r["n_id"], r["score"])
+        for r in ivf_pq_topk_indexed(spark, path, q, n_probe=2, k=5).collect()
+    }
+
+    # append EXACT COPIES of three corpus vectors under shifted ids:
+    # frozen-model encoding is deterministic, so each copy lands in its
+    # original's cell with identical codes -> identical ADC score
+    copies = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    seg = append_ivfpq_index(copies, path, 7)
+    assert "/updates/e" in seg and os.path.isdir(seg)
+    got = ivf_pq_topk_indexed(spark, path, q, n_probe=2, k=500).collect()
+    scores = {(r["q_id"], r["n_id"]): r["score"] for r in got}
+    for (qid, nid), s in list(scores.items()):
+        if nid < 3 and (qid, nid + 100000) in scores:
+            assert scores[(qid, nid + 100000)] == s
+    # every copy of a retrieved original is retrieved too (same cell)
+    for (qid, nid) in list(scores):
+        if nid < 3 and qid != nid:
+            assert (qid, nid + 100000) in scores
+
+    # epoch replay rewrites the identical segment (no duplication)
+    append_ivfpq_index(copies, path, 7)
+    again = ivf_pq_topk_indexed(spark, path, q, n_probe=2, k=500).collect()
+    assert {(r["q_id"], r["rank"], r["n_id"], r["score"]) for r in again} == {
+        (r["q_id"], r["rank"], r["n_id"], r["score"]) for r in got
+    }
+
+    # rebuild = re-train + compaction: updates/ gone, fresh-build parity
+    write_ivfpq_index(emb, path, n_centroids=8, m_sub=32, ks=256)
+    assert not os.path.exists(os.path.join(path, "updates"))
+    rebuilt = {
+        (r["q_id"], r["rank"], r["n_id"], r["score"])
+        for r in ivf_pq_topk_indexed(spark, path, q, n_probe=2, k=5).collect()
+    }
+    assert rebuilt == base
+
+
+def test_write_lsh_index_rebuild_drops_segments(spark, tmp_path):
+    """Regression: rebuilding an LSH index over a path with append
+    segments must DROP them — a stale segment would union duplicate
+    n_id rows into every probe (duplicate (q_id, n_id) pairs can take
+    two top-k slots)."""
+    import os
+
+    from dataframeintervals_jl_spark.operators.similarity import (
+        append_lsh_index,
+        lsh_rerank_topk_indexed,
+        write_lsh_index,
+    )
+    from dataframeintervals_jl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "lsh_m")
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    write_lsh_index(emb.filter(third == 0), path, dim=64, n_planes=8,
+                    n_tables=2)
+    append_lsh_index(emb.filter(third != 0), path, 0)
+    fresh_path = str(tmp_path / "lsh_f")
+    write_lsh_index(emb, fresh_path, dim=64, n_planes=8, n_tables=2)
+    expected = {
+        (r["q_id"], r["rank"], r["n_id"], r["score"])
+        for r in lsh_rerank_topk_indexed(spark, fresh_path, q, k=5).collect()
+    }
+    # rebuild over the appended path: segments must vanish
+    write_lsh_index(emb, path, dim=64, n_planes=8, n_tables=2)
+    assert not os.path.exists(os.path.join(path, "updates"))
+    got = {
+        (r["q_id"], r["rank"], r["n_id"], r["score"])
+        for r in lsh_rerank_topk_indexed(spark, path, q, k=5).collect()
+    }
+    assert got == expected
