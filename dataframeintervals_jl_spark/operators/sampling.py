@@ -1237,3 +1237,45 @@ def cms_join_size(
             "join_rows_est"
         ),
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    max_keep_ppm: int = BUCKETS,
+    salt: str = "isr",
+) -> DataFrame:
+    """Keep each row with probability PROPORTIONAL TO ITS WEIGHT — the
+    resampling half of importance-weighted data selection (pair with
+    :func:`~.tfidf.dsir_weights`: weight, then resample toward the
+    target distribution).  Deterministic and engine-independent: a row
+    survives iff ``hash(salt|key) mod 1e6 < thr`` with
+    ``thr = min(max_keep_ppm, (weight · max_keep_ppm) DIV w_max)`` —
+    the maximum weight ``w_max`` comes from ONE 1-row aggregate, so
+    the highest-weight rows keep at ``max_keep_ppm`` (default: always)
+    and everything else scales down linearly in exact bigint floor
+    arithmetic.  Same key → same decision across runs, engines, and
+    partitionings — reproducible corpus construction.
+
+    ``weight_col`` must be a non-negative integral column (ppm-scaled
+    weights are the house convention).  Rows with NULL weight are
+    dropped (NULL thr compares false).  One narrow row-local filter —
+    no shuffle, no broadcast beyond two literals."""
+    if max_keep_ppm < 1 or max_keep_ppm > BUCKETS:
+        raise ValueError(
+            f"max_keep_ppm must be in [1, {BUCKETS}], got {max_keep_ppm}"
+        )
+    w_max = df.agg(F.max(weight_col)).collect()[0][0]
+    if w_max is None or w_max <= 0:
+        return df.filter(F.lit(False))
+    # least() SKIPS nulls (least(1e6, NULL) = 1e6), which would keep
+    # NULL-weight rows at FULL rate — gate the null explicitly
+    thr = F.when(
+        F.col(weight_col).isNotNull(),
+        F.least(
+            F.lit(max_keep_ppm),
+            F.expr(f"({weight_col} * {int(max_keep_ppm)}) DIV {int(w_max)}"),
+        ),
+    )
+    return df.filter(_bucket(F.col(key_col), salt) < thr)

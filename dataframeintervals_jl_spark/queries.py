@@ -6325,6 +6325,41 @@ FROM cb JOIN ratio USING (b)
 GROUP BY doc_id"""
 
 
+def q_dsir_resample(spark, sf_dir):
+    """The full DSIR pipeline: hashed-bigram importance weights toward
+    the English target distribution, then deterministic
+    weight-proportional resampling (importance_resample) — per-lang
+    kept counts.  English documents survive at ~the max rate, the
+    rest proportionally below."""
+    from .operators.sampling import importance_resample
+    from .operators.tfidf import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    kept = importance_resample(w, "dsir_weight", "doc_id", salt="isr")
+    return (
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def _sql_dsir_resample() -> str:
+    ph = _PH60.format(x="'isr|' || doc_id::VARCHAR")
+    return f"""WITH dw AS MATERIALIZED (
+  FROM ({_sql_dsir_weights(2, 4096)})
+), wm AS (
+  SELECT max(dsir_weight) AS m FROM dw
+), kept AS (
+  SELECT doc_id FROM dw, wm
+  WHERE ({ph} % 1000000)
+        < least(1000000, (dsir_weight * 1000000) // wm.m)
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-pipeline delta: diff the documents table against a
     deterministically perturbed re-crawl of itself (drops, edits, and
@@ -7812,6 +7847,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "q_lm_score": (q_lm_score, _SQL_LM_SCORE),
     "q_dsir_weights": (q_dsir_weights, _sql_dsir_weights(2, 4096)),
+    "q_dsir_resample": (q_dsir_resample, _sql_dsir_resample()),
     "q_snapshot_diff": (q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "q_apply_cdc": (q_apply_cdc, _SQL_APPLY_CDC),
     "q_sample_per_group": (q_sample_per_group, _SQL_SAMPLE_PER_GROUP),

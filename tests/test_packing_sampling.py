@@ -1153,3 +1153,47 @@ def test_profile_table_empty_and_bad_args(spark):
         assert (r["n_rows"], r["n_nulls"], r["n_distinct_est"]) == (0, 0, 0)
     with pytest.raises(ValueError, match="columns"):
         profile_table(df, columns=[])
+
+
+def test_importance_resample_proportional_and_deterministic(spark):
+    """Keep rates scale linearly with weight (ppm tolerance on a large
+    sample), max-weight rows keep at max_keep_ppm, NULL/zero weights
+    drop, and the decision is reproducible."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    n = 4000
+    rows = [(i, [250_000, 500_000, 1_000_000][i % 3]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = importance_resample(df, "w", "doc_id").collect()
+    by_w = {}
+    for r in kept:
+        by_w[r["w"]] = by_w.get(r["w"], 0) + 1
+    # expected keep fraction = w / w_max; each stratum has n/3 rows
+    for w, frac in ((250_000, 0.25), (500_000, 0.5), (1_000_000, 1.0)):
+        got = by_w.get(w, 0) / (n / 3)
+        assert abs(got - frac) < 0.06, (w, got)
+    # max-weight rows ALL survive (thr == BUCKETS)
+    assert by_w[1_000_000] == n // 3
+    again = importance_resample(df, "w", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in kept
+    )
+    # NULL and zero weights never survive
+    z = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 10)], "doc_id long, w long"
+    )
+    assert sorted(
+        r["doc_id"] for r in importance_resample(z, "w", "doc_id").collect()
+    ) == [3]
+    # all-null / non-positive weights -> empty
+    e = spark.createDataFrame([(1, 0), (2, None)], "doc_id long, w long")
+    assert importance_resample(e, "w", "doc_id").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_keep_ppm"):
+        importance_resample(df, "w", "doc_id", max_keep_ppm=0)
