@@ -293,10 +293,15 @@ def dsir_weights(
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
 
     def _grams(df: DataFrame, cols: list) -> DataFrame:
+        from ..sources import ensure_parallelism
+
         text = F.col(text_col)
         if lowercase:
             text = F.lower(text)
-        return df.select(
+        # the tokenize+shingle explode is CPU-bound: a small parquet
+        # input is one scan task, serializing the whole pass (measured
+        # 6.5s -> ~1s at sf0.1 on local[32])
+        return ensure_parallelism(df).select(
             *cols, F.explode(shingles(text, n)).alias("__g")
         ).select(
             *cols, (portable_hash60(F.col("__g")) % num_buckets).alias("__b")
@@ -304,8 +309,12 @@ def dsir_weights(
 
     tg = _grams(target, [])
     cg = _grams(corpus, [F.col(id_col)])
-    ct = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    cr = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    # both count tables are <= num_buckets rows but cost a full gram
+    # pass each — persist them so the totals collect, the ratio build,
+    # and the final join don't re-tokenize the corpus (3 passes -> 1
+    # per side; the big final pass over cg itself is the one repeat)
+    ct = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).persist()
+    cr = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")).persist()
     n_t = (ct.agg(F.sum("__ct")).collect()[0][0] or 0) + num_buckets
     n_r = (cr.agg(F.sum("__cr")).collect()[0][0] or 0) + num_buckets
     cap = scale * scale
@@ -322,6 +331,12 @@ def dsir_weights(
             f" {cap}) AS BIGINT)"
         ).alias("__r"),
     )
+    # the ratio table is the only consumer of the persisted counts:
+    # checkpoint it (<= num_buckets rows) and release them here rather
+    # than leaking two cached tables per call
+    ratio = ratio.localCheckpoint(eager=True)
+    ct.unpersist()
+    cr.unpersist()
     return (
         cg.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
