@@ -1684,11 +1684,15 @@ def dedup_lines(
     hash-for-hash."""
     from ..functions.text import portable_hash60
 
+    from ..sources import ensure_parallelism
+
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
     hash_fn = portable_hash60 if portable else F.xxhash64
     idc = F.col(id_col)
-    lines = docs.select(
+    # the split+explode+hash pass is CPU-bound and runs twice (hot-set
+    # build + anti join); a small parquet input is one scan task
+    lines = ensure_parallelism(docs).select(
         idc.alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__p", "__l"),
     ).select("__id", "__p", "__l", hash_fn(F.col("__l")).alias("__h"))

@@ -6031,8 +6031,12 @@ def q_dedup_lines(spark, sf_dir):
     complement of document near-dup."""
     from .functions.text import tokens
     from .operators.dedup import dedup_lines
+    from .sources import ensure_parallelism
 
-    docs = read_table(spark, sf_dir, "documents")
+    # the 2-token line folding below is CPU-bound and evaluated through
+    # both of dedup_lines' passes — parallelize at the bare scan (the
+    # operator's own guard sees only this derived plan)
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
     lined = F.array_join(
