@@ -211,7 +211,9 @@ def clustering_coefficient(
     normalized and persisted ONCE and fed to both the degree agg and
     the triangle kernel: before this sharing the operator evaluated
     the caller's edge lineage (at the catalog query, a full MinHash
-    pair generation) twice — measured ~1.3s off the query at sf0.1."""
+    pair generation) twice — solo baseline 6.4s -> ~6.0s at sf0.1
+    (the duplicated pair generation was cheaper than its first-run
+    cost suggests once the scan is warm, but it was pure waste)."""
     e = _normalized_edges(edges, src, dst).persist()
     e.count()
     deg = (
@@ -271,11 +273,16 @@ def k_core(
 
     ``rounds=None`` (default) runs to the exact fixpoint with a
     driver-side convergence check — one ``count()`` per peel, which IS
-    the convergence test, not overhead.  ``rounds=N`` performs exactly
-    N peels with no driver decision, making the operator a pure
-    function of the input that a SQL oracle replays by unrolling N
-    rounds (the pagerank/IVF replay strategy); callers pick N at or
-    above the graph's peel depth to get the true core.
+    the convergence test, not overhead.  ``rounds=N`` bounds the peel
+    count at exactly N, making the operator a pure function of the
+    input that a SQL oracle replays by unrolling N rounds (the
+    pagerank/IVF replay strategy); callers pick N at or above the
+    graph's peel depth to get the true core.  Both modes stop as soon
+    as a peel removes nothing: peeling is IDEMPOTENT at fixpoint, so
+    the skipped rounds are provably no-ops and the result is identical
+    to running all N — the early exit spares the per-round job
+    overhead that dominates on small/converged graphs (measured 17.6s
+    → ~4s on the catalog query, whose graph converges in 2 peels).
 
     Scale shape: the loop state is the symmetric edge table ``(a, b)``
     — never adjacency lists, never collected.  Each peel is one
@@ -316,15 +323,15 @@ def k_core(
         und.unpersist()
         und = nxt
         i += 1
-        if rounds is None:
-            if n_next == n_edges:
-                n_edges = n_next
-                break
-            if i == max_rounds and n_next != n_edges:
-                und.unpersist()
-                raise RuntimeError(
-                    f"k_core did not converge within max_rounds={max_rounds}"
-                )
+        if n_next == n_edges:
+            # fixpoint: every further peel is a no-op (idempotence), in
+            # BOTH modes — identical result, minus the no-op jobs
+            break
+        if rounds is None and i == max_rounds:
+            und.unpersist()
+            raise RuntimeError(
+                f"k_core did not converge within max_rounds={max_rounds}"
+            )
         n_edges = n_next
 
     out = und.groupBy(F.col("a").alias("v")).agg(
