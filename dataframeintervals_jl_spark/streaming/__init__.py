@@ -1758,6 +1758,61 @@ def stream_mixture_sample(
     )
 
 
+def stream_duplicate_spans(
+    docs: DataFrame,
+    index_table: str,
+    sink,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+    available_now: bool = False,
+):
+    """Ingest-time PASSAGE dedup on a stream: every micro-batch of
+    arriving documents is probed against the persisted gram index
+    (:func:`~..operators.dedup.write_gram_index`) with
+    :func:`~..operators.dedup.incremental_duplicate_spans`, and the
+    per-batch span report is handed to ``sink(report_df, epoch_id)``.
+
+    Why foreachBatch and not a stream-static join chain like
+    :func:`stream_incremental_dedup`: the span report needs a
+    per-(doc, position) aggregation AND the island-merge window —
+    steps append-mode streaming disallows without state, but which are
+    a bounded batch job per trigger (increment-sized, history read in
+    place, never reshuffled).  The index TABLE NAME is re-resolved
+    every trigger, so ``write_gram_index(mode='append')`` segments
+    landing between batches are picked up automatically.  Zero
+    streaming state; exactly-once is the sink's contract — write
+    idempotently by ``epoch_id`` (the append_lsh_index pattern).
+    Returns the started StreamingQuery."""
+    from ..operators.dedup import incremental_duplicate_spans
+
+    def _apply(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        idx = batch.sparkSession.table(index_table)
+        report = incremental_duplicate_spans(
+            batch,
+            idx,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            min_docs=min_docs,
+            portable=portable,
+        )
+        sink(report, epoch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ivfpq_index(
     vectors: DataFrame,
     path: str,

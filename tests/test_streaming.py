@@ -1864,3 +1864,63 @@ def test_maintain_ivfpq_index_stream(spark, tmp_path):
         ).collect())
     )
     assert got == want and len(got) == 12
+
+
+def test_stream_duplicate_spans_matches_batch(spark, tmp_path):
+    """Streamed passage-dedup reports (foreachBatch probe of the
+    persisted gram index) equal the batch incremental report over the
+    same increments — increments never pair against each other, so the
+    union of per-batch reports IS the batch answer."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.dedup import (
+        incremental_duplicate_spans,
+        write_gram_index,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_duplicate_spans
+
+    boiler = "one two three four five six seven eight"
+    hist = spark.createDataFrame(
+        [(i, f"h{i}a h{i}b {boiler} h{i}c") for i in range(6)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (100, f"fresh opening {boiler} fresh closing"),
+            (101, "entirely novel content with no history overlap"),
+            (102, f"{boiler} tail tail tail"),
+        ],
+        "doc_id long, text string",
+    )
+    tbl = "t_stream_gram_idx"
+    write_gram_index(
+        hist, tbl, n_buckets=4, path=str(tmp_path / "gidx"),
+        shingle_k=4, portable=True,
+    )
+    want = sorted(
+        map(tuple, incremental_duplicate_spans(
+            inc, spark.table(tbl), shingle_k=4, portable=True
+        ).collect())
+    )
+    assert want, "fixture must produce history-duplicated spans"
+
+    d = str(tmp_path / "docs_in")
+    inc.filter("doc_id < 102").coalesce(1).write.parquet(d + "/f1")
+    inc.filter("doc_id = 102").coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    got_rows = []
+    sq = stream_duplicate_spans(
+        stream,
+        tbl,
+        lambda df, epoch: got_rows.extend(map(tuple, df.collect())),
+        checkpoint=str(tmp_path / "ckpt"),
+        shingle_k=4,
+        portable=True,
+        available_now=True,
+    )
+    sq.awaitTermination(120)
+    assert sorted(got_rows) == want
