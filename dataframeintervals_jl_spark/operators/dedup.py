@@ -1235,6 +1235,11 @@ def bloom_decontaminate_rowlocal(
             _member,
         )
     ).cast("long")
+    # the probe is CPU-bound (shingle + n_hashes bit tests per gram);
+    # parallelize a one-file batch scan — but never touch a STREAMING
+    # frame (partition inspection would break the stateless contract)
+    if not corpus.isStreaming:
+        corpus = ensure_parallelism(corpus)
     return corpus.select(
         "*",
         n_bloom.alias("n_bloom"),
@@ -1277,7 +1282,9 @@ def excise_token_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.col(span_col)).alias("__spans")
     )
-    joined = docs.join(per_doc, id_col, "left")
+    # the excision expression below is CPU-bound (tokenize + per-token
+    # span comparisons); a one-file corpus scan would run it single-task
+    joined = ensure_parallelism(docs).join(per_doc, id_col, "left")
     toks = tokens(F.col(text_col))
     spans_arr = F.coalesce(
         F.col("__spans"),

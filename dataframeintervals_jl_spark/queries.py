@@ -3912,8 +3912,11 @@ def q_bloom_decontaminate(spark, sf_dir):
     replays bloom construction and probe bit-for-bit, so the (rare,
     reproducible) false positives hash-match too."""
     from .operators.dedup import bloom_decontaminate
+    from .sources import ensure_parallelism
 
-    docs = read_table(spark, sf_dir, "documents")
+    # repartition at the scan: the corpus probe reaches the operator as
+    # a derived filter, past its own bare-scan parallelism guard
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
     return bloom_decontaminate(
         docs.filter(~is_eval),
@@ -3935,8 +3938,9 @@ def q_stream_bloom_decontaminate(spark, sf_dir):
     Shares q_bloom_decontaminate's oracle: the row-local probe is
     bit-identical to the join-shaped batch plan."""
     from .operators.dedup import bloom_decontaminate_rowlocal
+    from .sources import ensure_parallelism
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     is_eval = F.pmod(F.col("doc_id"), F.lit(23)) == 0
     return bloom_decontaminate_rowlocal(
         docs.filter(~is_eval),
