@@ -6279,6 +6279,78 @@ FROM bg JOIN p USING (w1, w2)
 GROUP BY doc_id"""
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing: per language, documents ranked by
+    the bigram-LM score and cut into exact integer quartiles
+    (``bucket = (rank-1)*4 DIV n`` — no percentile floats), with
+    per-bucket counts and score extrema.  The standard head/middle/tail
+    split a perplexity-filtered corpus ships with.
+
+    Scale note: the rank window partitions by LANGUAGE — a handful of
+    giant partitions at corpus scale.  There, replace the window with
+    the two-pass distributed rank (``ranking.frequency_rank``'s shape:
+    per-partition partial counts + broadcast boundary offsets) or cut
+    buckets on a quantile-sketch threshold (``qsk_quantiles``) instead
+    of exact ranks; this catalog query is the exact-integer oracle of
+    the bucket SEMANTICS."""
+    from pyspark.sql import Window
+
+    from .operators.tfidf import bigram_lm_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    sc = bigram_lm_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    n = Window.partitionBy("lang")
+    ranked = sc.select(
+        "lang",
+        "lm_score",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    ).select(
+        "lang",
+        "lm_score",
+        F.expr("(( __r - 1) * 4) DIV __n").cast("long").alias("bucket"),
+    )
+    return ranked.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("lm_score").alias("min_score"),
+        F.max("lm_score").alias("max_score"),
+    )
+
+
+_SQL_LM_BUCKETS = rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, unnest(t[:len(t) - 1]) AS w1, unnest(t[2:]) AS w2
+  FROM toks
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+), p AS (
+  SELECT w1, w2, (1000000::BIGINT * c2) // (c1 + 4) AS p
+  FROM c2 JOIN c1 USING (w1)
+), lm AS (
+  SELECT doc_id, CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT)
+           AS lm_score
+  FROM bg JOIN p USING (w1, w2)
+  GROUP BY doc_id
+), ranked AS (
+  SELECT d.lang, lm.lm_score,
+         ((row_number() OVER (PARTITION BY d.lang
+                              ORDER BY lm.lm_score, lm.doc_id) - 1) * 4)
+         // (count(*) OVER (PARTITION BY d.lang)) AS bucket
+  FROM lm JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(lm_score) AS BIGINT) AS min_score,
+       CAST(max(lm_score) AS BIGINT) AS max_score
+FROM ranked GROUP BY lang, bucket"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR-style data-selection weights: hashed bigram bucket
     distributions of the whole corpus vs the English subset (the
@@ -7854,6 +7926,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_mean_token_rank": (q_mean_token_rank, _SQL_MEAN_TOKEN_RANK),
     "q_label_centroids": (q_label_centroids, _SQL_LABEL_CENTROIDS),
     "q_lm_score": (q_lm_score, _SQL_LM_SCORE),
+    "q_lm_buckets": (q_lm_buckets, _SQL_LM_BUCKETS),
     "q_dsir_weights": (q_dsir_weights, _sql_dsir_weights(2, 4096)),
     "q_dsir_resample": (q_dsir_resample, _sql_dsir_resample()),
     "q_snapshot_diff": (q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
