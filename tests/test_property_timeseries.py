@@ -134,3 +134,81 @@ def test_decontaminate_matches_brute_force(spark, dp, k, mo):
     for i, t in enumerate(corpus_toks):
         n = len(shingles_of(t) & ev_sh)
         assert got[i] == (n, n >= mo), (i, t)
+
+
+# --- round-8 continuation: line dedup + multi-resolution rollup -----------
+
+lines_corpus = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=6),  # docs as line-ids
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(corpus=lines_corpus, min_df=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_dedup_lines_matches_brute_force(spark, corpus, min_df):
+    """Line-id corpora (small alphabet so cross-doc collisions are
+    dense): removal set, survivor order, and counts all match the
+    python reference for every min_df."""
+    from dataframeintervals_jl_spark.operators.dedup import dedup_lines
+
+    docs = [(i, "\n".join(f"line{v}" for v in ls)) for i, ls in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_lines(df, min_df=min_df).collect()
+    }
+    # brute force
+    from collections import Counter
+
+    dfreq = Counter()
+    for _, t in docs:
+        for l in set(t.split("\n")):
+            dfreq[l] += 1
+    hot = {l for l, c in dfreq.items() if c >= min_df}
+    want = {}
+    for i, t in docs:
+        ls = t.split("\n")
+        kept = [l for l in ls if l not in hot]
+        want[i] = ("\n".join(kept), len(ls) - len(kept))
+    assert got == want
+
+
+mr_events = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 2), st.integers(-5, 5)),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(ev=mr_events, r1=st.integers(2, 40), r2=st.integers(2, 40))
+@settings(**_SETTINGS)
+def test_multi_resolution_rollup_matches_brute_force(spark, ev, r1, r2):
+    """Both resolutions' buckets match a per-resolution python groupBy
+    (counts and sums), for arbitrary (possibly equal) widths."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        multi_resolution_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(t, f"k{g}", v) for t, g, v in ev], "ts long, k string, v long"
+    )
+    out = multi_resolution_rollup(
+        df,
+        "ts",
+        {"a": r1, "b": r2},
+        by="k",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+    )
+    got = {
+        (r["k"], r["resolution"], r["bucket_start"]): (r["n"], r["s"])
+        for r in out.collect()
+    }
+    want = {}
+    for lab, res in (("a", r1), ("b", r2)):
+        for t, g, v in ev:
+            key = (f"k{g}", lab, t - t % res)
+            n, s = want.get(key, (0, 0))
+            want[key] = (n + 1, s + v)
+    assert got == want
