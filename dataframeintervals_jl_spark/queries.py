@@ -1670,6 +1670,61 @@ SELECT user_id, CAST(sum(s_stop - s_start) AS BIGINT) AS covered,
 FROM isl GROUP BY user_id"""
 
 
+def q_span_coverage_daily(spark, sf_dir):
+    """Utilization by CALENDAR BUCKET: per (user, day), nanoseconds of
+    the day covered by the union of the user's activity spans —
+    merge_spans islands exploded over the days they touch, each piece
+    clipped to its day, map-only after the merge (one sequence explode
+    per island, bounded by the island's day count; no join).  The
+    session-length-by-day report every activity pipeline ships."""
+    from .operators.coalesce import merge_spans
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts"),
+    )
+    spans = ev.select(
+        "user_id",
+        make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span"),
+    )
+    isl = merge_spans(spans, by="user_id")
+    s, e = F.col("span.start"), F.col("span.stop")
+    day = F.lit(_DAY_NS)
+    exploded = isl.select(
+        "user_id",
+        "span",
+        F.explode(
+            F.sequence(F.expr(f"span.start DIV {_DAY_NS}"),
+                       F.expr(f"(span.stop - 1) DIV {_DAY_NS}"))
+        ).alias("__d"),
+    )
+    piece = F.least(e, (F.col("__d") + 1) * day) - F.greatest(
+        s, F.col("__d") * day
+    )
+    return (
+        exploded.select(
+            "user_id",
+            (F.col("__d") * day).alias("day_start"),
+            piece.alias("__p"),
+        )
+        .groupBy("user_id", "day_start")
+        .agg(F.sum("__p").alias("covered"))
+    )
+
+
+_SQL_SPAN_COVERAGE_DAILY = f"""WITH {_SQL_MERGE_CTE},
+ex AS (
+  SELECT user_id, s_start, s_stop,
+         unnest(range(s_start // {_DAY_NS}, (s_stop - 1) // {_DAY_NS} + 1))
+           AS d
+  FROM isl
+)
+SELECT user_id, CAST(d * {_DAY_NS} AS BIGINT) AS day_start,
+       CAST(sum(least(s_stop, (d + 1) * {_DAY_NS})
+                - greatest(s_start, d * {_DAY_NS})) AS BIGINT) AS covered
+FROM ex GROUP BY user_id, d"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     from .operators.similarity import embedding_neardup_pairs
 
@@ -7771,6 +7826,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_merge_spans": (q_merge_spans, _SQL_MERGE_SPANS),
     "q_split_spans": (q_split_spans, _SQL_SPLIT_SPANS),
     "q_span_coverage": (q_span_coverage, _SQL_SPAN_COVERAGE),
+    "q_span_coverage_daily": (q_span_coverage_daily, _SQL_SPAN_COVERAGE_DAILY),
     "q_span_difference": (q_span_difference, _SQL_SPAN_DIFFERENCE),
     "q_overlap_profile": (q_overlap_profile, _SQL_OVERLAP_PROFILE),
     "q_interval_semijoin": (q_interval_semijoin, _SQL_SEMIJOIN),

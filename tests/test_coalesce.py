@@ -291,3 +291,57 @@ def test_overlap_profile_empty(spark):
     df = make_span_df(spark, [])
     assert overlap_profile(df).count() == 0
     assert overlap_profile(df, by=None).columns == ["span", "depth"]
+
+
+def test_daily_coverage_partitions_total_coverage(spark):
+    """Per-day clipped coverage pieces sum to the user's total covered
+    duration, and an island crossing a day boundary splits exactly."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        merge_spans,
+        span_coverage,
+    )
+    from tests.conftest import make_span_df
+
+    DAY = 100
+    rows = [
+        (95, 130, 1),    # crosses one boundary: 5 in day 0, 30 in day 1
+        (120, 140, 1),   # overlaps the previous island's day-1 part
+        (250, 260, 1),   # isolated, day 2
+        (40, 60, 2),     # single day
+    ]
+    from pyspark.sql import types as T
+
+    df = make_span_df(
+        spark, rows, extra=[("user_id", T.LongType())]
+    )
+    isl = merge_spans(df, by="user_id")
+    s, e = F.col("span.start"), F.col("span.stop")
+    ex = isl.select(
+        "user_id",
+        "span",
+        F.explode(
+            F.sequence(
+                F.expr(f"span.start DIV {DAY}"),
+                F.expr(f"(span.stop - 1) DIV {DAY}"),
+            )
+        ).alias("d"),
+    )
+    piece = F.least(e, (F.col("d") + 1) * DAY) - F.greatest(s, F.col("d") * DAY)
+    daily = (
+        ex.select("user_id", (F.col("d") * DAY).alias("day_start"),
+                  piece.alias("p"))
+        .groupBy("user_id", "day_start")
+        .agg(F.sum("p").alias("covered"))
+    )
+    got = {(r["user_id"], r["day_start"]): r["covered"] for r in daily.collect()}
+    # user 1: [95,140) crosses day 0->1 (5 + 40), [250,260) in day 2
+    assert got == {(1, 0): 5, (1, 100): 40, (1, 200): 10, (2, 0): 20}
+    totals = {
+        r["user_id"]: r["covered"] for r in span_coverage(df, by="user_id").collect()
+    }
+    by_user = {}
+    for (u, _), c in got.items():
+        by_user[u] = by_user.get(u, 0) + c
+    assert by_user == totals
