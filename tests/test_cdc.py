@@ -340,3 +340,21 @@ def test_k_core_validation(spark):
         k_core(df, k=0)
     with _pytest.raises(ValueError, match="rounds must be"):
         k_core(df, k=2, rounds=-1)
+
+
+def test_k_core_checkpoint_cadence_invariance(spark):
+    """localCheckpoint cadence is an execution detail: every cadence
+    (including disabled) peels to the identical core."""
+    import random
+
+    from dataframeintervals_jl_spark.operators.graph import k_core
+
+    rng = random.Random(11)
+    edges = [(rng.randint(1, 15), rng.randint(1, 15)) for _ in range(45)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = sorted(tuple(r) for r in k_core(df, k=3).collect())
+    for every in (0, 1, 4):
+        got = sorted(
+            tuple(r) for r in k_core(df, k=3, checkpoint_every=every).collect()
+        )
+        assert got == base, f"checkpoint_every={every}"
