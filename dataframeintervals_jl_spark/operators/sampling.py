@@ -1279,3 +1279,62 @@ def importance_resample(
         ),
     )
     return df.filter(_bucket(F.col(key_col), salt) < thr)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+    k: int = 256,
+    by: Union[str, Sequence[str], None] = None,
+    salt: str = "qsk",
+    out_col: Union[str, None] = None,
+) -> DataFrame:
+    """Clip outliers to SKETCH-ESTIMATED quantile bounds — the robust
+    preprocessing step (cap pathological token counts, clamp sensor
+    glitches) at 100 TB prices: the bounds come from the deterministic
+    QSK bottom-k row sample (:func:`qsk_registers` — one pruned
+    shuffle, ≤ k register rows per group), the per-group (lo, hi) pair
+    table is broadcast back, and the clip is a pure row expression.
+    Everything is exact type-1 sample-quantile selection — no floats,
+    no interpolation — so a SQL oracle replays it bit-for-bit.
+
+    Semantics: values BELOW the ``lo_ppm`` sample quantile rise to it,
+    values above ``hi_ppm`` drop to it.  NULL values pass through NULL
+    (explicitly gated — ``greatest(NULL, lo)`` would silently turn
+    NULLs into the lower bound, the least()-skips-nulls trap).  Groups
+    with no sketch rows (all-NULL values) keep their values unclipped:
+    there, ``least``/``greatest`` skipping the NULL bounds is exactly
+    the wanted no-op and is the same in DuckDB.
+
+    Output: ``df``'s columns + ``out_col`` (default
+    ``f"{value_col}_w"``) — the clipped value in the input column's
+    type."""
+    if not (0 <= lo_ppm <= hi_ppm <= BUCKETS):
+        raise ValueError(
+            f"need 0 <= lo_ppm <= hi_ppm <= {BUCKETS}, "
+            f"got ({lo_ppm}, {hi_ppm})"
+        )
+    out_col = out_col or f"{value_col}_w"
+    keys = [by] if isinstance(by, str) else list(by or [])
+    regs = qsk_registers(df, value_col, key_col, k=k, by=by, salt=salt)
+    qs = qsk_quantiles(regs, [lo_ppm, hi_ppm], by=by)
+    bounds = qs.groupBy(*keys).agg(
+        F.min(
+            F.when(F.col("prob_ppm") == lo_ppm, F.col("q_val"))
+        ).alias("__lo"),
+        F.min(
+            F.when(F.col("prob_ppm") == hi_ppm, F.col("q_val"))
+        ).alias("__hi"),
+    )
+    if keys:
+        joined = df.join(F.broadcast(bounds), keys, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    v = F.col(value_col)
+    clip = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
+    return joined.select(*df.columns, clip.alias(out_col))

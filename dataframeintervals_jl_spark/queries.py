@@ -5079,6 +5079,77 @@ SELECT o.lang, CAST(p.prob_ppm AS INT) AS prob_ppm, o.__val AS q_val,
 FROM ord o JOIN probs p ON o.vi = (p.prob_ppm * (o.n - 1)) // 1000000 + 1"""
 
 
+def q_winsorize(spark, sf_dir):
+    """Sketch-bounded outlier clipping: per event_type, values clip to
+    the QSK sample's [p5, p95] (exact type-1 quantiles of the
+    deterministic bottom-k row sample, broadcast back, pure row
+    expression) — reported as per-type clip counts and the clipped
+    fixed-point sum."""
+    from .operators.sampling import winsorize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    w = winsorize(
+        ev, "v_fx", "event_id", lo_ppm=50_000, hi_ppm=950_000,
+        k=128, by="event_type",
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("v_fx_w") > F.col("v_fx")).cast("long")).alias(
+            "n_raised"
+        ),
+        F.sum((F.col("v_fx_w") < F.col("v_fx")).cast("long")).alias(
+            "n_lowered"
+        ),
+        F.sum("v_fx_w").alias("sum_clipped_fx"),
+    )
+
+
+def _sql_winsorize(k: int = 128, lo: int = 50_000, hi: int = 950_000) -> str:
+    h = _PH60.format(x="('qsk|' || event_id::VARCHAR)")
+    return f"""WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), pri AS (
+  SELECT event_type, {h} AS __pri, v_fx AS __val FROM ev
+  WHERE v_fx IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY __pri, __val) AS rn
+  FROM pri
+), samp AS (
+  SELECT event_type, __val FROM ranked WHERE rn <= {k}
+), ord AS (
+  SELECT event_type, __val,
+         row_number() OVER (PARTITION BY event_type ORDER BY __val) AS vi,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM samp
+), b AS (
+  SELECT event_type,
+         min(CASE WHEN which = {lo} THEN __val END) AS lo_v,
+         min(CASE WHEN which = {hi} THEN __val END) AS hi_v
+  FROM ord, (SELECT unnest([{lo}, {hi}]) AS which)
+  WHERE vi = (which * (n - 1)) // 1000000 + 1
+  GROUP BY event_type
+), w AS (
+  SELECT ev.event_type, ev.v_fx,
+         CASE WHEN ev.v_fx IS NULL THEN NULL
+              ELSE least(greatest(ev.v_fx, b.lo_v), b.hi_v) END AS v_w
+  FROM ev LEFT JOIN b USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v_w > v_fx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_raised,
+       CAST(sum(CASE WHEN v_w < v_fx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lowered,
+       CAST(sum(v_w) AS BIGINT) AS sum_clipped_fx
+FROM w GROUP BY event_type"""
+
+
 def q_cms_join_size(spark, sf_dir):
     """Join-size estimation WITHOUT running the join: the Count-Min
     inner product (Cormode & Muthukrishnan §4.2) of the click-side and
@@ -7951,6 +8022,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
     "q_cms_join_size": (q_cms_join_size, _sql_cms_join_size()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
+    "q_winsorize": (q_winsorize, _sql_winsorize(128, 50_000, 950_000)),
     "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
     "q_profile_events": (q_profile_events, _sql_profile_events()),
     "q_key_skew_report": (q_key_skew_report, _sql_key_skew_report()),

@@ -1197,3 +1197,40 @@ def test_importance_resample_proportional_and_deterministic(spark):
 
     with _pytest.raises(ValueError, match="max_keep_ppm"):
         importance_resample(df, "w", "doc_id", max_keep_ppm=0)
+
+
+def test_winsorize_hand_case(spark):
+    """With k >= group size the sketch is the full sample, so the
+    bounds are exact type-1 quantiles: values clip to [p25, p75] by
+    hand, NULLs pass through NULL (never become the lower bound), and
+    keyless mode clips against the global bounds."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import winsorize
+
+    rows = [(i, "a", v) for i, v in enumerate([0, 10, 20, 30, 40, 1000])]
+    rows += [(100, "a", None), (200, "b", 7)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {
+        r["id"]: r["v_w"]
+        for r in winsorize(
+            df, "v", "id", lo_ppm=250_000, hi_ppm=750_000, by="g"
+        ).collect()
+    }
+    # group a sample sorted: [0,10,20,30,40,1000], n=6
+    # lo idx = 250000*5//1e6 = 1 -> 10; hi idx = 750000*5//1e6 = 3 -> 30
+    assert out[0] == 10 and out[1] == 10
+    assert out[2] == 20 and out[3] == 30
+    assert out[4] == 30 and out[5] == 30
+    assert out[100] is None
+    assert out[200] == 7  # single-value group: lo == hi == 7
+    # keyless: global bounds
+    gout = winsorize(df.filter("v is not null"), "v", "id",
+                     lo_ppm=0, hi_ppm=1_000_000)
+    vals = {r["id"]: r["v_w"] for r in gout.collect()}
+    assert vals[0] == 0 and vals[5] == 1000  # full range = no clipping
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo_ppm"):
+        winsorize(df, "v", "id", lo_ppm=900_000, hi_ppm=100_000)
