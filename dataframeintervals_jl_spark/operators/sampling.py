@@ -1338,3 +1338,70 @@ def winsorize(
         v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     )
     return joined.select(*df.columns, clip.alias(out_col))
+
+
+def winsorize_bounds(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+    k: int = 256,
+    by: Union[str, Sequence[str], None] = None,
+    salt: str = "qsk",
+) -> dict:
+    """The driver-side half of :func:`winsorize`: the per-group
+    ``(lo, hi)`` clip bounds as a plain dict (``{group: (lo, hi)}``;
+    keyless → ``{(): (lo, hi)}``), collected from the O(groups·2)
+    quantile table — so a STREAMING pipeline can freeze bounds from a
+    batch snapshot and clip row-locally
+    (:func:`~..streaming.stream_winsorize`), the
+    mixture_thresholds / apply_mixture_thresholds pattern."""
+    if not (0 <= lo_ppm <= hi_ppm <= BUCKETS):
+        raise ValueError(
+            f"need 0 <= lo_ppm <= hi_ppm <= {BUCKETS}, "
+            f"got ({lo_ppm}, {hi_ppm})"
+        )
+    keys = [by] if isinstance(by, str) else list(by or [])
+    regs = qsk_registers(df, value_col, key_col, k=k, by=by, salt=salt)
+    qs = qsk_quantiles(regs, [lo_ppm, hi_ppm], by=by)
+    out: dict = {}
+    for r in qs.collect():
+        g = tuple(r[c] for c in keys) if keys else ()
+        g = g[0] if len(keys) == 1 else g
+        lo, hi = out.get(g, (None, None))
+        if r["prob_ppm"] == lo_ppm:
+            lo = r["q_val"]
+        if r["prob_ppm"] == hi_ppm:
+            hi = r["q_val"]
+        out[g] = (lo, hi)
+    return out
+
+
+def apply_winsorize_bounds(
+    df: DataFrame,
+    bounds: Mapping,
+    value_col: str,
+    by: Union[str, None] = None,
+    out_col: Union[str, None] = None,
+) -> DataFrame:
+    """Apply frozen :func:`winsorize_bounds` as a pure row-local CASE
+    clip — valid on batch AND streaming frames.  NULL values stay
+    NULL; groups absent from ``bounds`` pass through unclipped."""
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col)
+    clipped = v
+    for g in sorted(bounds, key=str):
+        lo, hi = bounds[g]
+        expr = v
+        if lo is not None:
+            expr = F.greatest(expr, F.lit(lo))
+        if hi is not None:
+            expr = F.least(expr, F.lit(hi))
+        if by is None:
+            clipped = expr
+            break
+        clipped = F.when(F.col(by) == F.lit(g), expr).otherwise(clipped)
+    return df.select(
+        "*", F.when(v.isNotNull(), clipped).alias(out_col)
+    )

@@ -5108,6 +5108,37 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+def q_stream_winsorize(spark, sf_dir):
+    """Batch-mode run of the STREAMING clip twin: bounds frozen from a
+    batch snapshot (winsorize_bounds), applied as the pure row-local
+    CASE a stateless stream runs at ingest — bit-identical to the
+    batch winsorize on the same rows, so it shares q_winsorize's
+    oracle."""
+    from .operators.sampling import winsorize_bounds
+    from .streaming import stream_winsorize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    b = winsorize_bounds(
+        ev, "v_fx", "event_id", lo_ppm=50_000, hi_ppm=950_000,
+        k=128, by="event_type",
+    )
+    w = stream_winsorize(ev, b, "v_fx", by="event_type")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("v_fx_w") > F.col("v_fx")).cast("long")).alias(
+            "n_raised"
+        ),
+        F.sum((F.col("v_fx_w") < F.col("v_fx")).cast("long")).alias(
+            "n_lowered"
+        ),
+        F.sum("v_fx_w").alias("sum_clipped_fx"),
+    )
+
+
 def _sql_winsorize(k: int = 128, lo: int = 50_000, hi: int = 950_000) -> str:
     h = _PH60.format(x="('qsk|' || event_id::VARCHAR)")
     return f"""WITH ev AS (
@@ -8023,6 +8054,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_cms_join_size": (q_cms_join_size, _sql_cms_join_size()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
     "q_winsorize": (q_winsorize, _sql_winsorize(128, 50_000, 950_000)),
+    "q_stream_winsorize": (q_stream_winsorize, _sql_winsorize(128, 50_000, 950_000)),
     "q_profile_documents": (q_profile_documents, _sql_profile_documents()),
     "q_profile_events": (q_profile_events, _sql_profile_events()),
     "q_key_skew_report": (q_key_skew_report, _sql_key_skew_report()),

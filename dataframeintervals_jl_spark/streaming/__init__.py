@@ -1885,3 +1885,24 @@ def maintain_lsh_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_winsorize(
+    docs: DataFrame,
+    bounds,
+    value_col: str,
+    by: str = None,
+    out_col: str = None,
+) -> DataFrame:
+    """Streaming outlier clipping at ingest: arriving rows clip to
+    per-group quantile bounds FROZEN from a batch snapshot
+    (:func:`~..operators.sampling.winsorize_bounds` — a stream has no
+    sample to rank).  One narrow row-local CASE — stateless,
+    append-mode, join-free, bit-identical to the batch
+    :func:`~..operators.sampling.winsorize` on the same rows and
+    bounds.  Re-define the stream to pick up refreshed bounds."""
+    from ..operators.sampling import apply_winsorize_bounds
+
+    return apply_winsorize_bounds(
+        docs, bounds, value_col, by=by, out_col=out_col
+    )

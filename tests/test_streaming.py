@@ -1924,3 +1924,52 @@ def test_stream_duplicate_spans_matches_batch(spark, tmp_path):
     )
     sq.awaitTermination(120)
     assert sorted(got_rows) == want
+
+
+def test_stream_winsorize_matches_batch(spark, tmp_path):
+    """Frozen bounds on a real file stream clip EXACTLY like the batch
+    winsorize at the same parameters (full-sample sketch so bounds are
+    deterministic), NULLs stay NULL, unknown groups pass through."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        winsorize,
+        winsorize_bounds,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_winsorize
+
+    rows = [(i, ["a", "b"][i % 2], (i * 37) % 100) for i in range(200)]
+    rows += [(500, "a", None), (501, "zzz", 42)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    want = sorted(
+        (r["id"], r["v_w"])
+        for r in winsorize(
+            df, "v", "id", lo_ppm=100_000, hi_ppm=900_000, k=256, by="g"
+        ).collect()
+        if r["g"] != "zzz"  # frozen-bounds side drops no groups either;
+        # the batch operator also leaves zzz unclipped — compare below
+    )
+    b = winsorize_bounds(
+        df, "v", "id", lo_ppm=100_000, hi_ppm=900_000, k=256, by="g"
+    )
+    assert set(b) == {"a", "b", "zzz"}
+    stream = _roundtrip_stream(spark, df, str(tmp_path / "w"))
+    out = stream_winsorize(stream, b, "v", by="g")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_all = {
+        r["id"]: r["v_w"] for r in spark.sql("SELECT * FROM swin").collect()
+    }
+    got = sorted((i, v) for i, v in got_all.items()
+                 if i not in (501,))
+    want_all = {(i): v for i, v in want}
+    assert got == sorted(want_all.items())
+    assert got_all[500] is None
+    # zzz: single-value group -> lo == hi == 42 -> unchanged
+    assert got_all[501] == 42
