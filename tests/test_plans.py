@@ -793,3 +793,42 @@ def test_dsir_weights_plan_contract(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_k_core_plan_contract(spark):
+    """Every peel is semi-join + partial-agg shaped: no cartesian
+    products, no Python UDFs, no non-semi row-multiplying joins in the
+    final core's plan."""
+    from dataframeintervals_jl_spark.operators.graph import k_core
+
+    edges = [(i % 13, (i * 7) % 13) for i in range(60)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = k_core(df, k=2, rounds=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_keep_best_per_cluster_plan_contract(spark):
+    """The winner-selection path is one partial-aggregated struct-max
+    plus id-keyed joins — no cartesian product, no Python UDF, no
+    window sort."""
+    from dataframeintervals_jl_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", i % 7) for i in range(60)],
+        "doc_id long, text string, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    out = keep_best_per_cluster(docs, pairs, F.col("q"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
