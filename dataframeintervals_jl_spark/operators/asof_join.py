@@ -459,7 +459,14 @@ def funnel_counts(
 
     Scale shape: s-1 as-of joins (each the bucketed per-key merge the
     as-of family already plans) + s tiny count-distinct aggregates;
-    nothing driver-side grows with data volume."""
+    nothing driver-side grows with data volume.
+
+    .. versionchanged:: round 8
+       For DATE/TIMESTAMP ``ts_col`` the unit of ``within`` is now the
+       exact ordinal unit (days for date, epoch-µs for timestamp/ntz)
+       instead of the old raw long cast's epoch-SECONDS.  Callers who
+       calibrated ``within`` against the previous seconds scale on a
+       timestamp column must multiply by 1_000_000."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError(f"need at least 2 steps, got {steps!r}")

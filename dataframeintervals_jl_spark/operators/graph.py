@@ -316,9 +316,15 @@ def k_core(
     total = rounds if rounds is not None else max_rounds
     i = 0
     while i < total and n_edges > 0:
-        nxt = _peel(und).persist()
+        nxt = _peel(und)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            # either/or (the bpe.py loop's pattern): checkpointing a
+            # persisted frame rebinds the handle, stranding the persist's
+            # cache blocks until session end — checkpoint rounds skip the
+            # persist entirely (eager checkpoint materializes anyway)
             nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
         n_next = nxt.count()
         und.unpersist()
         und = nxt

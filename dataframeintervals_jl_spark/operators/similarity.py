@@ -1422,9 +1422,17 @@ def lsh_rerank_topk_indexed(
     for t, b in probed:
         by_tbl.setdefault(t, []).append(b)
     if not by_tbl:  # empty query set — no probe buckets, empty result
+        # n_id's type comes from the PERSISTED index, not the query
+        # frame: if the index was built with a different id type, the
+        # empty-result schema must still match the non-empty-run schema
         qt = queries.schema[id_col].dataType.simpleString()
+        nt = (
+            spark.read.parquet(f"{path}/raw")
+            .schema["n_id"]
+            .dataType.simpleString()
+        )
         return spark.createDataFrame(
-            [], schema=f"q_id {qt}, rank int, n_id {qt}, score double"
+            [], schema=f"q_id {qt}, rank int, n_id {nt}, score double"
         )
     probe_filter = None
     for t, bs in by_tbl.items():

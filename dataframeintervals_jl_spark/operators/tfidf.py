@@ -315,8 +315,23 @@ def dsir_weights(
     # per side; the big final pass over cg itself is the one repeat)
     ct = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).persist()
     cr = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")).persist()
-    n_t = (ct.agg(F.sum("__ct")).collect()[0][0] or 0) + num_buckets
-    n_r = (cr.agg(F.sum("__cr")).collect()[0][0] or 0) + num_buckets
+    # ONE action for both gram totals: union the two (<= num_buckets
+    # row) persisted count tables with a side tag and aggregate once —
+    # two sequential 1-row collects were one driver round-trip too many
+    totals = {
+        row["__side"]: row["__s"]
+        for row in ct.select(
+            F.lit("t").alias("__side"), F.col("__ct").alias("__c")
+        )
+        .unionByName(
+            cr.select(F.lit("r").alias("__side"), F.col("__cr").alias("__c"))
+        )
+        .groupBy("__side")
+        .agg(F.sum("__c").alias("__s"))
+        .collect()
+    }
+    n_t = (totals.get("t") or 0) + num_buckets
+    n_r = (totals.get("r") or 0) + num_buckets
     cap = scale * scale
     # exact long arithmetic while the worst intermediate fits; DECIMAL
     # above (identical floor-division results, just wider registers —

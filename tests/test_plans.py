@@ -779,7 +779,10 @@ def test_incremental_duplicate_spans_plan_shape(spark, tmp_path):
 def test_dsir_weights_plan_contract(spark):
     """The num_buckets-row ratio table must broadcast onto the gram
     stream (never shuffle it), and the whole operator stays
-    expression-only — no Python UDF, no cartesian product."""
+    expression-only — no Python UDF, no cartesian product.  Also pins
+    the driver-side action count during construction: ONE fused totals
+    collect (both persisted count tables materialize inside it), not
+    the two sequential per-side totals collects."""
     from dataframeintervals_jl_spark.operators.tfidf import dsir_weights
 
     corpus = spark.createDataFrame(
@@ -787,7 +790,17 @@ def test_dsir_weights_plan_contract(spark):
         "doc_id long, text string",
     )
     target = corpus.filter("doc_id < 10")
-    out = dsir_weights(corpus, target, num_buckets=128)
+    collects = []
+    # patch the CONCRETE class (pyspark 4: sql.classic.dataframe), not
+    # the abstract pyspark.sql.dataframe base the classic one overrides
+    cls = type(corpus)
+    orig_collect = cls.collect
+    cls.collect = lambda self: (collects.append(1), orig_collect(self))[1]
+    try:
+        out = dsir_weights(corpus, target, num_buckets=128)
+    finally:
+        cls.collect = orig_collect
+    assert len(collects) == 1, f"dsir construction ran {len(collects)} collects"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
