@@ -608,6 +608,29 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["bpe_linear_setup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Arrow BPE tokenizer at real vocabulary scale (round 9): 8k merges
+    # ride the task closure; per-word cost is O(applied merges) with
+    # per-worker memoization, so this must stay in the same band as the
+    # catalog's 64-merge q_apply_bpe_vocab rather than scaling with the
+    # merge count (the literal-replace chain CANNOT run this size).
+    try:
+        from dataframeintervals_jl_spark.operators.bpe import (
+            bpe_tokenize,
+            synthetic_merges,
+        )
+        from dataframeintervals_jl_spark.sources import ensure_parallelism
+
+        _m8k = synthetic_merges(8192)
+        bench(
+            "bpe_tokenize_8k",
+            lambda: bpe_tokenize(
+                ensure_parallelism(read_table(spark, sf_dir, "documents")),
+                _m8k,
+            ).select("doc_id", F.size("tokens").alias("n_tokens")),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["bpe_tokenize_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # approximation-quality tracking: recall@k of the ANN paths vs the
     # exact brute-force top-k, recorded per round so speedups that trade
     # away recall are visible (floors asserted in pytest)

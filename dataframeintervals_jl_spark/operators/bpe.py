@@ -187,6 +187,163 @@ def bpe_merges_frame(
     )
 
 
+def synthetic_merges(n: int) -> list[tuple[int, str, str, int]]:
+    """A deterministic merge table of any size, for gates and benches
+    that need a REAL-vocabulary-scale rule list without paying n
+    sequential learning rounds: single-letter pairs cycled over the
+    frequency-ordered alphabet, with every third merge chaining off
+    the previous merged symbol so multi-char symbols (and therefore
+    merge-order-dependent tokenizations) are exercised.  Pure
+    arithmetic — the same constants embed into the DuckDB oracle."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = "etaoinshrdlcumwfgypbvkjxqz"
+    out: list[tuple[int, str, str, int]] = []
+    prev = None
+    for i in range(n):
+        a = base[i % 26]
+        b = base[(i * 7 + 3) % 26]
+        if prev is not None and i % 3 == 2:
+            lhs, rhs = prev, a
+        else:
+            lhs, rhs = a, b
+        out.append((i + 1, lhs, rhs, 0))
+        prev = lhs + rhs
+    return out
+
+
+def _tokenize_word(word: str, ranks_of: dict, merge_at: dict) -> list:
+    """Exact replay of the sequential rank-order replace chain for ONE
+    word, in O(applied merges · |word|) instead of O(n_merges · |word|):
+    a min-heap holds the ranks of merges whose pair is (or was) present;
+    ranks pop in increasing order, each applied as the same greedy
+    left-to-right non-overlapping pass ``replace`` performs.  A merge
+    can only CREATE pairs that involve its merged symbol, and those are
+    pushed only when their rank is still ahead (> last) — exactly the
+    ranks the sequential chain would still visit; pairs destroyed
+    before their rank's turn no-op in the pass, exactly like the
+    sequential chain's no-op replace.  Equivalence to
+    :func:`apply_bpe_merges` is property-tested (tests/test_text_*)."""
+    import heapq
+
+    syms = list(word)
+    if len(syms) < 2:
+        return syms
+    heap: list = []
+    seen: set = set()
+    for p in zip(syms, syms[1:]):
+        for r in ranks_of.get(p, ()):
+            if r not in seen:
+                seen.add(r)
+                heapq.heappush(heap, r)
+    last = 0
+    while heap:
+        r = heapq.heappop(heap)
+        lhs, rhs, merged = merge_at[r]
+        out = []
+        i, n, changed = 0, len(syms), False
+        while i < n:
+            if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(merged)
+                i += 2
+                changed = True
+            else:
+                out.append(syms[i])
+                i += 1
+        last = r
+        if changed:
+            syms = out
+            if len(syms) < 2:
+                break
+            for p in zip(syms, syms[1:]):
+                for rr in ranks_of.get(p, ()):
+                    if rr > last and rr not in seen:
+                        seen.add(rr)
+                        heapq.heappush(heap, rr)
+    return syms
+
+
+#: word-tokenization memo cap per python worker — vocabulary-sized in
+#: practice (natural-language corpora repeat words massively); cleared
+#: wholesale if a pathological corpus exceeds it
+_TOKENIZE_CACHE_CAP = 1_000_000
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    max_tokens: int = 0,
+):
+    """Arrow-batched BPE tokenizer for REAL vocabulary sizes — the
+    production-scale twin of :func:`apply_bpe_merges`, whose literal
+    ``replace`` chain is codegen'd per merge and therefore cannot carry
+    a 32k-merge tokenizer.  Identical semantics (property-tested
+    equal wherever both are legal): lowercase ``[a-z]+`` words, merges
+    applied in list order, each a greedy left-to-right non-overlapping
+    pass; ``max_tokens > 0`` truncates the flattened output.
+
+    Scale shape (100 TB): one narrow Arrow-batched projection
+    (``pandas_udf``, the sanctioned multimodal/ewma pattern) — no
+    shuffle, no join; the merge table rides the task closure
+    (~1 MB at 32k merges, vocabulary-sized like the IVF centroids) and
+    is inverted ONCE per python worker into rank dicts; per-word
+    results memoize across batches (the cache persists for the
+    worker's lifetime, so per-task cost is ~vocabulary-sized, not
+    corpus-sized).  Adds ``out_col`` (array<string>) to ``df``."""
+    from pyspark.sql.functions import pandas_udf
+
+    rules = [(str(m[1]), str(m[2])) for m in merges]
+    if max_tokens < 0:
+        raise ValueError(f"max_tokens must be >= 0, got {max_tokens}")
+    cut = int(max_tokens)
+
+    state: dict = {}
+
+    def _ensure_state():
+        if "ranks_of" not in state:
+            ranks_of: dict = {}
+            merge_at: dict = {}
+            for i, (lhs, rhs) in enumerate(rules):
+                r = i + 1
+                ranks_of.setdefault((lhs, rhs), []).append(r)
+                merge_at[r] = (lhs, rhs, lhs + rhs)
+            state["ranks_of"] = ranks_of
+            state["merge_at"] = merge_at
+            state["cache"] = {}
+        return state["ranks_of"], state["merge_at"], state["cache"]
+
+    @pandas_udf("array<string>")
+    def _tok(texts):
+        import re
+
+        import pandas as pd
+
+        ranks_of, merge_at, cache = _ensure_state()
+        word_re = re.compile("[a-z]+")
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list = []
+            for w in word_re.findall(t.lower()):
+                got = cache.get(w)
+                if got is None:
+                    if len(cache) >= _TOKENIZE_CACHE_CAP:
+                        cache.clear()
+                    got = _tokenize_word(w, ranks_of, merge_at)
+                    cache[w] = got
+                toks.extend(got)
+                if cut and len(toks) >= cut:
+                    break
+            out.append(toks[:cut] if cut else toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
 def apply_bpe_merges(text, merges, max_tokens: int = 0):
     """Segment ``text`` with learned merges: array-of-symbols column —
     lowercase ``[a-z]+`` words exploded to characters, then each merge

@@ -6200,13 +6200,19 @@ def q_dedup_lines(spark, sf_dir):
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    lined = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.ceil(n / 2).cast("int") - 1),
-            lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+    # n == 0 guard: sequence(0, -1) defaults to step -1 in Spark and
+    # yields [0, -1] (two blank lines) where the oracle's range() yields
+    # none — a zero-token document must fold to the empty string
+    lined = F.when(
+        n >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(n / 2).cast("int") - 1),
+                lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+            ),
+            "\n",
         ),
-        "\n",
-    )
+    ).otherwise(F.lit(""))
     docs2 = docs.select("doc_id", lined.alias("text"))
     out = dedup_lines(docs2, min_df=20, portable=True)
     return out.select("doc_id", "text", "n_removed")
@@ -7072,6 +7078,74 @@ def _sql_apply_bpe(n_merges: int = 10) -> str:
     chr(30) || m.lhs || chr(31) || chr(30) || m.rhs || chr(31),
     chr(30) || m.lhs || m.rhs || chr(31))) AS ps
   FROM a{r - 1} a, m{r} m
+)"""
+        )
+    parts.append(
+        f""", toks AS (
+  SELECT doc_id, flatten(list_transform(
+    ps, s -> regexp_extract_all(s, '{sym_re}', 1))) AS ts
+  FROM a{n_merges}
+)
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       array_to_string(ts[:24], '|') AS head_tokens
+FROM toks"""
+    )
+    return "".join(parts)
+
+
+def q_apply_bpe_vocab(spark, sf_dir):
+    """Tokenizer inference at REAL vocabulary scale (bpe.py:
+    bpe_tokenize): 64 deterministic merge rules (synthetic_merges —
+    chained multi-char symbols included) applied through the
+    Arrow-batched greedy-merge tokenizer, NOT the literal-replace
+    expression chain, which cannot carry a production 32k-merge vocab.
+    The oracle replays the merges as 64 unrolled literal replaces over
+    sentinel-packed words — so the Arrow path's exact equivalence to
+    the sequential replace chain is cross-engine verified (and
+    property-tested against apply_bpe_merges in pytest)."""
+    from .operators.bpe import bpe_tokenize, synthetic_merges
+    from .sources import ensure_parallelism
+
+    # parallelize at the bare scan: the Arrow tokenizer is CPU-bound
+    # and a small parquet input is otherwise ONE task
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 29 == 0
+    )
+    out = bpe_tokenize(docs, synthetic_merges(64))
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.concat_ws("|", F.slice(F.col("tokens"), 1, 24)).alias("head_tokens"),
+    )
+
+
+def _sql_apply_bpe_vocab(n_merges: int = 64) -> str:
+    """Unrolled application-only replay for :func:`q_apply_bpe_vocab`:
+    the synthetic merge constants embed directly (no learning CTEs),
+    each applied as one literal replace over the sentinel-packed
+    words — DuckDB's ``replace`` scans left-to-right over
+    non-overlapping occurrences exactly like the engine's greedy
+    merge pass."""
+    from .operators.bpe import _SYM_RE, synthetic_merges
+
+    sym_re = _SYM_RE.replace("'", "''")
+    parts = [
+        """WITH a0 AS (
+  SELECT doc_id, list_transform(
+    regexp_extract_all(lower(text), '[a-z]+'),
+    w -> array_to_string(
+      list_transform(regexp_extract_all(w, '.'),
+                     c -> chr(30) || c || chr(31)), '')) AS ps
+  FROM documents WHERE doc_id % 29 = 0
+)"""
+    ]
+    for r, lhs, rhs, _ in synthetic_merges(n_merges):
+        pat = f"chr(30) || '{lhs}' || chr(31) || chr(30) || '{rhs}' || chr(31)"
+        rep = f"chr(30) || '{lhs}{rhs}' || chr(31)"
+        parts.append(
+            f""", a{r} AS (
+  SELECT doc_id, list_transform(ps, s -> replace(s, {pat}, {rep})) AS ps
+  FROM a{r - 1}
 )"""
         )
     parts.append(
@@ -8099,6 +8173,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
+    "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
     "q_clustering_coefficient": (

@@ -972,6 +972,104 @@ def test_bpe_checkpoint_cadence_invariant(spark, monkeypatch):
     assert any("sequential" in str(w.message) for w in rec)
 
 
+def test_bpe_tokenize_word_matches_replace_chain_property():
+    """The Arrow tokenizer's per-word kernel must EXACTLY replay the
+    sequential literal-replace chain (the apply_bpe_merges semantics)
+    for arbitrary merge lists — including duplicate pairs at different
+    ranks and merges whose operands never appear.  Pure Python on both
+    sides, so hypothesis can drive hundreds of examples."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark.operators.bpe import (
+        _SYM_RE,
+        L,
+        R,
+        _tokenize_word,
+    )
+
+    def replace_chain(word, rules):
+        s = "".join(L + c + R for c in word)
+        for lhs, rhs in rules:
+            s = s.replace(L + lhs + R + L + rhs + R, L + lhs + rhs + R)
+        return re.findall(_SYM_RE, s)
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=3)
+    rules_st = st.lists(st.tuples(sym, sym), min_size=0, max_size=8)
+    word_st = st.text(alphabet="ab", min_size=0, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(word=word_st, rules=rules_st)
+    def check(word, rules):
+        ranks_of, merge_at = {}, {}
+        for i, (lhs, rhs) in enumerate(rules):
+            ranks_of.setdefault((lhs, rhs), []).append(i + 1)
+            merge_at[i + 1] = (lhs, rhs, lhs + rhs)
+        assert _tokenize_word(word, ranks_of, merge_at) == replace_chain(
+            word, rules
+        )
+
+    check()
+
+
+def test_bpe_tokenize_matches_apply_bpe_merges(spark):
+    """End-to-end Spark parity: the Arrow-batched bpe_tokenize equals
+    the literal-replace apply_bpe_merges on the same corpus wherever
+    both are legal — learned merges, synthetic merges, max_tokens
+    truncation, and null text."""
+    from dataframeintervals_jl_spark.operators.bpe import (
+        apply_bpe_merges,
+        bpe_tokenize,
+        learn_bpe_merges,
+        synthetic_merges,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "the theatre heats the heathen",
+            "aaab aaab ab",
+            "Mixed CASE with 42 numbers and-punct!",
+            "",
+            "hel he el el el",
+        ],
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    for merges in (
+        learn_bpe_merges(docs, n_merges=6),
+        synthetic_merges(64),
+    ):
+        for cut in (0, 3):
+            want = [
+                r["t"]
+                for r in docs.select(
+                    apply_bpe_merges("text", merges, max_tokens=cut).alias("t")
+                ).collect()
+            ]
+            got = [
+                r["tokens"]
+                for r in bpe_tokenize(
+                    docs, merges, max_tokens=cut
+                ).collect()
+            ]
+            assert got == want
+
+    # null text propagates as null, matching the expression path
+    nulls = spark.createDataFrame([(None,)], "text string")
+    assert (
+        bpe_tokenize(nulls, synthetic_merges(8)).first()["tokens"] is None
+    )
+
+
+def test_bpe_tokenize_validation():
+    from dataframeintervals_jl_spark.operators.bpe import synthetic_merges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        synthetic_merges(0)
+
+
 def test_semantic_dup_pairs_consistent_with_dedup(spark):
     """Pairs and keep flags agree: a vector is dropped by
     semantic_dedup iff it is the HIGHER id of at least one pair."""
