@@ -209,6 +209,14 @@ def repetition_score(text, k: int = 3) -> Column:
 #: possessive quantifiers — the cross-engine-replayable subset.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # uuid MUST precede phone: a UUID's trailing 12-hex group can be
+    # all digits and would be eaten as <PHONE>
+    (
+        "uuid",
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     # ssn MUST precede phone: an SSN-shaped id also matches the
     # looser phone digit-run and would be eaten as <PHONE>
@@ -217,8 +225,78 @@ PII_PATTERNS = (
 )
 
 
+def scrub_patterns(text, rules) -> Column:
+    """Generic ordered pattern scrub: ``rules`` is an iterable of
+    ``(name, pattern, replacement)``; each pattern is applied as one
+    ``regexp_replace`` in order, so earlier rules eat their text
+    before later ones see it.  Pure chained expression — codegen'd,
+    no Python — and callers who stay inside the RE2-compatible subset
+    (no backreferences/lookaround) get exact DuckDB replayability.
+    The PII scrub is :func:`redact_pii` = these rules pinned to
+    :data:`PII_PATTERNS`."""
+    out = _c(text)
+    for _, pat, tag in rules:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pattern_counts(text, rules) -> list[tuple[str, Column]]:
+    """(name, count) expression per rule — the audit side of
+    :func:`scrub_patterns`.  Counted on the PRE-scrub text, each
+    pattern independently (an SSN therefore also counts as a phone
+    digit-run; the scrub itself is ordered, the audit is not)."""
+    t = _c(text)
+    return [
+        (name, F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
+        for name, pat, _ in rules
+    ]
+
+
+def match_spans(text, pattern) -> Column:
+    """Character spans ``array<struct<start,stop>>`` (0-based,
+    closed-open — the engine's span convention) of every
+    non-overlapping left-to-right match of ``pattern`` — the
+    span-level report under :func:`scrub_patterns`'s counts, shaped
+    like the interval columns so downstream span algebra
+    (merge/excise/coverage) applies directly.
+
+    Expression-only derivation with no position UDF: ``split`` yields
+    the between-match segments, ``regexp_extract_all`` the matches;
+    match *k* starts at ``len(parts[1..k]) + len(matches[1..k-1])``.
+    Quadratic in the per-row match count (fine: PII hits per document
+    are few), linear in text size, fully codegen'd."""
+    t = _c(text)
+    ms = F.regexp_extract_all(t, F.lit(pattern), 0)
+    ps = F.split(t, pattern)
+    k = F.size(ms)
+
+    def _span_at(i):
+        zero = F.lit(0).cast("long")
+        pre = F.aggregate(
+            F.slice(ps, F.lit(1), i), zero, lambda a, x: a + F.length(x)
+        )
+        prem = F.aggregate(
+            F.slice(ms, F.lit(1), i - F.lit(1)),
+            zero,
+            lambda a, x: a + F.length(x),
+        )
+        start = pre + prem
+        return F.struct(
+            start.alias("start"),
+            (start + F.length(F.element_at(ms, i))).alias("stop"),
+        )
+
+    # k == 0 guard: sequence(1, 0) defaults to step -1 and yields
+    # [1, 0]; the empty case must be an empty (typed) array
+    return F.when(
+        k >= 1, F.transform(F.sequence(F.lit(1), k), _span_at)
+    ).otherwise(
+        F.array().cast("array<struct<start: bigint, stop: bigint>>")
+    )
+
+
 def redact_pii(text) -> Column:
-    """Scrub personally-identifiable substrings: emails, IPv4s,
+    """Scrub personally-identifiable substrings: emails, UUIDs, IPv4s,
     phone-ish digit runs, SSN-shaped ids — replaced with typed
     placeholder tags, applied in :data:`PII_PATTERNS` order (earlier
     patterns eat their text before later ones see it, so an email's
@@ -231,18 +309,11 @@ def redact_pii(text) -> Column:
     standard pre-training scrub.  For pseudonymization keyed to the
     original value, hash the match instead — a different operator.
     """
-    out = _c(text)
-    for _, pat, tag in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, tag)
-    return out
+    return scrub_patterns(text, PII_PATTERNS)
 
 
 def pii_counts(text) -> list[tuple[str, Column]]:
     """(name, count) expression per PII pattern — the audit side of
     :func:`redact_pii` (how much did the scrub touch?).  Counted on
     the PRE-redaction text, each pattern independently."""
-    t = _c(text)
-    return [
-        (name, F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
-        for name, pat, _ in PII_PATTERNS
-    ]
+    return pattern_counts(text, PII_PATTERNS)

@@ -6871,33 +6871,29 @@ SELECT doc_id, text, lang, source, n_chars, ts, op FROM (
   FROM ch) WHERE rn = 1"""
 
 
-def q_pii_redact(spark, sf_dir):
-    """PII scrub audit: deterministic synthetic PII (emails, IPs,
-    phone runs, SSN-shaped ids keyed off doc_id) is injected, counted
-    per pattern, and redacted — output carries the md5 of the redacted
-    text so the oracle checks the exact scrub, byte for byte.  Pure
-    chained regexp_replace: codegen'd, RE2-compatible subset."""
-    from .functions.text import pii_counts, redact_pii
-
-    docs = read_table(spark, sf_dir, "documents")
+def _pii_aug_expr():
+    """Shared synthetic-PII augmentation for the PII queries: emails,
+    IPs, phone runs, SSN-shaped ids, and UUIDs keyed off doc_id —
+    deterministic, replayed verbatim by the oracles."""
     d = F.col("doc_id")
     ds = d.cast("string")
-    aug = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(d % 3 == 0, F.concat(F.lit(" u"), ds, F.lit("@ex.org"))).otherwise(""),
         F.when(d % 4 == 0, F.concat(F.lit(" ip 10.1.2."), (d % 250).cast("string"))).otherwise(""),
         F.when(d % 5 == 0, F.lit(" call 555-123-4567 now")).otherwise(""),
         F.when(d % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(""),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" id 123e4567-e89b-12d3-a456-"),
+                F.lpad((d % 1000).cast("string"), 12, "0"),
+            ),
+        ).otherwise(""),
     )
-    base = docs.select("doc_id", aug.alias("__aug"))
-    sel = [F.col("doc_id")]
-    for name, cnt in pii_counts(F.col("__aug")):
-        sel.append(cnt.cast("long").alias(f"n_{name}"))
-    sel.append(F.md5(redact_pii(F.col("__aug"))).alias("red_md5"))
-    return base.select(*sel)
 
 
-_SQL_PII_REDACT = r"""WITH aug AS (
+_SQL_PII_AUG = r"""
   SELECT doc_id,
          text
          || CASE WHEN doc_id % 3 = 0
@@ -6907,28 +6903,115 @@ _SQL_PII_REDACT = r"""WITH aug AS (
          || CASE WHEN doc_id % 5 = 0
                  THEN ' call 555-123-4567 now' ELSE '' END
          || CASE WHEN doc_id % 7 = 0
-                 THEN ' ssn 123-45-6789' ELSE '' END AS a
+                 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' id 123e4567-e89b-12d3-a456-'
+                      || lpad((doc_id % 1000)::VARCHAR, 12, '0') ELSE '' END
+         AS a
   FROM documents
-)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(a,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(a,
-    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(a,
-    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn_like,
-  CAST(len(regexp_extract_all(a,
-    '\+?\d[\d\- ]{7,14}\d')) AS BIGINT) AS n_phone,
-  md5(
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(a,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-      '\+?\d[\d\- ]{7,14}\d', '<PHONE>', 'g')) AS red_md5
-FROM aug"""
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub audit: deterministic synthetic PII (emails, IPs,
+    phone runs, SSN-shaped ids, UUIDs keyed off doc_id) is injected,
+    counted per pattern, and redacted — output carries the md5 of the
+    redacted text so the oracle checks the exact scrub, byte for
+    byte.  Pure chained regexp_replace: codegen'd, RE2-compatible
+    subset (functions/text.py: scrub_patterns over PII_PATTERNS)."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _pii_aug_expr().alias("__aug"))
+    sel = [F.col("doc_id")]
+    for name, cnt in pii_counts(F.col("__aug")):
+        sel.append(cnt.cast("long").alias(f"n_{name}"))
+    sel.append(F.md5(redact_pii(F.col("__aug"))).alias("red_md5"))
+    return base.select(*sel)
+
+
+def _sql_pii_redact() -> str:
+    """Audit counts + redaction chain generated from PII_PATTERNS
+    itself, so pattern/order changes stay oracle-synchronized."""
+    from .functions.text import PII_PATTERNS
+
+    counts = ",\n".join(
+        f"  CAST(len(regexp_extract_all(a,\n    '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "a"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red},\n    '{pat}', '{tag}', 'g')"
+    return (
+        f"WITH aug AS ({_SQL_PII_AUG})\n"
+        f"SELECT doc_id,\n{counts},\n  md5({red}) AS red_md5\nFROM aug"
+    )
+
+
+def q_pii_spans(spark, sf_dir):
+    """Span-level PII report: per injected-PII document, the exact
+    character span ``[start, stop)`` of every match of every PII
+    class on the pre-redaction text (functions/text.py: match_spans —
+    the split/extract offset derivation, expression-only).  The spans
+    are the engine's standard closed-open struct, so downstream span
+    algebra (excise_token_spans-style removal, coverage stats)
+    composes directly; the oracle re-derives every offset from the
+    same split/extract prefix sums."""
+    from .functions.text import PII_PATTERNS, match_spans
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    base = docs.select("doc_id", _pii_aug_expr().alias("__aug"))
+    per_class = [
+        base.select(
+            "doc_id",
+            F.lit(name).alias("pii_class"),
+            F.explode(match_spans(F.col("__aug"), pat)).alias("__s"),
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    out = per_class[0]
+    for p in per_class[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id",
+        "pii_class",
+        F.col("__s.start").alias("start"),
+        F.col("__s.stop").alias("stop"),
+    )
+
+
+def _sql_pii_spans() -> str:
+    """Offset replay for :func:`q_pii_spans`: per class, the matches
+    and between-segments, then match k's start as the prefix sum
+    len(parts[1..k]) + len(matches[1..k-1]) — identical arithmetic to
+    the Spark expression."""
+    from .functions.text import PII_PATTERNS
+
+    branches = []
+    for name, pat, _ in PII_PATTERNS:
+        branches.append(
+            f"""SELECT doc_id, '{name}' AS pii_class,
+       CAST(list_sum(list_transform(ps[1:i], x -> len(x)))
+            + coalesce(list_sum(list_transform(ms[1:i-1], x -> len(x))), 0)
+            AS BIGINT) AS start,
+       CAST(list_sum(list_transform(ps[1:i], x -> len(x)))
+            + coalesce(list_sum(list_transform(ms[1:i-1], x -> len(x))), 0)
+            + len(ms[i]) AS BIGINT) AS stop
+FROM (
+  SELECT doc_id, ms, ps, unnest(range(1, len(ms) + 1)) AS i
+  FROM (SELECT doc_id, regexp_extract_all(a, '{pat}') AS ms,
+               regexp_split_to_array(a, '{pat}') AS ps
+        FROM aug)
+)"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return (
+        f"WITH aug AS (\n  SELECT doc_id, a FROM ({_SQL_PII_AUG})\n"
+        f"  WHERE doc_id % 3 = 0\n)\n{body}"
+    )
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -8170,7 +8253,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup(16, 0.4)),
     "q_salted_join": (q_salted_join, _SQL_SALTED_JOIN),
     "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
-    "q_pii_redact": (q_pii_redact, _SQL_PII_REDACT),
+    "q_pii_redact": (q_pii_redact, _sql_pii_redact()),
+    "q_pii_spans": (q_pii_spans, _sql_pii_spans()),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),

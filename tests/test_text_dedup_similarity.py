@@ -876,25 +876,99 @@ def test_redact_pii_order_and_counts(spark):
 
     txt = (
         "mail bob.smith+x@corp.example.com from 192.168.1.77, "
-        "ssn 123-45-6789, call +1 555-867-5309 ok"
+        "ssn 123-45-6789, call +1 555-867-5309 ok, "
+        "req 123e4567-e89b-12d3-a456-426614174000 done"
     )
     df = spark.createDataFrame([(txt,)], "text string")
     (red,) = df.select(redact_pii("text").alias("r")).collect()
     assert "<EMAIL>" in red["r"] and "<IP>" in red["r"]
-    # ssn-shaped id is <ID>, not eaten by the looser phone pattern
+    # ssn-shaped id is <ID>, not eaten by the looser phone pattern;
+    # the uuid's all-digit tail group is <UUID>, not <PHONE>
     assert "<ID>" in red["r"] and "<PHONE>" in red["r"]
+    assert "<UUID>" in red["r"]
     assert "123-45-6789" not in red["r"] and "@" not in red["r"]
+    assert "426614174000" not in red["r"]
 
     counts = dict(
         (name, df.select(c.alias("n")).first()["n"])
         for name, c in pii_counts(F.col("text"))
     )
     # counts are independent per pattern on the PRE-redaction text:
-    # the ssn-shaped id also matches the looser phone digit-run
-    assert counts == {"email": 1, "ipv4": 1, "ssn_like": 1, "phone": 2}
+    # the ssn-shaped id AND the uuid's 12-digit tail also match the
+    # looser phone digit-run
+    assert counts == {
+        "email": 1,
+        "uuid": 1,
+        "ipv4": 1,
+        "ssn_like": 1,
+        "phone": 3,
+    }
     # clean text touches nothing
     clean = spark.createDataFrame([("just words here",)], "text string")
     assert clean.select(redact_pii("text").alias("r")).first()["r"] == "just words here"
+
+
+def test_scrub_patterns_custom_rules(spark):
+    """The generic ordered scrub with user rules: earlier rules eat
+    text before later ones see it, and the audit counts stay
+    independent."""
+    from dataframeintervals_jl_spark.functions.text import (
+        pattern_counts,
+        scrub_patterns,
+    )
+
+    rules = (
+        ("order_id", r"\bord-\d{4}\b", "<ORD>"),
+        ("any_num", r"\d+", "<N>"),
+    )
+    df = spark.createDataFrame(
+        [("ship ord-1234 and 77 units",)], "text string"
+    )
+    got = df.select(scrub_patterns("text", rules).alias("r")).first()["r"]
+    # ord-1234's digits are eaten by the FIRST rule, not re-tagged <N>
+    assert got == "ship <ORD> and <N> units"
+    counts = {
+        name: df.select(c.alias("n")).first()["n"]
+        for name, c in pattern_counts("text", rules)
+    }
+    assert counts == {"order_id": 1, "any_num": 2}
+
+
+def test_match_spans_offsets(spark):
+    """Character spans must be exact 0-based closed-open offsets,
+    including adjacent matches, matches at string start/end, and the
+    empty / no-match / null cases."""
+    from dataframeintervals_jl_spark.functions.text import match_spans
+
+    rows = [
+        ("ab12cd345e", r"\d+", [(2, 4), (6, 9)]),
+        ("12ab34", r"\d+", [(0, 2), (4, 6)]),
+        ("xyxy", r"xy", [(0, 2), (2, 4)]),
+        ("no digits", r"\d+", []),
+        ("", r"\d+", []),
+    ]
+    df = spark.createDataFrame(
+        [(t, e) for t, e, _ in rows], "text string, pat string"
+    )
+    for (text, pat, want) in rows:
+        got = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(match_spans("text", pat).alias("s"))
+            .first()["s"]
+        )
+        assert [(s["start"], s["stop"]) for s in got] == want, (text, pat)
+    # spans reconstruct the matches exactly
+    txt = "mail a@b.io or c@d.org now"
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    spans = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(match_spans("text", pat).alias("s"))
+        .first()["s"]
+    )
+    assert [txt[s["start"] : s["stop"]] for s in spans] == [
+        "a@b.io",
+        "c@d.org",
+    ]
 
 
 def test_bpe_merges_hand_computed(spark):
