@@ -1,0 +1,117 @@
+"""URL / domain-level corpus curation — the CommonCrawl-shaped front
+half of a pre-training pipeline.
+
+Beyond the reference's surface (SURVEY.md §2.C: it has no string or
+web functions); added per the engine's training-data mandate.  Three
+pieces, all built on primitives the engine already plans well:
+
+- host / registered-domain extraction: pure expressions
+  (``parse_url`` + label slicing) — codegen'd, no shuffle;
+- per-domain document caps: :func:`~.sampling.topk_per_group`, whose
+  ``WindowGroupLimit`` plan never materializes more than a group's
+  top slice;
+- blocklist filtering: a broadcast anti-join — the blocklist is
+  dimension-sized (thousands of domains), so at 100 TB the filter is
+  map-side with ZERO shuffle of the corpus.
+
+Determinism contract: host extraction is ``parse_url(url, 'HOST')``
+(scheme://[host][:port]/... grammar); the registered domain is the
+LAST ``n_labels`` host labels — a deliberate public-suffix-list-free
+approximation (the PSL is a mutable external artifact; callers who
+need exact PSL semantics can join their own suffix table against
+``host``).  Both are replayed exactly by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the host grammar parse_url implements, as a regex — kept here so
+#: tests can assert the expression path and the oracle replay agree
+HOST_RE = r"^[a-z]+://([^/:?#]+)"
+
+
+def url_host(url) -> Column:
+    """Host component of a URL column (``try_parse_url(url, 'HOST')``
+    — the non-ANSI-raising form: a 100 TB crawl WILL contain malformed
+    URLs and one bad row must not kill the stage): NULL for malformed
+    input, port and userinfo excluded."""
+    col = F.col(url) if isinstance(url, str) else url
+    return F.try_parse_url(col, F.lit("HOST"))
+
+
+def registered_domain(host, n_labels: int = 2) -> Column:
+    """Last ``n_labels`` labels of a host — the naive registered
+    domain (``www.blog.example.com`` → ``example.com``).  Hosts with
+    fewer labels pass through whole; NULL propagates."""
+    if n_labels < 1:
+        raise ValueError(f"n_labels must be >= 1, got {n_labels}")
+    col = F.col(host) if isinstance(host, str) else host
+    labels = F.split(col, r"\.")
+    start = F.greatest(F.size(labels) - F.lit(n_labels - 1), F.lit(1))
+    return F.array_join(F.slice(labels, start, F.lit(n_labels)), ".")
+
+
+def extract_url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    domain_col: str = "domain",
+    n_labels: int = 2,
+) -> DataFrame:
+    """Add ``host`` and registered-``domain`` columns derived from
+    ``url_col``.  Pure narrow projection: no shuffle, pushdown- and
+    codegen-friendly."""
+    host = url_host(F.col(url_col))
+    return df.withColumn(host_col, host).withColumn(
+        domain_col, registered_domain(F.col(host_col), n_labels)
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    cap: int,
+    order_by: Sequence[Column],
+    domain_col: str = "domain",
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain under a
+    deterministic preference order (include a unique tiebreaker) —
+    the standard anti-SEO-spam / source-balance gate.  One shuffle on
+    the domain key; Spark's ``WindowGroupLimit`` evaluates the cap
+    inside the window stage, so a million-document domain never
+    materializes past its top ``cap`` rows (plan-locked in
+    tests/test_plans.py)."""
+    from .sampling import topk_per_group
+
+    return topk_per_group(df, domain_col, order_by, cap, rank_col=rank_col)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: Union[DataFrame, Iterable[str]],
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose ``domain_col`` appears in ``blocklist`` (a
+    1-column DataFrame or an iterable of domain strings) via a
+    broadcast LEFT ANTI join — the blocklist is dimension-sized, so
+    the corpus is filtered map-side with no shuffle.  Exact
+    registered-domain match; to block whole subtrees, blocklist the
+    registered domain and filter on the ``registered_domain`` of the
+    host (the extraction default)."""
+    if not isinstance(blocklist, DataFrame):
+        rows = sorted({str(d) for d in blocklist})
+        bl = df.sparkSession.createDataFrame(
+            [(d,) for d in rows], f"{domain_col} string"
+        )
+    else:
+        cols = blocklist.columns
+        if len(cols) != 1:
+            raise ValueError(
+                f"blocklist DataFrame must have exactly 1 column, got {cols}"
+            )
+        bl = blocklist.withColumnRenamed(cols[0], domain_col).distinct()
+    return df.join(F.broadcast(bl), domain_col, "left_anti")

@@ -7014,6 +7014,103 @@ FROM (
     )
 
 
+def _url_expr():
+    """Deterministic synthetic URL per document (the corpus has no URL
+    column): subdomain, registered domain from ``source``, and tld all
+    keyed off doc_id — replayed verbatim by the oracles."""
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 3 == 0, F.lit("www."))
+        .when(d % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.when(d % 4 == 0, F.lit(".org")).otherwise(F.lit(".com"))
+    return F.concat(
+        F.lit("https://"), sub, F.col("source"), tld, F.lit("/p/"),
+        d.cast("string"),
+    )
+
+
+_SQL_URL_PARTS = r"""
+  SELECT doc_id, n_chars, domain,
+         regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host
+  FROM (
+    SELECT doc_id, n_chars, url,
+           array_to_string(sl[greatest(len(sl) - 1, 1):], '.') AS domain
+    FROM (
+      SELECT doc_id, n_chars, url,
+             string_split(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
+                          '.') AS sl
+      FROM (
+        SELECT doc_id, n_chars,
+               'https://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                       WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END
+               || source
+               || CASE WHEN doc_id % 4 = 0 THEN '.org' ELSE '.com' END
+               || '/p/' || doc_id::VARCHAR AS url
+        FROM documents)))
+"""
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-domain document caps — the anti-SEO-spam / source-balance
+    curation gate (operators/curation.py): host + registered-domain
+    extraction (pure expressions), then at most 8 docs per domain
+    preferring the longest (n_chars DESC, doc_id tiebreak).  Plans as
+    ONE shuffle on the domain key with the cap evaluated inside the
+    window stage (WindowGroupLimit), so a million-document domain
+    never materializes past its top 8."""
+    from .operators.curation import domain_caps, extract_url_parts
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    parts = extract_url_parts(docs.withColumn("url", _url_expr()))
+    capped = domain_caps(
+        parts, 8, [F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    return capped.select("doc_id", "host", "domain", "domain_rank")
+
+
+_SQL_DOMAIN_CAPS = rf"""WITH d AS ({_SQL_URL_PARTS})
+SELECT doc_id, host, domain, CAST(rn AS INT) AS domain_rank FROM (
+  SELECT doc_id, host, domain,
+         row_number() OVER (
+           PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+  FROM d)
+WHERE rn <= 8"""
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Blocklist curation: documents whose registered domain is on a
+    (dimension-sized) blocklist are dropped via a broadcast LEFT ANTI
+    join — map-side at any corpus size, zero shuffle of the corpus —
+    then per-domain survivor stats.  Exact-match contract: 'src1.com'
+    blocks only src1's .com documents, not its .org ones."""
+    from .operators.curation import blocklist_filter, extract_url_parts
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    parts = extract_url_parts(docs.withColumn("url", _url_expr()))
+    kept = blocklist_filter(
+        parts, ["src1.com", "src3.com", "src7.org", "src12.com"]
+    )
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_SQL_DOMAIN_BLOCKLIST = rf"""WITH d AS ({_SQL_URL_PARTS})
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM d
+WHERE domain NOT IN ('src1.com', 'src3.com', 'src7.org', 'src12.com')
+GROUP BY domain"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training on-cluster: the first 10 BPE merge rules
     learned from the corpus word-frequency table (Sennrich et al.
@@ -8255,6 +8352,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_latest_by_key": (q_stream_latest_by_key, _SQL_STREAM_LATEST),
     "q_pii_redact": (q_pii_redact, _sql_pii_redact()),
     "q_pii_spans": (q_pii_spans, _sql_pii_spans()),
+    "q_domain_caps": (q_domain_caps, _SQL_DOMAIN_CAPS),
+    "q_domain_blocklist": (q_domain_blocklist, _SQL_DOMAIN_BLOCKLIST),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),

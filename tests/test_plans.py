@@ -845,3 +845,84 @@ def test_keep_best_per_cluster_plan_contract(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_domain_curation_plan_contract(spark):
+    """URL extraction is a pure narrow projection (zero exchanges);
+    domain_caps evaluates the cap inside the window stage
+    (WindowGroupLimit below the sort); blocklist_filter is a broadcast
+    LEFT ANTI join — the corpus never shuffles for the filter."""
+    from dataframeintervals_jl_spark.operators.curation import (
+        blocklist_filter,
+        domain_caps,
+        extract_url_parts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"https://www.s{i % 5}.com/p/{i}", i % 17) for i in range(60)],
+        "doc_id long, url string, n_chars long",
+    )
+    parts = extract_url_parts(docs)
+    assert count_exchanges(parts) == 0
+    assert_no_python_row_udf(parts)
+
+    capped = domain_caps(parts, 3, [F.col("n_chars").desc(), F.col("doc_id")])
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(capped) == 1  # the one domain-key shuffle
+
+    kept = blocklist_filter(parts, ["s1.com", "s3.com"])
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_curation_semantics(spark):
+    from dataframeintervals_jl_spark.operators.curation import (
+        blocklist_filter,
+        domain_caps,
+        extract_url_parts,
+        registered_domain,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.blog.example.com/a", 10),
+            (2, "https://example.com:8080/b?q=1", 20),
+            (3, "https://cdn.other.org/c", 30),
+            (4, "https://other.org/d", 40),
+            (5, "https://other.org/e", 50),
+            (6, "not a url", 60),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    parts = extract_url_parts(docs)
+    got = {r["doc_id"]: (r["host"], r["domain"]) for r in parts.collect()}
+    assert got[1] == ("www.blog.example.com", "example.com")
+    assert got[2] == ("example.com", "example.com")  # port stripped
+    assert got[3] == ("cdn.other.org", "other.org")
+    assert got[6] == (None, None)  # malformed URL -> nulls propagate
+
+    # cap at 1 per domain preferring longest: other.org keeps doc 5;
+    # malformed-URL rows form one NULL-domain group, itself capped
+    # (WindowGroupLimit bounds it map-side, so it cannot skew a task)
+    capped = domain_caps(parts, 1, [F.col("n_chars").desc(), F.col("doc_id")])
+    assert {r["doc_id"] for r in capped.collect()} == {2, 5, 6}
+
+    # blocklist as python iterable and as 1-column DataFrame agree
+    kept1 = {r["doc_id"] for r in blocklist_filter(parts, ["other.org"]).collect()}
+    bl = spark.createDataFrame([("other.org",)], "d string")
+    kept2 = {r["doc_id"] for r in blocklist_filter(parts, bl).collect()}
+    assert kept1 == kept2 == {1, 2, 6}
+
+    # single-label host passes through whole at any n_labels
+    one = spark.createDataFrame([("x",)], "h string")
+    assert one.select(registered_domain("h", 3).alias("d")).first()["d"] == "x"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        registered_domain("h", 0)
+    with _pytest.raises(ValueError):
+        blocklist_filter(parts, docs)  # 3-column blocklist rejected
