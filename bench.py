@@ -608,6 +608,115 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["bpe_linear_setup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # maintenance-query cost split (round 9): the catalog timings for
+    # the index/sink maintenance entries are FIXTURE-DOMINATED (the
+    # query rebuilds its index per run so the driver gate stays
+    # hermetic).  Recorded here separately so round-over-round
+    # comparisons track the serving path: build_sec = one fixture
+    # construction, probe_sec = best-of-2 reads against it.
+    maintenance = {}
+    try:
+        import shutil as _sh
+
+        from dataframeintervals_jl_spark.operators.sampling import (
+            cms_merge_registers,
+            cms_registers,
+        )
+        from dataframeintervals_jl_spark.operators.similarity import (
+            append_lsh_index,
+            lsh_rerank_topk_indexed,
+            write_lsh_index,
+        )
+        from dataframeintervals_jl_spark.queries import _fixture_scratch
+        from dataframeintervals_jl_spark.sources.sinks import (
+            compact_table,
+            read_register_index,
+            update_register_index,
+        )
+
+        def _split(name, build, probe):
+            t0 = time.time()
+            build()
+            b = round(time.time() - t0, 3)
+            ps = []
+            for _ in range(2):
+                t0 = time.time()
+                _force(probe())
+                ps.append(time.time() - t0)
+                spark.catalog.clearCache()
+            maintenance[name] = {
+                "build_sec": b,
+                "probe_sec": round(min(ps), 3),
+            }
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        qv = emb.filter(F.col("vec_id") < 5)
+        lshp = _fixture_scratch(sf_dir, "lsh_maint_bench")
+
+        def _build_lsh():
+            _sh.rmtree(lshp, ignore_errors=True)
+            third = F.pmod(F.col("vec_id"), F.lit(3))
+            write_lsh_index(
+                emb.filter(third == 0), lshp, dim=64, n_planes=8, n_tables=4
+            )
+            append_lsh_index(emb.filter(third == 1), lshp, 0)
+            append_lsh_index(emb.filter(third == 2), lshp, 1)
+
+        _split(
+            "similarity_lsh_maintained",
+            _build_lsh,
+            lambda: lsh_rerank_topk_indexed(
+                spark, lshp, qv, k=5, probe_radius=3
+            ),
+        )
+
+        ev = read_table(spark, sf_dir, "events")
+        regp = _fixture_scratch(sf_dir, "cms_reg_bench")
+
+        def _build_reg():
+            _sh.rmtree(regp, ignore_errors=True)
+            for m in (0, 1):
+                update_register_index(
+                    spark,
+                    regp,
+                    cms_registers(
+                        ev.filter(F.col("event_id") % 2 == m),
+                        "user_id",
+                        width=256,
+                        depth=4,
+                    ),
+                    cms_merge_registers,
+                )
+
+        _split(
+            "register_index_update",
+            _build_reg,
+            lambda: read_register_index(spark, regp).select(
+                "__row", "__bkt", "__cnt"
+            ),
+        )
+
+        docs_m = read_table(spark, sf_dir, "documents")
+        fragp = _fixture_scratch(sf_dir, "compact_frag_bench")
+        outp = _fixture_scratch(sf_dir, "compact_out_bench")
+
+        def _build_compact():
+            _sh.rmtree(fragp, ignore_errors=True)
+            _sh.rmtree(outp, ignore_errors=True)
+            docs_m.repartition(64).write.mode("overwrite").parquet(fragp)
+            compact_table(spark, fragp, outp, sort_cols=["doc_id"])
+
+        _split(
+            "compact_roundtrip",
+            _build_compact,
+            lambda: spark.read.parquet(outp).groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            ),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["maintenance_split_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Arrow BPE tokenizer at real vocabulary scale (round 9): 8k merges
     # ride the task closure; per-word cost is O(applied merges) with
     # per-worker memoization, so this must stay in the same band as the
@@ -645,6 +754,24 @@ def main() -> None:
 
     recall = {}
     try:
+        from dataframeintervals_jl_spark.operators.similarity import (
+            ivf_pq_topk as _ivfpq,
+        )
+
+        def _q_ivfpq_coarse(by_residual):
+            # FULL probe + coarse codes (m_sub=8): cell pruning is off,
+            # so this recall row isolates ENCODING quality — the axis
+            # by_residual moves (round 9)
+            def f(spark, sf_dir):
+                emb = read_table(spark, sf_dir, "embeddings")
+                qs = emb.filter(F.col("vec_id") < 5)
+                return _ivfpq(
+                    emb, qs, n_centroids=8, n_probe=8, m_sub=8, ks=64,
+                    k=5, by_residual=by_residual,
+                )
+
+            return f
+
         exact = {
             (r["q_id"], r["n_id"])
             for r in q_similarity_topk(spark, sf_dir).collect()
@@ -655,6 +782,8 @@ def main() -> None:
             ("ivf", q_similarity_ivf),
             ("pq", q_similarity_pq),
             ("pq_rerank", q_similarity_pq_rerank),
+            ("ivfpq_raw_coarse", _q_ivfpq_coarse(False)),
+            ("ivfpq_residual_coarse", _q_ivfpq_coarse(True)),
         ):
             approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
             recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
@@ -698,6 +827,7 @@ def main() -> None:
         "layout": layout,
         "join_size": join_size,
         "bpe_linear": bpe_linear,
+        "maintenance": maintenance,
         "best_queries": best_queries,
         "errors": errors,
         "cpu_probe": probes,

@@ -1475,6 +1475,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    by_residual: bool = False,
 ) -> None:
     """Build and PERSIST the IVF-PQ index — the billion-vector layout
     written once, queried many times:
@@ -1483,10 +1484,13 @@ def write_ivfpq_index(
       cell: ~``m_sub`` bytes per vector, laid out so a probe reads
       only its cells' directories;
     - ``<path>/centroids`` — the coarse codebook (cell, c);
-    - ``<path>/codebooks`` — the PQ codebooks (m, code, cv).
+    - ``<path>/codebooks`` — the PQ codebooks (m, code, cv);
+    - ``<path>/meta`` — encoding flags (by_residual), so probes and
+      appends reconstruct the exact encoding without a parameter.
 
     Training is the same exact-integer machinery as
-    :func:`ivf_pq_topk`, so :func:`ivf_pq_topk_indexed` at the same
+    :func:`ivf_pq_topk` (incl. ``by_residual`` — integer residuals,
+    determinism unchanged), so :func:`ivf_pq_topk_indexed` at the same
     parameters returns identical results (test-asserted) without
     re-training or re-encoding.  Rebuilding over a path that has
     accumulated :func:`append_ivfpq_index` segments is the compaction
@@ -1495,9 +1499,12 @@ def write_ivfpq_index(
     spark = corpus.sparkSession
     _drop_update_segments(spark, path)
     cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
-    cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
+    cb = _train_pq_codebooks(
+        corpus, m_sub, ks, id_col, vec_col, dim,
+        residual_of=cent if by_residual else None,
+    )
     k_eff = cb.shape[1]
-    c = _ivfpq_encode_frame(corpus, cent, cb, id_col, vec_col)
+    c = _ivfpq_encode_frame(corpus, cent, cb, id_col, vec_col, by_residual)
     c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
@@ -1511,15 +1518,22 @@ def write_ivfpq_index(
         ],
         "m int, code int, cv array<bigint>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(bool(by_residual),)], "by_residual boolean"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _ivfpq_encode_frame(
-    df: DataFrame, cent, cb, id_col: str, vec_col: str
+    df: DataFrame, cent, cb, id_col: str, vec_col: str,
+    by_residual: bool = False,
 ) -> DataFrame:
     """Encode vectors with FROZEN coarse centroids + PQ codebooks:
     ``(n_id, cell, codes, rn)`` — the shared Arrow-batched kernel of
-    :func:`write_ivfpq_index` (models just trained) and
-    :func:`append_ivfpq_index` (models loaded from the index)."""
+    :func:`write_ivfpq_index` / :func:`append_ivfpq_index` (persisted)
+    and :func:`ivf_pq_topk` (in-memory).  With ``by_residual`` the PQ
+    codes quantize ``x − centroid[cell]`` (all int64, determinism
+    unchanged) and ``rn`` is the reconstructed norm
+    ``‖centroid + r̂‖²`` — the reconstruction the ADC dot must match."""
     from pyspark.sql.functions import pandas_udf
 
     cnorm = _centroid_norms(cent)
@@ -1531,13 +1545,18 @@ def _ivfpq_encode_frame(
         mat = np.array(vs.tolist(), dtype=np.int64)
         scores = (mat @ cent.T).astype(np.float64) / cnorm[None, :]
         cells = scores.argmax(axis=1).astype(np.int32)
+        res = mat - cent[cells] if by_residual else mat
         codes = np.empty((len(mat), m_sub), dtype=np.int32)
         rn = np.zeros(len(mat), dtype=np.int64)
         for m in range(m_sub):
-            xs = mat[:, m * ds : (m + 1) * ds]
+            xs = res[:, m * ds : (m + 1) * ds]
             dist = cbn2[m][None, :] - 2 * (xs @ cb[m].T)
             codes[:, m] = dist.argmin(axis=1)
-            rn += cbn2[m][codes[:, m]]
+            if by_residual:
+                recon = cent[cells][:, m * ds : (m + 1) * ds] + cb[m][codes[:, m]]
+                rn += (recon * recon).sum(axis=1)
+            else:
+                rn += cbn2[m][codes[:, m]]
         return pd.DataFrame({"cell": cells, "codes": list(codes), "rn": rn})
 
     return (
@@ -1556,9 +1575,10 @@ def _ivfpq_encode_frame(
 
 
 def _load_ivfpq_models(spark, path: str):
-    """(centroids, codebooks) numpy arrays of a persisted IVF-PQ index
+    """(centroids, codebooks, by_residual) of a persisted IVF-PQ index
     — the frozen models every post-build consumer (probe, append)
-    reconstructs identically."""
+    reconstructs identically.  Indexes written before the meta file
+    existed read as raw-encoded (by_residual=False)."""
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cent = np.array([r["c"] for r in crows], dtype=np.int64)
     cbrows = spark.read.parquet(f"{path}/codebooks").orderBy(
@@ -1570,7 +1590,13 @@ def _load_ivfpq_models(spark, path: str):
     cb = np.array([r["cv"] for r in cbrows], dtype=np.int64).reshape(
         m_sub, k_eff, ds
     )
-    return cent, cb
+    try:
+        by_residual = bool(
+            spark.read.parquet(f"{path}/meta").first()["by_residual"]
+        )
+    except Exception:  # pre-meta index layout
+        by_residual = False
+    return cent, cb, by_residual
 
 
 def append_ivfpq_index(
@@ -1601,8 +1627,8 @@ def append_ivfpq_index(
     append_ivfpq_index(b, path, e))`` — or via
     ``streaming.maintain_ivfpq_index``."""
     spark = batch.sparkSession
-    cent, cb = _load_ivfpq_models(spark, path)
-    c = _ivfpq_encode_frame(batch, cent, cb, id_col, vec_col)
+    cent, cb, by_residual = _load_ivfpq_models(spark, path)
+    c = _ivfpq_encode_frame(batch, cent, cb, id_col, vec_col, by_residual)
     seg = f"{path}/updates/e{int(epoch_id):020d}"
     c.write.partitionBy("cell").mode("overwrite").parquet(f"{seg}/codes")
     return seg
@@ -1639,7 +1665,7 @@ def ivf_pq_topk_indexed(
     scan (two orders of magnitude at the defaults)."""
     from pyspark.sql.functions import pandas_udf
 
-    cent, cb = _load_ivfpq_models(spark, path)
+    cent, cb, by_residual = _load_ivfpq_models(spark, path)
     cnorm = _centroid_norms(cent)
     n_probe_eff = min(n_probe, len(cent))
     k_eff = cb.shape[1]
@@ -1651,12 +1677,15 @@ def ivf_pq_topk_indexed(
         order = np.argsort(-scores, axis=1, kind="stable")
         return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
 
+    qprobe = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(probe_cells(_quantized(F.col(vec_col)))).alias("cell"),
+        _quantized(F.col(vec_col)).alias("__qv"),
+    )
+    if by_residual:
+        qprobe = _with_centroid_dot(qprobe, cent)
     q = _pq_query_luts(queries, cb, id_col, vec_col).join(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.explode(probe_cells(_quantized(F.col(vec_col)))).alias("cell"),
-        ),
-        "q_id",
+        qprobe.drop("__qv"), "q_id"
     )
     q = _track_cache(q)
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
@@ -1665,7 +1694,7 @@ def ivf_pq_topk_indexed(
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("n_id") != F.col("q_id")
     )
-    return _pq_score_topk(pairs, k_eff, k)
+    return _pq_score_topk(pairs, k_eff, k, cell_dot=by_residual)
 
 
 def _cell_assignments(
@@ -1892,6 +1921,7 @@ def _train_pq_codebooks(
     id_col: str,
     vec_col: str,
     dim: int,
+    residual_of: np.ndarray = None,
 ) -> np.ndarray:
     """Deterministic per-subspace k-means: ``(m_sub, ks, dim/m_sub)``
     int64 codebooks, bit-reproducible across engines.
@@ -1935,6 +1965,20 @@ def _train_pq_codebooks(
         raise ValueError(
             f"pq: vectors have {x.shape[1]} dims, expected {dim}"
         )
+    if residual_of is not None:
+        # residual training: subtract each sample row's assigned coarse
+        # centroid (argmax cosine, the cell-assignment rule) — still
+        # exact int64, so the determinism contract is unchanged
+        cent = np.asarray(residual_of, dtype=np.int64)
+        cnorm = _centroid_norms(cent)
+        scores = (x @ cent.T).astype(np.float64) / cnorm[None, :]
+        x = x - cent[scores.argmax(axis=1)]
+    return _pq_kmeans(x, m_sub, ks, ds)
+
+
+def _pq_kmeans(x: np.ndarray, m_sub: int, ks: int, ds: int) -> np.ndarray:
+    """The per-subspace Lloyd loop of :func:`_train_pq_codebooks`,
+    over an already-sampled (and possibly residualized) matrix."""
     k_eff = min(ks, len(x))
     cbs = []
     for m in range(m_sub):
@@ -2007,14 +2051,18 @@ def _pq_query_luts(
     ).select("q_id", F.col("e.lut").alias("lut"), F.col("e.qn").alias("qn"))
 
 
-def _pq_score_topk(pairs: DataFrame, k_eff: int, k: int) -> DataFrame:
+def _pq_score_topk(
+    pairs: DataFrame, k_eff: int, k: int, cell_dot: bool = False
+) -> DataFrame:
     """ADC score + top-k over joined (codes, rn) × (lut, qn) pairs.
 
     The reconstructed dot is a pure JVM expression — ``m_sub`` flat-LUT
     lookups summed as exact int64 (``Σ_m lut[m·ks + code_m]``), no
     Python on the per-pair path; score is the reconstructed cosine
     ``recon_dot / sqrt(qn · rn)`` in the same IEEE order the oracle
-    runs."""
+    runs.  With ``cell_dot`` (residual encoding) the pairs carry a
+    ``qc`` column — ``q · centroid[cell]`` — added to the LUT sum:
+    ``q·x̂ = q·centroid + q·r̂``."""
     recon_dot = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -2029,6 +2077,8 @@ def _pq_score_topk(pairs: DataFrame, k_eff: int, k: int) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    if cell_dot:
+        recon_dot = recon_dot + F.col("qc")
     scored = pairs.select(
         "q_id",
         "n_id",
@@ -2176,49 +2226,38 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse Voronoi cells prune the scan, PQ codes compress
     it — the standard billion-vector ANN layout (FAISS
     ``IndexIVFPQ``): ``(q_id, rank, n_id, score)``.
 
     The corpus is assigned to ``n_centroids`` cells
-    (:func:`_train_centroids`, one Arrow pass) and PQ-encoded on the
-    RAW vectors (``by_residual=False`` — residual encoding needs
-    float centroid subtraction and would break the exact-integer
-    determinism contract; the recall cost at these code sizes is
-    covered by the pytest floor).  A query probes its ``n_probe``
-    closest cells and ADC-scores only those codes: the candidate join
-    is a cell equi-join touching ``n_probe / n_centroids`` of the
-    codes table.  At ``n_probe == n_centroids`` the result equals
-    :func:`pq_topk` exactly (property-tested)."""
+    (:func:`_train_centroids`, one Arrow pass) and PQ-encoded
+    (:func:`_ivfpq_encode_frame`, the kernel shared with the persisted
+    index).  By default codes quantize the RAW vectors; with
+    ``by_residual=True`` they quantize ``x − centroid[cell]`` (FAISS's
+    default, better recall at the same code size) — the residual is
+    int64-exact since the coarse centroids are themselves integer, so
+    the determinism contract is UNCHANGED; scoring adds the per-(query,
+    cell) ``q·centroid`` term to the ADC sum via a broadcast join
+    against the n_centroids-row centroid table.  A query probes its
+    ``n_probe`` closest cells and ADC-scores only those codes: the
+    candidate join is a cell equi-join touching
+    ``n_probe / n_centroids`` of the codes table.  At
+    ``n_probe == n_centroids``, raw encoding equals :func:`pq_topk`
+    exactly, and residual encoding + exact re-rank recovers the exact
+    top-k (both property-tested)."""
     from pyspark.sql.functions import pandas_udf
 
     cent = _train_centroids(corpus, n_centroids, id_col, vec_col)
     n_probe_eff = min(n_probe, len(cent))
     cnorm = _centroid_norms(cent)
-    cb = _train_pq_codebooks(corpus, m_sub, ks, id_col, vec_col, dim)
+    cb = _train_pq_codebooks(
+        corpus, m_sub, ks, id_col, vec_col, dim,
+        residual_of=cent if by_residual else None,
+    )
     k_eff = cb.shape[1]
-
-    ds = dim // m_sub
-    cbn2 = (cb.astype(np.int64) ** 2).sum(axis=2)
-
-    @pandas_udf("cell int, codes array<int>, rn bigint")
-    def index_row(vs: pd.Series) -> pd.DataFrame:
-        # ONE Arrow pass builds the whole per-row index entry: coarse
-        # cell + PQ codes + reconstructed norm (a second scan or an
-        # id-join between separate cell/code passes would shuffle the
-        # corpus for nothing)
-        mat = np.array(vs.tolist(), dtype=np.int64)
-        scores = (mat @ cent.T).astype(np.float64) / cnorm[None, :]
-        cells = scores.argmax(axis=1).astype(np.int32)
-        codes = np.empty((len(mat), m_sub), dtype=np.int32)
-        rn = np.zeros(len(mat), dtype=np.int64)
-        for m in range(m_sub):
-            xs = mat[:, m * ds : (m + 1) * ds]
-            dist = cbn2[m][None, :] - 2 * (xs @ cb[m].T)
-            codes[:, m] = dist.argmin(axis=1)
-            rn += cbn2[m][codes[:, m]]
-        return pd.DataFrame({"cell": cells, "codes": list(codes), "rn": rn})
 
     @pandas_udf("array<int>")
     def probe_cells_udf(vs: pd.Series) -> pd.Series:
@@ -2227,32 +2266,41 @@ def ivf_pq_topk(
         order = np.argsort(-scores, axis=1, kind="stable")
         return pd.Series(list(order[:, :n_probe_eff].astype(np.int32)))
 
-    c = (
-        ensure_parallelism(corpus)
-        .select(
-            F.col(id_col).alias("n_id"),
-            index_row(_quantized(F.col(vec_col))).alias("e"),
-        )
-        .select(
-            "n_id",
-            F.col("e.cell").alias("cell"),
-            F.col("e.codes").alias("codes"),
-            F.col("e.rn").alias("rn"),
-        )
-    )
+    # ONE Arrow pass builds the whole per-row index entry (cell + codes
+    # + reconstructed norm) — a second scan or an id-join between
+    # separate cell/code passes would shuffle the corpus for nothing
+    c = _ivfpq_encode_frame(corpus, cent, cb, id_col, vec_col, by_residual)
     # boundary: materialize the codes+cells once (this IS the persisted
     # IVF-PQ index; on disk it would be the codes table partitioned by
-    # cell — see write_ivf_index for the layout)
+    # cell — see write_ivfpq_index for the layout)
     c = _track_cache(c)
     c.count()
+    qprobe = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(probe_cells_udf(_quantized(F.col(vec_col)))).alias("cell"),
+        _quantized(F.col(vec_col)).alias("__qv"),
+    )
+    if by_residual:
+        qprobe = _with_centroid_dot(qprobe, cent)
     q = _pq_query_luts(queries, cb, id_col, vec_col).join(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.explode(
-                probe_cells_udf(_quantized(F.col(vec_col)))
-            ).alias("cell"),
-        ),
-        "q_id",
+        qprobe.drop("__qv"), "q_id"
     )
     pairs = c.join(q, "cell").filter(F.col("n_id") != F.col("q_id"))
-    return _pq_score_topk(pairs, k_eff, k)
+    return _pq_score_topk(pairs, k_eff, k, cell_dot=by_residual)
+
+
+def _with_centroid_dot(qprobe: DataFrame, cent) -> DataFrame:
+    """Add ``qc = q · centroid[cell]`` to an exploded (q_id, cell,
+    __qv) probe frame via a broadcast join against the
+    n_centroids-row centroid table — the residual path's per-(query,
+    cell) ADC offset, all JVM-side."""
+    spark = qprobe.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
+        "cell int, __c array<bigint>",
+    )
+    return (
+        qprobe.join(F.broadcast(cent_df), "cell")
+        .withColumn("qc", _dot(F.col("__qv"), F.col("__c")))
+        .drop("__c")
+    )

@@ -1,0 +1,172 @@
+"""10x scale probe (round 9): measure the heavy operator families at
+sf0.1 AND at a synthesized 10x-sf0.1 dataset, so the engine's scale
+claims have a measured slope instead of plan-shape arguments alone.
+
+The 10x tables are 10 tagged copies of documents / events / embeddings:
+
+- ``documents``: doc_id shifted per copy; copies > 0 get a 2-token
+  copy tag appended to the text, so the MinHash/SimHash near-dup
+  structure is PRESERVED per copy but not inflated ACROSS copies
+  (10 exact copies of every doc would multiply bucket sizes by 10 and
+  candidate pairs by 100 — a quadratic artifact, not 10x data);
+- ``events``: user/event ids shifted per copy (each copy is a fresh
+  user population) and the timeline laid end-to-end (ts shifted by a
+  full dataset span per copy) — temporal density per bin is unchanged,
+  the TIMELINE is 10x longer, which is what 10x event data means;
+- ``embeddings``: vec_id shifted, first dimension perturbed per copy.
+
+Usage:
+    python tools/scale_probe.py [--copies 10] [--skip-small]
+
+Prints one JSON line: per-query seconds at sf0.1 and at 10x, plus the
+slope (x10_sec / sf01_sec; ~<= 10 means at-worst-linear scaling for a
+10x input on fixed cores).  One sample per point — read slopes, not
+absolute values, and re-run if the host is stealing CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+OUT = "/tmp/dfi_scale10"
+ID_SHIFT = 100_000_000
+
+HEAVY = [
+    "q_interval_join_binned",
+    "q_minhash_lsh_pairs",
+    "q_simhash_pairs",
+    "q_incremental_dedup",
+    "q_similarity_pq",
+    "q_pagerank",
+    "q_k_core",
+    "q_dedup_lines",
+    "q_pack_sequences",
+    "q_duplicate_spans",
+]
+
+
+def build_scaled(spark, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.sources import read_table
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+
+    docs = read_table(spark, SF01, "documents")
+    parts = []
+    for k in range(copies):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * ID_SHIFT)).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.concat(F.col("text"), F.lit(f" copy c{k}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    ev = read_table(spark, SF01, "events")
+    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    span = int(rng["hi"]) - int(rng["lo"]) + 86_400_000_000_000
+    parts = []
+    for k in range(copies):
+        c = ev.select(
+            (F.col("event_id") + F.lit(k * ID_SHIFT)).alias("event_id"),
+            (F.col("user_id") + F.lit(k * ID_SHIFT)).alias("user_id"),
+            "event_type",
+            (F.col("ts") + F.lit(k * span)).alias("ts"),
+            "value",
+        )
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    emb = read_table(spark, SF01, "embeddings")
+    parts = []
+    for k in range(copies):
+        c = emb.select(
+            (F.col("vec_id") + F.lit(k * ID_SHIFT)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + F.when(i == 0, F.lit(float(k) * 0.01)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+
+def main() -> None:
+    copies = 10
+    if "--copies" in sys.argv:
+        copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    skip_small = "--skip-small" in sys.argv
+
+    from dataframeintervals_jl_spark import get_spark
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="dfi_scale_probe", cpus=cpus)
+
+    t0 = time.time()
+    build_scaled(spark, copies)
+    gen_sec = round(time.time() - t0, 1)
+
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def run(name, sf_dir):
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        spark.catalog.clearCache()
+        try:
+            from dataframeintervals_jl_spark.operators.similarity import (
+                release_ann_caches,
+            )
+
+            release_ann_caches()
+        except Exception:
+            pass
+        return round(time.time() - t0, 2)
+
+    out = {}
+    for name in HEAVY:
+        rec = {}
+        try:
+            if not skip_small:
+                rec["sf0.1_sec"] = run(name, SF01)
+            rec[f"x{copies}_sec"] = run(name, OUT)
+            if "sf0.1_sec" in rec and rec["sf0.1_sec"] > 0:
+                rec["slope"] = round(rec[f"x{copies}_sec"] / rec["sf0.1_sec"], 2)
+        except Exception as exc:  # noqa: BLE001
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        out[name] = rec
+        print(f"## {name}: {rec}", flush=True)
+
+    spark.stop()
+    print(json.dumps({"copies": copies, "gen_sec": gen_sec, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
