@@ -7299,24 +7299,23 @@ def q_apply_bpe_vocab(spark, sf_dir):
     )
 
 
-def _sql_apply_bpe_vocab(n_merges: int = 64) -> str:
-    """Unrolled application-only replay for :func:`q_apply_bpe_vocab`:
-    the synthetic merge constants embed directly (no learning CTEs),
-    each applied as one literal replace over the sentinel-packed
-    words — DuckDB's ``replace`` scans left-to-right over
-    non-overlapping occurrences exactly like the engine's greedy
-    merge pass."""
+def _sql_synthetic_bpe_chain(n_merges: int, where: str = "") -> str:
+    """CTE chain ``a0 .. a<n> , toks`` applying the synthetic merge
+    constants as unrolled literal replaces over sentinel-packed words
+    (no learning CTEs) — DuckDB's ``replace`` scans left-to-right over
+    non-overlapping occurrences exactly like the engine's greedy merge
+    pass.  Shared by every synthetic-vocab BPE oracle."""
     from .operators.bpe import _SYM_RE, synthetic_merges
 
     sym_re = _SYM_RE.replace("'", "''")
     parts = [
-        """WITH a0 AS (
+        f"""WITH a0 AS (
   SELECT doc_id, list_transform(
     regexp_extract_all(lower(text), '[a-z]+'),
     w -> array_to_string(
       list_transform(regexp_extract_all(w, '.'),
                      c -> chr(30) || c || chr(31)), '')) AS ps
-  FROM documents WHERE doc_id % 29 = 0
+  FROM documents {where}
 )"""
     ]
     for r, lhs, rhs, _ in synthetic_merges(n_merges):
@@ -7333,12 +7332,53 @@ def _sql_apply_bpe_vocab(n_merges: int = 64) -> str:
   SELECT doc_id, flatten(list_transform(
     ps, s -> regexp_extract_all(s, '{sym_re}', 1))) AS ts
   FROM a{n_merges}
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def _sql_apply_bpe_vocab(n_merges: int = 64) -> str:
+    """Per-doc replay for :func:`q_apply_bpe_vocab` over the shared
+    synthetic-merge chain."""
+    return (
+        _sql_synthetic_bpe_chain(n_merges, "WHERE doc_id % 29 = 0")
+        + """
 SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
        array_to_string(ts[:24], '|') AS head_tokens
 FROM toks"""
     )
-    return "".join(parts)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Tokenize-and-count — the top-5 pipeline staple the Arrow
+    tokenizer unblocks at production vocab sizes: the WHOLE corpus is
+    BPE-tokenized (64 synthetic merges, bpe.py: bpe_tokenize) and the
+    corpus-level token histogram aggregated, keeping tokens with
+    count >= 5.  One Arrow projection + explode + one partial-agged
+    groupBy on (token) — the shuffle carries (token, count) pairs
+    only, never text.  The oracle replays the full merge chain and
+    the histogram."""
+    from .operators.bpe import bpe_tokenize, synthetic_merges
+    from .sources import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = bpe_tokenize(docs, synthetic_merges(64))
+    return (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+def _sql_bpe_token_counts(n_merges: int = 64) -> str:
+    return (
+        _sql_synthetic_bpe_chain(n_merges)
+        + """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(ts) AS token FROM toks)
+GROUP BY token HAVING count(*) >= 5"""
+    )
 
 
 def q_incremental_agg(spark, sf_dir):
@@ -8357,6 +8397,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),
+    "q_bpe_token_counts": (q_bpe_token_counts, _sql_bpe_token_counts(64)),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
     "q_clustering_coefficient": (
