@@ -135,10 +135,7 @@ def main() -> None:
     def _force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def run(name, sf_dir):
-        fn = QUERIES[name][0]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
+    def _clean():
         spark.catalog.clearCache()
         try:
             from dataframeintervals_jl_spark.operators.similarity import (
@@ -148,7 +145,27 @@ def main() -> None:
             release_ann_caches()
         except Exception:
             pass
-        return round(time.time() - t0, 2)
+
+    def run(name, sf_dir):
+        # best-of-2 (the bench estimator): one sample absorbs JVM/Arrow
+        # warmup and host-steal bursts that would otherwise pollute the
+        # slope; intermediates cleaned between samples
+        fn = QUERIES[name][0]
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            samples.append(time.time() - t0)
+            _clean()
+        return round(min(samples), 2)
+
+    # untimed warmup: touch both directories and pay scan-metadata +
+    # codegen init before the first measured query
+    for d in ([SF01] if not skip_small else []) + [OUT]:
+        from dataframeintervals_jl_spark.sources import read_table as _rt
+
+        for t in ("documents", "events", "embeddings"):
+            _rt(spark, d, t).limit(1).count()
 
     out = {}
     for name in HEAVY:
