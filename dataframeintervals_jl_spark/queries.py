@@ -7111,6 +7111,117 @@ WHERE domain NOT IN ('src1.com', 'src3.com', 'src7.org', 'src12.com')
 GROUP BY domain"""
 
 
+def q_span_corrupt(spark, sf_dir):
+    """T5-style span-corruption training pairs
+    (operators/corruption.py: span_corrupt): per document, the
+    sentinel-masked input, the sentinel-delimited target spans, and
+    the span/token audit counts.  Every mask decision is a
+    portable-hash choice keyed on (salt, doc_id, position) — ONE
+    narrow projection, zero shuffles — and the oracle replays the
+    start/length decisions, the overlapping-span merge
+    (gaps-and-islands), and both serializations verbatim."""
+    from .operators.corruption import span_corrupt
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_corrupt(docs, start_ppm=100_000, max_span=3)
+
+
+def _sql_span_corrupt(
+    start_ppm: int = 100_000, max_span: int = 3, salt: str = "spancorrupt"
+) -> str:
+    h1 = _PH60.format(
+        x=f"'{salt}|' || doc_id::VARCHAR || '|' || j::VARCHAR"
+    )
+    h2 = _PH60.format(
+        x=f"'{salt}L|' || doc_id::VARCHAR || '|' || j::VARCHAR"
+    )
+    return rf"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+), tok AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS j FROM tl
+), dec AS (
+  SELECT doc_id, j, ts[j] AS tok,
+         ({h1} % 1000000) < {start_ppm} AS is_start,
+         1 + ({h2} % {max_span}) AS slen
+  FROM tok
+), m AS (
+  SELECT d.doc_id, d.j, d.tok,
+         EXISTS (SELECT 1 FROM dec s
+                 WHERE s.doc_id = d.doc_id AND s.is_start
+                   AND s.j <= d.j AND d.j < s.j + s.slen) AS masked
+  FROM dec d
+), isl AS (
+  SELECT doc_id, j, tok,
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM m WHERE masked
+), isl2 AS (
+  SELECT doc_id, j, tok, grp,
+         dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k,
+         row_number() OVER (PARTITION BY doc_id, grp ORDER BY j) AS rn
+  FROM isl
+), corr AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY j) AS corrupted FROM (
+    SELECT doc_id, j, tok AS piece FROM m WHERE NOT masked
+    UNION ALL
+    SELECT doc_id, j, '<extra_id_' || k::VARCHAR || '>' FROM isl2
+    WHERE rn = 1
+  ) GROUP BY doc_id
+), tgt AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY j) AS targets FROM (
+    SELECT doc_id, j,
+           CASE WHEN rn = 1
+                THEN '<extra_id_' || k::VARCHAR || '> ' || tok
+                ELSE tok END AS piece
+    FROM isl2
+  ) GROUP BY doc_id
+), stats AS (
+  SELECT doc_id, count(DISTINCT grp) AS n_spans, count(*) AS n_masked
+  FROM isl GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(c.corrupted, '') AS corrupted,
+       coalesce(g.targets, '') AS targets,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.n_masked, 0) AS BIGINT) AS n_masked
+FROM tl t LEFT JOIN corr c USING (doc_id)
+LEFT JOIN tgt g USING (doc_id)
+LEFT JOIN stats s USING (doc_id)"""
+
+
+def q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle training split (operators/corruption.py:
+    fim_split): deterministic hash-chosen (prefix, middle, suffix)
+    token cut plus the PSM serialization — pure expressions, zero
+    shuffles; the oracle recomputes both cut points and all four
+    strings."""
+    from .operators.corruption import fim_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fim_split(docs)
+
+
+def _sql_fim_split(salt: str = "fim") -> str:
+    ha = _PH60.format(x=f"'{salt}|' || doc_id::VARCHAR || '|a'")
+    hb = _PH60.format(x=f"'{salt}|' || doc_id::VARCHAR || '|b'")
+    return rf"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+), c AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         ({ha} % (len(ts) + 1)) AS a
+  FROM tl
+), c2 AS (
+  SELECT doc_id, ts, n, a, a + ({hb} % (n - a + 1)) AS b FROM c
+)
+SELECT doc_id,
+       coalesce(array_to_string(ts[1:a], ' '), '') AS prefix,
+       coalesce(array_to_string(ts[a+1:b], ' '), '') AS middle,
+       coalesce(array_to_string(ts[b+1:n], ' '), '') AS suffix,
+       '<PRE>' || coalesce(array_to_string(ts[1:a], ' '), '')
+       || '<SUF>' || coalesce(array_to_string(ts[b+1:n], ' '), '')
+       || '<MID>' || coalesce(array_to_string(ts[a+1:b], ' '), '') AS psm
+FROM c2"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training on-cluster: the first 10 BPE merge rules
     learned from the corpus word-frequency table (Sennrich et al.
@@ -8398,6 +8509,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),
     "q_bpe_token_counts": (q_bpe_token_counts, _sql_bpe_token_counts(64)),
+    "q_span_corrupt": (q_span_corrupt, _sql_span_corrupt()),
+    "q_fim_split": (q_fim_split, _sql_fim_split()),
     "q_incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "q_triangle_counts": (q_triangle_counts, _sql_triangles()),
     "q_clustering_coefficient": (

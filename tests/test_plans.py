@@ -926,3 +926,74 @@ def test_domain_curation_semantics(spark):
         registered_domain("h", 0)
     with _pytest.raises(ValueError):
         blocklist_filter(parts, docs)  # 3-column blocklist rejected
+
+
+def test_corruption_transforms_plan_and_semantics(spark):
+    """span_corrupt / fim_split are single narrow projections: zero
+    exchanges, no Python eval — and the fold semantics match a
+    hand-checked example (overlapping spans merge into one sentinel,
+    sentinel ids count left-to-right, targets carry the masked spans,
+    FIM pieces reassemble the document)."""
+    from dataframeintervals_jl_spark.operators.corruption import (
+        fim_split,
+        span_corrupt,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)]
+        + [(100, ""), (101, "solo")],
+        "doc_id long, text string",
+    )
+    out = span_corrupt(docs, start_ppm=400_000, max_span=2)
+    assert count_exchanges(out) == 0
+    assert_no_python_row_udf(out)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    # empty doc: empty strings, zero counts
+    assert rows[100]["corrupted"] == "" and rows[100]["targets"] == ""
+    assert rows[100]["n_spans"] == 0 and rows[100]["n_masked"] == 0
+
+    # reconstruction invariant: replacing each sentinel in `corrupted`
+    # by its span from `targets` restores the original text
+    import re
+
+    for doc_id, r in rows.items():
+        orig = {**{i: "alpha beta gamma delta epsilon zeta" for i in range(8)},
+                100: "", 101: "solo"}[doc_id]
+        tgt = r["targets"]
+        spans = {}
+        if tgt:
+            parts = re.split(r"<extra_id_(\d+)> ?", tgt)
+            # parts = ['', k0, span0, k1, span1, ...]
+            for k, sp in zip(parts[1::2], parts[2::2]):
+                spans[int(k)] = sp.strip()
+        rebuilt = r["corrupted"]
+        for k, sp in spans.items():
+            rebuilt = rebuilt.replace(f"<extra_id_{k}>", sp)
+        assert " ".join(rebuilt.split()) == orig, doc_id
+        # counts consistent: n_masked tokens across n_spans runs
+        assert r["n_spans"] == len(spans)
+        assert r["n_masked"] == sum(len(s.split()) for s in spans.values())
+        # sentinel ids are 0..n_spans-1 in order of appearance
+        seen = [int(m) for m in re.findall(r"<extra_id_(\d+)>", r["corrupted"])]
+        assert seen == sorted(seen) == list(range(r["n_spans"]))
+
+    fim = fim_split(docs)
+    assert count_exchanges(fim) == 0
+    assert_no_python_row_udf(fim)
+    for r in fim.collect():
+        orig = {**{i: "alpha beta gamma delta epsilon zeta" for i in range(8)},
+                100: "", 101: "solo"}[r["doc_id"]]
+        pieces = " ".join(
+            p for p in (r["prefix"], r["middle"], r["suffix"]) if p
+        )
+        assert pieces == orig
+        assert r["psm"] == (
+            f"<PRE>{r['prefix']}<SUF>{r['suffix']}<MID>{r['middle']}"
+        )
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        span_corrupt(docs, start_ppm=0)
+    with _pytest.raises(ValueError):
+        span_corrupt(docs, max_span=0)
