@@ -76,20 +76,27 @@ def span_corrupt(
     def span_len(j):
         return F.lit(1) + _pos_hash(salt + "L", d, j) % F.lit(max_span)
 
-    starts = F.filter(seq, is_start)
+    def masked_at(j):
+        # span starting at s covers j iff o = j - s ∈ [0, span_len(s));
+        # o is bounded by max_span, so the mask flag is a FIXED-WIDTH
+        # OR over the last max_span positions — O(n·max_span) hashes
+        # per row.  (An exists() over a filtered starts array
+        # re-evaluates that md5-hashed array for EVERY element of the
+        # enclosing transform — O(n²) hashing, measured 28s at sf0.1;
+        # and element_at over a flags array inside the fold lambda is
+        # worse still, O(n³).)
+        cond = None
+        for o in range(max_span):
+            s = j - F.lit(o)
+            c = (s >= 1) & is_start(s) & (F.lit(o) < span_len(s))
+            cond = c if cond is None else (cond | c)
+        return cond
+
     # the fold's INPUT is one zipped (tok, masked) array so the
-    # hash-derived mask flags are evaluated exactly once per row:
-    # referencing `flags` via element_at inside the fold lambda would
-    # re-derive the whole md5-hashed array at EVERY fold step — O(n³)
-    # hashing that measured as a multi-minute hang on 100-token docs
+    # hash-derived mask flags are evaluated exactly once per row
     zipped = F.zip_with(
         toks,
-        F.transform(
-            seq,
-            lambda j: F.exists(
-                starts, lambda s: (s <= j) & (j < s + span_len(s))
-            ),
-        ),
+        F.transform(seq, masked_at),
         lambda t, m: F.struct(t.alias("tok"), m.alias("masked")),
     )
     # n == 0 guard: sequence(1, 0) is the descending [1, 0], whose

@@ -7121,8 +7121,11 @@ def q_span_corrupt(spark, sf_dir):
     start/length decisions, the overlapping-span merge
     (gaps-and-islands), and both serializations verbatim."""
     from .operators.corruption import span_corrupt
+    from .sources import ensure_parallelism
 
-    docs = read_table(spark, sf_dir, "documents")
+    # hash-heavy expression pass over a (possibly) one-file scan —
+    # parallelize at the bare scan like the other CPU-bound queries
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     return span_corrupt(docs, start_ppm=100_000, max_span=3)
 
 
