@@ -295,6 +295,20 @@ def match_spans(text, pattern) -> Column:
     )
 
 
+def clean_text(text) -> Column:
+    """C4-style text cleanup: strip C0/C1-ish control characters
+    (keeping tab/newline only long enough to fold them), collapse all
+    whitespace runs to one space, trim.  Pure chained
+    ``regexp_replace`` in the RE2-compatible subset, so a SQL oracle
+    replays the exact output string — the standard first projection
+    of a crawl-ingest pipeline."""
+    out = F.regexp_replace(
+        _c(text), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+    )
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
 def redact_pii(text) -> Column:
     """Scrub personally-identifiable substrings: emails, UUIDs, IPv4s,
     phone-ish digit runs, SSN-shaped ids — replaced with typed

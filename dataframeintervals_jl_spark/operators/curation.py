@@ -115,3 +115,52 @@ def blocklist_filter(
             )
         bl = blocklist.withColumnRenamed(cols[0], domain_col).distinct()
     return df.join(F.broadcast(bl), domain_col, "left_anti")
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    quota: int,
+    key_col: str = "doc_id",
+    domain_col: str = "domain",
+    salt: str = "domquota",
+) -> DataFrame:
+    """Uniform deterministic down-sample to ~``quota`` documents per
+    registered domain — the cheaper cousin of :func:`domain_caps` when
+    any uniform subset (not the best-k under a preference order) is
+    wanted: ONE partial-aggregated count per domain, the per-domain
+    keep rate broadcast back, membership a pure row-local hash
+    threshold.  No window, no sort, no top-k state — at 100 TB the
+    corpus is filtered map-side after a domain-count agg whose output
+    is dimension-sized.
+
+    Exact ppm thresholds (``rate_ppm = least(1e6, quota·1e6 DIV n)``,
+    the :func:`~.sampling.deterministic_sample` contract): the kept
+    count per domain is ~``quota`` in expectation (hash-uniform), not
+    exact — callers needing an exact cap use :func:`domain_caps`.
+    Same key + salt → same decision on any engine or partitioning.
+    NULL domains (malformed URLs) form their own quota group."""
+    from .sampling import BUCKETS, _bucket
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    rates = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col(domain_col).alias("__dom"),
+            # exact integer floor division (DIV) — a float `/` then
+            # cast could disagree with the oracle's `//` at boundaries
+            F.expr(
+                f"CAST(least({BUCKETS}, "
+                f"({int(quota)} * {BUCKETS}) DIV __n) AS BIGINT)"
+            ).alias("__rppm"),
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(domain_col).eqNullSafe(F.col("__dom")),
+        )
+        .filter(_bucket(F.col(key_col), salt) < F.col("__rppm"))
+        .drop("__dom", "__rppm")
+    )

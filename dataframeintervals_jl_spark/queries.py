@@ -7225,6 +7225,83 @@ SELECT doc_id,
 FROM c2"""
 
 
+def q_domain_quota(spark, sf_dir):
+    """Uniform per-domain quota sampling (operators/curation.py:
+    domain_quota_sample): ~8 docs kept per registered domain by a
+    broadcast per-domain rate + row-local hash threshold — no window,
+    no sort; the map-side shape that survives a trillion-document
+    crawl.  The oracle replays the count, the integer ppm rate, and
+    every hash decision."""
+    from .operators.curation import domain_quota_sample, extract_url_parts
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    parts = extract_url_parts(docs.withColumn("url", _url_expr()))
+    kept = domain_quota_sample(parts, quota=8)
+    return kept.select("doc_id", "domain")
+
+
+_SQL_DOMAIN_QUOTA = rf"""WITH d AS ({_SQL_URL_PARTS}),
+c AS (
+  SELECT domain, least(1000000, (8 * 1000000) // count(*)) AS rppm
+  FROM d GROUP BY domain
+)
+SELECT d.doc_id, d.domain
+FROM d JOIN c USING (domain)
+WHERE ({_PH60.format(x="'domquota|' || doc_id::VARCHAR")} % 1000000)
+      < c.rppm"""
+
+
+def q_clean_text(spark, sf_dir):
+    """Crawl-ingest text cleanup (functions/text.py: clean_text):
+    deterministic control-char + messy-whitespace noise keyed off
+    doc_id is injected, cleaned, and the exact result string verified
+    via md5 plus before/after lengths — chained regexp_replace in the
+    RE2-compatible subset, byte-replayed by the oracle."""
+    from .functions.text import clean_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    noisy = F.concat(
+        F.when(d % 2 == 0, F.lit("\t  ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit("\x07zap\x1b"), F.lit("\n\n "))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("  tail\r\n")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", noisy.alias("__t"))
+    return base.select(
+        "doc_id",
+        F.length("__t").cast("long").alias("len_before"),
+        F.length(clean_text(F.col("__t"))).cast("long").alias("len_after"),
+        F.md5(clean_text(F.col("__t"))).alias("clean_md5"),
+    )
+
+
+_SQL_CLEAN_TEXT = r"""WITH noisy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN chr(9) || '  ' ELSE '' END
+         || text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(7) || 'zap' || chr(27) || chr(10) || chr(10) || ' '
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '  tail' || chr(13) || chr(10) ELSE '' END AS t
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS ct
+  FROM noisy
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS len_before,
+       CAST(length(ct) AS BIGINT) AS len_after,
+       md5(ct) AS clean_md5
+FROM cleaned"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training on-cluster: the first 10 BPE merge rules
     learned from the corpus word-frequency table (Sennrich et al.
@@ -8508,6 +8585,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pii_spans": (q_pii_spans, _sql_pii_spans()),
     "q_domain_caps": (q_domain_caps, _SQL_DOMAIN_CAPS),
     "q_domain_blocklist": (q_domain_blocklist, _SQL_DOMAIN_BLOCKLIST),
+    "q_domain_quota": (q_domain_quota, _SQL_DOMAIN_QUOTA),
+    "q_clean_text": (q_clean_text, _SQL_CLEAN_TEXT),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),

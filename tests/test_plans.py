@@ -997,3 +997,67 @@ def test_corruption_transforms_plan_and_semantics(spark):
         span_corrupt(docs, start_ppm=0)
     with _pytest.raises(ValueError):
         span_corrupt(docs, max_span=0)
+
+
+def test_domain_quota_sample_contract(spark):
+    """Quota sampling: broadcast rate join + row-local hash filter (no
+    window, no sort), rates are exact integer ppm, NULL domains form
+    their own group, and full-quota domains keep everything."""
+    from dataframeintervals_jl_spark.operators.curation import (
+        domain_quota_sample,
+    )
+    from dataframeintervals_jl_spark.operators.sampling import (
+        BUCKETS,
+        _bucket,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big.com" if i < 400 else ("small.org" if i < 404 else None))
+         for i in range(408)],
+        "doc_id long, domain string",
+    )
+    out = domain_quota_sample(docs, quota=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+    rows = out.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], set()).add(r["doc_id"])
+    # small.org (4 docs <= quota) keeps everything
+    assert by_dom.get("small.org") == {400, 401, 402, 403}
+    # NULL domain (4 docs <= quota) keeps everything too
+    assert by_dom.get(None) == {404, 405, 406, 407}
+    # big.com kept set == the exact hash-threshold replay
+    rppm = min(BUCKETS, (8 * BUCKETS) // 400)
+    want = {
+        r["doc_id"]
+        for r in docs.filter(F.col("domain") == "big.com")
+        .filter(_bucket(F.col("doc_id"), "domquota") < F.lit(rppm))
+        .collect()
+    }
+    assert by_dom.get("big.com", set()) == want
+    # determinism: second run identical
+    again = {r["doc_id"] for r in domain_quota_sample(docs, quota=8).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        domain_quota_sample(docs, quota=0)
+
+
+def test_clean_text_semantics(spark):
+    from dataframeintervals_jl_spark.functions.text import clean_text
+
+    rows = [
+        ("\t hello \x07world\x1b  now\r\n", "hello world now"),
+        ("already clean", "already clean"),
+        ("", ""),
+        ("\x00\x01\x02", ""),
+        ("a\n\nb\tc", "a b c"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r["c"] for r in df.select(clean_text("t").alias("c")).collect()]
+    assert got == [w for _, w in rows]
