@@ -58,6 +58,15 @@ def hash_split(
     Returns ``df`` plus a ``split_col`` label column; filter on it (a
     narrow, pushdown-friendly predicate) to materialize each split.
     """
+    return df.withColumn(
+        split_col, _split_label_expr(F.col(key_col), weights, labels, salt)
+    )
+
+
+def _split_label_expr(key_expr, weights, labels, salt: str):
+    """The hash-range split label as an expression over an arbitrary
+    key column — shared by :func:`hash_split` (row key) and
+    :func:`leakage_safe_split` (cluster-representative key)."""
     if len(weights) != len(labels):
         raise ValueError(
             f"got {len(weights)} weights for {len(labels)} labels"
@@ -69,12 +78,50 @@ def hash_split(
     for w in weights[:-1]:
         acc += int(round(w / total * BUCKETS))
         bounds.append(acc)
-
-    b = _bucket(F.col(key_col), salt)
+    b = _bucket(key_expr, salt)
     expr = F.lit(labels[-1])
     for bound, label in zip(reversed(bounds), reversed(labels[:-1])):
         expr = F.when(b < F.lit(bound), F.lit(label)).otherwise(expr)
-    return df.withColumn(split_col, expr)
+    return expr
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    weights: Sequence[float],
+    labels: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+    split_col: str = "split",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """:func:`hash_split` with a LEAKAGE GUARD: rows are split by their
+    near-duplicate CLUSTER representative (the connected-components
+    min-label over ``pairs``), so every member of a near-dup cluster
+    lands in the SAME split — the guard that keeps a test set from
+    containing paraphrases of training documents.  Rows in no cluster
+    split by their own key, and since the representative IS the
+    cluster's minimum member id, a cluster's split equals the plain
+    :func:`hash_split` of its min member — adding newly-discovered
+    duplicates of a document never moves the document's split.
+
+    Cost over :func:`hash_split`: the components computation
+    (vertex-sized state, O(log d) label rounds) plus ONE join of the
+    duplicate-vertex-sized cluster map onto the corpus (broadcast when
+    small; a key-equi hash join otherwise) — the membership expression
+    itself stays row-local."""
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    rep = comp.select(
+        F.col("v").alias("__lsv"), F.col("cluster_id").alias("__lsc")
+    )
+    out = df.join(rep, F.col(key_col) == F.col("__lsv"), "left")
+    skey = F.coalesce(F.col("__lsc"), F.col(key_col))
+    return out.withColumn(
+        split_col, _split_label_expr(skey, weights, labels, salt)
+    ).drop("__lsv", "__lsc")
 
 
 def stratified_sample(

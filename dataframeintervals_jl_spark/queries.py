@@ -2217,6 +2217,47 @@ SELECT CAST(v AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY v"""
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (sampling.py:
+    leakage_safe_split): MinHash near-dup pairs → connected
+    components → every cluster splits by its REPRESENTATIVE's hash, so
+    no near-duplicate pair ever straddles train and test — the
+    benchmark-decontamination guard a real pre-training split needs.
+    Unclustered docs split by their own key (identical to plain
+    hash_split).  The oracle replays the pairs, the reachability
+    closure, and every hash-range decision."""
+    from .operators.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", (0.8, 0.1, 0.1), salt="lsplit"
+    )
+    return out.select("doc_id", "split")
+
+
+def _sql_leakage_split() -> str:
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    h = _PH60.format(x="'lsplit|' || coalesce(c.c, d.doc_id)::VARCHAR")
+    return rf"""WITH RECURSIVE mh AS MATERIALIZED ({base}),
+ed AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM mh
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mh
+), reach(v, r) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a
+), comp AS (
+  SELECT v, min(r) AS c FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       CASE WHEN ({h} % 1000000) < 800000 THEN 'train'
+            WHEN ({h} % 1000000) < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.v"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Cluster-aware dedup KEEP policy end-to-end: MinHash near-dup
     pairs → connected components → keep the highest-quality member of
@@ -8479,6 +8520,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _sql_emb_neardup_lsh()),
     "q_dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "q_dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
+    "q_leakage_split": (q_leakage_split, _sql_leakage_split()),
     "q_dedup_lines": (q_dedup_lines, _SQL_DEDUP_LINES),
     "q_span_gaps": (q_span_gaps, _SQL_SPAN_GAPS),
     "q_span_complement": (q_span_complement, _SQL_SPAN_COMPLEMENT),

@@ -1234,3 +1234,41 @@ def test_winsorize_hand_case(spark):
 
     with _pytest.raises(ValueError, match="lo_ppm"):
         winsorize(df, "v", "id", lo_ppm=900_000, hi_ppm=100_000)
+
+
+def test_leakage_safe_split_guarantees(spark):
+    """No near-dup pair straddles splits; unclustered rows match plain
+    hash_split; a cluster's split equals the plain split of its MIN
+    member (so discovering more duplicates never moves a document)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    # chain clusters {0,1,2}, {10,11}, and a big star at 100
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)] + [(100, 100 + i) for i in range(1, 9)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", (0.8, 0.1, 0.1))
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 300  # left join never drops or duplicates rows
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", (0.8, 0.1, 0.1)).collect()
+    }
+    clustered = {0, 1, 2, 10, 11} | {100 + i for i in range(9)}
+    # same-cluster rows share a split, equal to the min member's plain
+    assert got[0] == got[1] == got[2] == plain[0]
+    assert got[10] == got[11] == plain[10]
+    assert len({got[100 + i] for i in range(9)}) == 1
+    assert got[100] == plain[100]
+    # unclustered rows are exactly the plain hash_split
+    for i in set(range(300)) - clustered:
+        assert got[i] == plain[i]
