@@ -2258,6 +2258,100 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.v"""
 
 
+def q_pipeline_curate_split(spark, sf_dir):
+    """End-to-end curation pipeline over the round-9 surface: text
+    cleanup → URL/domain extraction → blocklist → per-domain quota
+    sampling → leakage-safe train/val/test split → per-split corpus
+    stats.  Every stage is row-local or broadcast-joined except the
+    one components computation — the composed DAG a real crawl-intake
+    run ships, with every hash decision and the reachability closure
+    replayed by the oracle.  (Near-dup pairs come from the FULL
+    corpus, so documents dropped by curation still bind their
+    surviving duplicates' split — the conservative leakage stance.)"""
+    from .functions.text import clean_text
+    from .operators.curation import (
+        blocklist_filter,
+        domain_quota_sample,
+        extract_url_parts,
+    )
+    from .operators.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", clean_text(F.col("text")).alias("ct")
+    )
+    parts = extract_url_parts(base.withColumn("url", _url_expr()))
+    kept = blocklist_filter(parts, ["src1.com", "src3.com"])
+    kept = domain_quota_sample(kept, quota=12)
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, portable=True)
+    split = leakage_safe_split(
+        kept, pairs, "doc_id", (0.8, 0.1, 0.1), salt="lsplit"
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("ct")).cast("long").alias("sum_chars"),
+        F.count_distinct("domain").alias("n_domains"),
+    )
+
+
+def _sql_pipeline_curate_split() -> str:
+    base = _sql_minhash_pairs(num_hashes=32, bands=8, k=3, threshold=0.0)
+    hq = _PH60.format(x="'domquota|' || doc_id::VARCHAR")
+    hs = _PH60.format(x="'lsplit|' || coalesce(c.c, k2.doc_id)::VARCHAR")
+    return rf"""WITH RECURSIVE mh AS MATERIALIZED ({base}),
+ed AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM mh
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mh
+), reach(v, r) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a
+), comp AS (
+  SELECT v, min(r) AS c FROM reach GROUP BY v
+), cleaned AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS ct
+  FROM documents
+), d AS (
+  SELECT doc_id, ct,
+         array_to_string(sl[greatest(len(sl) - 1, 1):], '.') AS domain
+  FROM (
+    SELECT doc_id, ct,
+           string_split(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
+                        '.') AS sl
+    FROM (
+      SELECT doc_id, ct,
+             'https://'
+             || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                     WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END
+             || source
+             || CASE WHEN doc_id % 4 = 0 THEN '.org' ELSE '.com' END
+             || '/p/' || doc_id::VARCHAR AS url
+      FROM cleaned))
+), k1 AS (
+  SELECT * FROM d WHERE domain NOT IN ('src1.com', 'src3.com')
+), rate AS (
+  SELECT domain, least(1000000, (12 * 1000000) // count(*)) AS rppm
+  FROM k1 GROUP BY domain
+), k2 AS (
+  SELECT k1.* FROM k1 JOIN rate USING (domain)
+  WHERE ({hq} % 1000000) < rate.rppm
+), labeled AS (
+  SELECT k2.doc_id, k2.ct, k2.domain,
+         CASE WHEN ({hs} % 1000000) < 800000 THEN 'train'
+              WHEN ({hs} % 1000000) < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM k2 LEFT JOIN comp c ON k2.doc_id = c.v
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(ct)) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+FROM labeled GROUP BY split"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Cluster-aware dedup KEEP policy end-to-end: MinHash near-dup
     pairs → connected components → keep the highest-quality member of
@@ -8521,6 +8615,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "q_dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "q_leakage_split": (q_leakage_split, _sql_leakage_split()),
+    "q_pipeline_curate_split": (
+        q_pipeline_curate_split,
+        _sql_pipeline_curate_split(),
+    ),
     "q_dedup_lines": (q_dedup_lines, _SQL_DEDUP_LINES),
     "q_span_gaps": (q_span_gaps, _SQL_SPAN_GAPS),
     "q_span_complement": (q_span_complement, _SQL_SPAN_COMPLEMENT),
