@@ -252,3 +252,102 @@ def sample_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+PCM_RESAMPLE_SCHEMA_DDL = (
+    "id bigint, media binary, sample_rate int, n_samples bigint"
+)
+PCM_STATS_SCHEMA_DDL = (
+    "id bigint, n_samples bigint, peak int, rms int, n_clipped bigint"
+)
+
+
+def resample_pcm_raw(media_df: DataFrame, out_rate: int) -> DataFrame:
+    """REAL audio resample for RAW int16 mono PCM buffers — the audio
+    twin of :func:`resize_raw` (and like it, codec-free, so it RUNS
+    here: a real deployment puts an ffmpeg/soundfile decode in front).
+    Each ``media`` binary is little-endian int16 mono at
+    ``meta.sample_rate``; output is the NEAREST-NEIGHBOR index gather
+    to ``out_rate`` (source index ``floor(i·in_rate/out_rate)`` — one
+    integer index vector + one fancy-index, no per-sample Python).
+
+    Odd byte lengths raise with the offending id (fail-fast, the
+    :func:`resize_raw` contract).  Output:
+    :data:`PCM_RESAMPLE_SCHEMA_DDL`.  Map-only, zero shuffles;
+    Arrow-sized chunks stream through the worker."""
+    if out_rate <= 0:
+        raise ValueError(f"out_rate must be positive, got {out_rate}")
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, n_out = [], []
+            for rid, buf, rate in zip(pdf["id"], pdf["media"], pdf["rate"]):
+                if len(buf) % 2:
+                    raise ValueError(
+                        f"resample_pcm_raw: media for id={rid} has odd "
+                        f"length {len(buf)} (raw int16 mono PCM expected)"
+                    )
+                x = np.frombuffer(bytes(buf), dtype="<i2")
+                n_in, rate = len(x), int(rate)
+                n = (n_in * out_rate) // rate if rate else 0
+                idx = (np.arange(n) * rate) // out_rate
+                y = x[idx] if n else x[:0]
+                out.append(y.tobytes())
+                n_out.append(len(y))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "media": out,
+                    "sample_rate": np.int32(out_rate),
+                    "n_samples": np.array(n_out, dtype=np.int64),
+                }
+            )
+
+    slim = media_df.select(
+        "id", "media", F.col("meta.sample_rate").alias("rate")
+    )
+    return slim.mapInPandas(resample, PCM_RESAMPLE_SCHEMA_DDL)
+
+
+def pcm_stats(media_df: DataFrame, clip_at: int = 32700) -> DataFrame:
+    """Per-item loudness/quality stats over RAW int16 mono PCM: sample
+    count, peak |amplitude|, integer RMS (``isqrt(Σx² DIV n)`` — exact,
+    no libm), and the count of near-clipped samples (|x| >= clip_at) —
+    the audio analog of the text quality gates, used to drop silent or
+    clipped recordings before training.  Σx² stays inside int64 up to
+    ~8.6e9 samples/item (≈50 hours at 48 kHz).  Map-only; output
+    :data:`PCM_STATS_SCHEMA_DDL`."""
+    import math
+
+    if clip_at <= 0:
+        raise ValueError(f"clip_at must be positive, got {clip_at}")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, peak, rms, ncl = [], [], [], []
+            for rid, buf in zip(pdf["id"], pdf["media"]):
+                if len(buf) % 2:
+                    raise ValueError(
+                        f"pcm_stats: media for id={rid} has odd length "
+                        f"{len(buf)} (raw int16 mono PCM expected)"
+                    )
+                x = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                n = len(x)
+                ns.append(n)
+                peak.append(int(np.abs(x).max()) if n else 0)
+                energy = int((x * x).sum())
+                rms.append(math.isqrt(energy // n) if n else 0)
+                ncl.append(int((np.abs(x) >= clip_at).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "n_samples": np.array(ns, dtype=np.int64),
+                    "peak": np.array(peak, dtype=np.int32),
+                    "rms": np.array(rms, dtype=np.int32),
+                    "n_clipped": np.array(ncl, dtype=np.int64),
+                }
+            )
+
+    return media_df.select("id", "media").mapInPandas(
+        stats, PCM_STATS_SCHEMA_DDL
+    )

@@ -137,3 +137,72 @@ def test_resize_raw_nearest_neighbor_exact(spark):
         resize_raw(bad, 2, 2).collect()
     with pytest.raises(ValueError, match="positive"):
         resize_raw(media, 0, 4)
+
+
+def test_resample_pcm_raw_and_stats(spark):
+    """Real raw-PCM plumbing: nearest-neighbor resample halves/doubles
+    sample counts exactly, stats are exact integers (isqrt RMS, peak,
+    clip count), and corrupt (odd-length) buffers fail fast with the
+    offending id."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.multimodal import (
+        MEDIA_META_DDL,
+        pcm_stats,
+        resample_pcm_raw,
+    )
+
+    def mk(i, x, rate):
+        return (
+            i,
+            bytearray(np.asarray(x, dtype="<i2").tobytes()),
+            ("audio", 0, 0, rate, 0),
+        )
+
+    ramp = list(range(-8, 8))  # 16 samples
+    loud = [32767, -32768, 100, -100] * 4
+    rows = [mk(1, ramp, 16000), mk(2, loud, 8000), mk(3, [], 16000)]
+    df = spark.createDataFrame(
+        rows, f"id long, media binary, meta {MEDIA_META_DDL}"
+    )
+
+    # downsample 16k -> 8k: every 2nd sample by floor(i*in/out)
+    out = {
+        r["id"]: (r["n_samples"], bytes(r["media"]), r["sample_rate"])
+        for r in resample_pcm_raw(df, 8000).collect()
+    }
+    got1 = np.frombuffer(out[1][1], dtype="<i2").tolist()
+    assert out[1][0] == 8 and got1 == ramp[::2]
+    # upsample 8k -> 16k: each sample doubled
+    up = {
+        r["id"]: np.frombuffer(bytes(r["media"]), dtype="<i2").tolist()
+        for r in resample_pcm_raw(df, 16000).collect()
+    }
+    assert up[2] == [v for v in loud for _ in (0, 1)]
+    # empty buffer stays empty, zero samples
+    assert out[3][0] == 0 and out[3][1] == b""
+
+    st = {r["id"]: r for r in pcm_stats(df).collect()}
+    assert st[1]["n_samples"] == 16 and st[1]["peak"] == 8
+    e1 = sum(v * v for v in ramp)
+    import math
+    assert st[1]["rms"] == math.isqrt(e1 // 16)
+    assert st[1]["n_clipped"] == 0
+    assert st[2]["peak"] == 32768 and st[2]["n_clipped"] == 8
+    assert st[3]["n_samples"] == 0 and st[3]["rms"] == 0
+
+    # corrupt odd-length buffer: fail fast, names the id
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\x01\x02\x03"), ("audio", 0, 0, 16000, 0))],
+        f"id long, media binary, meta {MEDIA_META_DDL}",
+    )
+    with pytest.raises(Exception, match="id=9"):
+        resample_pcm_raw(bad, 8000).collect()
+    with pytest.raises(Exception, match="id=9"):
+        pcm_stats(bad).collect()
+    with pytest.raises(ValueError):
+        resample_pcm_raw(df, 0)
+    with pytest.raises(ValueError):
+        pcm_stats(df, clip_at=0)

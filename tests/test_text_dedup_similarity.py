@@ -1931,3 +1931,37 @@ def test_write_lsh_index_rebuild_drops_segments(spark, tmp_path):
         for r in lsh_rerank_topk_indexed(spark, path, q, k=5).collect()
     }
     assert got == expected
+
+
+def test_match_spans_matches_python_re_bulk(spark):
+    """200 deterministic pseudo-random (text, pattern) cases checked
+    against Python re.finditer in ONE Spark round-trip — offsets must
+    agree exactly for every non-overlapping leftmost match."""
+    import re as _re
+
+    from dataframeintervals_jl_spark.functions.text import match_spans
+
+    pats = [r"\d+", r"[ab]+", r"a.b", r"x[yz]{2}", r"\bq\w*"]
+    alphabet = "ab xq1 yz2 .b "
+    rows = []
+    state = 1234567
+    for i in range(200):
+        chars = []
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        ln = state % 30
+        for _ in range(ln):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            chars.append(alphabet[state % len(alphabet)])
+        rows.append((i, "".join(chars), pats[i % len(pats)]))
+
+    df = spark.createDataFrame(rows, "i long, t string, p string")
+    got = {}
+    for pat in pats:
+        sub = df.filter(F.col("p") == pat).select(
+            "i", match_spans(F.col("t"), pat).alias("s")
+        )
+        for r in sub.collect():
+            got[r["i"]] = [(x["start"], x["stop"]) for x in r["s"]]
+    for i, t, p in rows:
+        want = [(m.start(), m.end()) for m in _re.finditer(p, t)]
+        assert got[i] == want, (i, t, p)
