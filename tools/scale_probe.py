@@ -4,11 +4,15 @@ claims have a measured slope instead of plan-shape arguments alone.
 
 The 10x tables are 10 tagged copies of documents / events / embeddings:
 
-- ``documents``: doc_id shifted per copy; copies > 0 get a 2-token
-  copy tag appended to the text, so the MinHash/SimHash near-dup
-  structure is PRESERVED per copy but not inflated ACROSS copies
-  (10 exact copies of every doc would multiply bucket sizes by 10 and
-  candidate pairs by 100 — a quadratic artifact, not 10x data);
+- ``documents``: doc_id shifted per copy; copies > 0 get EVERY token
+  prefixed with a copy tag (``c3foo``), so every shingle differs
+  across copies and each copy is an INDEPENDENT corpus with the
+  original's internal near-dup density.  (A first version appended a
+  2-token copy tag instead — that prevents only EXACT duplication:
+  MinHash signatures of 100-token docs barely move when 2 tokens
+  change, so copies band-collided and the pair OUTPUT grew
+  quadratically in the copy count — a 30x run measured 35x minhash
+  cost from the inflated output, not from the engine);
 - ``events``: user/event ids shifted per copy (each copy is a fresh
   user population) and the timeline laid end-to-end (ts shifted by a
   full dataset span per copy) — temporal density per bin is unchanged,
@@ -68,7 +72,7 @@ def build_scaled(spark, copies: int) -> None:
             (
                 F.col("text")
                 if k == 0
-                else F.concat(F.col("text"), F.lit(f" copy c{k}"))
+                else F.regexp_replace(F.col("text"), r"(\S+)", f"c{k}$1")
             ).alias("text"),
             "lang",
             "source",
@@ -146,13 +150,27 @@ def main() -> None:
         except Exception:
             pass
 
+    def _cpu_probe() -> float:
+        # bench.py's contemporaneous host-steal indicator: a fixed
+        # single-thread workload, ~0.07s on a quiet core — recorded per
+        # query slot so a slow reading with a slow probe reads as
+        # environment noise, not engine behavior
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        assert x >= 0
+        return round(time.perf_counter() - t0, 4)
+
+    probes = {}
+
     def run(name, sf_dir):
-        # best-of-2 (the bench estimator): one sample absorbs JVM/Arrow
-        # warmup and host-steal bursts that would otherwise pollute the
-        # slope; intermediates cleaned between samples
+        # best-of-3 (steal windows on this host inflate single samples
+        # 3-25x): intermediates cleaned between samples
         fn = QUERIES[name][0]
+        probes.setdefault(name, []).append(_cpu_probe())
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _force(fn(spark, sf_dir))
             samples.append(time.time() - t0)
@@ -182,7 +200,16 @@ def main() -> None:
         print(f"## {name}: {rec}", flush=True)
 
     spark.stop()
-    print(json.dumps({"copies": copies, "gen_sec": gen_sec, "queries": out}))
+    print(
+        json.dumps(
+            {
+                "copies": copies,
+                "gen_sec": gen_sec,
+                "queries": out,
+                "cpu_probe": probes,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
