@@ -1973,3 +1973,48 @@ def test_stream_winsorize_matches_batch(spark, tmp_path):
     assert got_all[500] is None
     # zzz: single-value group -> lo == hi == 42 -> unchanged
     assert got_all[501] == 42
+
+
+def test_training_transforms_stream_valid(spark, tmp_path):
+    """The round-9 row-local transforms (clean_text, redact_pii,
+    span_corrupt, fim_split) are pure projections, so they apply to a
+    real file stream UNCHANGED and keep bit-identical outputs to the
+    batch run — no state store, stateless append."""
+    from dataframeintervals_jl_spark.functions.text import (
+        clean_text,
+        redact_pii,
+    )
+    from dataframeintervals_jl_spark.operators.corruption import (
+        fim_split,
+        span_corrupt,
+    )
+
+    rows = [
+        (i, f"alpha\tbeta  {i} mail u{i}@ex.org gamma delta epsilon")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def xf(d):
+        base = d.select(
+            "doc_id", redact_pii(clean_text(F.col("text"))).alias("text")
+        )
+        return (
+            span_corrupt(base, start_ppm=300_000, max_span=2)
+            .join(fim_split(base).select("doc_id", "psm"), "doc_id")
+        )
+
+    expected = sorted(tuple(r) for r in xf(df).collect())
+
+    stream = _roundtrip_stream(spark, df, str(tmp_path / "tt"))
+    out = xf(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttx")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ttx").collect())
+    assert got == expected
