@@ -1061,3 +1061,29 @@ def test_clean_text_semantics(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
     got = [r["c"] for r in df.select(clean_text("t").alias("c")).collect()]
     assert got == [w for _, w in rows]
+
+
+def test_url_host_matches_oracle_regex(spark):
+    """The domain-curation oracles replay host extraction with HOST_RE
+    while the engine uses try_parse_url — this pins their equivalence
+    on the synthetic URL grammar (and documents where they diverge:
+    userinfo, which the grammar never produces)."""
+    from dataframeintervals_jl_spark.operators.curation import (
+        HOST_RE,
+        url_host,
+    )
+
+    urls = [
+        "https://www.src1.example.com/p/123",
+        "http://cdn.src2.org:8080/a/b?q=1#f",
+        "https://src3.net/",
+        "https://a.b.c.d.com/x",
+        "https://host.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        F.regexp_extract("url", HOST_RE, 1).alias("rx"),
+    ).collect()
+    for r in rows:
+        assert r["h"] == r["rx"], (r["h"], r["rx"])
