@@ -1087,3 +1087,35 @@ def test_url_host_matches_oracle_regex(spark):
     ).collect()
     for r in rows:
         assert r["h"] == r["rx"], (r["h"], r["rx"])
+
+
+def test_bpe_tokenize_plan_contract(spark):
+    """The Arrow tokenizer is the sanctioned batched path: exactly one
+    ArrowEvalPython stage (never row-at-a-time BatchEvalPython), no
+    shuffle for tokenization itself, and the downstream histogram
+    keeps map-side partial aggregation around one exchange."""
+    from dataframeintervals_jl_spark.operators.bpe import (
+        bpe_tokenize,
+        synthetic_merges,
+    )
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta g{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    toks = bpe_tokenize(docs, synthetic_merges(64))
+    plan = toks._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert count_exchanges(toks) == 0
+
+    hist = (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hp = simple_plan(hist)
+    assert hp.count("HashAggregate") >= 2
+    assert_max_exchanges(hist, 1)
