@@ -685,3 +685,91 @@ def multi_resolution_rollup(
         bucket_expr.alias("bucket_start"),
         *agg_names,
     )
+
+
+def time_weighted_avg(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """LOCF time-weighted average per window — the hypertable
+    ``time_weight('LOCF')`` aggregate (TimescaleDB toolkit shape),
+    built entirely from the engine's own primitives: each sample's
+    value HOLDS until the next sample (:func:`validity_intervals`
+    collapses unchanged runs), validity spans overlap-join the windows
+    (:func:`~.interval_join.interval_join` — the windows side is
+    dimension-sized, so auto strategy broadcasts it), and each
+    window's average weights the value by exactly the duration it was
+    held inside the window.
+
+    Exact-integer contract: ``value_col`` must be integral (fixed-point
+    doubles first — the engine's ``v_fx`` pattern); the weighted mean
+    is ``Σ(v·dur) DIV Σ(dur)`` with the products accumulated in
+    DECIMAL(38,0) (value·duration exceeds int64 at ns durations), so
+    the result is bit-replayable cross-engine.  Open (current) runs
+    and runs extending past the window range are CLAMPED to the
+    windows' max stop via a broadcast 1-row aggregate — lazy, no
+    driver action, and it keeps the binned join strategy usable
+    (an unclamped +inf stop would explode the bin fan-out).  Windows
+    never covered by any sample (all-LOCF-gap) emit no row — the
+    ``time_weight`` convention.
+
+    Output: ``by`` keys + every non-span windows column +
+    ``covered_dur`` (ns actually covered) + ``twa`` (floor weighted
+    mean, value scale).  Scale shape: one per-key sort for the
+    validity build, one broadcast overlap join, one partial-agged
+    group — nothing driver-side."""
+    from ..functions.spans import make_span
+    from .interval_join import interval_join
+
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "time_weighted_avg: windows must carry at least one label "
+            "column besides the span"
+        )
+    v = validity_intervals(
+        samples.select(*keys, ts_col, value_col, *order),
+        attrs=[value_col],
+        on=ts_col,
+        by=by,
+        order=order,
+    )
+    whi = windows.agg(
+        F.max(F.col(f"{window_span_col}.stop")).alias("__whi")
+    )
+    stop = F.least(
+        F.coalesce(F.col("valid_to"), F.col("__whi")), F.col("__whi")
+    )
+    vs = (
+        v.crossJoin(F.broadcast(whi))
+        .filter(F.col("valid_from") < stop)
+        .select(
+            *keys,
+            value_col,
+            make_span(F.col("valid_from"), stop).alias("span"),
+        )
+    )
+    j = interval_join(
+        vs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        validate="skip",
+        strategy=strategy,
+    )
+    dec = "DECIMAL(38,0)"
+    dur_sql = "(span.stop - span.start)"
+    return j.groupBy(*keys, *label_cols).agg(
+        F.expr(f"CAST(sum({dur_sql}) AS BIGINT)").alias("covered_dur"),
+        F.expr(
+            f"CAST(sum(CAST({value_col} AS {dec}) * CAST({dur_sql} AS {dec}))"
+            f" DIV sum(CAST({dur_sql} AS {dec})) AS BIGINT)"
+        ).alias("twa"),
+    )

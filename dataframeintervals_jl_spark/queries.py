@@ -5378,6 +5378,64 @@ def _sql_cms_join_size(width: int = 256, depth: int = 4) -> str:
 SELECT est.join_rows_est, ex.exact_rows FROM est CROSS JOIN ex"""
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """LOCF time-weighted average per window (timeseries.py:
+    time_weighted_avg — the TimescaleDB ``time_weight('LOCF')``
+    shape): per event_type, each sample's fixed-point value holds
+    until the next sample; 16 equal windows over the event-span range
+    each average the held value weighted by exactly the nanoseconds it
+    covered.  Products accumulate in DECIMAL(38,0) (ns durations
+    overflow int64 products), floor-divided — the oracle replays the
+    validity build, the clamp, the overlap join, and the HUGEINT
+    weighted mean bit-for-bit."""
+    from .operators.timeseries import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = time_weighted_avg(
+        ev, w, "v_fx", ts_col="ts", by="event_type", order=["event_id"]
+    )
+    return out.select("event_type", "widx", "covered_dur", "twa")
+
+
+_SQL_TIME_WEIGHTED_AVG = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), m AS (
+  SELECT *, lag(v_fx) OVER pk AS prev
+  FROM ev WINDOW pk AS (PARTITION BY event_type ORDER BY t, event_id)
+), runs AS (
+  SELECT event_type, v_fx, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM v_fx
+), vi AS (
+  SELECT event_type, v_fx, t AS f,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS vt
+  FROM runs
+), whi AS (SELECT max(w_stop) AS hi2 FROM w),
+vc AS (
+  SELECT event_type, v_fx, f,
+         least(coalesce(vt, hi2), hi2) AS s
+  FROM vi, whi
+  WHERE f < least(coalesce(vt, hi2), hi2)
+), j AS (
+  SELECT vc.event_type, vc.v_fx, w.widx,
+         least(vc.s, w.w_stop) - greatest(vc.f, w.w_start) AS dur
+  FROM vc JOIN w ON greatest(vc.f, w.w_start) < least(vc.s, w.w_stop)
+)
+SELECT event_type, widx,
+       CAST(sum(dur) AS BIGINT) AS covered_dur,
+       CAST(sum(v_fx::HUGEINT * dur) // sum(dur::HUGEINT) AS BIGINT) AS twa
+FROM j GROUP BY event_type, widx"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -8702,6 +8760,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
+    "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
     "q_validity_intervals_global": (
         q_validity_intervals_global,
         _SQL_VALIDITY_GLOBAL,

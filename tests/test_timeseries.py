@@ -582,3 +582,49 @@ def test_multi_resolution_rollup_hand_values_and_plan(spark):
 
     with _pytest.raises(ValueError, match="resolutions"):
         multi_resolution_rollup(df, "ts", {})
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """LOCF weighting on a hand-checkable stream: value 10 holds for
+    [0, 40), 30 for [40, 100), open run clamped at the windows' max
+    stop; window [0, 50) averages (10*40 + 30*10)/50 = 14, window
+    [50, 100) is pure 30; a window entirely before the first sample
+    emits NO row; negative values floor-divide consistently."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    samples = spark.createDataFrame(
+        [("k", 10, 10, 1), ("k", 40, 30, 2), ("k", 200, 7, 3),
+         ("n", 60, -9, 4)],
+        "key string, ts long, v long, eid long",
+    )
+    # shift k's first sample to 0 so window 1 is fully covered
+    samples = samples.withColumn(
+        "ts", F.when(F.col("eid") == 1, F.lit(0)).otherwise(F.col("ts"))
+    )
+    windows = spark.createDataFrame(
+        [(-100, -50, 0), (0, 50, 1), (50, 100, 2)],
+        "a long, b long, widx int",
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+
+    out = {
+        (r["key"], r["widx"]): (r["covered_dur"], r["twa"])
+        for r in time_weighted_avg(
+            samples, windows, "v", ts_col="ts", by="key", order=["eid"]
+        ).collect()
+    }
+    # window 0 precedes every sample: no rows at all for it
+    assert not any(w == 0 for (_, w) in out)
+    assert out[("k", 1)] == (50, (10 * 40 + 30 * 10) // 50)
+    assert out[("k", 2)] == (50, 30)
+    # key n: value -9 from ts=60, clamped at 100 -> window 2 covers 40
+    assert out[("n", 2)] == (40, -9)
+    assert ("n", 1) not in out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="label"):
+        time_weighted_avg(samples, windows.select("span"), "v", by="key")
