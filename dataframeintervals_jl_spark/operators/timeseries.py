@@ -773,3 +773,112 @@ def time_weighted_avg(
             f" DIV sum(CAST({dur_sql} AS {dec})) AS BIGINT)"
         ).alias("twa"),
     )
+
+
+def duration_in_state(
+    samples: DataFrame,
+    windows: DataFrame,
+    state_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Time spent in each STATE per window — the hypertable
+    ``state_agg``/``duration_in`` aggregate: the categorical twin of
+    :func:`time_weighted_avg` (same validity-build → clamp → overlap
+    join machinery; the aggregate is a plain duration sum per
+    (window, state) instead of a weighted mean, so it is exact for
+    any state type).  States hold LOCF-style until the next sample;
+    open runs clamp to the windows' max stop; windows before the
+    first sample emit nothing.
+
+    Output: ``by`` keys + non-span windows columns + ``state_col`` +
+    ``dur_ns``.  Per (key, window), the ``dur_ns`` values partition
+    the window's covered time — Σ dur_ns == time_weighted_avg's
+    covered_dur (asserted in pytest)."""
+    from ..functions.spans import make_span
+    from .interval_join import interval_join
+
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "duration_in_state: windows must carry at least one label "
+            "column besides the span"
+        )
+    v = validity_intervals(
+        samples.select(*keys, ts_col, state_col, *order),
+        attrs=[state_col],
+        on=ts_col,
+        by=by,
+        order=order,
+    )
+    whi = windows.agg(
+        F.max(F.col(f"{window_span_col}.stop")).alias("__whi")
+    )
+    stop = F.least(
+        F.coalesce(F.col("valid_to"), F.col("__whi")), F.col("__whi")
+    )
+    vs = (
+        v.crossJoin(F.broadcast(whi))
+        .filter(F.col("valid_from") < stop)
+        .select(
+            *keys,
+            state_col,
+            make_span(F.col("valid_from"), stop).alias("span"),
+        )
+    )
+    j = interval_join(
+        vs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        validate="skip",
+        strategy=strategy,
+    )
+    return j.groupBy(*keys, *label_cols, state_col).agg(
+        F.expr("CAST(sum(span.stop - span.start) AS BIGINT)").alias(
+            "dur_ns"
+        )
+    )
+
+
+def counter_total(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """Monotonic-counter rollup with RESET handling — the hypertable
+    ``counter_agg``/``delta`` aggregate: per key, the total counter
+    increase across the series where a DECREASE between consecutive
+    samples is a counter reset (the new reading counts whole, the
+    standard Prometheus/TimescaleDB rule), plus the reset count and
+    the observed sample count.  One per-key window pass + one
+    partial-agged group; exact integer arithmetic.
+
+    Output: keys + ``total_delta`` + ``n_resets`` + ``n_samples``."""
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("counter_total: by key(s) required")
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    v = F.col(value_col).cast("long")
+    delta = v - F.lag(v).over(w)
+    step = (
+        F.when(delta.isNull(), F.lit(0))
+        .when(delta < 0, v)
+        .otherwise(delta)
+    )
+    reset = F.when(delta < 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.select(*keys, step.alias("__st"), reset.alias("__rs"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("__st").alias("total_delta"),
+            F.sum("__rs").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )

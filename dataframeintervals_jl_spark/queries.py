@@ -5436,6 +5436,94 @@ SELECT event_type, widx,
 FROM j GROUP BY event_type, widx"""
 
 
+def q_duration_in_state(spark, sf_dir):
+    """Per-window time-in-state (timeseries.py: duration_in_state —
+    the hypertable ``state_agg`` aggregate, and the categorical twin
+    of q_time_weighted_avg): the GLOBAL event_type stream holds each
+    state LOCF-style until the next event; 16 equal windows report
+    nanoseconds spent in each state.  Exercises the keyless
+    (range-bucketed) validity path end-to-end under an overlap join;
+    the oracle replays the global run collapse, the clamp, and every
+    duration sum."""
+    from .operators.timeseries import duration_in_state
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = duration_in_state(
+        ev, w, "event_type", ts_col="ts", by=None, order=["event_id"]
+    )
+    return out.select("widx", "event_type", "dur_ns")
+
+
+_SQL_DURATION_IN_STATE = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id FROM events
+), m AS (
+  SELECT *, lag(event_type) OVER (ORDER BY t, event_id) AS prev FROM ev
+), runs AS (
+  SELECT event_type, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+), vi AS (
+  SELECT event_type, t AS f,
+         lead(t) OVER (ORDER BY t, event_id) AS vt
+  FROM runs
+), whi AS (SELECT max(w_stop) AS hi2 FROM w),
+vc AS (
+  SELECT event_type, f, least(coalesce(vt, hi2), hi2) AS s
+  FROM vi, whi
+  WHERE f < least(coalesce(vt, hi2), hi2)
+), j AS (
+  SELECT vc.event_type, w.widx,
+         least(vc.s, w.w_stop) - greatest(vc.f, w.w_start) AS dur
+  FROM vc JOIN w ON greatest(vc.f, w.w_start) < least(vc.s, w.w_stop)
+)
+SELECT widx, event_type, CAST(sum(dur) AS BIGINT) AS dur_ns
+FROM j GROUP BY widx, event_type"""
+
+
+def q_counter_total(spark, sf_dir):
+    """Counter rollup with reset handling (timeseries.py:
+    counter_total — the hypertable ``counter_agg``/Prometheus rate
+    base): per user, the total increase of the fixed-point value
+    series where any decrease is a counter reset (the new reading
+    counts whole), plus reset and sample counts.  One per-key window
+    pass + one partial-agged group; the oracle replays the lag
+    deltas exactly."""
+    from .operators.timeseries import counter_total
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    return counter_total(
+        ev, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+    )
+
+
+_SQL_COUNTER_TOTAL = """WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), d AS (
+  SELECT user_id,
+         v_fx - lag(v_fx) OVER pk AS delta, v_fx
+  FROM ev WINDOW pk AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN delta IS NULL THEN 0
+                     WHEN delta < 0 THEN v_fx ELSE delta END) AS BIGINT)
+         AS total_delta,
+       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resets,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM d GROUP BY user_id"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -8761,6 +8849,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
+    "q_duration_in_state": (q_duration_in_state, _SQL_DURATION_IN_STATE),
+    "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
     "q_validity_intervals_global": (
         q_validity_intervals_global,
         _SQL_VALIDITY_GLOBAL,

@@ -628,3 +628,59 @@ def test_time_weighted_avg_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="label"):
         time_weighted_avg(samples, windows.select("span"), "v", by="key")
+
+
+def test_duration_in_state_partitions_covered_time(spark):
+    """Per (key-less) window, Σ dur_ns across states == the window's
+    covered time, and a hand-checked stream distributes correctly."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        duration_in_state,
+    )
+
+    samples = spark.createDataFrame(
+        [(0, "up", 1), (30, "down", 2), (70, "up", 3)],
+        "ts long, st string, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, 1), (50, 100, 2)], "a long, b long, widx int"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+    out = {
+        (r["widx"], r["st"]): r["dur_ns"]
+        for r in duration_in_state(
+            samples, windows, "st", ts_col="ts", order=["eid"]
+        ).collect()
+    }
+    # [0,30) up, [30,70) down, [70,100) up (open, clamped at 100)
+    assert out == {
+        (1, "up"): 30,
+        (1, "down"): 20,
+        (2, "down"): 20,
+        (2, "up"): 30,
+    }
+
+
+def test_counter_total_resets(spark):
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        counter_total,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 1), ("a", 2, 25, 2), ("a", 3, 5, 3), ("a", 4, 9, 4),
+         ("b", 1, 7, 5)],
+        "k string, ts long, v long, eid long",
+    )
+    got = {
+        r["k"]: (r["total_delta"], r["n_resets"], r["n_samples"])
+        for r in counter_total(df, "v", by="k", order=["eid"]).collect()
+    }
+    # a: +15, reset->5 counts whole, +4 => 24; one reset
+    assert got["a"] == (24, 1, 4)
+    # single sample: no deltas, no resets
+    assert got["b"] == (0, 0, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        counter_total(df, "v", by=None)
