@@ -5378,7 +5378,7 @@ def _sql_cms_join_size(width: int = 256, depth: int = 4) -> str:
 SELECT est.join_rows_est, ex.exact_rows FROM est CROSS JOIN ex"""
 
 
-def q_time_weighted_avg(spark, sf_dir):
+def q_time_weighted_locf(spark, sf_dir):
     """LOCF time-weighted average per window (timeseries.py:
     time_weighted_avg — the TimescaleDB ``time_weight('LOCF')``
     shape): per event_type, each sample's fixed-point value holds
@@ -5403,7 +5403,7 @@ def q_time_weighted_avg(spark, sf_dir):
     return out.select("event_type", "widx", "covered_dur", "twa")
 
 
-_SQL_TIME_WEIGHTED_AVG = f"""WITH {_ES_CTE},
+_SQL_TIME_WEIGHT_LOCF = f"""WITH {_ES_CTE},
 {_w_cte(16, "widx")},
 ev AS (
   SELECT event_type, epoch_ns(ts) AS t, event_id,
@@ -5439,7 +5439,7 @@ FROM j GROUP BY event_type, widx"""
 def q_duration_in_state(spark, sf_dir):
     """Per-window time-in-state (timeseries.py: duration_in_state —
     the hypertable ``state_agg`` aggregate, and the categorical twin
-    of q_time_weighted_avg): the GLOBAL event_type stream holds each
+    of q_time_weighted_locf): the GLOBAL event_type stream holds each
     state LOCF-style until the next event; 16 equal windows report
     nanoseconds spent in each state.  Exercises the keyless
     (range-bucketed) validity path end-to-end under an overlap join;
@@ -8848,7 +8848,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
-    "q_time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
+    "q_time_weighted_locf": (q_time_weighted_locf, _SQL_TIME_WEIGHT_LOCF),
     "q_duration_in_state": (q_duration_in_state, _SQL_DURATION_IN_STATE),
     "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
     "q_validity_intervals_global": (
@@ -8916,22 +8916,30 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
 #      committed CORRECTNESS_r*.json comes next -- brand-new queries land
 #      here by construction, so the gate always verifies new and
 #      never-verified entries first;
-#   3. the already-driver-verified remainder ROTATES (round 7+): the list
-#      is rotated by (committed-CORRECTNESS-file-count x free window slots)
-#      so each round the driver re-verifies the NEXT slice of the deep
-#      catalog instead of re-gating the same first-38 verified entries
-#      forever -- a regression anywhere in the verified tail surfaces
-#      within ceil(len(verified)/free_slots) rounds.
-# No BENCH-file glob: the only round counter is the number of committed
-# CORRECTNESS_r*.json files, which the driver itself writes.  With zero
-# files on disk the order degrades to pinned-core + catalog order (fails
-# safe, and the next round's file restores coverage-awareness).
+#   3. the already-driver-verified remainder is ordered STALEST FIRST
+#      (round 10+, was a fixed-offset rotation in rounds 7-9): each
+#      entry's age is the highest round whose committed
+#      CORRECTNESS_r*.json gave it a green row, and the free window
+#      slots always take the globally oldest-gated entries.  Gating an
+#      entry bumps its age to the current round, pushing it to the back
+#      -- the scheme is self-advancing (no round counter needed) and
+#      WORST-CASE staleness is bounded by ceil(len(verified)/free)
+#      rounds, where the old offset rotation only bounded the average.
+# With zero CORRECTNESS files on disk the order degrades to pinned-core
+# + catalog order (fails safe, and the next round's file restores
+# coverage-awareness).
 # ``_gate_order`` is pure and unit-tested in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
 #: driver gate width: the correctness driver verifies the first 50
 #: catalog entries each round
 _GATE_WINDOW = 50
+
+#: committed catalog size, bumped on every addition — the guard test
+#: asserts ``len(QUERIES)`` against it so a silently-shadowing
+#: duplicate key (which Python would otherwise accept and drop an
+#: entry) fails CI even if the source-scan test is skipped
+EXPECTED_CATALOG_SIZE = 193
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping
@@ -8952,28 +8960,23 @@ _GATE_PINNED = [
 ]
 
 
-def _correctness_round_count(root: str) -> int:
-    """Number of committed CORRECTNESS_r*.json files — the repo-owned
-    round counter that drives the verified-remainder rotation.  The
-    driver writes exactly one per round, so this advances by one each
-    round without any BENCH-glob or wall-clock dependence."""
-    import glob as _glob
-    import os as _os
-
-    return len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
-
-
-def _driver_verified_names(root: str) -> set:
-    """Names with at least one green driver CORRECTNESS row, read from the
-    committed CORRECTNESS_r*.json files.  A row counts as green when rows
-    and schema match and the value hash either matched or was not computed
-    (the driver's weaker rows-only check for non-SQL-expressible ops)."""
+def _driver_verified_rounds(root: str) -> dict:
+    """``{name: last_green_round}`` read from the committed
+    CORRECTNESS_r*.json files — for every query name, the HIGHEST round
+    number whose driver record gave it a green row.  A row counts as
+    green when rows and schema match and the value hash either matched
+    or was not computed (the driver's weaker rows-only check for
+    non-SQL-expressible ops).  Unparseable files or rows are skipped
+    (fails safe to "never verified")."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
-    seen = set()
+    seen = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        round_no = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = _json.load(fh)
@@ -8989,40 +8992,46 @@ def _driver_verified_names(root: str) -> set:
                 and row.get("schema_match")
                 and row.get("hash_match") in (True, None)
             ):
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), round_no)
     return seen
 
 
 def _gate_order(
     queries: dict,
     pinned: list,
-    verified: set,
+    verified,
     window: int = _GATE_WINDOW,
-    rounds: int = 0,
 ) -> dict:
-    """Pure reordering: pinned core, then never-driver-verified entries in
-    catalog order, then the verified remainder ROTATED by ``rounds`` times
-    the number of free window slots — so every round the driver re-gates a
-    fresh slice of the verified deep catalog and cycles through all of it
-    in ceil(len(verified)/free) rounds.  Never drops or alters entries;
-    names in ``pinned`` missing from the catalog are skipped.  When pinned
-    + never-verified would overflow the driver's ``window``, pinned names
-    are dropped from the TAIL until every never-verified entry fits
-    (never-verified coverage outranks the tripwires: a pinned entry has
-    already had green driver rows)."""
-    pin = [n for n in pinned if n in queries]
-    n_never = sum(
-        1 for n in queries if n not in set(pin) and n not in verified
+    """Pure reordering: pinned core, then never-driver-verified entries
+    in catalog order, then the verified remainder ordered STALEST FIRST
+    — by last-gated round ascending (``verified`` is a mapping
+    ``{name: last_green_round}``; a plain set is accepted and treated as
+    all-same-age, degrading to catalog order), catalog position as the
+    tiebreak.  The driver's window therefore always re-gates the
+    globally oldest-verified entries, and gating bumps an entry's age,
+    so worst-case staleness is bounded by ceil(len(verified)/free)
+    rounds without any external round counter.  Never drops or alters
+    entries; names in ``pinned`` missing from the catalog are skipped.
+    When pinned + never-verified would overflow the driver's
+    ``window``, pinned names are dropped from the TAIL until every
+    never-verified entry fits (never-verified coverage outranks the
+    tripwires: a pinned entry has already had green driver rows)."""
+    ages = (
+        verified
+        if hasattr(verified, "get")
+        else {n: 0 for n in verified}
     )
+    pin = [n for n in pinned if n in queries]
+    n_never = sum(1 for n in queries if n not in set(pin) and n not in ages)
     if len(pin) + n_never > window:
         pin = pin[: max(0, window - n_never)]
     head_set = set(pin)
-    never = [n for n in queries if n not in head_set and n not in verified]
-    rest = [n for n in queries if n not in head_set and n in verified]
-    free = max(0, window - len(pin) - len(never))
-    if rest and free and rounds:
-        off = (rounds * free) % len(rest)
-        rest = rest[off:] + rest[:off]
+    never = [n for n in queries if n not in head_set and n not in ages]
+    pos = {n: i for i, n in enumerate(queries)}
+    rest = sorted(
+        (n for n in queries if n not in head_set and n in ages),
+        key=lambda n: (ages[n], pos[n]),
+    )
     return {n: queries[n] for n in pin + never + rest}
 
 
@@ -9032,6 +9041,5 @@ _REPO_ROOT = __import__("os").path.dirname(
 QUERIES = _gate_order(
     QUERIES,
     _GATE_PINNED,
-    _driver_verified_names(_REPO_ROOT),
-    rounds=_correctness_round_count(_REPO_ROOT),
+    _driver_verified_rounds(_REPO_ROOT),
 )

@@ -413,64 +413,78 @@ def test_gate_order_puts_never_verified_first():
     }
 
 
-def test_gate_order_rotates_verified_remainder():
-    """Round 7+: the verified remainder rotates by rounds x free-slots so
-    the driver re-gates a fresh verified slice each round instead of the
-    same fixed prefix forever.  Pins and never-verified stay in front;
-    rotation never drops or duplicates entries."""
+def test_gate_order_stalest_verified_first():
+    """Round 10+: the verified remainder is ordered by last-gated round
+    ascending (oldest first), catalog position as tiebreak — so the
+    driver's free window slots always contain the globally stalest
+    verified entries, and worst-case staleness is bounded by
+    ceil(len(verified)/free) rounds.  Pins and never-verified stay in
+    front; ordering never drops or duplicates entries."""
     from dataframeintervals_jl_spark.queries import _gate_order
 
     catalog = {f"q{i}": i for i in range(20)}
     pinned = ["q0", "q1"]
-    verified = {f"q{i}" for i in range(2, 20)}  # q0/q1 pinned, rest verified
+    # q0/q1 pinned; rest verified with assorted last-gated rounds
+    ages = {f"q{i}": 9 - (i % 4) for i in range(2, 20)}
     window = 8  # free slots = 8 - 2 pins - 0 never = 6
-    r0 = list(_gate_order(catalog, pinned, verified, window, rounds=0))
-    r1 = list(_gate_order(catalog, pinned, verified, window, rounds=1))
-    r2 = list(_gate_order(catalog, pinned, verified, window, rounds=2))
-    assert r0[:2] == r1[:2] == r2[:2] == ["q0", "q1"]
-    # rounds=0 keeps catalog order; rounds=1 rotates by 6; rounds=2 by 12
-    assert r0[2:8] == ["q2", "q3", "q4", "q5", "q6", "q7"]
-    assert r1[2:8] == ["q8", "q9", "q10", "q11", "q12", "q13"]
-    assert r2[2:8] == ["q14", "q15", "q16", "q17", "q18", "q19"]
-    # full cycle: 3 consecutive windows cover the entire verified set
-    assert set(r0[2:8]) | set(r1[2:8]) | set(r2[2:8]) == verified
-    # a rotation is a permutation — nothing dropped or duplicated
-    for r in (r0, r1, r2):
-        assert sorted(r) == sorted(catalog)
-    # never-verified entries always outrank the rotated remainder
-    part = dict(catalog)
-    out = list(
-        _gate_order(part, pinned, verified - {"q9"}, window, rounds=3)
-    )
-    assert out[2] == "q9"
+    out = list(_gate_order(catalog, pinned, ages, window))
+    assert out[:2] == ["q0", "q1"]
+    # the window's free slots hold the globally stalest entries
+    stalest = sorted(ages, key=lambda n: (ages[n], int(n[1:])))[:6]
+    assert out[2:8] == stalest
+    # age ascending across the whole remainder; permutation preserved
+    rest_ages = [ages[n] for n in out[2:]]
+    assert rest_ages == sorted(rest_ages)
+    assert sorted(out) == sorted(catalog)
+    # never-verified entries always outrank even the stalest verified
+    ages2 = dict(ages)
+    del ages2["q9"]
+    out2 = list(_gate_order(catalog, pinned, ages2, window))
+    assert out2[2] == "q9"
 
 
-def test_correctness_round_count(tmp_path):
-    from dataframeintervals_jl_spark.queries import _correctness_round_count
+def test_gate_order_self_advances_when_gated():
+    """Simulate the driver loop: gating the window bumps those entries'
+    ages to the current round, so consecutive rounds sweep the entire
+    verified set — the worst-case staleness bound, not just average."""
+    from dataframeintervals_jl_spark.queries import _gate_order
 
-    assert _correctness_round_count(str(tmp_path)) == 0
-    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
-    (tmp_path / "CORRECTNESS_r02.json").write_text("not json")
-    assert _correctness_round_count(str(tmp_path)) == 2
+    catalog = {f"q{i}": i for i in range(20)}
+    ages = {n: 1 for n in catalog}  # all verified, all equally stale
+    window, rnd = 6, 1
+    gated_per_round = []
+    for _ in range(4):  # ceil(20/6) = 4 rounds must cover everything
+        rnd += 1
+        win = list(_gate_order(catalog, [], ages, window))[:window]
+        gated_per_round.append(win)
+        for n in win:
+            ages[n] = rnd
+    covered = set().union(*map(set, gated_per_round))
+    assert covered == set(catalog)
+    # and the stalest entry globally is always inside the next window
+    stalest = min(ages, key=lambda n: (ages[n], catalog[n]))
+    assert stalest in list(_gate_order(catalog, [], ages, window))[:window]
 
 
 def test_gate_order_fails_safe_without_correctness_files(tmp_path):
     """No CORRECTNESS files (driver renamed/pruned them) -> empty verified
     set -> order degrades to pinned + catalog order, never an exception."""
     from dataframeintervals_jl_spark.queries import (
-        _driver_verified_names,
+        _driver_verified_rounds,
         _gate_order,
     )
 
-    assert _driver_verified_names(str(tmp_path)) == set()
+    assert _driver_verified_rounds(str(tmp_path)) == {}
     catalog = {"a": 1, "b": 2, "c": 3}
-    assert list(_gate_order(catalog, ["b"], set())) == ["b", "a", "c"]
+    assert list(_gate_order(catalog, ["b"], {})) == ["b", "a", "c"]
+    # a plain set still works (all-same-age degradation)
+    assert list(_gate_order(catalog, ["b"], {"a", "c"})) == ["b", "a", "c"]
 
 
-def test_driver_verified_names_reads_green_rows(tmp_path):
+def test_driver_verified_rounds_reads_green_rows(tmp_path):
     import json
 
-    from dataframeintervals_jl_spark.queries import _driver_verified_names
+    from dataframeintervals_jl_spark.queries import _driver_verified_rounds
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps(
@@ -499,8 +513,20 @@ def test_driver_verified_names_reads_green_rows(tmp_path):
         )
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text("not json {")
-    got = _driver_verified_names(str(tmp_path))
-    assert got == {"q_green", "q_rows_only"}
+    # a later round re-gating q_green must bump its age to that round
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "q_green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                }
+            }
+        )
+    )
+    got = _driver_verified_rounds(str(tmp_path))
+    assert got == {"q_green": 3, "q_rows_only": 1}
 
 
 def test_gate_live_catalog_covers_never_verified():
@@ -510,12 +536,12 @@ def test_gate_live_catalog_covers_never_verified():
         QUERIES,
         _GATE_PINNED,
         _REPO_ROOT,
-        _driver_verified_names,
+        _driver_verified_rounds,
     )
 
     from dataframeintervals_jl_spark.queries import _GATE_WINDOW
 
-    verified = _driver_verified_names(_REPO_ROOT)
+    verified = _driver_verified_rounds(_REPO_ROOT)
     names = list(QUERIES)
     never = [n for n in names if n not in verified]
     gate = set(names[:_GATE_WINDOW])
@@ -647,6 +673,18 @@ def test_no_duplicate_catalog_names_in_source():
         names = re.findall(pat, src, re.M)
         dups = [n for n, c in Counter(names).items() if c > 1]
         assert not dups, f"duplicate {what}(s): {dups}"
+    # Belt-and-braces (round 10): the IMPORTED catalog size must match
+    # the committed constant — a silently-shadowing duplicate key drops
+    # an entry from the dict even when the source scan is skipped, and
+    # a stale constant catches forgotten bookkeeping on additions.
+    registry_keys = re.findall(r'^\s+"(q_\w+)": \(', src, re.M)
+    assert len(qmod.QUERIES) == qmod.EXPECTED_CATALOG_SIZE, (
+        f"len(QUERIES)={len(qmod.QUERIES)} != "
+        f"EXPECTED_CATALOG_SIZE={qmod.EXPECTED_CATALOG_SIZE} — bump the "
+        "constant on addition; a mismatch without an addition means a "
+        "shadowed duplicate key"
+    )
+    assert len(registry_keys) == qmod.EXPECTED_CATALOG_SIZE
 
 
 def test_auto_broadcast_pair_budget_guard(spark, monkeypatch):
