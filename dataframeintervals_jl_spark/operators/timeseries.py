@@ -720,8 +720,11 @@ def time_weighted_avg(
     ``time_weight`` convention.
 
     Output: ``by`` keys + every non-span windows column +
-    ``covered_dur`` (ns actually covered) + ``twa`` (floor weighted
-    mean, value scale).  Scale shape: one per-key sort for the
+    ``covered_dur`` (ns actually covered) + ``twa`` (weighted mean
+    with the quotient TRUNCATED TOWARD ZERO — Spark's ``DIV`` and
+    DuckDB's ``//`` both truncate, so a negative fixed-point mean
+    rounds toward zero, not down; exact either way for the
+    cross-engine replay).  Scale shape: one per-key sort for the
     validity build, one broadcast overlap join, one partial-agged
     group — nothing driver-side."""
     from ..functions.spans import make_span
@@ -881,4 +884,107 @@ def counter_total(
             F.sum("__rs").alias("n_resets"),
             F.count(F.lit(1)).alias("n_samples"),
         )
+    )
+
+
+#: fixed-point scale of :func:`counter_windows`' per-second rate —
+#: ``rate_fp6 = floor(delta / seconds * 10^6)``
+RATE_FP_SCALE = 1_000_000
+
+
+def counter_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Counter delta + rate PER WINDOW with reset handling — the
+    hypertable ``counter_agg(ts, value) → delta/rate`` over
+    ``time_bucket`` shape, the windowed companion of
+    :func:`counter_total` (same per-key lag pass and reset rule: a
+    decrease between consecutive samples is a counter reset and the
+    new reading counts whole).
+
+    Attribution contract: every consecutive-sample increase is
+    OBSERVED at the later sample's timestamp and credited to the
+    window(s) containing that instant (a stabbing join via
+    :func:`~.interval_join.point_in_span_join`, inheriting the full
+    broadcast/binned/auto strategy machinery).  When the windows tile
+    the observed range, window deltas therefore PARTITION the series
+    total exactly: ``Σ delta == counter_total(...).total_delta`` and
+    ``Σ n_resets == counter_total(...).n_resets`` (asserted in
+    pytest) — no cross-boundary increase is lost the way per-bucket
+    first/last re-aggregation loses it (TimescaleDB needs
+    ``interpolated_delta`` to repair that; here the observation rule
+    makes the invariant hold by construction).
+
+    Exact-integer contract: ``value_col`` must be integral
+    (fixed-point doubles first — the ``v_fx`` pattern).  ``rate_fp6``
+    is the per-second rate in 1e-6 units, truncated toward zero
+    (Spark ``DIV`` == DuckDB ``//`` semantics; negative deltas from
+    negative counter readings truncate, not floor):
+    ``delta * 1e15 DIV covered_dur`` with DECIMAL(38,0) accumulation
+    (``1e15 = ns/s × RATE_FP_SCALE``), NULL when the window's observed
+    duration is zero (single-instant duplicates).  Windows containing
+    no observation emit no row (first samples of a series anchor the
+    lag but are not themselves observations).
+
+    Output: ``by`` keys + every non-span windows column + ``delta`` +
+    ``n_resets`` + ``n_obs`` + ``covered_dur`` (ns between the
+    consecutive samples observed in the window) + ``rate_fp6``.
+    Scale shape: one per-key sort, one stabbing join against a
+    dimension-sized windows table (auto → broadcast), one
+    partial-agged group — nothing driver-side."""
+    from .interval_join import point_in_span_join
+
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("counter_windows: by key(s) required")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "counter_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    v = F.col(value_col).cast("long")
+    delta = v - F.lag(v).over(w)
+    step = F.when(delta < 0, v).otherwise(delta)
+    reset = F.when(delta < 0, F.lit(1)).otherwise(F.lit(0))
+    obs = (
+        samples.select(
+            *keys,
+            F.col(ts_col),
+            step.alias("__st"),
+            reset.alias("__rs"),
+            (F.col(ts_col).cast("long") - F.lag(
+                F.col(ts_col).cast("long")
+            ).over(w)).alias("__dur"),
+        )
+        .filter(F.col("__st").isNotNull())
+    )
+    j = point_in_span_join(
+        obs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    dec = "DECIMAL(38,0)"
+    return j.groupBy(*keys, *label_cols).agg(
+        F.expr("CAST(sum(__st) AS BIGINT)").alias("delta"),
+        F.expr("CAST(sum(__rs) AS BIGINT)").alias("n_resets"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("CAST(sum(__dur) AS BIGINT)").alias("covered_dur"),
+        F.expr(
+            f"CAST(sum(CAST(__st AS {dec})) * CAST({10**9 * RATE_FP_SCALE}"
+            f" AS {dec}) DIV nullif(sum(CAST(__dur AS {dec})), 0)"
+            " AS BIGINT)"
+        ).alias("rate_fp6"),
     )

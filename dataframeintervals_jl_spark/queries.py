@@ -5524,6 +5524,64 @@ SELECT user_id,
 FROM d GROUP BY user_id"""
 
 
+def q_counter_windows(spark, sf_dir):
+    """Windowed counter delta + rate with reset handling
+    (timeseries.py: counter_windows — the hypertable
+    ``counter_agg(ts, value) → delta/rate`` over ``time_bucket``
+    staple): per (user, window), the counter increase observed at
+    sample instants inside the window (decreases are resets, the new
+    reading counts whole), the observed duration, and the fixed-point
+    per-second rate.  Window deltas partition counter_total's
+    total_delta when the windows tile the series (pytest invariant).
+    One per-key lag pass + one stabbing join (broadcast windows) +
+    one partial-agged group; the oracle replays the lag deltas, the
+    point-in-window containment, and the HUGEINT rate division."""
+    from .operators.timeseries import counter_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = counter_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+    )
+    return out.select(
+        "user_id", "widx", "delta", "n_resets", "n_obs",
+        "covered_dur", "rate_fp6",
+    )
+
+
+_SQL_COUNTER_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), d AS (
+  SELECT user_id, t, v_fx,
+         v_fx - lag(v_fx) OVER pk AS delta,
+         t - lag(t) OVER pk AS dur
+  FROM ev WINDOW pk AS (PARTITION BY user_id ORDER BY t, event_id)
+), o AS (
+  SELECT user_id, t,
+         CASE WHEN delta < 0 THEN v_fx ELSE delta END AS st,
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS rs, dur
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT o.user_id, w.widx,
+       CAST(sum(o.st) AS BIGINT) AS delta,
+       CAST(sum(o.rs) AS BIGINT) AS n_resets,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(o.dur) AS BIGINT) AS covered_dur,
+       CAST(sum(o.st::HUGEINT) * 1000000000000000
+            // nullif(sum(o.dur::HUGEINT), 0) AS BIGINT) AS rate_fp6
+FROM o JOIN w ON w.w_start <= o.t AND o.t < w.w_stop
+GROUP BY o.user_id, w.widx"""
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -8851,6 +8909,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_time_weighted_locf": (q_time_weighted_locf, _SQL_TIME_WEIGHT_LOCF),
     "q_duration_in_state": (q_duration_in_state, _SQL_DURATION_IN_STATE),
     "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
+    "q_counter_windows": (q_counter_windows, _SQL_COUNTER_WINDOWS),
     "q_validity_intervals_global": (
         q_validity_intervals_global,
         _SQL_VALIDITY_GLOBAL,
@@ -8939,7 +8998,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 193
+EXPECTED_CATALOG_SIZE = 194
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

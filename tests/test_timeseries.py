@@ -684,3 +684,69 @@ def test_counter_total_resets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         counter_total(df, "v", by=None)
+
+
+def test_counter_windows_hand_values_and_tiling_invariant(spark):
+    """Hand-checked windowed counter deltas, plus the partition
+    invariant: when the windows tile the observed range, window deltas
+    and resets sum EXACTLY to counter_total's series totals (each
+    observation instant lies in exactly one window — no cross-boundary
+    increase is lost)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        RATE_FP_SCALE,
+        counter_total,
+        counter_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10, 10, 1), ("a", 40, 25, 2), ("a", 60, 5, 3),
+         ("a", 140, 9, 4), ("b", 30, 7, 5), ("b", 130, 507, 6)],
+        "k string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    out = {
+        (r["k"], r["widx"]): (
+            r["delta"], r["n_resets"], r["n_obs"],
+            r["covered_dur"], r["rate_fp6"],
+        )
+        for r in counter_windows(
+            df, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    # a, window 1: obs at t=40 (+15, dur 30) and t=60 (reset->5, dur 20)
+    assert out[("a", 1)] == (
+        20, 1, 2, 50, 20 * 10**9 * RATE_FP_SCALE // 50
+    )
+    # a, window 2: obs at t=140 (+4 over dur 80)
+    assert out[("a", 2)] == (4, 0, 1, 80, 4 * 10**9 * RATE_FP_SCALE // 80)
+    # b: first sample at t=30 anchors only; obs at t=130 in window 2
+    assert ("b", 1) not in out
+    assert out[("b", 2)] == (
+        500, 0, 1, 100, 500 * 10**9 * RATE_FP_SCALE // 100
+    )
+
+    # tiling invariant against counter_total
+    tot = {
+        r["k"]: (r["total_delta"], r["n_resets"])
+        for r in counter_total(df, "v", by="k", order=["eid"]).collect()
+    }
+    per_window = (
+        counter_windows(df, windows, "v", ts_col="ts", by="k", order=["eid"])
+        .groupBy("k")
+        .agg(F.sum("delta").alias("d"), F.sum("n_resets").alias("r"))
+        .collect()
+    )
+    for row in per_window:
+        assert (row["d"], row["r"]) == tot[row["k"]]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="by key"):
+        counter_windows(df, windows, "v", by=None)
+    with _pytest.raises(ValueError, match="label"):
+        counter_windows(df, windows.select("span"), "v", by="k")
