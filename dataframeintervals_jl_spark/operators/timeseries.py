@@ -696,9 +696,33 @@ def time_weighted_avg(
     order: Sequence[str] = (),
     window_span_col: str = "span",
     strategy: str = "auto",
+    method: str = "locf",
 ) -> DataFrame:
-    """LOCF time-weighted average per window — the hypertable
-    ``time_weight('LOCF')`` aggregate (TimescaleDB toolkit shape),
+    """Time-weighted average per window — the hypertable
+    ``time_weight('LOCF' | 'Linear')`` aggregate (TimescaleDB toolkit
+    shape).  ``method='locf'`` (default): each sample's value HOLDS
+    until the next sample, with the open last run CLAMPED to the
+    windows' max stop.  ``method='linear'``: the value interpolates
+    linearly between consecutive samples (trapezoid weighting); the
+    series ENDS at its last sample — no extrapolation past it, the
+    TimescaleDB ``'Linear'`` convention (so on a piecewise-constant
+    series the two methods agree exactly wherever both are defined;
+    pytest property).
+
+    Linear exact-integer contract: per (segment ∩ window) piece the
+    boundary values interpolate with TRUNCATED division
+    (``v(x) = v0 + dv·(x-t0) DIV D``); the piece's UN-halved trapezoid
+    numerator ``(B-A)·(v(a)+v(b))`` is accumulated exactly in
+    DECIMAL(38,0) and the group divides ONCE:
+    ``twa = Σnum DIV (2·Σdur)`` — a deterministic, cross-engine
+    bit-replayable fixed-point rule (one truncation per piece, one per
+    group) that is EXACT whenever ``dv == 0``, where each piece
+    reduces to the LOCF rectangle ``2·v0·(B-A)``.  Intermediates stay
+    under ~|v|·range·width ≈ 1e33 for ns timestamps (never the
+    squared-range products of the naive integral formula), inside
+    DECIMAL(38,0).
+
+    LOCF path (original contract, unchanged):
     built entirely from the engine's own primitives: each sample's
     value HOLDS until the next sample (:func:`validity_intervals`
     collapses unchanged runs), validity spans overlap-join the windows
@@ -736,6 +760,67 @@ def time_weighted_avg(
         raise ValueError(
             "time_weighted_avg: windows must carry at least one label "
             "column besides the span"
+        )
+    if method not in ("locf", "linear"):
+        raise ValueError(
+            f"time_weighted_avg: method must be 'locf' or 'linear', "
+            f"got {method!r}"
+        )
+    if method == "linear":
+        w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+        t = F.col(ts_col).cast("long")
+        v_ = F.col(value_col).cast("long")
+        seg = (
+            samples.select(
+                *keys,
+                t.alias("__t0"),
+                v_.alias("__v0"),
+                F.lead(t).over(w).alias("__t1"),
+                F.lead(v_).over(w).alias("__v1"),
+            )
+            .filter(F.col("__t1").isNotNull() & (F.col("__t1") > F.col("__t0")))
+            .select(
+                *keys,
+                "__v0",
+                (F.col("__v1") - F.col("__v0")).alias("__dv"),
+                "__t0",
+                (F.col("__t1") - F.col("__t0")).alias("__d"),
+                make_span(F.col("__t0"), F.col("__t1")).alias("span"),
+            )
+        )
+        j = interval_join(
+            seg,
+            windows.withColumnRenamed(window_span_col, "span")
+            if window_span_col != "span"
+            else windows,
+            validate="skip",
+            strategy=strategy,
+        )
+        # Spark's DIV always RETURNS BIGINT, so per-piece quantities
+        # must stay value-scale: the interpolated boundary values va/vb
+        # are (long-range) fine, but the trapezoid area is not — so
+        # accumulate the UN-halved numerator dur·(va+vb) exactly in
+        # DECIMAL(38,0) and divide ONCE at the end by 2·Σdur.  One
+        # truncation per piece (the interpolation) + one per group
+        # (the final quotient); no intermediate ever exceeds
+        # |v|·range·width ≈ 1e33 at ns scales.
+        dec = "DECIMAL(38,0)"
+        va = (
+            f"(__v0 + CAST(__dv AS {dec})"
+            f" * CAST(span.start - __t0 AS {dec}) DIV __d)"
+        )
+        vb = (
+            f"(__v0 + CAST(__dv AS {dec})"
+            f" * CAST(span.stop - __t0 AS {dec}) DIV __d)"
+        )
+        dur_sql = "(span.stop - span.start)"
+        num = f"(CAST({dur_sql} AS {dec}) * CAST({va} + {vb} AS {dec}))"
+        return j.groupBy(*keys, *label_cols).agg(
+            F.expr(f"CAST(sum({dur_sql}) AS BIGINT)").alias("covered_dur"),
+            F.expr(
+                f"CAST(sum({num})"
+                f" DIV (2 * sum(CAST({dur_sql} AS {dec}))) AS BIGINT)"
+            ).alias("twa"),
         )
     v = validity_intervals(
         samples.select(*keys, ts_col, value_col, *order),

@@ -5436,6 +5436,63 @@ SELECT event_type, widx,
 FROM j GROUP BY event_type, widx"""
 
 
+def q_time_weighted_linear(spark, sf_dir):
+    """Linear time-weighted average per window (timeseries.py:
+    time_weighted_avg(method='linear') — the TimescaleDB
+    ``time_weight('Linear')`` shape): per event_type the fixed-point
+    value interpolates linearly between consecutive samples (no
+    extrapolation past the last one); 16 equal windows average the
+    ramp by trapezoid area with the engine's truncated-interpolation
+    fixed-point rule, DECIMAL(38,0) end to end.  The oracle replays
+    the segment build, the overlap join, and every HUGEINT truncated
+    division bit-for-bit."""
+    from .operators.timeseries import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = time_weighted_avg(
+        ev, w, "v_fx", ts_col="ts", by="event_type", order=["event_id"],
+        method="linear",
+    )
+    return out.select("event_type", "widx", "covered_dur", "twa")
+
+
+_SQL_TIME_WEIGHT_LINEAR = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), sg AS (
+  SELECT event_type, v_fx AS v0, t AS t0,
+         lead(t) OVER pk AS t1, lead(v_fx) OVER pk AS v1
+  FROM ev WINDOW pk AS (PARTITION BY event_type ORDER BY t, event_id)
+), s AS (
+  SELECT event_type, v0, v1 - v0 AS dv, t0, t1, t1 - t0 AS d
+  FROM sg WHERE t1 IS NOT NULL AND t1 > t0
+), j AS (
+  SELECT s.event_type, w.widx, s.v0, s.dv, s.d,
+         greatest(s.t0, w.w_start) - s.t0 AS a,
+         least(s.t1, w.w_stop) - s.t0 AS b
+  FROM s JOIN w ON greatest(s.t0, w.w_start) < least(s.t1, w.w_stop)
+), p AS (
+  SELECT event_type, widx, b - a AS dur,
+         (b - a)::HUGEINT
+           * ((v0 + (dv::HUGEINT * a) // d) + (v0 + (dv::HUGEINT * b) // d))
+           AS num
+  FROM j
+)
+SELECT event_type, widx,
+       CAST(sum(dur) AS BIGINT) AS covered_dur,
+       CAST(sum(num) // (2 * sum(dur::HUGEINT)) AS BIGINT) AS twa
+FROM p GROUP BY event_type, widx"""
+
+
 def q_duration_in_state(spark, sf_dir):
     """Per-window time-in-state (timeseries.py: duration_in_state —
     the hypertable ``state_agg`` aggregate, and the categorical twin
@@ -8907,6 +8964,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_proximity_join": (q_proximity_join, _SQL_PROXIMITY),
     "q_scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
     "q_time_weighted_locf": (q_time_weighted_locf, _SQL_TIME_WEIGHT_LOCF),
+    "q_time_weighted_linear": (
+        q_time_weighted_linear,
+        _SQL_TIME_WEIGHT_LINEAR,
+    ),
     "q_duration_in_state": (q_duration_in_state, _SQL_DURATION_IN_STATE),
     "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
     "q_counter_windows": (q_counter_windows, _SQL_COUNTER_WINDOWS),
@@ -8998,7 +9059,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 194
+EXPECTED_CATALOG_SIZE = 195
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1157,3 +1157,51 @@ def test_bpe_tokenize_plan_contract(spark):
     hp = simple_plan(hist)
     assert hp.count("HashAggregate") >= 2
     assert_max_exchanges(hist, 1)
+
+
+def test_hypertable_aggregates_plan_shape(spark):
+    """The hypertable family's scale contract: windows are a broadcast
+    side (never a shuffled or nested-loop large-large join), nothing
+    falls back to row-at-a-time Python, and the final rollup partial-
+    aggregates map-side (HashAggregate pairs around one exchange)."""
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        quantile_windows,
+    )
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        counter_windows,
+        duration_in_state,
+        time_weighted_avg,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    es = event_spans(spark, SF_DIR)
+    w = quantile_windows(spark, 8, es, label="widx")
+
+    outs = {
+        "twa_locf": time_weighted_avg(
+            ev, w, "v_fx", ts_col="ts", by="event_type", order=["event_id"]
+        ),
+        "twa_linear": time_weighted_avg(
+            ev, w, "v_fx", ts_col="ts", by="event_type",
+            order=["event_id"], method="linear",
+        ),
+        "duration_in_state": duration_in_state(
+            ev, w, "event_type", ts_col="ts", order=["event_id"]
+        ),
+        "counter_windows": counter_windows(
+            ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+        ),
+    }
+    for name, out in outs.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert_no_python_row_udf(out)
+        assert "CartesianProduct" not in plan, name
+        assert count_broadcast_exchanges(out) >= 1, (
+            f"{name}: windows side must broadcast"
+        )
+        assert plan.count("HashAggregate") >= 2, (
+            f"{name}: partial aggregation missing"
+        )

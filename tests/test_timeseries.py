@@ -750,3 +750,86 @@ def test_counter_windows_hand_values_and_tiling_invariant(spark):
         counter_windows(df, windows, "v", by=None)
     with _pytest.raises(ValueError, match="label"):
         counter_windows(df, windows.select("span"), "v", by="k")
+
+
+def test_time_weighted_linear_hand_values(spark):
+    """Trapezoid weighting on a hand-checkable ramp: 10 -> 30 over
+    [0, 100); window [0,50) averages the 10..20 ramp (15), window
+    [50,100) the 20..30 ramp (25).  No extrapolation past the last
+    sample: a window beyond it emits nothing."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    samples = spark.createDataFrame(
+        [("k", 0, 10, 1), ("k", 100, 30, 2)],
+        "key string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, 1), (50, 100, 2), (100, 150, 3)],
+        "a long, b long, widx int",
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+    out = {
+        (r["key"], r["widx"]): (r["covered_dur"], r["twa"])
+        for r in time_weighted_avg(
+            samples, windows, "v", ts_col="ts", by="key", order=["eid"],
+            method="linear",
+        ).collect()
+    }
+    assert out == {("k", 1): (50, 15), ("k", 2): (50, 25)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        time_weighted_avg(samples, windows, "v", by="key", method="nope")
+
+
+def test_time_weighted_linear_equals_locf_on_constant_segments(spark):
+    """Property: whenever every consecutive-sample segment is flat
+    (dv == 0 — per-key constant series here, irregular sample times,
+    negative values included) and the last sample sits at the windows'
+    max stop (so the LOCF clamp adds nothing), linear == LOCF exactly:
+    each trapezoid piece reduces to the LOCF rectangle v0*(B-A) with
+    zero truncation error.  (On a step series the two methods
+    genuinely differ across the change segments — linear ramps where
+    LOCF holds — so dv == 0 is the sharp boundary of the exact
+    reduction, matching the TimescaleDB semantics.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    for key, val in (("a", 17), ("b", -43), ("c", 0), ("d", 999_999)):
+        ts = rng.randrange(0, 80)
+        while ts < 1000:
+            eid += 1
+            rows.append((key, ts, val, eid))
+            ts += rng.randrange(10, 120)
+        eid += 1
+        rows.append((key, 1000, val, eid))  # pin last sample at max stop
+    samples = spark.createDataFrame(
+        rows, "key string, ts long, v long, eid long"
+    )
+    windows = spark.createDataFrame(
+        [(i * 125, (i + 1) * 125, i + 1) for i in range(8)],
+        "a long, b long, widx int",
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+
+    def run(method):
+        return {
+            (r["key"], r["widx"]): (r["covered_dur"], r["twa"])
+            for r in time_weighted_avg(
+                samples, windows, "v", ts_col="ts", by="key",
+                order=["eid"], method=method,
+            ).collect()
+        }
+
+    assert run("linear") == run("locf")
