@@ -5639,6 +5639,81 @@ FROM o JOIN w ON w.w_start <= o.t AND o.t < w.w_stop
 GROUP BY o.user_id, w.widx"""
 
 
+def q_stream_duration_in_state(spark, sf_dir):
+    """The STREAMING time-in-state twin in batch mode (streaming.py:
+    stream_duration_in_state — stream_validity_intervals composed with
+    the stateless stream-static broadcast interval join): per-user
+    CLOSED state runs only (the open run never emits on an unbounded
+    stream; batch duration_in_state instead clamps it — the one
+    documented divergence), 16 windows, exact ns sums.  The file-
+    stream micro-batch parity vs this same composition is pytest-
+    gated; the oracle replays the per-user run collapse with the open
+    tail DROPPED."""
+    from .streaming import stream_duration_in_state
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_duration_in_state(
+        ev, w, "event_type", ts_col="ts", by="user_id",
+        order_tiebreak="event_id",
+    )
+    return out.select("user_id", "widx", "event_type", "dur_ns")
+
+
+_SQL_STREAM_DURATION_IN_STATE = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+), m AS (
+  SELECT *, lag(event_type) OVER pk AS prev
+  FROM ev WINDOW pk AS (PARTITION BY user_id ORDER BY t, event_id)
+), runs AS (
+  SELECT user_id, event_type, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+), vi AS (
+  SELECT user_id, event_type, t AS f,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS vt
+  FROM runs
+), vc AS (
+  SELECT user_id, event_type, f, vt AS s FROM vi
+  WHERE vt IS NOT NULL AND f < vt
+), j AS (
+  SELECT vc.user_id, vc.event_type, w.widx,
+         least(vc.s, w.w_stop) - greatest(vc.f, w.w_start) AS dur
+  FROM vc JOIN w ON greatest(vc.f, w.w_start) < least(vc.s, w.w_stop)
+)
+SELECT user_id, widx, event_type, CAST(sum(dur) AS BIGINT) AS dur_ns
+FROM j GROUP BY user_id, widx, event_type"""
+
+
+def q_stream_counter_windows(spark, sf_dir):
+    """The STREAMING windowed counter twin in batch mode (streaming.py:
+    stream_counter_windows — a tiny prev-sample state emits
+    observations that stab the static windows): batch inputs delegate
+    to counter_windows, whose observation-instant attribution makes
+    streaming increments sum to the batch rollup EXACTLY (file-stream
+    parity pytest-gated).  Shares the counter_windows oracle."""
+    from .streaming import stream_counter_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_counter_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id",
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "widx", "delta", "n_resets", "n_obs",
+        "covered_dur", "rate_fp6",
+    )
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal-table build: collapse each user's event_type
     change stream into validity intervals [valid_from, valid_to) with
@@ -8971,6 +9046,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_duration_in_state": (q_duration_in_state, _SQL_DURATION_IN_STATE),
     "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
     "q_counter_windows": (q_counter_windows, _SQL_COUNTER_WINDOWS),
+    "q_stream_duration_in_state": (
+        q_stream_duration_in_state,
+        _SQL_STREAM_DURATION_IN_STATE,
+    ),
+    "q_stream_counter_windows": (
+        q_stream_counter_windows,
+        _SQL_COUNTER_WINDOWS,
+    ),
     "q_validity_intervals_global": (
         q_validity_intervals_global,
         _SQL_VALIDITY_GLOBAL,
@@ -9059,7 +9142,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 195
+EXPECTED_CATALOG_SIZE = 197
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1906,3 +1906,221 @@ def stream_winsorize(
     return apply_winsorize_bounds(
         docs, bounds, value_col, by=by, out_col=out_col
     )
+
+
+def stream_duration_in_state(
+    samples: DataFrame,
+    windows: DataFrame,
+    state_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    order_tiebreak: str | None = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming time-in-state per window — the unbounded twin of batch
+    :func:`~..operators.timeseries.duration_in_state`, composing
+    :func:`stream_validity_intervals` (the hard stateful half) with a
+    stateless stream-static broadcast interval join against the STATIC
+    ``windows`` dimension table.
+
+    Append-mode semantics: a state run contributes once it CLOSES (the
+    next state change arrives); the streaming output is the PER-RUN
+    increment stream ``(keys, window labels, state, dur_ns)`` — one row
+    per (closed run ∩ window) piece — because an aggregation after a
+    stateful operator cannot emit in append mode.  Sum ``dur_ns`` per
+    (key, window, state) at the sink (or in a foreachBatch rollup
+    merge): that sum equals the batch operator restricted to closed
+    runs (pytest parity, exact when a terminal sample closes each
+    key's last run).  The open run's tail is never emitted — an
+    unbounded stream may always extend it; batch mode instead clamps
+    it, the one documented divergence.
+
+    Batch inputs run the SAME closed-runs composition and return the
+    AGGREGATED rollup (keys + window labels + state + dur_ns) — this
+    is the shape ``q_stream_duration_in_state`` gates against its
+    closed-runs oracle.  Keys are required (per-key state).
+    """
+    from ..operators.interval_join import interval_join
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_duration_in_state requires at least one key")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_duration_in_state: windows must carry at least one "
+            "label column besides the span"
+        )
+    runs = stream_validity_intervals(
+        samples,
+        attrs=[state_col],
+        on=ts_col,
+        by=by_cols,
+        order_tiebreak=order_tiebreak,
+    )
+    vs = (
+        runs.filter(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_from") < F.col("valid_to"))
+        )
+        .select(
+            *by_cols,
+            state_col,
+            make_span(F.col("valid_from"), F.col("valid_to")).alias("span"),
+        )
+    )
+    j = interval_join(
+        vs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        validate="skip",
+        strategy="broadcast_right",
+    )
+    pieces = j.select(
+        *by_cols,
+        *label_cols,
+        state_col,
+        (F.col("span.stop") - F.col("span.start")).alias("dur_ns"),
+    )
+    if samples.isStreaming:
+        return pieces
+    return pieces.groupBy(*by_cols, *label_cols, state_col).agg(
+        F.expr("CAST(sum(dur_ns) AS BIGINT)").alias("dur_ns")
+    )
+
+
+def stream_counter_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    order_tiebreak: str | None = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming windowed counter deltas — the unbounded twin of batch
+    :func:`~..operators.timeseries.counter_windows`: a tiny per-key
+    state (previous sample's value + timestamp) turns each arriving
+    sample into an OBSERVATION (step under the reset rule, reset flag,
+    covered ns), which then stabs the STATIC ``windows`` table through
+    the stateless broadcast point-in-span join.
+
+    Append-mode semantics: the output is the per-observation increment
+    stream ``(keys, window labels, step, reset, dur)`` — counter
+    attribution already happens at observation instants, so summing
+    the increments per (key, window) reproduces the batch operator
+    EXACTLY (no open-run divergence; the first sample per key anchors
+    only, same as batch).  ``rate_fp6`` is a sink-side derivation:
+    ``Σstep · 1e15 DIV Σdur``.  In-order per-key arrival assumed
+    (see :func:`stream_cusum`).
+
+    Batch inputs delegate to :func:`~..operators.timeseries.
+    counter_windows` (identical semantics, aggregated shape) — what
+    ``q_stream_counter_windows`` gates against the shared oracle.
+    """
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.timeseries import counter_windows
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_counter_windows requires at least one key")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_counter_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    if not samples.isStreaming:
+        return counter_windows(
+            samples,
+            windows,
+            value_col,
+            ts_col=ts_col,
+            by=by_cols,
+            order=[order_tiebreak] if order_tiebreak else (),
+            window_span_col=window_span_col,
+        )
+
+    on_type = samples.schema[ts_col].dataType
+    if on_type.simpleString() != "bigint":
+        raise ValueError(
+            "stream_counter_windows: ts_col must be BIGINT epoch-ns in "
+            f"streaming mode, got {on_type.simpleString()}"
+        )
+    key_fields = [samples.schema[c] for c in by_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField(ts_col, T.LongType()),
+            T.StructField("__st", T.LongType()),
+            T.StructField("__rs", T.LongType()),
+            T.StructField("__dur", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("prev_v", T.LongType()),
+            T.StructField("prev_t", T.LongType()),
+            T.StructField("has", T.BooleanType()),
+        ]
+    )
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    src = samples.select(
+        *by_cols,
+        *([order_tiebreak] if order_tiebreak else []),
+        ts_col,
+        # itertuples renames underscore-leading columns positionally —
+        # keep the internal value alias underscore-free
+        F.col(value_col).cast("long").alias("cw_v"),
+    )
+
+    def scan(key, pdfs, state):
+        if state.exists:
+            prev_v, prev_t, has = state.get
+            has = bool(has)
+        else:
+            prev_v, prev_t, has = None, None, False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((prev_v, prev_t, has))
+            return
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
+        obs = []
+        for row in batch.itertuples(index=False):
+            rd = row._asdict()
+            t, v = int(rd[ts_col]), int(rd["cw_v"])
+            if has:
+                delta = v - prev_v
+                st = v if delta < 0 else delta
+                rs = 1 if delta < 0 else 0
+                obs.append((t, st, rs, t - prev_t))
+            prev_v, prev_t, has = v, t, True
+        state.update((prev_v, prev_t, True))
+        if obs:
+            res = pd.DataFrame(
+                obs, columns=[ts_col, "__st", "__rs", "__dur"]
+            )
+            for i, c in enumerate(by_cols):
+                res[c] = key[i]
+            yield res[[*by_cols, ts_col, "__st", "__rs", "__dur"]]
+
+    observations = src.groupBy(*by_cols).applyInPandasWithState(
+        scan, out_schema, state_schema, "append", "NoTimeout"
+    )
+    j = point_in_span_join(
+        observations,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    )
+    return j.select(
+        *by_cols,
+        *label_cols,
+        F.col("__st").alias("step"),
+        F.col("__rs").alias("reset"),
+        F.col("__dur").alias("dur"),
+    )

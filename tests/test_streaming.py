@@ -2018,3 +2018,145 @@ def test_training_transforms_stream_valid(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ttx").collect())
     assert got == expected
+
+
+def test_stream_duration_in_state_parity(spark, tmp_path):
+    """Streaming time-in-state increments over two micro-batches,
+    summed at the sink, == the batch-mode closed-runs rollup == the
+    clamped batch operator (exact here because a terminal sentinel
+    sample at the windows' max stop closes every key's last real run
+    — the clamp then adds an empty [whi, whi) tail only)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        duration_in_state,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_duration_in_state,
+    )
+
+    schema = "k long, ts long, st string, eid long"
+    b1 = spark.createDataFrame(
+        [(1, 0, "up", 0), (1, 30, "down", 1), (2, 10, "up", 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 70, "up", 3), (2, 60, "down", 4),
+         (1, 100, "~end~", 5), (2, 100, "~end~", 6)],  # sentinels at whi
+        schema,
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, 1), (50, 100, 2)], "a long, b long, widx int"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+
+    d = str(tmp_path / "sdis_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_duration_in_state(
+        stream, windows, "st", ts_col="ts", by="k", order_tiebreak="eid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdis")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdis"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["widx"], r["st"]): r["s"]
+        for r in spark.sql(
+            "SELECT k, widx, st, CAST(sum(dur_ns) AS BIGINT) AS s "
+            "FROM sdis GROUP BY k, widx, st"
+        ).collect()
+    }
+    union = b1.unionByName(b2)
+    batch_mode = {
+        (r["k"], r["widx"], r["st"]): r["dur_ns"]
+        for r in stream_duration_in_state(
+            union, windows, "st", ts_col="ts", by="k", order_tiebreak="eid"
+        ).collect()
+    }
+    clamped = {
+        (r["k"], r["widx"], r["st"]): r["dur_ns"]
+        for r in duration_in_state(
+            union, windows, "st", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    assert got == batch_mode == clamped
+    # hand spots: k=1 up [0,30) -> w1:30; down [30,70) -> w1:20 + w2:20
+    assert got[(1, 1, "up")] == 30
+    assert got[(1, 1, "down")] == 20 and got[(1, 2, "down")] == 20
+    assert got[(1, 2, "up")] == 30  # [70,100) closed by the sentinel
+
+
+def test_stream_counter_windows_parity(spark, tmp_path):
+    """Streaming counter observation increments summed per (key,
+    window) reproduce batch counter_windows EXACTLY — including a
+    reset straddling the micro-batch boundary and the anchor-only
+    first sample."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        counter_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_counter_windows,
+    )
+
+    schema = "k long, ts long, v long, eid long"
+    b1 = spark.createDataFrame(
+        [(1, 10, 10, 0), (1, 40, 25, 1), (2, 30, 7, 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 60, 5, 3), (1, 140, 9, 4), (2, 130, 507, 5)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "a long, b long, widx int"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+
+    d = str(tmp_path / "scw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_counter_windows(
+        stream, windows, "v", ts_col="ts", by="k", order_tiebreak="eid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["widx"]): (r["d"], r["r"], r["n"], r["cd"])
+        for r in spark.sql(
+            "SELECT k, widx, CAST(sum(step) AS BIGINT) AS d, "
+            "CAST(sum(reset) AS BIGINT) AS r, count(*) AS n, "
+            "CAST(sum(dur) AS BIGINT) AS cd FROM scw GROUP BY k, widx"
+        ).collect()
+    }
+    batch = {
+        (r["k"], r["widx"]): (
+            r["delta"], r["n_resets"], r["n_obs"], r["covered_dur"]
+        )
+        for r in counter_windows(
+            b1.unionByName(b2), windows, "v", ts_col="ts", by="k",
+            order=["eid"],
+        ).collect()
+    }
+    assert got == batch
+    # the boundary-straddling reset: 25 -> 5 at t=60 lands in window 1
+    assert got[(1, 1)] == (20, 1, 2, 50)
