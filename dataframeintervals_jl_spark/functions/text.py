@@ -264,7 +264,26 @@ def match_spans(text, pattern) -> Column:
     the between-match segments, ``regexp_extract_all`` the matches;
     match *k* starts at ``len(parts[1..k]) + len(matches[1..k-1])``.
     Quadratic in the per-row match count (fine: PII hits per document
-    are few), linear in text size, fully codegen'd."""
+    are few), linear in text size, fully codegen'd.
+
+    ``pattern`` must NOT be able to match the empty string (``a*``,
+    ``\\d?`` …): ``split`` and ``regexp_extract_all`` disagree on
+    empty matches, which would silently misplace every span.
+    Empty-matchable patterns are rejected here with ``ValueError``
+    (checked via Python ``re`` — a conservative stand-in for the JVM
+    engine; all built-in :data:`PII_PATTERNS` are safe)."""
+    import re as _re
+
+    try:
+        if _re.compile(pattern).match("") is not None:
+            raise ValueError(
+                "match_spans: pattern can match the empty string "
+                f"({pattern!r}) — split/regexp_extract_all offsets "
+                "disagree on empty matches; anchor or quantify the "
+                "pattern so every match is non-empty"
+            )
+    except _re.error:
+        pass  # JVM-only syntax — Python can't vet it; trust the caller
     t = _c(text)
     ms = F.regexp_extract_all(t, F.lit(pattern), 0)
     ps = F.split(t, pattern)

@@ -7719,7 +7719,7 @@ c AS (
   FROM d GROUP BY domain
 )
 SELECT d.doc_id, d.domain
-FROM d JOIN c USING (domain)
+FROM d JOIN c ON d.domain IS NOT DISTINCT FROM c.domain
 WHERE ({_PH60.format(x="'domquota|' || doc_id::VARCHAR")} % 1000000)
       < c.rppm"""
 

@@ -1205,3 +1205,21 @@ def test_hypertable_aggregates_plan_shape(spark):
         assert plan.count("HashAggregate") >= 2, (
             f"{name}: partial aggregation missing"
         )
+
+
+def test_domain_quota_sample_null_domain_group(spark):
+    """NULL domains (malformed URLs) form their own quota group — the
+    eqNullSafe join must keep them, matching the oracle's
+    IS NOT DISTINCT FROM replay (ADVICE r9: a plain USING join would
+    silently drop every malformed-URL row)."""
+    from dataframeintervals_jl_spark.operators.curation import (
+        domain_quota_sample,
+    )
+
+    rows = [(i, "ok.example") for i in range(4)] + [
+        (100 + i, None) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = domain_quota_sample(df, quota=10)  # rate 1e6: keep all
+    got = {(r["doc_id"], r["domain"]) for r in kept.collect()}
+    assert got == set(rows), "NULL-domain rows must survive the join"

@@ -1965,3 +1965,18 @@ def test_match_spans_matches_python_re_bulk(spark):
     for i, t, p in rows:
         want = [(m.start(), m.end()) for m in _re.finditer(p, t)]
         assert got[i] == want, (i, t, p)
+
+
+def test_match_spans_rejects_empty_matchable_pattern(spark):
+    """split and regexp_extract_all disagree on empty matches, so an
+    empty-matchable pattern must be rejected loudly, not silently
+    misplace spans (ADVICE r9)."""
+    import pytest as _pytest
+
+    from dataframeintervals_jl_spark.functions.text import match_spans
+
+    for pat in ("a*", r"\d?", "", "(x|)"):
+        with _pytest.raises(ValueError, match="empty"):
+            match_spans("text", pat)
+    # non-empty-matchable patterns still build
+    match_spans("text", "a+")
