@@ -102,20 +102,38 @@ def _fake_decode_feature(buf: bytes) -> np.ndarray:
     )[:FEATURE_DIM]
 
 
-def decode_media_meta(media_df: DataFrame) -> DataFrame:
+def decode_media_meta(media_df: DataFrame, decode_fn=None) -> DataFrame:
     """Per-item decoded header info via Arrow-batched mapInPandas.
 
     Input: ``(id, media binary, meta)``; output rows follow
     :data:`DECODE_SCHEMA_DDL`.  The iterator-of-batches signature means
     a 512 MB partition of fat rows streams through the Python worker in
-    Arrow-sized chunks instead of materializing."""
+    Arrow-sized chunks instead of materializing.
+
+    ``decode_fn`` is the PLUGGABLE real-codec hook: a picklable
+    callable ``(buf: bytes, kind: str) -> (n_bytes, width, height,
+    n_frames)`` shipped to the executors (e.g. wrap PIL/ffprobe).  It
+    must be pure per item and return exactly 4 ints — a wrong arity
+    fails fast with the offending id rather than silently mis-aligning
+    columns.  Default: the container's deterministic fake
+    (:func:`_fake_decode_meta`); the schema, batching and partitioning
+    are identical either way, so a deployment swaps codecs without
+    engine changes (pytest validates a real raw-buffer decoder against
+    :func:`resize_raw`'s layout contract)."""
+    fn = decode_fn or _fake_decode_meta
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                _fake_decode_meta(buf, kind)
-                for buf, kind in zip(pdf["media"], pdf["kind"])
-            ]
+            decoded = []
+            for rid, buf, kind in zip(pdf["id"], pdf["media"], pdf["kind"]):
+                row = tuple(fn(buf, kind))
+                if len(row) != 4:
+                    raise ValueError(
+                        f"decode_media_meta: decode_fn returned "
+                        f"{len(row)} values for id={rid}, expected 4 "
+                        "(n_bytes, width, height, n_frames)"
+                    )
+                decoded.append(row)
             out = pd.DataFrame(
                 decoded, columns=["n_bytes", "width", "height", "n_frames"]
             )
@@ -127,20 +145,34 @@ def decode_media_meta(media_df: DataFrame) -> DataFrame:
     return slim.mapInPandas(decode, DECODE_SCHEMA_DDL)
 
 
-def extract_features(media_df: DataFrame) -> DataFrame:
+def extract_features(media_df: DataFrame, feature_fn=None) -> DataFrame:
     """Per-item feature vectors (``array<float>``, FEATURE_DIM) via
-    mapInPandas — the plumbing a real encoder model would use (swap
-    :func:`_fake_decode_feature` for the model call)."""
+    mapInPandas — the plumbing a real encoder model would use.
+
+    ``feature_fn`` is the PLUGGABLE encoder hook: a picklable callable
+    ``(buf: bytes) -> sequence[float]`` of EXACTLY
+    :data:`FEATURE_DIM` floats per item (batch your model inside it if
+    it benefits — the callable sees one buffer, the worker already
+    amortizes process startup across the Arrow chunk).  Wrong
+    dimensionality fails fast with the offending id — a ragged
+    feature column poisons every downstream ANN index.  Default: the
+    deterministic digest fake (:func:`_fake_decode_feature`)."""
+    fn = feature_fn or _fake_decode_feature
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            feats = []
+            for rid, buf in zip(pdf["id"], pdf["media"]):
+                vec = list(fn(buf))
+                if len(vec) != FEATURE_DIM:
+                    raise ValueError(
+                        f"extract_features: feature_fn returned "
+                        f"{len(vec)} floats for id={rid}, expected "
+                        f"{FEATURE_DIM}"
+                    )
+                feats.append([float(x) for x in vec])
             yield pd.DataFrame(
-                {
-                    "id": pdf["id"].values,
-                    "feature": [
-                        _fake_decode_feature(buf).tolist() for buf in pdf["media"]
-                    ],
-                }
+                {"id": pdf["id"].values, "feature": feats}
             )
 
     return media_df.select("id", "media").mapInPandas(featurize, FEATURE_SCHEMA_DDL)

@@ -206,3 +206,79 @@ def test_resample_pcm_raw_and_stats(spark):
         resample_pcm_raw(df, 0)
     with pytest.raises(ValueError):
         pcm_stats(df, clip_at=0)
+
+
+def test_decode_media_meta_pluggable_decoder_raw_buffer_path(spark):
+    """A user-supplied decode_fn slots into decode_media_meta without
+    engine changes — validated against the raw HWC buffer layout
+    resize_raw defines: the custom decoder reads real dims from the
+    metadata-free buffer (trailing 4 bytes = w, h as uint16 LE) and
+    its output agrees with numpy on every row; a wrong-arity decoder
+    fails fast with the offending id."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.multimodal import (
+        MEDIA_META_DDL,
+        decode_media_meta,
+        extract_features,
+    )
+
+    def make_row(rid, w, h):
+        buf = bytes(np.full(h * w * 3, rid % 251, dtype=np.uint8)) + \
+            struct.pack("<HH", w, h)
+        return (rid, buf)
+
+    rows = [make_row(1, 4, 3), make_row(2, 8, 2), make_row(3, 5, 5)]
+    df = spark.createDataFrame(rows, "id long, media binary").select(
+        "id",
+        "media",
+        F.expr(
+            "named_struct('kind', 'image', 'width', 0, 'height', 0, "
+            "'sample_rate', 0, 'n_frames', 1)"
+        ).cast(MEDIA_META_DDL).alias("meta"),
+    )
+
+    def raw_decoder(buf, kind):
+        w, h = struct.unpack("<HH", bytes(buf[-4:]))
+        return (len(buf) - 4, w, h, 1)
+
+    got = {
+        r["id"]: (r["n_bytes"], r["width"], r["height"], r["n_frames"])
+        for r in decode_media_meta(df, decode_fn=raw_decoder).collect()
+    }
+    assert got == {
+        1: (4 * 3 * 3, 4, 3, 1),
+        2: (8 * 2 * 3, 8, 2, 1),
+        3: (5 * 5 * 3, 5, 5, 1),
+    }
+
+    def bad_decoder(buf, kind):
+        return (len(buf), 1)
+
+    with _pytest.raises(Exception, match="expected 4"):
+        decode_media_meta(df, decode_fn=bad_decoder).collect()
+
+    # pluggable encoder: per-channel means over the pixel region,
+    # padded to FEATURE_DIM — checked against numpy directly
+    def chan_means(buf):
+        a = np.frombuffer(bytes(buf[:-4]), dtype=np.uint8).reshape(-1, 3)
+        m = (a.mean(axis=0) / 255.0).tolist()
+        return m + [0.0] * 5
+
+    feats = {
+        r["id"]: r["feature"]
+        for r in extract_features(df, feature_fn=chan_means).collect()
+    }
+    for rid, buf in rows:
+        want = chan_means(buf)
+        assert feats[rid] == _pytest.approx(want, abs=1e-6)
+
+    def bad_encoder(buf):
+        return [1.0, 2.0]
+
+    with _pytest.raises(Exception, match="expected 8"):
+        extract_features(df, feature_fn=bad_encoder).collect()
