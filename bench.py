@@ -30,6 +30,17 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _mt_probe_work(_i: int) -> float:
+    # module-level so multiprocessing can pickle it; same fixed
+    # workload as the single-thread probe (~0.1s on a quiet core)
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    assert x >= 0
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -102,7 +113,45 @@ def main() -> None:
         assert x >= 0
         return round(time.perf_counter() - t0, 4)
 
+    def _mt_probe(nproc: int | None = None):
+        # MULTI-CORE contention probe (round-10): the round-8/9 steal
+        # episodes showed QUIET single-thread probes (0.06-0.08) while
+        # 32-way stages ran 3-6x slow — single-core probing cannot see
+        # multi-core-level contention.  Run the same fixed workload in
+        # nproc forked processes simultaneously; on a quiet host the
+        # wall time ≈ one worker's time (cores are free), under
+        # co-tenant load the wall inflates even though each worker's
+        # own cpu time stays near-quiet.  Returns (wall, max worker).
+        import multiprocessing as _mp
+
+        n = nproc or min(cpus, os.cpu_count() or 8)
+        t0 = time.perf_counter()
+        try:
+            with _mp.get_context("fork").Pool(n) as pool:
+                per = pool.map(_mt_probe_work, range(n))
+        except Exception:
+            return None
+        wall = time.perf_counter() - t0
+        per = sorted(per)
+        return {
+            "n": n,
+            "wall": round(wall, 4),
+            "median_worker": round(per[len(per) // 2], 4),
+            "max_worker": round(per[-1], 4),
+        }
+
+    mt_probes: list = []
+
+    # SPARK_GRAFT_BENCH_ONLY=q_a,q_b times only the named entries (an
+    # iteration/smoke helper — the driver never sets it); every other
+    # bench() call returns immediately
+    _only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
     def bench(name, build):
+        if _only and name not in _only:
+            return
         # best of 2 (3 when the two samples disagree >2x): the host
         # shows bursty CPU steal (identical queries measured 3.3s and
         # 23.9s minutes apart — see BASELINE.md measurement protocol);
@@ -192,8 +241,10 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
 
+    mt_probes.append(_mt_probe())
     for name, (fn, _) in QUERIES.items():
         bench(name, lambda fn=fn: fn(spark, sf_dir))
+    mt_probes.append(_mt_probe())
 
     # large x large SELECTIVE case: ~100k minute-capped spans x ~100k
     # 1-second probes = 1e10 candidate pairs, ~330k matches.  BNLJ must
@@ -790,6 +841,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    mt_probes.append(_mt_probe())
     spark.stop()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -814,6 +866,37 @@ def main() -> None:
     best_queries = {
         k: round(min(v, _prior.get(k, v)), 3) for k, v in timings.items()
     }
+    # DEGRADATION ANNOTATION (round-10, VERDICT r9 #5): a reading
+    # >1.5x its rolling best while the single-thread probe was QUIET is
+    # the established co-tenant signature (multi-core-level steal the
+    # single probe cannot see).  The run is not refused — the driver
+    # must always get a record — but every suspect is listed, the
+    # multi-core probes are recorded, and host_state plus the rolling-
+    # best subtotals give the quiet-state numbers alongside the
+    # measured ones.
+    _quiet_probe = 0.12
+    degraded = {
+        k: {
+            "sec": v,
+            "best": round(_prior[k], 3),
+            "probe": probes.get(k),
+        }
+        for k, v in timings.items()
+        if _prior.get(k, 0) > 0.05
+        and v > 1.5 * _prior[k]
+        and probes.get(k, 9.9) < _quiet_probe
+    }
+    # quiet-host calibration (this container, 32 procs): wall 0.24,
+    # median_worker 0.11, max_worker 0.15; thresholds sit >2x above
+    _mt_ok = [p for p in mt_probes if p]
+    _mt_contended = any(
+        p["median_worker"] > 0.25 or p["max_worker"] > 0.5 for p in _mt_ok
+    )
+    host_state = (
+        "contended"
+        if _mt_contended or len(degraded) >= max(3, len(timings) // 10)
+        else "quiet"
+    )
     full = {
         "metric": "suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -829,8 +912,14 @@ def main() -> None:
         "bpe_linear": bpe_linear,
         "maintenance": maintenance,
         "best_queries": best_queries,
+        "r1_catalog_best_sec": round(
+            sum(v for k, v in best_queries.items() if k in r1_set), 3
+        ),
         "errors": errors,
         "cpu_probe": probes,
+        "mt_probe": _mt_ok,
+        "degraded": degraded,
+        "host_state": host_state,
         "sf": sf_val,
     }
     # TRUNCATION-PROOFING (round-4 lesson): the driver records only the
@@ -841,14 +930,17 @@ def main() -> None:
     # (3) the LAST line printed is a compact headline whose scalar
     # verdict numbers sit at the END of the line, so any tail window
     # captures them.
-    try:
-        local_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
-        with open(local_path, "w") as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # a BENCH_ONLY subset run must never clobber the committed rolling
+    # bests with a partial record
+    if not _only:
+        try:
+            local_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            )
+            with open(local_path, "w") as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
     print(json.dumps(full))
     headline = {
         "queries": dict(
@@ -862,6 +954,9 @@ def main() -> None:
         "n_errors": len(errors),
         "recall": recall,
         "layout": layout,
+        "n_degraded": len(degraded),
+        "host_state": host_state,
+        "r1_catalog_best_sec": full["r1_catalog_best_sec"],
         "r1_catalog_sec": full["r1_catalog_sec"],
         "value": full["value"],
     }
