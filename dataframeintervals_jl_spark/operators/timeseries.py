@@ -1073,3 +1073,101 @@ def counter_windows(
             " AS BIGINT)"
         ).alias("rate_fp6"),
     )
+
+
+def gauge_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Gauge ``delta``/``idelta``/``rate``/``irate`` per window — the
+    TimescaleDB gauge_agg / Prometheus gauge convenience family and
+    the signed companion of :func:`counter_windows` (same lag pass,
+    same observation-instant attribution through the stabbing join,
+    same tiling invariant — window deltas sum to the series
+    last-minus-first), but NO reset rule: a gauge goes down for real,
+    so the raw signed difference is the step.
+
+    Per (key, window): ``delta`` (Σ signed consecutive differences
+    observed in the window), ``n_obs``, ``covered_dur`` (ns between
+    the observed consecutive samples), ``rate_fp6``
+    (``Σdelta·1e15 DIV Σdur`` — mean slope per second in 1e-6 units,
+    truncated toward zero), ``idelta`` (the LAST observation's signed
+    difference — Prometheus ``idelta``), and ``irate_fp6`` (the last
+    observation's instantaneous slope — Prometheus ``irate``).  The
+    "last" observation is picked by ``max_by`` over
+    ``struct(ts, *order)`` — a partial-aggregable pick, no window
+    sort over the joined stream.  Exact-integer contract as
+    :func:`counter_windows` (integral ``value_col``, DECIMAL(38,0)
+    accumulation, DIV truncation).
+
+    Scale shape: one per-key sort, one broadcast stabbing join, one
+    partial-agged group — nothing driver-side."""
+    from .interval_join import point_in_span_join
+
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("gauge_windows: by key(s) required")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "gauge_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    order = list(order)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    v = F.col(value_col).cast("long")
+    obs = (
+        samples.select(
+            *keys,
+            F.col(ts_col),
+            *order,
+            (v - F.lag(v).over(w)).alias("__d"),
+            (F.col(ts_col).cast("long") - F.lag(
+                F.col(ts_col).cast("long")
+            ).over(w)).alias("__dur"),
+        )
+        .filter(F.col("__d").isNotNull())
+    )
+    j = point_in_span_join(
+        obs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    dec = "DECIMAL(38,0)"
+    scale = 10**9 * RATE_FP_SCALE
+    ord_sql = ", ".join([ts_col, *order])
+    g = j.groupBy(*keys, *label_cols).agg(
+        F.expr("CAST(sum(__d) AS BIGINT)").alias("delta"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("CAST(sum(__dur) AS BIGINT)").alias("covered_dur"),
+        F.expr(
+            f"CAST(sum(CAST(__d AS {dec})) * CAST({scale} AS {dec})"
+            f" DIV nullif(sum(CAST(__dur AS {dec})), 0) AS BIGINT)"
+        ).alias("rate_fp6"),
+        F.expr(
+            f"max_by(struct(__d, __dur), struct({ord_sql}))"
+        ).alias("__last"),
+    )
+    return g.select(
+        *keys,
+        *label_cols,
+        "delta",
+        "n_obs",
+        "covered_dur",
+        "rate_fp6",
+        F.col("__last.__d").alias("idelta"),
+        F.expr(
+            f"CAST(CAST(__last.__d AS {dec}) * CAST({scale} AS {dec})"
+            f" DIV nullif(CAST(__last.__dur AS {dec}), 0) AS BIGINT)"
+        ).alias("irate_fp6"),
+    )

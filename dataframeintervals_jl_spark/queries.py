@@ -5639,6 +5639,69 @@ FROM o JOIN w ON w.w_start <= o.t AND o.t < w.w_stop
 GROUP BY o.user_id, w.widx"""
 
 
+def q_gauge_windows(spark, sf_dir):
+    """Windowed gauge delta/idelta/rate/irate (timeseries.py:
+    gauge_windows — the TimescaleDB gauge_agg / Prometheus gauge
+    family, the signed no-reset companion of q_counter_windows): per
+    (user, window), the signed sum of consecutive differences observed
+    in the window, the mean and instantaneous fixed-point slopes, and
+    the last observation's difference.  The oracle replays the lag
+    pass, the stab containment, the HUGEINT slope divisions, and the
+    (t, event_id)-latest pick."""
+    from .operators.timeseries import gauge_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = gauge_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+    )
+    return out.select(
+        "user_id", "widx", "delta", "n_obs", "covered_dur",
+        "rate_fp6", "idelta", "irate_fp6",
+    )
+
+
+_SQL_GAUGE_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), o AS (
+  SELECT user_id, t, event_id,
+         v_fx - lag(v_fx) OVER pk AS d,
+         t - lag(t) OVER pk AS dur
+  FROM ev WINDOW pk AS (PARTITION BY user_id ORDER BY t, event_id)
+), j AS (
+  SELECT o.user_id, o.t, o.event_id, o.d, o.dur, w.widx
+  FROM o JOIN w ON w.w_start <= o.t AND o.t < w.w_stop
+  WHERE o.d IS NOT NULL
+), g AS (
+  SELECT user_id, widx,
+         CAST(sum(d) AS BIGINT) AS delta,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(dur) AS BIGINT) AS covered_dur,
+         CAST(sum(d::HUGEINT) * 1000000000000000
+              // nullif(sum(dur::HUGEINT), 0) AS BIGINT) AS rate_fp6
+  FROM j GROUP BY user_id, widx
+), l AS (
+  SELECT user_id, widx, d, dur FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, widx
+                                 ORDER BY t DESC, event_id DESC) AS rn
+    FROM j) WHERE rn = 1
+)
+SELECT g.user_id, g.widx, g.delta, g.n_obs, g.covered_dur, g.rate_fp6,
+       l.d AS idelta,
+       CAST(l.d::HUGEINT * 1000000000000000
+            // nullif(l.dur::HUGEINT, 0) AS BIGINT) AS irate_fp6
+FROM g JOIN l USING (user_id, widx)"""
+
+
 def q_stream_duration_in_state(spark, sf_dir):
     """The STREAMING time-in-state twin in batch mode (streaming.py:
     stream_duration_in_state — stream_validity_intervals composed with
@@ -9046,6 +9109,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_duration_in_state": (q_duration_in_state, _SQL_DURATION_IN_STATE),
     "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
     "q_counter_windows": (q_counter_windows, _SQL_COUNTER_WINDOWS),
+    "q_gauge_windows": (q_gauge_windows, _SQL_GAUGE_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9142,7 +9206,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 197
+EXPECTED_CATALOG_SIZE = 198
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -833,3 +833,60 @@ def test_time_weighted_linear_equals_locf_on_constant_segments(spark):
         }
 
     assert run("linear") == run("locf")
+
+
+def test_gauge_windows_hand_values_and_tiling_invariant(spark):
+    """Signed deltas (no reset rule), Prometheus idelta/irate picks,
+    and the tiling invariant: window deltas sum to last-minus-first
+    per key when the windows tile the observed range."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        RATE_FP_SCALE,
+        gauge_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10, 10, 1), ("a", 40, 25, 2), ("a", 60, 5, 3),
+         ("a", 140, 9, 4), ("b", 30, 7, 5), ("b", 130, -13, 6)],
+        "k string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    out = {
+        (r["k"], r["widx"]): (
+            r["delta"], r["n_obs"], r["covered_dur"], r["rate_fp6"],
+            r["idelta"], r["irate_fp6"],
+        )
+        for r in gauge_windows(
+            df, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    s = 10**9 * RATE_FP_SCALE
+    # a, window 1: +15 over 30 at t=40, -20 over 20 at t=60 (signed!);
+    # idelta/irate from the LAST obs (t=60). Note -5*s DIV 50 and
+    # -20*s DIV 20 truncate toward zero (exact here).
+    assert out[("a", 1)] == (-5, 2, 50, -5 * s // 50, -20, -20 * s // 20)
+    # a, window 2: +4 over 80 at t=140 — single obs, rate == irate
+    assert out[("a", 2)] == (4, 1, 80, 4 * s // 80, 4, 4 * s // 80)
+    # b: -20 over 100 at t=130 (negative gauge value is fine)
+    assert out[("b", 2)] == (
+        -20, 1, 100, -20 * s // 100, -20, -20 * s // 100
+    )
+    assert ("b", 1) not in out  # anchor-only first sample
+
+    # tiling invariant: sum of window deltas == last - first per key
+    per_key = {
+        r["k"]: r["d"]
+        for r in gauge_windows(
+            df, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).groupBy("k").agg(F.sum("delta").alias("d")).collect()
+    }
+    assert per_key == {"a": 9 - 10, "b": -13 - 7}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="by key"):
+        gauge_windows(df, windows, "v", by=None)
