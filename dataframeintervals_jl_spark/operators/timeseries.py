@@ -1171,3 +1171,129 @@ def gauge_windows(
             f" DIV nullif(CAST(__last.__dur AS {dec}), 0) AS BIGINT)"
         ).alias("irate_fp6"),
     )
+
+
+def ohlc_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Candlestick (OHLC) rollup per window — the hypertable
+    ``candlestick_agg`` shape, which is also exactly the **M4
+    downsampling** kernel (per-bucket first/last/min/max preserves the
+    visual envelope of a series at any zoom): per (key, window), the
+    first and last sample values by ``(ts, *order)`` plus the min/max,
+    over the RAW samples stabbed into their windows (no lag pass —
+    samples, not observations, so a window's candle is exactly its
+    contained points).
+
+    Open/close are partial-aggregable ``min_by``/``max_by`` picks over
+    ``struct(ts, *order)`` — never a per-(key, window) sort.  Output:
+    keys + window labels + ``open`` + ``high`` + ``low`` + ``close`` +
+    ``n_samples`` + ``first_ts`` + ``last_ts``.  Works for any
+    orderable integral ``value_col`` (the fixed-point contract);
+    windows with no sample emit no row.
+
+    Scale shape: one broadcast stabbing join + one partial-agged
+    group — no per-key sort at all (cheaper than every other
+    aggregate in this family)."""
+    from .interval_join import point_in_span_join
+
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "ohlc_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    order = list(order)
+    pts = samples.select(
+        *keys, ts_col, *order, F.col(value_col).cast("long").alias("__v")
+    )
+    j = point_in_span_join(
+        pts,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    ord_sql = ", ".join([ts_col, *order])
+    return j.groupBy(*keys, *label_cols).agg(
+        F.expr(f"min_by(__v, struct({ord_sql}))").alias("open"),
+        F.expr("max(__v)").alias("high"),
+        F.expr("min(__v)").alias("low"),
+        F.expr(f"max_by(__v, struct({ord_sql}))").alias("close"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.expr(f"CAST(min({ts_col}) AS BIGINT)").alias("first_ts"),
+        F.expr(f"CAST(max({ts_col}) AS BIGINT)").alias("last_ts"),
+    )
+
+
+def heartbeat_windows(
+    beats: DataFrame,
+    windows: DataFrame,
+    liveness_ns: int,
+    ts_col: str = "ts",
+    by: Key = None,
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Liveness/uptime per window from a heartbeat stream — the
+    hypertable ``heartbeat_agg``/``uptime`` shape: each heartbeat at
+    ``t`` asserts the instance alive over ``[t, t + liveness_ns)``;
+    per (key, window) the UNION of those assertions (merged islands,
+    so overlapping heartbeats never double-count) is clamped to the
+    window and summed.
+
+    Composed from the engine's own primitives: one
+    :func:`~.coalesce.merge_spans` pass collapses the per-key
+    assertion spans into maximal live islands (per-key sort + running
+    max, the island-detection shuffle), then ONE overlap join against
+    the dimension-sized windows and a duration sum — the exact
+    skeleton of :func:`duration_in_state`, with the islands playing
+    the validity runs.  Output: keys + window labels + ``live_ns``
+    (ns alive inside the window) + ``n_islands`` (distinct live
+    stretches intersecting it).  Downtime is
+    ``window_width - live_ns`` at the caller (windows with zero
+    coverage emit no row, the family convention)."""
+    from ..functions.spans import make_span
+    from .coalesce import merge_spans
+    from .interval_join import interval_join
+
+    if liveness_ns <= 0:
+        raise ValueError(
+            f"liveness_ns must be positive, got {liveness_ns}"
+        )
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "heartbeat_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    t = F.col(ts_col).cast("long")
+    spans = beats.select(
+        *keys, make_span(t, t + F.lit(int(liveness_ns))).alias("span")
+    )
+    islands = merge_spans(spans, by=by).drop("n_spans")
+    j = interval_join(
+        islands,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        validate="skip",
+        strategy=strategy,
+    )
+    return j.groupBy(*keys, *label_cols).agg(
+        F.expr("CAST(sum(span.stop - span.start) AS BIGINT)").alias(
+            "live_ns"
+        ),
+        F.count(F.lit(1)).alias("n_islands"),
+    )

@@ -5702,6 +5702,109 @@ SELECT g.user_id, g.widx, g.delta, g.n_obs, g.covered_dur, g.rate_fp6,
 FROM g JOIN l USING (user_id, widx)"""
 
 
+def q_ohlc_windows(spark, sf_dir):
+    """Candlestick / M4-downsampling rollup (timeseries.py:
+    ohlc_windows — the hypertable ``candlestick_agg`` shape): per
+    (user, window), open/close by (ts, event_id) order plus high/low
+    over the raw fixed-point samples stabbed into 16 windows — one
+    broadcast stab join + one partial-agged group, no per-key sort.
+    The oracle replays the containment and the first/last picks via
+    row_number."""
+    from .operators.timeseries import ohlc_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = ohlc_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+    )
+    return out.select(
+        "user_id", "widx", "open", "high", "low", "close",
+        "n_samples", "first_ts", "last_ts",
+    )
+
+
+_SQL_OHLC_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), j AS (
+  SELECT ev.user_id, ev.t, ev.event_id, ev.v_fx, w.widx
+  FROM ev JOIN w ON w.w_start <= ev.t AND ev.t < w.w_stop
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, widx
+                            ORDER BY t, event_id) AS rna,
+         row_number() OVER (PARTITION BY user_id, widx
+                            ORDER BY t DESC, event_id DESC) AS rnd
+  FROM j
+)
+SELECT user_id, widx,
+       max(CASE WHEN rna = 1 THEN v_fx END) AS open,
+       max(v_fx) AS high, min(v_fx) AS low,
+       max(CASE WHEN rnd = 1 THEN v_fx END) AS close,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       min(t) AS first_ts, max(t) AS last_ts
+FROM r GROUP BY user_id, widx"""
+
+
+_HB_LIVE_NS = 21_600_000_000_000  # 6h liveness per heartbeat
+
+
+def q_heartbeat_windows(spark, sf_dir):
+    """Heartbeat uptime per window (timeseries.py: heartbeat_windows —
+    the hypertable ``heartbeat_agg``/uptime shape): every event is a
+    liveness assertion [t, t+6h) for its user; merged live islands
+    clamp into 16 windows and sum to exact ns alive.  One island
+    shuffle + one broadcast overlap join; the oracle replays the
+    running-max island detection and every clamped duration."""
+    from .operators.timeseries import heartbeat_windows
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = heartbeat_windows(
+        ev, w, _HB_LIVE_NS, ts_col="ts", by="user_id"
+    )
+    return out.select("user_id", "widx", "live_ns", "n_islands")
+
+
+_SQL_HEARTBEAT_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+hb AS (
+  SELECT user_id, epoch_ns(ts) AS t,
+         epoch_ns(ts) + {_HB_LIVE_NS} AS e
+  FROM events
+), m AS (
+  SELECT user_id, t, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY t, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmax
+  FROM hb
+), g AS (
+  SELECT user_id, t, e,
+         sum(CASE WHEN pmax IS NULL OR t > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, e
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+), isls AS (
+  SELECT user_id, min(t) AS f, max(e) AS s
+  FROM g GROUP BY user_id, isl
+), j AS (
+  SELECT isls.user_id, w.widx,
+         least(s, w.w_stop) - greatest(f, w.w_start) AS dur
+  FROM isls JOIN w ON greatest(f, w.w_start) < least(s, w.w_stop)
+)
+SELECT user_id, widx, CAST(sum(dur) AS BIGINT) AS live_ns,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM j GROUP BY user_id, widx"""
+
+
 def q_stream_duration_in_state(spark, sf_dir):
     """The STREAMING time-in-state twin in batch mode (streaming.py:
     stream_duration_in_state — stream_validity_intervals composed with
@@ -9110,6 +9213,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_counter_total": (q_counter_total, _SQL_COUNTER_TOTAL),
     "q_counter_windows": (q_counter_windows, _SQL_COUNTER_WINDOWS),
     "q_gauge_windows": (q_gauge_windows, _SQL_GAUGE_WINDOWS),
+    "q_ohlc_windows": (q_ohlc_windows, _SQL_OHLC_WINDOWS),
+    "q_heartbeat_windows": (q_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9206,7 +9311,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 198
+EXPECTED_CATALOG_SIZE = 200
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

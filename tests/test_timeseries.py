@@ -890,3 +890,75 @@ def test_gauge_windows_hand_values_and_tiling_invariant(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="by key"):
         gauge_windows(df, windows, "v", by=None)
+
+
+def test_ohlc_windows_hand_values(spark):
+    """Open/close by (ts, eid) order, high/low over contained samples;
+    ts ties broken by the order column."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        ohlc_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 10, 1), ("a", 40, 25, 2), ("a", 60, 5, 3),
+         ("a", 140, 9, 4), ("b", 70, -3, 5), ("b", 70, 8, 6)],
+        "k string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+    out = {
+        (r["k"], r["widx"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_samples"], r["first_ts"], r["last_ts"],
+        )
+        for r in ohlc_windows(
+            df, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    assert out[("a", 1)] == (10, 25, 5, 5, 3, 0, 60)
+    assert out[("a", 2)] == (9, 9, 9, 9, 1, 140, 140)
+    # tied timestamps: eid orders the candle (open eid=5, close eid=6)
+    assert out[("b", 1)] == (-3, 8, -3, 8, 2, 70, 70)
+    assert ("b", 2) not in out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="label"):
+        ohlc_windows(df, windows.select("span"), "v", by="k")
+
+
+def test_heartbeat_windows_hand_values(spark):
+    """Overlapping heartbeats merge into one island (no double count),
+    gaps break islands, islands clamp at window edges."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        heartbeat_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 10), ("a", 60), ("b", 95)],
+        "k string, ts long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, 1), (50, 100, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+    out = {
+        (r["k"], r["widx"]): (r["live_ns"], r["n_islands"])
+        for r in heartbeat_windows(
+            df, windows, 20, ts_col="ts", by="k"
+        ).collect()
+    }
+    # a: beats 0+10 merge -> [0,30); beat 60 -> [60,80)
+    assert out[("a", 1)] == (30, 1)
+    assert out[("a", 2)] == (20, 1)
+    # b: [95,115) clamps at the window edge 100
+    assert out[("b", 2)] == (5, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="liveness"):
+        heartbeat_windows(df, windows, 0, by="k")
