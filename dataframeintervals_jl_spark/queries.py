@@ -5702,6 +5702,32 @@ SELECT g.user_id, g.widx, g.delta, g.n_obs, g.covered_dur, g.rate_fp6,
 FROM g JOIN l USING (user_id, widx)"""
 
 
+def q_stream_gauge_windows(spark, sf_dir):
+    """The STREAMING windowed gauge twin in batch mode (streaming.py:
+    stream_gauge_windows — the signed no-reset sibling of
+    q_stream_counter_windows, same prev-sample state + static stab
+    join): batch inputs delegate to gauge_windows; streaming
+    increments sum to it exactly (file-stream parity pytest-gated).
+    Shares the gauge_windows oracle."""
+    from .streaming import stream_gauge_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_gauge_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id",
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "widx", "delta", "n_obs", "covered_dur",
+        "rate_fp6", "idelta", "irate_fp6",
+    )
+
+
 def q_ohlc_windows(spark, sf_dir):
     """Candlestick / M4-downsampling rollup (timeseries.py:
     ohlc_windows — the hypertable ``candlestick_agg`` shape): per
@@ -9214,6 +9240,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_counter_windows": (q_counter_windows, _SQL_COUNTER_WINDOWS),
     "q_gauge_windows": (q_gauge_windows, _SQL_GAUGE_WINDOWS),
     "q_ohlc_windows": (q_ohlc_windows, _SQL_OHLC_WINDOWS),
+    "q_stream_gauge_windows": (q_stream_gauge_windows, _SQL_GAUGE_WINDOWS),
     "q_heartbeat_windows": (q_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
@@ -9311,7 +9338,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 200
+EXPECTED_CATALOG_SIZE = 201
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

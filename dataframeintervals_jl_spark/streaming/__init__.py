@@ -2041,12 +2041,43 @@ def stream_counter_windows(
             order=[order_tiebreak] if order_tiebreak else (),
             window_span_col=window_span_col,
         )
+    j = _stream_obs_windows(
+        samples, windows, value_col, ts_col, by_cols,
+        order_tiebreak, window_span_col, gauge=False,
+    )
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    return j.select(
+        *by_cols,
+        *label_cols,
+        F.col("__st").alias("step"),
+        F.col("__rs").alias("reset"),
+        F.col("__dur").alias("dur"),
+    )
+
+
+def _stream_obs_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by_cols: list,
+    order_tiebreak: str | None,
+    window_span_col: str,
+    gauge: bool,
+) -> DataFrame:
+    """Shared streaming kernel of :func:`stream_counter_windows` and
+    :func:`stream_gauge_windows`: per-key prev-sample state turns each
+    arrival into an observation — ``__st`` under the counter reset
+    rule, or the raw SIGNED difference when ``gauge`` — plus the reset
+    flag and covered ns, then stabs the static windows broadcast-side.
+    Returns the joined increment stream with internal column names."""
+    from ..operators.interval_join import point_in_span_join
 
     on_type = samples.schema[ts_col].dataType
     if on_type.simpleString() != "bigint":
         raise ValueError(
-            "stream_counter_windows: ts_col must be BIGINT epoch-ns in "
-            f"streaming mode, got {on_type.simpleString()}"
+            "streaming windowed counters/gauges: ts_col must be BIGINT "
+            f"epoch-ns in streaming mode, got {on_type.simpleString()}"
         )
     key_fields = [samples.schema[c] for c in by_cols]
     out_schema = T.StructType(
@@ -2092,8 +2123,11 @@ def stream_counter_windows(
             t, v = int(rd[ts_col]), int(rd["cw_v"])
             if has:
                 delta = v - prev_v
-                st = v if delta < 0 else delta
-                rs = 1 if delta < 0 else 0
+                if gauge:
+                    st, rs = delta, 0
+                else:
+                    st = v if delta < 0 else delta
+                    rs = 1 if delta < 0 else 0
                 obs.append((t, st, rs, t - prev_t))
             prev_v, prev_t, has = v, t, True
         state.update((prev_v, prev_t, True))
@@ -2108,7 +2142,7 @@ def stream_counter_windows(
     observations = src.groupBy(*by_cols).applyInPandasWithState(
         scan, out_schema, state_schema, "append", "NoTimeout"
     )
-    j = point_in_span_join(
+    return point_in_span_join(
         observations,
         windows.withColumnRenamed(window_span_col, "span")
         if window_span_col != "span"
@@ -2117,10 +2151,61 @@ def stream_counter_windows(
         validate="skip",
         strategy="broadcast_right",
     )
+
+
+def stream_gauge_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    order_tiebreak: str | None = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming windowed gauge deltas — the unbounded twin of batch
+    :func:`~..operators.timeseries.gauge_windows` and the signed
+    no-reset sibling of :func:`stream_counter_windows` (same
+    prev-sample state, same static stab join): the output is the
+    per-observation increment stream ``(keys, window labels, d, dur)``
+    with ``d`` the raw SIGNED consecutive difference.  Summing ``d``
+    and ``dur`` per (key, window) reproduces the batch ``delta`` /
+    ``covered_dur`` / ``rate_fp6`` EXACTLY; ``idelta``/``irate`` are
+    the latest increment per group at the sink (each arriving
+    increment simply supersedes the previous — the append stream IS
+    the irate feed).  In-order per-key arrival assumed.
+
+    Batch inputs delegate to the batch operator (aggregated shape,
+    incl. idelta/irate) — what ``q_stream_gauge_windows`` gates
+    against the shared oracle."""
+    from ..operators.timeseries import gauge_windows
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("stream_gauge_windows requires at least one key")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_gauge_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    if not samples.isStreaming:
+        return gauge_windows(
+            samples,
+            windows,
+            value_col,
+            ts_col=ts_col,
+            by=by_cols,
+            order=[order_tiebreak] if order_tiebreak else (),
+            window_span_col=window_span_col,
+        )
+    j = _stream_obs_windows(
+        samples, windows, value_col, ts_col, by_cols,
+        order_tiebreak, window_span_col, gauge=True,
+    )
     return j.select(
         *by_cols,
         *label_cols,
-        F.col("__st").alias("step"),
-        F.col("__rs").alias("reset"),
+        F.col(ts_col),
+        F.col("__st").alias("d"),
         F.col("__dur").alias("dur"),
     )

@@ -2160,3 +2160,67 @@ def test_stream_counter_windows_parity(spark, tmp_path):
     assert got == batch
     # the boundary-straddling reset: 25 -> 5 at t=60 lands in window 1
     assert got[(1, 1)] == (20, 1, 2, 50)
+
+
+def test_stream_gauge_windows_parity(spark, tmp_path):
+    """Streaming gauge increments summed per (key, window) reproduce
+    batch gauge_windows' delta/covered_dur exactly (signed steps, no
+    reset rule), and the latest increment matches batch idelta."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        gauge_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_gauge_windows
+
+    schema = "k long, ts long, v long, eid long"
+    b1 = spark.createDataFrame(
+        [(1, 10, 10, 0), (1, 40, 25, 1), (2, 30, 7, 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 60, 5, 3), (1, 140, 9, 4), (2, 130, -13, 5)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "a long, b long, widx int"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+
+    d = str(tmp_path / "sgw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_gauge_windows(
+        stream, windows, "v", ts_col="ts", by="k", order_tiebreak="eid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sgw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["widx"]): (r["d"], r["n"], r["cd"], r["last_d"])
+        for r in spark.sql(
+            "SELECT k, widx, CAST(sum(d) AS BIGINT) AS d, count(*) AS n, "
+            "CAST(sum(dur) AS BIGINT) AS cd, max_by(d, ts) AS last_d "
+            "FROM sgw GROUP BY k, widx"
+        ).collect()
+    }
+    batch = {
+        (r["k"], r["widx"]): (
+            r["delta"], r["n_obs"], r["covered_dur"], r["idelta"]
+        )
+        for r in gauge_windows(
+            b1.unionByName(b2), windows, "v", ts_col="ts", by="k",
+            order=["eid"],
+        ).collect()
+    }
+    assert got == batch
+    # signed: k=1 window 1 saw +15 then -20
+    assert got[(1, 1)][0] == -5 and got[(1, 1)][3] == -20
