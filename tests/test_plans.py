@@ -1170,6 +1170,9 @@ def test_hypertable_aggregates_plan_shape(spark):
     from dataframeintervals_jl_spark.operators.timeseries import (
         counter_windows,
         duration_in_state,
+        gauge_windows,
+        heartbeat_windows,
+        ohlc_windows,
         time_weighted_avg,
     )
 
@@ -1194,6 +1197,15 @@ def test_hypertable_aggregates_plan_shape(spark):
         "counter_windows": counter_windows(
             ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
         ),
+        "gauge_windows": gauge_windows(
+            ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+        ),
+        "ohlc_windows": ohlc_windows(
+            ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+        ),
+        "heartbeat_windows": heartbeat_windows(
+            ev, w, 3_600_000_000_000, ts_col="ts", by="user_id"
+        ),
     }
     for name, out in outs.items():
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -1202,7 +1214,12 @@ def test_hypertable_aggregates_plan_shape(spark):
         assert count_broadcast_exchanges(out) >= 1, (
             f"{name}: windows side must broadcast"
         )
-        assert plan.count("HashAggregate") >= 2, (
+        # min_by/max_by over a struct ordinal buffer is not hash-
+        # aggregable: gauge/ohlc plan as a SortAggregate PAIR — still
+        # map-side partial (partial_sum/partial_max_by before the
+        # exchange), which is the property under test
+        n_agg = plan.count("HashAggregate") + plan.count("SortAggregate")
+        assert n_agg >= 2 and "partial_" in plan, (
             f"{name}: partial aggregation missing"
         )
 
