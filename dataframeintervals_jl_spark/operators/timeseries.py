@@ -1297,3 +1297,213 @@ def heartbeat_windows(
         ),
         F.count(F.lit(1)).alias("n_islands"),
     )
+
+
+def lttb_downsample(
+    samples: DataFrame,
+    n_out: int,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    mode: str = "parallel",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling to ~``n_out``
+    points per key — the visualization-grade decimation aggregate
+    (Steinarsson 2013; the TimescaleDB toolkit ``lttb`` shape): first
+    and last points always survive; the interior splits into
+    ``n_out - 2`` equal-count buckets and each bucket keeps the point
+    forming the largest triangle with its neighbor anchors.
+
+    Two modes, one shared fixed-point contract (anchors that are
+    bucket averages use TRUNCATED integer division, keeping every
+    area term within ~|x_range|·|y| magnitudes — exactly replayable
+    cross-engine, no doubles anywhere):
+
+    - ``mode='parallel'`` (default, the 100 TB path): the left anchor
+      is the PREVIOUS BUCKET'S truncated average (the first point for
+      bucket 0) instead of the previously selected point, making
+      every bucket independent — pure window + groupBy + join +
+      ``max_by`` argmax, no sequential scan.  This is the documented
+      engine variant (the same relaxation MapD/heavy.ai and most
+      parallel LTTB implementations make); selected points differ
+      from classic LTTB only where a bucket's winner was dragged by
+      its neighbor's selection.
+    - ``mode='classic'``: the textbook sequential rule (left anchor =
+      previously SELECTED point) per key inside ``applyInPandas`` —
+      the sanctioned per-group kernel; per-key state is O(1), cost
+      O(N) per key.  Property-tested against a pure-Python reference.
+
+    Ties break to the EARLIEST point (max score, then min rank).
+    Keys with ``N <= n_out`` pass through complete.  Output: keys +
+    ``ts_col`` + ``value_col`` (both BIGINT) + ``bucket`` (-1 for the
+    endpoints).  ``n_out >= 3`` required; ``by`` key(s) required
+    (downsampling interleaved keys together is never what a chart
+    wants)."""
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("lttb_downsample: by key(s) required")
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    if mode not in ("parallel", "classic"):
+        raise ValueError(
+            f"mode must be 'parallel' or 'classic', got {mode!r}"
+        )
+    nb = n_out - 2
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    wk = Window.partitionBy(*keys)
+    pts = samples.select(
+        *keys,
+        F.col(ts_col).cast("long").alias("x"),
+        F.col(value_col).cast("long").alias("y"),
+        (F.row_number().over(w) - 1).alias("r"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    if mode == "classic":
+        return _lttb_classic(pts, keys, n_out, ts_col, value_col)
+
+    small = pts.filter(F.col("n") <= n_out).select(
+        *keys,
+        F.col("x").alias(ts_col),
+        F.col("y").alias(value_col),
+        F.lit(-1).alias("bucket"),
+    )
+    big = pts.filter(F.col("n") > n_out)
+    ends = big.filter(
+        (F.col("r") == 0) | (F.col("r") == F.col("n") - 1)
+    ).select(
+        *keys,
+        F.col("x").alias(ts_col),
+        F.col("y").alias(value_col),
+        F.lit(-1).alias("bucket"),
+    )
+    interior = big.filter(
+        (F.col("r") >= 1) & (F.col("r") <= F.col("n") - 2)
+    ).withColumn(
+        "b",
+        F.expr(f"CAST(((r - 1) * {nb}) DIV (n - 2) AS BIGINT)"),
+    )
+    firsts = big.filter(F.col("r") == 0).select(
+        *keys, F.col("x").alias("fx"), F.col("y").alias("fy")
+    )
+    lasts = big.filter(F.col("r") == F.col("n") - 1).select(
+        *keys, F.col("x").alias("lx"), F.col("y").alias("ly")
+    )
+    # sums of epoch-ns overflow int64 over a bucket — accumulate in
+    # DECIMAL(38,0) and truncate the average (the shared anchor rule)
+    stats = interior.groupBy(*keys, "b").agg(
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
+        ).alias("ax"),
+        F.expr(
+            "CAST(sum(CAST(y AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
+        ).alias("ay"),
+    )
+    wb = Window.partitionBy(*keys).orderBy("b")
+    anchors = (
+        stats.select(
+            *keys,
+            "b",
+            F.lag("ax").over(wb).alias("px"),
+            F.lag("ay").over(wb).alias("py"),
+            F.lead("ax").over(wb).alias("nx"),
+            F.lead("ay").over(wb).alias("ny"),
+        )
+        .join(firsts, keys)
+        .join(lasts, keys)
+        .select(
+            *keys,
+            "b",
+            F.coalesce("px", "fx").alias("px"),
+            F.coalesce("py", "fy").alias("py"),
+            F.coalesce("nx", "lx").alias("nx"),
+            F.coalesce("ny", "ly").alias("ny"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    score = (
+        f"abs(CAST(px - nx AS {dec}) * CAST(y - py AS {dec})"
+        f" - CAST(px - x AS {dec}) * CAST(ny - py AS {dec}))"
+    )
+    winners = (
+        interior.join(anchors, [*keys, "b"])
+        .withColumn("__s", F.expr(score))
+        .groupBy(*keys, "b")
+        .agg(
+            F.expr("max_by(struct(x, y), struct(__s, -r))").alias("__w")
+        )
+        .select(
+            *keys,
+            F.col("__w.x").alias(ts_col),
+            F.col("__w.y").alias(value_col),
+            F.col("b").cast("int").alias("bucket"),
+        )
+    )
+    return small.unionByName(ends).unionByName(winners)
+
+
+def _lttb_classic(pts, keys, n_out, ts_col, value_col):
+    """Sequential textbook LTTB per key (``applyInPandas``): the left
+    anchor is the previously SELECTED point; the right anchor is the
+    next bucket's TRUNCATED average (the engine's shared fixed-point
+    rule; the last interior bucket anchors on the final point)."""
+    import numpy as np
+    import pandas as pd
+
+    nb = n_out - 2
+    schema = ", ".join(
+        [f"`{k}` {t}" for k, t in zip(
+            keys, [pts.schema[k].dataType.simpleString() for k in keys]
+        )]
+        + [f"`{ts_col}` bigint", f"`{value_col}` bigint", "bucket int"]
+    )
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("r", kind="mergesort")
+        x = pdf["x"].to_numpy(dtype=object)
+        y = pdf["y"].to_numpy(dtype=object)
+        n = len(pdf)
+        kv = [pdf[k].iloc[0] for k in keys]
+        if n <= n_out:
+            rows = [
+                (*kv, int(x[i]), int(y[i]), -1) for i in range(n)
+            ]
+            return pd.DataFrame(rows, columns=[*keys, ts_col, value_col, "bucket"])
+        # bucket boundaries of the interior ranks 1..n-2 (same floor
+        # rule as the parallel mode)
+        members: list[list[int]] = [[] for _ in range(nb)]
+        for r in range(1, n - 1):
+            members[((r - 1) * nb) // (n - 2)].append(r)
+        rows = [(*kv, int(x[0]), int(y[0]), -1)]
+        ax_, ay_ = int(x[0]), int(y[0])  # previously selected point
+        for b in range(nb):
+            idx = members[b]
+            if not idx:
+                continue
+            if b + 1 < nb and members[b + 1]:
+                nxt = members[b + 1]
+
+                # TRUNCATE toward zero (Python // floors) — the shared
+                # fixed-point anchor rule of the parallel mode
+                def tdiv(a, d):
+                    q = abs(a) // d
+                    return q if a >= 0 else -q
+
+                cx = tdiv(sum(int(x[i]) for i in nxt), len(nxt))
+                cy = tdiv(sum(int(y[i]) for i in nxt), len(nxt))
+            else:
+                cx, cy = int(x[n - 1]), int(y[n - 1])
+            best, best_s = None, -1
+            for i in idx:
+                s = abs(
+                    (ax_ - cx) * (int(y[i]) - ay_)
+                    - (ax_ - int(x[i])) * (cy - ay_)
+                )
+                if s > best_s:
+                    best, best_s = i, s
+            rows.append((*kv, int(x[best]), int(y[best]), b))
+            ax_, ay_ = int(x[best]), int(y[best])
+        rows.append((*kv, int(x[n - 1]), int(y[n - 1]), -1))
+        return pd.DataFrame(rows, columns=[*keys, ts_col, value_col, "bucket"])
+
+    return pts.groupBy(*keys).applyInPandas(one, schema)

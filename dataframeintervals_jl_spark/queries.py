@@ -5702,6 +5702,82 @@ SELECT g.user_id, g.widx, g.delta, g.n_obs, g.covered_dur, g.rate_fp6,
 FROM g JOIN l USING (user_id, widx)"""
 
 
+def q_lttb(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsample, parallel mode
+    (timeseries.py: lttb_downsample — the TimescaleDB toolkit ``lttb``
+    visualization decimator): per user, ~8 surviving points (endpoints
+    + 6 bucket winners by largest fixed-point triangle area against
+    truncated-average neighbor anchors).  Pure window + groupBy +
+    max_by argmax — no sequential scan; the oracle replays the rank,
+    the floor bucketing, the DECIMAL anchor truncation, every HUGEINT
+    area, and the (score DESC, rank ASC) tie-break."""
+    from .operators.timeseries import lttb_downsample
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    out = lttb_downsample(
+        ev, 8, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+    )
+    return out.select("user_id", "ts", "v_fx", "bucket")
+
+
+_SQL_LTTB = """WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS x, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS y
+  FROM events
+), p AS (
+  SELECT user_id, x, y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY x, event_id) - 1 AS r,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM ev
+), small AS (
+  SELECT user_id, x AS ts, y AS v_fx, -1 AS bucket FROM p WHERE n <= 8
+), big AS (SELECT * FROM p WHERE n > 8),
+ends AS (
+  SELECT user_id, x AS ts, y AS v_fx, -1 AS bucket
+  FROM big WHERE r = 0 OR r = n - 1
+), inter AS (
+  SELECT *, ((r - 1) * 6) // (n - 2) AS b
+  FROM big WHERE r BETWEEN 1 AND n - 2
+), firsts AS (SELECT user_id, x AS fx, y AS fy FROM big WHERE r = 0),
+lasts AS (SELECT user_id, x AS lx, y AS ly FROM big WHERE r = n - 1),
+stats AS (
+  SELECT user_id, b,
+         CAST(sum(x::HUGEINT) // count(*) AS BIGINT) AS ax,
+         CAST(CASE WHEN sum(y::HUGEINT) >= 0
+                   THEN sum(y::HUGEINT) // count(*)
+                   ELSE -((-sum(y::HUGEINT)) // count(*)) END
+              AS BIGINT) AS ay
+  FROM inter GROUP BY user_id, b
+), anch AS (
+  SELECT s.user_id, s.b,
+         coalesce(lag(ax) OVER pk, f.fx) AS px,
+         coalesce(lag(ay) OVER pk, f.fy) AS py,
+         coalesce(lead(ax) OVER pk, l.lx) AS nx,
+         coalesce(lead(ay) OVER pk, l.ly) AS ny
+  FROM stats s JOIN firsts f USING (user_id) JOIN lasts l USING (user_id)
+  WINDOW pk AS (PARTITION BY s.user_id ORDER BY s.b)
+), sc AS (
+  SELECT i.user_id, i.b, i.x, i.y, i.r,
+         abs((a.px - a.nx)::HUGEINT * (i.y - a.py)::HUGEINT
+             - (a.px - i.x)::HUGEINT * (a.ny - a.py)::HUGEINT) AS s
+  FROM inter i JOIN anch a ON i.user_id = a.user_id AND i.b = a.b
+), winners AS (
+  SELECT user_id, x AS ts, y AS v_fx, CAST(b AS INT) AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, b
+                                     ORDER BY s DESC, r ASC) AS rn
+        FROM sc)
+  WHERE rn = 1
+)
+SELECT * FROM small UNION ALL SELECT * FROM ends
+UNION ALL SELECT * FROM winners"""
+
+
 def q_stream_gauge_windows(spark, sf_dir):
     """The STREAMING windowed gauge twin in batch mode (streaming.py:
     stream_gauge_windows — the signed no-reset sibling of
@@ -9242,6 +9318,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_ohlc_windows": (q_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_gauge_windows": (q_stream_gauge_windows, _SQL_GAUGE_WINDOWS),
     "q_heartbeat_windows": (q_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS),
+    "q_lttb": (q_lttb, _SQL_LTTB),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9338,7 +9415,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 201
+EXPECTED_CATALOG_SIZE = 202
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

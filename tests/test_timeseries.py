@@ -962,3 +962,61 @@ def test_heartbeat_windows_hand_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="liveness"):
         heartbeat_windows(df, windows, 0, by="k")
+
+
+def test_lttb_downsample_modes(spark):
+    """Endpoints always survive, each bucket keeps its decisive spike
+    (classic == parallel when winners are unambiguous), N <= n_out
+    passes through complete, and invalid args fail loudly."""
+    import pytest as _pytest
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    # 20 points: flat baseline with one huge spike per interior third
+    rows = []
+    for i in range(20):
+        v = 0
+        if i == 4:
+            v = 1000
+        elif i == 10:
+            v = -800
+        elif i == 16:
+            v = 900
+        rows.append(("k", i * 10, v, i))
+    df = spark.createDataFrame(rows, "k string, ts long, v long, eid long")
+
+    def run(mode):
+        return sorted(
+            (r["ts"], r["v_fx"] if "v_fx" in r else r["v"], r["bucket"])
+            for r in lttb_downsample(
+                df, 5, "v", ts_col="ts", by="k", order=["eid"], mode=mode
+            ).collect()
+        )
+
+    par, cla = run("parallel"), run("classic")
+    # endpoints + one winner per bucket; the spikes dominate any anchor
+    ts_par = {t for t, _, _ in par}
+    assert {0, 190} <= ts_par
+    assert {40, 100, 160} <= ts_par, f"spikes must win: {par}"
+    assert len(par) == 5
+    assert par == cla
+
+    # passthrough below n_out
+    tiny = spark.createDataFrame(
+        rows[:4], "k string, ts long, v long, eid long"
+    )
+    out = lttb_downsample(tiny, 5, "v", ts_col="ts", by="k", order=["eid"])
+    assert sorted(r["ts"] for r in out.collect()) == [0, 10, 20, 30]
+    out_c = lttb_downsample(
+        tiny, 5, "v", ts_col="ts", by="k", order=["eid"], mode="classic"
+    )
+    assert sorted(r["ts"] for r in out_c.collect()) == [0, 10, 20, 30]
+
+    with _pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(df, 2, "v", by="k")
+    with _pytest.raises(ValueError, match="mode"):
+        lttb_downsample(df, 5, "v", by="k", mode="x")
+    with _pytest.raises(ValueError, match="by key"):
+        lttb_downsample(df, 5, "v")
