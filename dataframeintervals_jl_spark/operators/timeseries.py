@@ -1507,3 +1507,105 @@ def _lttb_classic(pts, keys, n_out, ts_col, value_col):
         return pd.DataFrame(rows, columns=[*keys, ts_col, value_col, "bucket"])
 
     return pts.groupBy(*keys).applyInPandas(one, schema)
+
+
+def stats2d_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Two-dimensional statistical rollup per window — the hypertable
+    ``stats_agg(x, y)`` shape: per (key, window), the EXACT integer
+    moment sums of the contained samples' ``(x, y)`` pairs —
+    ``n, sum_x, sum_y, sum_xx, sum_xy, sum_yy`` — from which every
+    downstream 2-D statistic (covariance, correlation, OLS
+    slope/intercept, R²) is one float expression at the caller
+    (:func:`corr_from_stats2d` provides the standard derivations).
+
+    Why moment sums and not the statistics: the sums are EXACT and
+    order-independent under DECIMAL(38,0) accumulation, hence
+    bit-replayable cross-engine AND mergeable — two windows' (or two
+    partitions') sums add, which is what makes this the rollup/
+    continuous-aggregate building block (TimescaleDB's ``rollup`` over
+    ``stats_agg`` works the same way).  A float corr is neither.
+    The sums are returned as STRINGS (the engine's gated-query rule:
+    DECIMAL canonicalization differs across engines' hashers).
+
+    ``x_col``/``y_col`` must be integral fixed-point values (the
+    ``v_fx`` pattern); with \\|x\\|,\\|y\\| ≤ ~1e12 and ≤ ~1e13 samples per
+    (key, window), every sum stays inside DECIMAL(38,0) — raw epoch-ns
+    inputs would not; pass relative/µs-scaled times if regressing
+    against time.  Scale shape: one broadcast stabbing join + one
+    partial-agged group."""
+    from .interval_join import point_in_span_join
+
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stats2d_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    pts = samples.select(
+        *keys,
+        ts_col,
+        *order,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    j = point_in_span_join(
+        pts,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    dec = "DECIMAL(38,0)"
+    x, y = f"CAST(__x AS {dec})", f"CAST(__y AS {dec})"
+    return j.groupBy(*keys, *label_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(sum({x}) AS STRING)").alias("sum_x"),
+        F.expr(f"CAST(sum({y}) AS STRING)").alias("sum_y"),
+        F.expr(f"CAST(sum({x} * {x}) AS STRING)").alias("sum_xx"),
+        F.expr(f"CAST(sum({x} * {y}) AS STRING)").alias("sum_xy"),
+        F.expr(f"CAST(sum({y} * {y}) AS STRING)").alias("sum_yy"),
+    )
+
+
+def corr_from_stats2d(df: DataFrame) -> DataFrame:
+    """Float derivations over :func:`stats2d_windows` output: appends
+    ``covar_pop``, ``corr``, ``slope`` (OLS y-on-x), ``intercept``.
+    One row-local expression pass — the exact sums stay available for
+    further rollup; NULL where undefined (n < 2 or zero variance).
+    Floats are for consumption, not for the hash gate (pytest checks
+    them against numpy; the gated query hashes the exact sums)."""
+    n = F.col("n").cast("double")
+    sx = F.col("sum_x").cast("double")
+    sy = F.col("sum_y").cast("double")
+    sxx = F.col("sum_xx").cast("double")
+    sxy = F.col("sum_xy").cast("double")
+    syy = F.col("sum_yy").cast("double")
+    cov_n = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    nz = (F.col("n") >= 2) & (var_x > 0)
+    covar = F.when(F.col("n") >= 2, cov_n / n)
+    corr = F.when(
+        nz & (var_y > 0), cov_n / F.sqrt(var_x * var_y)
+    )
+    slope = F.when(nz, cov_n / var_x)
+    intercept = F.when(nz, (sy - (cov_n / var_x) * sx) / n)
+    return (
+        df.withColumn("covar_pop", covar)
+        .withColumn("corr", corr)
+        .withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+    )

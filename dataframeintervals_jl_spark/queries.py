@@ -5778,6 +5778,60 @@ SELECT * FROM small UNION ALL SELECT * FROM ends
 UNION ALL SELECT * FROM winners"""
 
 
+def q_stats2d_windows(spark, sf_dir):
+    """2-D statistical rollup per window (timeseries.py:
+    stats2d_windows — the hypertable ``stats_agg(x, y)`` shape): per
+    (user, window), EXACT DECIMAL(38,0) moment sums (n, Σx, Σy, Σx²,
+    Σxy, Σy²) of the contained sample pairs, strings both sides (the
+    cross-engine DECIMAL canonicalization rule).  x is the fixed-point
+    value; y a deterministic integer-exact second signal.  The float
+    corr/slope derivations (corr_from_stats2d) are pytest-checked
+    against numpy; the gate hashes the exact sums."""
+    from .operators.timeseries import stats2d_windows
+
+    v_fx = F.round(F.col("value") * 1_000_000).cast("long")
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        v_fx.alias("x_fx"),
+        F.expr(
+            "CAST(round(value * 1000000) AS BIGINT) DIV 3"
+            " + (event_id % 97) * 1000"
+        ).alias("y_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stats2d_windows(
+        ev, w, "x_fx", "y_fx", ts_col="ts", by="user_id",
+        order=["event_id"],
+    )
+    return out.select(
+        "user_id", "widx", "n", "sum_x", "sum_y",
+        "sum_xx", "sum_xy", "sum_yy",
+    )
+
+
+_SQL_STATS2D_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT user_id, epoch_ns(ts) AS t,
+         CAST(round(value * 1000000) AS BIGINT) AS x,
+         CAST(round(value * 1000000) AS BIGINT) // 3
+           + (event_id % 97) * 1000 AS y
+  FROM events
+), j AS (
+  SELECT ev.user_id, ev.x, ev.y, w.widx
+  FROM ev JOIN w ON w.w_start <= ev.t AND ev.t < w.w_stop
+)
+SELECT user_id, widx, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x::HUGEINT) AS VARCHAR) AS sum_x,
+       CAST(sum(y::HUGEINT) AS VARCHAR) AS sum_y,
+       CAST(sum(x::HUGEINT * x) AS VARCHAR) AS sum_xx,
+       CAST(sum(x::HUGEINT * y) AS VARCHAR) AS sum_xy,
+       CAST(sum(y::HUGEINT * y) AS VARCHAR) AS sum_yy
+FROM j GROUP BY user_id, widx"""
+
+
 def q_stream_gauge_windows(spark, sf_dir):
     """The STREAMING windowed gauge twin in batch mode (streaming.py:
     stream_gauge_windows — the signed no-reset sibling of
@@ -9319,6 +9373,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_gauge_windows": (q_stream_gauge_windows, _SQL_GAUGE_WINDOWS),
     "q_heartbeat_windows": (q_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS),
     "q_lttb": (q_lttb, _SQL_LTTB),
+    "q_stats2d_windows": (q_stats2d_windows, _SQL_STATS2D_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9415,7 +9470,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 202
+EXPECTED_CATALOG_SIZE = 203
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

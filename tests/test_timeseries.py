@@ -1020,3 +1020,67 @@ def test_lttb_downsample_modes(spark):
         lttb_downsample(df, 5, "v", by="k", mode="x")
     with _pytest.raises(ValueError, match="by key"):
         lttb_downsample(df, 5, "v")
+
+
+def test_stats2d_windows_exact_sums_and_numpy_derivations(spark):
+    """Moment sums are exact and mergeable; corr_from_stats2d's float
+    derivations match numpy on the same points; degenerate groups
+    (n < 2, zero variance) yield NULLs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        corr_from_stats2d,
+        stats2d_windows,
+    )
+
+    pts = [
+        ("a", 10, 3, 9), ("a", 20, -1, 2), ("a", 30, 4, 15),
+        ("a", 40, 2, 5),
+        ("a", 140, 7, 7),            # n=1 window
+        ("b", 10, 5, 1), ("b", 60, 5, 8),  # zero x-variance
+    ]
+    df = spark.createDataFrame(
+        [(k, t, x, y, i) for i, (k, t, x, y) in enumerate(pts)],
+        "k string, ts long, x long, y long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+    s = stats2d_windows(df, windows, "x", "y", ts_col="ts", by="k")
+    out = {
+        (r["k"], r["widx"]): r.asDict() for r in corr_from_stats2d(s).collect()
+    }
+
+    a1 = out[("a", 1)]
+    xs = np.array([3, -1, 4, 2], dtype=float)
+    ys = np.array([9, 2, 15, 5], dtype=float)
+    assert (a1["n"], a1["sum_x"], a1["sum_y"]) == (4, "8", "31")
+    assert a1["sum_xx"] == str(int((xs * xs).sum()))
+    assert a1["sum_xy"] == str(int((xs * ys).sum()))
+    assert abs(a1["corr"] - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(a1["slope"] - slope) < 1e-9
+    assert abs(a1["intercept"] - intercept) < 1e-9
+    assert abs(a1["covar_pop"] - np.cov(xs, ys, bias=True)[0, 1]) < 1e-12
+
+    # mergeability: whole-range sums == sum of per-window sums
+    whole = spark.createDataFrame(
+        [(0, 200, 9)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+    w_all = {
+        r["k"]: int(r["sum_xy"])
+        for r in stats2d_windows(
+            df, whole, "x", "y", ts_col="ts", by="k"
+        ).collect()
+    }
+    per = {}
+    for (k, _), r in out.items():
+        per[k] = per.get(k, 0) + int(r["sum_xy"])
+    assert per == w_all
+
+    # degenerate: n=1 window -> corr/slope NULL; zero x-variance too
+    assert out[("a", 2)]["corr"] is None
+    assert out[("a", 2)]["slope"] is None
+    assert out[("b", 1)]["corr"] is None and out[("b", 1)]["slope"] is None
