@@ -687,6 +687,15 @@ def multi_resolution_rollup(
     )
 
 
+def spark_range_1(df: DataFrame, value: int) -> DataFrame:
+    """One-row ``(__whi: long)`` frame carrying a literal horizon —
+    the broadcastable stand-in for the windows-max-stop aggregate when
+    :func:`time_weighted_avg` is given an explicit ``clamp_at``."""
+    return df.sparkSession.range(1).select(
+        F.lit(int(value)).cast("long").alias("__whi")
+    )
+
+
 def time_weighted_avg(
     samples: DataFrame,
     windows: DataFrame,
@@ -697,6 +706,7 @@ def time_weighted_avg(
     window_span_col: str = "span",
     strategy: str = "auto",
     method: str = "locf",
+    clamp_at: Optional[int] = None,
 ) -> DataFrame:
     """Time-weighted average per window — the hypertable
     ``time_weight('LOCF' | 'Linear')`` aggregate (TimescaleDB toolkit
@@ -829,9 +839,31 @@ def time_weighted_avg(
         by=by,
         order=order,
     )
-    whi = windows.agg(
-        F.max(F.col(f"{window_span_col}.stop")).alias("__whi")
-    )
+    # clamp horizon for open (current) runs: the windows' max stop by
+    # default, or the caller's explicit ``clamp_at`` — needed whenever
+    # the windows table is itself a derived FRAGMENT set (e.g.
+    # span_difference output under artifact masks) whose max stop
+    # shifts with the masking, while the intended horizon is the
+    # original range's end.  Accepts an int (driver-known horizon) or
+    # a lazily-computed 1-row, 1-column DataFrame (no driver action).
+    if clamp_at is None:
+        whi = windows.agg(
+            F.max(F.col(f"{window_span_col}.stop")).alias("__whi")
+        )
+    elif isinstance(clamp_at, DataFrame):
+        c0 = clamp_at.columns
+        if len(c0) != 1:
+            raise ValueError(
+                "time_weighted_avg: clamp_at DataFrame must have "
+                f"exactly one column, got {c0}"
+            )
+        # backtick-quote: agg outputs are named like `max(span.stop)`
+        # and a bare F.col would parse the dot as field access
+        whi = clamp_at.select(
+            F.col(f"`{c0[0]}`").cast("long").alias("__whi")
+        )
+    else:
+        whi = spark_range_1(windows, int(clamp_at))
     stop = F.least(
         F.coalesce(F.col("valid_to"), F.col("__whi")), F.col("__whi")
     )

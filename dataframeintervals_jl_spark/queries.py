@@ -5778,6 +5778,112 @@ SELECT * FROM small UNION ALL SELECT * FROM ends
 UNION ALL SELECT * FROM winners"""
 
 
+def q_masked_twa(spark, sf_dir):
+    """Artifact-masked time-weighted average — the biosignal flagship
+    COMPOSITION (the reference's home domain: average a signal per
+    window EXCLUDING artifact blackouts): 30-minute masks anchored at
+    every 17th event subtract from the 16 windows via span_difference
+    (fragments keep their widx labels), and time_weighted_avg runs
+    unchanged over the fragment set — same-label fragments aggregate
+    back together, so the result IS the masked TWA.  clamp_at pins
+    the open-run horizon to the ORIGINAL windows' max stop (a tail
+    mask would otherwise shift the fragment max).  The oracle replays
+    it by inclusion-exclusion over merged mask islands: |run∩w\\M| =
+    |run∩w| − Σ_i |run∩w∩island_i|, exact HUGEINT end to end."""
+    from .functions.spans import make_span
+    from .operators.coalesce import span_difference
+    from .operators.timeseries import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    masks = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select(
+            make_span(
+                F.col("ts"), F.col("ts") + F.lit(1_800_000_000_000)
+            ).alias("span")
+        )
+    )
+    frags = span_difference(w, masks)
+    horizon = w.agg(F.max("span.stop"))
+    out = time_weighted_avg(
+        ev, frags, "v_fx", ts_col="ts", by="event_type",
+        order=["event_id"], clamp_at=horizon,
+    )
+    return out.select("event_type", "widx", "covered_dur", "twa")
+
+
+_SQL_MASKED_TWA = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), m AS (
+  SELECT *, lag(v_fx) OVER pk AS prev
+  FROM ev WINDOW pk AS (PARTITION BY event_type ORDER BY t, event_id)
+), runs AS (
+  SELECT event_type, v_fx, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM v_fx
+), vi AS (
+  SELECT event_type, v_fx, t AS f,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS vt
+  FROM runs
+), whi AS (SELECT max(w_stop) AS hi2 FROM w),
+vc AS (
+  SELECT event_type, v_fx, f,
+         least(coalesce(vt, hi2), hi2) AS s
+  FROM vi, whi
+  WHERE f < least(coalesce(vt, hi2), hi2)
+), mk AS (
+  SELECT epoch_ns(ts) AS t FROM events WHERE event_id % 17 = 0
+), mi AS (
+  SELECT min(t) AS mf, max(t + 1800000000000) AS me FROM (
+    SELECT t, sum(brk) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS isl
+    FROM (
+      SELECT t, CASE WHEN pmax IS NULL OR t > pmax THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT t, max(t + 1800000000000)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+        FROM mk) p1) p2) p3
+  GROUP BY isl
+), base AS (
+  SELECT vc.event_type, w.widx,
+         sum(v_fx::HUGEINT
+             * (least(vc.s, w.w_stop) - greatest(vc.f, w.w_start))) AS vnum,
+         sum((least(vc.s, w.w_stop) - greatest(vc.f, w.w_start))::HUGEINT)
+           AS den
+  FROM vc JOIN w ON greatest(vc.f, w.w_start) < least(vc.s, w.w_stop)
+  GROUP BY vc.event_type, w.widx
+), sub AS (
+  SELECT vc.event_type, w.widx,
+         sum(v_fx::HUGEINT
+             * (least(vc.s, w.w_stop, mi.me)
+                - greatest(vc.f, w.w_start, mi.mf))) AS vnum,
+         sum((least(vc.s, w.w_stop, mi.me)
+              - greatest(vc.f, w.w_start, mi.mf))::HUGEINT) AS den
+  FROM vc
+  JOIN w ON greatest(vc.f, w.w_start) < least(vc.s, w.w_stop)
+  JOIN mi ON greatest(vc.f, w.w_start, mi.mf)
+             < least(vc.s, w.w_stop, mi.me)
+  GROUP BY vc.event_type, w.widx
+)
+SELECT b.event_type, b.widx,
+       CAST(b.den - coalesce(s.den, 0) AS BIGINT) AS covered_dur,
+       CAST((b.vnum - coalesce(s.vnum, 0))
+            // (b.den - coalesce(s.den, 0)) AS BIGINT) AS twa
+FROM base b LEFT JOIN sub s
+  ON b.event_type = s.event_type AND b.widx = s.widx
+WHERE b.den - coalesce(s.den, 0) > 0"""
+
+
 def q_stats2d_windows(spark, sf_dir):
     """2-D statistical rollup per window (timeseries.py:
     stats2d_windows — the hypertable ``stats_agg(x, y)`` shape): per
@@ -9374,6 +9480,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_heartbeat_windows": (q_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS),
     "q_lttb": (q_lttb, _SQL_LTTB),
     "q_stats2d_windows": (q_stats2d_windows, _SQL_STATS2D_WINDOWS),
+    "q_masked_twa": (q_masked_twa, _SQL_MASKED_TWA),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9470,7 +9577,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 203
+EXPECTED_CATALOG_SIZE = 204
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1084,3 +1084,66 @@ def test_stats2d_windows_exact_sums_and_numpy_derivations(spark):
     assert out[("a", 2)]["corr"] is None
     assert out[("a", 2)]["slope"] is None
     assert out[("b", 1)]["corr"] is None and out[("b", 1)]["slope"] is None
+
+
+def test_masked_twa_composition_hand_values(spark):
+    """span_difference fragments + time_weighted_avg(clamp_at=)
+    compose into artifact-masked TWA: masked time is excluded from
+    both the weights and the coverage; same-label fragments aggregate
+    back together; clamp_at pins the open-run horizon even when a
+    mask covers the windows' tail."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        span_difference,
+    )
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    samples = spark.createDataFrame(
+        [("k", 0, 10, 1), ("k", 40, 30, 2)],
+        "key string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, 1), (50, 100, 2)], "a long, b long, widx int"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+    # masks: [20, 30) inside window 1; [90, 110) covering the tail
+    masks = spark.createDataFrame(
+        [(20, 30), (90, 110)], "a long, b long"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"))
+    frags = span_difference(windows, masks)
+    out = {
+        (r["key"], r["widx"]): (r["covered_dur"], r["twa"])
+        for r in time_weighted_avg(
+            samples, frags, "v", ts_col="ts", by="key", order=["eid"],
+            clamp_at=100,
+        ).collect()
+    }
+    # window 1 unmasked time: [0,20)+[30,50) = 40ns; value 10 holds
+    # [0,40) -> covers [0,20)+[30,40) = 30; value 30 holds [40,100)
+    # -> covers [40,50) = 10.  twa = (10*30 + 30*10) // 40 = 15
+    assert out[("k", 1)] == (40, 15)
+    # window 2 unmasked: [50,90) = 40ns, all value 30 (clamped at 100,
+    # NOT at the fragment max stop 90 — same result here but the
+    # horizon matters when the tail mask ends before the window stop)
+    assert out[("k", 2)] == (40, 30)
+
+    # DataFrame clamp_at: same result via the lazy 1-row horizon
+    horizon = windows.agg(F.max("span.stop"))
+    out2 = {
+        (r["key"], r["widx"]): (r["covered_dur"], r["twa"])
+        for r in time_weighted_avg(
+            samples, frags, "v", ts_col="ts", by="key", order=["eid"],
+            clamp_at=horizon,
+        ).collect()
+    }
+    assert out2 == out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="one column"):
+        time_weighted_avg(
+            samples, frags, "v", by="key",
+            clamp_at=windows.select("span", "widx"),
+        )
