@@ -1641,3 +1641,85 @@ def corr_from_stats2d(df: DataFrame) -> DataFrame:
         .withColumn("slope", slope)
         .withColumn("intercept", intercept)
     )
+
+
+def gapfill_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+    window_span_col: str = "span",
+    tolerance: Optional[int] = None,
+) -> DataFrame:
+    """Gap-filled boundary snapshots — the hypertable
+    ``time_bucket_gapfill(...) + locf()`` shape: EVERY (key, window)
+    pair is emitted (unlike the coverage-gated aggregates in this
+    family, which skip empty windows), with the value the series held
+    AT the window's start — the latest sample at-or-before it (LOCF),
+    NULL before the key's first sample or when ``tolerance`` (ns)
+    expires the carried reading across a long outage.
+
+    Composition: the key dimension (one distinct pass over
+    ``samples``) cross-joins the dimension-sized windows table —
+    both tiny, so the grid is broadcast-built — then one
+    :func:`~.asof_join.asof_join` backward pass attaches the boundary
+    reading.  Output: keys + every non-span windows column +
+    ``w_start`` + ``<value_col>`` (the held value) + ``sample_ts``
+    (when it was observed).  Dense by construction: rows ==
+    |keys| × |windows| — callers chart it directly.
+
+    Scale shape: one distinct-keys agg, one broadcast cross join
+    (grid ≈ keys × windows, dimension-sized), one as-of join (union +
+    per-key window pass).  ``order`` tie-breaks equal-timestamp
+    samples; the LAST by the tie-break wins (asof_join contract)."""
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("gapfill_windows: by key(s) required")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "gapfill_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    kdim = samples.select(*keys).distinct()
+    grid = kdim.crossJoin(
+        F.broadcast(
+            windows.select(
+                *label_cols,
+                F.col(f"{window_span_col}.start").alias("w_start"),
+            )
+        )
+    )
+    # equal-timestamp samples reduce FIRST (one partial-agged pass) so
+    # the as-of pick is deterministic: the LAST by ``order`` wins, or
+    # the max value when no tie-break is given
+    pick = (
+        F.expr(
+            f"max_by({value_col}, struct({', '.join(order)}))"
+        )
+        if order
+        else F.max(value_col)
+    )
+    obs = (
+        samples.select(
+            *keys,
+            F.col(ts_col).cast("long").alias("w_start"),
+            F.col(value_col),
+            *order,
+        )
+        .groupBy(*keys, "w_start")
+        .agg(pick.alias(value_col))
+    )
+    out = asof_join(
+        grid, obs, on="w_start", by=keys, direction="backward",
+        tolerance=tolerance,
+    )
+    return out.select(
+        *keys,
+        *label_cols,
+        "w_start",
+        F.col(f"{value_col}_right").alias(value_col),
+        F.col("w_start_right").alias("sample_ts"),
+    )

@@ -5778,6 +5778,48 @@ SELECT * FROM small UNION ALL SELECT * FROM ends
 UNION ALL SELECT * FROM winners"""
 
 
+def q_gapfill_locf(spark, sf_dir):
+    """Gap-filled boundary snapshots (timeseries.py: gapfill_windows —
+    the ``time_bucket_gapfill + locf()`` shape): EVERY (user, window)
+    pair emitted — 150 users × 16 windows = dense 2400 rows at sf0.01
+    — carrying the fixed-point value held at each window's start
+    (latest sample at-or-before it, ties to the max event_id), NULL
+    before the user's first sample.  One distinct-keys pass, one
+    broadcast grid build, one as-of join; the oracle replays via a
+    correlated LATERAL top-1."""
+    from .operators.timeseries import gapfill_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = gapfill_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"]
+    )
+    return out.select("user_id", "widx", "w_start", "v_fx", "sample_ts")
+
+
+_SQL_GAPFILL_LOCF = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+o AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), g AS (
+  SELECT k.user_id, w.widx, w.w_start
+  FROM (SELECT DISTINCT user_id FROM events) k CROSS JOIN w
+)
+SELECT g.user_id, g.widx, g.w_start, b.v_fx, b.t AS sample_ts
+FROM g LEFT JOIN LATERAL (
+  SELECT o.v_fx, o.t FROM o
+  WHERE o.user_id = g.user_id AND o.t <= g.w_start
+  ORDER BY o.t DESC, o.event_id DESC LIMIT 1
+) b ON TRUE"""
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9481,6 +9523,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_lttb": (q_lttb, _SQL_LTTB),
     "q_stats2d_windows": (q_stats2d_windows, _SQL_STATS2D_WINDOWS),
     "q_masked_twa": (q_masked_twa, _SQL_MASKED_TWA),
+    "q_gapfill_locf": (q_gapfill_locf, _SQL_GAPFILL_LOCF),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9577,7 +9620,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 204
+EXPECTED_CATALOG_SIZE = 205
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1147,3 +1147,56 @@ def test_masked_twa_composition_hand_values(spark):
             samples, frags, "v", by="key",
             clamp_at=windows.select("span", "widx"),
         )
+
+
+def test_gapfill_windows_dense_and_locf(spark):
+    """Every (key, window) pair emits: NULL before the first sample,
+    the held value at each boundary after, tolerance expiry nulls a
+    stale carry, equal-ts ties go to the order column's max."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        gapfill_windows,
+    )
+
+    samples = spark.createDataFrame(
+        [("a", 25, 7, 1), ("a", 25, 9, 2), ("a", 130, 4, 3),
+         ("b", 310, 1, 4)],
+        "k string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(i * 100, (i + 1) * 100, i + 1) for i in range(4)],
+        "lo long, hi long, widx int",
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+    out = {
+        (r["k"], r["widx"]): (r["v"], r["sample_ts"])
+        for r in gapfill_windows(
+            samples, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    # dense: 2 keys x 4 windows
+    assert len(out) == 8
+    # a: boundary 0 precedes the first sample; 100 holds the eid-2
+    # tie-winner (9); 200/300 hold the later 4
+    assert out[("a", 1)] == (None, None)
+    assert out[("a", 2)] == (9, 25)
+    assert out[("a", 3)] == (4, 130) and out[("a", 4)] == (4, 130)
+    # b: nothing until the 300 boundary... which is still before 310
+    assert all(out[("b", i)] == (None, None) for i in (1, 2, 3, 4))
+
+    # tolerance: a 50ns carry limit expires the 25->200 boundary gap
+    out_tol = {
+        (r["k"], r["widx"]): r["v"]
+        for r in gapfill_windows(
+            samples, windows, "v", ts_col="ts", by="k", order=["eid"],
+            tolerance=80,
+        ).collect()
+    }
+    assert out_tol[("a", 2)] == 9      # gap 75 <= 80
+    assert out_tol[("a", 3)] == 4      # gap 70 <= 80
+    assert out_tol[("b", 4)] is None
+
+    with _pytest.raises(ValueError, match="by key"):
+        gapfill_windows(samples, windows, "v")
