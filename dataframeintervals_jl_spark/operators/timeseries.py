@@ -1652,12 +1652,23 @@ def gapfill_windows(
     order: Sequence[str] = (),
     window_span_col: str = "span",
     tolerance: Optional[int] = None,
+    method: str = "locf",
 ) -> DataFrame:
     """Gap-filled boundary snapshots — the hypertable
-    ``time_bucket_gapfill(...) + locf()`` shape: EVERY (key, window)
-    pair is emitted (unlike the coverage-gated aggregates in this
-    family, which skip empty windows), with the value the series held
-    AT the window's start — the latest sample at-or-before it (LOCF),
+    ``time_bucket_gapfill(...) + locf()/interpolate()`` shape: EVERY
+    (key, window) pair is emitted (unlike the coverage-gated
+    aggregates in this family, which skip empty windows).
+
+    ``method='locf'`` (default): the value the series held AT the
+    window's start — the latest sample at-or-before it; output adds
+    ``sample_ts``.  ``method='linear'``: the boundary value
+    interpolates exactly between the neighboring samples
+    (``v0 + dv·(t-t0) DIV D``, the engine's truncated fixed-point
+    rule; exact ON a sample; NULL outside the observed range — the
+    TimescaleDB ``interpolate()`` convention); output adds
+    ``prev_ts``/``next_ts`` and costs ONE extra as-of pass.
+
+    LOCF detail: the value held is the latest sample at-or-before it,
     NULL before the key's first sample or when ``tolerance`` (ns)
     expires the carried reading across a long outage.
 
@@ -1677,6 +1688,11 @@ def gapfill_windows(
     keys = _by_cols(by)
     if not keys:
         raise ValueError("gapfill_windows: by key(s) required")
+    if method not in ("locf", "linear"):
+        raise ValueError(
+            f"gapfill_windows: method must be 'locf' or 'linear', "
+            f"got {method!r}"
+        )
     label_cols = [c for c in windows.columns if c != window_span_col]
     if not label_cols:
         raise ValueError(
@@ -1716,10 +1732,56 @@ def gapfill_windows(
         grid, obs, on="w_start", by=keys, direction="backward",
         tolerance=tolerance,
     )
-    return out.select(
+    if method == "locf":
+        return out.select(
+            *keys,
+            *label_cols,
+            "w_start",
+            F.col(f"{value_col}_right").alias(value_col),
+            F.col("w_start_right").alias("sample_ts"),
+        )
+    # linear: a second (forward) as-of pass finds the NEXT sample and
+    # the boundary interpolates exactly between the two readings with
+    # the engine's truncated fixed-point rule (v0 + dv·(t-t0) DIV D).
+    # A boundary ON a sample is exact; before the first or after the
+    # last sample there is nothing to interpolate against -> NULL
+    # (TimescaleDB's interpolate() convention, unlike locf's carry).
+    back = out.select(
         *keys,
         *label_cols,
         "w_start",
-        F.col(f"{value_col}_right").alias(value_col),
-        F.col("w_start_right").alias("sample_ts"),
+        F.col(f"{value_col}_right").alias("__v0"),
+        F.col("w_start_right").alias("__t0"),
+    )
+    fwd = asof_join(
+        back, obs, on="w_start", by=keys, direction="forward",
+        tolerance=tolerance,
+    ).select(
+        *keys,
+        *label_cols,
+        "w_start",
+        "__v0",
+        "__t0",
+        F.col(f"{value_col}_right").alias("__v1"),
+        F.col("w_start_right").alias("__t1"),
+    )
+    dec = "DECIMAL(38,0)"
+    lerp = F.expr(
+        f"CAST(__v0 + CAST(__v1 - __v0 AS {dec})"
+        f" * CAST(w_start - __t0 AS {dec})"
+        f" DIV nullif(__t1 - __t0, 0) AS BIGINT)"
+    )
+    filled = (
+        F.when(F.col("__t0") == F.col("w_start"), F.col("__v0"))
+        .when(
+            F.col("__t0").isNotNull() & F.col("__t1").isNotNull(), lerp
+        )
+    )
+    return fwd.select(
+        *keys,
+        *label_cols,
+        "w_start",
+        filled.alias(value_col),
+        F.col("__t0").alias("prev_ts"),
+        F.col("__t1").alias("next_ts"),
     )

@@ -5820,6 +5820,63 @@ FROM g LEFT JOIN LATERAL (
 ) b ON TRUE"""
 
 
+def q_gapfill_interp(spark, sf_dir):
+    """Interpolated gap-fill (timeseries.py: gapfill_windows
+    method='linear' — the ``time_bucket_gapfill + interpolate()``
+    shape): every (user, window) boundary value lerps exactly between
+    the neighboring samples (truncated fixed-point rule), exact on a
+    sample, NULL outside the observed range.  Two as-of passes; the
+    oracle replays via two correlated LATERAL top-1s and the same
+    HUGEINT lerp."""
+    from .operators.timeseries import gapfill_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = gapfill_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id", order=["event_id"],
+        method="linear",
+    )
+    return out.select(
+        "user_id", "widx", "w_start", "v_fx", "prev_ts", "next_ts"
+    )
+
+
+_SQL_GAPFILL_INTERP = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+o AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), g AS (
+  SELECT k.user_id, w.widx, w.w_start
+  FROM (SELECT DISTINCT user_id FROM events) k CROSS JOIN w
+)
+SELECT g.user_id, g.widx, g.w_start,
+       CASE WHEN b.t = g.w_start THEN b.v_fx
+            WHEN b.t IS NOT NULL AND f.t IS NOT NULL THEN
+              CAST(b.v_fx + ((f.v_fx - b.v_fx)::HUGEINT
+                             * (g.w_start - b.t))
+                   // nullif(f.t - b.t, 0) AS BIGINT)
+       END AS v_fx,
+       b.t AS prev_ts, f.t AS next_ts
+FROM g
+LEFT JOIN LATERAL (
+  SELECT o.v_fx, o.t FROM o
+  WHERE o.user_id = g.user_id AND o.t <= g.w_start
+  ORDER BY o.t DESC, o.event_id DESC LIMIT 1
+) b ON TRUE
+LEFT JOIN LATERAL (
+  SELECT o.v_fx, o.t FROM o
+  WHERE o.user_id = g.user_id AND o.t >= g.w_start
+  ORDER BY o.t ASC, o.event_id DESC LIMIT 1
+) f ON TRUE"""
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9524,6 +9581,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stats2d_windows": (q_stats2d_windows, _SQL_STATS2D_WINDOWS),
     "q_masked_twa": (q_masked_twa, _SQL_MASKED_TWA),
     "q_gapfill_locf": (q_gapfill_locf, _SQL_GAPFILL_LOCF),
+    "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9620,7 +9678,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 205
+EXPECTED_CATALOG_SIZE = 206
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

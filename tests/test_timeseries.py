@@ -1200,3 +1200,41 @@ def test_gapfill_windows_dense_and_locf(spark):
 
     with _pytest.raises(ValueError, match="by key"):
         gapfill_windows(samples, windows, "v")
+
+
+def test_gapfill_windows_linear_interpolation(spark):
+    """Linear gapfill: boundary values lerp exactly between neighbor
+    samples, exact on a sample, NULL outside the observed range —
+    unlike locf's carry."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        gapfill_windows,
+    )
+
+    samples = spark.createDataFrame(
+        [("a", 100, 10, 1), ("a", 300, 50, 2)],
+        "k string, ts long, v long, eid long",
+    )
+    windows = spark.createDataFrame(
+        [(i * 100, (i + 1) * 100, i + 1) for i in range(5)],
+        "lo long, hi long, widx int",
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+    out = {
+        r["widx"]: (r["v"], r["prev_ts"], r["next_ts"])
+        for r in gapfill_windows(
+            samples, windows, "v", ts_col="ts", by="k", order=["eid"],
+            method="linear",
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1][0] is None               # boundary 0: before range
+    assert out[2] == (10, 100, 100)        # exactly on the sample
+    assert out[3][0] == 10 + 40 * 100 // 200  # lerp at 200 -> 30
+    assert out[4] == (50, 300, 300)        # on the last sample
+    assert out[5][0] is None               # boundary 400: after range
+
+    with _pytest.raises(ValueError, match="method"):
+        gapfill_windows(samples, windows, "v", by="k", method="x")
