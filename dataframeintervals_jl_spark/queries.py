@@ -5122,6 +5122,76 @@ SELECT e.event_type,
 FROM e JOIN x USING (event_type)"""
 
 
+def q_hll_windows(spark, sf_dir):
+    """Windowed approximate-distinct (hll_distinct over the stabbing
+    join — the hypertable ``approx_count_distinct per time_bucket``
+    staple): per 16-window, the p=8 HLL estimate of distinct users
+    alongside the exact count.  Register state stays ≤ m rows per
+    window per task regardless of event volume — the sketch family's
+    bounded-shuffle contract under time windowing; the oracle replays
+    the stab containment and every register bit."""
+    from .operators.interval_join import point_in_span_join
+    from .operators.sampling import hll_distinct
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    j = point_in_span_join(
+        ev, w, ts_col="ts", validate="skip", strategy="broadcast_right"
+    )
+    est = hll_distinct(j, "user_id", p=8, by="widx")
+    exact = j.groupBy("widx").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "widx").select(
+        "widx", "hll_est", "v_zero", "n_exact"
+    )
+
+
+def _sql_hll_windows(p: int = 8) -> str:
+    """Bit-exact DuckDB replay of q_hll_windows: the stab containment
+    feeds the same hash split / rho / scaled register sum / linear-
+    counting table as _sql_hll, grouped by window."""
+    from .operators.sampling import hll_params
+
+    prm = hll_params(p)
+    m, scale, c_lit, lc = prm["m"], prm["scale"], prm["c_lit"], prm["lc"]
+    lc_lit = "[" + ", ".join(str(v) for v in lc) + "]"
+    h = _PH60.format(x="user_id::VARCHAR") + " // 128"
+    return f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+pts AS (
+  SELECT w.widx, ev.user_id
+  FROM (SELECT user_id, epoch_ns(ts) AS t FROM events) ev
+  JOIN w ON w.w_start <= ev.t AND ev.t < w.w_stop
+), h AS (
+  SELECT widx, {h} AS hv FROM pts
+), r AS (
+  SELECT widx, hv % {m} AS idx,
+         CASE WHEN (hv // {m}) = 0 THEN {scale + 1}
+              ELSE {scale + 1} - length(to_base(hv // {m}, 2)) END AS rho
+  FROM h
+), regs AS (
+  SELECT widx, idx, max(rho) AS rho FROM r GROUP BY widx, idx
+), g AS (
+  SELECT widx, count(*) AS present,
+         CAST(sum(1::BIGINT << ({scale} - least(rho, {scale}))) AS BIGINT) AS sp
+  FROM regs GROUP BY widx
+), e AS (
+  SELECT widx, ({m} - present) AS v,
+         sp + ({m} - present) * (1::BIGINT << {scale}) AS s
+  FROM g
+), x AS (
+  SELECT widx, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM pts GROUP BY widx
+)
+SELECT e.widx,
+       CAST(CASE WHEN v > 0 AND CAST(floor({c_lit} / s) AS BIGINT) <= {5 * m // 2}
+                 THEN ({lc_lit})[v]
+                 ELSE CAST(floor({c_lit} / s) AS BIGINT) END AS BIGINT) AS hll_est,
+       CAST(v AS BIGINT) AS v_zero, x.n_exact
+FROM e JOIN x USING (widx)"""
+
+
 def q_cms_word_counts(spark, sf_dir):
     """Count-Min frequency sketch vs exact truth: a 256x4 register
     table over every document token, point-queried for the exact
@@ -9538,6 +9608,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_join_iou": (q_interval_join_iou, _SQL_JOIN_IOU),
     "q_kmv_distinct": (q_kmv_distinct, _SQL_KMV),
     "q_hll_distinct": (q_hll_distinct, _sql_hll(8)),
+    "q_hll_windows": (q_hll_windows, _sql_hll_windows(8)),
     "q_cms_word_counts": (q_cms_word_counts, _sql_cms_word_counts()),
     "q_cms_join_size": (q_cms_join_size, _sql_cms_join_size()),
     "q_quantile_sketch": (q_quantile_sketch, _sql_quantile_sketch()),
@@ -9678,7 +9749,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 206
+EXPECTED_CATALOG_SIZE = 207
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping
