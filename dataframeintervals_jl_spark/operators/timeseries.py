@@ -1785,3 +1785,61 @@ def gapfill_windows(
         F.col("__t0").alias("prev_ts"),
         F.col("__t1").alias("next_ts"),
     )
+
+
+def topn_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    key_col: str,
+    n: int,
+    ts_col: str = "ts",
+    window_span_col: str = "span",
+    strategy: str = "auto",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-N keys per window — the "top users per hour" staple: stab
+    each sample into its window(s), count (or sum ``weight_col``) per
+    (window, key), and keep each window's N heaviest keys with a
+    deterministic total order (count DESC, key ASC — ties never
+    depend on partitioning).
+
+    Scale shape: one broadcast stabbing join, one partial-agged count
+    (the exchange carries (window, key) pairs, not samples), then a
+    rank window per window label whose plan is WindowGroupLimit-
+    pruned — each task keeps at most N rows per window BEFORE the
+    final shuffle, so output state is O(windows · N) everywhere.
+    Output: window labels + ``key_col`` + ``cnt`` + ``rank``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "topn_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    from .interval_join import point_in_span_join
+
+    j = point_in_span_join(
+        samples.select(key_col, ts_col, *(
+            [weight_col] if weight_col else []
+        )),
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    agg = (
+        F.expr(f"CAST(sum({weight_col}) AS BIGINT)")
+        if weight_col
+        else F.count(F.lit(1))
+    )
+    counts = j.groupBy(*label_cols, key_col).agg(agg.alias("cnt"))
+    w = Window.partitionBy(*label_cols).orderBy(
+        F.desc("cnt"), F.asc(key_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

@@ -5947,6 +5947,37 @@ LEFT JOIN LATERAL (
 ) f ON TRUE"""
 
 
+def q_topn_windows(spark, sf_dir):
+    """Top-5 users per window by event count (timeseries.py:
+    topn_windows — the "top keys per time_bucket" staple): stab join,
+    partial-agged counts, then a WindowGroupLimit-pruned rank with the
+    deterministic (count DESC, user ASC) total order.  The oracle
+    replays the containment, the counts, and every tie."""
+    from .operators.timeseries import topn_windows
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = topn_windows(ev, w, "user_id", 5, ts_col="ts")
+    return out.select("widx", "user_id", "cnt", "rank")
+
+
+_SQL_TOPN_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+pts AS (
+  SELECT w.widx, ev.user_id
+  FROM (SELECT user_id, epoch_ns(ts) AS t FROM events) ev
+  JOIN w ON w.w_start <= ev.t AND ev.t < w.w_stop
+), c AS (
+  SELECT widx, user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY widx, user_id
+)
+SELECT widx, user_id, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY widx
+                               ORDER BY cnt DESC, user_id ASC) AS rank
+  FROM c)
+WHERE rank <= 5"""
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9653,6 +9684,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_masked_twa": (q_masked_twa, _SQL_MASKED_TWA),
     "q_gapfill_locf": (q_gapfill_locf, _SQL_GAPFILL_LOCF),
     "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
+    "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9749,7 +9781,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 207
+EXPECTED_CATALOG_SIZE = 208
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1240,3 +1240,24 @@ def test_domain_quota_sample_null_domain_group(spark):
     kept = domain_quota_sample(df, quota=10)  # rate 1e6: keep all
     got = {(r["doc_id"], r["domain"]) for r in kept.collect()}
     assert got == set(rows), "NULL-domain rows must survive the join"
+
+
+def test_topn_windows_window_group_limit(spark):
+    """topn_windows' rank must plan as WindowGroupLimit — each task
+    keeps at most N rows per window BEFORE the final shuffle — with
+    the windows side broadcast and no Python anywhere."""
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        quantile_windows,
+    )
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        topn_windows,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "ts")
+    es = event_spans(spark, SF_DIR)
+    w = quantile_windows(spark, 8, es, label="widx")
+    out = topn_windows(ev, w, "user_id", 5, ts_col="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "top-k pruning missing"
+    assert count_broadcast_exchanges(out) >= 1
+    assert_no_python_row_udf(out)
