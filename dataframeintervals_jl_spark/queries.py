@@ -5978,6 +5978,31 @@ SELECT widx, user_id, cnt, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= 5"""
 
 
+def q_stream_ohlc_windows(spark, sf_dir):
+    """The STREAMING candlestick twin in batch mode (streaming.py:
+    stream_ohlc_windows — the STATELESS member of the family: OHLC
+    needs no cross-row state, so streaming is just the broadcast stab
+    join and the sink derives the candle; parity pytest-gated).  Batch
+    inputs delegate to ohlc_windows; shares its oracle."""
+    from .streaming import stream_ohlc_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_ohlc_windows(
+        ev, w, "v_fx", ts_col="ts", by="user_id",
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "widx", "open", "high", "low", "close",
+        "n_samples", "first_ts", "last_ts",
+    )
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9685,6 +9710,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_gapfill_locf": (q_gapfill_locf, _SQL_GAPFILL_LOCF),
     "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
+    "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9781,7 +9807,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 208
+EXPECTED_CATALOG_SIZE = 209
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2209,3 +2209,60 @@ def stream_gauge_windows(
         F.col("__st").alias("d"),
         F.col("__dur").alias("dur"),
     )
+
+
+def stream_ohlc_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    order_tiebreak: str | None = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming candlestick feed — the STATELESS member of the
+    windowed-twin family: OHLC needs no cross-row state at all (every
+    sample is its own increment), so the streaming path is just the
+    broadcast stabbing join, emitting ``(keys, window labels, ts,
+    [tiebreak], v)`` rows in append mode.  The sink derives the candle
+    with the same partial-aggregable picks batch uses
+    (``min_by/max_by(v, struct(ts, tiebreak))``, ``min``, ``max`` —
+    parity-tested).  Batch inputs delegate to
+    :func:`~..operators.timeseries.ohlc_windows` (aggregated shape),
+    which is what ``q_stream_ohlc_windows`` gates against the shared
+    oracle."""
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.timeseries import ohlc_windows
+
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_ohlc_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    if not samples.isStreaming:
+        return ohlc_windows(
+            samples,
+            windows,
+            value_col,
+            ts_col=ts_col,
+            by=by_cols or None,
+            order=[order_tiebreak] if order_tiebreak else (),
+            window_span_col=window_span_col,
+        )
+    pts = samples.select(
+        *by_cols,
+        ts_col,
+        *([order_tiebreak] if order_tiebreak else []),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    return point_in_span_join(
+        pts,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    )

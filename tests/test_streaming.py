@@ -2224,3 +2224,72 @@ def test_stream_gauge_windows_parity(spark, tmp_path):
     assert got == batch
     # signed: k=1 window 1 saw +15 then -20
     assert got[(1, 1)][0] == -5 and got[(1, 1)][3] == -20
+
+
+def test_stream_ohlc_windows_parity(spark, tmp_path):
+    """The stateless streaming candlestick feed: sink-side OHLC picks
+    over the increment stream equal batch ohlc_windows exactly, incl.
+    a candle whose open and close arrive in different micro-batches."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        ohlc_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_ohlc_windows
+
+    schema = "k long, ts long, v long, eid long"
+    b1 = spark.createDataFrame(
+        [(1, 0, 10, 0), (1, 40, 25, 1), (2, 70, -3, 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 60, 5, 3), (1, 140, 9, 4), (2, 70, 8, 5)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "a long, b long, widx int"
+    ).select(make_span(F.col("a"), F.col("b")).alias("span"), "widx")
+
+    d = str(tmp_path / "sohlc_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_ohlc_windows(
+        stream, windows, "v", ts_col="ts", by="k", order_tiebreak="eid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sohlc")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["widx"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in spark.sql(
+            "SELECT k, widx, min_by(v, struct(ts, eid)) AS open, "
+            "max(v) AS high, min(v) AS low, "
+            "max_by(v, struct(ts, eid)) AS close, count(*) AS n "
+            "FROM sohlc GROUP BY k, widx"
+        ).collect()
+    }
+    batch = {
+        (r["k"], r["widx"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_samples"]
+        )
+        for r in ohlc_windows(
+            b1.unionByName(b2), windows, "v", ts_col="ts", by="k",
+            order=["eid"],
+        ).collect()
+    }
+    assert got == batch
+    # k=1 window 1: open 10 (batch 1), close 5 (batch 2), high 25
+    assert got[(1, 1)] == (10, 25, 5, 5, 3)
+    # k=2: tied ts across batches — eid orders open(-3)/close(8)
+    assert got[(2, 1)] == (-3, 8, -3, 8, 2)
