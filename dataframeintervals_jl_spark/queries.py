@@ -6189,6 +6189,61 @@ def q_stream_gauge_windows(spark, sf_dir):
     )
 
 
+def q_stream_time_weighted(spark, sf_dir):
+    """The STREAMING LOCF time-weight twin in batch mode
+    (streaming.py: stream_time_weighted — stream_duration_in_state
+    with the VALUE as the state, the weighted sink derivation on
+    top): per event_type, closed value runs only (the open run never
+    emits on an unbounded stream; batch time_weighted_avg clamps it —
+    the documented divergence), 16 windows, DECIMAL-exact weighted
+    means.  The oracle replays the run collapse with the open tail
+    DROPPED and the HUGEINT weighted mean."""
+    from .streaming import stream_time_weighted
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_time_weighted(
+        ev, w, "v_fx", ts_col="ts", by="event_type",
+        order_tiebreak="event_id",
+    )
+    return out.select("event_type", "widx", "covered_dur", "twa")
+
+
+_SQL_STREAM_TIME_WEIGHTED = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_fx
+  FROM events
+), m AS (
+  SELECT *, lag(v_fx) OVER pk AS prev
+  FROM ev WINDOW pk AS (PARTITION BY event_type ORDER BY t, event_id)
+), runs AS (
+  SELECT event_type, v_fx, t, event_id FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM v_fx
+), vi AS (
+  SELECT event_type, v_fx, t AS f,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS vt
+  FROM runs
+), vc AS (
+  SELECT event_type, v_fx, f, vt AS s FROM vi
+  WHERE vt IS NOT NULL AND f < vt
+), j AS (
+  SELECT vc.event_type, vc.v_fx, w.widx,
+         least(vc.s, w.w_stop) - greatest(vc.f, w.w_start) AS dur
+  FROM vc JOIN w ON greatest(vc.f, w.w_start) < least(vc.s, w.w_stop)
+)
+SELECT event_type, widx,
+       CAST(sum(dur) AS BIGINT) AS covered_dur,
+       CAST(sum(v_fx::HUGEINT * dur) // sum(dur::HUGEINT) AS BIGINT) AS twa
+FROM j GROUP BY event_type, widx"""
+
+
 def q_ohlc_windows(spark, sf_dir):
     """Candlestick / M4-downsampling rollup (timeseries.py:
     ohlc_windows — the hypertable ``candlestick_agg`` shape): per
@@ -9711,6 +9766,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
+    "q_stream_time_weighted": (
+        q_stream_time_weighted,
+        _SQL_STREAM_TIME_WEIGHTED,
+    ),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9807,7 +9866,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 209
+EXPECTED_CATALOG_SIZE = 210
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

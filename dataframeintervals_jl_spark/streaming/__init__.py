@@ -2266,3 +2266,54 @@ def stream_ohlc_windows(
         validate="skip",
         strategy="broadcast_right",
     )
+
+
+def stream_time_weighted(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    order_tiebreak: str | None = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming LOCF time-weight — the unbounded twin of batch
+    :func:`~..operators.timeseries.time_weighted_avg` and a direct
+    REUSE of :func:`stream_duration_in_state` with the VALUE column
+    playing the state: a held fixed-point value is just a state whose
+    per-window duration is its LOCF weight.
+
+    Streaming output: the per-closed-run increment stream
+    ``(keys, window labels, value, dur_ns)``; the sink derives the
+    average as ``Σ(value·dur_ns) DIV Σdur_ns`` (DECIMAL-accumulated,
+    parity-tested).  Closed-runs semantics: the open run never emits
+    (batch ``time_weighted_avg`` instead clamps it to the horizon —
+    the family's one documented batch/stream divergence; exact parity
+    when a terminal sample closes each series).
+
+    Batch inputs run the same closed-runs composition and return the
+    aggregated ``covered_dur``/``twa`` rollup — what
+    ``q_stream_time_weighted`` gates against its open-tail-dropped
+    oracle."""
+    pieces = stream_duration_in_state(
+        samples,
+        windows,
+        value_col,
+        ts_col=ts_col,
+        by=by,
+        order_tiebreak=order_tiebreak,
+        window_span_col=window_span_col,
+    )
+    if samples.isStreaming:
+        return pieces
+    by_cols = [by] if isinstance(by, str) else list(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    dec = "DECIMAL(38,0)"
+    return pieces.groupBy(*by_cols, *label_cols).agg(
+        F.expr("CAST(sum(dur_ns) AS BIGINT)").alias("covered_dur"),
+        F.expr(
+            f"CAST(sum(CAST({value_col} AS {dec})"
+            f" * CAST(dur_ns AS {dec}))"
+            f" DIV sum(CAST(dur_ns AS {dec})) AS BIGINT)"
+        ).alias("twa"),
+    )

@@ -2293,3 +2293,76 @@ def test_stream_ohlc_windows_parity(spark, tmp_path):
     assert got[(1, 1)] == (10, 25, 5, 5, 3)
     # k=2: tied ts across batches — eid orders open(-3)/close(8)
     assert got[(2, 1)] == (-3, 8, -3, 8, 2)
+
+
+def test_stream_time_weighted_parity(spark, tmp_path):
+    """Streaming LOCF time-weight increments summed at the sink
+    (Σ v·dur DIV Σ dur) equal the batch-mode closed-runs rollup ==
+    the clamped batch time_weighted_avg when a terminal sample closes
+    every series."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_time_weighted
+
+    schema = "k string, ts long, v long, eid long"
+    b1 = spark.createDataFrame(
+        [("a", 0, 10, 0), ("a", 40, 30, 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("a", 100, 99, 2)], schema  # terminal sample at the horizon
+    )
+    windows = spark.createDataFrame(
+        [(0, 50, 1), (50, 100, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    d = str(tmp_path / "stw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_time_weighted(
+        stream, windows, "v", ts_col="ts", by="k", order_tiebreak="eid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["widx"]): (r["cd"], r["twa"])
+        for r in spark.sql(
+            "SELECT k, widx, CAST(sum(dur_ns) AS BIGINT) AS cd, "
+            "CAST(sum(CAST(v AS DECIMAL(38,0)) * dur_ns) "
+            "DIV sum(CAST(dur_ns AS DECIMAL(38,0))) AS BIGINT) AS twa "
+            "FROM stw GROUP BY k, widx"
+        ).collect()
+    }
+    union = b1.unionByName(b2)
+    batch_mode = {
+        (r["k"], r["widx"]): (r["covered_dur"], r["twa"])
+        for r in stream_time_weighted(
+            union, windows, "v", ts_col="ts", by="k", order_tiebreak="eid"
+        ).collect()
+    }
+    clamped = {
+        (r["key"] if "key" in r else r["k"], r["widx"]): (
+            r["covered_dur"], r["twa"]
+        )
+        for r in time_weighted_avg(
+            union, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    assert got == batch_mode == clamped
+    # window 1: 10 holds [0,40), 30 holds [40,50) -> (400+300)//50 = 14
+    assert got[("a", 1)] == (50, 14)
+    assert got[("a", 2)] == (50, 30)
