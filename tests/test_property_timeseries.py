@@ -212,3 +212,67 @@ def test_multi_resolution_rollup_matches_brute_force(spark, ev, r1, r2):
             n, s = want.get(key, (0, 0))
             want[key] = (n + 1, s + v)
     assert got == want
+
+
+samples_series = st.lists(
+    st.tuples(
+        st.integers(0, 400),      # ts
+        st.integers(-50, 50),     # value
+        st.integers(0, 2),        # key
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(sv=samples_series, nwin=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_counter_and_gauge_windows_match_brute_force(spark, sv, nwin):
+    """Random series + random tiling windows: per-(key, window)
+    counter deltas (reset rule) and gauge deltas (signed) match a
+    brute-force Python replay, and both tile back to the series
+    totals."""
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        counter_windows,
+        gauge_windows,
+    )
+
+    rows = [
+        (f"k{g}", t, v, i) for i, (t, v, g) in enumerate(sv)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v long, eid long")
+    width = 401 // nwin + 1
+    windows = spark.createDataFrame(
+        [(i * width, (i + 1) * width, i + 1) for i in range(nwin)],
+        "lo long, hi long, widx int",
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    # brute force
+    per = {}
+    for k in {r[0] for r in rows}:
+        series = sorted(
+            [r for r in rows if r[0] == k], key=lambda r: (r[1], r[3])
+        )
+        for (pk, pt, pv, _), (ck, ct, cv, _) in zip(series, series[1:]):
+            w = ct // width + 1
+            d = cv - pv
+            cstep = cv if d < 0 else d
+            key = (k, w)
+            c, g = per.get(key, (0, 0))
+            per[key] = (c + cstep, g + d)
+
+    got_c = {
+        (r["k"], r["widx"]): r["delta"]
+        for r in counter_windows(
+            df, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    got_g = {
+        (r["k"], r["widx"]): r["delta"]
+        for r in gauge_windows(
+            df, windows, "v", ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    assert got_c == {k: c for k, (c, _) in per.items()}
+    assert got_g == {k: g for k, (_, g) in per.items()}
