@@ -6003,6 +6003,34 @@ def q_stream_ohlc_windows(spark, sf_dir):
     )
 
 
+def q_stream_stats2d(spark, sf_dir):
+    """The STREAMING 2-D statistics twin in batch mode (streaming.py:
+    stream_stats2d_windows — stateless like the candlestick twin:
+    every sample is its own moment increment, the sink's DECIMAL sums
+    just add per micro-batch; parity pytest-gated).  Batch inputs
+    delegate to stats2d_windows; shares its oracle."""
+    from .streaming import stream_stats2d_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("x_fx"),
+        F.expr(
+            "CAST(round(value * 1000000) AS BIGINT) DIV 3"
+            " + (event_id % 97) * 1000"
+        ).alias("y_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_stats2d_windows(
+        ev, w, "x_fx", "y_fx", ts_col="ts", by="user_id"
+    )
+    return out.select(
+        "user_id", "widx", "n", "sum_x", "sum_y",
+        "sum_xx", "sum_xy", "sum_yy",
+    )
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9770,6 +9798,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_stream_time_weighted,
         _SQL_STREAM_TIME_WEIGHTED,
     ),
+    "q_stream_stats2d": (q_stream_stats2d, _SQL_STATS2D_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -9866,7 +9895,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 210
+EXPECTED_CATALOG_SIZE = 211
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2317,3 +2317,64 @@ def stream_time_weighted(
             f" DIV sum(CAST(dur_ns AS {dec})) AS BIGINT)"
         ).alias("twa"),
     )
+
+
+def stream_stats2d_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming 2-D statistics feed — stateless like
+    :func:`stream_ohlc_windows`: every sample is its own moment
+    increment ``(1, x, y, x², xy, y²)``, so the stream is the
+    broadcast stabbing join emitting ``(keys, window labels, x, y)``
+    rows in append mode; the sink accumulates the DECIMAL moment sums
+    (``sum(CAST(x AS DECIMAL(38,0)))`` etc. — parity-tested against
+    batch) and the float statistics derive from those exactly as
+    :func:`~..operators.timeseries.corr_from_stats2d` does.  This is
+    the streaming face of the stats_agg MERGEABILITY property: the
+    per-batch sums the sink keeps simply add.
+
+    Batch inputs delegate to
+    :func:`~..operators.timeseries.stats2d_windows` (aggregated
+    string-sum shape) — what ``q_stream_stats2d`` gates against the
+    shared oracle."""
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.timeseries import stats2d_windows
+
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_stats2d_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    if not samples.isStreaming:
+        return stats2d_windows(
+            samples,
+            windows,
+            x_col,
+            y_col,
+            ts_col=ts_col,
+            by=by_cols or None,
+            window_span_col=window_span_col,
+        )
+    pts = samples.select(
+        *by_cols,
+        ts_col,
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    return point_in_span_join(
+        pts,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    )

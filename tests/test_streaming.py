@@ -2366,3 +2366,72 @@ def test_stream_time_weighted_parity(spark, tmp_path):
     # window 1: 10 holds [0,40), 30 holds [40,50) -> (400+300)//50 = 14
     assert got[("a", 1)] == (50, 14)
     assert got[("a", 2)] == (50, 30)
+
+
+def test_stream_stats2d_windows_parity(spark, tmp_path):
+    """Sink-side DECIMAL moment sums over the stateless increment
+    stream equal batch stats2d_windows exactly — the mergeability
+    property live: per-micro-batch sums just add."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        stats2d_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_stats2d_windows,
+    )
+
+    schema = "k string, ts long, x long, y long"
+    b1 = spark.createDataFrame(
+        [("a", 10, 3, 9), ("a", 20, -1, 2), ("b", 10, 5, 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("a", 30, 4, 15), ("a", 140, 7, 7), ("b", 60, 5, 8)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    d = str(tmp_path / "ss2d_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_stats2d_windows(
+        stream, windows, "x", "y", ts_col="ts", by="k"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss2d")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss2d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dec = "DECIMAL(38,0)"
+    got = {
+        (r["k"], r["widx"]): tuple(r)[2:]
+        for r in spark.sql(
+            f"SELECT k, widx, count(*) AS n, "
+            f"CAST(sum(CAST(x AS {dec})) AS STRING) AS sum_x, "
+            f"CAST(sum(CAST(y AS {dec})) AS STRING) AS sum_y, "
+            f"CAST(sum(CAST(x AS {dec}) * CAST(x AS {dec})) AS STRING) AS sum_xx, "
+            f"CAST(sum(CAST(x AS {dec}) * CAST(y AS {dec})) AS STRING) AS sum_xy, "
+            f"CAST(sum(CAST(y AS {dec}) * CAST(y AS {dec})) AS STRING) AS sum_yy "
+            f"FROM ss2d GROUP BY k, widx"
+        ).collect()
+    }
+    batch = {
+        (r["k"], r["widx"]): (
+            r["n"], r["sum_x"], r["sum_y"],
+            r["sum_xx"], r["sum_xy"], r["sum_yy"],
+        )
+        for r in stats2d_windows(
+            b1.unionByName(b2), windows, "x", "y", ts_col="ts", by="k"
+        ).collect()
+    }
+    assert got == batch
