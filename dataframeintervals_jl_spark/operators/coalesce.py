@@ -406,7 +406,19 @@ def span_complement(
             span_complement(right, lo_v, hi_v, spancol, by), spancol, _dom
         )
     by_cols = _by_cols(by)
+    # The island table feeds BOTH the head branch and the mid/tail
+    # branch — without materialization the whole merge_spans subtree
+    # (two Window passes + shuffles) is replayed once per reference in
+    # the final plan (observed 4x in the masked-TWA composition).
+    # Keyless: _global_next_start's driver summary forces an evaluation
+    # immediately anyway, so an EAGER localCheckpoint is free and
+    # collapses every downstream reference to a Scan ExistingRDD.
+    # Keyed: stay lazy with persist (cache-manager reuse across the two
+    # branches).  Islands are the COALESCED right side — never more
+    # rows than right, typically a mask/dimension table — and both
+    # storage paths spill to disk gracefully on a huge one.
     isl = merge_spans(right, spancol, by)
+    isl = isl.persist() if by_cols else isl.localCheckpoint(eager=True)
     start = F.col(spancol).getField("start")
     stop = F.col(spancol).getField("stop")
     if by_cols:
@@ -496,14 +508,19 @@ def span_difference(
     else:
         # global: the overlap join may take the binned path, where a
         # sentinel span would explode into range/width bins — clip the
-        # complement to left's observed value range (one tiny agg)
+        # complement to left's observed value range (one tiny agg; the
+        # row count rides the same action and gates the tiny-left fast
+        # path below)
         bounds = left.agg(
             F.min(lstart.cast("long")).alias("lo"),
             F.max(lstop.cast("long")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
         if bounds is None or bounds["lo"] is None:
             return left.limit(0)
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        if int(bounds["n"]) <= _TINY_LEFT_ROWS:
+            return _span_difference_tiny_left(left, right, spancol, rcol)
 
     comp = span_complement(right, lo, hi, rcol, by)
     left_cols = left.columns
@@ -543,6 +560,101 @@ def span_difference(
     return j.select(
         *[F.col(c) if c != spancol else F.col(spancol) for c in left_cols]
     )
+
+
+_TINY_LEFT_ROWS = 4096
+
+
+def _span_difference_tiny_left(
+    left: DataFrame, right: DataFrame, spancol: str, rcol: str
+) -> DataFrame:
+    """Keyless difference with a BROADCAST-TINY left (≤ 4096 rows, e.g.
+    a windows table minus a large mask set).  The general global path
+    builds the right side's complement with range buckets + O(buckets)
+    driver summaries (~10 tiny driver jobs — correct at any right size,
+    but pure latency when the left is dimension-sized).  Here instead:
+    tag each right span with every left row it overlaps via ONE
+    broadcast join, clip to the left span, coalesce per left-row id
+    with the KEYED merge (pure window functions, zero driver jobs), and
+    emit each row's uncovered pieces with one more window pass — the
+    piece BEFORE each island ``[coalesce(lag(stop), l.start),
+    isl.start)`` plus one tail piece ``[max(stop), l.stop)``.  Rows
+    fully covered emit nothing; rows overlapping no right span pass
+    through whole via an anti-join on the (tiny) island id set.
+
+    Scale shape: the right side is scanned once and shuffled once on
+    the left-row id; per-id groups hold ~right/n_left rows — n_left-way
+    parallelism, the natural bound for a difference against n_left
+    targets.  Ids come from ``monotonically_increasing_id`` over an
+    eager localCheckpoint (tiny by precondition) so they are stable
+    across the fragment and passthrough branches."""
+    left_cols = left.columns
+    _ID = "__dfi_sd_id"
+    lid = left.withColumn(_ID, F.monotonically_increasing_id())
+    lid = lid.localCheckpoint(eager=True)
+    lspan = F.col(f"__dfi_sd_l.{spancol}")
+    rspan = F.col(f"__dfi_sd_r.{rcol}")
+    clipped = (
+        right.alias("__dfi_sd_r")
+        .join(
+            F.broadcast(
+                lid.select(_ID, spancol).alias("__dfi_sd_l")
+            ),
+            (rspan.getField("start") < lspan.getField("stop"))
+            & (lspan.getField("start") < rspan.getField("stop")),
+            "inner",
+        )
+        .select(
+            F.col(f"__dfi_sd_l.{_ID}").alias(_ID),
+            make_span(
+                F.greatest(
+                    rspan.getField("start"), lspan.getField("start")
+                ),
+                F.least(rspan.getField("stop"), lspan.getField("stop")),
+            ).alias("__dfi_sd_c"),
+        )
+    )
+    # islands feed three branches (before-pieces, tail pieces, the
+    # passthrough anti-join) — persist so the right-side scan + keyed
+    # merge run once; the island table is the coalesced overlap set
+    isl = merge_spans(clipped, "__dfi_sd_c", by=_ID).persist()
+    cspan = F.col("__dfi_sd_c")
+    isl2 = isl.join(
+        F.broadcast(lid.select(_ID, F.col(spancol).alias("__dfi_sd_lsp"))),
+        _ID,
+    )
+    w_ord = Window.partitionBy(_ID).orderBy(cspan.getField("start"))
+    piece_start = F.coalesce(
+        F.lag(cspan.getField("stop")).over(w_ord),
+        F.col("__dfi_sd_lsp").getField("start"),
+    )
+    before = isl2.select(
+        _ID, make_span(piece_start, cspan.getField("start")).alias("__dfi_sd_f")
+    )
+    tail = (
+        isl2.groupBy(_ID)
+        .agg(
+            F.max(cspan.getField("stop")).alias("__ps"),
+            F.min(F.col("__dfi_sd_lsp").getField("stop")).alias("__pe"),
+        )
+        .select(
+            _ID, make_span(F.col("__ps"), F.col("__pe")).alias("__dfi_sd_f")
+        )
+    )
+    fspan = F.col("__dfi_sd_f")
+    pieces = before.unionByName(tail).filter(
+        fspan.getField("start") < fspan.getField("stop")
+    )
+    frag_rows = pieces.join(F.broadcast(lid), _ID).select(
+        *[
+            fspan.alias(spancol) if c == spancol else F.col(c)
+            for c in left_cols
+        ]
+    )
+    passthrough = lid.join(
+        isl.select(_ID).distinct(), _ID, "left_anti"
+    ).select(*left_cols)
+    return frag_rows.unionByName(passthrough)
 
 
 def reduce_and(conds):

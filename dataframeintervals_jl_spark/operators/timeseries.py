@@ -797,7 +797,7 @@ def time_weighted_avg(
                 (F.col("__t1") - F.col("__t0")).alias("__d"),
                 make_span(F.col("__t0"), F.col("__t1")).alias("span"),
             )
-        )
+        ).persist()  # strategy stats probe + join both scan this
         j = interval_join(
             seg,
             windows.withColumnRenamed(window_span_col, "span")
@@ -867,6 +867,13 @@ def time_weighted_avg(
     stop = F.least(
         F.coalesce(F.col("valid_to"), F.col("__whi")), F.col("__whi")
     )
+    # persist: the auto/binned strategy's stats probe is a driver agg
+    # action over THIS table — without a cache the whole validity
+    # pipeline (scan + key shuffle + two window passes) runs once for
+    # the probe and again inside the join.  One materialization
+    # (MEMORY_AND_DISK, spills) always beats two full recomputes; for
+    # explicit broadcast strategies the persist is lazy and just rides
+    # the single evaluation.
     vs = (
         v.crossJoin(F.broadcast(whi))
         .filter(F.col("valid_from") < stop)
@@ -875,7 +882,7 @@ def time_weighted_avg(
             value_col,
             make_span(F.col("valid_from"), stop).alias("span"),
         )
-    )
+    ).persist()
     j = interval_join(
         vs,
         windows.withColumnRenamed(window_span_col, "span")
@@ -941,6 +948,8 @@ def duration_in_state(
     stop = F.least(
         F.coalesce(F.col("valid_to"), F.col("__whi")), F.col("__whi")
     )
+    # persist: same rationale as time_weighted_avg — the strategy
+    # stats probe would otherwise replay the validity build
     vs = (
         v.crossJoin(F.broadcast(whi))
         .filter(F.col("valid_from") < stop)
@@ -949,7 +958,7 @@ def duration_in_state(
             state_col,
             make_span(F.col("valid_from"), stop).alias("span"),
         )
-    )
+    ).persist()
     j = interval_join(
         vs,
         windows.withColumnRenamed(window_span_col, "span")

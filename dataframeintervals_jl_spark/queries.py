@@ -6034,15 +6034,26 @@ def q_stream_stats2d(spark, sf_dir):
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
-    window EXCLUDING artifact blackouts): 30-minute masks anchored at
+    window EXCLUDING artifact blackouts): 2-minute masks anchored at
     every 17th event subtract from the 16 windows via span_difference
     (fragments keep their widx labels), and time_weighted_avg runs
     unchanged over the fragment set — same-label fragments aggregate
-    back together, so the result IS the masked TWA.  clamp_at pins
+    back together, so the result IS the masked TWA.  (2 minutes, not
+    the original 30: the events tables share a fixed 720 h range at
+    every SF while mask COUNT scales with rows, so 30-min masks merge
+    into total coverage at sf0.1 and the bench would measure an empty
+    result; 120 s keeps coverage at 0.3 %/2.7 %/27 % across
+    sf0.001/0.01/0.1 — non-degenerate everywhere.)  clamp_at pins
     the open-run horizon to the ORIGINAL windows' max stop (a tail
-    mask would otherwise shift the fragment max).  The oracle replays
-    it by inclusion-exclusion over merged mask islands: |run∩w\\M| =
-    |run∩w| − Σ_i |run∩w∩island_i|, exact HUGEINT end to end."""
+    mask would otherwise shift the fragment max).  The 16-row windows
+    table and the fragment set are eagerly localCheckpoint'ed: both
+    derive from scan+agg pipelines that every downstream reference
+    (difference bounds, horizon agg, join-strategy probes) would
+    otherwise replay — the round-10 plan carried 11 Window passes for
+    exactly this reason; materialized, the executed plan holds 3.
+    The oracle replays it by inclusion-exclusion over merged mask
+    islands: |run∩w\\M| = |run∩w| − Σ_i |run∩w∩island_i|, exact
+    HUGEINT end to end."""
     from .functions.spans import make_span
     from .operators.coalesce import span_difference
     from .operators.timeseries import time_weighted_avg
@@ -6054,16 +6065,17 @@ def q_masked_twa(spark, sf_dir):
         F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
     )
     _, w = _es_windows(spark, sf_dir, 16, "widx")
+    w = w.localCheckpoint(eager=True)  # 16 rows
     masks = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 17 == 0)
         .select(
             make_span(
-                F.col("ts"), F.col("ts") + F.lit(1_800_000_000_000)
+                F.col("ts"), F.col("ts") + F.lit(120_000_000_000)
             ).alias("span")
         )
     )
-    frags = span_difference(w, masks)
+    frags = span_difference(w, masks).localCheckpoint(eager=True)
     horizon = w.agg(F.max("span.stop"))
     out = time_weighted_avg(
         ev, frags, "v_fx", ts_col="ts", by="event_type",
@@ -6097,12 +6109,12 @@ vc AS (
 ), mk AS (
   SELECT epoch_ns(ts) AS t FROM events WHERE event_id % 17 = 0
 ), mi AS (
-  SELECT min(t) AS mf, max(t + 1800000000000) AS me FROM (
+  SELECT min(t) AS mf, max(t + 120000000000) AS me FROM (
     SELECT t, sum(brk) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS isl
     FROM (
       SELECT t, CASE WHEN pmax IS NULL OR t > pmax THEN 1 ELSE 0 END AS brk
       FROM (
-        SELECT t, max(t + 1800000000000)
+        SELECT t, max(t + 120000000000)
                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING) AS pmax
         FROM mk) p1) p2) p3

@@ -1261,3 +1261,53 @@ def test_topn_windows_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, "top-k pruning missing"
     assert count_broadcast_exchanges(out) >= 1
     assert_no_python_row_udf(out)
+
+
+def test_masked_twa_plan_shape(spark):
+    """VERDICT r10 #1: the masked-TWA composition must derive its
+    run/island machinery ONCE.  The round-10 plan replayed the
+    fragment pipeline per reference — 11 Window passes, 10
+    BroadcastExchanges, 148 plan lines; after the tiny-left
+    span_difference fast path + eager fragment materialization the
+    executed plan holds ≤5 Windows and ≤4 broadcasts.  A regression
+    that re-inlines the island derivation fails here."""
+    import re
+
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    out = QUERIES["q_masked_twa"][0](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_win = len(re.findall(r"\bWindow\b", plan))
+    assert n_win <= 5, f"masked TWA window passes regressed: {n_win}"
+    n_bc = plan.count("BroadcastExchange")
+    assert n_bc <= 4, f"masked TWA broadcast count regressed: {n_bc}"
+    assert "CartesianProduct" not in plan
+    assert_no_python_row_udf(out)
+
+
+def test_gapfill_plan_no_cartesian_grid(spark):
+    """The gapfill grid (every key x window pair) must come from a
+    DISTINCT-keys table crossed with the broadcast-tiny windows side —
+    never a CartesianProduct over the full samples table."""
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    for qname in ("q_gapfill_locf", "q_gapfill_interp"):
+        out = QUERIES[qname][0](spark, SF_DIR)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, qname
+        assert count_broadcast_exchanges(out) >= 1, qname
+        assert_no_python_row_udf(out)
+
+
+def test_hll_windows_plan_register_bound(spark):
+    """hll_windows must aggregate map-side into per-(key, window)
+    register rows — partial aggregation before the one shuffle, no
+    per-event register explosion surviving past it, windows broadcast."""
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    out = QUERIES["q_hll_windows"][0](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan, "map-side partial aggregation missing"
+    assert "CartesianProduct" not in plan
+    assert count_broadcast_exchanges(out) >= 1
+    assert_no_python_row_udf(out)
