@@ -350,3 +350,137 @@ def pii_counts(text) -> list[tuple[str, Column]]:
     :func:`redact_pii` (how much did the scrub touch?).  Counted on
     the PRE-redaction text, each pattern independently."""
     return pattern_counts(text, PII_PATTERNS)
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup boilerplate extraction (crawl-ingest stage ZERO)
+# ---------------------------------------------------------------------------
+# The curation chain used to assume already-extracted text; real crawl
+# data arrives as markup.  These are a public-knowledge extraction rule
+# set in the jusText / trafilatura SHAPE (tag strip + per-block
+# link-density / length filtering), built ENTIRELY from Column
+# expressions in the RE2-compatible regex subset (no backreferences, no
+# lookaround) so a DuckDB oracle replays the exact output bytes.
+
+#: block-level elements — boundaries between candidate text blocks
+_BLOCK_TAGS = (
+    "p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|section|"
+    "article|header|footer|nav|aside|blockquote|pre|form|title"
+)
+_BLOCK_TAG_RE = rf"(?i)</?(?:{_BLOCK_TAGS})\b[^>]*>"
+_ANY_TAG_RE = r"<[^>]*>"
+#: anchor ELEMENTS (tag + content) — RE2-safe: no \1 backreference,
+#: the closing tag is spelled out
+_ANCHOR_ELEM_RE = r"(?is)<a\b[^>]*>.*?</a\s*>"
+#: non-content elements stripped WITH their contents
+_DROP_ELEM_RES = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+)
+
+#: (entity, replacement) — applied in order, ``&amp;`` LAST so already-
+#: decoded ampersands never double-decode
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _strip_drop_elements(html) -> Column:
+    """Remove script/style elements (with contents) and comments."""
+    out = _c(html)
+    for pat in _DROP_ELEM_RES:
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
+def decode_entities(text) -> Column:
+    """Decode the common named HTML entities (nbsp/lt/gt/quot/#39/amp),
+    ``&amp;`` last.  Plain ``replace`` chains — no regex, identical in
+    any engine."""
+    out = _c(text)
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def _tagless(block) -> Column:
+    """One block's visible text: strip remaining (inline) tags, decode
+    entities, collapse whitespace, trim."""
+    out = F.regexp_replace(_c(block), _ANY_TAG_RE, "")
+    out = decode_entities(out)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def html_blocks(html) -> Column:
+    """Markup → array of candidate blocks (still carrying their inline
+    tags, so per-block link density is computable): script/style/
+    comments dropped with contents, every block-level tag becomes a
+    newline boundary, split on newline runs, empties dropped."""
+    out = _strip_drop_elements(html)
+    out = F.regexp_replace(out, _BLOCK_TAG_RE, "\n")
+    arr = F.split(out, r"\n+")
+    return F.filter(arr, lambda b: F.trim(b) != F.lit(""))
+
+
+def strip_tags(html) -> Column:
+    """Whole-document tag strip (no block filtering): drop script/
+    style/comments with contents, every other tag becomes a space,
+    entities decode, whitespace collapses.  The baseline extractor —
+    :func:`html_extract` is this plus boilerplate block filtering."""
+    out = _strip_drop_elements(html)
+    out = F.regexp_replace(out, _BLOCK_TAG_RE, " ")
+    out = F.regexp_replace(out, _ANY_TAG_RE, "")
+    out = decode_entities(out)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def block_link_density_ppt(block) -> Column:
+    """Per-block link density in EXACT integer parts-per-thousand:
+    floor(1000 · anchor_chars / text_chars), where anchor_chars is the
+    visible text inside ``<a>`` elements (block text length minus the
+    length with anchor ELEMENTS removed).  The floor is computed over
+    an exactly-representable double quotient (lengths ≪ 2^26, so
+    1000·a and b are exact and the correctly-rounded division cannot
+    cross an integer boundary) — bit-identical to DuckDB's integer
+    ``//``.  0 for blocks with no visible text."""
+    b = _c(block)
+    full = F.length(_tagless(b))
+    sans = F.length(_tagless(F.regexp_replace(b, _ANCHOR_ELEM_RE, " ")))
+    anchor = F.greatest(full - sans, F.lit(0))
+    return F.when(
+        full > 0, F.floor(anchor * 1000 / full)
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def html_extract(
+    html,
+    min_text_chars: int = 20,
+    max_link_density_ppt: int = 330,
+) -> Column:
+    """Markup → main text, the jusText/trafilatura-shaped boilerplate
+    filter as ONE pure expression: split into block candidates
+    (:func:`html_blocks`), keep blocks whose visible text has at least
+    ``min_text_chars`` characters AND link density at most
+    ``max_link_density_ppt`` (nav bars, footers, ad units and short
+    chrome drop; body paragraphs survive), then join the kept blocks'
+    visible text with single newlines.  All thresholds integral, every
+    regex RE2-safe — a SQL oracle replays the exact output string.
+    Feed the result to :func:`clean_text` / quality scoring exactly as
+    already-extracted text."""
+    kept = F.filter(
+        html_blocks(html),
+        lambda b: (F.length(_tagless(b)) >= F.lit(int(min_text_chars)))
+        & (
+            block_link_density_ppt(b)
+            <= F.lit(int(max_link_density_ppt))
+        ),
+    )
+    return F.array_join(F.transform(kept, _tagless), "\n")

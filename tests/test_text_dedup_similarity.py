@@ -1980,3 +1980,67 @@ def test_match_spans_rejects_empty_matchable_pattern(spark):
             match_spans("text", pat)
     # non-empty-matchable patterns still build
     match_spans("text", "a+")
+
+
+def test_html_extract_boilerplate_rules(spark):
+    """html_extract drops script/style WITH contents, comments, empty
+    and short blocks, and high-link-density blocks; keeps long body
+    paragraphs with inline tags stripped and entities decoded (&amp;
+    LAST, so '&amp;lt;' decodes to '&lt;' not '<')."""
+    from dataframeintervals_jl_spark.functions.text import (
+        block_link_density_ppt,
+        html_blocks,
+        html_extract,
+        strip_tags,
+    )
+
+    html = (
+        "<html><head><style>p{x}</style><script>if(a<b){}</script>"
+        "</head><body>"
+        '<nav><a href="/1">one</a> <a href="/2">two</a></nav>'
+        "<p>Keep this paragraph: it is long enough &amp; has "
+        "<b>inline</b> tags and the literal &amp;lt; sequence.</p>"
+        "<p>tiny</p>"
+        "<!-- <p>commented out paragraph never appears</p> -->"
+        "<p>Second keeper paragraph that clears the twenty character "
+        "minimum easily.</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    row = df.select(
+        html_extract(F.col("h")).alias("m"),
+        strip_tags(F.col("h")).alias("flat"),
+        F.size(html_blocks(F.col("h"))).alias("nb"),
+    ).first()
+    lines = row["m"].split("\n")
+    assert lines == [
+        "Keep this paragraph: it is long enough & has inline tags "
+        "and the literal &lt; sequence.",
+        "Second keeper paragraph that clears the twenty character "
+        "minimum easily.",
+    ]
+    # script CONTENT (with its <b unclosed comparison) never leaks
+    assert "if(a" not in row["flat"] and "commented out" not in row["flat"]
+    # candidates: the tag-only html/head and body/html shells, nav,
+    # both paragraphs, tiny — visible-text filtering happens in
+    # extract, not in the block split (same rule as the oracle)
+    assert row["nb"] == 6
+    # link density: all-anchor block is 1000 ppt; no-anchor is 0
+    ld = spark.createDataFrame(
+        [('<a href="/x">only links here</a>',), ("plain words only",)],
+        "b string",
+    ).select(block_link_density_ppt(F.col("b")).alias("ld"))
+    assert [r["ld"] for r in ld.collect()] == [1000, 0]
+
+
+def test_html_extract_empty_and_whole_doc(spark):
+    """No surviving block → empty string (array_join on empty array),
+    matching the oracle's coalesce(array_to_string(...), '')."""
+    from dataframeintervals_jl_spark.functions.text import html_extract
+
+    df = spark.createDataFrame(
+        [("<p>short</p>",), ("",), ("no tags at all but quite long text here",)],
+        "h string",
+    )
+    got = [r[0] for r in df.select(html_extract(F.col("h"))).collect()]
+    assert got == ["", "", "no tags at all but quite long text here"]
