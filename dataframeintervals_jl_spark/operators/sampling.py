@@ -599,22 +599,29 @@ def hll_registers(
     finalize with :func:`hll_from_registers`.  The projection is
     row-local, so it runs unchanged on a STREAMING input as a single
     update-mode aggregation."""
-    prm = hll_params(p)
-    m, scale = prm["m"], prm["scale"]
     keys = [by] if isinstance(by, str) else list(by or [])
-    h = F.shiftright(portable_hash60(F.col(col)), 7)
-    w = F.shiftright(h, p)
-    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
-    rho = F.when(w == 0, F.lit(scale + 1)).otherwise(F.lit(scale + 1) - bitlen)
+    idx, rho = hll_register_exprs(col, p)
     return (
-        df.select(
-            *keys,
-            F.pmod(h, F.lit(m)).alias("__idx"),
-            rho.alias("__rho"),
-        )
+        df.select(*keys, idx.alias("__idx"), rho.alias("__rho"))
         .groupBy(*keys, "__idx")
         .agg(F.max("__rho").alias("__rho"))
     )
+
+
+def hll_register_exprs(col, p: int = 8):
+    """The ROW-LOCAL half of :func:`hll_registers` as a pair of plain
+    Column expressions ``(idx, rho)`` — what a STREAMING producer emits
+    per row in append mode so the sink's ``max(rho) per (group, idx)``
+    maintains the sketch across micro-batches (max is associative /
+    commutative / idempotent; :func:`~..streaming.stream_hll_windows`
+    composes this with the stabbing join)."""
+    prm = hll_params(p)
+    m, scale = prm["m"], prm["scale"]
+    h = F.shiftright(portable_hash60(F.col(col) if isinstance(col, str) else col), 7)
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(scale + 1)).otherwise(F.lit(scale + 1) - bitlen)
+    return F.pmod(h, F.lit(m)), rho
 
 
 def hll_merge_registers(

@@ -6035,6 +6035,44 @@ def q_stream_stats2d(spark, sf_dir):
     )
 
 
+def q_stream_hll_windows(spark, sf_dir):
+    """The STREAMING windowed-HLL twin in batch mode (streaming.py:
+    stream_hll_windows — the register-merge maintenance pattern: the
+    stream emits row-local (widx, __idx, __rho) register coordinates
+    in append mode, the sink re-maxes registers per micro-batch;
+    file-stream parity pytest-gated).  Batch inputs delegate to the
+    stab + hll_distinct composition; the oracle projects the batch
+    windowed-HLL replay."""
+    from .streaming import stream_hll_windows
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_hll_windows(ev, w, "user_id", p=8, ts_col="ts")
+    return out.select("widx", "hll_est", "v_zero")
+
+
+def _sql_stream_hll_windows() -> str:
+    return (
+        "SELECT widx, hll_est, v_zero FROM (\n"
+        + _sql_hll_windows(8)
+        + "\n) __hllw"
+    )
+
+
+def q_stream_topn_windows(spark, sf_dir):
+    """The STREAMING top-N twin in batch mode (streaming.py:
+    stream_topn_windows — counts are the mergeable sink state, the
+    rank derives at read time over O(windows · keys) rows; file-stream
+    parity pytest-gated).  Batch inputs delegate to topn_windows;
+    shares its oracle."""
+    from .streaming import stream_topn_windows
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_topn_windows(ev, w, "user_id", 5, ts_col="ts")
+    return out.select("widx", "user_id", "cnt", "rank")
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9963,6 +10001,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _SQL_STREAM_TIME_WEIGHTED,
     ),
     "q_stream_stats2d": (q_stream_stats2d, _SQL_STATS2D_WINDOWS),
+    "q_stream_hll_windows": (q_stream_hll_windows, _sql_stream_hll_windows()),
+    "q_stream_topn_windows": (q_stream_topn_windows, _SQL_TOPN_WINDOWS),
     "q_stream_duration_in_state": (
         q_stream_duration_in_state,
         _SQL_STREAM_DURATION_IN_STATE,
@@ -10060,7 +10100,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 212
+EXPECTED_CATALOG_SIZE = 214
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

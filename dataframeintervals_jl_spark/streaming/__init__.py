@@ -16,7 +16,7 @@ dropped decimal digits when feeding results back into ns-exact joins.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence, Union
+from typing import Iterator, Optional, Sequence, Union
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -2378,3 +2378,105 @@ def stream_stats2d_windows(
         validate="skip",
         strategy="broadcast_right",
     )
+
+
+def stream_hll_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    key_col: str,
+    p: int = 8,
+    ts_col: str = "ts",
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming windowed approximate-distinct feed — the register-
+    merge maintenance pattern live: every sample row-locally maps to
+    its HLL register coordinate ``(window labels, __idx, __rho)``
+    (:func:`~..operators.sampling.hll_register_exprs`) through the
+    broadcast stabbing join, emitted stateless in APPEND mode; the
+    sink maintains ``max(__rho)`` per (labels, __idx) — max is
+    associative/commutative/idempotent, so per-micro-batch maxima
+    just re-max, and
+    :func:`~..operators.sampling.hll_from_registers` finalizes the
+    estimate from ≤ 2^p register rows per window at read time
+    (parity-tested against batch registers bit-for-bit).
+
+    Batch inputs delegate to the stab + hll_distinct composition —
+    what ``q_stream_hll_windows`` gates against the shared register-
+    replay oracle."""
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.sampling import hll_distinct, hll_register_exprs
+
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_hll_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    j = point_in_span_join(
+        samples.select(key_col, ts_col),
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    )
+    if not samples.isStreaming:
+        return hll_distinct(j, key_col, p=p, by=label_cols)
+    idx, rho = hll_register_exprs(key_col, p)
+    return j.select(
+        *label_cols, idx.alias("__idx"), rho.alias("__rho")
+    )
+
+
+def stream_topn_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    key_col: str,
+    n: int,
+    ts_col: str = "ts",
+    window_span_col: str = "span",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming top-N-keys-per-window feed — counts are the mergeable
+    state (per-micro-batch (window, key) counts just add; the rank is
+    a read-time derivation over O(windows · keys) sink rows, never
+    over samples): the stream is the broadcast stabbing join emitting
+    ``(window labels, key[, weight])`` rows in APPEND mode; the sink
+    accumulates ``count(*)`` / ``sum(weight)`` per (labels, key) and
+    ranks with the batch operator's deterministic (cnt DESC, key ASC)
+    total order.
+
+    Batch inputs delegate to
+    :func:`~..operators.timeseries.topn_windows` — what
+    ``q_stream_topn_windows`` gates against the shared oracle."""
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.timeseries import topn_windows
+
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_topn_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    if not samples.isStreaming:
+        return topn_windows(
+            samples,
+            windows,
+            key_col,
+            n,
+            ts_col=ts_col,
+            window_span_col=window_span_col,
+            weight_col=weight_col,
+        )
+    return point_in_span_join(
+        samples.select(
+            key_col, ts_col, *([weight_col] if weight_col else [])
+        ),
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    ).select(*label_cols, key_col, *([weight_col] if weight_col else []))

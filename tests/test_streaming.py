@@ -2435,3 +2435,137 @@ def test_stream_stats2d_windows_parity(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_stream_hll_windows_parity(spark, tmp_path):
+    """Sink-side re-max of the streamed register coordinates equals
+    batch hll_registers BIT-FOR-BIT, and the finalized estimate equals
+    batch hll_distinct — the register-merge maintenance pattern live
+    across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.interval_join import (
+        point_in_span_join,
+    )
+    from dataframeintervals_jl_spark.operators.sampling import (
+        hll_distinct,
+        hll_from_registers,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_hll_windows
+
+    schema = "user_id long, ts long"
+    b1 = spark.createDataFrame(
+        [(u, t) for u in range(40) for t in (10 + u, 110 + u)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(u, t) for u in range(20, 70) for t in (50 + u % 30,)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    d = str(tmp_path / "hllw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_hll_windows(stream, windows, "user_id", p=6, ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hllw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hllw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink_regs = spark.sql(
+        "SELECT widx, __idx, max(__rho) AS __rho FROM hllw "
+        "GROUP BY widx, __idx"
+    )
+    batch_in = b1.unionByName(b2)
+    est = {
+        (r["widx"],): (r["hll_est"], r["v_zero"])
+        for r in hll_from_registers(sink_regs, p=6, by="widx").collect()
+    }
+    batch_est = {
+        (r["widx"],): (r["hll_est"], r["v_zero"])
+        for r in hll_distinct(
+            point_in_span_join(
+                batch_in, windows, ts_col="ts", validate="skip"
+            ),
+            "user_id",
+            p=6,
+            by="widx",
+        ).collect()
+    }
+    assert est == batch_est
+    # batch-mode delegate: same composition
+    bd = stream_hll_windows(batch_in, windows, "user_id", p=6, ts_col="ts")
+    assert {
+        (r["widx"],): (r["hll_est"], r["v_zero"]) for r in bd.collect()
+    } == batch_est
+
+
+def test_stream_topn_windows_parity(spark, tmp_path):
+    """Sink-side count accumulation + read-time rank equals batch
+    topn_windows exactly, ties included (cnt DESC, key ASC)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        topn_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_topn_windows
+
+    schema = "user_id long, ts long"
+    b1 = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 40), (2, 150), (4, 160)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, 15), (3, 25), (3, 35), (5, 170), (4, 180), (4, 190)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    d = str(tmp_path / "topnw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_topn_windows(stream, windows, "user_id", 2, ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topnw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_topnw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT widx, user_id, cnt, CAST(rank AS INT) AS rank FROM ("
+            "  SELECT widx, user_id, count(*) AS cnt,"
+            "         row_number() OVER (PARTITION BY widx"
+            "            ORDER BY count(*) DESC, user_id ASC) AS rank"
+            "  FROM topnw GROUP BY widx, user_id)"
+            " WHERE rank <= 2"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in topn_windows(
+            b1.unionByName(b2), windows, "user_id", 2, ts_col="ts"
+        )
+        .select("widx", "user_id", "cnt", "rank")
+        .collect()
+    }
+    assert got == batch
