@@ -53,6 +53,16 @@ HEAVY = [
     "q_dedup_lines",
     "q_pack_sequences",
     "q_duplicate_spans",
+    # round-10 hypertable window-aggregate family (VERDICT r10 #4):
+    # events scale 10x/30x in COUNT and TIMELINE; the windows side
+    # stays 16 rows, so slopes read the stab/validity machinery
+    "q_time_weighted_locf",
+    "q_time_weighted_linear",
+    "q_gapfill_locf",
+    "q_gapfill_interp",
+    "q_hll_windows",
+    "q_stats2d_windows",
+    "q_masked_twa",
 ]
 
 
