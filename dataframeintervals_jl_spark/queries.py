@@ -10199,8 +10199,25 @@ def _gate_order(
 _REPO_ROOT = __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))
 )
+
+#: entries whose SEMANTICS (query + oracle) changed this round after
+#: already holding a green driver row — their committed age would keep
+#: them out of the gate window exactly when re-verification matters
+#: most, so they re-enter as if never verified.  Maintain per round:
+#: add on change, remove once the next CORRECTNESS_r*.json shows the
+#: new form green (the age map then reflects the re-gating naturally).
+_CHANGED_SEMANTICS = {
+    "q_masked_twa",  # r11: 120s masks (was 30min), oracle updated
+    "q_pipeline_curate_split",  # r11: starts from raw markup
+}
+
+_verified_ages = {
+    n: r
+    for n, r in _driver_verified_rounds(_REPO_ROOT).items()
+    if n not in _CHANGED_SEMANTICS
+}
 QUERIES = _gate_order(
     QUERIES,
     _GATE_PINNED,
-    _driver_verified_rounds(_REPO_ROOT),
+    _verified_ages,
 )
