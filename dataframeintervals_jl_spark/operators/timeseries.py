@@ -1323,7 +1323,10 @@ def heartbeat_windows(
     spans = beats.select(
         *keys, make_span(t, t + F.lit(int(liveness_ns))).alias("span")
     )
-    islands = merge_spans(spans, by=by).drop("n_spans")
+    # persist: the auto-strategy stats probe is an agg action over the
+    # island table — uncached it would replay the merge (shuffle + two
+    # window passes) once for the probe and again inside the join
+    islands = merge_spans(spans, by=by).drop("n_spans").persist()
     j = interval_join(
         islands,
         windows.withColumnRenamed(window_span_col, "span")

@@ -6073,6 +6073,22 @@ def q_stream_topn_windows(spark, sf_dir):
     return out.select("widx", "user_id", "cnt", "rank")
 
 
+def q_stream_heartbeat_windows(spark, sf_dir):
+    """The STREAMING heartbeat-uptime twin in batch mode (streaming.py:
+    stream_heartbeat_windows — finalized islands from the stateful
+    stream merge, stream-static broadcast overlap join, sink-side
+    sums; file-stream parity pytest-gated).  Batch inputs delegate to
+    heartbeat_windows; shares its oracle."""
+    from .streaming import stream_heartbeat_windows
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_heartbeat_windows(
+        ev, w, _HB_LIVE_NS, ts_col="ts", by="user_id"
+    )
+    return out.select("user_id", "widx", "live_ns", "n_islands")
+
+
 def q_masked_twa(spark, sf_dir):
     """Artifact-masked time-weighted average — the biosignal flagship
     COMPOSITION (the reference's home domain: average a signal per
@@ -9989,6 +10005,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_ohlc_windows": (q_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_gauge_windows": (q_stream_gauge_windows, _SQL_GAUGE_WINDOWS),
     "q_heartbeat_windows": (q_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS),
+    "q_stream_heartbeat_windows": (
+        q_stream_heartbeat_windows, _SQL_HEARTBEAT_WINDOWS
+    ),
     "q_lttb": (q_lttb, _SQL_LTTB),
     "q_stats2d_windows": (q_stats2d_windows, _SQL_STATS2D_WINDOWS),
     "q_masked_twa": (q_masked_twa, _SQL_MASKED_TWA),
@@ -10100,7 +10119,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 214
+EXPECTED_CATALOG_SIZE = 215
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -526,7 +526,10 @@ def stream_merge_spans(
     Watermark caveat: rows are ordered only to watermark precision — a
     span arriving more than ``watermark`` after later starts may be
     merged incorrectly (standard late-data semantics; Spark drops rows
-    older than the watermark before the operator sees them).
+    older than the watermark before the operator sees them).  That
+    same filter makes spans starting AT epoch 0 invisible (event-time
+    ≤ the engine's initial watermark) — real event data never sits at
+    the epoch, but synthetic fixtures must offset their timeline.
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     if not by_cols:
@@ -2480,3 +2483,83 @@ def stream_topn_windows(
         validate="skip",
         strategy="broadcast_right",
     ).select(*label_cols, key_col, *([weight_col] if weight_col else []))
+
+
+def stream_heartbeat_windows(
+    beats: DataFrame,
+    windows: DataFrame,
+    liveness_ns: int,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    window_span_col: str = "span",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming heartbeat-uptime feed — the composition twin of
+    :func:`~..operators.timeseries.heartbeat_windows`: beats become
+    liveness spans ``[t, t+liveness_ns)``, :func:`stream_merge_spans`
+    emits each live ISLAND exactly once when the watermark passes its
+    stop (bounded per-key state), and a stream-static broadcast
+    overlap join clamps finalized islands into the dimension-sized
+    windows — the stream carries ``(keys, window labels, live_ns,
+    island)`` rows in APPEND mode, one per (island, window)
+    intersection; the sink accumulates ``sum(live_ns)`` /
+    ``count(*)`` per (keys, labels), which add trivially across
+    micro-batches because each island is emitted once (parity-tested
+    against batch).
+
+    Batch inputs delegate to the batch operator — what
+    ``q_stream_heartbeat_windows`` gates against the shared oracle."""
+    from ..operators.timeseries import heartbeat_windows
+
+    if liveness_ns <= 0:
+        raise ValueError(
+            f"liveness_ns must be positive, got {liveness_ns}"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError(
+            "stream_heartbeat_windows requires at least one key column"
+        )
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_heartbeat_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    if not beats.isStreaming:
+        return heartbeat_windows(
+            beats,
+            windows,
+            liveness_ns,
+            ts_col=ts_col,
+            by=by_cols,
+            window_span_col=window_span_col,
+        )
+    t = F.col(ts_col).cast("long")
+    spans = beats.select(
+        *by_cols, make_span(t, t + F.lit(int(liveness_ns))).alias("span")
+    )
+    islands = stream_merge_spans(
+        spans, "span", by_cols, watermark=watermark
+    )
+    w = windows.withColumnRenamed(window_span_col, "span") \
+        if window_span_col != "span" else windows
+    iv = F.col("__dfi_hb_i.span")
+    wv = F.col("__dfi_hb_w.span")
+    inter = F.least(iv.getField("stop"), wv.getField("stop")) - F.greatest(
+        iv.getField("start"), wv.getField("start")
+    )
+    return (
+        islands.alias("__dfi_hb_i")
+        .join(
+            F.broadcast(w.alias("__dfi_hb_w")),
+            (iv.getField("start") < wv.getField("stop"))
+            & (wv.getField("start") < iv.getField("stop")),
+            "inner",
+        )
+        .select(
+            *by_cols,
+            *label_cols,
+            inter.cast("long").alias("live_ns"),
+        )
+    )

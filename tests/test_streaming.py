@@ -2569,3 +2569,80 @@ def test_stream_topn_windows_parity(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_heartbeat_windows_parity(spark, tmp_path):
+    """Finalized islands through the stream-static overlap join: the
+    sink's per-(key, window) sum(live_ns)/count equals batch
+    heartbeat_windows exactly.  Each island is emitted once (a
+    terminal far-future beat per key flushes the watermark), so the
+    sink sums add trivially across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        heartbeat_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_heartbeat_windows,
+    )
+
+    NS = 1_000_000_000
+    live = 30 * NS
+    T0 = 1_000_000 * NS  # keep clear of epoch 0: Spark's stateful-op
+    # late filter drops rows at event-time <= the INITIAL watermark
+    schema = "user_id long, ts long"
+    # beats in seconds-scale ns; islands: a[0..30)+[20..50) merged,
+    # a[100..130); b[10..40); terminal flush beats far in the future
+    b1 = spark.createDataFrame(
+        [(1, T0 + 0 * NS), (1, T0 + 20 * NS), (2, T0 + 10 * NS)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, T0 + 100 * NS), (1, T0 + 10_000 * NS),
+         (2, T0 + 10_000 * NS)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 60 * NS, 1), (60 * NS, 200 * NS, 2)],
+        "lo long, hi long, widx int",
+    ).select(
+        make_span(T0 + F.col("lo"), T0 + F.col("hi")).alias("span"),
+        "widx",
+    )
+
+    d = str(tmp_path / "hbw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_heartbeat_windows(
+        stream, windows, live, ts_col="ts", by="user_id",
+        watermark="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hbw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hbw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["widx"]): (r["s"], r["c"])
+        for r in spark.sql(
+            "SELECT user_id, widx, sum(live_ns) AS s, count(*) AS c "
+            "FROM hbw GROUP BY user_id, widx"
+        ).collect()
+    }
+    batch_in = b1.unionByName(b2)
+    batch = {
+        (r["user_id"], r["widx"]): (r["live_ns"], r["n_islands"])
+        for r in heartbeat_windows(
+            batch_in, windows, live, ts_col="ts", by="user_id"
+        ).collect()
+    }
+    # the terminal flush beats form their own islands past both
+    # windows, so they contribute no (key, window) rows to either side
+    assert got == batch
