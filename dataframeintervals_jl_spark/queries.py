@@ -6142,7 +6142,27 @@ def q_masked_twa(spark, sf_dir):
     return out.select("event_type", "widx", "covered_dur", "twa")
 
 
-_SQL_MASKED_TWA = f"""WITH {_ES_CTE},
+def _sql_masked_twa(closed_runs: bool = False) -> str:
+    """Masked-TWA replay by inclusion-exclusion over merged mask
+    islands.  ``closed_runs=False``: the batch contract (open runs
+    clamp to the windows' max stop).  ``closed_runs=True``: the
+    streaming-twin contract (the open run never emits — what
+    stream_time_weighted's closed-runs composition computes)."""
+    vc = (
+        """vc AS (
+  SELECT event_type, v_fx, f, vt AS s
+  FROM vi WHERE vt IS NOT NULL AND f < vt
+), mk AS ("""
+        if closed_runs
+        else """whi AS (SELECT max(w_stop) AS hi2 FROM w),
+vc AS (
+  SELECT event_type, v_fx, f,
+         least(coalesce(vt, hi2), hi2) AS s
+  FROM vi, whi
+  WHERE f < least(coalesce(vt, hi2), hi2)
+), mk AS ("""
+    )
+    return f"""WITH {_ES_CTE},
 {_w_cte(16, "widx")},
 ev AS (
   SELECT event_type, epoch_ns(ts) AS t, event_id,
@@ -6158,13 +6178,7 @@ ev AS (
   SELECT event_type, v_fx, t AS f,
          lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS vt
   FROM runs
-), whi AS (SELECT max(w_stop) AS hi2 FROM w),
-vc AS (
-  SELECT event_type, v_fx, f,
-         least(coalesce(vt, hi2), hi2) AS s
-  FROM vi, whi
-  WHERE f < least(coalesce(vt, hi2), hi2)
-), mk AS (
+), {vc}
   SELECT epoch_ns(ts) AS t FROM events WHERE event_id % 17 = 0
 ), mi AS (
   SELECT min(t) AS mf, max(t + 120000000000) AS me FROM (
@@ -6205,6 +6219,52 @@ SELECT b.event_type, b.widx,
 FROM base b LEFT JOIN sub s
   ON b.event_type = s.event_type AND b.widx = s.widx
 WHERE b.den - coalesce(s.den, 0) > 0"""
+
+
+_SQL_MASKED_TWA = _sql_masked_twa(closed_runs=False)
+
+
+def q_stream_masked_twa(spark, sf_dir):
+    """The STREAMING artifact-masked TWA twin in batch mode — the
+    flagship composition composes unchanged with the streaming layer:
+    the mask-fragment table is STATIC (derived batch-side, eagerly
+    materialized exactly as in q_masked_twa), and
+    stream_time_weighted runs over it — closed value runs emit
+    per-(run ∩ fragment) increments through the broadcast overlap
+    join; the sink derives Σ(v·dur) DIV Σdur.  Same-label fragments
+    aggregate back together, so the sink result IS the masked TWA
+    (open runs never emit — the family's documented batch/stream
+    divergence; the oracle replays inclusion-exclusion over merged
+    mask islands with the open tail DROPPED).  Stream-path parity is
+    covered by stream_duration_in_state's file-stream tests — this
+    operator is that composition with fragments as the windows."""
+    from .functions.spans import make_span
+    from .operators.coalesce import span_difference
+    from .streaming import stream_time_weighted
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    w = w.localCheckpoint(eager=True)
+    masks = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select(
+            make_span(
+                F.col("ts"), F.col("ts") + F.lit(120_000_000_000)
+            ).alias("span")
+        )
+    )
+    frags = span_difference(w, masks).localCheckpoint(eager=True)
+    out = stream_time_weighted(
+        ev, frags, "v_fx", ts_col="ts", by="event_type",
+        order_tiebreak="event_id",
+    )
+    return out.select("event_type", "widx", "covered_dur", "twa")
 
 
 def q_stats2d_windows(spark, sf_dir):
@@ -10011,6 +10071,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_lttb": (q_lttb, _SQL_LTTB),
     "q_stats2d_windows": (q_stats2d_windows, _SQL_STATS2D_WINDOWS),
     "q_masked_twa": (q_masked_twa, _SQL_MASKED_TWA),
+    "q_stream_masked_twa": (
+        q_stream_masked_twa, _sql_masked_twa(closed_runs=True)
+    ),
     "q_gapfill_locf": (q_gapfill_locf, _SQL_GAPFILL_LOCF),
     "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
@@ -10119,7 +10182,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 215
+EXPECTED_CATALOG_SIZE = 216
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping
