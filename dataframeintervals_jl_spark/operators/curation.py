@@ -164,3 +164,57 @@ def domain_quota_sample(
         .filter(_bucket(F.col(key_col), salt) < F.col("__rppm"))
         .drop("__dom", "__rppm")
     )
+
+
+#: query parameters dropped by canonical_url — session/campaign
+#: tracking noise that changes the STRING without changing the page
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(url, strip_www: bool = True) -> Column:
+    """URL canonicalization for dedup keys (RFC 3986 normalization +
+    the standard tracking-parameter strip): lowercase scheme and
+    host, drop the fragment, drop default ports (``:80`` for http,
+    ``:443`` for https), optionally strip a leading ``www.``, strip
+    trailing path slashes, and remove :data:`TRACKING_PARAM_RE` query
+    parameters (remaining parameters keep their order; an emptied
+    query drops its ``?``).  Two URLs that canonicalize equal are the
+    standard exact-dup page key a crawl dedup stage groups by.
+
+    Pure Column expressions in the RE2 subset — codegen'd, zero
+    Python, byte-replayable by a SQL oracle.  Malformed URLs (no
+    ``scheme://host``) canonicalize to NULL (callers decide whether
+    NULL keys group or pass through)."""
+    u = F.regexp_replace(_c(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(kept, "&")
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), out)
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x

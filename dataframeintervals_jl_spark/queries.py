@@ -8787,6 +8787,127 @@ SELECT doc_id,
 FROM hmain"""
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (curation.py: canonical_url — RFC
+    3986 normalization + tracking-param strip as pure expressions):
+    five deterministic messy variants per document (casing, default
+    ports, www., trailing slashes, fragments, utm/gclid/fbclid/mc_*
+    noise) all collapse to one canonical page key; the dedup is a
+    plain groupBy over that key — count per page + the kept (minimum)
+    doc_id, with the canonical string itself hashed by the gate.  The
+    oracle replays every regex byte-for-byte (generated from the same
+    TRACKING_PARAM_RE constant)."""
+    from .operators.curation import canonical_url
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pid = (d % 97).cast("string")
+    k = (d % 3).cast("string")
+    v = d % 5
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://www.src"), k, F.lit(".com:443/p/"),
+                pid, F.lit("/?utm_source=a#sec"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://SRC"), k, F.lit(".COM/p/"), pid
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://src"), k, F.lit(".com/p/"), pid,
+                F.lit("/?gclid=x&fbclid=y"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://src"), k, F.lit(".com/p/"), pid,
+                F.lit("#top"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://src"), k, F.lit(".com/p/"), pid,
+                F.lit("///?utm_campaign=z&mc_cid=1"),
+            )
+        )
+    )
+    canon = docs.select("doc_id", canonical_url(url).alias("canon"))
+    return canon.groupBy("canon").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+def _sql_url_canonical_dedup() -> str:
+    """Oracle generated from the engine's TRACKING_PARAM_RE."""
+    from .operators.curation import TRACKING_PARAM_RE
+
+    return f"""WITH u0 AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://www.src' || (doc_id % 3)::VARCHAR
+                || '.com:443/p/' || (doc_id % 97)::VARCHAR
+                || '/?utm_source=a#sec'
+           WHEN 1 THEN 'HTTPS://SRC' || (doc_id % 3)::VARCHAR
+                || '.COM/p/' || (doc_id % 97)::VARCHAR
+           WHEN 2 THEN 'https://src' || (doc_id % 3)::VARCHAR
+                || '.com/p/' || (doc_id % 97)::VARCHAR
+                || '/?gclid=x&fbclid=y'
+           WHEN 3 THEN 'https://src' || (doc_id % 3)::VARCHAR
+                || '.com/p/' || (doc_id % 97)::VARCHAR || '#top'
+           ELSE 'https://src' || (doc_id % 3)::VARCHAR
+                || '.com/p/' || (doc_id % 97)::VARCHAR
+                || '///?utm_campaign=z&mc_cid=1'
+         END AS u
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(uf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(uf,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+         regexp_replace(uf,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest
+  FROM (SELECT doc_id, regexp_replace(u, '#.*$', '') AS uf FROM u0)
+), norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https'
+                THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           '^www\.', '') AS host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+           AS path,
+         coalesce(array_to_string(
+           list_filter(string_split(
+               regexp_extract(rest, '\?(.*)$', 1), '&'),
+             p -> p <> ''
+                  AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')),
+           '&'), '') AS qs
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         CASE WHEN scheme <> '' AND host <> ''
+              THEN scheme || '://' || host || path
+                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+         END AS canon
+  FROM norm
+)
+SELECT canon, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM canon GROUP BY canon"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training on-cluster: the first 10 BPE merge rules
     learned from the corpus word-frequency table (Sennrich et al.
@@ -10119,6 +10240,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_domain_quota": (q_domain_quota, _SQL_DOMAIN_QUOTA),
     "q_clean_text": (q_clean_text, _SQL_CLEAN_TEXT),
     "q_html_extract": (q_html_extract, _sql_html_extract()),
+    "q_url_canonical_dedup": (
+        q_url_canonical_dedup, _sql_url_canonical_dedup()
+    ),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),
@@ -10182,7 +10306,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 216
+EXPECTED_CATALOG_SIZE = 217
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2044,3 +2044,38 @@ def test_html_extract_empty_and_whole_doc(spark):
     )
     got = [r[0] for r in df.select(html_extract(F.col("h"))).collect()]
     assert got == ["", "", "no tags at all but quite long text here"]
+
+
+def test_canonical_url_rules(spark):
+    """canonical_url: lowercased scheme/host, fragment gone, default
+    ports dropped (non-default and non-http(s) ports kept), www.
+    stripped, trailing slashes stripped, tracking params removed with
+    remaining params in order, malformed URLs NULL."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.curation import (
+        canonical_url,
+    )
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=5#frag":
+            "https://example.com/a/b?id=5",
+        "http://example.com:80/a/b?id=5&utm_campaign=z&ref=tw":
+            "http://example.com/a/b?id=5",
+        "https://example.com/a/b?b=2&a=1":
+            "https://example.com/a/b?b=2&a=1",  # order preserved
+        "http://sub.example.com/": "http://sub.example.com",
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        "ftp://Files.Example.com:21/x/": "ftp://files.example.com:21/x",
+        "https://example.com/?utm_source=only": "https://example.com",
+        "not a url": None,
+        "": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", canonical_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert got == cases
