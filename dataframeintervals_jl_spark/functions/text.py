@@ -484,3 +484,34 @@ def html_extract(
         ),
     )
     return F.array_join(F.transform(kept, _tagless), "\n")
+
+
+#: abbreviations whose trailing dot must not end a sentence — a small
+#: DOCUMENTED list (public-suffix-style completeness is a data file,
+#: not an engine concern; callers can pre-protect their own)
+ABBREV_RE = r"\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc|No|Fig)\."
+_SENT_MARK = "\x1e"
+_DOT_GUARD = "\x1f"
+
+
+def split_sentences(text) -> Column:
+    """Sentence segmentation as a pure expression (the chunking /
+    packing precursor): protect :data:`ABBREV_RE` dots, mark a
+    boundary at ``[.!?]`` + whitespace + an uppercase/digit sentence
+    start (RE2 has no lookaround, so the start character is consumed
+    and re-emitted by the replacement), split on the marker, restore
+    protected dots, trim, drop empties.  Returns ``array<string>``.
+
+    Deliberately conservative: lowercase continuations ("... end. and
+    then") do NOT split — on crawl text that heuristic loses less
+    than it gains (the jusText stance).  Byte-replayable in SQL (the
+    oracle uses the same patterns with ``\\1`` replacement syntax)."""
+    protected = F.regexp_replace(_c(text), ABBREV_RE, "$1" + _DOT_GUARD)
+    marked = F.regexp_replace(
+        protected, r"([.!?])\s+([A-Z0-9])", "$1" + _SENT_MARK + "$2"
+    )
+    arr = F.split(marked, _SENT_MARK)
+    restored = F.transform(
+        arr, lambda s: F.trim(F.replace(s, F.lit(_DOT_GUARD), F.lit(".")))
+    )
+    return F.filter(restored, lambda s: s != F.lit(""))

@@ -8908,6 +8908,63 @@ SELECT canon, CAST(count(*) AS BIGINT) AS n_dups,
 FROM canon GROUP BY canon"""
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation (functions/text.py: split_sentences — the
+    chunking/packing precursor as a pure RE2-subset expression with an
+    abbreviation guard): sentence-shaped text is synthesized from each
+    document (capitalized clause cuts + an abbreviation + mixed
+    enders), segmented, and the exact sentence array is verified via
+    count, total length, and md5 of the joined sentences."""
+    from .functions.text import split_sentences
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("Dr. Alpha saw "),
+        F.substring("text", 1, 40),
+        F.lit(". Then Beta left for "),
+        F.substring("text", 41, 30),
+        F.lit("! Was it No. 42? It was. The end."),
+    )
+    s = split_sentences(synth)
+    return docs.select(
+        "doc_id",
+        F.size(s).cast("long").alias("n_sentences"),
+        F.length(F.array_join(s, "|")).cast("long").alias("joined_len"),
+        F.md5(F.array_join(s, "|")).alias("sent_md5"),
+    )
+
+
+def _sql_sentence_stats() -> str:
+    """Oracle generated from the engine's ABBREV_RE (DuckDB replacement
+    syntax uses backslash-group refs where Spark uses $-refs)."""
+    from .functions.text import ABBREV_RE
+
+    sents = f"""list_filter(
+      list_transform(
+        string_split(
+          regexp_replace(
+            regexp_replace(synth, '{ABBREV_RE}', '\\1' || chr(31), 'g'),
+            '([.!?])\\s+([A-Z0-9])', '\\1' || chr(30) || '\\2', 'g'),
+          chr(30)),
+        s -> trim(replace(s, chr(31), '.'))),
+      s -> s <> '')"""
+    return f"""WITH synth0 AS (
+  SELECT doc_id,
+         'Dr. Alpha saw ' || substr(text, 1, 40)
+         || '. Then Beta left for ' || substr(text, 41, 30)
+         || '! Was it No. 42? It was. The end.' AS synth
+  FROM documents
+), seg AS (
+  SELECT doc_id, {sents} AS s FROM synth0
+)
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_sentences,
+       CAST(length(coalesce(array_to_string(s, '|'), ''))
+            AS BIGINT) AS joined_len,
+       md5(coalesce(array_to_string(s, '|'), '')) AS sent_md5
+FROM seg"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training on-cluster: the first 10 BPE merge rules
     learned from the corpus word-frequency table (Sennrich et al.
@@ -10243,6 +10300,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_url_canonical_dedup": (
         q_url_canonical_dedup, _sql_url_canonical_dedup()
     ),
+    "q_sentence_stats": (q_sentence_stats, _sql_sentence_stats()),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),
@@ -10306,7 +10364,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 217
+EXPECTED_CATALOG_SIZE = 218
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

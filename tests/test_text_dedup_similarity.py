@@ -2079,3 +2079,29 @@ def test_canonical_url_rules(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_split_sentences_rules(spark):
+    """split_sentences: abbreviation dots protected, [.!?]+space+
+    capital/digit boundaries split, lowercase continuations kept
+    (conservative by design), empties dropped."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.text import (
+        split_sentences,
+    )
+
+    t = ("Dr. Smith met Mrs. Jones. They talked for 2 hours! "
+         "Was it fun? Yes. no split here. 42 is a number. The end.")
+    df = spark.createDataFrame([(t,), ("",), ("One only",)], "t string")
+    got = [r[0] for r in df.select(split_sentences(F.col("t"))).collect()]
+    assert got[0] == [
+        "Dr. Smith met Mrs. Jones.",
+        "They talked for 2 hours!",
+        "Was it fun?",
+        "Yes. no split here.",
+        "42 is a number.",
+        "The end.",
+    ]
+    assert got[1] == []
+    assert got[2] == ["One only"]
