@@ -1311,3 +1311,22 @@ def test_hll_windows_plan_register_bound(spark):
     assert "CartesianProduct" not in plan
     assert count_broadcast_exchanges(out) >= 1
     assert_no_python_row_udf(out)
+
+
+def test_expression_stage_queries_no_shuffle(spark):
+    """The round-11 expression-only stages (html extraction, sentence
+    segmentation) must stay pure narrow projections — ZERO exchanges,
+    no Python — and the canonicalization dedup must be exactly one
+    partial-aggregated shuffle on the canonical key."""
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    for qname in ("q_html_extract", "q_sentence_stats"):
+        out = QUERIES[qname][0](spark, SF_DIR)
+        assert_max_exchanges(out, 0)
+        assert_no_python_row_udf(out)
+
+    out = QUERIES["q_url_canonical_dedup"][0](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert_max_exchanges(out, 1)
+    assert "partial_" in plan, "dedup groupBy must partial-aggregate"
+    assert_no_python_row_udf(out)
