@@ -10464,21 +10464,23 @@ _REPO_ROOT = __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))
 )
 
-#: entries whose SEMANTICS (query + oracle) changed this round after
-#: already holding a green driver row — their committed age would keep
-#: them out of the gate window exactly when re-verification matters
-#: most, so they re-enter as if never verified.  Maintain per round:
-#: add on change, remove once the next CORRECTNESS_r*.json shows the
-#: new form green (the age map then reflects the re-gating naturally).
+#: entries whose SEMANTICS (query + oracle) changed after already
+#: holding a green driver row — their committed age would keep them
+#: out of the gate window exactly when re-verification matters most.
+#: Maps name -> the last round whose green rows PREDATE the change: a
+#: green row from a round <= that value is IGNORED (the entry
+#: re-enters the window as never-verified); the first green row from a
+#: LATER round — the gate that validates the new semantics — retires
+#: the exclusion automatically, no manual cleanup.
 _CHANGED_SEMANTICS = {
-    "q_masked_twa",  # r11: 120s masks (was 30min), oracle updated
-    "q_pipeline_curate_split",  # r11: starts from raw markup
+    "q_masked_twa": 10,  # changed in r11: 120s masks, oracle updated
+    "q_pipeline_curate_split": 10,  # changed in r11: raw-markup start
 }
 
 _verified_ages = {
     n: r
     for n, r in _driver_verified_rounds(_REPO_ROOT).items()
-    if n not in _CHANGED_SEMANTICS
+    if r > _CHANGED_SEMANTICS.get(n, -1)
 }
 QUERIES = _gate_order(
     QUERIES,
