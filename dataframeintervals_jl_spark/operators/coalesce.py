@@ -590,7 +590,15 @@ def _span_difference_tiny_left(
     across the fragment and passthrough branches."""
     left_cols = left.columns
     _ID = "__dfi_sd_id"
-    lid = left.withColumn(_ID, F.monotonically_increasing_id())
+    # parity with the general path: there the fragments come from an
+    # INNER overlap join against the complement, so zero-width and
+    # NULL left spans produce no output — without this filter the
+    # passthrough anti-join would resurrect them
+    lspan0 = F.col(spancol)
+    lid = left.filter(
+        lspan0.isNotNull()
+        & (lspan0.getField("start") < lspan0.getField("stop"))
+    ).withColumn(_ID, F.monotonically_increasing_id())
     lid = lid.localCheckpoint(eager=True)
     lspan = F.col(f"__dfi_sd_l.{spancol}")
     rspan = F.col(f"__dfi_sd_r.{rcol}")

@@ -345,3 +345,42 @@ def test_daily_coverage_partitions_total_coverage(spark):
     for (u, _), c in got.items():
         by_user[u] = by_user.get(u, 0) + c
     assert by_user == totals
+
+
+def test_span_difference_tiny_left_degenerate_rows(spark):
+    """The tiny-left fast path must match the general path on
+    degenerate left rows: zero-width and NULL spans vanish (in the
+    general path they come from an INNER overlap join and never
+    match), valid non-overlapped rows pass through whole, covered
+    rows vanish, partially-masked rows fragment."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        span_difference,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 100),     # partially masked -> fragments
+            (2, 500, 600),   # untouched -> passthrough whole
+            (3, 40, 40),     # zero-width -> vanishes
+            (4, None, None), # NULL span -> vanishes
+            (5, 20, 60),     # fully covered -> vanishes
+        ],
+        "id long, lo long, hi long",
+    ).select(
+        "id",
+        F.when(
+            F.col("lo").isNotNull(),
+            make_span(F.col("lo"), F.col("hi")),
+        ).alias("span"),
+    )
+    right = spark.createDataFrame(
+        [(10, 80)], "lo long, hi long"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"))
+    got = {
+        (r["id"], r["span"]["start"], r["span"]["stop"])
+        for r in span_difference(left, right).collect()
+    }
+    assert got == {(1, 0, 10), (1, 80, 100), (2, 500, 600)}
