@@ -384,3 +384,34 @@ def test_span_difference_tiny_left_degenerate_rows(spark):
         for r in span_difference(left, right).collect()
     }
     assert got == {(1, 0, 10), (1, 80, 100), (2, 500, 600)}
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_span_difference_global_paths_agree(spark, seed, monkeypatch):
+    """The tiny-left fast path (broadcast tag + keyed merge) and the
+    general global path (range-bucketed complement) must produce the
+    same fragment multiset.  The unit tests' lefts are all under the
+    4096-row threshold, so the general path is pinned here by forcing
+    the threshold to 0."""
+    import random
+
+    from dataframeintervals_jl_spark import span_difference
+    from dataframeintervals_jl_spark.operators import coalesce as C
+
+    rng = random.Random(seed)
+    left = [(s, s + rng.randrange(1, 60)) for s in
+            (rng.randrange(0, 500) for _ in range(120))]
+    right = [(s, s + rng.randrange(1, 30)) for s in
+             (rng.randrange(0, 500) for _ in range(40))]
+    ldf = make_span_df(spark, left)
+    rdf = make_span_df(spark, right)
+
+    def frags(df):
+        return sorted(
+            (r["span"]["start"], r["span"]["stop"]) for r in df.collect()
+        )
+
+    fast = frags(span_difference(ldf, rdf))
+    monkeypatch.setattr(C, "_TINY_LEFT_ROWS", 0)
+    general = frags(span_difference(ldf, rdf))
+    assert fast == general
