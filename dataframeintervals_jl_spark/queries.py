@@ -8965,6 +8965,77 @@ SELECT doc_id,
 FROM seg"""
 
 
+def q_chunk_by_sentences(spark, sf_dir):
+    """Sentence-aware greedy chunking (packing.py: chunk_by_sentences
+    — split_sentences + an F.aggregate greedy fold + per-chunk
+    regroup, all row-local array expressions, zero shuffles): the
+    sentence-shaped synthesis from q_sentence_stats packs into
+    60-char chunks; the gate hashes every chunk string.  The oracle
+    replays the greedy fold with a recursive CTE over sentence
+    positions and regroups with an ordered string_agg."""
+    from .operators.packing import chunk_by_sentences
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("Dr. Alpha saw "),
+        F.substring("text", 1, 40),
+        F.lit(". Then Beta left for "),
+        F.substring("text", 41, 30),
+        F.lit("! Was it No. 42? It was. The end."),
+    )
+    out = chunk_by_sentences(
+        docs.select("doc_id", synth.alias("text")),
+        "text",
+        max_chars=60,
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "n_sentences",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def _sql_chunk_by_sentences(max_chars: int = 60) -> str:
+    from .functions.text import ABBREV_RE
+
+    sents = f"""list_filter(
+      list_transform(
+        string_split(
+          regexp_replace(
+            regexp_replace(synth, '{ABBREV_RE}', '\\1' || chr(31), 'g'),
+            '([.!?])\\s+([A-Z0-9])', '\\1' || chr(30) || '\\2', 'g'),
+          chr(30)),
+        s -> trim(replace(s, chr(31), '.'))),
+      s -> s <> '')"""
+    return f"""WITH RECURSIVE synth0 AS (
+  SELECT doc_id,
+         'Dr. Alpha saw ' || substr(text, 1, 40)
+         || '. Then Beta left for ' || substr(text, 41, 30)
+         || '! Was it No. 42? It was. The end.' AS synth
+  FROM documents
+), seg AS (
+  SELECT doc_id, {sents} AS s FROM synth0 WHERE len({sents}) > 0
+), st AS (
+  SELECT doc_id, 1 AS i, 0 AS idx,
+         CAST(length(s[1]) AS BIGINT) AS acc
+  FROM seg
+  UNION ALL
+  SELECT st.doc_id, st.i + 1,
+         CASE WHEN st.acc + 1 + length(seg.s[st.i + 1]) > {max_chars}
+              THEN st.idx + 1 ELSE st.idx END,
+         CASE WHEN st.acc + 1 + length(seg.s[st.i + 1]) > {max_chars}
+              THEN CAST(length(seg.s[st.i + 1]) AS BIGINT)
+              ELSE st.acc + 1 + length(seg.s[st.i + 1]) END
+  FROM st JOIN seg ON st.doc_id = seg.doc_id
+  WHERE st.i < len(seg.s)
+)
+SELECT st.doc_id,
+       CAST(st.idx AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       md5(string_agg(seg.s[st.i], ' ' ORDER BY st.i)) AS chunk_md5
+FROM st JOIN seg ON st.doc_id = seg.doc_id
+GROUP BY st.doc_id, st.idx"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training on-cluster: the first 10 BPE merge rules
     learned from the corpus word-frequency table (Sennrich et al.
@@ -10301,6 +10372,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_url_canonical_dedup, _sql_url_canonical_dedup()
     ),
     "q_sentence_stats": (q_sentence_stats, _sql_sentence_stats()),
+    "q_chunk_by_sentences": (
+        q_chunk_by_sentences, _sql_chunk_by_sentences()
+    ),
     "q_bpe_merges": (q_bpe_merges, _sql_bpe(10)),
     "q_apply_bpe_merges": (q_apply_bpe_merges, _sql_apply_bpe(10)),
     "q_apply_bpe_vocab": (q_apply_bpe_vocab, _sql_apply_bpe_vocab(64)),
@@ -10364,7 +10438,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 218
+EXPECTED_CATALOG_SIZE = 219
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

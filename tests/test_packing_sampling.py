@@ -1272,3 +1272,45 @@ def test_leakage_safe_split_guarantees(spark):
     # unclustered rows are exactly the plain hash_split
     for i in set(range(300)) - clustered:
         assert got[i] == plain[i]
+
+
+def test_chunk_by_sentences_greedy_rules(spark):
+    """chunk_by_sentences: greedy fill to max_chars with joining
+    spaces counted, an oversized single sentence still gets its own
+    chunk (never split mid-sentence), empty docs emit nothing, chunk
+    text order is positional (no collect_list)."""
+    from dataframeintervals_jl_spark.operators.packing import (
+        chunk_by_sentences,
+    )
+
+    t = ("One short. Another sentence here! A third one? This "
+         "sentence is deliberately quite a bit longer than the "
+         "others. Tail.")
+    df = spark.createDataFrame(
+        [(1, t), (2, ""), (3, "SingleOversizedSentenceNoBoundaries")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["n_sentences"], r["chunk_text"])
+        for r in chunk_by_sentences(df, "text", max_chars=40)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, 2, "One short. Another sentence here!"),
+        (1, 1, 1, "A third one?"),
+        (1, 2, 1,
+         "This sentence is deliberately quite a bit longer than "
+         "the others."),
+        (1, 3, 1, "Tail."),
+        (3, 0, 1, "SingleOversizedSentenceNoBoundaries"),
+    ]
+    # plan: pure narrow expressions + the explode — zero exchanges
+    from dataframeintervals_jl_spark.plans import (
+        assert_max_exchanges,
+        assert_no_python_row_udf,
+    )
+
+    out = chunk_by_sentences(df, "text", max_chars=40)
+    assert_max_exchanges(out, 0)
+    assert_no_python_row_udf(out)
