@@ -1314,3 +1314,55 @@ def test_chunk_by_sentences_greedy_rules(spark):
     out = chunk_by_sentences(df, "text", max_chars=40)
     assert_max_exchanges(out, 0)
     assert_no_python_row_udf(out)
+
+
+def test_chunk_by_sentences_reconstruction_property(spark):
+    """Invariants on randomized docs: chunks concatenate back to the
+    sentence stream (nothing lost or reordered), per-doc n_sentences
+    sums to the segmentation's count, and every chunk either fits
+    max_chars or is a single oversized sentence."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.text import (
+        split_sentences,
+    )
+    from dataframeintervals_jl_spark.operators.packing import (
+        chunk_by_sentences,
+    )
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "Dr."]
+    docs = []
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randrange(0, 12)):
+            n = rng.randrange(1, 9)
+            body = " ".join(rng.choice(words) for _ in range(n))
+            parts.append("X" + body + rng.choice(". ! ? .".split()))
+        docs.append((i, " ".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mx = 48
+    chunks = (
+        chunk_by_sentences(df, "text", max_chars=mx)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    sents = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", split_sentences(F.col("text")).alias("s")
+        ).collect()
+    }
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in chunks:
+        per_doc[r["doc_id"]].append(r)
+    for d, sl in sents.items():
+        rows = per_doc.get(d, [])
+        assert sum(r["n_sentences"] for r in rows) == len(sl)
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(sl)
+        for r in rows:
+            assert len(r["chunk_text"]) <= mx or r["n_sentences"] == 1
