@@ -1855,3 +1855,78 @@ def topn_windows(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
     )
+
+
+def histogram_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    nbuckets: int,
+    ts_col: str = "ts",
+    by: Key = None,
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Equi-width histogram per window — the TimescaleDB
+    ``histogram(value, lo, hi, nbuckets)`` aggregate re-expressed over
+    the stabbing join: stab each sample into its window(s), assign an
+    integer bucket, and count per (key, window, bucket).
+
+    Bucket layout follows the TimescaleDB convention of ``nbuckets + 2``
+    slots: bucket ``0`` is the underflow bin (``value < lo``), bucket
+    ``nbuckets + 1`` the overflow bin (``value >= hi``), and bucket
+    ``1 + (value - lo) * nbuckets DIV (hi - lo)`` the equi-width
+    interior.  ``value_col`` must be integral (the fixed-point contract
+    shared with :func:`counter_windows`); the bucket index is exact
+    integer arithmetic — the product is taken in DECIMAL(38,0) so a
+    wide fixed-point domain times a large ``nbuckets`` cannot wrap —
+    so partial-aggregation order can never perturb the result.
+
+    Output is SPARSE (empty buckets are absent): at 100 TB a dense
+    (window × key × bucket) grid is exactly the cartesian blow-up the
+    gapfill plan lock forbids; densify at read time against a
+    ``spark.range(nbuckets + 2)`` broadcast if a client needs zeros.
+
+    Scale shape: one projection (bucket expression, JVM codegen), one
+    broadcast stabbing join, one partial-agged count — the exchange
+    carries (key, window, bucket) triples, not samples.  Nothing
+    driver-side."""
+    if nbuckets < 1:
+        raise ValueError(f"nbuckets must be >= 1, got {nbuckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "histogram_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    from .interval_join import point_in_span_join
+
+    dec = "DECIMAL(38,0)"
+    v = f"CAST({value_col} AS BIGINT)"
+    bucket = (
+        f"CASE WHEN {v} < {lo} THEN CAST(0 AS BIGINT) "
+        f"WHEN {v} >= {hi} THEN CAST({nbuckets + 1} AS BIGINT) "
+        f"ELSE CAST(1 + CAST(({v} - {lo}) AS {dec}) "
+        f"* CAST({nbuckets} AS {dec}) DIV CAST({hi - lo} AS {dec}) "
+        f"AS BIGINT) END"
+    )
+    obs = samples.select(
+        *keys, F.col(ts_col), F.expr(bucket).alias("bucket")
+    )
+    j = point_in_span_join(
+        obs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    return j.groupBy(*keys, *label_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )

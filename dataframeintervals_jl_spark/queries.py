@@ -10079,6 +10079,52 @@ SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
 FROM p GROUP BY chunk_id"""
 
 
+_HIST_LO, _HIST_HI, _HIST_NB = 0, 100_000, 10
+
+
+def q_histogram_windows(spark, sf_dir):
+    """Windowed equi-width histogram (timeseries.py: histogram_windows
+    — the TimescaleDB ``histogram(value, lo, hi, nbuckets)`` aggregate
+    over the stabbing join): per (event_type, window, bucket), the
+    sample count, with TimescaleDB's nbuckets+2 layout (bucket 0 =
+    underflow, nbuckets+1 = overflow, interior via exact integer
+    ``(v-lo)*nb DIV (hi-lo)``).  Sparse — empty buckets are absent.
+    The oracle replays the fixed-point projection, the stab
+    containment, and the integer bucket formula."""
+    from .operators.timeseries import histogram_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = histogram_windows(
+        ev, w, "v_fx", _HIST_LO, _HIST_HI, _HIST_NB,
+        ts_col="ts", by="event_type",
+    )
+    return out.select("event_type", "widx", "bucket", "n")
+
+
+_SQL_HISTOGRAM_WINDOWS = f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+), j AS (
+  SELECT ev.event_type, w.widx,
+         CASE WHEN ev.v < {_HIST_LO} THEN 0
+              WHEN ev.v >= {_HIST_HI} THEN {_HIST_NB + 1}
+              ELSE 1 + ((ev.v - {_HIST_LO})::HUGEINT * {_HIST_NB}
+                        // ({_HIST_HI - _HIST_LO})::HUGEINT) END AS bucket
+  FROM ev JOIN w ON w.w_start <= ev.t AND ev.t < w.w_stop
+)
+SELECT event_type, widx, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY event_type, widx, bucket"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10326,6 +10372,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_gapfill_locf": (q_gapfill_locf, _SQL_GAPFILL_LOCF),
     "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
+    "q_histogram_windows": (q_histogram_windows, _SQL_HISTOGRAM_WINDOWS),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10438,7 +10485,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 219
+EXPECTED_CATALOG_SIZE = 220
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1330,3 +1330,31 @@ def test_expression_stage_queries_no_shuffle(spark):
     assert_max_exchanges(out, 1)
     assert "partial_" in plan, "dedup groupBy must partial-aggregate"
     assert_no_python_row_udf(out)
+
+
+def test_histogram_windows_plan_shape(spark):
+    """histogram_windows: bucket expression stays JVM codegen (no
+    Python), the windows side broadcasts, and the count
+    partial-aggregates around ONE exchange — shuffled bytes scale with
+    (key, window, bucket) triples, not samples."""
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        quantile_windows,
+    )
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        histogram_windows,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_type", "ts",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    es = event_spans(spark, SF_DIR)
+    w = quantile_windows(spark, 8, es, label="widx")
+    out = histogram_windows(
+        ev, w, "v_fx", 0, 100_000, 10, ts_col="ts", by="event_type"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+    assert count_broadcast_exchanges(out) >= 1
+    assert_no_python_row_udf(out)

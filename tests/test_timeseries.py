@@ -1238,3 +1238,65 @@ def test_gapfill_windows_linear_interpolation(spark):
 
     with _pytest.raises(ValueError, match="method"):
         gapfill_windows(samples, windows, "v", by="k", method="x")
+
+
+def test_histogram_windows_hand_values_and_edges(spark):
+    """Hand-checked equi-width histogram with the TimescaleDB
+    nbuckets+2 layout: underflow (v < lo) -> bucket 0, overflow
+    (v >= hi) -> nbuckets+1, interior exact-integer width, and the
+    lo / hi-epsilon boundary samples landing in buckets 1 and
+    nbuckets.  Tiling invariant: per-key bucket counts sum to the
+    number of stabbed samples."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        histogram_windows,
+    )
+
+    # lo=0 hi=100 nb=10 -> interior buckets 1..10 of width 10
+    df = spark.createDataFrame(
+        [("a", 10, -5), ("a", 20, 0), ("a", 30, 9), ("a", 40, 10),
+         ("a", 50, 99), ("a", 60, 100), ("a", 70, 250),
+         ("b", 110, 55)],
+        "k string, ts long, v long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    out = {
+        (r["k"], r["widx"], r["bucket"]): r["n"]
+        for r in histogram_windows(
+            df, windows, "v", 0, 100, 10, ts_col="ts", by="k"
+        ).collect()
+    }
+    assert out == {
+        ("a", 1, 0): 1,   # -5 underflow
+        ("a", 1, 1): 2,   # 0, 9
+        ("a", 1, 2): 1,   # 10
+        ("a", 1, 10): 1,  # 99 (hi - 1 lands in the LAST interior bucket)
+        ("a", 1, 11): 2,  # 100, 250 overflow
+        ("b", 2, 6): 1,   # 55
+    }
+    # tiling: every stabbed sample counted exactly once
+    assert sum(n for (k, _, _), n in out.items() if k == "a") == 7
+
+    # global (by=None) variant: keys collapse
+    g = {
+        (r["widx"], r["bucket"]): r["n"]
+        for r in histogram_windows(
+            df, windows, "v", 0, 100, 10, ts_col="ts"
+        ).collect()
+    }
+    assert g[(1, 1)] == 2 and g[(2, 6)] == 1
+
+    with pytest.raises(ValueError, match="nbuckets"):
+        histogram_windows(df, windows, "v", 0, 100, 0, ts_col="ts")
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_windows(df, windows, "v", 100, 100, 4, ts_col="ts")
+    with pytest.raises(ValueError, match="label"):
+        histogram_windows(
+            df, windows.select("span"), "v", 0, 100, 4, ts_col="ts"
+        )
