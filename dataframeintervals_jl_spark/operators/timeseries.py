@@ -1930,3 +1930,86 @@ def histogram_windows(
     return j.groupBy(*keys, *label_cols, "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def autocorrelation(
+    samples: DataFrame,
+    value_col: str,
+    max_lag: int,
+    ts_col: str = "ts",
+    by: Key = None,
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """Row-lag sample autocorrelation — ACF(1..max_lag) per key: the
+    Pearson correlation between the (ts, *order)-ordered series and
+    its k-row-lagged self over the observed pairs, for every lag k in
+    ``1..max_lag``.  The pair-wise Pearson variant (per-lag means),
+    the standard cross-correlogram for irregular event series; for a
+    regularly-gridded ACF feed :func:`resample_locf` output in.
+
+    ``value_col`` must be integral (the fixed-point contract shared
+    with :func:`counter_windows`).  Per (key, lag) the moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY in DECIMAL(38,0) —
+    partial-aggregation order cannot perturb them and epoch-scale
+    fixed-point values cannot wrap — and combine into the correlation
+    in one fixed-order double formula, rounded to 6 places.
+
+    Output: key cols + ``lag`` + ``n`` (pair count) + ``acf``
+    (NULL when either side is constant).
+
+    Scale shape: ONE per-key sort window evaluates all ``max_lag``
+    lag columns (a single Window operator — Spark batches same-frame
+    lags), the explode amplifies rows map-side by ``max_lag``, and
+    the moment aggregation partial-aggregates around one exchange
+    carrying (key, lag) groups.  Nothing driver-side."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("autocorrelation: by key(s) required")
+    order = list(order)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order)
+    v = F.col(value_col).cast("long")
+    # window expressions are illegal inside a generator: evaluate all
+    # max_lag lag columns in one Window pass first, THEN explode
+    lagged = samples.select(
+        *keys,
+        v.alias("__x"),
+        *[F.lag(v, k).over(w).alias(f"__y{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col("__x").alias("x"),
+            F.col(f"__y{k}").alias("y"),
+        )
+        for k in range(1, max_lag + 1)
+    ])
+    ex = (
+        lagged.select(*keys, F.explode(pairs).alias("p"))
+        .select(*keys, "p.lag", "p.x", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    dec = "DECIMAL(38,0)"
+    s = ex.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum(CAST(x AS {dec}))").alias("sx"),
+        F.expr(f"sum(CAST(y AS {dec}))").alias("sy"),
+        F.expr(f"sum(CAST(x AS {dec}) * CAST(y AS {dec}))").alias("sxy"),
+        F.expr(f"sum(CAST(x AS {dec}) * CAST(x AS {dec}))").alias("sx2"),
+        F.expr(f"sum(CAST(y AS {dec}) * CAST(y AS {dec}))").alias("sy2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = F.sqrt(
+        (d("n") * d("sx2") - d("sx") * d("sx"))
+        * (d("n") * d("sy2") - d("sy") * d("sy"))
+    )
+    # ANSI mode raises DIVIDE_BY_ZERO even for doubles: a constant
+    # side (zero variance) must yield NULL, not an error
+    corr = F.when(
+        den != F.lit(0.0),
+        (d("n") * d("sxy") - d("sx") * d("sy")) / den,
+    )
+    return s.select(
+        *keys, "lag", "n", F.round(corr, 6).alias("acf")
+    )

@@ -10125,6 +10125,65 @@ SELECT event_type, widx, CAST(bucket AS BIGINT) AS bucket,
 FROM j GROUP BY event_type, widx, bucket"""
 
 
+_ACF_MAX_LAG = 4
+
+
+def q_acf(spark, sf_dir):
+    """Row-lag autocorrelation ACF(1..4) per event_type (timeseries.py:
+    autocorrelation — the correlogram staple): Pearson correlation of
+    the (ts, event_id)-ordered fixed-point value series against its
+    k-row-lagged self, from EXACT DECIMAL(38,0) moment sums combined
+    in one fixed-order double formula.  The oracle replays the lag
+    window per k, the pair filter, the HUGEINT moments, and the
+    identical formula."""
+    from .operators.timeseries import autocorrelation
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    out = autocorrelation(
+        ev, "v_fx", _ACF_MAX_LAG, ts_col="ts",
+        by="event_type", order=["event_id"],
+    )
+    return out.select("event_type", "lag", "n", "acf")
+
+
+def _sql_acf() -> str:
+    lagged = "\n  UNION ALL\n".join(
+        f"""  SELECT event_type, CAST({k} AS BIGINT) AS lag, x,
+         lag(x, {k}) OVER (PARTITION BY event_type
+                           ORDER BY t, event_id) AS y FROM ev"""
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""WITH ev AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+), l AS (
+{lagged}
+), p AS (SELECT * FROM l WHERE y IS NOT NULL),
+s AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(x::HUGEINT * x::HUGEINT) AS sx2,
+         sum(y::HUGEINT * y::HUGEINT) AS sy2
+  FROM p GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0), 6)
+         AS acf
+FROM s"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10373,6 +10432,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_gapfill_interp": (q_gapfill_interp, _SQL_GAPFILL_INTERP),
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
     "q_histogram_windows": (q_histogram_windows, _SQL_HISTOGRAM_WINDOWS),
+    "q_acf": (q_acf, _sql_acf()),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10485,7 +10545,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 220
+EXPECTED_CATALOG_SIZE = 221
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1358,3 +1358,27 @@ def test_histogram_windows_plan_shape(spark):
     assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
     assert count_broadcast_exchanges(out) >= 1
     assert_no_python_row_udf(out)
+
+
+def test_autocorrelation_single_window_pass(spark):
+    """autocorrelation: all max_lag lag columns must evaluate in ONE
+    Window operator (one per-key sort), the explode amplifies map-side,
+    and the moment aggregation partial-aggregates around one exchange."""
+    import re
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    out = autocorrelation(
+        ev, "v_fx", 4, ts_col="ts", by="event_type", order=["event_id"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+    assert_no_python_row_udf(out)

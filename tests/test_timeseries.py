@@ -1300,3 +1300,38 @@ def test_histogram_windows_hand_values_and_edges(spark):
         histogram_windows(
             df, windows.select("span"), "v", 0, 100, 4, ts_col="ts"
         )
+
+
+def test_autocorrelation_hand_values(spark):
+    """A perfectly alternating series has pair-Pearson ACF(1) = -1 and
+    ACF(2) = +1; a strictly linear ramp has ACF(k) = +1 for every k.
+    Pair counts shrink by k per lag, and a constant series yields NULL
+    (zero variance)."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    rows = [("alt", t, 0, 1 if t % 2 == 0 else -1) for t in range(8)]
+    rows += [("ramp", t, 0, 10 * t + 3) for t in range(6)]
+    rows += [("const", t, 0, 7) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, v long")
+    out = {
+        (r["k"], r["lag"]): (r["n"], r["acf"])
+        for r in autocorrelation(
+            df, "v", 2, ts_col="ts", by="k", order=["eid"]
+        ).collect()
+    }
+    assert out[("alt", 1)] == (7, -1.0)
+    assert out[("alt", 2)] == (6, 1.0)
+    assert out[("ramp", 1)] == (5, 1.0)
+    assert out[("ramp", 2)] == (4, 1.0)
+    assert out[("const", 1)][1] is None or out[("const", 1)][1] != out[
+        ("const", 1)
+    ][1]  # NULL or NaN: zero variance has no correlation
+
+    with pytest.raises(ValueError, match="max_lag"):
+        autocorrelation(df, "v", 0, ts_col="ts", by="k")
+    with pytest.raises(ValueError, match="by key"):
+        autocorrelation(df, "v", 2, ts_col="ts")
