@@ -1906,17 +1906,12 @@ def histogram_windows(
         )
     from .interval_join import point_in_span_join
 
-    dec = "DECIMAL(38,0)"
-    v = f"CAST({value_col} AS BIGINT)"
-    bucket = (
-        f"CASE WHEN {v} < {lo} THEN CAST(0 AS BIGINT) "
-        f"WHEN {v} >= {hi} THEN CAST({nbuckets + 1} AS BIGINT) "
-        f"ELSE CAST(1 + CAST(({v} - {lo}) AS {dec}) "
-        f"* CAST({nbuckets} AS {dec}) DIV CAST({hi - lo} AS {dec}) "
-        f"AS BIGINT) END"
-    )
     obs = samples.select(
-        *keys, F.col(ts_col), F.expr(bucket).alias("bucket")
+        *keys,
+        F.col(ts_col),
+        F.expr(histogram_bucket_expr(value_col, lo, hi, nbuckets)).alias(
+            "bucket"
+        ),
     )
     j = point_in_span_join(
         obs,
@@ -2012,4 +2007,23 @@ def autocorrelation(
     )
     return s.select(
         *keys, "lag", "n", F.round(corr, 6).alias("acf")
+    )
+
+
+def histogram_bucket_expr(
+    value_col: str, lo: int, hi: int, nbuckets: int
+) -> str:
+    """The exact-integer TimescaleDB bucket formula shared by
+    :func:`histogram_windows` and the streaming twin: 0 = underflow,
+    ``nbuckets + 1`` = overflow, interior
+    ``1 + (v - lo) * nbuckets DIV (hi - lo)`` with the product taken
+    in DECIMAL(38,0) so a wide fixed-point domain cannot wrap."""
+    dec = "DECIMAL(38,0)"
+    v = f"CAST({value_col} AS BIGINT)"
+    return (
+        f"CASE WHEN {v} < {lo} THEN CAST(0 AS BIGINT) "
+        f"WHEN {v} >= {hi} THEN CAST({nbuckets + 1} AS BIGINT) "
+        f"ELSE CAST(1 + CAST(({v} - {lo}) AS {dec}) "
+        f"* CAST({nbuckets} AS {dec}) DIV CAST({hi - lo} AS {dec}) "
+        f"AS BIGINT) END"
     )

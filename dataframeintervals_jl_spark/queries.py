@@ -10125,6 +10125,27 @@ SELECT event_type, widx, CAST(bucket AS BIGINT) AS bucket,
 FROM j GROUP BY event_type, widx, bucket"""
 
 
+def q_stream_histogram_windows(spark, sf_dir):
+    """The STREAMING histogram twin in batch mode (streaming.py:
+    stream_histogram_windows — bucket counts are the mergeable sink
+    state, the stream is the stateless bucket projection + broadcast
+    stab join; file-stream parity pytest-gated).  Batch inputs
+    delegate to histogram_windows; shares its oracle."""
+    from .streaming import stream_histogram_windows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_histogram_windows(
+        ev, w, "v_fx", _HIST_LO, _HIST_HI, _HIST_NB,
+        ts_col="ts", by="event_type",
+    )
+    return out.select("event_type", "widx", "bucket", "n")
+
+
 _ACF_MAX_LAG = 4
 
 
@@ -10433,6 +10454,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
     "q_histogram_windows": (q_histogram_windows, _SQL_HISTOGRAM_WINDOWS),
     "q_acf": (q_acf, _sql_acf()),
+    "q_stream_histogram_windows": (
+        q_stream_histogram_windows, _SQL_HISTOGRAM_WINDOWS,
+    ),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10545,7 +10569,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 221
+EXPECTED_CATALOG_SIZE = 222
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

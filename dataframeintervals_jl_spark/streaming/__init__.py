@@ -2563,3 +2563,68 @@ def stream_heartbeat_windows(
             inter.cast("long").alias("live_ns"),
         )
     )
+
+
+def stream_histogram_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    nbuckets: int,
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming equi-width-histogram feed — the twin of
+    :func:`~..operators.timeseries.histogram_windows`: bucket counts
+    are the mergeable sink state (per-micro-batch (key, window,
+    bucket) counts just add), so the stream is the bucket projection
+    + broadcast stabbing join emitting ``(keys, window labels,
+    bucket)`` rows in APPEND mode — stateless, no watermark needed —
+    and the sink accumulates ``count(*)`` per group.
+
+    Batch inputs delegate to the batch operator — what
+    ``q_stream_histogram_windows`` gates against the shared oracle."""
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.timeseries import (
+        _by_cols,
+        histogram_bucket_expr,
+        histogram_windows,
+    )
+
+    if not samples.isStreaming:
+        return histogram_windows(
+            samples,
+            windows,
+            value_col,
+            lo,
+            hi,
+            nbuckets,
+            ts_col=ts_col,
+            by=by,
+            window_span_col=window_span_col,
+        )
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_histogram_windows: windows must carry at least "
+            "one label column besides the span"
+        )
+    obs = samples.select(
+        *keys,
+        F.col(ts_col),
+        F.expr(histogram_bucket_expr(value_col, lo, hi, nbuckets)).alias(
+            "bucket"
+        ),
+    )
+    return point_in_span_join(
+        obs,
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    ).select(*keys, *label_cols, "bucket")

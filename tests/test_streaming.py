@@ -2646,3 +2646,67 @@ def test_stream_heartbeat_windows_parity(spark, tmp_path):
     # the terminal flush beats form their own islands past both
     # windows, so they contribute no (key, window) rows to either side
     assert got == batch
+
+
+def test_stream_histogram_windows_parity(spark, tmp_path):
+    """Sink-side count accumulation over the streamed (key, window,
+    bucket) rows equals batch histogram_windows exactly, including the
+    underflow/overflow buckets."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        histogram_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_histogram_windows,
+    )
+
+    schema = "k string, ts long, v long"
+    b1 = spark.createDataFrame(
+        [("a", 10, -5), ("a", 20, 0), ("a", 30, 9), ("b", 40, 55)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("a", 50, 99), ("a", 60, 100), ("b", 150, 250), ("b", 160, 55)],
+        schema,
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    d = str(tmp_path / "histw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_histogram_windows(
+        stream, windows, "v", 0, 100, 10, ts_col="ts", by="k"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("histw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_histw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT k, widx, bucket, count(*) AS n FROM histw"
+            " GROUP BY k, widx, bucket"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in histogram_windows(
+            b1.unionByName(b2), windows, "v", 0, 100, 10,
+            ts_col="ts", by="k",
+        )
+        .select("k", "widx", "bucket", "n")
+        .collect()
+    }
+    assert got == batch and len(got) >= 5
