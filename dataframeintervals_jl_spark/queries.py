@@ -10172,6 +10172,28 @@ def q_acf(spark, sf_dir):
     return out.select("event_type", "lag", "n", "acf")
 
 
+def q_acf_chunked(spark, sf_dir):
+    """The DISTRIBUTED-RANK ACF path (timeseries.py: autocorrelation
+    with chunk_ns — chunk-local row numbers + prefix-offset cumsum +
+    hash-parallel rank-lag self-join, parallelism = #chunks instead of
+    #keys): bit-identical to q_acf by construction, gated against the
+    SAME oracle to prove it."""
+    from .operators.timeseries import autocorrelation
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    out = autocorrelation(
+        ev, "v_fx", _ACF_MAX_LAG, ts_col="ts",
+        by="event_type", order=["event_id"],
+        chunk_ns=6 * 3_600 * 1_000_000_000,
+    )
+    return out.select("event_type", "lag", "n", "acf")
+
+
 def _sql_acf() -> str:
     lagged = "\n  UNION ALL\n".join(
         f"""  SELECT event_type, CAST({k} AS BIGINT) AS lag, x,
@@ -10203,6 +10225,54 @@ SELECT event_type, lag, n,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0), 6)
          AS acf
 FROM s"""
+
+
+_SEASON_BUCKET_NS = 3_600 * 1_000_000_000
+_SEASON_PERIOD_NS = 24 * _SEASON_BUCKET_NS
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Hour-of-day seasonal baseline anomalies (timeseries.py:
+    seasonal_anomaly_counts): per (event_type, hour-of-day), the
+    sample count, the exact truncated fixed-point mean, and the count
+    of samples beyond 2σ of THEIR hour's baseline — the z-test is
+    ENTIRELY exact integers ((n·x−Σx)² > z²·(n·Σx²−Σx²) in HUGEINT),
+    so the hash can never drift.  The oracle replays the pmod season
+    fold, the moment sums, and the integer test."""
+    from .operators.timeseries import seasonal_anomaly_counts
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    out = seasonal_anomaly_counts(
+        ev, "v_fx", _SEASON_PERIOD_NS, _SEASON_BUCKET_NS,
+        ts_col="ts", by="event_type", z=2,
+    )
+    return out.select("event_type", "season", "n", "mu_fp6", "n_anomalies")
+
+
+_SQL_SEASONAL_ANOMALY = f"""WITH ev AS (
+  SELECT event_type,
+         (((((epoch_ns(ts) - ((epoch_ns(ts) % {_SEASON_BUCKET_NS}
+              + {_SEASON_BUCKET_NS}) % {_SEASON_BUCKET_NS}))
+            // {_SEASON_BUCKET_NS}) % 24) + 24) % 24) AS season,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, season, CAST(count(*) AS BIGINT) AS n,
+         sum(x::HUGEINT) AS sx, sum(x::HUGEINT * x::HUGEINT) AS sx2
+  FROM ev GROUP BY event_type, season
+)
+SELECT s.event_type, CAST(s.season AS BIGINT) AS season, s.n,
+       CAST(s.sx * 1000000 // s.n AS BIGINT) AS mu_fp6,
+       CAST(sum(CASE WHEN (s.n::HUGEINT * ev.x::HUGEINT - s.sx)
+                          * (s.n::HUGEINT * ev.x::HUGEINT - s.sx)
+                     > 4 * (s.n::HUGEINT * s.sx2 - s.sx * s.sx)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM ev JOIN s USING (event_type, season)
+GROUP BY s.event_type, s.season, s.n, s.sx"""
 
 
 # ---------------------------------------------------------------------------
@@ -10454,9 +10524,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_topn_windows": (q_topn_windows, _SQL_TOPN_WINDOWS),
     "q_histogram_windows": (q_histogram_windows, _SQL_HISTOGRAM_WINDOWS),
     "q_acf": (q_acf, _sql_acf()),
+    "q_acf_chunked": (q_acf_chunked, _sql_acf()),
     "q_stream_histogram_windows": (
         q_stream_histogram_windows, _SQL_HISTOGRAM_WINDOWS,
     ),
+    "q_seasonal_anomaly": (q_seasonal_anomaly, _SQL_SEASONAL_ANOMALY),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10569,7 +10641,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 222
+EXPECTED_CATALOG_SIZE = 224
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1382,3 +1382,27 @@ def test_autocorrelation_single_window_pass(spark):
     assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
     assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
     assert_no_python_row_udf(out)
+
+
+def test_seasonal_anomaly_plan_shape(spark):
+    """seasonal_anomaly_counts: the stats table must BROADCAST back
+    onto the samples (groups are keys x period/bucket — dimension-
+    sized), both aggregations partial-aggregate, and no Python
+    anywhere."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        seasonal_anomaly_counts,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_type", "ts",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    )
+    hour = 3_600 * 10**9
+    out = seasonal_anomaly_counts(
+        ev, "v_fx", 24 * hour, hour, ts_col="ts", by="event_type", z=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert count_broadcast_exchanges(out) >= 1, "stats join not broadcast"
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+    assert_no_python_row_udf(out)

@@ -1335,3 +1335,74 @@ def test_autocorrelation_hand_values(spark):
         autocorrelation(df, "v", 0, ts_col="ts", by="k")
     with pytest.raises(ValueError, match="by key"):
         autocorrelation(df, "v", 2, ts_col="ts")
+
+
+def test_seasonal_anomaly_hand_values(spark):
+    """Hour-of-day fold + exact integer z-test: a group of nine 10s
+    and one 100 at the same season flags exactly the 100 at z=2
+    ((n·x−Σx)² > 4·(n·Σx²−Σx²)); a constant season flags nothing
+    (zero variance); the season index folds across periods (t and
+    t + period share a season) and negative timestamps fold via
+    floor-division."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        seasonal_anomaly_counts,
+    )
+
+    B, P = 10, 40  # 4 seasons of width 10
+    rows = [("a", 5 + 40 * i, 10) for i in range(9)] + [("a", 365, 100)]
+    rows += [("a", 15, 7), ("a", 55, 7)]        # season 1: constant
+    rows += [("b", -5, 3)]                      # season: floor(-5/10)=-1 -> pmod 3
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    out = {
+        (r["k"], r["season"]): (r["n"], r["mu_fp6"], r["n_anomalies"])
+        for r in seasonal_anomaly_counts(
+            df, "v", P, B, ts_col="ts", by="k", z=2
+        ).collect()
+    }
+    # season 0 of key a: nine 10s + one 100 -> mean 19, only 100 flagged
+    assert out[("a", 0)] == (10, 19_000_000, 1)
+    assert out[("a", 1)] == (2, 7_000_000, 0)
+    assert out[("b", 3)] == (1, 3_000_000, 0)
+
+    with pytest.raises(ValueError, match="multiple"):
+        seasonal_anomaly_counts(df, "v", 25, 10, ts_col="ts", by="k")
+
+
+def test_autocorrelation_chunked_parity(spark):
+    """chunk_ns path == single-window path exactly, on a fixture built
+    to stress it: chunks with fewer rows than max_lag, EMPTY chunks
+    (pairs spanning 3+ chunk boundaries), equal-ts ties broken by the
+    order column, negative timestamps, and a key whose whole series
+    fits one chunk."""
+    import random
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    rng = random.Random(411)
+    rows = []
+    # key a: 60 samples scattered over [-100, 500) with duplicate ts
+    ts_pool = [rng.randrange(-100, 500) for _ in range(50)] + [7] * 10
+    for i, t in enumerate(ts_pool):
+        rows.append(("a", t, i, rng.randrange(-50, 50)))
+    # key b: 3 sparse samples 300 apart (every pair crosses many
+    # empty 100-wide chunks)
+    rows += [("b", 0, 0, 5), ("b", 300, 1, 9), ("b", 600, 2, 1)]
+    # key c: all in one chunk
+    rows += [("c", 10, i, i * 3 - 7) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, v long")
+
+    kw = dict(ts_col="ts", by="k", order=["eid"])
+    base = {
+        (r["k"], r["lag"]): (r["n"], r["acf"])
+        for r in autocorrelation(df, "v", 5, **kw).collect()
+    }
+    chunked = {
+        (r["k"], r["lag"]): (r["n"], r["acf"])
+        for r in autocorrelation(df, "v", 5, chunk_ns=100, **kw).collect()
+    }
+    assert chunked == base
+    assert base[("b", 1)][0] == 2  # sanity: sparse pairs exist
