@@ -251,3 +251,78 @@ def profile_table(
         "len_max",
         "len_sum",
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    nbuckets: int,
+    split_col: str,
+) -> DataFrame:
+    """Population Stability Index per segment — the dataset-drift
+    staple of training-data pipelines: for every value of
+    ``split_col`` (source, snapshot, time slice), the PSI of the
+    segment's ``value_col`` distribution against the WHOLE table's,
+    over the same equi-width nbuckets+2 grid as
+    :func:`~.timeseries.histogram_windows` (underflow / interior /
+    overflow, exact-integer bucketing via
+    :func:`~.timeseries.histogram_bucket_expr`).
+
+    ``PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)`` with add-one (Laplace)
+    smoothing — ``p_i = (c_i + 1) / (n + B)`` over ALL ``B =
+    nbuckets + 2`` buckets including empty ones — so the log never
+    sees zero.  < 0.1 is conventionally "no drift", 0.1–0.25
+    "moderate", > 0.25 "major".
+
+    Determinism: the bucket counts PIVOT into B integer columns
+    (exact, order-insensitive partial aggregation), and the PSI sum
+    is ONE fixed-order double expression over those columns — the
+    repo's shared hash contract (no distributed double sum whose
+    combine order could drift).
+
+    Output per split value: ``n`` (segment rows) + ``psi`` (round 6).
+
+    Scale shape: ONE partial-agged shuffle whose exchange carries
+    (split, B counts) rows; the corpus baseline derives from the
+    per-split table (integer sums over #splits rows) and broadcasts
+    back.  B is bounded (pivot width is plan-time constant);
+    nothing driver-side."""
+    from .timeseries import histogram_bucket_expr
+
+    if nbuckets < 1:
+        raise ValueError(f"nbuckets must be >= 1, got {nbuckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    b_total = nbuckets + 2
+    bucket = histogram_bucket_expr(value_col, lo, hi, nbuckets)
+    per = df.select(
+        F.col(split_col).alias("split"), F.expr(bucket).alias("__b")
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("__b") == i, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"c{i}")
+            for i in range(b_total)
+        ],
+    )
+    tot = per.agg(
+        F.sum("n").alias("nt"),
+        *[F.sum(f"c{i}").alias(f"g{i}") for i in range(b_total)],
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p = lambda i: (F.col(f"c{i}") + 1).cast("double") / (  # noqa: E731
+        F.col("n") + b_total
+    ).cast("double")
+    q = lambda i: (F.col(f"g{i}") + 1).cast("double") / (  # noqa: E731
+        F.col("nt") + b_total
+    ).cast("double")
+    psi = None
+    for i in range(b_total):
+        term = (p(i) - q(i)) * F.log(p(i) / q(i))
+        psi = term if psi is None else psi + term
+    return j.select(
+        F.col("split").alias(split_col), "n", F.round(psi, 6).alias("psi")
+    )

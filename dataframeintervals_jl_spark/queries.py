@@ -10275,6 +10275,60 @@ FROM ev JOIN s USING (event_type, season)
 GROUP BY s.event_type, s.season, s.n, s.sx"""
 
 
+_PSI_LO, _PSI_HI, _PSI_NB = 0, 600, 12
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per source (profile.py: psi_drift —
+    the dataset-drift detector of training pipelines): each source's
+    n_chars distribution against the whole corpus over a 14-bucket
+    equi-width grid with add-one smoothing.  Bucket counts pivot into
+    exact integer columns; PSI is ONE fixed-order double expression —
+    the oracle replays the identical pivot and term order."""
+    from .operators.profile import psi_drift
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    return psi_drift(docs, "x", _PSI_LO, _PSI_HI, _PSI_NB, "source")
+
+
+def _sql_psi_drift() -> str:
+    nb, lo, hi = _PSI_NB, _PSI_LO, _PSI_HI
+    b = nb + 2
+    bucket = (
+        f"CASE WHEN x < {lo} THEN 0 WHEN x >= {hi} THEN {nb + 1} "
+        f"ELSE 1 + ((x - {lo})::HUGEINT * {nb} // ({hi - lo})::HUGEINT) END"
+    )
+    cs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(b)
+    )
+    gs = ", ".join(f"sum(c{i}) AS g{i}" for i in range(b))
+    p = lambda i: (  # noqa: E731
+        f"(CAST(c{i} + 1 AS DOUBLE) / CAST(n + {b} AS DOUBLE))"
+    )
+    q = lambda i: (  # noqa: E731
+        f"(CAST(g{i} + 1 AS DOUBLE) / CAST(nt + {b} AS DOUBLE))"
+    )
+    terms = "\n       + ".join(
+        f"(({p(i)} - {q(i)}) * ln({p(i)} / {q(i)}))" for i in range(b)
+    )
+    return f"""WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+), e AS (
+  SELECT source, {bucket} AS b FROM d
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         {cs}
+  FROM e GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, {gs} FROM per
+)
+SELECT source, n, round({terms}, 6) AS psi
+FROM per, tot"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -10529,6 +10583,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_stream_histogram_windows, _SQL_HISTOGRAM_WINDOWS,
     ),
     "q_seasonal_anomaly": (q_seasonal_anomaly, _SQL_SEASONAL_ANOMALY),
+    "q_psi_drift": (q_psi_drift, _sql_psi_drift()),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10641,7 +10696,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 224
+EXPECTED_CATALOG_SIZE = 225
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1406,3 +1406,20 @@ def test_seasonal_anomaly_plan_shape(spark):
     assert count_broadcast_exchanges(out) >= 1, "stats join not broadcast"
     assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
     assert_no_python_row_udf(out)
+
+
+def test_psi_drift_plan_shape(spark):
+    """psi_drift: ONE partial-agged shuffle carries (split, B counts)
+    pivot rows; the corpus baseline broadcasts back; no Python, no
+    per-bucket join against sample rows."""
+    from dataframeintervals_jl_spark.operators.profile import psi_drift
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    out = psi_drift(docs, "x", 0, 600, 12, "source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+    assert count_broadcast_exchanges(out) >= 1, "baseline join not broadcast"
+    assert_no_python_row_udf(out)

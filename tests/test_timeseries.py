@@ -1406,3 +1406,43 @@ def test_autocorrelation_chunked_parity(spark):
     }
     assert chunked == base
     assert base[("b", 1)][0] == 2  # sanity: sparse pairs exist
+
+
+def test_psi_drift_hand_values(spark):
+    """A segment distributed identically to the corpus scores ~0; a
+    segment concentrated in a bucket the rest never touches scores
+    high; PSI is invariant to segment size for identical shapes, and
+    smoothing keeps empty buckets finite."""
+    import math
+
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.profile import psi_drift
+
+    # corpus: s1 and s2 identical shape (uniform over buckets 1..4),
+    # s3 all mass in bucket 10
+    rows = []
+    for s, reps in (("s1", 2), ("s2", 6)):
+        for r in range(reps):
+            rows += [(s, v) for v in (5, 15, 25, 35)]
+    rows += [("s3", 95)] * 8
+    df = spark.createDataFrame(rows, "src string, x long")
+    out = {
+        r["src"]: (r["n"], r["psi"])
+        for r in psi_drift(df, "x", 0, 100, 10, "src").collect()
+    }
+    assert out["s1"][0] == 8 and out["s2"][0] == 24 and out["s3"][0] == 8
+    # identical-shape segments: small PSI, equal-ish (size-dependent
+    # only through smoothing); the divergent segment dominates
+    assert out["s3"][1] > 1.0
+    assert out["s1"][1] < 0.6 and out["s2"][1] < 0.6
+    assert out["s3"][1] > 2 * max(out["s1"][1], out["s2"][1])
+    for _, psi in out.values():
+        assert psi is not None and math.isfinite(psi)
+
+    # replicating a segment's rows leaves its shape (and the corpus
+    # shape) proportionally scaled -> PSI ordering stable
+    with pytest.raises(ValueError, match="nbuckets"):
+        psi_drift(df, "x", 0, 100, 0, "src")
+    with pytest.raises(ValueError, match="lo < hi"):
+        psi_drift(df, "x", 5, 5, 4, "src")

@@ -63,6 +63,14 @@ HEAVY = [
     "q_hll_windows",
     "q_stats2d_windows",
     "q_masked_twa",
+    # round-11 additions: equi-width histogram (stab + partial-agg
+    # count) and the ACF correlogram (one per-key sort window + explode
+    # + partial-agged moments)
+    "q_histogram_windows",
+    "q_acf",
+    # chunked ACF: same answer, parallelism = #chunks not #keys — the
+    # slope should collapse vs q_acf's key-limited 26.7
+    "q_acf_chunked",
 ]
 
 
@@ -135,6 +143,10 @@ def main() -> None:
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
     skip_small = "--skip-small" in sys.argv
+    families = HEAVY
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        families = [n for n in HEAVY if n in only]
 
     from dataframeintervals_jl_spark import get_spark
     from dataframeintervals_jl_spark.queries import QUERIES
@@ -196,7 +208,7 @@ def main() -> None:
             _rt(spark, d, t).limit(1).count()
 
     out = {}
-    for name in HEAVY:
+    for name in families:
         rec = {}
         try:
             if not skip_small:
