@@ -2164,3 +2164,111 @@ def seasonal_anomaly_counts(
             F.sum(flag.cast("long")).alias("n_anomalies"),
         )
     )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_ns: int,
+    max_lag: int,
+    ts_col: str = "ts",
+    a_value: Optional[str] = None,
+    b_value: Optional[str] = None,
+) -> DataFrame:
+    """Cross-correlogram CCF(−max_lag..max_lag) between two event
+    streams on a shared regular grid — "does series B lead or lag
+    series A, and by how much": both inputs aggregate to per-bucket
+    totals (``count(*)``, or ``sum(a_value)``/``sum(b_value)`` for
+    integral fixed-point value columns), the grid densifies with
+    ZEROS over the union span (a quiet bucket is a real observation —
+    skipping empties biases the correlogram toward bursts), and
+    ``ccf(k) = pearson(x_t, y_{t+k})`` over the grid positions where
+    both sides exist.  Positive k means B LAGS A by k buckets.
+
+    Moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate exactly in
+    DECIMAL(38,0) and combine in one fixed-order double formula
+    (round 6), NULL when either side is constant over the overlap —
+    the shared hash contract.
+
+    Output: ``lag`` + ``n`` (grid pairs) + ``ccf``.
+
+    Scale shape: one partial-agged count shuffle per input (the only
+    stages that see sample volume); everything downstream runs on the
+    DIMENSION-SIZED bucket grid (timeline / bucket_ns rows): a
+    broadcast zero-fill join against ``spark.range``, a 2·max_lag+1
+    map-side explode, and a hash join on shifted bucket ids.  The
+    span probe is one bounded 1-row driver action (the dfspan
+    pattern)."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+
+    def _series(df: DataFrame, value: Optional[str]) -> DataFrame:
+        t = f"CAST({ts_col} AS BIGINT)"
+        bucket = f"(({t} - pmod({t}, {bucket_ns})) DIV {bucket_ns})"
+        agg = (
+            F.count(F.lit(1)).cast("long")
+            if value is None
+            else F.sum(F.col(value).cast("long"))
+        )
+        return (
+            df.select(F.expr(bucket).alias("bucket"))
+            if value is None
+            else df.select(F.expr(bucket).alias("bucket"), value)
+        ).groupBy("bucket").agg(agg.alias("v"))
+
+    sa, sb = _series(a, a_value), _series(b, b_value)
+    spark = a.sparkSession
+    span = (
+        sa.select("bucket")
+        .unionByName(sb.select("bucket"))
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .first()
+    )
+    if span["lo"] is None:
+        return spark.createDataFrame(
+            [], "lag long, n long, ccf double"
+        )
+    lo, hi = int(span["lo"]), int(span["hi"])
+    grid = spark.range(hi - lo + 1).select(
+        (F.col("id") + lo).alias("bucket")
+    )
+    gx = grid.join(F.broadcast(sa), "bucket", "left").select(
+        "bucket", F.coalesce("v", F.lit(0)).alias("x")
+    )
+    gy = grid.join(F.broadcast(sb), "bucket", "left").select(
+        "bucket", F.coalesce("v", F.lit(0)).alias("y")
+    )
+    probes = F.array(*[
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            (F.col("bucket") + k).alias("__yb"),
+        )
+        for k in range(-max_lag, max_lag + 1)
+    ])
+    left = gx.select(
+        "x", F.explode(probes).alias("p")
+    ).select("x", "p.lag", "p.__yb")
+    ex = left.join(
+        gy.select(F.col("bucket").alias("__yb"), "y"), "__yb"
+    ).select("lag", "x", "y")
+    dec = "DECIMAL(38,0)"
+    s = ex.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum(CAST(x AS {dec}))").alias("sx"),
+        F.expr(f"sum(CAST(y AS {dec}))").alias("sy"),
+        F.expr(f"sum(CAST(x AS {dec}) * CAST(y AS {dec}))").alias("sxy"),
+        F.expr(f"sum(CAST(x AS {dec}) * CAST(x AS {dec}))").alias("sx2"),
+        F.expr(f"sum(CAST(y AS {dec}) * CAST(y AS {dec}))").alias("sy2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = F.sqrt(
+        (d("n") * d("sx2") - d("sx") * d("sx"))
+        * (d("n") * d("sy2") - d("sy") * d("sy"))
+    )
+    corr = F.when(
+        den != F.lit(0.0),
+        (d("n") * d("sxy") - d("sx") * d("sy")) / den,
+    )
+    return s.select("lag", "n", F.round(corr, 6).alias("ccf"))

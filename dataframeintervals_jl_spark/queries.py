@@ -10275,6 +10275,69 @@ FROM ev JOIN s USING (event_type, season)
 GROUP BY s.event_type, s.season, s.n, s.sx"""
 
 
+_CCF_BUCKET_NS = 3_600 * 1_000_000_000
+_CCF_MAX_LAG = 6
+
+
+def q_ccf(spark, sf_dir):
+    """Cross-correlogram between the hourly click and error count
+    series (timeseries.py: cross_correlation — the lead/lag detector):
+    CCF(-6..6) over the zero-densified shared hour grid, exact HUGEINT
+    moments, fixed-order double Pearson.  The oracle replays the
+    bucket fold, the grid fill, the shifted join, and the formula."""
+    from .operators.timeseries import cross_correlation
+
+    ev = read_table(spark, sf_dir, "events")
+    return cross_correlation(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        _CCF_BUCKET_NS,
+        _CCF_MAX_LAG,
+        ts_col="ts",
+    )
+
+
+def _sql_ccf() -> str:
+    B, K = _CCF_BUCKET_NS, _CCF_MAX_LAG
+    fold = f"((epoch_ns(ts) - ((epoch_ns(ts) % {B} + {B}) % {B})) // {B})"
+    return f"""WITH sa AS (
+  SELECT {fold} AS bucket, CAST(count(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), sb AS (
+  SELECT {fold} AS bucket, CAST(count(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), sp AS (
+  SELECT min(bucket) AS lo, max(bucket) AS hi
+  FROM (SELECT bucket FROM sa UNION ALL SELECT bucket FROM sb)
+), g AS (
+  SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp
+), gx AS (
+  SELECT g.bucket, coalesce(sa.v, 0) AS x FROM g LEFT JOIN sa USING (bucket)
+), gy AS (
+  SELECT g.bucket, coalesce(sb.v, 0) AS y FROM g LEFT JOIN sb USING (bucket)
+), p AS (
+  SELECT k.lag, gx.x, gy.y
+  FROM gx CROSS JOIN (SELECT unnest(range(-{K}, {K + 1})) AS lag) k
+  JOIN gy ON gy.bucket = gx.bucket + k.lag
+), s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(x::HUGEINT * x::HUGEINT) AS sx2,
+         sum(y::HUGEINT * y::HUGEINT) AS sy2
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0), 6)
+         AS ccf
+FROM s"""
+
+
 _PSI_LO, _PSI_HI, _PSI_NB = 0, 600, 12
 
 
@@ -10584,6 +10647,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "q_seasonal_anomaly": (q_seasonal_anomaly, _SQL_SEASONAL_ANOMALY),
     "q_psi_drift": (q_psi_drift, _sql_psi_drift()),
+    "q_ccf": (q_ccf, _sql_ccf()),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10696,7 +10760,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 225
+EXPECTED_CATALOG_SIZE = 226
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

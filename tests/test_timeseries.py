@@ -1446,3 +1446,39 @@ def test_psi_drift_hand_values(spark):
         psi_drift(df, "x", 0, 100, 0, "src")
     with pytest.raises(ValueError, match="lo < hi"):
         psi_drift(df, "x", 5, 5, 4, "src")
+
+
+def test_cross_correlation_hand_values(spark):
+    """B = A shifted by exactly 2 buckets gives CCF(+2) = 1 (B lags A);
+    every other lag correlates the same impulse against flat zeros ->
+    NULL only when a side is constant, small otherwise; n shrinks by
+    |lag| at the grid edges; empty input yields an empty frame."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    # A: impulse pattern over buckets 0..9 (ts = bucket * 10)
+    pat = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    a_rows = [(b * 10 + j) for b, cnt in enumerate(pat) for j in range(cnt)]
+    b_rows = [((b + 2) * 10 + j) for b, cnt in enumerate(pat) for j in range(cnt)]
+    a = spark.createDataFrame([(t,) for t in a_rows], "ts long")
+    b = spark.createDataFrame([(t,) for t in b_rows], "ts long")
+    out = {
+        r["lag"]: (r["n"], r["ccf"])
+        for r in cross_correlation(a, b, 10, 3, ts_col="ts").collect()
+    }
+    assert set(out) == set(range(-3, 4))
+    # grid = buckets 0..11 (12 buckets); lag k pairs n = 12 - |k|
+    assert out[2][0] == 10 and out[2][1] == 1.0
+    assert out[0][0] == 12 and out[0][1] != 1.0
+    assert out[-3][0] == 9
+
+    empty = spark.createDataFrame([], "ts long")
+    assert cross_correlation(empty, empty, 10, 2).count() == 0
+
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(a, b, 10, -1)
+    with pytest.raises(ValueError, match="bucket_ns"):
+        cross_correlation(a, b, 0, 2)
