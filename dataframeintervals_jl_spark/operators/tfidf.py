@@ -365,3 +365,67 @@ def dsir_weights(
             F.expr("__rs DIV n_grams").alias("dsir_weight"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations — the corpus
+    exploration staple ("new york", "et al"): adjacent token pairs
+    whose joint frequency beats the independence expectation,
+    ``pmi = ln(p(xy) / (p(x)·p(y)))`` with ``p(xy)`` over the bigram
+    total and ``p(x)`` over the token total, computed as ONE
+    fixed-order double expression over exact integer counts
+    (``ln((c_xy·Nu·Nu) / (Nb·u_x·u_y))``) — the shared hash contract.
+    Pairs below ``min_count`` joint occurrences drop first (a hapax
+    pair maxes PMI by construction — the filter IS the statistic's
+    standard guard).
+
+    Output: ``(w1, w2, pair_count, pmi)``.
+
+    Scale shape (100 TB): the corpus shuffles only token/bigram
+    pairs — never text; both count tables partial-aggregate (popular
+    pairs combine map-side).  The unigram joins key the FILTERED
+    collocation table (#pairs ≥ min_count, vocabulary-sized) against
+    aggregated unigram counts; the two scalar totals broadcast.
+    Nothing driver-side."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = docs.select(tokens(text).alias("__t"))
+    nb = F.greatest(F.size("__t") - F.lit(1), F.lit(0))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__t", F.lit(1), nb),
+                F.slice("__t", F.lit(2), nb),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = toks.select(F.explode("__t").alias("w"))
+    c2 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("__u"))
+    totals = bigrams.agg(
+        F.count(F.lit(1)).alias("__nb")
+    ).crossJoin(uni.agg(F.count(F.lit(1)).alias("__nu")))
+    j = (
+        c2.join(u.select(F.col("w").alias("w1"), F.col("__u").alias("__ux")), "w1")
+        .join(u.select(F.col("w").alias("w2"), F.col("__u").alias("__uy")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("pair_count") * d("__nu") * d("__nu")
+    den = d("__nb") * d("__ux") * d("__uy")
+    return j.select(
+        "w1", "w2", "pair_count", F.round(F.log(num / den), 6).alias("pmi")
+    )

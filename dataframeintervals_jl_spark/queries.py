@@ -10275,6 +10275,44 @@ FROM ev JOIN s USING (event_type, season)
 GROUP BY s.event_type, s.season, s.n, s.sx"""
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocations over the corpus (tfidf.py: pmi_collocations):
+    adjacent token pairs with >= 5 joint occurrences scored by
+    ln((c_xy·Nu²)/(Nb·u_x·u_y)) — one fixed-order double formula over
+    exact integer counts.  The oracle replays the parallel-unnest
+    bigram zip, the counts, the filter, and the identical formula."""
+    from .operators.tfidf import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5)
+
+
+_SQL_PMI = r"""WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+), bg AS (
+  SELECT unnest(t[:len(t) - 1]) AS w1, unnest(t[2:]) AS w2 FROM toks
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+), u AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS u FROM uni GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb,
+         (SELECT CAST(count(*) AS BIGINT) FROM uni) AS nu
+)
+SELECT c2.w1, c2.w2, c2.pair_count,
+       round(ln((CAST(pair_count AS DOUBLE) * CAST(nu AS DOUBLE)
+                 * CAST(nu AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(ux.u AS DOUBLE)
+                   * CAST(uy.u AS DOUBLE))), 6) AS pmi
+FROM c2
+JOIN u ux ON ux.w = c2.w1
+JOIN u uy ON uy.w = c2.w2
+CROSS JOIN tot"""
+
+
 _CCF_BUCKET_NS = 3_600 * 1_000_000_000
 _CCF_MAX_LAG = 6
 
@@ -10648,6 +10686,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_seasonal_anomaly": (q_seasonal_anomaly, _SQL_SEASONAL_ANOMALY),
     "q_psi_drift": (q_psi_drift, _sql_psi_drift()),
     "q_ccf": (q_ccf, _sql_ccf()),
+    "q_pmi_collocations": (q_pmi_collocations, _SQL_PMI),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10760,7 +10799,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 226
+EXPECTED_CATALOG_SIZE = 227
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

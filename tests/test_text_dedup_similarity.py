@@ -2105,3 +2105,39 @@ def test_split_sentences_rules(spark):
     ]
     assert got[1] == []
     assert got[2] == ["One only"]
+
+
+def test_pmi_collocations_hand_values(spark):
+    """A pair that always co-occurs ("new york") scores ln(Nu²·c/(Nb·
+    u_x·u_y)) exactly; independent fillers score near 0; pairs under
+    min_count are absent."""
+    import math
+
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.tfidf import (
+        pmi_collocations,
+    )
+
+    # 6 docs, each "new york" once plus filler; one "rare pair" twice
+    docs = spark.createDataFrame(
+        [(i, "new york a b a b") for i in range(6)]
+        + [(100, "rare pair"), (101, "rare pair")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    assert ("rare", "pair") in out and out[("rare", "pair")][0] == 2
+    # totals: per big doc 5 bigrams + 1 per rare doc -> Nb = 32;
+    # tokens: 6*6 + 2*2 = 40
+    c, pmi = out[("new", "york")]
+    assert c == 6
+    expect = math.log((6 * 40 * 40) / (32 * 6 * 6))
+    assert pmi == pytest.approx(round(expect, 6), abs=1e-6)
+    # filler pair (a, b): c=12, u_a=u_b=12
+    assert out[("a", "b")][1] < out[("new", "york")][1]
+    assert ("york", "a") in out  # adjacency crosses the collocation
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, min_count=0)
