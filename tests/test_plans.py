@@ -1423,3 +1423,42 @@ def test_psi_drift_plan_shape(spark):
     assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
     assert count_broadcast_exchanges(out) >= 1, "baseline join not broadcast"
     assert_no_python_row_udf(out)
+
+
+def test_cross_correlation_plan_shape(spark):
+    """cross_correlation: the only stages that see sample volume are
+    the two partial-agged count shuffles; the zero-fill grid joins
+    BROADCAST (dimension-sized series); no Python."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        cross_correlation,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = cross_correlation(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        3_600 * 10**9,
+        6,
+        ts_col="ts",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
+    assert count_broadcast_exchanges(out) >= 2, "grid fill not broadcast"
+    assert_no_python_row_udf(out)
+
+
+def test_pmi_collocations_plan_shape(spark):
+    """pmi_collocations: bigram/unigram counts partial-aggregate (the
+    exchanges carry token pairs, never text), the scalar totals
+    BROADCAST, and no Python anywhere."""
+    from dataframeintervals_jl_spark.operators.tfidf import (
+        pmi_collocations,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = pmi_collocations(docs, min_count=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
+    assert count_broadcast_exchanges(out) >= 1, "totals not broadcast"
+    assert_no_python_row_udf(out)
