@@ -693,3 +693,106 @@ def span_coverage(
     return merged.agg(
         F.sum(dur).alias("covered"), F.count(F.lit(1)).alias("n_islands")
     )
+
+
+def interval_agreement(
+    left: DataFrame,
+    right: DataFrame,
+    lo: int,
+    hi: int,
+    spancol: str = "span",
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Inter-annotator agreement over interval sets — Cohen's kappa on
+    time, the reference's home-domain question ("how well do two
+    annotators' artifact/seizure markings agree?", reference README:5's
+    annotation tables): per key, the time-confusion durations over a
+    shared domain ``[lo, hi)`` and the chance-corrected agreement.
+
+    Both sides clamp to the domain, coalesce into disjoint islands
+    (:func:`merge_spans`), and decompose exactly:
+    ``t11 = Σ|A∩B|`` (pairwise overlap of the DISJOINT islands counts
+    each instant once), ``t10 = |A| − t11``, ``t01 = |B| − t11``,
+    ``t00 = (hi−lo) − |A| − |B| + t11`` — all exact ns integers.
+    ``kappa = (po − pe) / (1 − pe)`` with ``po = (t11+t00)/T``,
+    ``pe = pA·pB + (1−pA)·(1−pB)`` in one fixed-order double formula
+    (round 6), NULL when ``pe = 1`` (both sides empty or both full —
+    chance agreement is total, kappa undefined).  Keys present on one
+    side only still report (their missing side contributes 0 ns).
+
+    Scale shape: two keyed island merges (one shuffle each), an
+    equi-join ON THE KEYS with the overlap predicate as a residual
+    filter (islands are disjoint per side, so the join output is
+    bounded by interleavings, not a cartesian), and partial-agged
+    sums.  Nothing driver-side."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("interval_agreement: by key(s) required")
+
+    def _clamped_islands(df: DataFrame) -> DataFrame:
+        s = F.greatest(F.col(spancol).getField("start"), F.lit(lo))
+        e = F.least(F.col(spancol).getField("stop"), F.lit(hi))
+        c = df.select(*keys, make_span(s, e).alias(spancol)).filter(
+            F.col(spancol).getField("start")
+            < F.col(spancol).getField("stop")
+        )
+        return merge_spans(c, spancol=spancol, by=keys).select(
+            *keys,
+            F.col(spancol).getField("start").alias("s"),
+            F.col(spancol).getField("stop").alias("e"),
+        )
+
+    ia, ib = _clamped_islands(left), _clamped_islands(right)
+    da = ia.groupBy(*keys).agg(F.sum(F.col("e") - F.col("s")).alias("dur_a"))
+    db = ib.groupBy(*keys).agg(F.sum(F.col("e") - F.col("s")).alias("dur_b"))
+    a2 = ia.select(*keys, F.col("s").alias("s1"), F.col("e").alias("e1"))
+    b2 = ib.select(*keys, F.col("s").alias("s2"), F.col("e").alias("e2"))
+    inter = (
+        a2.join(b2, keys)
+        .filter(
+            (F.col("s1") < F.col("e2")) & (F.col("s2") < F.col("e1"))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.least("e1", "e2") - F.greatest("s1", "s2")
+            ).alias("t11")
+        )
+    )
+    t = hi - lo
+    j = (
+        da.join(db, keys, "full")
+        .join(inter, keys, "left")
+        .select(
+            *keys,
+            F.coalesce("dur_a", F.lit(0)).alias("dur_a"),
+            F.coalesce("dur_b", F.lit(0)).alias("dur_b"),
+            F.coalesce("t11", F.lit(0)).alias("t11"),
+        )
+    )
+    out = j.select(
+        *keys,
+        "t11",
+        (F.col("dur_a") - F.col("t11")).alias("t10"),
+        (F.col("dur_b") - F.col("t11")).alias("t01"),
+        (F.lit(t) - F.col("dur_a") - F.col("dur_b") + F.col("t11")).alias(
+            "t00"
+        ),
+        "dur_a",
+        "dur_b",
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    td = F.lit(float(t))
+    po = (d("t11") + d("t00")) / td
+    pa = d("dur_a") / td
+    pb = d("dur_b") / td
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    kappa = F.when(
+        pe != F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)
+    )
+    return out.select(
+        *keys, "t11", "t10", "t01", "t00",
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -10275,6 +10275,114 @@ FROM ev JOIN s USING (event_type, season)
 GROUP BY s.event_type, s.season, s.n, s.sx"""
 
 
+def q_interval_agreement(spark, sf_dir):
+    """Inter-annotator agreement over interval sets (coalesce.py:
+    interval_agreement — Cohen's kappa on time, the reference's
+    home-domain annotation-comparison question): per user, the exact
+    ns time-confusion quadrant between 1-hour spans anchored at
+    even-event_id events (annotator A) and odd ones (annotator B)
+    over the shared global domain, plus the chance-corrected kappa in
+    one fixed-order double formula.  The oracle replays the clamp,
+    both island merges, the disjoint-island overlap join, and the
+    identical formula."""
+    from .operators.coalesce import interval_agreement
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts"),
+    )
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), (F.max("ts") + F.lit(_HOUR_NS)).alias("hi")
+    ).first()
+    spans = ev.select(
+        "user_id",
+        "event_id",
+        make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span"),
+    )
+    out = interval_agreement(
+        spans.filter(F.col("event_id") % 2 == 0).select("user_id", "span"),
+        spans.filter(F.col("event_id") % 2 == 1).select("user_id", "span"),
+        int(bounds["lo"]),
+        int(bounds["hi"]),
+        by="user_id",
+    )
+    return out.select("user_id", "t11", "t10", "t01", "t00", "kappa")
+
+
+def _sql_interval_agreement() -> str:
+    H = _HOUR_NS
+    isl = lambda src, name: f"""m_{name} AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM {src} WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), i_{name} AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m_{name}
+), isl_{name} AS (
+  SELECT user_id, min(s) AS s, max(e) AS e
+  FROM i_{name} GROUP BY user_id, isl
+)"""  # noqa: E731
+    return f"""WITH sp AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) - (epoch_ns(ts) % 1000) AS s
+  FROM events
+), b AS (SELECT min(s) AS lo, max(s) + {H} AS hi FROM sp),
+ra AS (SELECT user_id, s, s + {H} AS e FROM sp WHERE event_id % 2 = 0),
+rb AS (SELECT user_id, s, s + {H} AS e FROM sp WHERE event_id % 2 = 1),
+{isl("ra", "a")},
+{isl("rb", "b")},
+da AS (SELECT user_id, CAST(sum(e - s) AS BIGINT) AS dur_a
+       FROM isl_a GROUP BY user_id),
+db AS (SELECT user_id, CAST(sum(e - s) AS BIGINT) AS dur_b
+       FROM isl_b GROUP BY user_id),
+ov AS (
+  SELECT a.user_id,
+         CAST(sum(least(a.e, x.e) - greatest(a.s, x.s)) AS BIGINT) AS t11
+  FROM isl_a a JOIN isl_b x ON a.user_id = x.user_id
+   AND a.s < x.e AND x.s < a.e
+  GROUP BY a.user_id
+), q AS (
+  SELECT coalesce(da.user_id, db.user_id) AS user_id,
+         coalesce(dur_a, 0) AS dur_a, coalesce(dur_b, 0) AS dur_b,
+         coalesce(t11, 0) AS t11
+  FROM da FULL JOIN db USING (user_id)
+  LEFT JOIN ov USING (user_id)
+)
+SELECT user_id, t11,
+       dur_a - t11 AS t10,
+       dur_b - t11 AS t01,
+       (hi - lo) - dur_a - dur_b + t11 AS t00,
+       CASE WHEN (CAST(dur_a AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                 * (CAST(dur_b AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                 + (1.0 - CAST(dur_a AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                   * (1.0 - CAST(dur_b AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                 <> 1.0
+            THEN round(
+              ((CAST(t11 AS DOUBLE) + CAST((hi - lo) - dur_a - dur_b + t11
+                                           AS DOUBLE))
+                 / CAST(hi - lo AS DOUBLE)
+               - ((CAST(dur_a AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                  * (CAST(dur_b AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                  + (1.0 - CAST(dur_a AS DOUBLE)
+                           / CAST(hi - lo AS DOUBLE))
+                    * (1.0 - CAST(dur_b AS DOUBLE)
+                             / CAST(hi - lo AS DOUBLE))))
+              / (1.0
+                 - ((CAST(dur_a AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                    * (CAST(dur_b AS DOUBLE) / CAST(hi - lo AS DOUBLE))
+                    + (1.0 - CAST(dur_a AS DOUBLE)
+                             / CAST(hi - lo AS DOUBLE))
+                      * (1.0 - CAST(dur_b AS DOUBLE)
+                               / CAST(hi - lo AS DOUBLE)))), 6)
+       END AS kappa
+FROM q, b"""
+
+
 def q_pmi_collocations(spark, sf_dir):
     """PMI collocations over the corpus (tfidf.py: pmi_collocations):
     adjacent token pairs with >= 5 joint occurrences scored by
@@ -10687,6 +10795,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_psi_drift": (q_psi_drift, _sql_psi_drift()),
     "q_ccf": (q_ccf, _sql_ccf()),
     "q_pmi_collocations": (q_pmi_collocations, _SQL_PMI),
+    "q_interval_agreement": (
+        q_interval_agreement, _sql_interval_agreement(),
+    ),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10799,7 +10910,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 227
+EXPECTED_CATALOG_SIZE = 228
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -415,3 +415,51 @@ def test_span_difference_global_paths_agree(spark, seed, monkeypatch):
     monkeypatch.setattr(C, "_TINY_LEFT_ROWS", 0)
     general = frags(span_difference(ldf, rdf))
     assert fast == general
+
+
+def test_interval_agreement_hand_values(spark):
+    """Known-kappa quadrants over T=100: half-shifted halves give
+    kappa=0 (agreement = chance), identical sets give 1, a
+    complementary split gives -1, one empty side gives 0, both empty
+    gives NULL (pe=1); overlapping raw spans merge before measuring,
+    and out-of-domain span parts clamp away."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        interval_agreement,
+    )
+    import pytest
+
+    def spans(rows):
+        return spark.createDataFrame(
+            rows, "k string, s long, e long"
+        ).select(
+            "k", make_span(F.col("s"), F.col("e")).alias("span")
+        )
+
+    # k1: A=[0,50) B=[25,75) -> all quadrants 25, kappa 0
+    # k2: A=B=[0,50) (A given as two overlapping pieces -> merge first)
+    # k3: A=[0,50) B=[50,100) -> complementary, kappa -1
+    # k4: A=[0,50) B absent -> kappa 0
+    # k5: both absent -> absent key (no rows at all)
+    # k6: A=[-10,10) clamps to [0,10); B=[0,10) -> kappa 1 needs t00=90
+    a = spans([("k1", 0, 50), ("k2", 0, 30), ("k2", 20, 50),
+               ("k3", 0, 50), ("k4", 0, 50), ("k6", -10, 10)])
+    b = spans([("k1", 25, 75), ("k2", 0, 50), ("k3", 50, 100),
+               ("k6", 0, 10)])
+    out = {
+        r["k"]: (r["t11"], r["t10"], r["t01"], r["t00"], r["kappa"])
+        for r in interval_agreement(a, b, 0, 100, by="k").collect()
+    }
+    assert out["k1"] == (25, 25, 25, 25, 0.0)
+    assert out["k2"] == (50, 0, 0, 50, 1.0)
+    assert out["k3"] == (0, 50, 50, 0, -1.0)
+    assert out["k4"] == (0, 50, 0, 50, 0.0)
+    assert "k5" not in out
+    assert out["k6"] == (10, 0, 0, 90, 1.0)
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        interval_agreement(a, b, 5, 5, by="k")
+    with pytest.raises(ValueError, match="by key"):
+        interval_agreement(a, b, 0, 100)
