@@ -1459,3 +1459,43 @@ def apply_winsorize_bounds(
     return df.select(
         "*", F.when(v.isNotNull(), clipped).alias(out_col)
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    boundaries: Sequence[int],
+    embargo_ns: int = 0,
+    ts_col: str = "ts",
+    labels: Sequence[str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Walk-forward temporal split with a purge embargo — the
+    time-series counterpart of :func:`hash_split`: rows partition into
+    consecutive time segments at the given boundaries (``len(labels)
+    - 1`` sorted cut points; segment i is ``[b_{i-1}, b_i)``), and
+    rows inside the ``embargo_ns`` window BEFORE each boundary are
+    DROPPED — the standard purged walk-forward guard (a sample whose
+    temporal neighborhood straddles the cut leaks target information
+    across the split; the embargo removes the straddle zone).
+
+    Appends ``split``; embargoed rows are absent from the output.
+    Pure expression — one CASE chain, no shuffle, no state; Catalyst
+    pushes the embargo filter into the scan."""
+    labels = list(labels)
+    bs = [int(b) for b in boundaries]
+    if len(bs) != len(labels) - 1:
+        raise ValueError(
+            f"need len(labels)-1 boundaries, got {len(bs)} for "
+            f"{len(labels)} labels"
+        )
+    if bs != sorted(bs) or len(set(bs)) != len(bs):
+        raise ValueError("boundaries must be strictly increasing")
+    if embargo_ns < 0:
+        raise ValueError(f"embargo_ns must be >= 0, got {embargo_ns}")
+    t = F.col(ts_col).cast("long")
+    keep = F.lit(True)
+    for b in bs:
+        keep = keep & ~((t >= b - embargo_ns) & (t < b))
+    split = F.lit(labels[-1])
+    for b, lab in zip(reversed(bs), reversed(labels[:-1])):
+        split = F.when(t < b, F.lit(lab)).otherwise(split)
+    return df.filter(keep).withColumn("split", split)

@@ -10275,6 +10275,49 @@ FROM ev JOIN s USING (event_type, season)
 GROUP BY s.event_type, s.season, s.n, s.sx"""
 
 
+_TSPLIT_B1 = 1_704_931_200 * 1_000_000_000  # 2024-01-11T00:00Z in ns
+_TSPLIT_B2 = 1_705_795_200 * 1_000_000_000  # 2024-01-21T00:00Z in ns
+_TSPLIT_EMBARGO = 3_600 * 1_000_000_000
+
+
+def q_temporal_split(spark, sf_dir):
+    """Purged walk-forward temporal split (sampling.py: temporal_split
+    — the time-series leakage guard): events cut into train/val/test
+    at two date boundaries with a 1-hour purge embargo before each
+    cut; per split, count and exact ts extrema.  The oracle replays
+    the embargo filter and the CASE chain."""
+    from .operators.sampling import temporal_split
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = temporal_split(
+        ev, [_TSPLIT_B1, _TSPLIT_B2], embargo_ns=_TSPLIT_EMBARGO,
+        ts_col="ts",
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+def _sql_temporal_split() -> str:
+    b1, b2, e = _TSPLIT_B1, _TSPLIT_B2, _TSPLIT_EMBARGO
+    return f"""WITH ev AS (
+  SELECT event_id, epoch_ns(ts) AS t FROM events
+), k AS (
+  SELECT event_id, t,
+         CASE WHEN t < {b1} THEN 'train'
+              WHEN t < {b2} THEN 'val'
+              ELSE 'test' END AS split
+  FROM ev
+  WHERE NOT (t >= {b1 - e} AND t < {b1})
+    AND NOT (t >= {b2 - e} AND t < {b2})
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       min(t) AS ts_min, max(t) AS ts_max
+FROM k GROUP BY split"""
+
+
 def q_interval_agreement(spark, sf_dir):
     """Inter-annotator agreement over interval sets (coalesce.py:
     interval_agreement — Cohen's kappa on time, the reference's
@@ -10798,6 +10841,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interval_agreement": (
         q_interval_agreement, _sql_interval_agreement(),
     ),
+    "q_temporal_split": (q_temporal_split, _sql_temporal_split()),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10910,7 +10954,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 228
+EXPECTED_CATALOG_SIZE = 229
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1366,3 +1366,43 @@ def test_chunk_by_sentences_reconstruction_property(spark):
         assert " ".join(r["chunk_text"] for r in rows) == " ".join(sl)
         for r in rows:
             assert len(r["chunk_text"]) <= mx or r["n_sentences"] == 1
+
+
+def test_temporal_split_embargo_and_labels(spark):
+    """Boundary semantics: segment i is [b_{i-1}, b_i); rows in the
+    embargo_ns window BEFORE each boundary are dropped (the boundary
+    row itself survives into the next segment); validation errors."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.sampling import (
+        temporal_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            [0, 50, 89, 90, 99, 100, 150, 189, 190, 200, 250]
+        )],
+        "id long, ts long",
+    )
+    out = {
+        r["ts"]: r["split"]
+        for r in temporal_split(
+            df, [100, 200], embargo_ns=10, ts_col="ts"
+        ).collect()
+    }
+    # embargo zones [90,100) and [190,200) dropped
+    assert 90 not in out and 99 not in out and 190 not in out
+    assert out[89] == "train" and out[0] == "train"
+    assert out[100] == "val" and out[189] == "val"
+    assert out[200] == "test" and out[250] == "test"
+
+    # zero embargo keeps everything
+    full = temporal_split(df, [100, 200], ts_col="ts")
+    assert full.count() == 11
+
+    with pytest.raises(ValueError, match="boundaries"):
+        temporal_split(df, [100], labels=("a", "b", "c"), ts_col="ts")
+    with pytest.raises(ValueError, match="increasing"):
+        temporal_split(df, [200, 100], ts_col="ts")
+    with pytest.raises(ValueError, match="embargo"):
+        temporal_split(df, [100, 200], embargo_ns=-1, ts_col="ts")
