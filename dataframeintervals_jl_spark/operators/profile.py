@@ -326,3 +326,74 @@ def psi_drift(
     return j.select(
         F.col("split").alias(split_col), "n", F.round(psi, 6).alias("psi")
     )
+
+
+def psi_timeline(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    nbuckets: int,
+    period_ns: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Drift monitor over time — PSI between CONSECUTIVE periods: fold
+    rows into ``period = ts DIV period_ns`` slices, pivot each slice's
+    ``value_col`` distribution into exact integer bucket counts (the
+    shared nbuckets+2 grid), and score each period against its
+    predecessor with the same add-one-smoothed
+    ``Σ (p_i − q_i)·ln(p_i/q_i)`` as :func:`psi_drift` — the
+    production "did yesterday's data shift?" alarm.
+
+    Output per period WITH an existing predecessor: ``period``,
+    ``n`` (rows), ``n_prev``, ``psi`` (round 6; fixed-order double
+    expression over the pivoted integer counts).
+
+    Scale shape: one partial-agged shuffle carries (period, B counts)
+    pivot rows; the consecutive-period comparison is a self-join of
+    that DIMENSION-SIZED table on ``period = prev + 1``.  Periods with
+    no predecessor slice (including gaps in the timeline) emit
+    nothing — a gap means there is no adjacent baseline to drift
+    from."""
+    from .timeseries import histogram_bucket_expr
+
+    if nbuckets < 1:
+        raise ValueError(f"nbuckets must be >= 1, got {nbuckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if period_ns <= 0:
+        raise ValueError(f"period_ns must be positive, got {period_ns}")
+    b_total = nbuckets + 2
+    t = f"CAST({ts_col} AS BIGINT)"
+    period = f"(({t} - pmod({t}, {period_ns})) DIV {period_ns})"
+    bucket = histogram_bucket_expr(value_col, lo, hi, nbuckets)
+    per = df.select(
+        F.expr(period).alias("period"), F.expr(bucket).alias("__b")
+    ).groupBy("period").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("__b") == i, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"c{i}")
+            for i in range(b_total)
+        ],
+    )
+    prev = per.select(
+        (F.col("period") + 1).alias("period"),
+        F.col("n").alias("n_prev"),
+        *[F.col(f"c{i}").alias(f"g{i}") for i in range(b_total)],
+    )
+    j = per.join(prev, "period")
+    p = lambda i: (F.col(f"c{i}") + 1).cast("double") / (  # noqa: E731
+        F.col("n") + b_total
+    ).cast("double")
+    q = lambda i: (F.col(f"g{i}") + 1).cast("double") / (  # noqa: E731
+        F.col("n_prev") + b_total
+    ).cast("double")
+    psi = None
+    for i in range(b_total):
+        term = (p(i) - q(i)) * F.log(p(i) / q(i))
+        psi = term if psi is None else psi + term
+    return j.select(
+        "period", "n", "n_prev", F.round(psi, 6).alias("psi")
+    )

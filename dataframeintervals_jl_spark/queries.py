@@ -10464,6 +10464,65 @@ JOIN u uy ON uy.w = c2.w2
 CROSS JOIN tot"""
 
 
+_PSI_T_PERIOD = _DAY_NS
+_PSI_T_LO, _PSI_T_HI, _PSI_T_NB = 0, 100_000, 10
+
+
+def q_psi_timeline(spark, sf_dir):
+    """Day-over-day drift monitor (profile.py: psi_timeline): PSI of
+    each day's fixed-point value distribution against the previous
+    day over the shared 12-bucket grid — pivoted integer counts, one
+    fixed-order double formula, consecutive-period self-join of the
+    dimension-sized pivot table.  The oracle replays the day fold,
+    the pivot, the join, and the term order."""
+    from .operators.profile import psi_timeline
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "ts", F.round(F.col("value") * 1_000).cast("long").alias("v_fx")
+    )
+    return psi_timeline(
+        ev, "v_fx", _PSI_T_LO, _PSI_T_HI, _PSI_T_NB, _PSI_T_PERIOD,
+        ts_col="ts",
+    )
+
+
+def _sql_psi_timeline() -> str:
+    nb, lo, hi, P = _PSI_T_NB, _PSI_T_LO, _PSI_T_HI, _PSI_T_PERIOD
+    b = nb + 2
+    bucket = (
+        f"CASE WHEN x < {lo} THEN 0 WHEN x >= {hi} THEN {nb + 1} "
+        f"ELSE 1 + ((x - {lo})::HUGEINT * {nb} // ({hi - lo})::HUGEINT) END"
+    )
+    cs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(b)
+    )
+    p = lambda i: (  # noqa: E731
+        f"(CAST(cur.c{i} + 1 AS DOUBLE) / CAST(cur.n + {b} AS DOUBLE))"
+    )
+    q = lambda i: (  # noqa: E731
+        f"(CAST(prv.c{i} + 1 AS DOUBLE) / CAST(prv.n + {b} AS DOUBLE))"
+    )
+    terms = "\n       + ".join(
+        f"(({p(i)} - {q(i)}) * ln({p(i)} / {q(i)}))" for i in range(b)
+    )
+    return f"""WITH ev AS (
+  SELECT ((epoch_ns(ts) - ((epoch_ns(ts) % {P} + {P}) % {P})) // {P})
+           AS period,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+), e AS (
+  SELECT period, {bucket} AS b FROM ev
+), per AS (
+  SELECT period, CAST(count(*) AS BIGINT) AS n,
+         {cs}
+  FROM e GROUP BY period
+)
+SELECT cur.period, cur.n, prv.n AS n_prev,
+       round({terms}, 6) AS psi
+FROM per cur JOIN per prv ON cur.period = prv.period + 1"""
+
+
 _CCF_BUCKET_NS = 3_600 * 1_000_000_000
 _CCF_MAX_LAG = 6
 
@@ -10842,6 +10901,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_interval_agreement, _sql_interval_agreement(),
     ),
     "q_temporal_split": (q_temporal_split, _sql_temporal_split()),
+    "q_psi_timeline": (q_psi_timeline, _sql_psi_timeline()),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -10954,7 +11014,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 229
+EXPECTED_CATALOG_SIZE = 230
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

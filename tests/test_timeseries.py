@@ -1482,3 +1482,29 @@ def test_cross_correlation_hand_values(spark):
         cross_correlation(a, b, 10, -1)
     with pytest.raises(ValueError, match="bucket_ns"):
         cross_correlation(a, b, 0, 2)
+
+
+def test_psi_timeline_hand_values(spark):
+    """Identical consecutive periods score ~0 (exactly 0 when counts
+    match bucket-for-bucket); a shifted distribution scores high; a
+    period with no predecessor (timeline gap) emits nothing."""
+    from dataframeintervals_jl_spark.operators.profile import psi_timeline
+
+    rows = []
+    # periods 0 and 1: identical distributions
+    for p in (0, 1):
+        rows += [(p * 100 + j, v) for j, v in enumerate([5, 15, 15, 25])]
+    # period 2: all mass moved high
+    rows += [(200 + j, 95) for j in range(4)]
+    # period 4 (gap at 3): anything
+    rows += [(400, 50)]
+    df = spark.createDataFrame(rows, "ts long, v long")
+    out = {
+        r["period"]: (r["n"], r["n_prev"], r["psi"])
+        for r in psi_timeline(df, "v", 0, 100, 10, 100, ts_col="ts").collect()
+    }
+    assert set(out) == {1, 2}  # period 0 has no prev; 4's prev (3) is a gap
+    assert out[1] == (4, 4, 0.0)
+    # add-one smoothing over 12 buckets damps a 4-row period's PSI;
+    # 0.63 still clears the conventional "major drift" 0.25 bar
+    assert out[2][2] > 0.25
