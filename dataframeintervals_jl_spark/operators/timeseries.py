@@ -2272,3 +2272,95 @@ def cross_correlation(
         (d("n") * d("sxy") - d("sx") * d("sy")) / den,
     )
     return s.select("lag", "n", F.round(corr, 6).alias("ccf"))
+
+
+def entropy_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    label_col: str,
+    labels: Sequence[str],
+    ts_col: str = "ts",
+    by: Key = None,
+    window_span_col: str = "span",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Shannon entropy of a label distribution per window — the
+    diversity monitor ("did one event type swallow the mix this
+    hour?"): stab samples into windows, pivot the label counts into
+    integer columns over the EXPLICIT ``labels`` list (the engine's
+    pivot rule — no distinct-values pre-scan; labels outside the list
+    count toward ``n`` and the ``other`` column), and emit
+    ``H = −Σ p_i·ln(p_i)`` in nats as ONE fixed-order double
+    expression over the exact counts (empty labels contribute 0 by
+    the ``p·ln p → 0`` convention, handled with a guard, not
+    smoothing).  Also emits ``norm_entropy = H / ln(k)`` (k = number
+    of possible labels incl. other) for a 0–1 balance score.
+
+    Output per (key, window): window labels + key cols + ``n`` +
+    one count column per label + ``other`` + ``entropy`` +
+    ``norm_entropy`` (round 6).
+
+    Scale shape: one broadcast stabbing join, one partial-agged pivot
+    group (the exchange carries (key, window, counts) rows), one
+    final projection.  Nothing driver-side."""
+    labels = list(labels)
+    if not labels:
+        raise ValueError("entropy_windows: labels list required")
+    if len(set(labels)) != len(labels):
+        raise ValueError("entropy_windows: duplicate labels")
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "entropy_windows: windows must carry at least one label "
+            "column besides the span"
+        )
+    from .interval_join import point_in_span_join
+
+    j = point_in_span_join(
+        samples.select(*keys, F.col(ts_col), F.col(label_col)),
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy=strategy,
+    )
+    cnt_cols = [
+        F.sum(
+            F.when(F.col(label_col) == lab, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"n_{i}")
+        for i, lab in enumerate(labels)
+    ]
+    other = F.sum(
+        F.when(
+            ~F.col(label_col).isin(labels) | F.col(label_col).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).alias("other")
+    g = j.groupBy(*keys, *label_cols).agg(
+        F.count(F.lit(1)).alias("n"), *cnt_cols, other
+    )
+    k = len(labels) + 1
+    nd = F.col("n").cast("double")
+
+    def _term(col):
+        p = F.col(col).cast("double") / nd
+        return F.when(F.col(col) > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = None
+    for i in range(len(labels)):
+        t = _term(f"n_{i}")
+        ent = t if ent is None else ent + t
+    ent = ent + _term("other")
+    import math
+
+    return g.select(
+        *keys,
+        *label_cols,
+        "n",
+        *[F.col(f"n_{i}").alias(f"n_{lab}") for i, lab in enumerate(labels)],
+        "other",
+        F.round(ent, 6).alias("entropy"),
+        F.round(ent / F.lit(math.log(k)), 6).alias("norm_entropy"),
+    )

@@ -10464,6 +10464,66 @@ JOIN u uy ON uy.w = c2.w2
 CROSS JOIN tot"""
 
 
+def q_entropy_windows(spark, sf_dir):
+    """Label-diversity monitor per window (timeseries.py:
+    entropy_windows): Shannon entropy of the event_type mix in each of
+    16 windows, pivoted exact counts over the explicit label list +
+    fixed-order −Σp·ln p (p·ln p → 0 guard, no smoothing), plus the
+    ln(k)-normalized 0–1 balance score.  The oracle replays the stab,
+    the pivot, the term order, and the identical ln(k) literal."""
+    from .operators.timeseries import entropy_windows
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = entropy_windows(ev, w, "event_type", list(_EVENT_TYPES), ts_col="ts")
+    return out.select(
+        "widx", "n",
+        *[f"n_{lab}" for lab in _EVENT_TYPES],
+        "other", "entropy", "norm_entropy",
+    )
+
+
+def _sql_entropy_windows() -> str:
+    import math
+
+    labs = list(_EVENT_TYPES)
+    k = len(labs) + 1
+    lnk = repr(math.log(k))
+    cs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN event_type = '{lab}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{lab}"
+        for lab in labs
+    )
+    other = (
+        "CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN ("
+        + ", ".join(f"'{lab}'" for lab in labs)
+        + ") THEN 1 ELSE 0 END) AS BIGINT) AS other"
+    )
+    cols = [f"n_{lab}" for lab in labs] + ["other"]
+    term = lambda c: (  # noqa: E731
+        f"CASE WHEN {c} > 0 THEN (-(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)))"
+        f" * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END"
+    )
+    e = "\n         + ".join(term(c) for c in cols)
+    return f"""WITH {_ES_CTE},
+{_w_cte(16, "widx")},
+ev AS (
+  SELECT event_type, epoch_ns(ts) AS t FROM events
+), j AS (
+  SELECT ev.event_type, w.widx
+  FROM ev JOIN w ON w.w_start <= ev.t AND ev.t < w.w_stop
+), g AS (
+  SELECT widx, CAST(count(*) AS BIGINT) AS n,
+         {cs},
+         {other}
+  FROM j GROUP BY widx
+)
+SELECT widx, n, {', '.join(cols)},
+       round({e}, 6) AS entropy,
+       round(({e}) / {lnk}, 6) AS norm_entropy
+FROM g"""
+
+
 _PSI_T_PERIOD = _DAY_NS
 _PSI_T_LO, _PSI_T_HI, _PSI_T_NB = 0, 100_000, 10
 
@@ -10902,6 +10962,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "q_temporal_split": (q_temporal_split, _sql_temporal_split()),
     "q_psi_timeline": (q_psi_timeline, _sql_psi_timeline()),
+    "q_entropy_windows": (q_entropy_windows, _sql_entropy_windows()),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -11014,7 +11075,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 230
+EXPECTED_CATALOG_SIZE = 231
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1508,3 +1508,46 @@ def test_psi_timeline_hand_values(spark):
     # add-one smoothing over 12 buckets damps a 4-row period's PSI;
     # 0.63 still clears the conventional "major drift" 0.25 bar
     assert out[2][2] > 0.25
+
+
+def test_entropy_windows_hand_values(spark):
+    """A uniform 2-label window has H = ln 2; a single-label window
+    has H = 0; unknown labels fold into `other`; norm_entropy hits 1
+    only when all k slots (labels + other) are uniform."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        entropy_windows,
+    )
+
+    rows = [("a", 10), ("b", 20), ("a", 30), ("b", 40),   # w1 uniform a/b
+            ("a", 110), ("a", 120),                        # w2 pure a
+            ("a", 210), ("b", 220), ("zz", 230)]           # w3 a/b/other
+    df = spark.createDataFrame(rows, "lab string, ts long")
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2), (200, 300, 3)],
+        "lo long, hi long, widx int",
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    out = {
+        r["widx"]: (r["n"], r["n_a"], r["n_b"], r["other"],
+                    r["entropy"], r["norm_entropy"])
+        for r in entropy_windows(
+            df, windows, "lab", ["a", "b"], ts_col="ts"
+        ).collect()
+    }
+    assert out[1][:4] == (4, 2, 2, 0)
+    assert out[1][4] == pytest.approx(round(math.log(2), 6), abs=1e-6)
+    assert out[2] == (2, 2, 0, 0, 0.0, 0.0)
+    assert out[3][:4] == (3, 1, 1, 1)
+    assert out[3][4] == pytest.approx(round(math.log(3), 6), abs=1e-6)
+    assert out[3][5] == pytest.approx(1.0, abs=1e-6)  # all 3 slots uniform
+
+    with pytest.raises(ValueError, match="labels"):
+        entropy_windows(df, windows, "lab", [], ts_col="ts")
+    with pytest.raises(ValueError, match="duplicate"):
+        entropy_windows(df, windows, "lab", ["a", "a"], ts_col="ts")
