@@ -10524,6 +10524,26 @@ SELECT widx, n, {', '.join(cols)},
 FROM g"""
 
 
+def q_stream_entropy_windows(spark, sf_dir):
+    """The STREAMING entropy twin in batch mode (streaming.py:
+    stream_entropy_windows — pivoted label counts are the mergeable
+    sink state, entropy is a read-time projection; file-stream parity
+    pytest-gated).  Batch inputs delegate to entropy_windows; shares
+    its oracle."""
+    from .streaming import stream_entropy_windows
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    _, w = _es_windows(spark, sf_dir, 16, "widx")
+    out = stream_entropy_windows(
+        ev, w, "event_type", list(_EVENT_TYPES), ts_col="ts"
+    )
+    return out.select(
+        "widx", "n",
+        *[f"n_{lab}" for lab in _EVENT_TYPES],
+        "other", "entropy", "norm_entropy",
+    )
+
+
 _PSI_T_PERIOD = _DAY_NS
 _PSI_T_LO, _PSI_T_HI, _PSI_T_NB = 0, 100_000, 10
 
@@ -10963,6 +10983,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_temporal_split": (q_temporal_split, _sql_temporal_split()),
     "q_psi_timeline": (q_psi_timeline, _sql_psi_timeline()),
     "q_entropy_windows": (q_entropy_windows, _sql_entropy_windows()),
+    "q_stream_entropy_windows": (
+        q_stream_entropy_windows, _sql_entropy_windows(),
+    ),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -11075,7 +11098,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 231
+EXPECTED_CATALOG_SIZE = 232
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2628,3 +2628,53 @@ def stream_histogram_windows(
         validate="skip",
         strategy="broadcast_right",
     ).select(*keys, *label_cols, "bucket")
+
+
+def stream_entropy_windows(
+    samples: DataFrame,
+    windows: DataFrame,
+    label_col: str,
+    labels: Sequence[str],
+    ts_col: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    window_span_col: str = "span",
+) -> DataFrame:
+    """Streaming label-diversity feed — the twin of
+    :func:`~..operators.timeseries.entropy_windows`: the pivoted label
+    counts are the mergeable sink state (per-micro-batch (key, window,
+    label) counts just add; the entropy formula is a read-time
+    projection over the dimension-sized count table), so the stream is
+    the stateless broadcast stabbing join emitting ``(keys, window
+    labels, label)`` rows in APPEND mode.
+
+    Batch inputs delegate to the batch operator — what
+    ``q_stream_entropy_windows`` gates against the shared oracle."""
+    from ..operators.interval_join import point_in_span_join
+    from ..operators.timeseries import _by_cols, entropy_windows
+
+    if not samples.isStreaming:
+        return entropy_windows(
+            samples,
+            windows,
+            label_col,
+            labels,
+            ts_col=ts_col,
+            by=by,
+            window_span_col=window_span_col,
+        )
+    keys = _by_cols(by)
+    label_cols = [c for c in windows.columns if c != window_span_col]
+    if not label_cols:
+        raise ValueError(
+            "stream_entropy_windows: windows must carry at least one "
+            "label column besides the span"
+        )
+    return point_in_span_join(
+        samples.select(*keys, F.col(ts_col), F.col(label_col)),
+        windows.withColumnRenamed(window_span_col, "span")
+        if window_span_col != "span"
+        else windows,
+        ts_col=ts_col,
+        validate="skip",
+        strategy="broadcast_right",
+    ).select(*keys, *label_cols, label_col)

@@ -2710,3 +2710,83 @@ def test_stream_histogram_windows_parity(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) >= 5
+
+
+def test_stream_entropy_windows_parity(spark, tmp_path):
+    """Sink-side pivoted count accumulation + read-time entropy
+    projection equals batch entropy_windows exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        entropy_windows,
+    )
+    from dataframeintervals_jl_spark.streaming import (
+        stream_entropy_windows,
+    )
+
+    schema = "lab string, ts long"
+    b1 = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("zz", 30), ("a", 150)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("b", 40), ("a", 160), ("b", 170), ("a", 60)], schema
+    )
+    windows = spark.createDataFrame(
+        [(0, 100, 1), (100, 200, 2)], "lo long, hi long, widx int"
+    ).select(make_span(F.col("lo"), F.col("hi")).alias("span"), "widx")
+
+    d = str(tmp_path / "entw_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_entropy_windows(
+        stream, windows, "lab", ["a", "b"], ts_col="ts"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("entw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_entw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lnk = repr(math.log(3))
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT widx, n, n_a, n_b, other,"
+            " round(e, 6) AS entropy, round(e / " + lnk + ", 6) AS ne"
+            " FROM ("
+            "  SELECT widx, n, n_a, n_b, other,"
+            "    (CASE WHEN n_a > 0 THEN (-(CAST(n_a AS DOUBLE)/CAST(n AS DOUBLE)))"
+            "        * ln(CAST(n_a AS DOUBLE)/CAST(n AS DOUBLE)) ELSE 0.0 END"
+            "   + CASE WHEN n_b > 0 THEN (-(CAST(n_b AS DOUBLE)/CAST(n AS DOUBLE)))"
+            "        * ln(CAST(n_b AS DOUBLE)/CAST(n AS DOUBLE)) ELSE 0.0 END"
+            "   + CASE WHEN other > 0 THEN (-(CAST(other AS DOUBLE)/CAST(n AS DOUBLE)))"
+            "        * ln(CAST(other AS DOUBLE)/CAST(n AS DOUBLE)) ELSE 0.0 END) AS e"
+            "  FROM ("
+            "   SELECT widx, count(*) AS n,"
+            "     sum(CASE WHEN lab = 'a' THEN 1 ELSE 0 END) AS n_a,"
+            "     sum(CASE WHEN lab = 'b' THEN 1 ELSE 0 END) AS n_b,"
+            "     sum(CASE WHEN lab IS NULL OR lab NOT IN ('a','b')"
+            "         THEN 1 ELSE 0 END) AS other"
+            "   FROM entw GROUP BY widx))"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in entropy_windows(
+            b1.unionByName(b2), windows, "lab", ["a", "b"], ts_col="ts"
+        )
+        .select("widx", "n", "n_a", "n_b", "other", "entropy",
+                "norm_entropy")
+        .collect()
+    }
+    assert got == batch and len(got) == 2
