@@ -276,3 +276,71 @@ def test_counter_and_gauge_windows_match_brute_force(spark, sv, nwin):
     }
     assert got_c == {k: c for k, (c, _) in per.items()}
     assert got_g == {k: g for k, (_, g) in per.items()}
+
+
+span_sets = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # key
+        st.integers(-10, 110),      # start (may poke out of domain)
+        st.integers(1, 40),         # width
+        st.booleans(),              # side: True -> A, False -> B
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(spans=span_sets)
+@settings(**_SETTINGS)
+def test_interval_agreement_matches_instant_sweep(spark, spans):
+    """interval_agreement's exact quadrant durations equal a per-instant
+    brute-force sweep over the integer domain [0, 100), for every key
+    with at least one in-domain span on either side; the quadrants
+    always tile the domain."""
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        interval_agreement,
+    )
+
+    T = 100
+    rows_a = [(f"k{k}", s, s + w) for k, s, w, side in spans if side]
+    rows_b = [(f"k{k}", s, s + w) for k, s, w, side in spans if not side]
+
+    def df(rows):
+        base = rows or [("__none__", 0, 1)]
+        return spark.createDataFrame(
+            base, "k string, s long, e long"
+        ).select("k", make_span(F.col("s"), F.col("e")).alias("span"))
+
+    out = {
+        r["k"]: (r["t11"], r["t10"], r["t01"], r["t00"])
+        for r in interval_agreement(
+            df(rows_a), df(rows_b), 0, T, by="k"
+        ).collect()
+        if r["k"] != "__none__"
+    }
+
+    # brute force: per key, per instant in [0, 100), membership bits
+    keys = {k for k, *_ in [(f"k{k}", s, w) for k, s, w, _ in spans]}
+    expect = {}
+    for key in keys:
+        cov_a = [False] * T
+        cov_b = [False] * T
+        any_in = False
+        for k, s, w, side in spans:
+            if f"k{k}" != key:
+                continue
+            for t in range(max(s, 0), min(s + w, T)):
+                (cov_a if side else cov_b)[t] = True
+                any_in = True
+        if not any_in:
+            continue
+        t11 = sum(1 for t in range(T) if cov_a[t] and cov_b[t])
+        t10 = sum(1 for t in range(T) if cov_a[t] and not cov_b[t])
+        t01 = sum(1 for t in range(T) if cov_b[t] and not cov_a[t])
+        expect[key] = (t11, t10, t01, T - t11 - t10 - t01)
+
+    assert out == expect
+    for t11, t10, t01, t00 in out.values():
+        assert t11 + t10 + t01 + t00 == T
+        assert min(t11, t10, t01, t00) >= 0
