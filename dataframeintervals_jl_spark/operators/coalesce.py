@@ -720,11 +720,15 @@ def interval_agreement(
     chance agreement is total, kappa undefined).  Keys present on one
     side only still report (their missing side contributes 0 ns).
 
-    Scale shape: two keyed island merges (one shuffle each), an
-    equi-join ON THE KEYS with the overlap predicate as a residual
-    filter (islands are disjoint per side, so the join output is
-    bounded by interleavings, not a cartesian), and partial-agged
-    sums.  Nothing driver-side."""
+    Scale shape: two keyed island merges (one shuffle each); the
+    intersection measure goes through :func:`~.interval_join.
+    interval_join_by` with SKETCH-DRIVEN strategy selection — a raw
+    key-equi join with the overlap as a residual filter would be
+    quadratic in islands-per-key (m·n pairs per key before the
+    filter); the auto planner keeps 'hash' only while the estimated
+    same-key pair work stays bounded and switches to the (keys, bin)
+    composite join otherwise.  Partial-agged sums; nothing
+    driver-side."""
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi})")
     keys = _by_cols(by)
@@ -739,27 +743,30 @@ def interval_agreement(
             < F.col(spancol).getField("stop")
         )
         return merge_spans(c, spancol=spancol, by=keys).select(
-            *keys,
-            F.col(spancol).getField("start").alias("s"),
-            F.col(spancol).getField("stop").alias("e"),
+            *keys, spancol
         )
 
+    from .interval_join import interval_join_by
+
     ia, ib = _clamped_islands(left), _clamped_islands(right)
-    da = ia.groupBy(*keys).agg(F.sum(F.col("e") - F.col("s")).alias("dur_a"))
-    db = ib.groupBy(*keys).agg(F.sum(F.col("e") - F.col("s")).alias("dur_b"))
-    a2 = ia.select(*keys, F.col("s").alias("s1"), F.col("e").alias("e1"))
-    b2 = ib.select(*keys, F.col("s").alias("s2"), F.col("e").alias("e2"))
-    inter = (
-        a2.join(b2, keys)
-        .filter(
-            (F.col("s1") < F.col("e2")) & (F.col("s2") < F.col("e1"))
-        )
-        .groupBy(*keys)
-        .agg(
+
+    def _dur(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
             F.sum(
-                F.least("e1", "e2") - F.greatest("s1", "s2")
-            ).alias("t11")
+                F.col(spancol).getField("stop")
+                - F.col(spancol).getField("start")
+            ).alias(name)
         )
+
+    da, db = _dur(ia, "dur_a"), _dur(ib, "dur_b")
+    j = interval_join_by(
+        ia, ib, by=keys, on=spancol, validate="skip", strategy="auto"
+    )
+    inter = j.groupBy(*keys).agg(
+        F.sum(
+            F.col(spancol).getField("stop")
+            - F.col(spancol).getField("start")
+        ).alias("t11")
     )
     t = hi - lo
     j = (
