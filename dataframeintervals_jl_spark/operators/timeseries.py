@@ -2080,18 +2080,33 @@ def histogram_bucket_expr(
     value_col: str, lo: int, hi: int, nbuckets: int
 ) -> str:
     """The exact-integer TimescaleDB bucket formula shared by
-    :func:`histogram_windows` and the streaming twin: 0 = underflow,
-    ``nbuckets + 1`` = overflow, interior
-    ``1 + (v - lo) * nbuckets DIV (hi - lo)`` with the product taken
-    in DECIMAL(38,0) so a wide fixed-point domain cannot wrap."""
-    dec = "DECIMAL(38,0)"
+    :func:`histogram_windows`, :func:`~.profile.psi_drift` and the
+    streaming twin: 0 = underflow, ``nbuckets + 1`` = overflow,
+    interior ``1 + (v - lo) * nbuckets DIV (hi - lo)``.
+
+    The interior branch only sees ``lo <= v < hi``, so the product is
+    bounded by ``(hi - lo) * nbuckets`` — a PLAN-TIME constant: when
+    it fits int64 the expression stays in plain long arithmetic
+    (whole-stage-codegen primitive ops); only a genuinely wide
+    fixed-point domain pays the DECIMAL(38,0) row cost.  Both paths
+    are bit-identical."""
     v = f"CAST({value_col} AS BIGINT)"
+    if (hi - lo) * nbuckets < 2**63:
+        interior = (
+            f"CAST(1 + (({v} - {lo}) * {nbuckets}) DIV {hi - lo} "
+            f"AS BIGINT)"
+        )
+    else:
+        dec = "DECIMAL(38,0)"
+        interior = (
+            f"CAST(1 + CAST(({v} - {lo}) AS {dec}) "
+            f"* CAST({nbuckets} AS {dec}) DIV CAST({hi - lo} AS {dec}) "
+            f"AS BIGINT)"
+        )
     return (
         f"CASE WHEN {v} < {lo} THEN CAST(0 AS BIGINT) "
         f"WHEN {v} >= {hi} THEN CAST({nbuckets + 1} AS BIGINT) "
-        f"ELSE CAST(1 + CAST(({v} - {lo}) AS {dec}) "
-        f"* CAST({nbuckets} AS {dec}) DIV CAST({hi - lo} AS {dec}) "
-        f"AS BIGINT) END"
+        f"ELSE {interior} END"
     )
 
 
