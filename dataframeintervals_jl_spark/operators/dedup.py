@@ -1736,3 +1736,72 @@ def dedup_lines(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+def gram_novelty(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_df: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/diversity
+    metric of a training corpus: the fraction of a document's DISTINCT
+    word ``shingle_k``-grams that no other document shares.  A page of
+    boilerplate scores near 0 (every gram is corpus-common); unique
+    prose scores near 1e6 ppm.  The corpus-internal complement of
+    :func:`decontaminate` (which asks the same question against an
+    EVAL set).
+
+    Per doc: ``n_grams`` (distinct shingles), ``n_shared`` (those
+    appearing in at least ``min_df`` documents — shingles are
+    de-duplicated per doc first, so a gram's count IS its document
+    frequency), and ``novelty_ppm = 1e6·(n_grams − n_shared) DIV
+    n_grams`` — exact integer floor arithmetic end-to-end.
+    Documents shorter than ``shingle_k`` tokens collapse to one
+    whole-text shingle (the :func:`~..functions.text.shingles`
+    contract), so every document scores.
+
+    Scale shape: shuffles carry (doc, gram-hash) pairs — never text;
+    the df table partial-aggregates (common grams combine map-side),
+    the join back keys an aggregated table, and the final per-doc agg
+    is the only id-bearing pass.  ``portable=True`` switches
+    xxhash64 → md5-60bit so the DuckDB oracle replays hashes
+    exactly."""
+    from ..functions.text import portable_hash60, shingles
+
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    h = (
+        portable_hash60
+        if portable
+        else (lambda c: F.xxhash64(F.col(c) if isinstance(c, str) else c))
+    )
+    ex = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_k))
+        ).alias("__s"),
+    ).select(id_col, h("__s").alias("__h"))
+    df_t = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        ex.join(df_t, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            F.expr(
+                "(1000000L * (n_grams - n_shared)) DIV n_grams"
+            ).alias("novelty_ppm"),
+        )
+    )

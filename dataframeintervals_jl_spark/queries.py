@@ -10524,6 +10524,40 @@ SELECT widx, n, {', '.join(cols)},
 FROM g"""
 
 
+def q_gram_novelty(spark, sf_dir):
+    """Per-document 5-gram novelty (dedup.py: gram_novelty — the
+    memorization/diversity metric): distinct-shingle counts, the
+    corpus-shared subset (df >= 2), and the exact integer novelty ppm.
+    The oracle replays the shingle zip, the md5-60bit hash, the df
+    counts, and the floor division."""
+    from .operators.dedup import gram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gram_novelty(docs, shingle_k=5, min_df=2, portable=True)
+
+
+_SQL_GRAM_NOVELTY = rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tl) < 5 THEN [array_to_string(tl, ' ')]
+       ELSE list_transform(range(1, len(tl) - 3),
+                           i -> array_to_string(tl[i:i+4], ' ')) END AS sl
+  FROM toks
+), ex AS (
+  SELECT doc_id, {_PH60.format(x="s")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM sh)
+), freq AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       (1000000 * (count(*) - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)))
+         // count(*) AS novelty_ppm
+FROM ex JOIN freq USING (h)
+GROUP BY doc_id"""
+
+
 def q_stream_entropy_windows(spark, sf_dir):
     """The STREAMING entropy twin in batch mode (streaming.py:
     stream_entropy_windows — pivoted label counts are the mergeable
@@ -10986,6 +11020,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_entropy_windows": (
         q_stream_entropy_windows, _sql_entropy_windows(),
     ),
+    "q_gram_novelty": (q_gram_novelty, _SQL_GRAM_NOVELTY),
     "q_stream_ohlc_windows": (q_stream_ohlc_windows, _SQL_OHLC_WINDOWS),
     "q_stream_time_weighted": (
         q_stream_time_weighted,
@@ -11098,7 +11133,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 232
+EXPECTED_CATALOG_SIZE = 233
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

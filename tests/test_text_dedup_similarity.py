@@ -2141,3 +2141,49 @@ def test_pmi_collocations_hand_values(spark):
     assert ("york", "a") in out  # adjacency crosses the collocation
     with pytest.raises(ValueError, match="min_count"):
         pmi_collocations(docs, min_count=0)
+
+
+def test_gram_novelty_hand_values(spark):
+    """Two identical docs share every gram (novelty 0); a unique doc
+    scores 1e6 ppm; a half-borrowed doc floors to the exact ppm; a doc
+    shorter than k collapses to one whole-text shingle and still
+    scores; df counts documents (per-doc duplicate grams collapse
+    first)."""
+    import pytest
+
+    from dataframeintervals_jl_spark.operators.dedup import gram_novelty
+
+    common = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            # doc 3: first 3 grams borrowed from common (tokens 1..5
+            # of common + its own tail). k=3 grams over 8 tokens = 6;
+            # borrowed grams: (alpha beta gamma),(beta gamma delta),
+            # (gamma delta epsilon) = 3 shared -> novelty 500000
+            (3, "alpha beta gamma delta epsilon own1 own2 own3"),
+            (4, "totally different words here nine ten"),
+            (5, "tiny"),
+            # doc 6: internal repetition — "rep rep rep rep" has grams
+            # (rep rep rep) x2 distinct-collapsed to 1, df=1
+            (6, "rep rep rep rep"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["novelty_ppm"])
+        for r in gram_novelty(
+            docs, shingle_k=3, min_df=2, portable=True
+        ).collect()
+    }
+    assert out[1] == (4, 4, 0) and out[2] == (4, 4, 0)
+    assert out[3] == (6, 3, 500_000)
+    assert out[4] == (4, 0, 1_000_000)
+    assert out[5] == (1, 0, 1_000_000)
+    assert out[6] == (1, 0, 1_000_000)
+
+    with pytest.raises(ValueError, match="min_df"):
+        gram_novelty(docs, min_df=1)
+    with pytest.raises(ValueError, match="shingle_k"):
+        gram_novelty(docs, shingle_k=0)
