@@ -218,3 +218,15 @@ def order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         make_span(start_ns, start_ns + F.lit(30) * day_ns).alias("span"),
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """ORC interchange reader — Spark ships the ORC datasource
+    natively (predicate pushdown + column pruning like parquet).
+    ``schema`` optional: ORC files carry their own schema; pass one to
+    enforce a contract at the boundary."""
+    ensure_session_configs(spark)
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

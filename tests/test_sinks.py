@@ -514,3 +514,26 @@ def test_update_register_index_order_independent(spark, tmp_path):
             sorted(map(tuple, read_register_index(spark, path).collect()))
         )
     assert finals[0] == finals[1]
+
+
+def test_orc_roundtrip_with_pushdown(spark, docs, tmp_path):
+    """ORC interchange: values round-trip exactly and an equality
+    filter reaches the ORC reader as a pushed filter (the native
+    datasource does pushdown + pruning like parquet)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.sources import read_orc
+
+    p = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(p)
+    back = read_orc(spark, p)
+    assert back.schema.simpleString() == docs.schema.simpleString()
+    got = {r["doc_id"]: (r["lang"], r["score"]) for r in back.collect()}
+    exp = {r["doc_id"]: (r["lang"], r["score"]) for r in docs.collect()}
+    assert got == exp
+
+    flt = read_orc(spark, p).filter(F.col("lang") == "en")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split(
+        "PushedFilters"
+    )[1][:120], "lang filter must reach the ORC reader"

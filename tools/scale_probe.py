@@ -71,6 +71,11 @@ HEAVY = [
     # chunked ACF: same answer, parallelism = #chunks not #keys — the
     # slope should collapse vs q_acf's key-limited 26.7
     "q_acf_chunked",
+    # round-11 continuation: shingle-shuffle novelty, bigram PMI, and
+    # the island-merge + keyed-interval-join agreement composition
+    "q_gram_novelty",
+    "q_pmi_collocations",
+    "q_interval_agreement",
 ]
 
 
