@@ -1462,3 +1462,65 @@ def test_pmi_collocations_plan_shape(spark):
     assert plan.count("HashAggregate") >= 4, "partial aggregation missing"
     assert count_broadcast_exchanges(out) >= 1, "totals not broadcast"
     assert_no_python_row_udf(out)
+
+
+def test_round11_late_expression_plan_shapes(spark):
+    """Shared plan lock for the round-11 continuation operators:
+    entropy_windows (broadcast stab + ONE partial-agged pivot),
+    psi_timeline (pivot shuffle + dimension self-join, no sample-level
+    join), gram_novelty (both count tables partial-agged, no text in
+    the exchanges), temporal_split (embargo filter pushes to the
+    scan).  No Python anywhere."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.dedup import gram_novelty
+    from dataframeintervals_jl_spark.operators.profile import psi_timeline
+    from dataframeintervals_jl_spark.operators.quantile_windows import (
+        quantile_windows,
+    )
+    from dataframeintervals_jl_spark.operators.sampling import temporal_split
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        entropy_windows,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    es = event_spans(spark, SF_DIR)
+    w = quantile_windows(spark, 8, es, label="widx")
+
+    ent = entropy_windows(
+        ev.select("event_type", "ts"), w, "event_type",
+        ["click", "view"], ts_col="ts",
+    )
+    plan = ent._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert count_broadcast_exchanges(ent) >= 1
+    assert_no_python_row_udf(ent)
+
+    hour = 3_600 * 10**9
+    psi = psi_timeline(
+        ev.select("ts", F.round(F.col("value") * 1000).cast("long")
+                  .alias("v")),
+        "v", 0, 100_000, 10, 24 * hour, ts_col="ts",
+    )
+    plan = psi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert_no_python_row_udf(psi)
+
+    docs = read_table(spark, SF_DIR, "documents")
+    nov = gram_novelty(docs, shingle_k=5)
+    plan = nov._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4, "df + per-doc aggs partial"
+    assert_no_python_row_udf(nov)
+
+    ts = temporal_split(
+        ev.select("event_id", "ts"), [1_704_931_200 * 10**9],
+        embargo_ns=hour, labels=("train", "test"), ts_col="ts",
+    )
+    plan = ts._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 0, (
+        "temporal_split must stay shuffle-free"
+    )
+    assert "PushedFilters: [" in plan, "embargo filter must reach the scan"
+    assert_no_python_row_udf(ts)
