@@ -637,3 +637,57 @@ def attribution_weights(
         by, "conv_id", "conv_ts", "touch_id", "touch_type", "touch_ts",
         "weight",
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    by: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every ordered pair of consecutive events of the
+    same ``by`` key, count ``(from_type -> to_type)`` and report the
+    empirical transition probability in exact ppm — the
+    next-event-prediction / behavioral-flow primitive (the shape of
+    ClickHouse ``sequenceCount`` / product-analytics "flows").
+
+    Semantics (pinned for the oracle): events of a key are ordered by
+    ``order_cols`` (the trailing column must be a unique tie-break —
+    default ``event_id`` — so the sequence is deterministic); the
+    successor is the next event of the SAME key; rows whose type or
+    successor type is NULL are dropped; ``prob_ppm`` is the truncating
+    integer ``n * 1_000_000 DIV n_from`` so the matrix is exact (no
+    distributed double sums).
+
+    Scale shape: one window over the high-cardinality ``by`` key (the
+    same single shuffle a groupBy would do, spillable sort) + one
+    partial-agged groupBy bounded by ``|types|^2`` rows + a broadcast
+    join of the per-from totals (bounded by ``|types|``).  Nothing
+    driver-side; no cartesian.
+
+    Output: ``(from_type, to_type, n, n_from, prob_ppm)``.
+    """
+    ordering = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(by).orderBy(*ordering)
+    seq = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(F.col(type_col)).over(w).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull() & F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # The totals branch would otherwise REPLAY the scan + window +
+    # pair-count subtree (Spark plans the DAG as a tree) — at scale
+    # that doubles the one wide shuffle.  The pair table is bounded by
+    # |types|^2 rows, so an eager localCheckpoint is free and both
+    # consumers read the materialized counts.
+    c = c.localCheckpoint(eager=True)
+    totals = c.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        c.join(F.broadcast(totals), "from_type")
+        .withColumn(
+            "prob_ppm", F.expr("(n * 1000000L) div n_from")
+        )
+        .select("from_type", "to_type", "n", "n_from", "prob_ppm")
+    )

@@ -1101,6 +1101,41 @@ def q_funnel_counts(spark, sf_dir):
     )
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (asof_join.py: markov_transitions): consecutive
+    same-user event-type pairs ordered by (ts, event_id), counted,
+    with the empirical transition probability as the truncating
+    integer ``n * 1e6 DIV n_from`` — exact ppm, no double sums.  One
+    user-keyed window shuffle + a |types|^2-bounded partial agg + a
+    broadcast totals join.  The oracle replays lead() over the same
+    deterministic order and the identical truncating division."""
+    from .operators.asof_join import markov_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
+_SQL_MARKOV = """WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq
+  WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), t AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n, t.n_from,
+       (c.n * 1000000) // t.n_from AS prob_ppm
+FROM c JOIN t ON t.from_type = c.from_type"""
+
+
 def q_attribution_linear(spark, sf_dir):
     """Multi-touch attribution, LINEAR model (asof_join.py:
     attribution_weights): each purchase's credit split 1/n over the
@@ -11096,6 +11131,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_hybrid_dedup_clusters": (q_hybrid_dedup_clusters, _sql_hybrid_clusters(16, 0.4)),
     "q_stream_hampel": (q_stream_hampel, _SQL_HAMPEL),
     "q_pack_stats": (q_pack_stats, _SQL_PACK_STATS),
+    "q_markov_transitions": (q_markov_transitions, _SQL_MARKOV),
 }
 
 # ---------------------------------------------------------------------------
@@ -11133,7 +11169,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 233
+EXPECTED_CATALOG_SIZE = 234
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

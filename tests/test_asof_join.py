@@ -506,3 +506,37 @@ def test_attribution_weights_pinned_semantics(spark):
             ev.withColumn("ts", F.col("ts").cast("string")),
             "purchase", ["ad"], 20,
         )
+
+
+def test_markov_transitions_hand_values(spark):
+    """Pinned Markov semantics: per-key sequences ordered by
+    (ts, event_id) with the event_id tie-break deciding equal
+    timestamps, successors never cross keys, NULL types drop, and
+    prob_ppm is the truncating integer division."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        markov_transitions,
+    )
+
+    rows = [
+        # user 1: a -> b -> a   (ties at ts=10 broken by event_id)
+        (1, 1, "a", 0), (2, 1, "b", 10), (3, 1, "a", 10),
+        # user 2: a -> a        (no cross-user successor from user 1)
+        (4, 2, "a", 0), (5, 2, "a", 5),
+        # user 3: a NULL type BREAKS the chain (lead runs before the
+        # null filter, so b -> NULL and NULL -> b both drop): no pairs
+        (6, 3, "b", 0), (7, 3, None, 1), (8, 3, "b", 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["n_from"], r["prob_ppm"])
+        for r in markov_transitions(
+            ev, order_cols=("ts", "event_id")
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 2, 500000),
+        ("a", "a"): (1, 2, 500000),
+        ("b", "a"): (1, 1, 1000000),
+    }

@@ -1524,3 +1524,28 @@ def test_round11_late_expression_plan_shapes(spark):
     )
     assert "PushedFilters: [" in plan, "embargo filter must reach the scan"
     assert_no_python_row_udf(ts)
+
+
+def test_markov_transitions_plan_shape(spark):
+    """markov_transitions: ONE wide shuffle (the user-keyed window
+    sort), partial-agged pair counts, and the per-from totals joined
+    by BROADCAST (never a second wide shuffle on from_type).  No
+    Python anywhere."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        markov_transitions,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = markov_transitions(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    # The window + pair-count subtree runs ONCE inside the eager
+    # localCheckpoint; the final plan must read the materialized pair
+    # table in BOTH branches -- zero Window nodes here means the wide
+    # shuffle cannot be replayed by the totals branch.
+    n_win = len(_re.findall(r"\bWindow\b", plan))
+    assert n_win == 0, f"pair subtree replayed: {n_win} window passes"
+    assert "ExistingRDD" in plan, "pair table not materialized"
+    assert plan.count("HashAggregate") >= 2, "partial totals agg missing"
+    assert count_broadcast_exchanges(out) >= 1, "totals not broadcast"
+    assert_no_python_row_udf(out)
