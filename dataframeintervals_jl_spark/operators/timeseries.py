@@ -2379,3 +2379,53 @@ def entropy_windows(
         F.round(ent, 6).alias("entropy"),
         F.round(ent / F.lit(math.log(k)), 6).alias("norm_entropy"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str,
+    by: Key = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key maximum drawdown: the largest decline of ``value_col``
+    below its running peak along the key's (deterministically ordered)
+    series — the classic risk / degradation-monitoring statistic.
+
+    Semantics (pinned for the oracle): NULL values drop; the running
+    peak uses an explicit ``ROWS UNBOUNDED PRECEDING`` frame over
+    ``order_cols`` (trailing unique tie-break); ``max_drawdown`` is
+    ``max(peak_so_far - value)`` (absolute units) and
+    ``max_drawdown_rel`` is ``max((peak_so_far - value)/peak_so_far)``
+    over rows whose peak is strictly positive (NULL when none are).
+    Every double op is a per-row subtraction/division followed by
+    MAX — comparison-based and order-independent, so the result is
+    bit-identical cross-engine with no distributed double sums.
+
+    Scale shape: one shuffle on ``by`` for the window sort; the
+    following groupBy reuses the SAME hash partitioning (no second
+    exchange) with map-side partial max.  No Python, no cartesian.
+
+    Output: ``(by, peak, max_drawdown, max_drawdown_rel)``.
+    """
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("max_drawdown: a grouping key is required")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col)
+    s = (
+        df.filter(v.isNotNull())
+        .select(*keys, *order_cols, v.alias("__v"))
+        .withColumn("__runmax", F.max("__v").over(w))
+    )
+    dd = F.col("__runmax") - F.col("__v")
+    return s.groupBy(*keys).agg(
+        F.max("__runmax").alias("peak"),
+        F.max(dd).alias("max_drawdown"),
+        F.max(
+            F.when(F.col("__runmax") > 0, dd / F.col("__runmax"))
+        ).alias("max_drawdown_rel"),
+    )

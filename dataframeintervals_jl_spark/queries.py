@@ -1136,6 +1136,35 @@ SELECT c.from_type, c.to_type, c.n, t.n_from,
 FROM c JOIN t ON t.from_type = c.from_type"""
 
 
+def q_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown of the event value series
+    (timeseries.py: max_drawdown): largest decline below the running
+    peak, absolute and relative — every double op is per-row then
+    MAX-reduced (order-independent, bit-identical cross-engine).  One
+    keyed window shuffle whose hash partitioning the following groupBy
+    reuses.  The oracle replays the explicit ROWS frame and the same
+    guarded ratio."""
+    from .operators.timeseries import max_drawdown
+
+    ev = read_table(spark, sf_dir, "events")
+    return max_drawdown(ev, "value")
+
+
+_SQL_DRAWDOWN = """WITH s AS (
+  SELECT user_id, value,
+         max(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS runmax
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, max(runmax) AS peak,
+       max(runmax - value) AS max_drawdown,
+       max(CASE WHEN runmax > 0 THEN (runmax - value) / runmax END)
+         AS max_drawdown_rel
+FROM s GROUP BY user_id"""
+
+
 def q_attribution_linear(spark, sf_dir):
     """Multi-touch attribution, LINEAR model (asof_join.py:
     attribution_weights): each purchase's credit split 1/n over the
@@ -11132,6 +11161,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_hampel": (q_stream_hampel, _SQL_HAMPEL),
     "q_pack_stats": (q_pack_stats, _SQL_PACK_STATS),
     "q_markov_transitions": (q_markov_transitions, _SQL_MARKOV),
+    "q_drawdown": (q_drawdown, _SQL_DRAWDOWN),
 }
 
 # ---------------------------------------------------------------------------
@@ -11169,7 +11199,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 234
+EXPECTED_CATALOG_SIZE = 235
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1549,3 +1549,23 @@ def test_markov_transitions_plan_shape(spark):
     assert plan.count("HashAggregate") >= 2, "partial totals agg missing"
     assert count_broadcast_exchanges(out) >= 1, "totals not broadcast"
     assert_no_python_row_udf(out)
+
+
+def test_max_drawdown_plan_shape(spark):
+    """max_drawdown: the groupBy must REUSE the window's user_id hash
+    partitioning — exactly one exchange in the whole plan, one window
+    pass, no Python."""
+    import re as _re
+
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        max_drawdown,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = max_drawdown(ev, "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"partitioning not reused: {n_ex} exchanges"
+    n_win = len(_re.findall(r"\bWindow\b", plan))
+    assert n_win == 1, f"expected one window pass, got {n_win}"
+    assert_no_python_row_udf(out)

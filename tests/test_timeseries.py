@@ -1551,3 +1551,40 @@ def test_entropy_windows_hand_values(spark):
         entropy_windows(df, windows, "lab", [], ts_col="ts")
     with pytest.raises(ValueError, match="duplicate"):
         entropy_windows(df, windows, "lab", ["a", "a"], ts_col="ts")
+
+
+def test_max_drawdown_hand_values(spark):
+    """Pinned drawdown semantics: running peak over (ts, id) with an
+    explicit ROWS frame, absolute max decline, relative decline only
+    where the peak is strictly positive (NULL when never positive),
+    NULL values dropped."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        max_drawdown,
+    )
+
+    rows = [
+        # key 1: 10 -> 4 (dd 6, rel .6) -> 12 -> 6 (dd 6, rel .5):
+        # absolute ties at 6, relative max is the FIRST dip's .6
+        (1, 1, 10.0, 0), (2, 1, 4.0, 1), (3, 1, 12.0, 2), (4, 1, 6.0, 3),
+        # key 2: all negative peaks -> rel is NULL, abs still works
+        (5, 2, -5.0, 0), (6, 2, -9.0, 1),
+        # key 3: NULL value dropped; monotone rise -> zero drawdown
+        (7, 3, 1.0, 0), (8, 3, None, 1), (9, 3, 2.0, 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts long"
+    )
+    out = {
+        r["user_id"]: (
+            r["peak"], r["max_drawdown"], r["max_drawdown_rel"]
+        )
+        for r in max_drawdown(ev, "value", by="user_id").collect()
+    }
+    assert out[1] == (12.0, 6.0, 0.6)
+    assert out[2] == (-5.0, 4.0, None)
+    assert out[3] == (2.0, 0.0, 0.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grouping key"):
+        max_drawdown(ev, "value", by=None)
