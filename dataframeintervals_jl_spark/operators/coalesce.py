@@ -803,3 +803,75 @@ def interval_agreement(
         *keys, "t11", "t10", "t01", "t00",
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def suppress_dominated_spans(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    by=None,
+    on: str = "span",
+    bounds: str = "[)",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Non-maximum suppression over interval sets: keep every span NOT
+    overlapped by a strictly-stronger span of the same ``by`` key —
+    the single-pass dominance filter annotation/labeling pipelines run
+    to collapse overlapping detections (the interval analogue of
+    vision NMS, restricted to pairwise dominance so it stays a pure
+    join, not a sequential greedy loop).
+
+    Dominance (pinned for the oracle): span *b* dominates span *a*
+    when they overlap under ``bounds`` and ``b.score > a.score``, or
+    scores tie exactly and ``b.id < a.id`` (the unique ``id_col``
+    makes the tie-break total, so exactly one member of every
+    mutually-overlapping tie group survives it).  NULL scores drop up
+    front.  A span overlapped only by weaker spans survives even when
+    those weaker spans are themselves dominated — one pass, no
+    cascade.
+
+    Scale shape: the candidate pairs route through the engine's own
+    keyed interval join (``strategy='auto'``: sketch-driven
+    hash/binned/broadcast selection, same-key co-partitioning — no
+    all-pairs), dominated ids collapse via partial-agged distinct, and
+    survivors come from one LEFT ANTI equi-join on (keys, id).
+    Nothing driver-side; no cartesian.
+    """
+    from .interval_join import interval_join, interval_join_by
+
+    keys = _by_cols(by)
+    base = df.filter(F.col(score_col).isNotNull())
+    left = base.select(
+        *keys,
+        F.col(id_col).alias("__nms_id"),
+        F.col(score_col).alias("__nms_score"),
+        F.col(on),
+    )
+    right = base.select(
+        *keys,
+        F.col(id_col).alias("__nms_rid"),
+        F.col(score_col).alias("__nms_rscore"),
+        F.col(on),
+    )
+    if keys:
+        pairs = interval_join_by(
+            left, right, by=keys, on=on, bounds=bounds, strategy=strategy
+        )
+    else:
+        pairs = interval_join(
+            left, right, on=on, bounds=bounds, strategy=strategy
+        )
+    dominated = (
+        pairs.filter(
+            (F.col("__nms_rscore") > F.col("__nms_score"))
+            | (
+                (F.col("__nms_rscore") == F.col("__nms_score"))
+                & (F.col("__nms_rid") < F.col("__nms_id"))
+            )
+        )
+        .select(*keys, F.col("__nms_id").alias(id_col))
+        .distinct()
+    )
+    return base.join(dominated, on=[*keys, id_col], how="left_anti").select(
+        *df.columns  # the equi-join moves its keys first; restore order
+    )

@@ -1734,6 +1734,48 @@ SELECT user_id, CAST(sum(s_stop - s_start) AS BIGINT) AS covered,
 FROM isl GROUP BY user_id"""
 
 
+def q_nms_spans(spark, sf_dir):
+    """Interval non-maximum suppression (coalesce.py:
+    suppress_dominated_spans): per-user 1-hour activity spans scored
+    by the event value; a span survives unless an overlapping
+    same-user span has a strictly higher score (exact-tie -> lower
+    event_id wins).  Candidate pairs route through the keyed interval
+    join (auto strategy); survivors via one LEFT ANTI join.  The
+    oracle is the NOT EXISTS dominance predicate."""
+    from .operators.coalesce import suppress_dominated_spans
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts"),
+    )
+    spans = ev.select(
+        "event_id", "user_id", "value",
+        make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span"),
+    )
+    out = suppress_dominated_spans(spans, "value", "event_id", by="user_id")
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("span.start").alias("s_start"),
+        F.col("span.stop").alias("s_stop"),
+    )
+
+
+_SQL_NMS_SPANS = f"""WITH sp AS (
+  SELECT event_id, user_id, value,
+         epoch_ns(ts) AS s_start, epoch_ns(ts) + {_HOUR_NS} AS s_stop
+  FROM events WHERE value IS NOT NULL
+)
+SELECT a.event_id, a.user_id, a.value, a.s_start, a.s_stop
+FROM sp a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sp b
+  WHERE b.user_id = a.user_id
+    AND b.s_start < a.s_stop AND a.s_start < b.s_stop
+    AND (b.value > a.value
+         OR (b.value = a.value AND b.event_id < a.event_id))
+)"""
+
+
 def q_span_coverage_daily(spark, sf_dir):
     """Utilization by CALENDAR BUCKET: per (user, day), nanoseconds of
     the day covered by the union of the user's activity spans —
@@ -11162,6 +11204,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_pack_stats": (q_pack_stats, _SQL_PACK_STATS),
     "q_markov_transitions": (q_markov_transitions, _SQL_MARKOV),
     "q_drawdown": (q_drawdown, _SQL_DRAWDOWN),
+    "q_nms_spans": (q_nms_spans, _SQL_NMS_SPANS),
 }
 
 # ---------------------------------------------------------------------------
@@ -11199,7 +11242,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 235
+EXPECTED_CATALOG_SIZE = 236
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

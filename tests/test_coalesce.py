@@ -463,3 +463,61 @@ def test_interval_agreement_hand_values(spark):
         interval_agreement(a, b, 5, 5, by="k")
     with pytest.raises(ValueError, match="by key"):
         interval_agreement(a, b, 0, 100)
+
+
+def test_suppress_dominated_spans_hand_values(spark):
+    """Pinned NMS semantics: strictly-higher score dominates on
+    overlap; exact ties fall to the lower id; dominance is PAIRWISE
+    (a dominated span still dominates its own weaker overlaps — in a
+    mutually-overlapping chain only the top survives, unlike
+    sequential greedy NMS where suppressed boxes stop suppressing);
+    NULL scores drop; keys never cross."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        suppress_dominated_spans,
+    )
+
+    rows = [
+        # key 1: A[0,10) s5 < B[5,15) s7; C[12,20) s6 < B; D isolated
+        (1, 1, 5.0, 0, 10), (2, 1, 7.0, 5, 15),
+        (3, 1, 6.0, 12, 20), (4, 1, 1.0, 30, 40),
+        # key 2: exact tie -> lower id (5) survives, 6 falls; the
+        # same spans under key 2 never see key 1's scores
+        (5, 2, 3.0, 0, 10), (6, 2, 3.0, 5, 15),
+        # NULL score: dropped, dominates nothing
+        (7, 2, None, 0, 100),
+        # key 3: chain w3 < w2 < w1 all mutually overlapping: only
+        # the top survives (pairwise dominance, not sequential NMS)
+        (8, 3, 1.0, 0, 10), (9, 3, 2.0, 1, 11), (10, 3, 3.0, 2, 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k long, score double, s long, e long"
+    ).select(
+        "id", "k", "score",
+        make_span(F.col("s"), F.col("e")).alias("span"),
+    )
+    out = suppress_dominated_spans(df, "score", "id", by="k")
+    assert sorted(r["id"] for r in out.collect()) == [2, 4, 5, 10]
+    # survivors keep their original columns + span intact
+    cols = out.columns
+    assert cols == ["id", "k", "score", "span"]
+
+    # bounds="[]" makes the touching pair [0,10]/[10,20] overlap
+    touch = spark.createDataFrame(
+        [(1, 1, 1.0, 0, 10), (2, 1, 2.0, 10, 20)],
+        "id long, k long, score double, s long, e long",
+    ).select(
+        "id", "k", "score", make_span(F.col("s"), F.col("e")).alias("span")
+    )
+    assert sorted(
+        r["id"] for r in suppress_dominated_spans(
+            touch, "score", "id", by="k"
+        ).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["id"] for r in suppress_dominated_spans(
+            touch, "score", "id", by="k", bounds="[]"
+        ).collect()
+    ) == [2]

@@ -1569,3 +1569,18 @@ def test_max_drawdown_plan_shape(spark):
     n_win = len(_re.findall(r"\bWindow\b", plan))
     assert n_win == 1, f"expected one window pass, got {n_win}"
     assert_no_python_row_udf(out)
+
+
+def test_nms_spans_plan_shape(spark):
+    """suppress_dominated_spans: candidate pairs go through the keyed
+    interval join (co-partitioned equi-join — no cartesian, no
+    BroadcastNestedLoop on the big sides), dominated ids collapse via
+    partial-agged distinct, survivors via LEFT ANTI.  No Python."""
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    out = QUERIES["q_nms_spans"][0](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, "survivor anti-join missing"
+    assert plan.count("HashAggregate") >= 2, "distinct not partial-agged"
+    assert_no_python_row_udf(out)
