@@ -397,3 +397,110 @@ def psi_timeline(
     return j.select(
         "period", "n", "n_prev", F.round(psi, 6).alias("psi")
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_buckets: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quantile scores, the classic marketing-analytics rollup, computed
+    with NO global sort.
+
+    Semantics (pinned for the oracle): amounts become exact cents via
+    ``floor(amount*100 + 0.5)``; per key ``recency_days`` is the whole
+    days between the key's latest date and the CORPUS latest date
+    (epoch-day integers), ``frequency`` the row count and
+    ``monetary_cents`` the exact integer cent sum.  Each metric's
+    bucket boundaries are the order statistics at 1-indexed ranks
+    ``ceil(j*n/B), j=1..B-1`` over the n per-key rows, and a key's
+    score is ``1 + #{j : metric beats b_j}`` — "beats" meaning ``>``
+    for frequency/monetary (higher is better) and ``<`` for recency
+    (lower is better) — so exact ties always share a bucket and the
+    top quantile scores ``B``.  ``rfm = r*100 + f*10 + m`` (B <= 9).
+
+    Scale shape: one groupBy shuffle builds the per-key table (eagerly
+    materialized — bounded by |keys|, still distributed); boundaries
+    come from :func:`..quantile_windows.exact_quantile_longs`'s
+    iterative histogram refinement — O(B·buckets) driver rows per
+    pass, 4-6 column-pruned scans of the per-key table, NO full-data
+    range shuffle; scores are then pure broadcast-literal expressions.
+    """
+    if not (2 <= int(n_buckets) <= 9):
+        raise ValueError(f"n_buckets must be in 2..9, got {n_buckets}")
+    from .quantile_windows import exact_quantile_longs
+    from ..sources import col_to_ns
+
+    day_ns = 86_400_000_000_000
+    ns = col_to_ns(F.col(date_col), df.schema[date_col].dataType)
+    o = (
+        df.select(
+            F.col(key),
+            ns.cast("long").alias("__ns"),
+            F.floor(F.col(amount_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("__cents"),
+        )
+        # integer div, NOT double division: epoch-ns (~1e18) is far
+        # beyond float64's exact-integer range
+        .withColumn("__d", F.expr(f"__ns div {day_ns}"))
+        .drop("__ns")
+    )
+    maxd = o.agg(F.max("__d")).collect()[0][0]
+    cust = (
+        o.groupBy(key)
+        .agg(
+            (F.lit(int(maxd)) - F.max("__d")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("__cents").alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = cust.count()
+    B = int(n_buckets)
+    ranks = [-(-(j * n) // B) for j in range(1, B)]  # ceil(j*n/B)
+
+    def bounds(colname, better_low):
+        row = cust.agg(
+            F.min(colname).alias("lo"), F.max(colname).alias("hi")
+        ).collect()[0]
+        # better_low (recency): boundaries are DESC-order statistics —
+        # rank r from the top is ascending rank n+1-r — so the best
+        # (smallest) value strictly beats all B-1 boundaries
+        rk = [n + 1 - r for r in ranks] if better_low else ranks
+        return exact_quantile_longs(
+            cust, colname, rk, int(row["lo"]), int(row["hi"]), n
+        )
+
+    rb = bounds("recency_days", True)
+    fb = bounds("frequency", False)
+    mb = bounds("monetary_cents", False)
+
+    def score(colname, bs, better_low):
+        c = F.col(colname)
+        terms = [
+            F.when(c < F.lit(b) if better_low else c > F.lit(b), 1)
+            .otherwise(0)
+            for b in bs
+        ]
+        e = F.lit(1)
+        for t in terms:
+            e = e + t
+        return e.cast("long")
+
+    return cust.select(
+        key,
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", rb, True).alias("r_score"),
+        score("frequency", fb, False).alias("f_score"),
+        score("monetary_cents", mb, False).alias("m_score"),
+    ).withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).cast("long"),
+    )

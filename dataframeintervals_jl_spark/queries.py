@@ -1165,6 +1165,64 @@ SELECT user_id, max(runmax) AS peak,
 FROM s GROUP BY user_id"""
 
 
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation (profile.py: rfm_segments): exact
+    integer recency/frequency/monetary per customer, quintile scores
+    from order statistics at ranks ceil(j*n/5) — computed by the
+    engine's iterative-histogram exact selection (no global sort), so
+    the whole result is integers and hash-exact.  The oracle replays
+    the ranked-CTE order statistics and the identical beat counts."""
+    from .operators.profile import rfm_segments
+
+    od = read_table(spark, sf_dir, "orders")
+    return rfm_segments(od)
+
+
+def _sql_rfm() -> str:
+    day_ns = 86_400_000_000_000
+
+    def b_cte(name, metric, order):
+        return f"""{name} AS (
+  SELECT max(CASE WHEN rn = (n*1+4)//5 THEN v END) AS b1,
+         max(CASE WHEN rn = (n*2+4)//5 THEN v END) AS b2,
+         max(CASE WHEN rn = (n*3+4)//5 THEN v END) AS b3,
+         max(CASE WHEN rn = (n*4+4)//5 THEN v END) AS b4
+  FROM (SELECT {metric} AS v,
+               row_number() OVER (ORDER BY {metric} {order}) AS rn
+        FROM c), nn
+)"""
+
+    def score(metric, tbl, op):
+        terms = " + ".join(
+            f"(CASE WHEN {metric} {op} {tbl}.b{j} THEN 1 ELSE 0 END)"
+            for j in (1, 2, 3, 4)
+        )
+        return f"CAST(1 + {terms} AS BIGINT)"
+
+    return f"""WITH o AS (
+  SELECT o_custkey, epoch_ns(o_orderdate) // {day_ns} AS d,
+         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), c AS (
+  SELECT o_custkey,
+         (SELECT max(d) FROM o) - max(d) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM o GROUP BY o_custkey
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+{b_cte("rb", "recency_days", "DESC")},
+{b_cte("fb", "frequency", "ASC")},
+{b_cte("mb", "monetary_cents", "ASC")}
+SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
+       {score("c.recency_days", "rb", "<")} AS r_score,
+       {score("c.frequency", "fb", ">")} AS f_score,
+       {score("c.monetary_cents", "mb", ">")} AS m_score,
+       CAST(({score("c.recency_days", "rb", "<")}) * 100
+            + ({score("c.frequency", "fb", ">")}) * 10
+            + ({score("c.monetary_cents", "mb", ">")}) AS BIGINT) AS rfm
+FROM c, rb, fb, mb"""
+
+
 def q_attribution_linear(spark, sf_dir):
     """Multi-touch attribution, LINEAR model (asof_join.py:
     attribution_weights): each purchase's credit split 1/n over the
@@ -11205,6 +11263,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_markov_transitions": (q_markov_transitions, _SQL_MARKOV),
     "q_drawdown": (q_drawdown, _SQL_DRAWDOWN),
     "q_nms_spans": (q_nms_spans, _SQL_NMS_SPANS),
+    "q_rfm": (q_rfm, _sql_rfm()),
 }
 
 # ---------------------------------------------------------------------------
@@ -11242,7 +11301,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 236
+EXPECTED_CATALOG_SIZE = 237
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1584,3 +1584,22 @@ def test_nms_spans_plan_shape(spark):
     assert "LeftAnti" in plan, "survivor anti-join missing"
     assert plan.count("HashAggregate") >= 2, "distinct not partial-agged"
     assert_no_python_row_udf(out)
+
+
+def test_rfm_plan_shape(spark):
+    """rfm_segments: the per-customer table materializes once
+    (ExistingRDD in the final plan — the boundary scans must not
+    replay the orders shuffle) and scores are pure broadcast-literal
+    expressions: NO exchange, window, or join downstream of the
+    materialized table.  No Python."""
+    from dataframeintervals_jl_spark.operators.profile import (
+        rfm_segments,
+    )
+
+    od = read_table(spark, SF_DIR, "orders")
+    out = rfm_segments(od)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "per-customer table not materialized"
+    for bad in ("Exchange", "Window", "Join", "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} after materialization"
+    assert_no_python_row_udf(out)

@@ -1588,3 +1588,49 @@ def test_max_drawdown_hand_values(spark):
 
     with _pytest.raises(ValueError, match="grouping key"):
         max_drawdown(ev, "value", by=None)
+
+
+def test_rfm_segments_hand_values(spark):
+    """Pinned RFM semantics on a 5-customer table (n=5: boundary
+    ranks ceil(j*5/5)=j, so the boundaries are the 1st..4th order
+    statistics and every distinct metric value lands in its own
+    bucket): exact cents via floor(x*100+0.5), corpus-max recency
+    anchor, ties share a bucket, lower recency scores HIGHER."""
+    import datetime as dt
+
+    from dataframeintervals_jl_spark.operators.profile import (
+        rfm_segments,
+    )
+
+    D = dt.datetime
+    rows = [
+        # cust 1: latest day, 3 orders, biggest spend -> r5 f5 m5
+        (1, D(2020, 1, 10), 100.005),   # rounds to 10001 cents
+        (1, D(2020, 1, 9), 100.0),
+        (1, D(2020, 1, 8), 100.0),
+        # cust 2: 2 orders
+        (2, D(2020, 1, 7), 50.0), (2, D(2020, 1, 6), 50.0),
+        # cust 3..5: one order each, decreasing recency/spend
+        (3, D(2020, 1, 5), 30.0),
+        (4, D(2020, 1, 4), 20.0),
+        (5, D(2020, 1, 3), 10.0),
+    ]
+    od = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {
+        r["o_custkey"]: r.asDict() for r in rfm_segments(od).collect()
+    }
+    assert out[1]["recency_days"] == 0
+    assert out[1]["monetary_cents"] == 30001  # half-up, not truncation
+    assert out[5]["recency_days"] == 7
+    # n=5 -> boundaries are the four extreme order statistics; the
+    # frequency tie (custs 3,4,5 all at 1 order) shares bucket 1
+    assert [out[k]["rfm"] for k in (1, 2, 3, 4, 5)] == [
+        555, 444, 313, 212, 111
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        rfm_segments(od, n_buckets=1)
