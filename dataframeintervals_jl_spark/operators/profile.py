@@ -504,3 +504,54 @@ def rfm_segments(
         (F.col("r_score") * 100 + F.col("f_score") * 10
          + F.col("m_score")).cast("long"),
     )
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud / synthetic-data / unit-mixup detector in data
+    quality audits (public knowledge: Newcomb 1881, Benford 1938;
+    chi-square framing per standard forensic-accounting practice).
+
+    Semantics (pinned for the oracle): rows with ``floor(abs(v)) < 1``
+    (zero/NULL/sub-unit) drop — the first significant digit of the
+    INTEGER part is tested, which suits magnitude-spanning positive
+    measures; ``obs_ppm`` is the truncating ``n*1e6 DIV total``
+    (exact); ``expected_ppm`` and ``chi2_term`` are each ONE
+    fixed-order double formula over exact integers
+    (``p = ln(1+1/d)/ln(10)``, ``e = total*p``,
+    ``term = (n-e)^2/e``), rounded to 6 — no distributed double sums.
+
+    Scale shape: one column-pruned scan, partial-agged groupBy bounded
+    at 9 rows, and a 9-row window for the total.  No Python.
+
+    Output: ``(digit, n, obs_ppm, expected_ppm, chi2_term)``, one row
+    per observed digit 1-9.
+    """
+    v = F.abs(F.col(col))
+    iv = F.floor(v).cast("long")
+    d = (
+        df.select(iv.alias("__iv"))
+        .filter(F.col("__iv") >= 1)
+        .select(
+            F.substring(F.col("__iv").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as _W
+
+    total = F.sum("n").over(_W.partitionBy())  # <= 9 rows: safe
+    c = c.withColumn("total", total)
+    p = "ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"
+    e = f"CAST(total AS DOUBLE) * ({p})"
+    return c.select(
+        "digit",
+        "n",
+        F.expr("(n * 1000000L) div total").alias("obs_ppm"),
+        F.expr(f"round(({p}) * 1000000, 6)").alias("expected_ppm"),
+        F.expr(
+            f"round((CAST(n AS DOUBLE) - ({e}))"
+            f" * (CAST(n AS DOUBLE) - ({e})) / ({e}), 6)"
+        ).alias("chi2_term"),
+    )

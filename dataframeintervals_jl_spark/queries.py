@@ -1165,6 +1165,42 @@ SELECT user_id, max(runmax) AS peak,
 FROM s GROUP BY user_id"""
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of l_extendedprice (profile.py:
+    benford_digits): exact per-digit counts, truncating obs ppm, and
+    the expected/chi-square columns as single fixed-order double
+    formulas over those integers.  One pruned scan + a 9-row agg.  The
+    oracle replays the substring digit extraction and the identical
+    formula text."""
+    from .operators.profile import benford_digits
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return benford_digits(li, "l_extendedprice")
+
+
+_SQL_BENFORD = """WITH v AS (
+  SELECT CAST(floor(abs(l_extendedprice)) AS BIGINT) AS iv
+  FROM lineitem WHERE floor(abs(l_extendedprice)) >= 1
+), d AS (
+  SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM v
+), c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, n, (n * 1000000) // total AS obs_ppm,
+       round((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1000000,
+             6) AS expected_ppm,
+       round((CAST(n AS DOUBLE)
+              - (CAST(total AS DOUBLE)
+                 * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))))
+             * (CAST(n AS DOUBLE)
+                - (CAST(total AS DOUBLE)
+                   * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))))
+             / (CAST(total AS DOUBLE)
+                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))),
+             6) AS chi2_term
+FROM c, t"""
+
+
 def q_rfm(spark, sf_dir):
     """RFM customer segmentation (profile.py: rfm_segments): exact
     integer recency/frequency/monetary per customer, quintile scores
@@ -11264,6 +11300,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_drawdown": (q_drawdown, _SQL_DRAWDOWN),
     "q_nms_spans": (q_nms_spans, _SQL_NMS_SPANS),
     "q_rfm": (q_rfm, _sql_rfm()),
+    "q_benford": (q_benford, _SQL_BENFORD),
 }
 
 # ---------------------------------------------------------------------------
@@ -11301,7 +11338,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 237
+EXPECTED_CATALOG_SIZE = 238
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -1634,3 +1634,30 @@ def test_rfm_segments_hand_values(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         rfm_segments(od, n_buckets=1)
+
+
+def test_benford_digits_hand_values(spark):
+    """Pinned Benford semantics: integer-part first digit, sub-unit /
+    zero / NULL / negative-magnitude-below-1 rows drop, abs() applies,
+    truncating obs ppm, expected ppm matches log10(1+1/d)."""
+    import math
+
+    from dataframeintervals_jl_spark.operators.profile import (
+        benford_digits,
+    )
+
+    rows = [
+        (123.4,), (19.0,), (1.0,), (-250.0,),  # digits 1,1,1,2
+        (0.7,), (0.0,), (None,), (-0.5,),      # all drop
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r.asDict() for r in benford_digits(df, "v").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n"] == 3 and out[2]["n"] == 1
+    assert out[1]["obs_ppm"] == 750000
+    assert out[2]["obs_ppm"] == 250000
+    exp1 = round(math.log10(2.0) * 1e6, 6)
+    assert abs(out[1]["expected_ppm"] - exp1) < 0.01
+    # chi2 term recomputes exactly from the pinned formula
+    e = 4 * math.log10(2.0)
+    assert abs(out[1]["chi2_term"] - round((3 - e) ** 2 / e, 6)) < 1e-6
