@@ -10800,6 +10800,35 @@ def q_psi_timeline(spark, sf_dir):
     )
 
 
+def q_stream_psi_timeline(spark, sf_dir):
+    """The STREAMING drift-monitor twin in batch mode (streaming.py:
+    stream_psi_timeline — (period, bucket) counts are the mergeable
+    sink state, PSI is a read-time projection; file-stream parity
+    pytest-gated).  Batch inputs delegate to psi_timeline; shares its
+    oracle."""
+    from .streaming import stream_psi_timeline
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "ts", F.round(F.col("value") * 1_000).cast("long").alias("v_fx")
+    )
+    return stream_psi_timeline(
+        ev, "v_fx", _PSI_T_LO, _PSI_T_HI, _PSI_T_NB, _PSI_T_PERIOD,
+        ts_col="ts",
+    )
+
+
+def q_stream_benford(spark, sf_dir):
+    """The STREAMING Benford-audit twin in batch mode (streaming.py:
+    stream_benford — per-digit counts are the mergeable sink state,
+    expected/chi-square columns are a read-time projection;
+    file-stream parity pytest-gated).  Batch inputs delegate to
+    benford_digits; shares its oracle."""
+    from .streaming import stream_benford
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return stream_benford(li, "l_extendedprice")
+
+
 def _sql_psi_timeline() -> str:
     nb, lo, hi, P = _PSI_T_NB, _PSI_T_LO, _PSI_T_HI, _PSI_T_PERIOD
     b = nb + 2
@@ -11301,6 +11330,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_nms_spans": (q_nms_spans, _SQL_NMS_SPANS),
     "q_rfm": (q_rfm, _sql_rfm()),
     "q_benford": (q_benford, _SQL_BENFORD),
+    "q_stream_psi_timeline": (q_stream_psi_timeline, _sql_psi_timeline()),
+    "q_stream_benford": (q_stream_benford, _SQL_BENFORD),
 }
 
 # ---------------------------------------------------------------------------
@@ -11338,7 +11369,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 238
+EXPECTED_CATALOG_SIZE = 240
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

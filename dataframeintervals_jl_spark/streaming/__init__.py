@@ -2678,3 +2678,70 @@ def stream_entropy_windows(
         validate="skip",
         strategy="broadcast_right",
     ).select(*keys, *label_cols, label_col)
+
+
+def stream_psi_timeline(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    nbuckets: int,
+    period_ns: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming drift-monitor feed — the twin of
+    :func:`~..operators.profile.psi_timeline`: the (period, bucket)
+    integer counts are the mergeable sink state (per-micro-batch
+    counts just add; the consecutive-period PSI is a read-time
+    projection over the dimension-sized count table), so the stream is
+    a STATELESS row-local projection emitting ``(period, bucket)`` in
+    APPEND mode — no watermark, no state store, every row exactly
+    once.
+
+    Batch inputs delegate to the batch operator — what
+    ``q_stream_psi_timeline`` gates against the shared oracle."""
+    from ..operators.profile import psi_timeline
+    from ..operators.timeseries import histogram_bucket_expr
+
+    if not df.isStreaming:
+        return psi_timeline(
+            df, value_col, lo, hi, nbuckets, period_ns, ts_col=ts_col
+        )
+    if nbuckets < 1:
+        raise ValueError(f"nbuckets must be >= 1, got {nbuckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if period_ns <= 0:
+        raise ValueError(f"period_ns must be positive, got {period_ns}")
+    t = f"CAST({ts_col} AS BIGINT)"
+    period = f"(({t} - pmod({t}, {period_ns})) DIV {period_ns})"
+    bucket = histogram_bucket_expr(value_col, lo, hi, nbuckets)
+    return df.select(
+        F.expr(period).alias("period"), F.expr(bucket).alias("bucket")
+    )
+
+
+def stream_benford(df: DataFrame, col: str) -> DataFrame:
+    """Streaming Benford audit feed — the twin of
+    :func:`~..operators.profile.benford_digits`: per-digit counts are
+    the mergeable sink state, the expected/chi-square columns are a
+    read-time projection, so the stream is a stateless row-local digit
+    extraction in APPEND mode (rows with integer part < 1 drop, same
+    as batch).
+
+    Batch inputs delegate to the batch operator — what
+    ``q_stream_benford`` gates against the shared oracle."""
+    from ..operators.profile import benford_digits
+
+    if not df.isStreaming:
+        return benford_digits(df, col)
+    iv = F.floor(F.abs(F.col(col))).cast("long")
+    return (
+        df.select(iv.alias("__iv"))
+        .filter(F.col("__iv") >= 1)
+        .select(
+            F.substring(F.col("__iv").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )

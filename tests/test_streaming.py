@@ -2790,3 +2790,119 @@ def test_stream_entropy_windows_parity(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) == 2
+
+
+def test_stream_psi_timeline_parity(spark, tmp_path):
+    """Sink-side (period, bucket) count accumulation + read-time PSI
+    projection equals batch psi_timeline exactly (nbuckets=1 ->
+    3-bucket grid keeps the read-time formula small)."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.profile import psi_timeline
+    from dataframeintervals_jl_spark.streaming import stream_psi_timeline
+
+    schema = "v long, ts long"
+    b1 = spark.createDataFrame(
+        [(5, 0), (15, 1), (5, 10), (25, 11), (-3, 12)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(5, 2), (5, 13), (15, 20), (15, 21), (5, 22)], schema
+    )
+    d = str(tmp_path / "psi_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_psi_timeline(stream, "v", 0, 20, 1, 10, ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psit")
+        .option("checkpointLocation", str(tmp_path / "ckpt_psit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # read-time projection: pivot the accumulated counts, join each
+    # period to its predecessor, apply the identical PSI term order
+    pterm = lambda i: (  # noqa: E731
+        f"((CAST(c{i} AS DOUBLE)+1)/(CAST(n AS DOUBLE)+3)"
+        f" - (CAST(g{i} AS DOUBLE)+1)/(CAST(n_prev AS DOUBLE)+3))"
+        f" * ln(((CAST(c{i} AS DOUBLE)+1)/(CAST(n AS DOUBLE)+3))"
+        f" / ((CAST(g{i} AS DOUBLE)+1)/(CAST(n_prev AS DOUBLE)+3)))"
+    )
+    psi = " + ".join(pterm(i) for i in range(3))
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "WITH per AS ("
+            " SELECT period, count(*) AS n,"
+            "  sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS c0,"
+            "  sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS c1,"
+            "  sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2"
+            " FROM psit GROUP BY period),"
+            " j AS (SELECT a.period, a.n AS n, b.n AS n_prev,"
+            "  a.c0, a.c1, a.c2, b.c0 AS g0, b.c1 AS g1, b.c2 AS g2"
+            "  FROM per a JOIN per b ON a.period = b.period + 1)"
+            f" SELECT period, n, n_prev, round({psi}, 6) AS psi FROM j"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in psi_timeline(
+            b1.unionByName(b2), "v", 0, 20, 1, 10, ts_col="ts"
+        ).collect()
+    }
+    assert got == batch and len(got) >= 1
+
+
+def test_stream_benford_parity(spark, tmp_path):
+    """Sink-side digit-count accumulation + read-time expected/chi2
+    projection equals batch benford_digits exactly."""
+    from dataframeintervals_jl_spark.operators.profile import (
+        benford_digits,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_benford
+
+    schema = "v double"
+    b1 = spark.createDataFrame([(123.4,), (19.0,), (0.5,)], schema)
+    b2 = spark.createDataFrame([(1.0,), (-250.0,), (None,)], schema)
+    d = str(tmp_path / "benford_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_benford(stream, "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("benf")
+        .option("checkpointLocation", str(tmp_path / "ckpt_benf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    p = "ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"
+    e = f"CAST(total AS DOUBLE) * ({p})"
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "WITH c AS (SELECT digit, count(*) AS n FROM benf"
+            " GROUP BY digit),"
+            " t AS (SELECT sum(n) AS total FROM c)"
+            f" SELECT digit, n, (n * 1000000) div total AS obs_ppm,"
+            f" round(({p}) * 1000000, 6) AS expected_ppm,"
+            f" round((CAST(n AS DOUBLE) - ({e}))"
+            f" * (CAST(n AS DOUBLE) - ({e})) / ({e}), 6) AS chi2_term"
+            " FROM c, t"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in benford_digits(b1.unionByName(b2), "v").collect()
+    }
+    assert got == batch and len(got) == 2
