@@ -555,3 +555,55 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
             f" * (CAST(n AS DOUBLE) - ({e})) / ({e}), 6)"
         ).alias("chi2_term"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    period_days: int = 30,
+) -> DataFrame:
+    """Cohort lifetime-value matrix: keys grouped by first-activity
+    period, each later period's revenue summed by cohort age — the
+    revenue companion to the retention triangle (``q_retention_cohorts``).
+
+    Semantics (pinned for the oracle): periods are
+    ``epoch_day DIV period_days`` (exact integers); a key's cohort is
+    its minimum period; ``age = period - cohort``; ``ltv_cents`` is
+    the exact integer cent sum (``floor(amount*100 + 0.5)``) and
+    ``n_keys`` the distinct keys active in the cell.
+
+    Scale shape: two partial-agged passes + one equi-join on the key —
+    identical structure to the retention triangle; no doubles anywhere.
+    """
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    from ..sources import col_to_ns
+
+    day_ns = 86_400_000_000_000
+    ns = col_to_ns(F.col(date_col), df.schema[date_col].dataType)
+    o = (
+        df.select(
+            F.col(key),
+            ns.cast("long").alias("__ns"),
+            F.floor(F.col(amount_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("__cents"),
+        )
+        .withColumn(
+            "period", F.expr(f"__ns div {day_ns} div {period_days}")
+        )
+        .drop("__ns")
+    )
+    first = o.groupBy(key).agg(F.min("period").alias("cohort"))
+    return (
+        o.join(first, key)
+        .groupBy(
+            "cohort", (F.col("period") - F.col("cohort")).alias("age")
+        )
+        .agg(
+            F.sum("__cents").alias("ltv_cents"),
+            F.count_distinct(F.col(key)).alias("n_keys"),
+        )
+    )

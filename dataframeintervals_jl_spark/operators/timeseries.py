@@ -2429,3 +2429,49 @@ def max_drawdown(
             F.when(F.col("__runmax") > 0, dd / F.col("__runmax"))
         ).alias("max_drawdown_rel"),
     )
+
+
+def interarrival_histogram(
+    df: DataFrame,
+    by: Key = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Arrival-process profile: histogram of the gaps between a key's
+    consecutive events, bucketed by DECIMAL DECADE — the
+    latency-distribution shape every event pipeline publishes.
+
+    Semantics (pinned for the oracle): gaps are ``next_ts - ts`` along
+    the key's (ts, tie-break) order, the last event of a key emits
+    nothing, and the decade of a positive gap is
+    ``length(CAST(gap AS STRING)) - 1`` — exactly
+    ``floor(log10(gap))``, computed on INTEGERS so there is no
+    float-log boundary drift between engines.  Non-positive gaps
+    (exact-timestamp ties) land in decade -1.  Per decade: count and
+    the exact min/max gap.
+
+    Scale shape: one keyed window shuffle + a partial-agged groupBy
+    bounded by ~19 decades.  No Python.
+    """
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("interarrival_histogram: a grouping key is required")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    cols = list(dict.fromkeys([*keys, *order_cols, ts_col]))
+    g = (
+        df.select(*cols)
+        .withColumn("__gap", F.lead(F.col(ts_col)).over(w) - F.col(ts_col))
+        .filter(F.col("__gap").isNotNull())
+    )
+    decade = F.when(F.col("__gap") <= 0, F.lit(-1)).otherwise(
+        F.length(F.col("__gap").cast("string")) - 1
+    )
+    return (
+        g.select(decade.cast("long").alias("decade"), "__gap")
+        .groupBy("decade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__gap").alias("min_gap"),
+            F.max("__gap").alias("max_gap"),
+        )
+    )

@@ -7316,6 +7316,62 @@ FROM ud JOIN first USING (user_id)
 GROUP BY 1, 2"""
 
 
+def q_interarrival(spark, sf_dir):
+    """Inter-arrival decade histogram (timeseries.py:
+    interarrival_histogram): gaps between consecutive same-user
+    events, bucketed by floor(log10) computed as the INTEGER decimal
+    string length (no float-log boundary drift), ties in decade -1,
+    exact min/max gap per decade.  One keyed window shuffle + a
+    19-row-bounded agg.  The oracle replays the lead(), the string
+    length, and the tie bucket."""
+    from .operators.timeseries import interarrival_histogram
+
+    ev = read_table(spark, sf_dir, "events")
+    return interarrival_histogram(ev)
+
+
+_SQL_INTERARRIVAL = """WITH g AS (
+  SELECT lead(epoch_ns(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) - epoch_ns(ts) AS gap
+  FROM events
+)
+SELECT CAST(CASE WHEN gap <= 0 THEN -1
+            ELSE length(CAST(gap AS VARCHAR)) - 1 END AS BIGINT) AS decade,
+       CAST(count(*) AS BIGINT) AS n,
+       min(gap) AS min_gap, max(gap) AS max_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix (profile.py: cohort_ltv): 30-day
+    periods from exact epoch-day integers, cohort = first period per
+    customer, exact cent sums and distinct-customer counts per
+    (cohort, age) cell — the revenue companion to the retention
+    triangle, zero doubles.  Two partial-agged passes + one key
+    equi-join."""
+    from .operators.profile import cohort_ltv
+
+    od = read_table(spark, sf_dir, "orders")
+    return cohort_ltv(od)
+
+
+_SQL_COHORT_LTV = """WITH o AS (
+  SELECT o_custkey,
+         (epoch_ns(o_orderdate) // 86400000000000) // 30 AS period,
+         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(period) AS cohort FROM o GROUP BY o_custkey
+)
+SELECT cohort, period - cohort AS age,
+       CAST(sum(cents) AS BIGINT) AS ltv_cents,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_keys
+FROM o JOIN first ON o.o_custkey = first.o_custkey
+GROUP BY 1, 2"""
+
+
 def q_anomaly_flags(spark, sf_dir):
     """Per-user z-score anomaly flags from EXACT bigint moment sums:
     mean/variance per user via (n, Σx, Σx²) fixed-point sums, then one
@@ -11332,6 +11388,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_benford": (q_benford, _SQL_BENFORD),
     "q_stream_psi_timeline": (q_stream_psi_timeline, _sql_psi_timeline()),
     "q_stream_benford": (q_stream_benford, _SQL_BENFORD),
+    "q_interarrival": (q_interarrival, _SQL_INTERARRIVAL),
+    "q_cohort_ltv": (q_cohort_ltv, _SQL_COHORT_LTV),
 }
 
 # ---------------------------------------------------------------------------
@@ -11369,7 +11427,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 240
+EXPECTED_CATALOG_SIZE = 242
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

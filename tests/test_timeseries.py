@@ -1661,3 +1661,62 @@ def test_benford_digits_hand_values(spark):
     # chi2 term recomputes exactly from the pinned formula
     e = 4 * math.log10(2.0)
     assert abs(out[1]["chi2_term"] - round((3 - e) ** 2 / e, 6)) < 1e-6
+
+
+def test_interarrival_histogram_hand_values(spark):
+    """Pinned decade semantics: string-length decades (9 -> 0,
+    10 -> 1, 999 -> 2), exact ties in decade -1, last event per key
+    emits nothing, keys never cross."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        interarrival_histogram,
+    )
+
+    rows = [
+        (1, 1, 0), (2, 1, 9), (3, 1, 19), (4, 1, 1018),  # gaps 9,10,999
+        (5, 2, 5), (6, 2, 5),                            # tie -> -1
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    out = {
+        r["decade"]: (r["n"], r["min_gap"], r["max_gap"])
+        for r in interarrival_histogram(ev).collect()
+    }
+    assert out == {
+        -1: (1, 0, 0),
+        0: (1, 9, 9),
+        1: (1, 10, 10),
+        2: (1, 999, 999),
+    }
+
+
+def test_cohort_ltv_hand_values(spark):
+    """Pinned cohort-LTV semantics: 30-day periods from epoch days,
+    cohort = first period, half-up cents, distinct keys per cell."""
+    import datetime as dt
+
+    from dataframeintervals_jl_spark.operators.profile import cohort_ltv
+
+    D = dt.datetime
+    rows = [
+        # cust 1: period p0 (1970-01-05) and p2 (+62d): ages 0 and 2
+        (1, D(1970, 1, 5), 10.005),
+        (1, D(1970, 3, 8), 20.0),
+        # cust 2: same cohort p0, age 0 twice (summed, 1 distinct key)
+        (2, D(1970, 1, 10), 1.0),
+        (2, D(1970, 1, 20), 2.0),
+    ]
+    od = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {
+        (r["cohort"], r["age"]): (r["ltv_cents"], r["n_keys"])
+        for r in cohort_ltv(od).collect()
+    }
+    assert out == {
+        (0, 0): (1001 + 100 + 200, 2),  # 10.005 -> 1001 half-up
+        (0, 2): (2000, 1),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period_days"):
+        cohort_ltv(od, period_days=0)
