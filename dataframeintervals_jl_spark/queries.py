@@ -5067,6 +5067,47 @@ def q_compact_roundtrip(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL interchange round-trip (sinks.py: write_jsonl +
+    sources.read_json): the documents table goes out as line-delimited
+    JSON and comes back through the schema-explicit reader; per-source
+    count, char sum, id range, AND a 60-bit md5 content checksum of
+    every text must equal the original parquet exactly — byte fidelity
+    of the encode/decode hop is what the oracle certifies.  Checksum
+    sums run in decimal(38,0) (60-bit hashes overflow int64 within
+    ~16k rows) and compare as strings."""
+    import shutil
+
+    from .functions.text import portable_hash60
+    from .sources import read_json
+    from .sources.sinks import write_jsonl
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = _fixture_scratch(sf_dir, "jsonl_out")
+    shutil.rmtree(out, ignore_errors=True)
+    write_jsonl(docs, out)
+    back = read_json(spark, out, docs.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum(portable_hash60(F.col("text")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("text_checksum"),
+    )
+
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       sum(('0x' || substr(md5(text), 1, 15))::BIGINT)
+         ::DECIMAL(38,0)::VARCHAR AS text_checksum
+FROM documents GROUP BY source"""
+
+
 _SQL_COMPACT_ROUNDTRIP = """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -11390,6 +11431,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_benford": (q_stream_benford, _SQL_BENFORD),
     "q_interarrival": (q_interarrival, _SQL_INTERARRIVAL),
     "q_cohort_ltv": (q_cohort_ltv, _SQL_COHORT_LTV),
+    "q_jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
 }
 
 # ---------------------------------------------------------------------------
@@ -11427,7 +11469,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 242
+EXPECTED_CATALOG_SIZE = 243
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

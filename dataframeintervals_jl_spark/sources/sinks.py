@@ -462,3 +462,32 @@ def read_register_index(
         f"(kept versions: {kept} — older ones are pruned by "
         "keep_versions)"
     )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = None,
+    target_rows_per_file: int = 0,
+) -> None:
+    """Write line-delimited JSON (the LLM-corpus interchange format —
+    one document object per line, the shape Dolma/RedPajama-style
+    pipelines exchange): Spark's native distributed JSON sink, one
+    shard per task, optional codec (``gzip``/``zstd``) and a
+    row-count-based repartition for shard sizing.
+
+    Scale note: JSONL is the INTERCHANGE format, not the processing
+    format — numbers round-trip exactly only for integers and
+    shortest-repr doubles, and the reader must be given an explicit
+    schema (:func:`..read_json` refuses inference for the same
+    reason the CSV reader does: an inference pass reads everything
+    twice and guesses).  Keep parquet as the working format;
+    ``q_jsonl_roundtrip`` gates the fidelity of the hop."""
+    if target_rows_per_file > 0:
+        n = df.count()
+        df = df.repartition(max(1, -(-n // target_rows_per_file)))
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

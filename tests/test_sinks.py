@@ -537,3 +537,34 @@ def test_orc_roundtrip_with_pushdown(spark, docs, tmp_path):
     assert "PushedFilters: [" in plan and "lang" in plan.split(
         "PushedFilters"
     )[1][:120], "lang filter must reach the ORC reader"
+
+
+def test_write_jsonl_roundtrip_and_sharding(spark, tmp_path):
+    """write_jsonl: text with quotes/newlines/unicode survives the
+    encode/decode hop exactly; target_rows_per_file controls shard
+    count; gzip names the codec in the part files."""
+    from dataframeintervals_jl_spark.sources import read_json
+    from dataframeintervals_jl_spark.sources.sinks import write_jsonl
+
+    rows = [
+        (1, 'he said "hi"\nand left', "en"),
+        (2, "tabs\tandé unicode 中文", "zh"),
+        (3, "plain", "en"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out, target_rows_per_file=2)
+    import glob
+
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) == 2, parts
+    back = read_json(spark, out, df.schema)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+    gz = str(tmp_path / "jlgz")
+    write_jsonl(df, gz, compression="gzip")
+    assert glob.glob(gz + "/part-*.gz")
+    assert {
+        tuple(r) for r in read_json(spark, gz, df.schema).collect()
+    } == set(rows)
