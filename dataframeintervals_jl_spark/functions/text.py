@@ -515,3 +515,55 @@ def split_sentences(text) -> Column:
         arr, lambda s: F.trim(F.replace(s, F.lit(_DOT_GUARD), F.lit(".")))
     )
     return F.filter(restored, lambda s: s != F.lit(""))
+
+
+# --- readability -----------------------------------------------------------
+
+_VOWEL_RUN_RE = r"[aeiouy]+"
+_SENT_TERM_RE = r"[.!?]+"
+
+
+def syllable_count(text) -> Column:
+    """Vowel-group syllable heuristic: runs of ``[aeiouy]`` in the
+    lowercased text (the standard public approximation behind
+    Flesch-family tooling — silent-e and diphthong corrections are
+    deliberately omitted so the count is byte-replayable in SQL)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(text)), F.lit(_VOWEL_RUN_RE), 0)
+    )
+
+
+def sentence_count(text) -> Column:
+    """Terminator-run sentence count: ``[.!?]+`` occurrences, floored
+    at 1 so headline-style fragments count as one sentence."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(_c(text), F.lit(_SENT_TERM_RE), 0)),
+        F.lit(1),
+    )
+
+
+def flesch_reading_ease(words, sentences, syllables) -> Column:
+    """Flesch reading ease (Flesch 1948, public formula):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` —
+    ONE fixed-order double formula over the three exact integer
+    counts; NULL when there are no words."""
+    w, s, y = _c(words), _c(sentences), _c(syllables)
+    return F.when(
+        w > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (y.cast("double") / w.cast("double")),
+    )
+
+
+def fk_grade_level(words, sentences, syllables) -> Column:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975):
+    ``0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`` —
+    same exact-integer inputs and NULL-on-empty guard."""
+    w, s, y = _c(words), _c(sentences), _c(syllables)
+    return F.when(
+        w > 0,
+        F.lit(0.39) * (w.cast("double") / s.cast("double"))
+        + F.lit(11.8) * (y.cast("double") / w.cast("double"))
+        - F.lit(15.59),
+    )

@@ -767,6 +767,61 @@ _SQL_DEDUP_EXACT = """SELECT md5(text) AS h, min(doc_id) AS keep_id,
 FROM documents GROUP BY md5(text)"""
 
 
+def q_readability(spark, sf_dir):
+    """Readability scoring (functions/text.py: flesch_reading_ease /
+    fk_grade_level): exact integer word / sentence-terminator /
+    vowel-group counts per document, then the two public formulas each
+    as ONE fixed-order double expression (NULL on zero words) — the
+    quality-filtering feature set of curation pipelines, pure
+    expressions, zero shuffles beyond the scan."""
+    from .functions.text import (
+        fk_grade_level,
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        sentence_count("text").cast("long").alias("n_sentences"),
+        syllable_count("text").cast("long").alias("n_syllables"),
+    )
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(
+            flesch_reading_ease("n_words", "n_sentences", "n_syllables"), 6
+        ).alias("flesch"),
+        F.round(
+            fk_grade_level("n_words", "n_sentences", "n_syllables"), 6
+        ).alias("fk_grade"),
+    )
+
+
+_SQL_READABILITY = r"""WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN round(
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+         6) END AS flesch,
+       CASE WHEN n_words > 0 THEN round(
+         0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         - 15.59, 6) END AS fk_grade
+FROM c"""
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -11432,6 +11487,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_interarrival": (q_interarrival, _SQL_INTERARRIVAL),
     "q_cohort_ltv": (q_cohort_ltv, _SQL_COHORT_LTV),
     "q_jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
+    "q_readability": (q_readability, _SQL_READABILITY),
 }
 
 # ---------------------------------------------------------------------------
@@ -11469,7 +11525,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 243
+EXPECTED_CATALOG_SIZE = 244
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

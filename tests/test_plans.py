@@ -1603,3 +1603,40 @@ def test_rfm_plan_shape(spark):
     for bad in ("Exchange", "Window", "Join", "CartesianProduct"):
         assert bad not in plan, f"unexpected {bad} after materialization"
     assert_no_python_row_udf(out)
+
+
+def test_session2_light_operator_plan_shapes(spark):
+    """Shared plan lock for the continuation-session light operators:
+    benford_digits (partial-agged 9-row pivot, no join), cohort_ltv
+    (two partial-agged passes + ONE equi-join, no window),
+    interarrival_histogram (one keyed window + bounded agg).  No
+    Python anywhere."""
+    import re as _re
+
+    from dataframeintervals_jl_spark.operators.profile import (
+        benford_digits, cohort_ltv,
+    )
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        interarrival_histogram,
+    )
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    b = benford_digits(li, "l_extendedprice")
+    pb = b._jdf.queryExecution().executedPlan().toString()
+    assert pb.count("HashAggregate") >= 2, "digit counts not partial-agged"
+    assert "Join" not in pb and "CartesianProduct" not in pb
+    assert_no_python_row_udf(b)
+
+    od = read_table(spark, SF_DIR, "orders")
+    c = cohort_ltv(od)
+    pc = c._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"\bWindow\b", pc)) == 0
+    assert pc.count("HashAggregate") >= 4, "cohort passes not partial-agged"
+    assert_no_python_row_udf(c)
+
+    ev = read_table(spark, SF_DIR, "events")
+    ia = interarrival_histogram(ev)
+    pi = ia._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"\bWindow\b", pi)) == 1
+    assert pi.count("HashAggregate") >= 2
+    assert_no_python_row_udf(ia)

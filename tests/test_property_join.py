@@ -329,3 +329,59 @@ def test_profile_integral_equals_total_duration(spark, spans):
         (r["span"]["start"], r["span"]["stop"]) for r in merge_spans(df).collect()
     ]
     assert _measure([(s, e) for s, e, _ in prof]) == _measure(islands)
+
+
+nms_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # start
+        st.integers(min_value=0, max_value=15),   # width
+        st.integers(min_value=0, max_value=4),    # score (ties likely)
+        st.integers(min_value=0, max_value=2),    # key
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=nms_rows)
+def test_suppress_dominated_spans_matches_brute_force(spark, rows):
+    """Pairwise-dominance NMS against a per-pair Python oracle on
+    adversarial layouts: nested / touching / zero-width spans, heavy
+    score ties, multiple keys.  Zero-width spans overlap nothing
+    under [) so they always survive."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dataframeintervals_jl_spark.functions.spans import make_span
+    from dataframeintervals_jl_spark.operators.coalesce import (
+        suppress_dominated_spans,
+    )
+
+    data = [
+        (i, k, float(sc), EPOCH + s * 1_000, EPOCH + (s + w) * 1_000)
+        for i, (s, w, sc, k) in enumerate(rows)
+    ]
+    expect = set()
+    for i, ki, sci, si, ei in data:
+        dominated = any(
+            kj == ki
+            and max(si, sj) < min(ei, ej)
+            and (scj > sci or (scj == sci and j < i))
+            for j, kj, scj, sj, ej in data
+            if j != i
+        )
+        if not dominated:
+            expect.add(i)
+    df = spark.createDataFrame(
+        data, "id long, k long, score double, s long, e long"
+    ).select("id", "k", "score", make_span(F.col("s"), F.col("e")).alias("span"))
+    got = {
+        r["id"]
+        for r in suppress_dominated_spans(df, "score", "id", by="k").collect()
+    }
+    assert got == expect

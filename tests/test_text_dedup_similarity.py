@@ -2187,3 +2187,46 @@ def test_gram_novelty_hand_values(spark):
         gram_novelty(docs, min_df=1)
     with pytest.raises(ValueError, match="shingle_k"):
         gram_novelty(docs, shingle_k=0)
+
+
+def test_readability_hand_values(spark):
+    """Pinned readability semantics: vowel-run syllables, terminator
+    runs floored at 1, Flesch/FK formulas, NULL on zero words."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.text import (
+        fk_grade_level,
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("The cat sat.",),         # 3 words, 1 sentence, 3 syllables
+            ("Hi there!! Bye?",),      # 3 words, 2 terminator runs
+            ("no terminator",),        # floors at 1 sentence
+            ("",),                     # zero words -> NULL scores
+        ],
+        "text string",
+    )
+    out = df.select(
+        token_count("text").alias("w"),
+        sentence_count("text").alias("s"),
+        syllable_count("text").alias("y"),
+    ).select(
+        "w", "s", "y",
+        F.round(flesch_reading_ease("w", "s", "y"), 3).alias("fre"),
+        F.round(fk_grade_level("w", "s", "y"), 3).alias("fk"),
+    ).collect()
+    r0 = out[0]
+    assert (r0["w"], r0["s"], r0["y"]) == (3, 1, 3)
+    assert r0["fre"] == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 3)
+    assert r0["fk"] == round(0.39 * 3 + 11.8 * 1.0 - 15.59, 3)
+    assert (out[1]["w"], out[1]["s"]) == (3, 2)
+    # "Hi there!! Bye?": vowel runs i, e, e, y+e... 'there' -> e, e;
+    # 'Bye' -> y+e run counts ONCE (y adjacent to e)
+    assert out[1]["y"] == 4
+    assert out[2]["s"] == 1
+    assert out[3]["fre"] is None and out[3]["fk"] is None

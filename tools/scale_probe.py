@@ -76,6 +76,16 @@ HEAVY = [
     "q_gram_novelty",
     "q_pmi_collocations",
     "q_interval_agreement",
+    # round-11 continuation session 2: interval NMS (keyed interval
+    # join + anti), the event-sequence operators (one user-keyed
+    # window each), and the orders-based rollups (scaled orders table:
+    # fresh customer population per copy, timeline laid end-to-end)
+    "q_nms_spans",
+    "q_markov_transitions",
+    "q_drawdown",
+    "q_interarrival",
+    "q_rfm",
+    "q_cohort_ltv",
 ]
 
 
@@ -124,6 +134,32 @@ def build_scaled(spark, copies: int) -> None:
     for p in parts[1:]:
         u = u.unionByName(p)
     u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    od = read_table(spark, SF01, "orders")
+    orng = od.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).first()
+    odays = (orng["hi"] - orng["lo"]).days + 1
+    parts = []
+    for k in range(copies):
+        c = od.select(
+            (F.col("o_orderkey") + F.lit(k * ID_SHIFT)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(k * ID_SHIFT)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            (
+                F.col("o_orderdate")
+                + F.make_dt_interval(F.lit(k * odays))
+            ).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/orders.parquet"
+    )
 
     emb = read_table(spark, SF01, "embeddings")
     parts = []
