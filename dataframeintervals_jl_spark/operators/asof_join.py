@@ -691,3 +691,54 @@ def markov_transitions(
         )
         .select("from_type", "to_type", "n", "n_from", "prob_ppm")
     )
+
+
+def event_path_counts(
+    events: DataFrame,
+    by: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    depth: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """N-step path mining over per-key event sequences: count every
+    run of ``depth`` consecutive events of the same key — the
+    product-analytics "top paths" view (:func:`markov_transitions` is
+    the ``depth=2`` transition special case with probabilities).
+
+    Semantics (pinned for the oracle): the sequence order is
+    ``order_cols`` (trailing unique tie-break); a path must be fully
+    inside one key's sequence; any NULL step drops the path; paths
+    with fewer than ``min_count`` occurrences are filtered.
+
+    Scale shape: ONE window pass (all ``depth-1`` leads share the
+    same window spec, so Catalyst evaluates them in a single Window
+    node over one keyed shuffle) + a partial-agged groupBy bounded by
+    ``|types|^depth``.  No Python.
+
+    Output: ``(step_1 .. step_{depth}, n)``.
+    """
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    ordering = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(by).orderBy(*ordering)
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(F.col(type_col), i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, depth)
+    ]
+    names = [f"step_{i + 1}" for i in range(depth)]
+    seq = events.select(*steps)
+    cond = None
+    for nm in names:
+        c = F.col(nm).isNotNull()
+        cond = c if cond is None else (cond & c)
+    out = (
+        seq.filter(cond)
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out

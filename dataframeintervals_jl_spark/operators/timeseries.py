@@ -2475,3 +2475,65 @@ def interarrival_histogram(
             F.max("__gap").alias("max_gap"),
         )
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    by: Key = "user_id",
+    ts_col: str = "ts",
+    unit_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Duration / survival analysis over per-key lifetimes: for every
+    distinct lifetime length, how many keys end there, how many were
+    still "at risk", the exact survival probability, and the discrete
+    hazard — the churn / session-length / study-retention curve.
+
+    Semantics (pinned for the oracle): a key's lifetime is
+    ``(max(ts) - min(ts)) DIV unit_ns`` whole units (default days —
+    single-event keys live 0 units); with every lifetime fully
+    observed (no censoring) the Kaplan-Meier estimator reduces to the
+    empirical survivor function, so ``survival_ppm = #{lifetime > d}
+    * 1e6 DIV n_total`` and ``hazard_ppm = n_end * 1e6 DIV
+    n_at_risk`` are EXACT integers — no cumulative float product
+    anywhere.  (Censored data needs the KM product; deliberately out
+    of scope so the result stays bit-exact cross-engine.)
+
+    Scale shape: one partial-agged groupBy per key, one groupBy on the
+    unit-granular duration, then a cumulative window over the
+    DIMENSION-sized distinct-duration table (bounded by the corpus
+    time range in units — thousands of rows, not data-sized; coarsen
+    ``unit_ns`` if your range isn't).  No Python.
+
+    Output: ``(duration, n_end, n_at_risk, survival_ppm, hazard_ppm)``.
+    """
+    keys = _by_cols(by)
+    if not keys:
+        raise ValueError("survival_curve: a grouping key is required")
+    if unit_ns <= 0:
+        raise ValueError(f"unit_ns must be positive, got {unit_ns}")
+    per = df.groupBy(*keys).agg(
+        F.expr(
+            f"(max(CAST({ts_col} AS BIGINT))"
+            f" - min(CAST({ts_col} AS BIGINT))) div {unit_ns}"
+        ).alias("duration")
+    )
+    g = per.groupBy("duration").agg(F.count(F.lit(1)).alias("n_end"))
+    w = (
+        Window.orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tw = Window.partitionBy()
+    g = g.withColumn("__cum", F.sum("n_end").over(w)).withColumn(
+        "__tot", F.sum("n_end").over(tw)
+    )
+    return g.select(
+        "duration",
+        "n_end",
+        (F.col("__tot") - F.col("__cum") + F.col("n_end")).alias("n_at_risk"),
+        F.expr("((__tot - __cum) * 1000000L) div __tot").alias(
+            "survival_ppm"
+        ),
+        F.expr(
+            "(n_end * 1000000L) div (__tot - __cum + n_end)"
+        ).alias("hazard_ppm"),
+    )

@@ -1314,6 +1314,66 @@ SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
 FROM c, rb, fb, mb"""
 
 
+def q_survival_curve(spark, sf_dir):
+    """Uncensored survival/duration curve (timeseries.py:
+    survival_curve): per-user lifetime in whole days, then for every
+    distinct lifetime the exact end count, risk set, survivor ppm and
+    discrete hazard ppm — with no censoring Kaplan-Meier reduces to
+    the empirical survivor function, so everything is truncating
+    integer arithmetic (no cumulative float product).  The cumulative
+    window runs over the dimension-sized distinct-duration table."""
+    from .operators.timeseries import survival_curve
+
+    ev = read_table(spark, sf_dir, "events")
+    return survival_curve(ev)
+
+
+_SQL_SURVIVAL = """WITH per AS (
+  SELECT user_id,
+         (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 86400000000000
+           AS duration
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT duration, CAST(count(*) AS BIGINT) AS n_end
+  FROM per GROUP BY duration
+), c AS (
+  SELECT duration, n_end,
+         sum(n_end) OVER (ORDER BY duration
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_end) OVER () AS tot
+  FROM g
+)
+SELECT duration, n_end, CAST(tot - cum + n_end AS BIGINT) AS n_at_risk,
+       ((tot - cum) * 1000000) // tot AS survival_ppm,
+       (n_end * 1000000) // (tot - cum + n_end) AS hazard_ppm
+FROM c"""
+
+
+def q_event_paths(spark, sf_dir):
+    """3-step path mining (asof_join.py: event_path_counts): every
+    run of three consecutive same-user events counted, >= 5
+    occurrences — ONE Window node carries both leads (shared window
+    spec), one |types|^3-bounded partial agg.  The oracle replays the
+    two leads over the identical deterministic order."""
+    from .operators.asof_join import event_path_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_path_counts(ev, depth=3, min_count=5)
+
+
+_SQL_EVENT_PATHS = """WITH seq AS (
+  SELECT event_type AS step_1,
+         lead(event_type, 1) OVER w AS step_2,
+         lead(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL AND step_3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 5"""
+
+
 def q_attribution_linear(spark, sf_dir):
     """Multi-touch attribution, LINEAR model (asof_join.py:
     attribution_weights): each purchase's credit split 1/n over the
@@ -11488,6 +11548,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_cohort_ltv": (q_cohort_ltv, _SQL_COHORT_LTV),
     "q_jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
     "q_readability": (q_readability, _SQL_READABILITY),
+    "q_survival_curve": (q_survival_curve, _SQL_SURVIVAL),
+    "q_event_paths": (q_event_paths, _SQL_EVENT_PATHS),
 }
 
 # ---------------------------------------------------------------------------
@@ -11525,7 +11587,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 244
+EXPECTED_CATALOG_SIZE = 246
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

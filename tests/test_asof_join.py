@@ -540,3 +540,33 @@ def test_markov_transitions_hand_values(spark):
         ("a", "a"): (1, 2, 500000),
         ("b", "a"): (1, 1, 1000000),
     }
+
+
+def test_event_path_counts_hand_values(spark):
+    """Pinned path semantics: depth-3 runs stay inside one key, NULL
+    steps drop the run, min_count filters, ties break on event_id."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        event_path_counts,
+    )
+
+    rows = [
+        (1, 1, "a", 0), (2, 1, "b", 1), (3, 1, "c", 2), (4, 1, "a", 3),
+        # user 2 contributes abc once more
+        (5, 2, "a", 0), (6, 2, "b", 1), (7, 2, "c", 2),
+        # user 3: too short for depth 3
+        (8, 3, "a", 0), (9, 3, "b", 1),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    out = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["n"]
+        for r in event_path_counts(ev, depth=3).collect()
+    }
+    assert out == {("a", "b", "c"): 2, ("b", "c", "a"): 1}
+    assert event_path_counts(ev, depth=3, min_count=2).count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        event_path_counts(ev, depth=1)

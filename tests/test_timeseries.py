@@ -1720,3 +1720,35 @@ def test_cohort_ltv_hand_values(spark):
 
     with _pytest.raises(ValueError, match="period_days"):
         cohort_ltv(od, period_days=0)
+
+
+def test_survival_curve_hand_values(spark):
+    """Pinned survival semantics: day-floored lifetimes, risk set
+    counts keys with duration >= d, survivor ppm is the strictly-
+    greater fraction, hazard is n_end over the risk set."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        survival_curve,
+    )
+
+    D = 86_400_000_000_000
+    rows = [
+        # user 1: lifetime 0 (single event)
+        (1, 0),
+        # user 2: lifetime 1 day (floor of 1.5 days)
+        (2, 0), (2, D + D // 2),
+        # users 3,4: lifetime 3 days
+        (3, 0), (3, 3 * D),
+        (4, D), (4, 4 * D),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        r["duration"]: (
+            r["n_end"], r["n_at_risk"], r["survival_ppm"], r["hazard_ppm"]
+        )
+        for r in survival_curve(ev).collect()
+    }
+    assert out == {
+        0: (1, 4, 750000, 250000),
+        1: (1, 3, 500000, 333333),
+        3: (2, 2, 0, 1000000),
+    }
