@@ -567,3 +567,57 @@ def fk_grade_level(words, sentences, syllables) -> Column:
         + F.lit(11.8) * (y.cast("double") / w.cast("double"))
         - F.lit(15.59),
     )
+
+
+# --- code-vs-prose detection -----------------------------------------------
+
+#: code-indicative symbols (kept free of ]/[ so the class is quoted
+#: identically in Spark and DuckDB string literals)
+_CODE_SYM_RE = r"[{}();=<>|&]"
+#: case-sensitive keyword list shared by mainstream languages
+_CODE_KW_RE = (
+    r"\b(def|return|import|function|class|const|var|void|int|float"
+    r"|public|static|struct|fn|let|lambda|elif|endif|typedef)\b"
+)
+#: indented-line starts (4 spaces or a tab), multiline mode
+_CODE_INDENT_RE = r"(?m)^(\t|    )"
+
+#: parts-per-thousand weights of the three signals (pinned constants —
+#: tuned on the obvious extremes, not learned)
+_CODE_W_SYM, _CODE_W_KW, _CODE_W_INDENT = 20, 50, 30
+#: ppt threshold above which a document counts as code
+CODE_PPT_THRESHOLD = 120
+
+
+def code_signal_counts(text) -> "list[tuple[str, Column]]":
+    """Exact integer counts of the three code signals."""
+    t = _c(text)
+    return [
+        ("n_sym", F.size(F.regexp_extract_all(t, F.lit(_CODE_SYM_RE), 0))),
+        ("n_kw", F.size(F.regexp_extract_all(t, F.lit(_CODE_KW_RE), 0))),
+        (
+            "n_indent",
+            F.size(F.regexp_extract_all(t, F.lit(_CODE_INDENT_RE), 0)),
+        ),
+    ]
+
+
+def code_score_ppt(
+    n_sym: str = "n_sym",
+    n_kw: str = "n_kw",
+    n_indent: str = "n_indent",
+    n_chars: str = "n_chars",
+) -> Column:
+    """Code-likeness in parts-per-thousand: the weighted signal mass
+    over the character count, clamped to 1000 — exact truncating
+    integer arithmetic via ``div`` (never a double quotient, whose
+    floor can land on the wrong side of an integer boundary); prose
+    scores ~0-40, real code hundreds.  Takes COLUMN NAMES.  The
+    separation of code from prose is a standard curation stage
+    (code-vs-text routing feeds different tokenizers and mixers)."""
+    return F.expr(
+        f"least(1000, (({n_sym} * {_CODE_W_SYM}"
+        f" + {n_kw} * {_CODE_W_KW}"
+        f" + {n_indent} * {_CODE_W_INDENT}) * 1000)"
+        f" div greatest({n_chars}, 1))"
+    )

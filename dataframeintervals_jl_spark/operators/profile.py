@@ -607,3 +607,57 @@ def cohort_ltv(
             F.count_distinct(F.col(key)).alias("n_keys"),
         )
     )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sample proportion z-test — the A/B-experiment readout:
+    success rates of variants A (0) and B (1) compared under the
+    pooled standard error (public formula:
+    ``z = (pB − pA) / sqrt(p(1−p)(1/nA + 1/nB))``).
+
+    Semantics (pinned for the oracle): ``variant_col`` must be 0/1
+    (other values raise at plan build when detectable, else land in
+    neither arm and are ignored); ``success_col`` is a boolean/0-1
+    flag; counts are exact integers from ONE partial-agged pivot and
+    every rate/z column is a fixed-order double formula over them
+    (NULL z when either arm is empty or the pooled rate is degenerate
+    0/1).  Optional ``by`` keys give per-segment tests.
+
+    Output per group: ``(by..., n_a, c_a, n_b, c_b, rate_a_ppm,
+    rate_b_ppm, z)`` — rates as truncating integer ppm, ``z`` round 6.
+    """
+    keys = list(by)
+    v = F.col(variant_col).cast("long")
+    s = F.col(success_col).cast("long")
+    g = df.groupBy(*keys).agg(
+        F.sum(F.when(v == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(v == 0, s).otherwise(0)).alias("c_a"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(v == 1, s).otherwise(0)).alias("c_b"),
+    )
+    pooled = (
+        "(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    )
+    z = (
+        f"round((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        f" - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        f" / sqrt({pooled} * (1.0 - {pooled})"
+        f" * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)"
+    )
+    return g.select(
+        *keys,
+        "n_a", "c_a", "n_b", "c_b",
+        F.expr("CASE WHEN n_a > 0 THEN (c_a * 1000000L) div n_a END")
+        .alias("rate_a_ppm"),
+        F.expr("CASE WHEN n_b > 0 THEN (c_b * 1000000L) div n_b END")
+        .alias("rate_b_ppm"),
+        F.expr(
+            f"CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0"
+            f" AND c_a + c_b < n_a + n_b THEN {z} END"
+        ).alias("z"),
+    )

@@ -822,6 +822,114 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
 FROM c"""
 
 
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose routing (functions/text.py: code_signal_counts /
+    code_score_ppt): exact symbol / keyword / indented-line counts per
+    document, weighted into a clamped integer ppt score and a
+    threshold flag — all truncating integer arithmetic, pure
+    expressions, zero shuffles.  The oracle replays the three regexes
+    and the identical weight/threshold constants."""
+    from .functions.text import (
+        CODE_PPT_THRESHOLD,
+        code_score_ppt,
+        code_signal_counts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = code_signal_counts("text")
+    out = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_t"),
+        *[c.cast("long").alias(n) for n, c in counts],
+    )
+    return out.select(
+        "doc_id", "n_sym", "n_kw", "n_indent",
+        code_score_ppt(n_chars="n_chars_t").alias("code_ppt"),
+    ).withColumn(
+        "is_code", (F.col("code_ppt") >= CODE_PPT_THRESHOLD).cast("long")
+    )
+
+
+def _sql_code_detect() -> str:
+    from .functions.text import (
+        CODE_PPT_THRESHOLD,
+        _CODE_INDENT_RE,
+        _CODE_KW_RE,
+        _CODE_SYM_RE,
+        _CODE_W_INDENT,
+        _CODE_W_KW,
+        _CODE_W_SYM,
+    )
+
+    return f"""WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(regexp_extract_all(text, '{_CODE_SYM_RE}'))
+              AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(text, '{_CODE_KW_RE}'))
+              AS BIGINT) AS n_kw,
+         CAST(len(regexp_extract_all(text, '{_CODE_INDENT_RE}'))
+              AS BIGINT) AS n_indent
+  FROM documents
+), s AS (
+  SELECT doc_id, n_sym, n_kw, n_indent,
+         least(1000, ((n_sym * {_CODE_W_SYM} + n_kw * {_CODE_W_KW}
+                       + n_indent * {_CODE_W_INDENT}) * 1000)
+                     // greatest(nc, 1)) AS code_ppt
+  FROM c
+)
+SELECT doc_id, n_sym, n_kw, n_indent, code_ppt,
+       CAST(CASE WHEN code_ppt >= {CODE_PPT_THRESHOLD} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_code
+FROM s"""
+
+
+def q_ab_test(spark, sf_dir):
+    """A/B proportion z-test (profile.py: proportion_ztest): users
+    split by parity into arms A/B, success = the event is a purchase,
+    segmented by day-of-week — exact pivoted counts from ONE
+    partial-agged pass, rates as truncating ppm, z as a single
+    fixed-order formula with degenerate-pool guards."""
+    from .operators.profile import proportion_ztest
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+        F.expr(f"pmod(ts div {_DAY_NS}, 7)").alias("dow"),
+    )
+    return proportion_ztest(ev, "variant", "converted", by=["dow"])
+
+
+_SQL_AB_TEST = f"""WITH ev AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+         (epoch_ns(ts) // {_DAY_NS}) % 7 AS dow
+  FROM events
+), g AS (
+  SELECT dow,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+  FROM ev GROUP BY dow
+)
+SELECT dow, n_a, c_a, n_b, c_b,
+       CASE WHEN n_a > 0 THEN (c_a * 1000000) // n_a END AS rate_a_ppm,
+       CASE WHEN n_b > 0 THEN (c_b * 1000000) // n_b END AS rate_b_ppm,
+       CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+             AND c_a + c_b < n_a + n_b THEN
+         round((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (CAST(c_a + c_b AS DOUBLE)
+                                / CAST(n_a + n_b AS DOUBLE)))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       END AS z
+FROM g"""
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -11550,6 +11658,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_readability": (q_readability, _SQL_READABILITY),
     "q_survival_curve": (q_survival_curve, _SQL_SURVIVAL),
     "q_event_paths": (q_event_paths, _SQL_EVENT_PATHS),
+    "q_code_detect": (q_code_detect, _sql_code_detect()),
+    "q_ab_test": (q_ab_test, _SQL_AB_TEST),
 }
 
 # ---------------------------------------------------------------------------
@@ -11587,7 +11697,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 246
+EXPECTED_CATALOG_SIZE = 248
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2230,3 +2230,68 @@ def test_readability_hand_values(spark):
     assert out[1]["y"] == 4
     assert out[2]["s"] == 1
     assert out[3]["fre"] is None and out[3]["fk"] is None
+
+
+def test_code_detect_hand_values(spark):
+    """Pinned code-detection semantics: the three signal regexes,
+    integer weight mass over chars (truncating div), 1000 clamp,
+    threshold flag.  Real code scores far above prose."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.functions.text import (
+        CODE_PPT_THRESHOLD,
+        code_score_ppt,
+        code_signal_counts,
+    )
+
+    code = "def f(x):\n    return x + 1\n\ndef g():\n    import os\n"
+    prose = "The quick brown fox jumps over the lazy dog. It was sunny."
+    df = spark.createDataFrame([(1, code), (2, prose)], "id long, t string")
+    out = df.select(
+        "id",
+        F.length("t").alias("nc"),
+        *[c.cast("long").alias(n) for n, c in code_signal_counts("t")],
+    ).select(
+        "id", "n_sym", "n_kw", "n_indent",
+        code_score_ppt(n_chars="nc").alias("ppt"),
+    )
+    rows = {r["id"]: r.asDict() for r in out.collect()}
+    # code: ( ) : ( ) : -> 4 syms counted from [{}();=<>|&]; def,return,
+    # def,import keywords; two 4-space indents
+    assert rows[1]["n_sym"] == 4
+    assert rows[1]["n_kw"] == 4
+    assert rows[1]["n_indent"] == 2
+    assert rows[1]["ppt"] >= CODE_PPT_THRESHOLD
+    assert rows[2]["n_kw"] == 0 and rows[2]["ppt"] < CODE_PPT_THRESHOLD
+
+
+def test_proportion_ztest_hand_values(spark):
+    """Pinned z-test semantics: pooled-SE formula, NULL z on an empty
+    arm or degenerate pool, truncating ppm rates."""
+    import math
+
+    from dataframeintervals_jl_spark.operators.profile import (
+        proportion_ztest,
+    )
+
+    rows = (
+        [(0, 1)] * 30 + [(0, 0)] * 70      # arm A: 30/100
+        + [(1, 1)] * 45 + [(1, 0)] * 55    # arm B: 45/100
+    )
+    df = spark.createDataFrame(rows, "variant long, conv long")
+    r = proportion_ztest(df, "variant", "conv").collect()[0]
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (100, 30, 100, 45)
+    assert r["rate_a_ppm"] == 300000 and r["rate_b_ppm"] == 450000
+    p = 75 / 200
+    z = (0.45 - 0.30) / math.sqrt(p * (1 - p) * (2 / 100))
+    assert abs(r["z"] - round(z, 6)) < 1e-9
+
+    # degenerate pool (all success) and empty arm -> NULL z
+    allwin = spark.createDataFrame(
+        [(0, 1)] * 3 + [(1, 1)] * 3, "variant long, conv long"
+    )
+    assert proportion_ztest(allwin, "variant", "conv").collect()[0]["z"] is None
+    onearm = spark.createDataFrame(
+        [(0, 1), (0, 0)], "variant long, conv long"
+    )
+    assert proportion_ztest(onearm, "variant", "conv").collect()[0]["z"] is None
