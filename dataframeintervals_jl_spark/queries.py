@@ -7608,6 +7608,18 @@ FROM g WHERE gap IS NOT NULL
 GROUP BY 1"""
 
 
+def q_stream_interarrival(spark, sf_dir):
+    """The STREAMING inter-arrival twin in batch mode (streaming.py:
+    stream_interarrival — per-key last-timestamp STATE via
+    applyInPandasWithState carries the batch-boundary gap; mergeable
+    per-decade sink counts; file-stream parity pytest-gated).  Batch
+    inputs delegate to interarrival_histogram; shares its oracle."""
+    from .streaming import stream_interarrival
+
+    ev = read_table(spark, sf_dir, "events")
+    return stream_interarrival(ev)
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value matrix (profile.py: cohort_ltv): 30-day
     periods from exact epoch-day integers, cohort = first period per
@@ -11653,6 +11665,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_psi_timeline": (q_stream_psi_timeline, _sql_psi_timeline()),
     "q_stream_benford": (q_stream_benford, _SQL_BENFORD),
     "q_interarrival": (q_interarrival, _SQL_INTERARRIVAL),
+    "q_stream_interarrival": (q_stream_interarrival, _SQL_INTERARRIVAL),
     "q_cohort_ltv": (q_cohort_ltv, _SQL_COHORT_LTV),
     "q_jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
     "q_readability": (q_readability, _SQL_READABILITY),
@@ -11697,7 +11710,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 248
+EXPECTED_CATALOG_SIZE = 249
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

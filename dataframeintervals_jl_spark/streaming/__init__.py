@@ -2745,3 +2745,66 @@ def stream_benford(df: DataFrame, col: str) -> DataFrame:
             .alias("digit")
         )
     )
+
+
+def stream_interarrival(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming inter-arrival feed — the STATEFUL twin of
+    :func:`~..operators.timeseries.interarrival_histogram`: per-key
+    state is the last event timestamp, carried across micro-batches
+    (``applyInPandasWithState``), so the gap that SPANS a batch
+    boundary is emitted exactly once — a stateless projection cannot
+    produce it.  Each batch's rows sort by ``order_cols`` inside the
+    key before differencing (cross-batch arrival order is the stream's
+    contract: a row older than the carried state yields a non-positive
+    gap, which the decade bucketing sends to -1, same as an exact tie
+    in batch).
+
+    The sink accumulates mergeable per-decade counts; the decade is a
+    row-local read-time projection of the emitted ``gap`` (the same
+    integer string-length rule as batch).  Batch inputs delegate to
+    the batch operator — what ``q_stream_interarrival`` gates against
+    the shared oracle.
+
+    State: ONE bigint per distinct key, partitioned by the key —
+    shuffles like a groupBy, horizontally scalable.
+    """
+    from ..operators.timeseries import interarrival_histogram
+
+    if not df.isStreaming:
+        return interarrival_histogram(
+            df, by=by, ts_col=ts_col, order_cols=order_cols
+        )
+    order = list(order_cols)
+    out_schema = T.StructType([T.StructField("gap", T.LongType())])
+    state_schema = T.StructType([T.StructField("last_ts", T.LongType())])
+
+    def gaps(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="mergesort")
+            for ts in pdf[ts_col].astype("int64"):
+                if last is not None:
+                    out.append(int(ts) - int(last))
+                last = int(ts)
+        if last is not None:
+            state.update((last,))
+        if out:
+            yield pd.DataFrame({"gap": pd.Series(out, dtype="int64")})
+
+    cols = list(dict.fromkeys([by, *order, ts_col]))
+    return (
+        df.select(*cols)
+        .groupBy(by)
+        .applyInPandasWithState(
+            gaps, out_schema, state_schema, "append", timeout
+        )
+    )

@@ -2906,3 +2906,58 @@ def test_stream_benford_parity(spark, tmp_path):
         for r in benford_digits(b1.unionByName(b2), "v").collect()
     }
     assert got == batch and len(got) == 2
+
+
+def test_stream_interarrival_parity(spark, tmp_path):
+    """Stateful gap carry: the gap that SPANS the micro-batch boundary
+    must be emitted exactly once (per-key last-ts state), and the
+    sink-side decade projection equals batch interarrival_histogram."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        interarrival_histogram,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_interarrival
+
+    schema = "event_id long, user_id long, ts long"
+    # user 1: gaps 9 (in b1), 991 (ACROSS the boundary), 10 (in b2)
+    # user 2: single event in each batch -> one cross-batch gap 5
+    b1 = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 9), (10, 2, 100)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(3, 1, 1000), (4, 1, 1010), (11, 2, 105)], schema
+    )
+    d = str(tmp_path / "ia_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_interarrival(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("iarr")
+        .option("checkpointLocation", str(tmp_path / "ckpt_iarr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT CAST(CASE WHEN gap <= 0 THEN -1"
+            " ELSE length(CAST(gap AS STRING)) - 1 END AS BIGINT) AS decade,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " min(gap) AS min_gap, max(gap) AS max_gap"
+            " FROM iarr GROUP BY 1"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in interarrival_histogram(b1.unionByName(b2)).collect()
+    }
+    assert got == batch
+    # the boundary gaps really are present: 991 (user 1) and 5 (user 2)
+    gaps = sorted(r["gap"] for r in spark.sql("SELECT gap FROM iarr").collect())
+    assert gaps == [5, 9, 10, 991]
