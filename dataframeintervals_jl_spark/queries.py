@@ -1299,6 +1299,18 @@ SELECT c.from_type, c.to_type, c.n, t.n_from,
 FROM c JOIN t ON t.from_type = c.from_type"""
 
 
+def q_stream_markov(spark, sf_dir):
+    """The STREAMING Markov twin in batch mode (streaming.py:
+    stream_markov_pairs — per-key last-type STATE carries the
+    batch-boundary transition; mergeable pair counts, probabilities
+    are a read-time projection; file-stream parity pytest-gated).
+    Batch inputs delegate to markov_transitions; shares its oracle."""
+    from .streaming import stream_markov_pairs
+
+    ev = read_table(spark, sf_dir, "events")
+    return stream_markov_pairs(ev)
+
+
 def q_drawdown(spark, sf_dir):
     """Per-user maximum drawdown of the event value series
     (timeseries.py: max_drawdown): largest decline below the running
@@ -11658,6 +11670,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_stream_hampel": (q_stream_hampel, _SQL_HAMPEL),
     "q_pack_stats": (q_pack_stats, _SQL_PACK_STATS),
     "q_markov_transitions": (q_markov_transitions, _SQL_MARKOV),
+    "q_stream_markov": (q_stream_markov, _SQL_MARKOV),
     "q_drawdown": (q_drawdown, _SQL_DRAWDOWN),
     "q_nms_spans": (q_nms_spans, _SQL_NMS_SPANS),
     "q_rfm": (q_rfm, _sql_rfm()),
@@ -11710,7 +11723,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 249
+EXPECTED_CATALOG_SIZE = 250
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

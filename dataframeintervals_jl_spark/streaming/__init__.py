@@ -2808,3 +2808,74 @@ def stream_interarrival(
             gaps, out_schema, state_schema, "append", timeout
         )
     )
+
+
+def stream_markov_pairs(
+    df: DataFrame,
+    by: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming transition feed — the STATEFUL twin of
+    :func:`~..operators.asof_join.markov_transitions`: per-key state is
+    the last event type, carried across micro-batches, so the
+    transition that spans a batch boundary is emitted exactly once.
+    Rows sort by ``order_cols`` inside the key per batch; NULL types
+    break the chain exactly as in batch (the NULL is still consumed
+    into state, so neither ``x -> NULL`` nor ``NULL -> y`` emits).
+
+    The sink accumulates mergeable ``(from_type, to_type)`` counts;
+    the per-from totals and ppm probabilities are a read-time
+    projection over the |types|^2-bounded count table.  Batch inputs
+    delegate — what ``q_stream_markov`` gates against the shared
+    oracle.  State: ONE string per distinct key.
+    """
+    from ..operators.asof_join import markov_transitions
+
+    if not df.isStreaming:
+        return markov_transitions(
+            df, by=by, type_col=type_col, order_cols=order_cols
+        )
+    order = list(order_cols)
+    out_schema = T.StructType(
+        [
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("has_last", T.BooleanType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def pairs(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            _has, last = state.get
+        else:
+            _has, last = False, None
+        out_f, out_t = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="mergesort")
+            for t in pdf[type_col]:
+                t = None if pd.isna(t) else str(t)
+                if _has and last is not None and t is not None:
+                    out_f.append(last)
+                    out_t.append(t)
+                _has, last = True, t
+        state.update((_has, last))
+        if out_f:
+            yield pd.DataFrame({"from_type": out_f, "to_type": out_t})
+
+    cols = list(dict.fromkeys([by, *order, type_col]))
+    return (
+        df.select(*cols)
+        .groupBy(by)
+        .applyInPandasWithState(
+            pairs, out_schema, state_schema, "append", timeout
+        )
+    )

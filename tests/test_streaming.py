@@ -2961,3 +2961,63 @@ def test_stream_interarrival_parity(spark, tmp_path):
     # the boundary gaps really are present: 991 (user 1) and 5 (user 2)
     gaps = sorted(r["gap"] for r in spark.sql("SELECT gap FROM iarr").collect())
     assert gaps == [5, 9, 10, 991]
+
+
+def test_stream_markov_pairs_parity(spark, tmp_path):
+    """Stateful transition carry: the cross-batch transition emits
+    exactly once, NULL types break the chain across batches too, and
+    the sink count + read-time probability projection equals batch
+    markov_transitions."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        markov_transitions,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_markov_pairs
+
+    schema = "event_id long, user_id long, event_type string, ts long"
+    # user 1: a,b in b1; c in b2 -> transitions a->b (b1), b->c (boundary)
+    # user 2: a in b1; NULL in b2 then b -> chain broken at the boundary
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", 0), (2, 1, "b", 1), (10, 2, "a", 0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(3, 1, "c", 2), (11, 2, None, 1), (12, 2, "b", 2)], schema
+    )
+    d = str(tmp_path / "mk_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_markov_pairs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mkv")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mkv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "WITH c AS (SELECT from_type, to_type,"
+            " CAST(count(*) AS BIGINT) AS n FROM mkv"
+            " GROUP BY from_type, to_type),"
+            " t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from"
+            " FROM c GROUP BY from_type)"
+            " SELECT c.from_type, c.to_type, c.n, t.n_from,"
+            " (c.n * 1000000) div t.n_from AS prob_ppm"
+            " FROM c JOIN t ON t.from_type = c.from_type"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in markov_transitions(b1.unionByName(b2)).collect()
+    }
+    assert got == batch
+    assert got == {
+        ("a", "b", 1, 1, 1000000),  # in-batch
+        ("b", "c", 1, 1, 1000000),  # across the boundary, exactly once
+    }
