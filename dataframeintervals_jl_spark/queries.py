@@ -1434,6 +1434,32 @@ SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
 FROM c, rb, fb, mb"""
 
 
+def q_global_rank(spark, sf_dir):
+    """Distributed global row_number (ranking.py: global_order_rank):
+    every event ranked by (fixed-point value DESC, event_id) with NO
+    single-partition window — value-range buckets (equal values share
+    a bucket, so the order is total), O(buckets) driver prefix
+    offsets, per-bucket row_number.  The oracle is the plain global
+    row_number the decomposition must reproduce exactly."""
+    from .operators.ranking import global_order_rank
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 1_000).cast("long").alias("v_fx"),
+    ).filter(F.col("v_fx").isNotNull())
+    return global_order_rank(ev, "v_fx", "event_id", descending=True)
+
+
+_SQL_GLOBAL_RANK = """WITH ev AS (
+  SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS v_fx
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, v_fx,
+       CAST(row_number() OVER (ORDER BY v_fx DESC, event_id) - 1
+            AS BIGINT) AS rank
+FROM ev"""
+
+
 def q_survival_curve(spark, sf_dir):
     """Uncensored survival/duration curve (timeseries.py:
     survival_curve): per-user lifetime in whole days, then for every
@@ -11683,6 +11709,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_jsonl_roundtrip": (q_jsonl_roundtrip, _SQL_JSONL_ROUNDTRIP),
     "q_readability": (q_readability, _SQL_READABILITY),
     "q_survival_curve": (q_survival_curve, _SQL_SURVIVAL),
+    "q_global_rank": (q_global_rank, _SQL_GLOBAL_RANK),
     "q_event_paths": (q_event_paths, _SQL_EVENT_PATHS),
     "q_code_detect": (q_code_detect, _sql_code_detect()),
     "q_ab_test": (q_ab_test, _SQL_AB_TEST),
@@ -11723,7 +11750,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 250
+EXPECTED_CATALOG_SIZE = 251
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -128,3 +128,36 @@ def test_vocab_queries_plan_no_single_partition(spark):
     # top-1000 cut must be the partial-top-k operator, not a sort
     plan = q_oov_rate(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_order_rank_matches_single_window(spark):
+    """The bucketed decomposition equals row_number()-1 over the
+    global order exactly, both directions, including duplicate values
+    spanning would-be bucket boundaries; no single-partition exchange
+    in the plan; empty and rank-col-clash guards."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.ranking import (
+        global_order_rank,
+    )
+    from dataframeintervals_jl_spark.plans import simple_plan
+
+    df = spark.range(500).select(
+        F.col("id").alias("tie"),
+        ((F.col("id") * 37) % 41).alias("v"),  # heavy duplicates
+    ).repartition(8)
+    for desc in (False, True):
+        out = global_order_rank(df, "v", "tie", descending=desc)
+        got = {r["tie"]: r["rank"] for r in out.collect()}
+        order = sorted(
+            ((r["v"], r["tie"]) for r in df.collect()),
+            key=lambda p: (-p[0], p[1]) if desc else p,
+        )
+        assert got == {t: i for i, (_, t) in enumerate(order)}
+        assert "Exchange SinglePartition" not in simple_plan(out)
+
+    empty = spark.createDataFrame([], "tie long, v long")
+    assert global_order_rank(empty, "v", "tie").count() == 0
+    with _pytest.raises(ValueError, match="already exists"):
+        global_order_rank(df.withColumn("rank", F.lit(1)), "v", "tie")
