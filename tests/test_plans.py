@@ -535,13 +535,14 @@ def test_gate_live_catalog_covers_never_verified():
     from dataframeintervals_jl_spark.queries import (
         QUERIES,
         _GATE_PINNED,
-        _REPO_ROOT,
-        _driver_verified_rounds,
+        _verified_ages,
     )
 
     from dataframeintervals_jl_spark.queries import _GATE_WINDOW
 
-    verified = _driver_verified_rounds(_REPO_ROOT)
+    # the EFFECTIVE ages (with the _CHANGED_SEMANTICS exclusion) — the
+    # same table _gate_order ran on, not the raw driver rounds
+    verified = _verified_ages
     names = list(QUERIES)
     never = [n for n in names if n not in verified]
     gate = set(names[:_GATE_WINDOW])
