@@ -2089,6 +2089,18 @@ SELECT user_id, CAST(sum(s_stop - s_start) AS BIGINT) AS covered,
 FROM isl GROUP BY user_id"""
 
 
+def q_stream_drawdown(spark, sf_dir):
+    """The STREAMING drawdown twin in batch mode (streaming.py:
+    stream_drawdown — per-key running-peak STATE; every emitted
+    statistic is a running max, so the sink merge is max() per key;
+    file-stream parity pytest-gated).  Batch inputs delegate to
+    max_drawdown; shares its oracle."""
+    from .streaming import stream_drawdown
+
+    ev = read_table(spark, sf_dir, "events")
+    return stream_drawdown(ev, "value")
+
+
 def q_nms_spans(spark, sf_dir):
     """Interval non-maximum suppression (coalesce.py:
     suppress_dominated_spans): per-user 1-hour activity spans scored
@@ -11698,6 +11710,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_markov_transitions": (q_markov_transitions, _SQL_MARKOV),
     "q_stream_markov": (q_stream_markov, _SQL_MARKOV),
     "q_drawdown": (q_drawdown, _SQL_DRAWDOWN),
+    "q_stream_drawdown": (q_stream_drawdown, _SQL_DRAWDOWN),
     "q_nms_spans": (q_nms_spans, _SQL_NMS_SPANS),
     "q_rfm": (q_rfm, _sql_rfm()),
     "q_benford": (q_benford, _SQL_BENFORD),
@@ -11750,7 +11763,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 251
+EXPECTED_CATALOG_SIZE = 252
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2879,3 +2879,91 @@ def stream_markov_pairs(
             pairs, out_schema, state_schema, "append", timeout
         )
     )
+
+
+def stream_drawdown(
+    df: DataFrame,
+    value_col: str,
+    by: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming drawdown feed — the STATEFUL twin of
+    :func:`~..operators.timeseries.max_drawdown`: per-key state is the
+    running peak (``applyInPandasWithState``), carried across
+    micro-batches so a decline measured against a PREVIOUS batch's
+    peak is attributed correctly.  Each batch emits ONE row per active
+    key — the batch-local maxima of (peak, drawdown, relative
+    drawdown) given the carried peak — and because every emitted
+    statistic is a running MAX, the sink merge is ``max()`` per key:
+    mergeable state, exactly like the count-based twins.
+
+    NULL values drop (batch parity).  Batch inputs delegate — what
+    ``q_stream_drawdown`` gates against the shared oracle.  State:
+    one double per distinct key.
+    """
+    from ..operators.timeseries import max_drawdown
+
+    if not df.isStreaming:
+        return max_drawdown(
+            df, value_col, by=by, order_cols=order_cols
+        )
+    order = list(order_cols)
+    # the key column keeps the ``by`` name; bigint keys only (the
+    # engine's id convention) — a string-keyed variant would carry the
+    # key dtype through here
+    out_schema = T.StructType(
+        [
+            T.StructField(by, T.LongType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("max_drawdown", T.DoubleType()),
+            T.StructField("max_drawdown_rel", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("peak", T.DoubleType())]
+    )
+
+    def dd(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        peak = state.get[0] if state.exists else None
+        best_dd, best_rel = None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="mergesort")
+            vals = pdf[value_col]
+            for v in vals:
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                if peak is None or v > peak:
+                    peak = v
+                d = peak - v
+                if best_dd is None or d > best_dd:
+                    best_dd = d
+                if peak > 0:
+                    r = d / peak
+                    if best_rel is None or r > best_rel:
+                        best_rel = r
+        if peak is None:
+            return  # batch carried only NULLs for this key
+        state.update((peak,))
+        yield pd.DataFrame(
+            {
+                by: pd.Series([key[0]], dtype="int64"),
+                "peak": [peak],
+                "max_drawdown": [best_dd],
+                "max_drawdown_rel": [
+                    best_rel if best_rel is not None else None
+                ],
+            }
+        )
+
+    cols = list(dict.fromkeys([by, *order, value_col]))
+    return (
+        df.select(*cols)
+        .groupBy(by)
+        .applyInPandasWithState(
+            dd, out_schema, state_schema, "append", timeout
+        )
+    )

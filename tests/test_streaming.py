@@ -3021,3 +3021,55 @@ def test_stream_markov_pairs_parity(spark, tmp_path):
         ("a", "b", 1, 1, 1000000),  # in-batch
         ("b", "c", 1, 1, 1000000),  # across the boundary, exactly once
     }
+
+
+def test_stream_drawdown_parity(spark, tmp_path):
+    """Stateful peak carry: a batch-2 decline measured against the
+    batch-1 peak, sink max()-merge per key equals batch max_drawdown
+    bit-for-bit (same IEEE ops on both paths)."""
+    from dataframeintervals_jl_spark.operators.timeseries import (
+        max_drawdown,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_drawdown
+
+    schema = "event_id long, user_id long, value double, ts long"
+    # user 1: peak 12.0 set in b1; b2's 3.0 must measure against it
+    b1 = spark.createDataFrame(
+        [(1, 1, 10.0, 0), (2, 1, 12.0, 1), (10, 2, -5.0, 0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(3, 1, 3.0, 2), (11, 2, -9.0, 1), (12, 2, None, 2)], schema
+    )
+    d = str(tmp_path / "dd_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_drawdown(stream, "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdd")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: tuple(r)[1:]
+        for r in spark.sql(
+            "SELECT user_id, max(peak) AS peak,"
+            " max(max_drawdown) AS max_drawdown,"
+            " max(max_drawdown_rel) AS max_drawdown_rel"
+            " FROM sdd GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["peak"], r["max_drawdown"], r["max_drawdown_rel"])
+        for r in max_drawdown(b1.unionByName(b2), "value").collect()
+    }
+    assert got == batch
+    assert got[1] == (12.0, 9.0, 0.75)  # 3.0 vs the CARRIED peak 12.0
+    assert got[2] == (-5.0, 4.0, None)
