@@ -86,6 +86,9 @@ HEAVY = [
     "q_interarrival",
     "q_rfm",
     "q_cohort_ltv",
+    # bucketed global row_number: the slope reads whether the
+    # value-range decomposition really avoids a global-sort blowup
+    "q_global_rank",
 ]
 
 
