@@ -661,3 +661,65 @@ def proportion_ztest(
             f" AND c_a + c_b < n_a + n_b THEN {z} END"
         ).alias("z"),
     )
+
+
+def item_cooccurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence with cosine affinity: for every
+    unordered item pair sharing at least ``min_pairs`` baskets,
+    ``cosine = n_ab / sqrt(n_a · n_b)`` over exact basket counts — the
+    item-item collaborative-filtering primitive.
+
+    Semantics (pinned for the oracle): (basket, item) pairs are
+    DISTINCT first (quantity within a basket does not inflate
+    affinity); pairs are emitted once with ``item_a < item_b``; the
+    cosine is ONE fixed-order double formula over three exact bigints,
+    round 6.
+
+    Scale shape: the pair generation is a self-equi-join on the basket
+    key — work is Σ_b k_b², bounded by (max basket size)·rows, NOT
+    |items|²; counts partial-aggregate; the per-item totals join back
+    by BROADCAST when the item dimension is small (Catalyst/AQE
+    decides from stats).  No Python.
+
+    Output: ``(item_a, item_b, n_ab, n_a, n_b, cosine)``.
+    """
+    if min_pairs < 1:
+        raise ValueError(f"min_pairs must be >= 1, got {min_pairs}")
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    bi = bi.localCheckpoint(eager=True)  # three consumers below
+    totals = bi.groupBy(F.col("__i").alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = bi.select("__b", F.col("__i").alias("item_a"))
+    b = bi.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    ta = totals.select(
+        F.col("item").alias("item_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("item").alias("item_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(ta, "item_a")
+        .join(tb, "item_b")
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.expr(
+                "round(CAST(n_ab AS DOUBLE)"
+                " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"
+            ).alias("cosine"),
+        )
+    )

@@ -213,3 +213,48 @@ def global_order_rank(
         )
         .drop("__gor_b", "__gor_off")
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Gini concentration index of a non-negative integer measure —
+    the "how concentrated is revenue/traffic/token mass" audit number.
+
+    Formula (public, rank-based): with values sorted ascending and
+    1-indexed ranks i, ``G = (2·Σ(i·x_i)) / (n·Σx) − (n+1)/n``.  The
+    rank comes from :func:`global_order_rank` (no single-partition
+    window), both Σ run in decimal(38,0) (rank·value reaches ~1e15·n —
+    far past int64), and G is ONE fixed-order double formula over the
+    two exact decimal sums and n, round 6.
+
+    Output: one row ``(n, sum_v, weighted_sum, gini)`` with the sums
+    as decimal strings (the repo's cross-engine decimal idiom).
+    """
+    ranked = global_order_rank(
+        df.select(F.col(value_col), F.col(tie_col)), value_col, tie_col
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sv"),
+        F.sum(
+            ((F.col("rank") + 1).cast("decimal(38,0)"))
+            * F.col(value_col).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__ws"),
+    )
+    return g.select(
+        "n",
+        F.col("__sv").cast("string").alias("sum_v"),
+        F.col("__ws").cast("string").alias("weighted_sum"),
+        F.expr(
+            "round((2.0 * CAST(__ws AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(__sv AS DOUBLE))"
+            " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)"
+        ).alias("gini"),
+    )

@@ -1434,6 +1434,75 @@ SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
 FROM c, rb, fb, mb"""
 
 
+def q_item_cooccurrence(spark, sf_dir):
+    """Market-basket affinity (profile.py: item_cooccurrence): part
+    pairs sharing >= 2 orders with cosine over exact basket counts —
+    pair work is Σ_b k_b² (basket-bounded, ~4 lines/order), never
+    |items|².  The oracle replays the distinct, the ordered self-join,
+    and the identical cosine formula."""
+    from .operators.profile import item_cooccurrence
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return item_cooccurrence(li, "l_orderkey", "l_partkey", min_pairs=2)
+
+
+_SQL_ITEM_COOC = """WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), t AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i
+), p AS (
+  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_ab, ta.n AS n_a, tb.n AS n_b,
+       round(CAST(n_ab AS DOUBLE)
+             / sqrt(CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)),
+             6) AS cosine
+FROM p JOIN t ta ON ta.i = p.item_a
+       JOIN t tb ON tb.i = p.item_b"""
+
+
+def q_gini(spark, sf_dir):
+    """Revenue concentration (ranking.py: gini_coefficient over
+    global_order_rank): the Gini index of l_extendedprice cents —
+    ascending global ranks from the bucketed decomposition (no
+    single-partition window), both sums in decimal(38,0) (rank·cents
+    overflows int64), one fixed-order final formula.  The oracle uses
+    the plain row_number the decomposition must match exactly."""
+    from .operators.ranking import gini_coefficient
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"),
+        F.expr("l_orderkey * 10 + l_linenumber").alias("line_id"),
+    )
+    return gini_coefficient(li, "cents", "line_id")
+
+
+_SQL_GINI = """WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_orderkey * 10 + l_linenumber AS line_id
+  FROM lineitem
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, line_id) AS i
+  FROM v
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cents AS DECIMAL(38,0))) AS sv,
+         sum(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS ws
+  FROM r
+)
+SELECT n, sv::DECIMAL(38,0)::VARCHAR AS sum_v,
+       ws::DECIMAL(38,0)::VARCHAR AS weighted_sum,
+       round((2.0 * CAST(ws AS DOUBLE)) / (CAST(n AS DOUBLE)
+              * CAST(sv AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+             6) AS gini
+FROM s"""
+
+
 def q_global_rank(spark, sf_dir):
     """Distributed global row_number (ranking.py: global_order_rank):
     every event ranked by (fixed-point value DESC, event_id) with NO
@@ -11723,6 +11792,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_readability": (q_readability, _SQL_READABILITY),
     "q_survival_curve": (q_survival_curve, _SQL_SURVIVAL),
     "q_global_rank": (q_global_rank, _SQL_GLOBAL_RANK),
+    "q_item_cooccurrence": (q_item_cooccurrence, _SQL_ITEM_COOC),
+    "q_gini": (q_gini, _SQL_GINI),
     "q_event_paths": (q_event_paths, _SQL_EVENT_PATHS),
     "q_code_detect": (q_code_detect, _sql_code_detect()),
     "q_ab_test": (q_ab_test, _SQL_AB_TEST),
@@ -11763,7 +11834,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 252
+EXPECTED_CATALOG_SIZE = 254
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -161,3 +161,28 @@ def test_global_order_rank_matches_single_window(spark):
     assert global_order_rank(empty, "v", "tie").count() == 0
     with _pytest.raises(ValueError, match="already exists"):
         global_order_rank(df.withColumn("rank", F.lit(1)), "v", "tie")
+
+
+def test_gini_coefficient_hand_values(spark):
+    """Pinned Gini semantics: perfect equality -> 0, and a known
+    textbook vector; exact decimal sums."""
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.ranking import (
+        gini_coefficient,
+    )
+
+    eq = spark.range(4).select(
+        F.lit(10).alias("v"), F.col("id").alias("t")
+    )
+    r = gini_coefficient(eq, "v", "t").collect()[0]
+    assert r["n"] == 4 and r["sum_v"] == "40"
+    assert abs(r["gini"] - 0.0) < 1e-9
+
+    # values 1,2,3,4: G = 2*(1+4+9+16)/(4*10) - 5/4 = 60/40-1.25 = 0.25
+    v = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "v long, t long"
+    )
+    r2 = gini_coefficient(v, "v", "t").collect()[0]
+    assert r2["weighted_sum"] == "30"
+    assert abs(r2["gini"] - 0.25) < 1e-9

@@ -1752,3 +1752,31 @@ def test_survival_curve_hand_values(spark):
         1: (1, 3, 500000, 333333),
         3: (2, 2, 0, 1000000),
     }
+
+
+def test_item_cooccurrence_hand_values(spark):
+    """Pinned basket semantics: per-basket DISTINCT (duplicates never
+    inflate), ordered pairs once, cosine over basket counts,
+    min_pairs filter."""
+    from dataframeintervals_jl_spark.operators.profile import (
+        item_cooccurrence,
+    )
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),   # dup y collapses
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): (
+            r["n_ab"], r["n_a"], r["n_b"], r["cosine"]
+        )
+        for r in item_cooccurrence(df, "b", "i", min_pairs=1).collect()
+    }
+    assert out[("x", "y")] == (2, 3, 2, round(2 / (6 ** 0.5), 6))
+    assert out[("x", "z")] == (1, 3, 1, round(1 / (3 ** 0.5), 6))
+    assert ("y", "z") not in out
+    assert (
+        item_cooccurrence(df, "b", "i", min_pairs=2).count() == 1
+    )
