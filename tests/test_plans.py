@@ -1641,3 +1641,21 @@ def test_session2_light_operator_plan_shapes(spark):
     assert len(_re.findall(r"\bWindow\b", pi)) == 1
     assert pi.count("HashAggregate") >= 2
     assert_no_python_row_udf(ia)
+
+
+def test_item_cooccurrence_plan_shape(spark):
+    """item_cooccurrence: the distinct (basket, item) table
+    materializes ONCE (three consumers — totals + both join sides must
+    read the checkpoint, not replay the scan+distinct), the pair
+    count partial-aggregates, no cartesian, no Python."""
+    from dataframeintervals_jl_spark.operators.profile import (
+        item_cooccurrence,
+    )
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    out = item_cooccurrence(li, "l_orderkey", "l_partkey", min_pairs=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "basket table not materialized"
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, "pair counts not partial-agged"
+    assert_no_python_row_udf(out)

@@ -89,6 +89,10 @@ HEAVY = [
     # bucketed global row_number: the slope reads whether the
     # value-range decomposition really avoids a global-sort blowup
     "q_global_rank",
+    # lineitem-based (scaled lineitem: fresh order/part population per
+    # copy): basket self-join and the decimal-sum Gini over the rank
+    "q_item_cooccurrence",
+    "q_gini",
 ]
 
 
@@ -162,6 +166,30 @@ def build_scaled(spark, copies: int) -> None:
         u = u.unionByName(p)
     u.repartition(32).write.mode("overwrite").parquet(
         f"{OUT}/orders.parquet"
+    )
+
+    li = read_table(spark, SF01, "lineitem")
+    parts = []
+    for k in range(copies):
+        c = li.select(
+            (F.col("l_orderkey") + F.lit(k * ID_SHIFT)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(k * ID_SHIFT)).alias("l_partkey"),
+            (F.col("l_suppkey") + F.lit(k * ID_SHIFT)).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/lineitem.parquet"
     )
 
     emb = read_table(spark, SF01, "embeddings")
