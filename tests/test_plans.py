@@ -1659,3 +1659,30 @@ def test_item_cooccurrence_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2, "pair counts not partial-agged"
     assert_no_python_row_udf(out)
+
+
+def test_session2_final_operator_plan_shapes(spark):
+    """Shared plan lock for the last continuation-session operators:
+    readability and code_detect are PURE EXPRESSIONS (zero exchanges,
+    zero joins); ab_test is one partial-agged pivot pass; survival's
+    only windows run over the dimension-sized distinct-duration table
+    AFTER two partial-agged reductions.  No Python anywhere."""
+    from dataframeintervals_jl_spark.queries import QUERIES
+
+    for name in ("q_readability", "q_code_detect"):
+        out = QUERIES[name][0](spark, SF_DIR)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+        assert "Join" not in plan, f"{name}: unexpected join"
+        assert_no_python_row_udf(out)
+
+    ab = QUERIES["q_ab_test"][0](spark, SF_DIR)
+    pab = ab._jdf.queryExecution().executedPlan().toString()
+    assert pab.count("HashAggregate") >= 2, "pivot not partial-agged"
+    assert "Join" not in pab
+    assert_no_python_row_udf(ab)
+
+    sv = QUERIES["q_survival_curve"][0](spark, SF_DIR)
+    psv = sv._jdf.queryExecution().executedPlan().toString()
+    assert psv.count("HashAggregate") >= 4, "reductions not partial-agged"
+    assert_no_python_row_udf(sv)
