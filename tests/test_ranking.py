@@ -186,3 +186,48 @@ def test_gini_coefficient_hand_values(spark):
     r2 = gini_coefficient(v, "v", "t").collect()[0]
     assert r2["weighted_sum"] == "30"
     assert abs(r2["gini"] - 0.25) < 1e-9
+
+
+def test_global_order_rank_property(spark):
+    """Property check over adversarial value sets: negatives, huge
+    ranges (epoch-ns scale), all-equal (single-bucket degenerate),
+    and single rows — the decomposition must equal the plain global
+    order every time, both directions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataframeintervals_jl_spark.operators.ranking import (
+        global_order_rank,
+    )
+
+    vals = st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-(2**60), max_value=2**60),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(values=vals, desc=st.booleans())
+    def check(values, desc):
+        data = [(i, v) for i, v in enumerate(values)]
+        df = spark.createDataFrame(data, "tie long, v long").repartition(4)
+        got = {
+            r["tie"]: r["rank"]
+            for r in global_order_rank(
+                df, "v", "tie", descending=desc
+            ).collect()
+        }
+        order = sorted(
+            ((v, t) for t, v in data),
+            key=lambda p: (-p[0], p[1]) if desc else p,
+        )
+        assert got == {t: i for i, (_, t) in enumerate(order)}
+
+    check()
