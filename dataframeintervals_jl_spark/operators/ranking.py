@@ -258,3 +258,48 @@ def gini_coefficient(
             " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)"
         ).alias("gini"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    tie_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two numeric columns —
+    the robust monotone-association audit (price vs quantity, quality
+    vs length): Pearson on ranks, which with the ``tie_col``-broken
+    TOTAL order reduces to the classic ``ρ = 1 − 6·Σd² / (n·(n²−1))``
+    (ranks are exact permutations, so the closed form is exact — the
+    deliberate contract; statistical mid-ranking of ties is traded
+    for bit-exactness, and the tie-break is part of the pinned
+    semantics).
+
+    Both rank passes use :func:`global_order_rank` (no
+    single-partition window); ``Σd²`` runs in decimal(38,0) (d² alone
+    reaches n², the sum n³); ρ is ONE fixed-order double formula.
+
+    Output: one row ``(n, sum_d2, rho)`` with ``sum_d2`` as a decimal
+    string (the cross-engine decimal idiom); ``rho`` NULL when n < 2.
+    """
+    ra = global_order_rank(
+        df.select(F.col(col_a), F.col(col_b), F.col(tie_col)),
+        col_a,
+        tie_col,
+        rank_col="__ra",
+    )
+    rb = global_order_rank(ra, col_b, tie_col, rank_col="__rb")
+    d = (F.col("__ra") - F.col("__rb")).cast("decimal(38,0)")
+    g = rb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).cast("decimal(38,0)").alias("__sd2"),
+    )
+    return g.select(
+        "n",
+        F.col("__sd2").cast("string").alias("sum_d2"),
+        F.expr(
+            "CASE WHEN n >= 2 THEN round(1.0 - (6.0 * CAST(__sd2 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " - 1.0)), 6) END"
+        ).alias("rho"),
+    )

@@ -1503,6 +1503,48 @@ SELECT n, sv::DECIMAL(38,0)::VARCHAR AS sum_v,
 FROM s"""
 
 
+def q_spearman(spark, sf_dir):
+    """Exact Spearman rank correlation (ranking.py: spearman_rho):
+    price vs quantity over lineitem — two bucketed global-rank passes
+    (tie-broken total order, so the closed form 1 − 6Σd²/(n(n²−1)) is
+    exact), Σd² in decimal(38,0), one fixed-order final formula.  The
+    oracle uses two plain row_number windows the decomposition must
+    match rank-for-rank."""
+    from .operators.ranking import spearman_rho
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .alias("price_c"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr("l_orderkey * 10 + l_linenumber").alias("line_id"),
+    )
+    return spearman_rho(li, "price_c", "qty", "line_id")
+
+
+_SQL_SPEARMAN = """WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         l_orderkey * 10 + l_linenumber AS line_id
+  FROM lineitem
+), r AS (
+  SELECT row_number() OVER (ORDER BY price_c, line_id) - 1 AS ra,
+         row_number() OVER (ORDER BY qty, line_id) - 1 AS rb
+  FROM v
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(ra - rb AS DECIMAL(38,0))
+             * CAST(ra - rb AS DECIMAL(38,0))) AS sd2
+  FROM r
+)
+SELECT n, sd2::DECIMAL(38,0)::VARCHAR AS sum_d2,
+       CASE WHEN n >= 2 THEN
+         round(1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+               / (CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+       END AS rho
+FROM s"""
+
+
 def q_global_rank(spark, sf_dir):
     """Distributed global row_number (ranking.py: global_order_rank):
     every event ranked by (fixed-point value DESC, event_id) with NO
@@ -11794,6 +11836,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_global_rank": (q_global_rank, _SQL_GLOBAL_RANK),
     "q_item_cooccurrence": (q_item_cooccurrence, _SQL_ITEM_COOC),
     "q_gini": (q_gini, _SQL_GINI),
+    "q_spearman": (q_spearman, _SQL_SPEARMAN),
     "q_event_paths": (q_event_paths, _SQL_EVENT_PATHS),
     "q_code_detect": (q_code_detect, _sql_code_detect()),
     "q_ab_test": (q_ab_test, _SQL_AB_TEST),
@@ -11834,7 +11877,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 254
+EXPECTED_CATALOG_SIZE = 255
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

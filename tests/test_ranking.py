@@ -231,3 +231,26 @@ def test_global_order_rank_property(spark):
         assert got == {t: i for i, (_, t) in enumerate(order)}
 
     check()
+
+
+def test_spearman_rho_hand_values(spark):
+    """Pinned Spearman semantics: perfect monotone -> 1, perfect
+    reversal -> -1, and a known-d² vector; n<2 guards NULL."""
+    from dataframeintervals_jl_spark.operators.ranking import (
+        spearman_rho,
+    )
+
+    mono = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 2), (3, 30, 3)], "a long, b long, t long"
+    )
+    r = spearman_rho(mono, "a", "b", "t").collect()[0]
+    assert (r["n"], r["sum_d2"], r["rho"]) == (3, "0", 1.0)
+
+    rev = spark.createDataFrame(
+        [(1, 30, 1), (2, 20, 2), (3, 10, 3)], "a long, b long, t long"
+    )
+    r2 = spearman_rho(rev, "a", "b", "t").collect()[0]
+    assert (r2["sum_d2"], r2["rho"]) == ("8", -1.0)
+
+    one = spark.createDataFrame([(1, 1, 1)], "a long, b long, t long")
+    assert spearman_rho(one, "a", "b", "t").collect()[0]["rho"] is None
