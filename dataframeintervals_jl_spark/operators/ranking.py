@@ -151,6 +151,7 @@ def global_order_rank(
     rank_col: str = "rank",
     descending: bool = False,
     buckets_per_core: int = 4,
+    strategy: str = "range",
 ) -> DataFrame:
     """Append ``rank_col``: the 0-based position of every row under
     ``ORDER BY value_col [DESC], tie_col ASC`` — exactly
@@ -168,12 +169,19 @@ def global_order_rank(
     parallel, the sort spillable per bucket.
 
     Requirements: ``value_col`` numeric non-null, ``tie_col`` unique
-    per row.  Degenerate case: a constant column collapses to one
-    bucket — the single-task sort returns (a constant column has no
-    distributed order worth computing; heavy VALUE skew degrades the
-    same way and is the documented trade-off vs the equi-depth
-    boundaries :func:`~.quantile_windows.exact_quantile_longs` could
-    supply at the cost of 4-6 extra scans).
+    per row.  ``strategy``:
+
+    - ``'range'`` (default): equal-WIDTH buckets from one min/max agg
+      — one pass, but a skewed value distribution concentrates rows
+      in few buckets (a constant column collapses to one task).
+    - ``'equidepth'``: bucket boundaries are exact order statistics
+      from :func:`~.quantile_windows.exact_quantile_longs` (4-6 extra
+      column-pruned scans), so buckets are balanced under ANY value
+      distribution; a row's bucket is the count of boundaries
+      strictly below its value (O(buckets) vectorized JVM compare —
+      equal values still share a bucket, keeping the cross-bucket
+      order total, so only massive exact-value ties can skew, which
+      no rank decomposition avoids).
     """
     if rank_col in df.columns:
         raise ValueError(f"rank_col {rank_col!r} already exists")
@@ -188,12 +196,52 @@ def global_order_rank(
     nb = max(int(spark.sparkContext.defaultParallelism), 1) * int(
         buckets_per_core
     )
-    width = max((hi - lo) // nb + 1, 1)
-    # integer div (values may be epoch-ns scale — no double quotient)
-    b = df.withColumn(
-        "__gor_b",
-        F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) div {width}"),
-    )
+    if strategy == "range":
+        width = max((hi - lo) // nb + 1, 1)
+        # integer div (values may be epoch-ns scale — no double quotient)
+        b = df.withColumn(
+            "__gor_b",
+            F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) div {width}"),
+        )
+    elif strategy == "equidepth":
+        from .quantile_windows import exact_quantile_longs
+
+        total = df.count()
+        ranks = sorted(
+            {max(1, (j * total) // nb) for j in range(1, nb)}
+        )
+        bounds = (
+            sorted(
+                set(
+                    exact_quantile_longs(
+                        df.select(F.col(value_col).cast("long")
+                                  .alias(value_col)),
+                        value_col, ranks, lo, hi, total,
+                    )
+                )
+            )
+            if ranks
+            else []
+        )
+        # bucket = #boundaries strictly below v: equal values always
+        # agree, so cross-bucket order stays total.  Plain additive
+        # CASE chain (a higher-order aggregate() lambda here trips a
+        # Catalyst binding error once the column flows through the
+        # offsets join).
+        if bounds:
+            terms = " + ".join(
+                f"(CASE WHEN {bv}L < CAST({value_col} AS BIGINT)"
+                f" THEN 1L ELSE 0L END)"
+                for bv in bounds
+            )
+            bexpr = F.expr(terms)
+        else:
+            bexpr = F.lit(0).cast("long")
+        b = df.withColumn("__gor_b", bexpr)
+    else:
+        raise ValueError(
+            f"strategy must be 'range' or 'equidepth', got {strategy!r}"
+        )
     counts = b.groupBy("__gor_b").agg(F.count(F.lit(1)).alias("__n")).collect()
     acc, offs = 0, []
     for r in sorted(counts, key=lambda r: r["__gor_b"], reverse=descending):

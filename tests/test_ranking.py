@@ -254,3 +254,40 @@ def test_spearman_rho_hand_values(spark):
 
     one = spark.createDataFrame([(1, 1, 1)], "a long, b long, t long")
     assert spearman_rho(one, "a", "b", "t").collect()[0]["rho"] is None
+
+
+def test_global_order_rank_equidepth(spark):
+    """The equi-depth strategy must produce identical ranks to the
+    range strategy (and the plain order) on a Zipf-skewed column that
+    concentrates the range buckets, must spread rows across many
+    buckets there, and must reject unknown strategies."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataframeintervals_jl_spark.operators.ranking import (
+        global_order_rank,
+    )
+
+    # skewed: most values tiny, a few huge (range-bucketing collapses)
+    df = spark.range(600).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") % 50 == 0, F.col("id") * 10_000_000_000)
+        .otherwise(F.col("id") % 7)
+        .alias("v"),
+    ).repartition(8)
+    a = {
+        r["tie"]: r["rank"]
+        for r in global_order_rank(df, "v", "tie").collect()
+    }
+    e = {
+        r["tie"]: r["rank"]
+        for r in global_order_rank(
+            df, "v", "tie", strategy="equidepth"
+        ).collect()
+    }
+    assert a == e
+    order = sorted((r["v"], r["tie"]) for r in df.collect())
+    assert e == {t: i for i, (_, t) in enumerate(order)}
+
+    with _pytest.raises(ValueError, match="strategy"):
+        global_order_rank(df, "v", "tie", strategy="nope")
