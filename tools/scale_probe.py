@@ -93,6 +93,7 @@ HEAVY = [
     # copy): basket self-join and the decimal-sum Gini over the rank
     "q_item_cooccurrence",
     "q_gini",
+    "q_spearman",
 ]
 
 
