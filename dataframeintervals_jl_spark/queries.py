@@ -1631,6 +1631,32 @@ WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL AND step_3 IS NOT NULL
 GROUP BY 1, 2, 3 HAVING count(*) >= 5"""
 
 
+def q_stream_event_paths(spark, sf_dir):
+    """The STREAMING path-mining twin in batch mode (streaming.py:
+    stream_event_paths — per-key last-(depth-1)-types STATE carries
+    boundary-straddling runs; mergeable path counts; file-stream
+    parity pytest-gated).  Batch inputs delegate to event_path_counts
+    with min_count=1 (the unfiltered feed); the oracle drops the
+    HAVING accordingly."""
+    from .streaming import stream_event_paths
+
+    ev = read_table(spark, sf_dir, "events")
+    return stream_event_paths(ev, depth=3)
+
+
+_SQL_EVENT_PATHS_ALL = """WITH seq AS (
+  SELECT event_type AS step_1,
+         lead(event_type, 1) OVER w AS step_2,
+         lead(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL AND step_3 IS NOT NULL
+GROUP BY 1, 2, 3"""
+
+
 def q_attribution_linear(spark, sf_dir):
     """Multi-touch attribution, LINEAR model (asof_join.py:
     attribution_weights): each purchase's credit split 1/n over the
@@ -11838,6 +11864,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "q_gini": (q_gini, _SQL_GINI),
     "q_spearman": (q_spearman, _SQL_SPEARMAN),
     "q_event_paths": (q_event_paths, _SQL_EVENT_PATHS),
+    "q_stream_event_paths": (q_stream_event_paths, _SQL_EVENT_PATHS_ALL),
     "q_code_detect": (q_code_detect, _sql_code_detect()),
     "q_ab_test": (q_ab_test, _SQL_AB_TEST),
 }
@@ -11877,7 +11904,7 @@ _GATE_WINDOW = 50
 #: asserts ``len(QUERIES)`` against it so a silently-shadowing
 #: duplicate key (which Python would otherwise accept and drop an
 #: entry) fails CI even if the source-scan test is skipped
-EXPECTED_CATALOG_SIZE = 255
+EXPECTED_CATALOG_SIZE = 256
 
 #: pinned regression tripwires in PRIORITY order — ``_gate_order``
 #: keeps as many as fit beside the never-verified entries, dropping

@@ -2967,3 +2967,81 @@ def stream_drawdown(
             dd, out_schema, state_schema, "append", timeout
         )
     )
+
+
+def stream_event_paths(
+    df: DataFrame,
+    by: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    depth: int = 3,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming path-mining feed — the STATEFUL twin of
+    :func:`~..operators.asof_join.event_path_counts`: per-key state is
+    the last ``depth-1`` event types, so every run that STRADDLES a
+    micro-batch boundary is emitted exactly once.  NULL types break
+    the chain (the NULL enters the carried window, so no run crosses
+    it), matching batch.  The sink accumulates mergeable path counts;
+    ``min_count`` filtering is read-time.  Batch inputs delegate
+    (with ``min_count=1`` — the unfiltered feed) — what
+    ``q_stream_event_paths`` gates against its oracle.
+
+    State: ``depth-1`` strings per distinct key (plus how many are
+    held, so a carried NULL is distinguishable from "nothing yet").
+    """
+    from ..operators.asof_join import event_path_counts
+
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    if not df.isStreaming:
+        return event_path_counts(
+            df, by=by, type_col=type_col, order_cols=order_cols,
+            depth=depth, min_count=1,
+        )
+    order = list(order_cols)
+    names = [f"step_{i + 1}" for i in range(depth)]
+    out_schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField(f"h{i}", T.StringType())
+            for i in range(depth - 1)
+        ]
+        + [T.StructField("n_held", T.IntegerType())]
+    )
+
+    def paths(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            held = list(st[: depth - 1])[: int(st[-1])]
+        else:
+            held = []
+        rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="mergesort")
+            for t in pdf[type_col]:
+                t = None if pd.isna(t) else str(t)
+                if len(held) == depth - 1 and all(
+                    h is not None for h in held
+                ) and t is not None:
+                    rows.append((*held, t))
+                held.append(t)
+                if len(held) > depth - 1:
+                    held = held[-(depth - 1):]
+        pad = held + [None] * (depth - 1 - len(held))
+        state.update((*pad, len(held)))
+        if rows:
+            yield pd.DataFrame(rows, columns=names)
+
+    cols = list(dict.fromkeys([by, *order, type_col]))
+    return (
+        df.select(*cols)
+        .groupBy(by)
+        .applyInPandasWithState(
+            paths, out_schema, state_schema, "append", timeout
+        )
+    )

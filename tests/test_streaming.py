@@ -3073,3 +3073,59 @@ def test_stream_drawdown_parity(spark, tmp_path):
     assert got == batch
     assert got[1] == (12.0, 9.0, 0.75)  # 3.0 vs the CARRIED peak 12.0
     assert got[2] == (-5.0, 4.0, None)
+
+
+def test_stream_event_paths_parity(spark, tmp_path):
+    """Stateful window carry: runs straddling the batch boundary
+    (both one- and two-elements-held positions) emit exactly once;
+    a NULL inside the carried window blocks runs across it; sink
+    counts equal batch event_path_counts(min_count=1)."""
+    from dataframeintervals_jl_spark.operators.asof_join import (
+        event_path_counts,
+    )
+    from dataframeintervals_jl_spark.streaming import stream_event_paths
+
+    schema = "event_id long, user_id long, event_type string, ts long"
+    # user 1: a b | c d  -> runs abc (straddling, 2 held), bcd
+    # user 2: x | NULL y z -> NULL blocks x?y; only NULL-free run: none
+    #         (x,NULL,y) and (NULL,y,z) both contain NULL -> nothing
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", 0), (2, 1, "b", 1), (10, 2, "x", 0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(3, 1, "c", 2), (4, 1, "d", 3),
+         (11, 2, None, 1), (12, 2, "y", 2), (13, 2, "z", 3)], schema
+    )
+    d = str(tmp_path / "pth_in")
+    b1.coalesce(1).write.parquet(d + "/f1")
+    b2.coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = stream_event_paths(stream, depth=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pth")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pth"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT step_1, step_2, step_3,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM pth GROUP BY 1, 2, 3"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in event_path_counts(
+            b1.unionByName(b2), depth=3, min_count=1
+        ).collect()
+    }
+    assert got == batch
+    assert got == {("a", "b", "c", 1), ("b", "c", "d", 1)}
