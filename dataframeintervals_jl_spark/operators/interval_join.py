@@ -621,12 +621,45 @@ def interval_join(
 
     # stats are needed by auto strategy selection and the binned width
     # estimate — one fused agg action per side covers both, and when it
-    # runs anyway the null validation rides along eagerly for free
+    # runs anyway the null validation rides along eagerly for free.
+    #
+    # SEQUENTIAL PROBE (guide §1.2 "don't compute things you throw
+    # away"): the right side is overwhelmingly the dimension side in
+    # this engine's compositions (fact × windows / fragments / spans).
+    # Its row count ALONE decides the unconditional-broadcast branch
+    # (n <= BROADCAST_TINY_ROWS), so probe it first and skip the fact
+    # side's stats scan entirely when it fires — at 100 TB that is one
+    # full pass over the big table saved per auto join; at bench scale
+    # it removes the probe materialization of derived left pipelines
+    # (e.g. time_weighted_avg's validity table).
     needs_stats = strategy == "auto" or (
         strategy == "binned" and bin_width is None
     )
     stats = None
-    if needs_stats:
+    if strategy == "auto":
+        stats_r = _SideStats(
+            sides.right, sides.right_on, arithmetic=not orderable_only
+        )
+        if stats_r.n <= BROADCAST_TINY_ROWS:
+            strategy = "broadcast_right"
+            if validate == "error":
+                if stats_r.nulls:
+                    raise ValueError(_NULL_MSG.format(side="right"))
+                # the left scan was skipped: its null rejection evaluates
+                # inside the join itself (first action), no extra scan —
+                # the same contract as the explicit-strategy path
+                sides.left = _with_fused_null_check(
+                    sides.left, sides.left_on, "left"
+                )
+            validate = "skip"  # handled above
+        else:
+            stats = (
+                _SideStats(
+                    sides.left, sides.left_on, arithmetic=not orderable_only
+                ),
+                stats_r,
+            )
+    elif needs_stats:
         stats = (
             _SideStats(sides.left, sides.left_on, arithmetic=not orderable_only),
             _SideStats(sides.right, sides.right_on, arithmetic=not orderable_only),

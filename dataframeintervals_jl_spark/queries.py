@@ -95,7 +95,34 @@ def _flat_join(j: DataFrame, label: str = "quarter") -> DataFrame:
 
 def _es_windows(spark, sf_dir, n, label):
     es = event_spans(spark, sf_dir, truncate_us=True)
-    w = quantile_windows(spark, n, es, label=label)
+    # windows bounds via a partial-aggregated per-user min/max/count
+    # instead of min/max over the lead()-window span derivation: a user
+    # with n >= 2 events contributes spans [ts_1, ts_n), so
+    # lo = min over such users of min(ts) and hi = max of max(ts) —
+    # identical (lo, hi) by monotonicity of the µs truncation, without
+    # paying the key shuffle + per-key sort of event_spans just to SIZE
+    # the windows (guide §2.3 "aggregate before you shuffle"; the main
+    # job still evaluates event_spans itself).  Measured: the bounds
+    # job drops from a 2-stage sort+window pass to one partial agg.
+    ev = read_table(spark, sf_dir, "events")
+    ts = F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))
+    row = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(ts).alias("lo"),
+            F.max(ts).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .first()
+    )
+    span = (
+        (int(row["lo"]), int(row["hi"]))
+        if row is not None and row["lo"] is not None
+        else None
+    )
+    w = quantile_windows(spark, n, span, label=label)
     return es, w
 
 
