@@ -6781,12 +6781,14 @@ def q_masked_twa(spark, sf_dir):
     result; 120 s keeps coverage at 0.3 %/2.7 %/27 % across
     sf0.001/0.01/0.1 — non-degenerate everywhere.)  clamp_at pins
     the open-run horizon to the ORIGINAL windows' max stop (a tail
-    mask would otherwise shift the fragment max).  The 16-row windows
-    table and the fragment set are eagerly localCheckpoint'ed: both
-    derive from scan+agg pipelines that every downstream reference
-    (difference bounds, horizon agg, join-strategy probes) would
-    otherwise replay — the round-10 plan carried 11 Window passes for
-    exactly this reason; materialized, the executed plan holds 3.
+    mask would otherwise shift the fragment max).  The fragment set is
+    eagerly localCheckpoint'ed: it derives from a scan+join pipeline
+    that every downstream reference (horizon agg, join-strategy
+    probes) would otherwise replay — the round-10 plan carried 11
+    Window passes for exactly this reason; materialized, the executed
+    plan holds 3.  The windows table itself needs no checkpoint since
+    _es_windows computes its bounds driver-side (round 11) — it is a
+    pure ``spark.range(16)`` projection.
     The oracle replays it by inclusion-exclusion over merged mask
     islands: |run∩w\\M| = |run∩w| − Σ_i |run∩w∩island_i|, exact
     HUGEINT end to end."""
@@ -6800,8 +6802,10 @@ def q_masked_twa(spark, sf_dir):
         "event_id",
         F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
     )
+    # w is a pure spark.range(16) projection since _es_windows derives
+    # its bounds driver-side — nothing to checkpoint (the round-10
+    # eager materialization predates that change)
     _, w = _es_windows(spark, sf_dir, 16, "widx")
-    w = w.localCheckpoint(eager=True)  # 16 rows
     masks = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 17 == 0)
@@ -6926,8 +6930,7 @@ def q_stream_masked_twa(spark, sf_dir):
         "event_id",
         F.round(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
     )
-    _, w = _es_windows(spark, sf_dir, 16, "widx")
-    w = w.localCheckpoint(eager=True)
+    _, w = _es_windows(spark, sf_dir, 16, "widx")  # range(16) projection
     masks = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 17 == 0)
