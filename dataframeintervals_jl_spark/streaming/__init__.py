@@ -1972,14 +1972,25 @@ def stream_duration_in_state(
             make_span(F.col("valid_from"), F.col("valid_to")).alias("span"),
         )
     )
-    j = interval_join(
-        vs,
+    # Join strategy per deployment mode: a live stream-static join must
+    # broadcast the static side (stateless append-mode operator).  In
+    # BATCH mode the same closed-runs composition is free to pick the
+    # join physically — against a LARGE windows side (e.g. the masked-
+    # TWA fragment set) the forced broadcast is a BroadcastNestedLoop
+    # evaluating |runs|·|windows| pairs, while auto's binned rewrite
+    # meets only same-bin pairs (guide §3.1).  The runs table is
+    # persisted so auto's stats probe does not recompute the validity
+    # pipeline (same pattern as batch time_weighted_avg).
+    w2 = (
         windows.withColumnRenamed(window_span_col, "span")
         if window_span_col != "span"
-        else windows,
-        validate="skip",
-        strategy="broadcast_right",
+        else windows
     )
+    if samples.isStreaming:
+        j = interval_join(vs, w2, validate="skip", strategy="broadcast_right")
+    else:
+        vs = vs.persist()
+        j = interval_join(vs, w2, validate="skip", strategy="auto")
     pieces = j.select(
         *by_cols,
         *label_cols,
