@@ -138,6 +138,16 @@ def learn_bpe_merges(
     w.count()
 
     merges: list[tuple[int, str, str, int]] = []
+    # `base` is the materialized anchor the current replace chain hangs
+    # off (the initial vocabulary, then each checkpoint).  Rounds no
+    # longer materialize every intermediate table: between checkpoints
+    # the chain is at most _CHECKPOINT_EVERY map-only `replace`
+    # projections over the cached base — re-evaluating those inside the
+    # next round's pair aggregation is far cheaper than the one full
+    # materialization job per round it replaces (round 11: per-round
+    # jobs halve; the checkpoint cadence still bounds plan depth
+    # exactly as before, cadence-invariance tested).
+    base = w
     for r in range(1, n_merges + 1):
         top = (
             _adjacent_pairs(w, "s", "cnt")
@@ -154,7 +164,7 @@ def learn_bpe_merges(
         if r == n_merges:
             break  # the merged table would never be read — skip the pass
         pat, rep = _merge_pattern(lhs, rhs)
-        w2 = w.select(
+        w = w.select(
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
             "cnt",
         )
@@ -162,16 +172,12 @@ def learn_bpe_merges(
             # truncate the replace-projection lineage: without this the
             # logical plan nests one replace per round and optimizer
             # time grows with r — the checkpoint keeps every round O(1)
-            # plan work (eager, so w is fully consumed before release)
-            w2 = w2.localCheckpoint(eager=True)
-        else:
-            w2 = w2.persist()
-            w2.count()
-        # w is never read again once w2 is materialized — releasing its
-        # blocks is safe even when w itself was a checkpoint
-        w.unpersist()
-        w = w2
-    w.unpersist()
+            # plan work.  Eager, so the old base is fully consumed
+            # before its blocks are released.
+            w = w.localCheckpoint(eager=True)
+            base.unpersist()
+            base = w
+    base.unpersist()
     return merges
 
 
