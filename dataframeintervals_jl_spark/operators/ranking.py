@@ -336,6 +336,13 @@ def spearman_rho(
         tie_col,
         rank_col="__ra",
     )
+    # the second rank pass runs TWO driver actions (min/max range, the
+    # bucket-count collect) plus the caller's final aggregation over
+    # `ra` — without a materialization boundary each of the three
+    # evaluates the first pass's full shuffle+window pipeline again
+    # (guide §1.2 "don't compute things you throw away").  The
+    # checkpointed table is 3 narrow columns + the rank.
+    ra = ra.localCheckpoint(eager=True)
     rb = global_order_rank(ra, col_b, tie_col, rank_col="__rb")
     d = (F.col("__ra") - F.col("__rb")).cast("decimal(38,0)")
     g = rb.agg(
