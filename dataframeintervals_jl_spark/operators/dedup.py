@@ -1786,8 +1786,15 @@ def gram_novelty(
             F.array_distinct(shingles(F.col(text_col), shingle_k))
         ).alias("__s"),
     ).select(id_col, h("__s").alias("__h"))
+    # both the document-frequency aggregate and the join-back branch
+    # scan `ex` — uncached, the tokenize+shingle+hash projection (the
+    # dominant cost) runs twice inside one job, and a lazy persist
+    # lets the branches race the cold cache (the minhash_lsh_pairs
+    # lesson).  The table is two longs per (doc, gram).
+    ex = ex.persist()
+    ex.count()
     df_t = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    return (
+    out = (
         ex.join(df_t, "__h")
         .groupBy(id_col)
         .agg(
@@ -1805,3 +1812,10 @@ def gram_novelty(
             ).alias("novelty_ppm"),
         )
     )
+    # checkpoint the (document-sized) result eagerly, THEN release the
+    # gram table — unpersisting before the caller's action would
+    # silently recompute the hash pass twice (the triangle_counts
+    # leak-free pattern)
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
