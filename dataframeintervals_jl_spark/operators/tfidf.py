@@ -214,6 +214,13 @@ def bigram_lm_score(
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
+    # NOT materialized: the three consumers below re-run the tokenize+
+    # zip+explode pass, but a round-11 interleaved A/B measured
+    # persist+count+eager-checkpoint LOSING at bench scale (min 1.2-1.5s
+    # -> 1.8-2.5s): two extra materialization jobs cost more than the
+    # repeated map-only pass saves.  Same verdict for the TF table in
+    # tf_idf_top_terms/bm25_topk; gram_novelty keeps its cache because
+    # its per-row md5-60bit hashing is an order heavier than tokenize.
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
     scored = c2.join(c1, "w1").select(
