@@ -369,6 +369,15 @@ def stream_interval_join_full(
         max_span_ns=max_span_ns,
         by=by,
     )
+    if not left.isStreaming and not right.isStreaming:
+        # batch-batch mode evaluates ``left`` three times — the
+        # left-outer join's preserved side, its empty-span pad branch,
+        # and the right-outer pass's exploded side.  When the caller
+        # hands a derived pipeline (scan + shuffle + sort + window is
+        # the common case), each branch would replay it; persisting the
+        # input lets all three read one materialization.  Streaming
+        # inputs cannot be persisted (and re-consume by design).
+        left = left.persist()
     lo = stream_interval_join(left, right, how="left_outer", **kwargs)
     ro = stream_interval_join(left, right, how="right_outer", **kwargs)
     lon = f"{on}{renameon[0]}"
