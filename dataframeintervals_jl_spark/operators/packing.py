@@ -267,12 +267,23 @@ def chunk_by_sentences(
     state is a (chunk_idx, acc_len, ids) struct threaded through
     ``F.aggregate``; chunks regroup by filtering the zipped
     (sentence, id) array per chunk id — no collect_list, so chunk text
-    order is deterministic by construction."""
+    order is deterministic by construction.
+
+    Expression-sharing shape (the round-11 fix): the sentence split
+    (two regexes + per-element trim), the fold, and the zipped array
+    are each materialized in their OWN projection before anything
+    references them from inside a lambda.  Inlining them (the original
+    shape) replayed the full regex split + fold once per chunk id per
+    reference — the formatted plan carried SIX copies of the split and
+    an inferred pre-Generate Filter that evaluated the entire chain
+    again per row.  ``CollapseProject`` keeps the stages separate
+    because each alias is non-cheap and consumed more than once; the
+    explode is the ``_outer`` variant + a post-Generate null filter so
+    no size() filter over the chunk expression is inferred below it."""
     from ..functions.text import split_sentences
 
     if max_chars < 1:
         raise ValueError(f"max_chars must be >= 1, got {max_chars}")
-    sents = split_sentences(F.col(text_col))
     st0 = F.struct(
         F.lit(0).cast("int").alias("idx"),
         F.lit(-1).cast("long").alias("acc"),
@@ -299,35 +310,55 @@ def chunk_by_sentences(
             ).alias("ids"),
         )
 
-    ids = F.aggregate(sents, st0, step).getField("ids")
-    zipped = F.arrays_zip(sents.alias("s"), ids.alias("i"))
-    last = F.element_at(ids, -1)
-    chunks = F.transform(
-        F.sequence(F.lit(0), last),
-        lambda k: F.struct(
-            F.array_join(
-                F.transform(
-                    F.filter(zipped, lambda p: p.getField("i") == k),
-                    lambda p: p.getField("s"),
-                ),
-                " ",
-            ).alias("txt"),
-            F.size(
-                F.filter(zipped, lambda p: p.getField("i") == k)
-            ).alias("n"),
-        ),
-    )
-    out = df.select(
+    # stage 1: the regex split, once per row
+    d = df.select(*id_cols, split_sentences(F.col(text_col)).alias("__s"))
+    # stage 2: the greedy fold, once per row
+    d = d.select(
         *id_cols,
-        F.when(F.size(sents) > 0, chunks)
+        "__s",
+        F.aggregate(F.col("__s"), st0, step).getField("ids").alias("__i"),
+    )
+    # stage 3: the zipped (sentence, chunk-id) array + the chunk count
+    d = d.select(
+        *id_cols,
+        F.size("__s").alias("__ns"),
+        F.arrays_zip(
+            F.col("__s").alias("s"), F.col("__i").alias("i")
+        ).alias("__z"),
+        F.when(F.size("__i") > 0, F.element_at("__i", -1)).alias("__last"),
+    )
+
+    def chunk_k(k):
+        # bind the filtered slice ONCE via a one-element-array
+        # transform (a per-k local let — the two consumers used to
+        # re-run the filter each)
+        return F.element_at(
+            F.transform(
+                F.array(F.filter(F.col("__z"), lambda p: p.getField("i") == k)),
+                lambda z: F.struct(
+                    F.array_join(
+                        F.transform(z, lambda p: p.getField("s")), " "
+                    ).alias("txt"),
+                    F.size(z).alias("n"),
+                ),
+            ),
+            1,
+        )
+
+    out = d.select(
+        *id_cols,
+        F.when(
+            F.col("__ns") > 0,
+            F.transform(F.sequence(F.lit(0), F.col("__last")), chunk_k),
+        )
         .otherwise(F.array().cast(
             "array<struct<txt:string,n:int>>"
         ))
         .alias("__chunks"),
     )
     ex = out.select(
-        *id_cols, F.posexplode("__chunks").alias("chunk_idx", "__c")
-    )
+        *id_cols, F.posexplode_outer("__chunks").alias("chunk_idx", "__c")
+    ).filter(F.col("chunk_idx").isNotNull())
     return ex.select(
         *id_cols,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
