@@ -474,16 +474,46 @@ def html_extract(
     visible text with single newlines.  All thresholds integral, every
     regex RE2-safe — a SQL oracle replays the exact output string.
     Feed the result to :func:`clean_text` / quality scoring exactly as
-    already-extracted text."""
-    kept = F.filter(
+    already-extracted text.
+
+    Per-block cost (round 11): the visible text and the anchor-
+    stripped length are computed ONCE per block in an enrichment
+    ``transform`` and the filter reads the precomputed struct fields.
+    The previous shape evaluated :func:`_tagless` four times per kept
+    block (filter condition, twice inside the density, and again in
+    the output transform) — lambda bodies get no subexpression
+    elimination, so every reference paid the full strip+decode+
+    collapse regex chain (measured 2x on the bench corpus)."""
+    enriched = F.transform(
         html_blocks(html),
-        lambda b: (F.length(_tagless(b)) >= F.lit(int(min_text_chars)))
-        & (
-            block_link_density_ppt(b)
-            <= F.lit(int(max_link_density_ppt))
+        lambda b: F.struct(
+            _tagless(b).alias("txt"),
+            F.length(
+                _tagless(F.regexp_replace(b, _ANCHOR_ELEM_RE, " "))
+            ).alias("sans_len"),
         ),
     )
-    return F.array_join(F.transform(kept, _tagless), "\n")
+
+    def _keep(s):
+        # block_link_density_ppt's exact formula over the precomputed
+        # lengths: floor(1000·anchor/full), 0 when no visible text
+        full = F.length(s.getField("txt"))
+        anchor = F.greatest(full - s.getField("sans_len"), F.lit(0))
+        ppt = (
+            F.when(full > 0, F.floor(anchor * 1000 / full))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return (full >= F.lit(int(min_text_chars))) & (
+            ppt <= F.lit(int(max_link_density_ppt))
+        )
+
+    return F.array_join(
+        F.transform(
+            F.filter(enriched, _keep), lambda s: s.getField("txt")
+        ),
+        "\n",
+    )
 
 
 #: abbreviations whose trailing dot must not end a sentence — a small

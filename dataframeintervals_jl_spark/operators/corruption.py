@@ -66,29 +66,52 @@ def span_corrupt(
     if max_span < 1:
         raise ValueError(f"max_span must be >= 1, got {max_span}")
     d = F.col(id_col)
-    toks = tokens(F.col(text_col))
+
+    # round 11: hash each position ONCE.  The fixed-width OR that
+    # derives the mask flag at j re-reads the start/len decision of
+    # the last max_span positions; with the hashes inlined that was
+    # max_span·2 md5 evaluations per position (lambda bodies get no
+    # subexpression elimination).  Materializing the per-position
+    # decision ARRAYS in their own projection first (CollapseProject
+    # keeps non-cheap multi-referenced aliases separate) makes the OR
+    # read attribute arrays via element_at — 2 hashes per position
+    # total, identical decisions.  (An exists() over a filtered starts
+    # array re-evaluates that md5-hashed array for EVERY element of
+    # the enclosing transform — O(n²) hashing, measured 28s at sf0.1;
+    # and element_at over a flags array inside the fold lambda is
+    # worse still, O(n³) — the arrays must be COLUMNS, not inlined
+    # expressions, before a lambda may reference them.)
+    p1 = df.select(id_col, tokens(F.col(text_col)).alias("__t"))
+    n1 = F.size(F.col("__t"))
+    p2 = p1.select(
+        id_col,
+        "__t",
+        F.transform(
+            F.sequence(F.lit(1), n1),
+            lambda j: _pos_hash(salt, d, j) % PPM < F.lit(start_ppm),
+        ).alias("__st"),
+        F.transform(
+            F.sequence(F.lit(1), n1),
+            lambda j: F.lit(1) + _pos_hash(salt + "L", d, j) % F.lit(max_span),
+        ).alias("__ln"),
+    )
+
+    toks = F.col("__t")
     n = F.size(toks)
     seq = F.sequence(F.lit(1), n)
-
-    def is_start(j):
-        return _pos_hash(salt, d, j) % PPM < F.lit(start_ppm)
-
-    def span_len(j):
-        return F.lit(1) + _pos_hash(salt + "L", d, j) % F.lit(max_span)
 
     def masked_at(j):
         # span starting at s covers j iff o = j - s ∈ [0, span_len(s));
         # o is bounded by max_span, so the mask flag is a FIXED-WIDTH
-        # OR over the last max_span positions — O(n·max_span) hashes
-        # per row.  (An exists() over a filtered starts array
-        # re-evaluates that md5-hashed array for EVERY element of the
-        # enclosing transform — O(n²) hashing, measured 28s at sf0.1;
-        # and element_at over a flags array inside the fold lambda is
-        # worse still, O(n³).)
+        # OR over the last max_span positions — array reads only
         cond = None
         for o in range(max_span):
-            s = j - F.lit(o)
-            c = (s >= 1) & is_start(s) & (F.lit(o) < span_len(s))
+            s = (j - F.lit(o)).cast("int")
+            c = (
+                (s >= 1)
+                & F.element_at(F.col("__st"), s)
+                & (F.lit(o) < F.element_at(F.col("__ln"), s))
+            )
             cond = c if cond is None else (cond | c)
         return cond
 
@@ -135,7 +158,7 @@ def span_corrupt(
 
     # two-step projection: `__f` is non-cheap and consumed four times,
     # so CollapseProject keeps the boundary and the fold runs once/row
-    inner = df.select(id_col, F.aggregate(zipped, acc0, step).alias("__f"))
+    inner = p2.select(id_col, F.aggregate(zipped, acc0, step).alias("__f"))
     f = F.col("__f")
     return inner.select(
         id_col,
