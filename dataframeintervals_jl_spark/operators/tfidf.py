@@ -315,11 +315,18 @@ def dsir_weights(
         )
 
     tg = _grams(target, [])
-    cg = _grams(corpus, [F.col(id_col)])
+    # the corpus gram stream is consumed twice (bucket counts, then
+    # the per-document weight join) and each evaluation re-runs the
+    # tokenize + per-gram md5 — the md5 makes the recompute an order
+    # heavier than plain tokenization (the gram_novelty lesson: cache
+    # md5-hashed gram tables, don't cache tokenize-only ones), so
+    # persist it; the bucket-count job below materializes it for free
+    # and it is released before return behind the result checkpoint
+    cg = _grams(corpus, [F.col(id_col)]).persist()
     # both count tables are <= num_buckets rows but cost a full gram
     # pass each — persist them so the totals collect, the ratio build,
     # and the final join don't re-tokenize the corpus (3 passes -> 1
-    # per side; the big final pass over cg itself is the one repeat)
+    # per side)
     ct = tg.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).persist()
     cr = cg.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")).persist()
     # ONE action for both gram totals: union the two (<= num_buckets
@@ -359,7 +366,7 @@ def dsir_weights(
     ratio = ratio.localCheckpoint(eager=True)
     ct.unpersist()
     cr.unpersist()
-    return (
+    out = (
         cg.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
         .agg(
@@ -372,6 +379,15 @@ def dsir_weights(
             F.expr("__rs DIV n_grams").alias("dsir_weight"),
         )
     )
+    # eagerly materialize the document-sized weight table (3 narrow
+    # columns) and release the gram cache: downstream consumers
+    # routinely evaluate the weights more than once (max-weight
+    # aggregate + resampling filter in importance_resample), and
+    # without the checkpoint each evaluation replays the gram join —
+    # the gram_novelty materialize-once pattern
+    out = out.localCheckpoint(eager=True)
+    cg.unpersist()
+    return out
 
 
 def pmi_collocations(
