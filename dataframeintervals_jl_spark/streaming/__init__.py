@@ -194,6 +194,38 @@ def stream_interval_join(
     ron_l, ron_r = renameon
     lon, ron = f"{on}{ron_l}", f"{on}{ron_r}"
 
+    # The exploded side's reach-back only has to cover the PRESERVED
+    # side's longest span (an overlapping preserved start lies in
+    # (start - preserved_duration, stop) — see the prep comment below),
+    # but the streaming contract can only promise max_span_ns.  In
+    # batch-batch right_outer mode the preserved side is the dimension
+    # side of this engine's fact × windows convention, so its true max
+    # duration is one tiny column-pruned agg away — and the exploded
+    # side is the FACT side, whose bin fan-out multiplies the join
+    # build by max_span/bin_width copies per row (141x in
+    # q_stream_join_full's 35-day max_span over 6-hour bins).  Probe
+    # and tighten (guide §2.3: shuffle/broadcast fewer bytes); skipped
+    # for left_outer, where the probe would cost a full pass over the
+    # preserved FACT side to shrink the already-small dimension-side
+    # explode, and for streams, which cannot be aggregated statically.
+    reach_back_ns = int(max_span_ns) if max_span_ns is not None else None
+    if (
+        how == "right_outer"
+        and not left.isStreaming
+        and not right.isStreaming
+        and reach_back_ns // bin_width_ns > 4
+    ):
+        _mx = right.agg(
+            F.max(
+                F.col(on).getField("stop") - F.col(on).getField("start")
+            )
+        ).first()[0]
+        if _mx is not None:
+            # a non-positive max (all spans empty) still yields a valid
+            # bound: prep drops empty preserved spans, so nothing can
+            # match and zero reach loses no pairs
+            reach_back_ns = min(reach_back_ns, max(int(_mx), 0))
+
     def prep(df: DataFrame, out_name: str, tag: str):
         d = df.withColumnRenamed(on, out_name)
         start_ns = F.col(f"{out_name}.start")
@@ -235,7 +267,7 @@ def stream_interval_join(
             # max_span-minus-sub-µs earlier floors one µs — possibly
             # one BIN — below the aligned reach)
             first_us = start_us - F.lit(
-                int(max_span_ns) // NS_PER_US + 1
+                reach_back_ns // NS_PER_US + 1
             )
         return d.withColumn(
             "__bin",

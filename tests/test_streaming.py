@@ -303,6 +303,47 @@ def test_stream_interval_join_right_outer_batch_mode_parity(spark):
     assert any(lid is None for lid, _ in got), "need unmatched rights"
 
 
+def test_stream_interval_join_right_outer_tightened_reach_parity(spark):
+    """Batch-batch right_outer tightens the exploded side's reach-back
+    from max_span_ns to the preserved side's observed max duration
+    (round 11).  Force the probe path (max_span/bin_width > 4, with a
+    max_span 10x the true durations) and assert both the parity and
+    the plan-visible tightening (the explode's reach literal must come
+    from the 90ms observed bound, not the 900ms contract bound)."""
+    left = _spans(spark, 8, width=50_000, step=300_000, name="lid")
+    right = _spans(spark, 30, width=90_000, step=60_000, name="rid")
+    expected = sorted(
+        (
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, keepright=True, validate="skip",
+                strategy="broadcast_left",
+            ).select("lid", "rid").collect()
+        ),
+        key=repr,
+    )
+    out = stream_interval_join(
+        left,
+        right,
+        max_span_ns=900_000 * US,
+        bin_width_ns=10_000 * US,
+        how="right_outer",
+    )
+    got = sorted(
+        ((r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()),
+        key=repr,
+    )
+    assert got == expected
+    assert any(lid is None for lid, _ in got), "need unmatched rights"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the reach literal is subtracted from the start µs inside the
+    # explode: floor(reach_ns/1000)+1 µs — tightened = 90_001.  (The
+    # bare "900001" also appears legitimately as the watermark-slack
+    # INTERVAL, so match the subtraction expression.)
+    assert "- 90001)" in plan, "exploded side must reach back 90ms"
+    assert "- 900001)" not in plan, "untightened max_span reach survived"
+
+
 def test_stream_interval_join_outer_pads_empty_preserved_spans(spark):
     """Batch keepleft pads zero-width left spans with nulls; the
     streaming operator's pre-padded branch must do the same (and such
