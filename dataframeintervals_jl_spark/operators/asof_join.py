@@ -30,6 +30,8 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import driver_row, driver_rows
 from pyspark.sql import types as T
 
 _TAG = "__dfi_asof_tag"
@@ -53,10 +55,12 @@ def _bucketed_global_fill(unioned, left_cols, left_on, direction):
     bucket summary) buy a fully parallel main pass."""
     spark = unioned.sparkSession
     asc = direction == "backward"
-    bounds = unioned.agg(
-        F.min(F.col(left_on).cast("long")).alias("lo"),
-        F.max(F.col(left_on).cast("long")).alias("hi"),
-    ).first()
+    bounds = driver_row(
+        unioned.agg(
+            F.min(F.col(left_on).cast("long")).alias("lo"),
+            F.max(F.col(left_on).cast("long")).alias("hi"),
+        )
+    )
     lo, hi = bounds["lo"], bounds["hi"]
     order = [
         F.col(left_on).asc() if asc else F.col(left_on).desc(),
@@ -85,13 +89,11 @@ def _bucketed_global_fill(unioned, left_cols, left_on, direction):
     # order (max/min rtime; payload via max_by — ties at equal rtime are
     # resolved arbitrarily, same contract as the window carry itself)
     ordv = F.col(_RTIME) if asc else -F.col(_RTIME)
-    summ = (
-        u.groupBy(_BUCKET)
-        .agg(
+    summ = driver_rows(
+        u.groupBy(_BUCKET).agg(
             F.max_by(F.col(_CARRY), ordv).alias("bc"),
             (F.max(_RTIME) if asc else F.min(_RTIME)).alias("br"),
         )
-        .collect()
     )
     inc_rows, last_c, last_r = [], None, None
     for r in sorted(summ, key=lambda r: r[_BUCKET], reverse=not asc):
@@ -135,10 +137,12 @@ def _bucketed_global_fill_nearest(unioned, left_cols, left_on):
     each bucket's last right row, suffix of each bucket's first right
     row) built from ONE collected per-bucket summary."""
     spark = unioned.sparkSession
-    bounds = unioned.agg(
-        F.min(F.col(left_on).cast("long")).alias("lo"),
-        F.max(F.col(left_on).cast("long")).alias("hi"),
-    ).first()
+    bounds = driver_row(
+        unioned.agg(
+            F.min(F.col(left_on).cast("long")).alias("lo"),
+            F.max(F.col(left_on).cast("long")).alias("hi"),
+        )
+    )
     lo, hi = bounds["lo"], bounds["hi"]
     order = [F.col(left_on).asc(), F.col(_TAG).asc()]
     sel_b = lambda w: [  # noqa: E731
@@ -167,15 +171,13 @@ def _bucketed_global_fill_nearest(unioned, left_cols, left_on):
         _TSL, F.col(left_on).cast("long") - F.lit(int(lo))
     ).withColumn(_BUCKET, F.expr(f"{_TSL} DIV {width}"))
 
-    summ = (
-        u.groupBy(_BUCKET)
-        .agg(
+    summ = driver_rows(
+        u.groupBy(_BUCKET).agg(
             F.max_by(F.col(_CARRY), F.col(_RTIME)).alias("lc"),
             F.max(_RTIME).alias("lr"),
             F.min_by(F.col(_CARRY), F.col(_RTIME)).alias("fc"),
             F.min(_RTIME).alias("fr"),
         )
-        .collect()
     )
     carry_type = unioned.schema[_CARRY].dataType
     rows_sorted = sorted(summ, key=lambda r: r[_BUCKET])

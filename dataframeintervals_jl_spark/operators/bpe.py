@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_rows
+
 #: per-symbol sentinels in the packed word representation — control
 #: chars that never appear in the [a-z]+ word charset.  Every symbol
 #: is stored as ``L + sym + R``.
@@ -135,7 +137,7 @@ def learn_bpe_merges(
         .select(_pack_chars(F.col("w")).alias("s"), "cnt")
     )
     w = w.persist()
-    w.count()
+    driver_count(w)
 
     merges: list[tuple[int, str, str, int]] = []
     # `base` is the materialized anchor the current replace chain hangs
@@ -149,13 +151,15 @@ def learn_bpe_merges(
     # exactly as before, cadence-invariance tested).
     base = w
     for r in range(1, n_merges + 1):
-        top = (
+        # one scheduler round-trip per learning round (the TakeOrdered
+        # final stage is a single partition; AQE would add 2 jobs per
+        # round — see session.driver_rows)
+        top = driver_rows(
             _adjacent_pairs(w, "s", "cnt")
             .groupBy("lhs", "rhs")
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.col("c").desc(), "lhs", "rhs")
             .limit(1)
-            .collect()
         )
         if not top:
             break  # every word is a single symbol — nothing to merge

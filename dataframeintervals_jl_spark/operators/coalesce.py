@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_row, driver_rows
 from ..functions.spans import (
     make_span,
     py_endpoint_to_ordinal,
@@ -128,9 +129,9 @@ def _merge_spans_global(
     spark = df.sparkSession
     start = F.col(spancol).getField("start")
     stop = F.col(spancol).getField("stop")
-    bounds = df.agg(
+    bounds = driver_row(df.agg(
         F.min(start.cast("long")).alias("lo"), F.max(start.cast("long")).alias("hi")
-    ).first()
+    ))
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         return df.select(
@@ -143,9 +144,7 @@ def _merge_spans_global(
     )
 
     # pass 1: incoming running-max(stop) per bucket, from the driver
-    perb = (
-        u.groupBy(_B).agg(F.max(stop).alias("mx")).collect()
-    )
+    perb = driver_rows(u.groupBy(_B).agg(F.max(stop).alias("mx")))
     inc_rows, running = [], None
     for r in sorted(perb, key=lambda r: r[_B]):
         inc_rows.append((r[_B], running))
@@ -170,7 +169,10 @@ def _merge_spans_global(
     flagged = flagged.persist()
 
     # pass 2: island-number offsets = prefix sums of per-bucket breaks
-    cnts = {r[_B]: r["c"] for r in flagged.groupBy(_B).agg(F.sum(_BRK).alias("c")).collect()}
+    cnts = {
+        r[_B]: r["c"]
+        for r in driver_rows(flagged.groupBy(_B).agg(F.sum(_BRK).alias("c")))
+    }
     off_rows, acc = [], 0
     for b in sorted(cnts):
         off_rows.append((b, acc))
@@ -227,9 +229,9 @@ def span_gaps(
 def _global_next_start(merged: DataFrame, spancol: str) -> DataFrame:
     spark = merged.sparkSession
     start = F.col(spancol).getField("start")
-    bounds = merged.agg(
+    bounds = driver_row(merged.agg(
         F.min(start.cast("long")).alias("lo"), F.max(start.cast("long")).alias("hi")
-    ).first()
+    ))
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         return merged.select(
@@ -240,7 +242,7 @@ def _global_next_start(merged: DataFrame, spancol: str) -> DataFrame:
     u = merged.withColumn(
         _B, F.expr(f"CAST(({spancol}.start - {lo}) DIV {width} AS LONG)")
     )
-    firsts = u.groupBy(_B).agg(F.min(start).alias("mn")).collect()
+    firsts = driver_rows(u.groupBy(_B).agg(F.min(start).alias("mn")))
     nxt_rows, nxt = [], None
     for r in sorted(firsts, key=lambda r: r[_B], reverse=True):
         nxt_rows.append((r[_B], nxt))
@@ -324,9 +326,9 @@ def _global_running_profile(agg: DataFrame) -> DataFrame:
     totals and each bucket's last ``lead`` by the next bucket's first
     pos (two O(buckets) driver-collected summaries, broadcast back)."""
     spark = agg.sparkSession
-    bounds = agg.agg(
+    bounds = driver_row(agg.agg(
         F.min("__pos").alias("lo"), F.max("__pos").alias("hi")
-    ).first()
+    ))
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         return agg.select(
@@ -338,10 +340,10 @@ def _global_running_profile(agg: DataFrame) -> DataFrame:
     width = max((int(hi) - int(lo)) // nb + 1, 1)
     u = agg.withColumn(_B, F.expr(f"CAST((__pos - {lo}) DIV {width} AS LONG)"))
 
-    summ = (
-        u.groupBy(_B)
-        .agg(F.sum("__delta").alias("dsum"), F.min("__pos").alias("first_pos"))
-        .collect()
+    summ = driver_rows(
+        u.groupBy(_B).agg(
+            F.sum("__delta").alias("dsum"), F.min("__pos").alias("first_pos")
+        )
     )
     off_rows, nxt_rows, acc, nxt = [], [], 0, None
     ordered = sorted(summ, key=lambda r: r[_B])
@@ -511,11 +513,13 @@ def span_difference(
         # complement to left's observed value range (one tiny agg; the
         # row count rides the same action and gates the tiny-left fast
         # path below)
-        bounds = left.agg(
-            F.min(lstart.cast("long")).alias("lo"),
-            F.max(lstop.cast("long")).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
+        bounds = driver_row(
+            left.agg(
+                F.min(lstart.cast("long")).alias("lo"),
+                F.max(lstop.cast("long")).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
         if bounds is None or bounds["lo"] is None:
             return left.limit(0)
         lo, hi = int(bounds["lo"]), int(bounds["hi"])

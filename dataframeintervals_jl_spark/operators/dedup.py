@@ -20,6 +20,8 @@ from typing import Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_row, driver_rows
+
 from ..functions.text import content_hash, portable_hash60, shingles
 from ..sources import ensure_parallelism
 
@@ -271,7 +273,7 @@ def minhash_lsh_pairs(
     banded = banded.persist()
     # eager: both self-join sides otherwise race the cold cache and each
     # computes the signatures (bimodal 4x timings observed at sf0.1)
-    banded.count()
+    driver_count(banded)
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
@@ -284,9 +286,11 @@ def minhash_lsh_pairs(
             .agg(F.count(F.lit(1)).alias("__w"))
             .filter(F.col("__w") > max_bucket)
         )
-        stats = wide.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("__w").alias("rows")
-        ).first()
+        stats = driver_row(
+            wide.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("__w").alias("rows")
+            )
+        )
         if stats["n"]:
             import warnings
 
@@ -341,7 +345,7 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    sh.count()  # eager — both candidate-join sides read it concurrently
+    driver_count(sh)  # eager — both candidate-join sides read it concurrently
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -405,7 +409,7 @@ def jaccard_similarity_join(
         )
         .persist()
     )
-    sh.count()  # eager: read by the frequency agg AND the ordering join
+    driver_count(sh)  # eager: read by the frequency agg AND the ordering join
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__dfi_f"))
     ordered = (
         sh.join(freq, "sh")
@@ -580,7 +584,7 @@ def simhash_near_pairs(
     # materialization boundary: stops the fingerprint aggregate from
     # being inlined per chunk and recomputed on both self-join sides
     chunked = chunked.persist()
-    chunked.count()  # eager — see minhash_lsh_pairs
+    driver_count(chunked)  # eager — see minhash_lsh_pairs
     a = chunked.alias("a")
     b = chunked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -645,7 +649,7 @@ def connected_components(
     # cold cache inside one job
     spark = pairs.sparkSession
     pairs = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    n_edges = pairs.count()
+    n_edges = driver_count(pairs)
 
     if n_edges <= driver_threshold:
         # SMALL-GRAPH FALLBACK: near-dup edge lists are typically many
@@ -734,7 +738,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        changed = driver_row(new_labels.agg(F.sum("chg")))[0] or 0
         labels = new_labels.drop("chg")
         if changed == 0:
             break
@@ -1199,8 +1203,8 @@ def bloom_decontaminate_rowlocal(
         )
         .groupBy("__w")
         .agg(F.expr("bit_or(shiftleft(1L, CAST(__b AS INT)))").alias("__word"))
-        .collect()
     )
+    words = driver_rows(words)
     table = [0] * (n_bits // _BLOOM_WORD)
     for r in words:
         table[int(r["__w"])] = int(r["__word"])
@@ -1481,7 +1485,7 @@ def shared_shingle_pairs(
     # persisted: both sides of the self-join read it — without the
     # boundary the shingle+freq pipeline runs twice
     kept = kept.persist()
-    kept.count()
+    driver_count(kept)
     pairs = (
         kept.alias("a")
         .join(
@@ -1792,7 +1796,7 @@ def gram_novelty(
     # lets the branches race the cold cache (the minhash_lsh_pairs
     # lesson).  The table is two longs per (doc, gram).
     ex = ex.persist()
-    ex.count()
+    driver_count(ex)
     df_t = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     out = (
         ex.join(df_t, "__h")

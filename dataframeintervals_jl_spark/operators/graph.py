@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import driver_count
+
 #: fixed-point scale for rank mass — ranks are bigints summing to ~SCALE
 PR_SCALE = 1_000_000_000_000
 
@@ -53,7 +55,7 @@ def pagerank(
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = und.join(deg, "u").persist()  # (u, v, deg) — the loop's table
     verts = ed.select("u").distinct()
-    n = verts.count()  # also materializes `ed` for the loop
+    n = driver_count(verts)  # also materializes `ed` for the loop
     if n == 0:
         ed.unpersist()
         return edges.sparkSession.createDataFrame([], "v long, rank_fx long")
@@ -123,7 +125,7 @@ def triangle_counts(
     groupBy over triangle rows.  All bigint/id arithmetic —
     SQL-replayable."""
     e = _normalized_edges(edges, src, dst).persist()
-    e.count()  # read by the degree agg and both orientation sides
+    driver_count(e)  # read by the degree agg and both orientation sides
     out = _triangle_counts_normalized(e)
     e.unpersist()
     return out
@@ -163,7 +165,7 @@ def _triangle_counts_normalized(e: DataFrame) -> DataFrame:
     # agg and both orientation joins — measured 10.8s -> materialized
     # once the whole query is pair-generation-bound
     o = o.persist()
-    o.count()
+    driver_count(o)
     e1 = o.select(F.col("s"), F.col("t").alias("t1"), F.col("kt").alias("k1"))
     e2 = o.select(F.col("s"), F.col("t").alias("t2"), F.col("kt").alias("k2"))
     wedges = e1.join(e2, "s").filter(F.col("k1") < F.col("k2"))
@@ -215,7 +217,7 @@ def clustering_coefficient(
     (the duplicated pair generation was cheaper than its first-run
     cost suggests once the scan is warm, but it was pure waste)."""
     e = _normalized_edges(edges, src, dst).persist()
-    e.count()
+    driver_count(e)
     deg = (
         e.select(F.col("u").alias("x"))
         .unionByName(e.select(F.col("v").alias("x")))
@@ -304,7 +306,7 @@ def k_core(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     und = und.persist()
-    n_edges = und.count()
+    n_edges = driver_count(und)
 
     def _peel(cur: DataFrame) -> DataFrame:
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
@@ -325,7 +327,7 @@ def k_core(
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist()
-        n_next = nxt.count()
+        n_next = driver_count(nxt)
         und.unpersist()
         und = nxt
         i += 1

@@ -35,6 +35,7 @@ from typing import Callable, Optional, Tuple, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_row
 from ..functions.spans import (
     SPAN_TYPE,
     exact_floor_div as _floor_div,
@@ -309,7 +310,9 @@ class _SideStats:
                     F.struct(*[F.col(k) for k in key_cols])
                 ).alias("kd")
             )
-        row = df.agg(*aggs).first()
+        # one scheduler round-trip (AQE would run 3 jobs for this
+        # 1-row two-stage agg — see session.driver_row)
+        row = driver_row(df.agg(*aggs))
         self.n = row["n"] or 0
         self.nulls = row["nulls"] or 0
         self.dur = (
@@ -1388,8 +1391,8 @@ def interval_join_by(
                     "broadcast_left" if szl <= szr else "broadcast_right"
                 )
         if strategy == "auto":
-            cl = lefts.count()
-            cr = rights.count()
+            cl = driver_count(lefts)
+            cr = driver_count(rights)
             if min(cl, cr) <= AUTO_BROADCAST_ROWS:
                 strategy = (
                     "broadcast_left" if cl <= cr else "broadcast_right"

@@ -30,6 +30,8 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_row, driver_rows
+
 _B = "__pack_bucket"
 
 
@@ -93,7 +95,7 @@ def _global_exclusive_cumsum(
     (O(buckets) driver-collected, broadcast back)."""
     spark = df.sparkSession
     oc = F.col(order_col).cast("long")
-    bounds = df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi")).first()
+    bounds = driver_row(df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi")))
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         return df.select("*", F.lit(0).cast("long").alias("__tok_start")).limit(0)
@@ -101,7 +103,7 @@ def _global_exclusive_cumsum(
     width = max((int(hi) - int(lo)) // nb + 1, 1)
     u = df.withColumn(_B, F.expr(f"CAST(({order_col} - {lo}) DIV {width} AS LONG)"))
 
-    summ = u.groupBy(_B).agg(F.sum(tok).alias("tsum")).collect()
+    summ = driver_rows(u.groupBy(_B).agg(F.sum(tok).alias("tsum")))
     off_rows, acc = [], 0
     for r in sorted(summ, key=lambda r: r[_B]):
         off_rows.append((r[_B], acc))

@@ -19,6 +19,8 @@ from typing import Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..session import driver_count, driver_row, driver_rows
 from pyspark.sql.types import (
     ByteType,
     DateType,
@@ -449,7 +451,7 @@ def rfm_segments(
         .withColumn("__d", F.expr(f"__ns div {day_ns}"))
         .drop("__ns")
     )
-    maxd = o.agg(F.max("__d")).collect()[0][0]
+    maxd = driver_rows(o.agg(F.max("__d")))[0][0]
     cust = (
         o.groupBy(key)
         .agg(
@@ -459,14 +461,14 @@ def rfm_segments(
         )
         .localCheckpoint(eager=True)
     )
-    n = cust.count()
+    n = driver_count(cust)
     B = int(n_buckets)
     ranks = [-(-(j * n) // B) for j in range(1, B)]  # ceil(j*n/B)
 
     def bounds(colname, better_low):
-        row = cust.agg(
-            F.min(colname).alias("lo"), F.max(colname).alias("hi")
-        ).collect()[0]
+        row = driver_row(
+            cust.agg(F.min(colname).alias("lo"), F.max(colname).alias("hi"))
+        )
         # better_low (recency): boundaries are DESC-order statistics —
         # rank r from the top is ascending rank n+1-r — so the best
         # (smallest) value strictly beats all B-1 boundaries

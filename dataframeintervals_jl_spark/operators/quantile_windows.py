@@ -28,6 +28,7 @@ from typing import Iterable, Optional, Tuple, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import driver_row, driver_rows
 from ..functions.spans import (
     make_span,
     span_endpoint_domain,
@@ -61,10 +62,12 @@ def _ordinal_bounds(
         if domain is None
         else span_to_ordinal(F.col(spancol), domain)
     )
-    row = df.agg(
-        F.min(c.getField("start")).alias("lo"),
-        F.max(c.getField("stop")).alias("hi"),
-    ).first()
+    row = driver_row(
+        df.agg(
+            F.min(c.getField("start")).alias("lo"),
+            F.max(c.getField("stop")).alias("hi"),
+        )
+    )
     if row is None or row["lo"] is None or row["hi"] is None:
         return None
     return int(row["lo"]), int(row["hi"])
@@ -246,8 +249,8 @@ def exact_quantile_longs(
             )
             .groupBy(F.col("e.rid").alias("rid"), F.col("e.bkt").alias("bkt"))
             .count()
-            .collect()
         )
+        hist = driver_rows(hist)
         counts: dict[tuple[int, int], int] = {
             (row["rid"], row["bkt"]): row["count"] for row in hist
         }
@@ -301,9 +304,13 @@ def data_quantile_windows(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    agg = df.agg(
-        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("cnt")
-    ).first()
+    agg = driver_row(
+        df.agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(col).alias("cnt"),
+        )
+    )
     if agg is None or agg["cnt"] == 0:
         return None
     lo, hi, total = int(agg["lo"]), int(agg["hi"]), int(agg["cnt"])

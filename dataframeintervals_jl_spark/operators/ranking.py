@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_row, driver_rows
+
 _LB = "__dfi_rank_lb"  # log2(count) bucket
 _PB = "__dfi_rank_pb"  # tie-column 2-char prefix bucket
 
@@ -89,7 +91,7 @@ def frequency_rank(
     # -- base(c): terms in strictly-greater count groups -----------------
     g = df.groupBy(count_col).agg(F.count(F.lit(1)).alias("__gn"))
     g = g.withColumn(_LB, F.floor(F.log2(cnt)).cast("long"))
-    bucket_tot = g.groupBy(_LB).agg(F.sum("__gn").alias("__bt")).collect()
+    bucket_tot = driver_rows(g.groupBy(_LB).agg(F.sum("__gn").alias("__bt")))
     if not bucket_tot:
         return df.select(
             "*", F.lit(0).cast("long").alias(rank_col)
@@ -187,7 +189,7 @@ def global_order_rank(
         raise ValueError(f"rank_col {rank_col!r} already exists")
     spark = df.sparkSession
     v = F.col(value_col).cast("long")
-    rng = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    rng = driver_row(df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")))
     if rng["lo"] is None:
         return df.select(
             "*", F.lit(0).cast("long").alias(rank_col)
@@ -206,7 +208,7 @@ def global_order_rank(
     elif strategy == "equidepth":
         from .quantile_windows import exact_quantile_longs
 
-        total = df.count()
+        total = driver_count(df)
         ranks = sorted(
             {max(1, (j * total) // nb) for j in range(1, nb)}
         )
@@ -242,7 +244,9 @@ def global_order_rank(
         raise ValueError(
             f"strategy must be 'range' or 'equidepth', got {strategy!r}"
         )
-    counts = b.groupBy("__gor_b").agg(F.count(F.lit(1)).alias("__n")).collect()
+    counts = driver_rows(
+        b.groupBy("__gor_b").agg(F.count(F.lit(1)).alias("__n"))
+    )
     acc, offs = 0, []
     for r in sorted(counts, key=lambda r: r["__gor_b"], reverse=descending):
         offs.append((int(r["__gor_b"]), acc))

@@ -16,6 +16,8 @@ from typing import Mapping, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_row, driver_rows
+
 from ..functions.text import portable_hash60
 
 #: Denominator of the hash-bucket space used for rates/weights.
@@ -231,7 +233,7 @@ def mixture_thresholds(
                 raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
     counts = {
         r[by]: r["n"]
-        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in driver_rows(df.groupBy(by).agg(F.count(F.lit(1)).alias("n")))
     }
     if not counts:
         return {}
@@ -456,7 +458,7 @@ def heavy_hitters(
     counts = df.select(c.alias(out_col)).groupBy(out_col).agg(
         F.count(F.lit(1)).alias("count")
     )
-    total = df.count()
+    total = driver_count(df)
     return counts.filter(
         F.col("count") * F.lit(BUCKETS) >= F.lit(int(min_share_ppm) * total)
     ).select(
@@ -755,7 +757,7 @@ def greedy_coverage_select(
         .distinct()
         .persist()
     )
-    t.count()
+    driver_count(t)
 
     spark = docs.sparkSession
     id_type = dict(docs.dtypes)[id_col]
@@ -765,12 +767,11 @@ def greedy_coverage_select(
         for r in range(1, k + 1):
             # `cur` already excludes every covered term, so the gain
             # scan is a bare agg — no join in the hot job
-            gains = (
+            gains = driver_rows(
                 cur.groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("gain"))
                 .orderBy(F.col("gain").desc(), F.col(id_col))
                 .limit(1)
-                .collect()
             )
             if not gains:
                 raise RuntimeError(
@@ -787,7 +788,7 @@ def greedy_coverage_select(
             # shrunken residual with bounded lineage
             delta = cur.filter(F.col(id_col) == doc).select("term")
             nxt = cur.join(F.broadcast(delta), "term", "left_anti").persist()
-            nxt.count()
+            driver_count(nxt)
             if cur is not t:
                 cur.unpersist()
             cur = nxt
@@ -1136,7 +1137,7 @@ def kmv_overlap_matrix(
         .localCheckpoint(eager=True)
     )
     gs = s.select("__g").distinct()
-    n_groups = gs.count()
+    n_groups = driver_count(gs)
     if n_groups > max_groups:
         raise ValueError(
             f"{n_groups} groups exceeds max_groups={max_groups}; "
@@ -1320,7 +1321,7 @@ def importance_resample(
         raise ValueError(
             f"max_keep_ppm must be in [1, {BUCKETS}], got {max_keep_ppm}"
         )
-    w_max = df.agg(F.max(weight_col)).collect()[0][0]
+    w_max = driver_rows(df.agg(F.max(weight_col)))[0][0]
     if w_max is None or w_max <= 0:
         return df.filter(F.lit(False))
     # least() SKIPS nulls (least(1e6, NULL) = 1e6), which would keep
@@ -1420,7 +1421,7 @@ def winsorize_bounds(
     regs = qsk_registers(df, value_col, key_col, k=k, by=by, salt=salt)
     qs = qsk_quantiles(regs, [lo_ppm, hi_ppm], by=by)
     out: dict = {}
-    for r in qs.collect():
+    for r in driver_rows(qs):
         g = tuple(r[c] for c in keys) if keys else ()
         g = g[0] if len(keys) == 1 else g
         lo, hi = out.get(g, (None, None))

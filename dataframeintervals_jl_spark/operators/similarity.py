@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_row, driver_rows
+
 from ..sources import ensure_parallelism
 
 QUANT = 1_000_000
@@ -107,7 +109,7 @@ def _guard_exact_queries(
     ``allow_large_queries=True``."""
     if allow_large_queries:
         return
-    n = queries.limit(EXACT_QUERY_BROADCAST_ROWS + 1).count()
+    n = driver_count(queries.limit(EXACT_QUERY_BROADCAST_ROWS + 1))
     if n > EXACT_QUERY_BROADCAST_ROWS:
         raise ValueError(
             f"{op}: query side has more than "
@@ -398,7 +400,7 @@ def embedding_neardup_pairs(
         # (driver-side: bounded by the bucket space, NOT the corpus)
         seen = {
             (r["tbl"], r["bucket"])
-            for r in grouped.select("tbl", "bucket").collect()
+            for r in driver_rows(grouped.select("tbl", "bucket"))
         }
         masks = probe_masks(n_planes, probe_radius)
         nbr_rows = [
@@ -587,8 +589,8 @@ def _train_centroids(
         )
         .orderBy(key, F.col("id"))
         .limit(sample_n)
-        .collect()
     )
+    sample = driver_rows(sample)
     if not sample:
         raise ValueError("ivf_topk: corpus is empty — nothing to index")
     x = np.array([r["v"] for r in sample], dtype=np.int64)
@@ -662,7 +664,7 @@ def ivf_topk(
     # per probed cell.  At scale this is the persisted IVF *index*
     # (corpus partitioned/bucketed by cell on disk).
     c = _track_cache(c)
-    c.count()
+    driver_count(c)
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), _quantized(F.col(vec_col)).alias("qv")
@@ -1019,11 +1021,10 @@ def sq8_topk(
     :data:`EXACT_QUERY_BROADCAST_ROWS` unless
     ``allow_large_queries=True``."""
     _guard_exact_queries(queries, allow_large_queries, "sq8_topk")
-    mx_rows = (
+    mx_rows = driver_rows(
         corpus.select(F.posexplode(F.col(vec_col)))
         .groupBy("pos")
         .agg(F.max(F.abs(F.col("col").cast("double"))).alias("m"))
-        .collect()
     )
     mx = {r["pos"]: (r["m"] if r["m"] else 0.0) for r in mx_rows}
     scale_arr = F.array(
@@ -1152,7 +1153,7 @@ def ivf_topk_indexed(
         .withColumn("qn", _dot(F.col("qv"), F.col("qv")))
     )
     q = _track_cache(q)
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    probed = [r["cell"] for r in driver_rows(q.select("cell").distinct())]
 
     c = spark.read.parquet(f"{path}/corpus").filter(
         F.col("cell").isin(probed)
@@ -1416,7 +1417,7 @@ def lsh_rerank_topk_indexed(
     qe = _track_cache(qe)
     probed = [
         (r["tbl"], r["bucket"])
-        for r in qe.select("tbl", "bucket").distinct().collect()
+        for r in driver_rows(qe.select("tbl", "bucket").distinct())
     ]
     by_tbl: dict = {}
     for t, b in probed:
@@ -1688,7 +1689,7 @@ def ivf_pq_topk_indexed(
         qprobe.drop("__qv"), "q_id"
     )
     q = _track_cache(q)
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    probed = [r["cell"] for r in driver_rows(q.select("cell").distinct())]
 
     c = _read_ivfpq_codes(spark, path).filter(F.col("cell").isin(probed))
     pairs = c.join(F.broadcast(q), "cell").filter(
@@ -1723,7 +1724,7 @@ def _cell_assignments(
         .withColumn("__n", _dot(F.col("__v"), F.col("__v")))
     )
     c = _track_cache(c)
-    c.count()
+    driver_count(c)
     return c
 
 
@@ -1956,8 +1957,8 @@ def _train_pq_codebooks(
         )
         .orderBy(key, F.col("id"))
         .limit(sample_n)
-        .collect()
     )
+    sample = driver_rows(sample)
     if not sample:
         raise ValueError("pq_topk: corpus is empty — nothing to index")
     x = np.array([r["v"] for r in sample], dtype=np.int64)
@@ -2274,7 +2275,7 @@ def ivf_pq_topk(
     # IVF-PQ index; on disk it would be the codes table partitioned by
     # cell — see write_ivfpq_index for the layout)
     c = _track_cache(c)
-    c.count()
+    driver_count(c)
     qprobe = queries.select(
         F.col(id_col).alias("q_id"),
         F.explode(probe_cells_udf(_quantized(F.col(vec_col)))).alias("cell"),

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_count, driver_row, driver_rows
+
 from ..functions.text import tokens
 
 
@@ -45,7 +47,7 @@ def tf_idf_top_terms(
     toks = docs.select(F.col(id_col), F.explode(tokens(text)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.count()
+    n = driver_count(docs)
     scored = tf.join(df_, "term").select(
         F.col(id_col),
         "term",
@@ -117,9 +119,9 @@ def bm25_topk(
     dl = docs.select(
         F.col(id_col), F.size(tokens(text)).cast("long").alias("dl")
     )
-    stats = dl.agg(
-        F.sum("dl").alias("total"), F.count(F.lit(1)).alias("n")
-    ).first()
+    stats = driver_row(
+        dl.agg(F.sum("dl").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
     total, n = int(stats["total"]), int(stats["n"])
 
     scored = (
@@ -334,15 +336,16 @@ def dsir_weights(
     # two sequential 1-row collects were one driver round-trip too many
     totals = {
         row["__side"]: row["__s"]
-        for row in ct.select(
-            F.lit("t").alias("__side"), F.col("__ct").alias("__c")
+        for row in driver_rows(
+            ct.select(F.lit("t").alias("__side"), F.col("__ct").alias("__c"))
+            .unionByName(
+                cr.select(
+                    F.lit("r").alias("__side"), F.col("__cr").alias("__c")
+                )
+            )
+            .groupBy("__side")
+            .agg(F.sum("__c").alias("__s"))
         )
-        .unionByName(
-            cr.select(F.lit("r").alias("__side"), F.col("__cr").alias("__c"))
-        )
-        .groupBy("__side")
-        .agg(F.sum("__c").alias("__s"))
-        .collect()
     }
     n_t = (totals.get("t") or 0) + num_buckets
     n_r = (totals.get("r") or 0) + num_buckets

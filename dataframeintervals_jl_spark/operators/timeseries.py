@@ -25,6 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import driver_row, driver_rows
 from .asof_join import asof_join
 
 Key = Union[str, Sequence[str], None]
@@ -245,7 +246,9 @@ def _validity_intervals_global(
         oc = endpoint_to_ordinal(F.col(on), on_dt)
     else:
         oc = F.col(on).cast("long")
-    bounds = df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi")).first()
+    bounds = driver_row(
+        df.agg(F.min(oc).alias("lo"), F.max(oc).alias("hi"))
+    )
     lo = bounds["lo"]
     if lo is None:  # empty input — emit the output schema, zero rows
         return df.select(
@@ -264,10 +267,8 @@ def _validity_intervals_global(
     # e.g. µs for ns-resolution longs would never be, but a timestamp's
     # long-cast is seconds), tiebroken exactly like the window sort
     scan_pos = F.struct(F.col(on), *[F.col(c) for c in order])
-    summ = (
-        u.groupBy(b)
-        .agg(F.max_by(cur, scan_pos).alias("__last_attrs"))
-        .collect()
+    summ = driver_rows(
+        u.groupBy(b).agg(F.max_by(cur, scan_pos).alias("__last_attrs"))
     )
     attrs_type = df.select(cur.alias("s")).schema["s"].dataType
     inc_rows, prev_attrs = [], None
@@ -297,7 +298,9 @@ def _validity_intervals_global(
         .localCheckpoint()  # reused by the summary AND the final pass
     )
 
-    nxt = runs.groupBy(b).agg(F.min("valid_from").alias("__first_vf")).collect()
+    nxt = driver_rows(
+        runs.groupBy(b).agg(F.min("valid_from").alias("__first_vf"))
+    )
     on_type = runs.schema["valid_from"].dataType
     nxt_rows, nxt_vf = [], None
     for r in sorted(nxt, key=lambda r: -r[b]):
@@ -2288,11 +2291,10 @@ def cross_correlation(
 
     sa, sb = _series(a, a_value), _series(b, b_value)
     spark = a.sparkSession
-    span = (
+    span = driver_row(
         sa.select("bucket")
         .unionByName(sb.select("bucket"))
         .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .first()
     )
     if span["lo"] is None:
         return spark.createDataFrame(

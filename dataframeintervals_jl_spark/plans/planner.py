@@ -36,6 +36,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import driver_rows
+
 #: CMS geometry for planning probes: wide enough that the inner
 #: product's +2N²/width bias stays small relative to real pair work,
 #: small enough that the collected registers are a few KB.
@@ -101,7 +103,7 @@ def _collect_registers(
     regs = cms_registers(keyed, "__pk", width=width, depth=depth)
     mat = [[0] * width for _ in range(depth)]
     n = 0
-    rows = regs.collect()
+    rows = driver_rows(regs)
     for r in rows:
         mat[r["__row"]][r["__bkt"]] = int(r["__cnt"])
     # row 0 sums every (non-null-key) input row exactly once

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.spans import make_span
+from .session import driver_row
 from .functions.text import char_count, content_hash, token_count, unique_token_count
 from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
 from .operators.coalesce import overlap_profile, span_difference
@@ -115,8 +116,8 @@ def _es_windows(spark, sf_dir, n, label):
         )
         .filter(F.col("n") >= 2)
         .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
-        .first()
     )
+    row = driver_row(row)
     span = (
         (int(row["lo"]), int(row["hi"]))
         if row is not None and row["lo"] is not None
@@ -4072,9 +4073,9 @@ def q_span_complement(spark, sf_dir):
     spans = ev.select(
         "user_id", make_span(F.col("ts"), F.col("ts") + F.lit(_HOUR_NS)).alias("span")
     )
-    b = spans.agg(
+    b = driver_row(spans.agg(
         F.min(F.col("span.start")).alias("lo"), F.max(F.col("span.stop")).alias("hi")
-    ).first()
+    ))
     comp = span_complement(spans, int(b["lo"]), int(b["hi"]), by="user_id")
     return comp.select(
         "user_id",
@@ -11084,9 +11085,9 @@ def q_interval_agreement(spark, sf_dir):
         "event_id",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(1000))).alias("ts"),
     )
-    bounds = ev.agg(
+    bounds = driver_row(ev.agg(
         F.min("ts").alias("lo"), (F.max("ts") + F.lit(_HOUR_NS)).alias("hi")
-    ).first()
+    ))
     spans = ev.select(
         "user_id",
         "event_id",

@@ -55,3 +55,51 @@ def ensure_session_configs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def driver_rows(df):
+    """Collect a TINY driver-side result (a scalar bounds/stats agg, a
+    bucket summary, a bounded group table) in ONE scheduler round-trip.
+
+    Under AQE, even a 1-row two-stage aggregate materializes every
+    exchange as its own job — three driver round-trips where the
+    non-adaptive planner runs one (measured at sf0.1: 3 jobs / 0.6-1.6s
+    vs 1 job / 0.4-0.5s warm).  Adaptive re-planning cannot help these
+    actions — their final stage is a single partition (or a few
+    thousand tiny rows) by construction — and the engine's internal
+    probes, bounds aggregates, and fixpoint reads run several of them
+    per query, so the round-trips are pure latency at any scale
+    (guide §1.2: the driver is a sequential resource).  Disable AQE for
+    exactly this action and restore the session value.
+
+    NOT for wide results: without AQE a grouped aggregate keeps all
+    ``spark.sql.shuffle.partitions`` reduce tasks in the collecting
+    job, so call this only where the result is provably tiny (call
+    sites document their bounds).  The conf flip is session-scoped;
+    the engine issues these probes from the driver thread that is
+    building the query, never concurrently."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        return df.collect()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def driver_row(df):
+    """:func:`driver_rows`' single-row form — ``None`` when empty, the
+    same contract as ``DataFrame.first()``."""
+    rows = driver_rows(df)
+    return rows[0] if rows else None
+
+
+def driver_count(df) -> int:
+    """``df.count()`` in one scheduler round-trip (see
+    :func:`driver_rows`).  Fully equivalent — including the side effect
+    the engine leans on everywhere: counting a just-``persist()``-ed
+    frame materializes its cache."""
+    from pyspark.sql import functions as F
+
+    return int(driver_rows(df.agg(F.count(F.lit(1))))[0][0])

@@ -24,6 +24,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import driver_row
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
@@ -333,13 +335,15 @@ def write_zordered(
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
     bits = 62 // len(cols)  # 31/20/15 bits per dim for 2/3/4 columns
-    st = df.agg(
-        *[
-            a
-            for i, c in enumerate(cols)
-            for a in (F.min(c).alias(f"l{i}"), F.max(c).alias(f"h{i}"))
-        ]
-    ).first()
+    st = driver_row(
+        df.agg(
+            *[
+                a
+                for i, c in enumerate(cols)
+                for a in (F.min(c).alias(f"l{i}"), F.max(c).alias(f"h{i}"))
+            ]
+        )
+    )
     if any(st[f"l{i}"] is None for i in range(len(cols))):
         # empty input (or an all-null z column): no bucket map exists —
         # write the empty table rather than crashing in int(None)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.spans import NS_PER_US, exact_floor_div, make_span
+from ..session import driver_row
 
 
 def _ns_to_ts(col):
@@ -215,11 +216,13 @@ def stream_interval_join(
         and not right.isStreaming
         and reach_back_ns // bin_width_ns > 4
     ):
-        _mx = right.agg(
-            F.max(
-                F.col(on).getField("stop") - F.col(on).getField("start")
+        _mx = driver_row(
+            right.agg(
+                F.max(
+                    F.col(on).getField("stop") - F.col(on).getField("start")
+                )
             )
-        ).first()[0]
+        )[0]
         if _mx is not None:
             # a non-positive max (all spans empty) still yields a valid
             # bound: prep drops empty preserved spans, so nothing can
