@@ -1106,7 +1106,12 @@ def write_ivf_index(
         .withColumn("cell", nearest_cell(F.col("cv")))
         .withColumn("cn", _dot(F.col("cv"), F.col("cv")))
     )
-    c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/corpus")
+    # cluster the write on the partition key: unclustered, every input
+    # task writes a file per cell it holds (n_tasks x n_cells tiny
+    # files); keyed repartition gives one file per cell (guide §6)
+    c.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/corpus")
     spark.createDataFrame(
         [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
         "cell int, c array<bigint>",
@@ -1506,7 +1511,11 @@ def write_ivfpq_index(
     )
     k_eff = cb.shape[1]
     c = _ivfpq_encode_frame(corpus, cent, cb, id_col, vec_col, by_residual)
-    c.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    # one file per cell, not n_tasks x n_cells (guide §6 — see
+    # write_ivf_index)
+    c.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
     spark.createDataFrame(
         [(i, [int(v) for v in cent[i]]) for i in range(len(cent))],
         "cell int, c array<bigint>",
@@ -1631,7 +1640,9 @@ def append_ivfpq_index(
     cent, cb, by_residual = _load_ivfpq_models(spark, path)
     c = _ivfpq_encode_frame(batch, cent, cb, id_col, vec_col, by_residual)
     seg = f"{path}/updates/e{int(epoch_id):020d}"
-    c.write.partitionBy("cell").mode("overwrite").parquet(f"{seg}/codes")
+    c.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{seg}/codes")
     return seg
 
 

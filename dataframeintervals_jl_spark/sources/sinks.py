@@ -74,8 +74,14 @@ def write_partitioned(
     """Hive-partitioned parquet: one directory per distinct value tuple.
 
     Partition columns should be low-cardinality (≤ ~10k distincts);
-    high-cardinality keys belong in buckets, not directories."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    high-cardinality keys belong in buckets, not directories.
+
+    The write is clustered on the partition columns first: unclustered,
+    every task writes a file per value tuple it holds — n_tasks x
+    n_partitions tiny files (guide §6 small-files)."""
+    df.repartition(*partition_cols).write.mode(mode).partitionBy(
+        *partition_cols
+    ).parquet(path)
 
 
 def write_bucketed(
@@ -96,8 +102,21 @@ def write_bucketed(
     core's working set (at 100 TB and ~128 MB targets that is O(10^5)
     buckets — bucket counts only need to match across tables, they do
     not need to match cluster size)."""
-    writer = df.write.mode(mode).format("parquet").bucketBy(
-        n_buckets, *bucket_cols
+    # Cluster the write so task == bucket: without this, every input
+    # task writes a file per bucket it holds — n_tasks x n_buckets tiny
+    # files (512 at bench scale, measured 3.0s -> 1.0s warm with the
+    # repartition; at production bucket counts it is the difference
+    # between n_buckets output files and millions).  Spark's bucket
+    # assignment is HashPartitioning's own murmur3(seed 42) pmod
+    # n_buckets, so repartitioning on the bucket columns aligns
+    # exactly — one file per bucket (guide §6 small-files).
+    from pyspark.sql import functions as F
+
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
