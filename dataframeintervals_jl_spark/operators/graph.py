@@ -12,10 +12,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import driver_count
+from ..session import driver_count, driver_row
 
 #: fixed-point scale for rank mass — ranks are bigints summing to ~SCALE
 PR_SCALE = 1_000_000_000_000
+
+#: driver fast-path bound (rows of the loop table collected), the
+#: connected_components pattern: near-dup graphs are orders of magnitude
+#: smaller than the corpus, and below this bound the iterative kernels'
+#: per-round JOB latency (each peel/iteration/wedge pass is several
+#: scheduler round-trips) dwarfs the actual data movement — measured at
+#: sf0.1: the triangle kernel spends ~3.5s of stage latency on a
+#: 256-edge graph.  ~16 MB of ids at the bound; the distributed paths
+#: below remain the 100 TB route and compute IDENTICAL rows (parity
+#: pytest-forced through both paths on the same graphs).
+DRIVER_EDGE_THRESHOLD = 1_000_000
+
+#: extra guard for the wedge-counting kernels: the oriented wedge count
+#: is the actual triangle work (O(m^1.5) worst case — quadratic in a
+#: hub's up-degree), so a small EDGE count does not by itself bound the
+#: driver CPU.  After collecting the edges (cheap, bounded above) the
+#: exact wedge count is computed in O(m); above this cap the driver
+#: defers to the distributed kernel, which spreads the same wedge work
+#: across the cluster.
+DRIVER_WEDGE_CAP = 50_000_000
+
+
+def _driver_adjacency(rows) -> dict:
+    """Undirected adjacency sets from collected canonical (u, v) rows."""
+    adj: dict = {}
+    for r in rows:
+        u, v = r[0], r[1]
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def _driver_triangles(adj: dict):
+    """Per-vertex triangle counts via the SAME degree-ordered
+    node-iterator the distributed kernel runs (each triangle closes
+    exactly once at its order-minimal vertex), or ``None`` when the
+    exact oriented wedge count exceeds :data:`DRIVER_WEDGE_CAP` (the
+    caller then falls back to the distributed kernel)."""
+    key = {x: (len(adj[x]), x) for x in adj}
+    up = {x: [w for w in adj[x] if key[w] > key[x]] for x in adj}
+    wedges = sum(len(ws) * (len(ws) - 1) // 2 for ws in up.values())
+    if wedges > DRIVER_WEDGE_CAP:
+        return None
+    tri: dict = {}
+    for u, ws in up.items():
+        ws = sorted(ws, key=key.__getitem__)
+        for i, y in enumerate(ws):
+            ay = adj[y]
+            for z in ws[i + 1 :]:
+                if z in ay:
+                    tri[u] = tri.get(u, 0) + 1
+                    tri[y] = tri.get(y, 0) + 1
+                    tri[z] = tri.get(z, 0) + 1
+    return tri
 
 
 def pagerank(
@@ -54,14 +108,48 @@ def pagerank(
     ).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ed = und.join(deg, "u").persist()  # (u, v, deg) — the loop's table
-    verts = ed.select("u").distinct()
-    n = driver_count(verts)  # also materializes `ed` for the loop
+    # one action materializes `ed` AND reads both loop constants (the
+    # row bound for the driver fast path, the vertex count for the
+    # teleport term) — same job count as the old count(verts) probe
+    stats = driver_row(
+        ed.agg(
+            F.count(F.lit(1)).alias("m2"),
+            F.count_distinct(F.col("u")).alias("n"),
+        )
+    )
+    n = int(stats["n"]) if stats is not None else 0
     if n == 0:
         ed.unpersist()
         return edges.sparkSession.createDataFrame([], "v long, rank_fx long")
 
     teleport = (PR_SCALE - (PR_SCALE * damping_num) // damping_den) // n
-    ranks = verts.select(
+    if int(stats["m2"]) <= DRIVER_EDGE_THRESHOLD:
+        # SMALL-GRAPH FAST PATH (the connected_components trade): each
+        # distributed iteration is one join + one partial agg + periodic
+        # checkpoints — several scheduler round-trips of latency per
+        # round.  Below the bound the loop table fits on the driver;
+        # replicate the IDENTICAL exact fixed-point arithmetic (bigint
+        # floor division only, all operands positive) over collected
+        # (u, v, deg) rows — parity with the distributed loop is
+        # pytest-forced on the same graphs.
+        rows = [(r[0], r[1], r[2]) for r in ed.collect()]
+        ed.unpersist()
+        ranks = {u: PR_SCALE // n for u, _, _ in rows}
+        ranks.update({v: PR_SCALE // n for _, v, _ in rows})
+        for _ in range(iterations):
+            in_sum: dict = {}
+            for u, v, d in rows:
+                r = ranks.get(u)
+                if r is not None:  # inner join: rank-less sources drop
+                    in_sum[v] = in_sum.get(v, 0) + r // d
+            ranks = {
+                v: teleport + (s * damping_num) // damping_den
+                for v, s in in_sum.items()
+            }
+        return edges.sparkSession.createDataFrame(
+            [(v, r) for v, r in ranks.items()], "v long, rank_fx long"
+        )
+    ranks = ed.select("u").distinct().select(
         F.col("u").alias("v"), F.lit(PR_SCALE // n).cast("long").alias("r")
     )
     for i in range(iterations):
@@ -125,7 +213,15 @@ def triangle_counts(
     groupBy over triangle rows.  All bigint/id arithmetic —
     SQL-replayable."""
     e = _normalized_edges(edges, src, dst).persist()
-    driver_count(e)  # read by the degree agg and both orientation sides
+    # the count is read by the driver fast-path bound; the action also
+    # materializes the cache for the degree agg and orientation sides
+    if driver_count(e) <= DRIVER_EDGE_THRESHOLD:
+        tri = _driver_triangles(_driver_adjacency(e.collect()))
+        if tri is not None:  # wedge count within the driver CPU cap
+            e.unpersist()
+            return edges.sparkSession.createDataFrame(
+                list(tri.items()), "v long, n_triangles long"
+            )
     out = _triangle_counts_normalized(e)
     e.unpersist()
     return out
@@ -217,7 +313,27 @@ def clustering_coefficient(
     (the duplicated pair generation was cheaper than its first-run
     cost suggests once the scan is warm, but it was pure waste)."""
     e = _normalized_edges(edges, src, dst).persist()
-    driver_count(e)
+    if driver_count(e) <= DRIVER_EDGE_THRESHOLD:
+        adj = _driver_adjacency(e.collect())
+        dtri = _driver_triangles(adj)
+        if dtri is not None:
+            e.unpersist()
+            rows = []
+            for x, nbrs in adj.items():
+                d = len(nbrs)
+                if d < 2:
+                    continue
+                t = dtri.get(x, 0)
+                if scale_ppm:
+                    rows.append((x, d, t, 2 * t * 1_000_000 // (d * (d - 1))))
+                else:
+                    # 2t and d(d-1) are exact ints — the float division
+                    # rounds identically to the JVM double path
+                    rows.append((x, d, t, (2 * t) / (d * (d - 1))))
+            col = "coeff_ppm long" if scale_ppm else "coeff double"
+            return edges.sparkSession.createDataFrame(
+                rows, f"v long, d long, n_triangles long, {col}"
+            )
     deg = (
         e.select(F.col("u").alias("x"))
         .unionByName(e.select(F.col("v").alias("x")))
@@ -307,6 +423,41 @@ def k_core(
     )
     und = und.persist()
     n_edges = driver_count(und)
+
+    if n_edges <= DRIVER_EDGE_THRESHOLD:
+        # SMALL-GRAPH FAST PATH (the connected_components trade): each
+        # peel is a degree agg + two semi-joins + a count — several jobs
+        # of scheduler latency per round.  Replicate the IDENTICAL peel
+        # loop (including the bounded-rounds / early-exit / max_rounds
+        # contract) over the collected symmetric edge list.
+        cur = [(r[0], r[1]) for r in und.collect()]
+        und.unpersist()
+        total = rounds if rounds is not None else max_rounds
+        i, m = 0, len(cur)
+        while i < total and m > 0:
+            degd: dict = {}
+            for a, _ in cur:
+                degd[a] = degd.get(a, 0) + 1
+            nxt = [
+                (a, b)
+                for a, b in cur
+                if degd[a] >= k and degd.get(b, 0) >= k
+            ]
+            i += 1
+            if len(nxt) == m:
+                cur = nxt
+                break
+            if rounds is None and i == max_rounds:
+                raise RuntimeError(
+                    f"k_core did not converge within max_rounds={max_rounds}"
+                )
+            cur, m = nxt, len(nxt)
+        outd: dict = {}
+        for a, _ in cur:
+            outd[a] = outd.get(a, 0) + 1
+        return edges.sparkSession.createDataFrame(
+            list(outd.items()), "v long, deg long"
+        )
 
     def _peel(cur: DataFrame) -> DataFrame:
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))

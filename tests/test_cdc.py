@@ -358,3 +358,63 @@ def test_k_core_checkpoint_cadence_invariance(spark):
             tuple(r) for r in k_core(df, k=3, checkpoint_every=every).collect()
         )
         assert got == base, f"checkpoint_every={every}"
+
+
+def test_graph_kernels_driver_distributed_parity(spark, monkeypatch):
+    """The bounded driver fast path (round 11) computes IDENTICAL rows
+    to the distributed kernels — forced through BOTH paths on the same
+    graphs (hand shapes incl. self-loops plus a seeded random graph),
+    for every kernel and its edge-case parameters (fixpoint and
+    bounded-rounds k-core, zero-iteration pagerank, float coeff)."""
+    import random
+
+    import dataframeintervals_jl_spark.operators.graph as G
+
+    rng = random.Random(13)
+    graphs = {
+        "tri_pendant": [(1, 2), (2, 3), (1, 3), (3, 4)],
+        "selfloop": [(1, 1), (1, 2), (2, 3), (1, 3)],
+        "rand": list(
+            {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}
+        ),
+    }
+
+    def runs(df):
+        return [
+            sorted(tuple(r) for r in G.triangle_counts(df).collect()),
+            sorted(tuple(r) for r in G.clustering_coefficient(df).collect()),
+            sorted(
+                tuple(r)
+                for r in G.clustering_coefficient(df, scale_ppm=False).collect()
+            ),
+            sorted(tuple(r) for r in G.k_core(df, k=2, rounds=6).collect()),
+            sorted(tuple(r) for r in G.k_core(df, k=3).collect()),
+            sorted(tuple(r) for r in G.pagerank(df, iterations=4).collect()),
+            sorted(tuple(r) for r in G.pagerank(df, iterations=0).collect()),
+        ]
+
+    for name, edges in graphs.items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", 1_000_000)
+        via_driver = runs(df)
+        monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", -1)
+        via_dist = runs(df)
+        assert via_driver == via_dist, name
+
+
+def test_graph_driver_path_wedge_cap_falls_back(spark, monkeypatch):
+    """Edges under the row bound but wedges over DRIVER_WEDGE_CAP must
+    fall back to the distributed triangle kernel (the O(m^1.5) work is
+    what the cap bounds, not the edge count) — and still be correct."""
+    import dataframeintervals_jl_spark.operators.graph as G
+
+    edges = [(a, b) for a in range(8) for b in range(a + 1, 8)]  # K8
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    monkeypatch.setattr(G, "DRIVER_WEDGE_CAP", 0)  # force the fallback
+    got = {r["v"]: r["n_triangles"] for r in G.triangle_counts(df).collect()}
+    assert got == {v: 21 for v in range(8)}  # C(7,2) per K8 vertex
+    gotc = {
+        r["v"]: (r["d"], r["n_triangles"], r["coeff_ppm"])
+        for r in G.clustering_coefficient(df).collect()
+    }
+    assert gotc == {v: (7, 21, 1_000_000) for v in range(8)}

@@ -851,12 +851,15 @@ def test_dsir_weights_plan_contract(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_k_core_plan_contract(spark):
+def test_k_core_plan_contract(spark, monkeypatch):
     """Every peel is semi-join + partial-agg shaped: no cartesian
     products, no Python UDFs, no non-semi row-multiplying joins in the
-    final core's plan."""
+    final core's plan.  The driver fast path is disabled so the
+    DISTRIBUTED loop (the 100 TB route) is what is plan-checked."""
+    import dataframeintervals_jl_spark.operators.graph as G
     from dataframeintervals_jl_spark.operators.graph import k_core
 
+    monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", -1)
     edges = [(i % 13, (i * 7) % 13) for i in range(60)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     out = k_core(df, k=2, rounds=3)
