@@ -134,8 +134,12 @@ def pagerank(
         # pytest-forced on the same graphs.
         rows = [(r[0], r[1], r[2]) for r in ed.collect()]
         ed.unpersist()
+        # init over DISTINCT u only — the exact mirror of the
+        # distributed `ed.select("u").distinct()` init (on the
+        # symmetrized graph every endpoint appears as u; a NULL
+        # endpoint appears only as v, and the distributed init
+        # excludes it just like this does)
         ranks = {u: PR_SCALE // n for u, _, _ in rows}
-        ranks.update({v: PR_SCALE // n for _, v, _ in rows})
         for _ in range(iterations):
             in_sum: dict = {}
             for u, v, d in rows:

@@ -374,23 +374,26 @@ def test_graph_kernels_driver_distributed_parity(spark, monkeypatch):
     graphs = {
         "tri_pendant": [(1, 2), (2, 3), (1, 3), (3, 4)],
         "selfloop": [(1, 1), (1, 2), (2, 3), (1, 3)],
+        "null_edge": [(1, 2), (2, None), (None, 3), (1, 3)],
         "rand": list(
             {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}
         ),
     }
 
     def runs(df):
+        # str sort key: NULL vertex ids are legal rows (a null-id edge
+        # reaches pagerank's output) and None does not compare to int
         return [
-            sorted(tuple(r) for r in G.triangle_counts(df).collect()),
-            sorted(tuple(r) for r in G.clustering_coefficient(df).collect()),
-            sorted(
-                tuple(r)
-                for r in G.clustering_coefficient(df, scale_ppm=False).collect()
-            ),
-            sorted(tuple(r) for r in G.k_core(df, k=2, rounds=6).collect()),
-            sorted(tuple(r) for r in G.k_core(df, k=3).collect()),
-            sorted(tuple(r) for r in G.pagerank(df, iterations=4).collect()),
-            sorted(tuple(r) for r in G.pagerank(df, iterations=0).collect()),
+            sorted((tuple(r) for r in out.collect()), key=str)
+            for out in (
+                G.triangle_counts(df),
+                G.clustering_coefficient(df),
+                G.clustering_coefficient(df, scale_ppm=False),
+                G.k_core(df, k=2, rounds=6),
+                G.k_core(df, k=3),
+                G.pagerank(df, iterations=4),
+                G.pagerank(df, iterations=0),
+            )
         ]
 
     for name, edges in graphs.items():
