@@ -1629,8 +1629,9 @@ _SQL_SURVIVAL = """WITH per AS (
   FROM g
 )
 SELECT duration, n_end, CAST(tot - cum + n_end AS BIGINT) AS n_at_risk,
-       ((tot - cum) * 1000000) // tot AS survival_ppm,
-       (n_end * 1000000) // (tot - cum + n_end) AS hazard_ppm
+       CAST(((tot - cum) * 1000000) // tot AS BIGINT) AS survival_ppm,
+       CAST((n_end * 1000000) // (tot - cum + n_end) AS BIGINT)
+         AS hazard_ppm
 FROM c"""
 
 
@@ -1740,7 +1741,7 @@ SELECT user_id, conv_id, conv_ts, touch_id, touch_type, touch_ts,
 FROM pairs"""
     return base + """
 SELECT user_id, conv_id, conv_ts, touch_id, touch_type, touch_ts,
-       1.0 AS weight
+       CAST(1.0 AS DOUBLE) AS weight
 FROM pairs
 QUALIFY row_number() OVER (
   PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) = 1"""
@@ -11302,8 +11303,8 @@ _SQL_GRAM_NOVELTY = rf"""WITH toks AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_shared,
-       (1000000 * (count(*) - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)))
-         // count(*) AS novelty_ppm
+       CAST((1000000 * (count(*) - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)))
+         // count(*) AS BIGINT) AS novelty_ppm
 FROM ex JOIN freq USING (h)
 GROUP BY doc_id"""
 

@@ -67,9 +67,16 @@ def main():
             print(f"rows-only {name}: {len(s_rows)} rows, cols={s_cols}")
             continue
         try:
+            # DESCRIBE gives exact DuckDB types (HUGEINT, DECIMAL(38,0),
+            # ...); DB-API cursor.description flattens them to generic
+            # codes ('NUMBER'), which is how the r11 HUGEINT failures
+            # slipped past this gate.
+            d_types = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
-            d_types = [str(d[1]) for d in cur.description]
             d_rows = cur.fetchall()
         except Exception as e:
             failures.append(name)
@@ -81,7 +88,7 @@ def main():
         # equal values.  Flag those oracle columns as hash risks.
         risky = [
             f"{c}:{t}"
-            for c, t in zip(d_cols, d_types)
+            for c, t in d_types.items()
             if any(k in t.upper() for k in ("HUGEINT", "INT128", "DECIMAL"))
         ]
         if risky:
