@@ -149,7 +149,7 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
 
-    def bench(name, build):
+    def bench(name, build, quiet_cap=8):
         if _only and name not in _only:
             return
         # best of 2 (3 when the two samples disagree >2x): the host
@@ -224,10 +224,11 @@ def main() -> None:
             # a steal window was observed slowing BOTH samples of a
             # 1.8s query to 10.6s), so a min above 8s earns up to three
             # more chances to land outside the window (bounded at 5
-            # samples)
+            # samples).  quiet_cap parameterizes the 8s for entries
+            # that legitimately run longer (the x10 scale block).
             rec = _prior.get(name)
             while (
-                min(samples) > 8
+                min(samples) > quiet_cap
                 or (rec and rec > 0.05 and min(samples) > 1.5 * rec)
             ) and len(samples) < 5:
                 one()
@@ -506,37 +507,35 @@ def main() -> None:
     # vocabulary through the distributed prefix-offset rank vs the
     # single-partition global window, so the distributed plan's
     # advantage is a recorded number per round, not just a plan
-    # assertion.  The corpus' own vocabulary is tiny (31 synthetic
-    # tokens), so distinct terms are manufactured from the data itself:
-    # per-(doc, term) occurrence counts (~86k distinct at sf0.1, counts
-    # keep the within-doc tie structure) replicated x30 with a suffix —
-    # ~2.6M distinct terms, exactly the axis a `row_number() OVER
-    # (ORDER BY ...)` with no PARTITION BY funnels through one task.
+    # assertion.  ~2.6M distinct terms is exactly the axis a
+    # `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels
+    # through one task.
+    #
+    # MEASUREMENT FIX (round 12, VERDICT r11 #6): the previous fixture
+    # tokenized the corpus, grouped per-(doc, term) and crossJoined x30
+    # INSIDE the timed region — ~5.5s/entry of which the rank operator
+    # was a fraction, polluting the 12-slowest headline.  The fixture
+    # is now a spark.range projection (deterministic terms; 20-way tie
+    # structure via a portable hash), so the timed region is the rank
+    # operator itself.  The distributed-vs-single-window comparison is
+    # unchanged — both entries rank the SAME fixture.  Old readings
+    # (fixture-dominated): distributed 4.47-5.5s vs single 4.54-5.58s.
     try:
         from pyspark.sql import Window as _W
 
-        from dataframeintervals_jl_spark.functions.text import tokens
         from dataframeintervals_jl_spark.operators.ranking import (
             frequency_rank,
         )
 
         def _vocab_big():
-            docs = read_table(spark, sf_dir, "documents")
-            tf = (
-                docs.select(
-                    "doc_id",
-                    F.explode(tokens(F.lower(F.col("text")))).alias("term"),
-                )
-                .groupBy("doc_id", "term")
-                .agg(F.count(F.lit(1)).alias("count"))
-            )
-            return tf.crossJoin(
-                spark.range(30).select(F.col("id").alias("__rep"))
-            ).select(
-                F.concat_ws(
-                    "_", "term", F.col("doc_id"), F.col("__rep")
-                ).alias("term"),
-                "count",
+            return spark.range(2_600_000).select(
+                F.concat(F.lit("t"), F.col("id").cast("string")).alias(
+                    "term"
+                ),
+                (
+                    F.lit(1)
+                    + F.pmod(F.xxhash64(F.col("id")), F.lit(20))
+                ).cast("long").alias("count"),
             )
 
         bench(
@@ -913,6 +912,61 @@ def main() -> None:
         cemb.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # -------- 10x scale block (round 12, VERDICT r11 #3) --------
+    # sf0.1 sits at the scheduling floor: core-scaling ratios ≈1 across
+    # the whole suite and an 8-core run beat a 32-core run end-to-end
+    # in r11, so per-query seconds can no longer discriminate real
+    # optimizations for the heavy families.  Synthesize a 10x dataset
+    # (10 tagged copies per tools/scale_probe.py — independent corpora
+    # and user populations, the event timeline laid end-to-end) in an
+    # UNTIMED build, then time five heavy-family queries over it with
+    # the same bench() harness.  The 10x tables are recomputed from the
+    # parquet inputs on EVERY invocation and deleted afterwards —
+    # nothing persists across runs, so this is scale measurement, not
+    # precomputation.  Additions-only: no existing entry changes.
+    x10_dir = "/tmp/dfi_bench_x10"
+    _x10_entries = [
+        "q_masked_twa",            # stab/validity windows family
+        "q_interval_join_binned",  # binned overlap join
+        "q_minhash_lsh_pairs",     # shingle/minhash shuffle
+        "q_dedup_clusters",        # LSH pairs -> connected components
+        "q_global_rank",           # value-range-bucketed global rank
+    ]
+    try:
+        if not _only or any(f"x10_{n}" in _only for n in _x10_entries):
+            import importlib.util as _ilu
+
+            _spp = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools",
+                "scale_probe.py",
+            )
+            _spec = _ilu.spec_from_file_location("dfi_scale_probe_mod", _spp)
+            _spm = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_spm)
+            spark.sparkContext.setJobDescription("x10 fixture build")
+            _spm.build_scaled(
+                spark,
+                10,
+                out=x10_dir,
+                src_dir=sf_dir,
+                tables=("documents", "events", "embeddings"),
+            )
+            spark.sparkContext.setJobDescription(None)
+            for _n in _x10_entries:
+                _xfn = QUERIES[_n][0]
+                bench(
+                    f"x10_{_n}",
+                    lambda _xfn=_xfn: _xfn(spark, x10_dir),
+                    quiet_cap=60,
+                )
+    except Exception as exc:  # noqa: BLE001
+        errors["x10_setup"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        import shutil as _sh_x10
+
+        _sh_x10.rmtree(x10_dir, ignore_errors=True)
 
     mt_probes.append(_mt_probe())
     spark.stop()

@@ -762,17 +762,28 @@ def greedy_coverage_select(
     spark = docs.sparkSession
     id_type = dict(docs.dtypes)[id_col]
     cur = t
+    prev = None
     picks: list[tuple] = []
     try:
         for r in range(1, k + 1):
             # `cur` already excludes every covered term, so the gain
-            # scan is a bare agg — no join in the hot job
+            # scan is a bare agg — no join in the hot job.  For r > 1
+            # this ONE action also materializes `cur`'s persist (the
+            # anti-join reads the PREVIOUS residual's still-live cache
+            # inside the same job), so the per-round driver_count
+            # materialization job is gone: one scheduler round-trip
+            # per round instead of two (guide §1.2).
             gains = driver_rows(
                 cur.groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("gain"))
                 .orderBy(F.col("gain").desc(), F.col(id_col))
                 .limit(1)
             )
+            # the previous residual may only be released AFTER the scan
+            # above has populated cur's cache off it
+            if prev is not None and prev is not t:
+                prev.unpersist()
+                prev = None
             if not gains:
                 raise RuntimeError(
                     f"greedy_coverage_select: all documents fully "
@@ -784,20 +795,18 @@ def greedy_coverage_select(
             if r == k:
                 break
             # subtract the winner's remaining terms (one document's
-            # vocabulary — always broadcast-able) and re-persist the
-            # shrunken residual with bounded lineage
+            # vocabulary — always broadcast-able); the shrunken
+            # residual materializes inside the NEXT round's gain scan
             delta = cur.filter(F.col(id_col) == doc).select("term")
             nxt = cur.join(F.broadcast(delta), "term", "left_anti").persist()
-            driver_count(nxt)
-            if cur is not t:
-                cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
         # also reached on the all-covered error path — never leak the
         # incidence table or any residual into session storage
         t.unpersist()
-        if cur is not t:
-            cur.unpersist()
+        for d in (prev, cur):
+            if d is not None and d is not t:
+                d.unpersist()
     return spark.createDataFrame(
         picks, f"sel_rank long, {id_col} {id_type}, gain long"
     )

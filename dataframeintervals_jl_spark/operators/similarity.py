@@ -1138,7 +1138,9 @@ def ivf_topk_indexed(
     ``|probed cells| / n_centroids`` at any scale."""
     from pyspark.sql.functions import pandas_udf
 
-    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    crows = driver_rows(
+        spark.read.parquet(f"{path}/centroids").orderBy("cell")
+    )
     cent = np.array([r["c"] for r in crows], dtype=np.int64)
     cnorm = _centroid_norms(cent)
     n_probe_eff = min(n_probe, len(cent))
@@ -1322,7 +1324,7 @@ def append_lsh_index(
     Usable directly as ``foreachBatch(lambda b, e: append_lsh_index(
     b, path, e))`` — or via ``streaming.maintain_lsh_index``."""
     spark = batch.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = driver_row(spark.read.parquet(f"{path}/meta"))
     bt, raw = _lsh_index_frames(
         batch,
         meta["dim"],
@@ -1401,7 +1403,7 @@ def lsh_rerank_topk_indexed(
     bucket table scan reads only probed directories.  The probe list
     is bounded by ``min(|Q|·tables·masks, tables·2^n_planes)`` —
     driver-bounded by the bucket space itself, never the corpus."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = driver_row(spark.read.parquet(f"{path}/meta"))
     dim, n_planes, n_tables = (
         meta["dim"], meta["n_planes"], meta["n_tables"],
     )
@@ -1589,11 +1591,13 @@ def _load_ivfpq_models(spark, path: str):
     — the frozen models every post-build consumer (probe, append)
     reconstructs identically.  Indexes written before the meta file
     existed read as raw-encoded (by_residual=False)."""
-    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    crows = driver_rows(
+        spark.read.parquet(f"{path}/centroids").orderBy("cell")
+    )
     cent = np.array([r["c"] for r in crows], dtype=np.int64)
-    cbrows = spark.read.parquet(f"{path}/codebooks").orderBy(
-        "m", "code"
-    ).collect()
+    cbrows = driver_rows(
+        spark.read.parquet(f"{path}/codebooks").orderBy("m", "code")
+    )
     m_sub = 1 + max(r["m"] for r in cbrows)
     k_eff = len(cbrows) // m_sub
     ds = len(cbrows[0]["cv"])
@@ -1602,7 +1606,7 @@ def _load_ivfpq_models(spark, path: str):
     )
     try:
         by_residual = bool(
-            spark.read.parquet(f"{path}/meta").first()["by_residual"]
+            driver_row(spark.read.parquet(f"{path}/meta"))["by_residual"]
         )
     except Exception:  # pre-meta index layout
         by_residual = False

@@ -3254,8 +3254,31 @@ def q_similarity_lsh_maintained(spark, sf_dir):
     write_lsh_index(
         emb.filter(third == 0), path, dim=64, n_planes=8, n_tables=4
     )
-    append_lsh_index(emb.filter(third == 1), path, 0)
-    append_lsh_index(emb.filter(third == 2), path, 1)
+    # The two append segments are independent jobs writing disjoint
+    # epoch directories (each hashes its own batch against the base
+    # meta, with its own internal cache), so submit them from driver
+    # threads and let the second segment's tasks back-fill the first's
+    # stragglers (guide §2.6).  foreachBatch maintenance arrives
+    # serially in production — this parallelism is the batch-replay
+    # case (N segments to catch up), where it is exactly the
+    # independent-jobs overlap the guide prescribes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f1 = _pool.submit(
+            inheritable_thread_target(
+                lambda: append_lsh_index(emb.filter(third == 1), path, 0)
+            )
+        )
+        _f2 = _pool.submit(
+            inheritable_thread_target(
+                lambda: append_lsh_index(emb.filter(third == 2), path, 1)
+            )
+        )
+        _f1.result()
+        _f2.result()
     out = lsh_rerank_topk_indexed(spark, path, queries, k=5, probe_radius=3)
     return out.select(
         "q_id", F.col("rank").cast("long").alias("rank"), "n_id", "score"
@@ -6817,7 +6840,11 @@ def q_masked_twa(spark, sf_dir):
             ).alias("span")
         )
     )
-    frags = span_difference(w, masks).localCheckpoint(eager=True)
+    # LAZY checkpoint (round 12): the very next driver action is the
+    # auto-join's dimension-side count probe on this table, so eager
+    # materialization is one redundant scheduler round-trip — the probe
+    # materializes the checkpoint and every later reference reads it
+    frags = span_difference(w, masks).localCheckpoint(eager=False)
     horizon = w.agg(F.max("span.stop"))
     out = time_weighted_avg(
         ev, frags, "v_fx", ts_col="ts", by="event_type",
@@ -6942,7 +6969,8 @@ def q_stream_masked_twa(spark, sf_dir):
             ).alias("span")
         )
     )
-    frags = span_difference(w, masks).localCheckpoint(eager=True)
+    # lazy for the same probe-materializes-it reason as q_masked_twa
+    frags = span_difference(w, masks).localCheckpoint(eager=False)
     out = stream_time_weighted(
         ev, frags, "v_fx", ts_col="ts", by="event_type",
         order_tiebreak="event_id",

@@ -24,7 +24,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..session import driver_row
+from ..session import driver_count, driver_row
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -288,7 +288,8 @@ def compact_table(
     return {
         "files_before": files_before,
         "files_after": files_after,
-        "rows": spark.read.parquet(out_path).count(),
+        # pure scan+count (no joins AQE could improve): one round-trip
+        "rows": driver_count(spark.read.parquet(out_path)),
     }
 
 

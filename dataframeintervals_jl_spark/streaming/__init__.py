@@ -1690,7 +1690,7 @@ def stream_lsh_probe(
         probe_masks,
     )
 
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = driver_row(spark.read.parquet(f"{path}/meta"))
     dim, n_planes, n_tables = (
         meta["dim"], meta["n_planes"], meta["n_tables"],
     )

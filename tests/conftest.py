@@ -29,8 +29,31 @@ SPAN_SCHEMA = T.StructType(
 def spark():
     from dataframeintervals_jl_spark import get_spark
 
-    s = get_spark(app_name="dfi_tests", cpus=4)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import os as _os
+
+    # Test-session latency tuning (round 12).  The suite runs ~15k tiny
+    # actions over row counts in the hundreds; two knobs dominate wall
+    # time and were A/B-measured per config (fixed hypothesis seed):
+    # AQE off (each exchange otherwise materializes as its own job —
+    # pure scheduler latency at test scale) and shuffle.partitions=2
+    # (8 static reduce tasks per tiny shuffle cost 2-4x on the
+    # streaming/foreachBatch parity tests once AQE no longer coalesces
+    # them).  Heaviest-pair timings: 220s (AQE off, sp=8) -> 90s (AQE
+    # off, sp=2); streaming trio: 80s -> 51s.  cpus=8 beat 4 and 16.
+    # AQE stays ON in every production session (get_spark default) —
+    # tests that pin AQE-specific plan shapes toggle it locally (see
+    # test_plans.py).  DFI_TEST_AQE=1 / DFI_TEST_CPUS / DFI_TEST_SP
+    # override for A/Bs.
+    s = get_spark(
+        app_name="dfi_tests",
+        cpus=int(_os.environ.get("DFI_TEST_CPUS", "8")),
+    )
+    s.conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("DFI_TEST_SP", "2"),
+    )
+    if not _os.environ.get("DFI_TEST_AQE"):
+        s.conf.set("spark.sql.adaptive.enabled", "false")
     yield s
     s.stop()
 

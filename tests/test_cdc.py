@@ -389,9 +389,9 @@ def test_graph_kernels_driver_distributed_parity(spark, monkeypatch):
                 G.triangle_counts(df),
                 G.clustering_coefficient(df),
                 G.clustering_coefficient(df, scale_ppm=False),
-                G.k_core(df, k=2, rounds=6),
+                G.k_core(df, k=2, rounds=3),
                 G.k_core(df, k=3),
-                G.pagerank(df, iterations=4),
+                G.pagerank(df, iterations=2),
                 G.pagerank(df, iterations=0),
             )
         ]
@@ -421,3 +421,64 @@ def test_graph_driver_path_wedge_cap_falls_back(spark, monkeypatch):
         for r in G.clustering_coefficient(df).collect()
     }
     assert gotc == {v: (7, 21, 1_000_000) for v in range(8)}
+
+
+def test_graph_driver_path_boundary_exact(spark, monkeypatch):
+    """Adversarial parity at EXACTLY the driver-edge bound (round 12):
+    a count equal to DRIVER_EDGE_THRESHOLD must take the driver path
+    (<= semantics), one less must go distributed, and the two paths
+    must agree row-for-row.  Also straddles DRIVER_WEDGE_CAP on a
+    hub-heavy graph: cap == exact wedge count stays on the driver, one
+    below falls back distributed, identical rows either way."""
+    import dataframeintervals_jl_spark.operators.graph as G
+
+    # hub vertex 0 (degree 8, wedge-heavy) + a triangle + an island
+    edges = [(0, i) for i in range(1, 9)] + [(1, 2), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    m_canon = 10  # distinct canonical undirected edges
+    m_sym = 20    # symmetrized loop-table rows (pagerank/k_core bound)
+
+    calls = {"driver": 0}
+    real_tri = G._driver_triangles
+
+    def spy(adj):
+        calls["driver"] += 1
+        return real_tri(adj)
+
+    monkeypatch.setattr(G, "_driver_triangles", spy)
+
+    def rows(out):
+        return sorted((tuple(r) for r in out.collect()), key=str)
+
+    # -- edge-count boundary, triangle kernel (canonical count) --
+    monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", m_canon)
+    at = rows(G.triangle_counts(df))
+    assert calls["driver"] == 1, "count == threshold must use the driver"
+    monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", m_canon - 1)
+    below = rows(G.triangle_counts(df))
+    assert calls["driver"] == 1, "count > threshold must go distributed"
+    assert at == below
+
+    # -- wedge-cap boundary on the hub graph --
+    monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", m_canon)
+    adj = G._driver_adjacency(edges)
+    key = {x: (len(adj[x]), x) for x in adj}
+    up = {x: [w for w in adj[x] if key[w] > key[x]] for x in adj}
+    wedges = sum(len(ws) * (len(ws) - 1) // 2 for ws in up.values())
+    assert wedges > 0
+    monkeypatch.setattr(G, "DRIVER_WEDGE_CAP", wedges)
+    at_cap = rows(G.triangle_counts(df))
+    monkeypatch.setattr(G, "DRIVER_WEDGE_CAP", wedges - 1)
+    over_cap = rows(G.triangle_counts(df))
+    assert at_cap == over_cap == at
+
+    # -- symmetrized-count boundary, pagerank and k_core parity --
+    monkeypatch.setattr(G, "DRIVER_WEDGE_CAP", 50_000_000)
+    for thr in (m_sym - 1, m_sym):
+        monkeypatch.setattr(G, "DRIVER_EDGE_THRESHOLD", thr)
+        if thr == m_sym - 1:
+            pr_dist = rows(G.pagerank(df, iterations=3))
+            kc_dist = rows(G.k_core(df, k=2))
+        else:
+            assert rows(G.pagerank(df, iterations=3)) == pr_dist
+            assert rows(G.k_core(df, k=2)) == kc_dist

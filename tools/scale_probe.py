@@ -97,118 +97,134 @@ HEAVY = [
 ]
 
 
-def build_scaled(spark, copies: int) -> None:
+def build_scaled(
+    spark,
+    copies: int,
+    out: str = OUT,
+    src_dir: str = SF01,
+    tables=("documents", "events", "orders", "lineitem", "embeddings"),
+) -> None:
+    """Write ``copies`` tagged copies of the selected sf0.1 tables to
+    ``out`` (see module docstring for the copy semantics per table).
+    ``tables`` lets a caller (e.g. bench.py's x10 block) skip tables
+    its queries never read — the build is untimed but not free."""
     from pyspark.sql import functions as F
 
     from dataframeintervals_jl_spark.sources import read_table
 
-    shutil.rmtree(OUT, ignore_errors=True)
-    os.makedirs(OUT, exist_ok=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
 
-    docs = read_table(spark, SF01, "documents")
-    parts = []
-    for k in range(copies):
-        c = docs.select(
-            (F.col("doc_id") + F.lit(k * ID_SHIFT)).alias("doc_id"),
-            (
-                F.col("text")
-                if k == 0
-                else F.regexp_replace(F.col("text"), r"(\S+)", f"c{k}$1")
-            ).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
-        parts.append(c)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+    def _union(parts):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
 
-    ev = read_table(spark, SF01, "events")
-    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    span = int(rng["hi"]) - int(rng["lo"]) + 86_400_000_000_000
-    parts = []
-    for k in range(copies):
-        c = ev.select(
-            (F.col("event_id") + F.lit(k * ID_SHIFT)).alias("event_id"),
-            (F.col("user_id") + F.lit(k * ID_SHIFT)).alias("user_id"),
-            "event_type",
-            (F.col("ts") + F.lit(k * span)).alias("ts"),
-            "value",
+    if "documents" in tables:
+        docs = read_table(spark, src_dir, "documents")
+        parts = []
+        for k in range(copies):
+            c = docs.select(
+                (F.col("doc_id") + F.lit(k * ID_SHIFT)).alias("doc_id"),
+                (
+                    F.col("text")
+                    if k == 0
+                    else F.regexp_replace(F.col("text"), r"(\S+)", f"c{k}$1")
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            parts.append(c)
+        _union(parts).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
         )
-        parts.append(c)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
 
-    od = read_table(spark, SF01, "orders")
-    orng = od.agg(
-        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
-    ).first()
-    odays = (orng["hi"] - orng["lo"]).days + 1
-    parts = []
-    for k in range(copies):
-        c = od.select(
-            (F.col("o_orderkey") + F.lit(k * ID_SHIFT)).alias("o_orderkey"),
-            (F.col("o_custkey") + F.lit(k * ID_SHIFT)).alias("o_custkey"),
-            "o_orderstatus",
-            "o_totalprice",
-            (
-                F.col("o_orderdate")
-                + F.make_dt_interval(F.lit(k * odays))
-            ).alias("o_orderdate"),
-            "o_orderpriority",
+    if "events" in tables:
+        ev = read_table(spark, src_dir, "events")
+        rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        span = int(rng["hi"]) - int(rng["lo"]) + 86_400_000_000_000
+        parts = []
+        for k in range(copies):
+            c = ev.select(
+                (F.col("event_id") + F.lit(k * ID_SHIFT)).alias("event_id"),
+                (F.col("user_id") + F.lit(k * ID_SHIFT)).alias("user_id"),
+                "event_type",
+                (F.col("ts") + F.lit(k * span)).alias("ts"),
+                "value",
+            )
+            parts.append(c)
+        _union(parts).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/events.parquet"
         )
-        parts.append(c)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(
-        f"{OUT}/orders.parquet"
-    )
 
-    li = read_table(spark, SF01, "lineitem")
-    parts = []
-    for k in range(copies):
-        c = li.select(
-            (F.col("l_orderkey") + F.lit(k * ID_SHIFT)).alias("l_orderkey"),
-            (F.col("l_partkey") + F.lit(k * ID_SHIFT)).alias("l_partkey"),
-            (F.col("l_suppkey") + F.lit(k * ID_SHIFT)).alias("l_suppkey"),
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_returnflag",
-            "l_linestatus",
-            "l_shipdate",
+    if "orders" in tables:
+        od = read_table(spark, src_dir, "orders")
+        orng = od.agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).first()
+        odays = (orng["hi"] - orng["lo"]).days + 1
+        parts = []
+        for k in range(copies):
+            c = od.select(
+                (F.col("o_orderkey") + F.lit(k * ID_SHIFT)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(k * ID_SHIFT)).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                (
+                    F.col("o_orderdate")
+                    + F.make_dt_interval(F.lit(k * odays))
+                ).alias("o_orderdate"),
+                "o_orderpriority",
+            )
+            parts.append(c)
+        _union(parts).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/orders.parquet"
         )
-        parts.append(c)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(
-        f"{OUT}/lineitem.parquet"
-    )
 
-    emb = read_table(spark, SF01, "embeddings")
-    parts = []
-    for k in range(copies):
-        c = emb.select(
-            (F.col("vec_id") + F.lit(k * ID_SHIFT)).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: x
-                + F.when(i == 0, F.lit(float(k) * 0.01)).otherwise(F.lit(0.0)),
-            ).alias("embedding"),
+    if "lineitem" in tables:
+        li = read_table(spark, src_dir, "lineitem")
+        parts = []
+        for k in range(copies):
+            c = li.select(
+                (F.col("l_orderkey") + F.lit(k * ID_SHIFT)).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.lit(k * ID_SHIFT)).alias("l_partkey"),
+                (F.col("l_suppkey") + F.lit(k * ID_SHIFT)).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+            parts.append(c)
+        _union(parts).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/lineitem.parquet"
         )
-        parts.append(c)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+    if "embeddings" in tables:
+        emb = read_table(spark, src_dir, "embeddings")
+        parts = []
+        for k in range(copies):
+            c = emb.select(
+                (F.col("vec_id") + F.lit(k * ID_SHIFT)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    + F.when(i == 0, F.lit(float(k) * 0.01)).otherwise(
+                        F.lit(0.0)
+                    ),
+                ).alias("embedding"),
+            )
+            parts.append(c)
+        _union(parts).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
 
 
 def main() -> None:
